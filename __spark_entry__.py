@@ -1,38 +1,381 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship parse→enrich→aggregate summary at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + round
+brief training-data ops); each callable takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents over the same parquet
+views. The transcript input itself is derived from the ``events`` table by a
+shared SQL statement valid in both engines (logpipe_spark/transcripts.py), so
+engine and oracle always agree on the input.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logpipe_spark.operators.aggregate import count_by, stats_by
+from logpipe_spark.operators.enrich import enrich_with_lookup
+from logpipe_spark.operators.parse import parse_grok
+from logpipe_spark.operators.spans import conv_spans, with_turn_latency
+from logpipe_spark.plans.pipeline import flagship_summary
+from logpipe_spark.functions.textfn import token_count
+from logpipe_spark.transcripts import (
+    TRANSCRIPTS_SQL,
+    derive_transcripts,
+    lookup_df,
+    lookup_values_sql,
+)
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments (DuckDB). The grok regex avoids backslashes so
+# the literal survives both engines' string parsing identically.
+# ---------------------------------------------------------------------------
+
+GROK_RE = "^([A-Za-z0-9_]+) ([^ ]+) -> ([0-9]+): (.*)$"
+
+_PARSED_CTE = f"""
+parsed AS (
+  SELECT t.*,
+    nullif(regexp_extract(text, '{GROK_RE}', 1), '') AS method,
+    nullif(regexp_extract(text, '{GROK_RE}', 2), '') AS path,
+    cast(nullif(regexp_extract(text, '{GROK_RE}', 3), '') AS int) AS status,
+    nullif(regexp_extract(text, '{GROK_RE}', 4), '') AS msg,
+    CASE WHEN text IS NULL OR trim(text) = '' THEN 'blank'
+         WHEN nullif(regexp_extract(text, '{GROK_RE}', 1), '') IS NULL THEN 'malformed'
+         ELSE NULL END AS error_kind
+  FROM transcripts t
+)"""
+
+
+def _oracle_prefix(with_enrich: bool = False) -> str:
+    base = f"WITH transcripts AS ({TRANSCRIPTS_SQL.format(events='events')}),{_PARSED_CTE}"
+    if with_enrich:
+        base += f""",
+enriched AS (
+  SELECT p.*, lookup.team, lookup.cost_weight, lookup.sla_ms,
+         cast(len(regexp_extract_all(p.text, '[^ ]+')) AS int) AS n_tokens
+  FROM parsed p LEFT JOIN {lookup_values_sql()} USING (role, tool)
+)"""
+    return base
+
+
+def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_transcripts(spark, sf_dir)
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse_grok(_t(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Query implementations (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flagship_summary(spark, _t(spark, sf_dir))
+
+
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T1 criteria-conjunction filter (filterTransformer.js:7-110)
+    return (
+        _t(spark, sf_dir)
+        .filter((F.col("role") == "tool") & (F.col("tool") == "bash"))
+        .select("conv_id", "turn_idx", "role", "tool", "text")
+    )
+
+
+def q_filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T1 RegExp.test path (filterTransformer.js:83-85) → rlike
+    return (
+        _t(spark, sf_dir)
+        .filter(F.col("text").rlike(" -> 5[0-9][0-9]: "))
+        .select("conv_id", "turn_idx", "text")
+    )
+
+
+def q_filter_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T1 includeMatches=false inversion
+    return (
+        _t(spark, sf_dir)
+        .filter(~(F.col("tool") == "none"))
+        .select("conv_id", "turn_idx", "tool")
+    )
+
+
+def q_project_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T3 projection + T4 computed field + T5 rename
+    return (
+        _t(spark, sf_dir)
+        .select(
+            F.col("conv_id").alias("conversation"),
+            "turn_idx",
+            F.upper(F.col("role")).alias("role_uc"),
+            F.length(F.col("text")).alias("text_len"),
+        )
+    )
+
+
+def q_parse_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _parsed(spark, sf_dir).select(
+        "conv_id", "turn_idx", "method", "path", "status", "msg", "error_kind"
+    )
+
+
+def q_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-turn text equality invariant: reassembled == original for clean rows
+    from logpipe_spark.operators.parse import reassemble_text
+
+    p = _parsed(spark, sf_dir).filter(F.col("error_kind").isNull())
+    return p.select(
+        "conv_id",
+        "turn_idx",
+        (reassemble_text(p) == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
+def q_enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T6 broadcast-join enrichment
+    e = enrich_with_lookup(_parsed(spark, sf_dir), lookup_df(spark))
+    return e.groupBy("role", "tool", "team", "cost_weight", "sla_ms").agg(
+        F.count(F.lit(1)).alias("turn_count")
+    )
+
+
+def q_count_by_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2 counter over clean rows
+    clean = _parsed(spark, sf_dir).filter(F.col("error_kind").isNull())
+    return count_by(clean, "tool", alias="turn_count")
+
+
+def q_stats_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3 stats: count/sum/min/max/avg of status per role
+    clean = _parsed(spark, sf_dir).filter(F.col("error_kind").isNull())
+    s = stats_by(clean, "role", "status", round_dp=4)
+    return s.select(
+        "role",
+        F.col("count").cast("long").alias("count"),
+        F.col("sum").cast("double").alias("sum"),
+        F.col("min").cast("double").alias("min"),
+        F.col("max").cast("double").alias("max"),
+        F.col("avg").cast("double").alias("avg"),
+    )
+
+
+def q_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A4: count-by (conv_id, role) then stats over the counts per role
+    t = _t(spark, sf_dir)
+    counts = t.groupBy("conv_id", "role").agg(F.count(F.lit(1)).alias("turn_count"))
+    s = stats_by(counts, "role", "turn_count", round_dp=4)
+    return s.select(
+        "role",
+        F.col("count").cast("long").alias("count"),
+        F.col("sum").cast("double").alias("sum"),
+        F.col("min").cast("double").alias("min"),
+        F.col("max").cast("double").alias("max"),
+        F.col("avg").cast("double").alias("avg"),
+    )
+
+
+def q_route_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # error-sink routing (≙ ndjsonParser drop-with-log, routed not dropped)
+    return (
+        _parsed(spark, sf_dir)
+        .filter(F.col("error_kind").isNotNull())
+        .select("conv_id", "turn_idx", "text", "error_kind")
+    )
+
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-sink aggregate counts across the full rule set (router fan-out)
+    p = _parsed(spark, sf_dir)
+    clean = p.filter(F.col("error_kind").isNull())
+    tool_counts = clean.groupBy(F.concat(F.lit("tool_"), F.col("tool")).alias("sink")).agg(
+        F.count(F.lit(1)).alias("turn_count")
+    )
+    role_counts = clean.groupBy(F.concat(F.lit("role_"), F.col("role")).alias("sink")).agg(
+        F.count(F.lit(1)).alias("turn_count")
+    )
+    err = p.filter(F.col("error_kind").isNotNull()).agg(
+        F.count(F.lit(1)).alias("turn_count")
+    ).select(F.lit("error").alias("sink"), "turn_count")
+    return tool_counts.unionByName(role_counts).unionByName(err)
+
+
+def q_conv_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clean = _parsed(spark, sf_dir).filter(F.col("error_kind").isNull())
+    return conv_spans(clean)
+
+
+def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = with_turn_latency(_t(spark, sf_dir))
+    return t.select("conv_id", "turn_idx", "latency_seconds")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token-length stats per tool (north_star per-sink textstats)
+    t = _t(spark, sf_dir).withColumn("n_tokens", token_count(F.col("text"), "[^ ]+"))
+    s = stats_by(t, "tool", "n_tokens", round_dp=4)
+    return s.select(
+        "tool",
+        F.col("count").cast("long").alias("count"),
+        F.col("sum").cast("double").alias("sum"),
+        F.col("min").cast("double").alias("min"),
+        F.col("max").cast("double").alias("max"),
+        F.col("avg").cast("double").alias("avg"),
+    )
+
+
+def q_hash_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T7 single-round (builtin sha2); iterated variant is non-SQL (pandas UDF)
+    return (
+        _t(spark, sf_dir)
+        .select("conv_id", "turn_idx", F.sha2(F.col("text"), 256).alias("textHash"))
+    )
+
+
+def q_window_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # row_number window: recompute turn order from timestamps
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    return (
+        _t(spark, sf_dir)
+        .withColumn("rn", (F.row_number().over(w) - F.lit(1)).cast("int"))
+        .select("conv_id", "turn_idx", "rn")
+    )
+
+
+def q_topk_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-k with deterministic tiebreak (reference has no sort; north adds it)
+    t = _t(spark, sf_dir)
+    return (
+        t.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .orderBy(F.desc("n_turns"), F.asc("conv_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return flagship_summary(spark, derive_transcripts(spark, "/root/testdata/sf0.001"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pipeline_flagship": q_pipeline_flagship,
+        "filter_eq": q_filter_eq,
+        "filter_regex": q_filter_regex,
+        "filter_anti": q_filter_anti,
+        "project_transform": q_project_transform,
+        "parse_grok": q_parse_grok,
+        "parse_roundtrip": q_parse_roundtrip,
+        "enrich_lookup": q_enrich_lookup,
+        "count_by_tool": q_count_by_tool,
+        "stats_status": q_stats_status,
+        "chained_agg": q_chained_agg,
+        "route_error": q_route_error,
+        "route_counts": q_route_counts,
+        "conv_spans": q_conv_spans,
+        "turn_latency": q_turn_latency,
+        "token_stats": q_token_stats,
+        "hash_sha256": q_hash_sha256,
+        "window_rownum": q_window_rownum,
+        "topk_convs": q_topk_convs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    P = _oracle_prefix()
+    PE = _oracle_prefix(with_enrich=True)
+    stats_cols = """cast(count({v}) AS bigint) AS count,
+       cast(sum({v}) AS double) AS sum,
+       cast(min({v}) AS double) AS min,
+       cast(max({v}) AS double) AS max,
+       round(avg({v}), 4) AS avg"""
+    return {
+        "pipeline_flagship": f"""{PE}
+SELECT role, tool, team,
+       count(*) AS turn_count,
+       round(cast(sum(n_tokens) AS double), 2) AS sum_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       count(DISTINCT conv_id) AS n_convs
+FROM enriched WHERE error_kind IS NULL
+GROUP BY role, tool, team""",
+        "filter_eq": f"""{P}
+SELECT conv_id, turn_idx, role, tool, text FROM parsed
+WHERE role = 'tool' AND tool = 'bash'""",
+        "filter_regex": f"""{P}
+SELECT conv_id, turn_idx, text FROM parsed
+WHERE regexp_matches(text, ' -> 5[0-9][0-9]: ')""",
+        "filter_anti": f"""{P}
+SELECT conv_id, turn_idx, tool FROM parsed WHERE NOT (tool = 'none')""",
+        "project_transform": f"""{P}
+SELECT conv_id AS conversation, turn_idx, upper(role) AS role_uc,
+       cast(length(text) AS int) AS text_len
+FROM parsed""",
+        "parse_grok": f"""{P}
+SELECT conv_id, turn_idx, method, path, status, msg, error_kind FROM parsed""",
+        "parse_roundtrip": f"""{P}
+SELECT conv_id, turn_idx,
+       (method || ' ' || path || ' -> ' || cast(status AS string) || ': ' || msg) = text
+         AS roundtrip_ok
+FROM parsed WHERE error_kind IS NULL""",
+        "enrich_lookup": f"""{PE}
+SELECT role, tool, team, cost_weight, sla_ms, count(*) AS turn_count
+FROM enriched GROUP BY role, tool, team, cost_weight, sla_ms""",
+        "count_by_tool": f"""{P}
+SELECT tool, count(*) AS turn_count FROM parsed
+WHERE error_kind IS NULL GROUP BY tool""",
+        "stats_status": f"""{P}
+SELECT role, {stats_cols.format(v='status')}
+FROM parsed WHERE error_kind IS NULL GROUP BY role""",
+        "chained_agg": f"""{P},
+counts AS (
+  SELECT conv_id, role, count(*) AS turn_count FROM transcripts GROUP BY conv_id, role
+)
+SELECT role, {stats_cols.format(v='turn_count')}
+FROM counts GROUP BY role""",
+        "route_error": f"""{P}
+SELECT conv_id, turn_idx, text, error_kind FROM parsed WHERE error_kind IS NOT NULL""",
+        "route_counts": f"""{P}
+SELECT 'tool_' || tool AS sink, count(*) AS turn_count FROM parsed
+WHERE error_kind IS NULL GROUP BY tool
+UNION ALL
+SELECT 'role_' || role AS sink, count(*) AS turn_count FROM parsed
+WHERE error_kind IS NULL GROUP BY role
+UNION ALL
+SELECT 'error' AS sink, count(*) AS turn_count FROM parsed WHERE error_kind IS NOT NULL""",
+        "conv_spans": f"""{P}
+SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts, max(ts) AS last_ts,
+       round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6, 3) AS span_seconds
+FROM parsed WHERE error_kind IS NULL GROUP BY conv_id""",
+        "turn_latency": f"""{P}
+SELECT conv_id, turn_idx,
+       round((epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx))) / 1e6, 3)
+         AS latency_seconds
+FROM transcripts""",
+        "token_stats": f"""{P},
+tok AS (
+  SELECT tool, cast(len(regexp_extract_all(text, '[^ ]+')) AS int) AS n_tokens
+  FROM transcripts
+)
+SELECT tool, {stats_cols.format(v='n_tokens')}
+FROM tok GROUP BY tool""",
+        "hash_sha256": f"""{P}
+SELECT conv_id, turn_idx, sha256(text) AS textHash FROM transcripts""",
+        "window_rownum": f"""{P}
+SELECT conv_id, turn_idx,
+       cast(row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) - 1 AS int) AS rn
+FROM transcripts""",
+        "topk_convs": f"""{P}
+SELECT conv_id, count(*) AS n_turns FROM transcripts
+GROUP BY conv_id ORDER BY n_turns DESC, conv_id ASC LIMIT 10""",
+    }

@@ -1,0 +1,142 @@
+"""Vectorized grok/regex parsing of transcript text → structured fields.
+
+Re-expresses the reference's parsers (S2 NDJSON ``src/parsers/ndjsonParser.js:8-116``,
+S3 CSV ``src/parsers/csvParser.js:10-94``) for the transcript domain: instead of
+per-line ``JSON.parse`` with drop-on-error, we run a vectorized regex over the
+``text`` column and channel non-matching turns to an error column
+(``error_kind``) for the router — the Spark analog of "drop malformed with
+capped logging" is "route malformed, never crash" (PERMISSIVE semantics).
+
+Two execution paths, both vectorized (input_hint: no per-row Python):
+
+1. **Builtin** (default): one ``regexp_extract`` per field — JVM-side,
+   whole-stage-codegen'd, pushdown-friendly. N fields → N regex evaluations.
+2. **Single-pass pandas UDF**: one Arrow-batched ``Series.str.extract`` that
+   returns a struct of all fields in a single regex pass — wins when the
+   pattern is expensive and fields are many (the 100 TB path keeps regex cost
+   linear in bytes, not bytes × fields).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Grok-style named pattern registry (public grok pattern names).
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "GREEDYDATA": r".*",
+    "IP": r"\d{1,3}(?:\.\d{1,3}){3}",
+    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+):(\w+)\}")
+
+# The transcript line shape (mirrors reference message shape,
+# scripts/generate-ndjson.js:147-161): "METHOD /path -> STATUS: MSG".
+TRANSCRIPT_GROK = "%{WORD:method} %{NOTSPACE:path} -> %{INT:status}: %{GREEDYDATA:msg}"
+
+
+@dataclass(frozen=True)
+class CompiledGrok:
+    regex: str
+    fields: tuple[str, ...]
+    types: tuple[str, ...]  # spark cast target per field ("string" = none)
+
+
+def compile_grok(expr: str, casts: dict[str, str] | None = None) -> CompiledGrok:
+    """Compile ``%{PATTERN:name}`` grok syntax to an anchored capture regex."""
+    casts = casts or {}
+    fields: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        pat, name = m.group(1), m.group(2)
+        if pat not in GROK_PATTERNS:
+            raise KeyError(f"unknown grok pattern %{{{pat}}}")
+        fields.append(name)
+        return f"({GROK_PATTERNS[pat]})"
+
+    body = _GROK_REF.sub(sub, expr)
+    types = tuple(casts.get(f, "string") for f in fields)
+    return CompiledGrok(regex=f"^{body}$", fields=tuple(fields), types=types)
+
+
+TRANSCRIPT_CASTS = {"status": "int"}
+TRANSCRIPT_COMPILED = compile_grok(TRANSCRIPT_GROK, TRANSCRIPT_CASTS)
+
+
+def _cast_extracted(raw: Column, typ: str) -> Column:
+    # regexp_extract yields '' on no-match; NULL it out before any numeric
+    # cast (ANSI mode would otherwise throw on '').
+    c = F.nullif(raw, F.lit(""))
+    return c.cast(typ) if typ != "string" else c
+
+
+def parse_grok(
+    df: DataFrame,
+    text_col: str = "text",
+    grok: CompiledGrok = TRANSCRIPT_COMPILED,
+    error_col: str = "error_kind",
+    single_pass: bool = False,
+) -> DataFrame:
+    """Extract grok fields from ``text_col``; tag unparsable rows.
+
+    ``error_kind``: 'blank' for empty/whitespace text (≙ blank-line skip,
+    ndjsonParser.js:50), 'malformed' for regex-miss (≙ JSON.parse failure,
+    ndjsonParser.js:99-115), NULL for clean rows.
+    """
+    text = F.col(text_col)
+    if single_pass:
+        out = _single_pass_struct(df, text_col, grok)
+    else:
+        out = df
+        for i, (name, typ) in enumerate(zip(grok.fields, grok.types), start=1):
+            out = out.withColumn(
+                name, _cast_extracted(F.regexp_extract(text, grok.regex, i), typ)
+            )
+    first = grok.fields[0]
+    return out.withColumn(
+        error_col,
+        F.when(text.isNull() | (F.trim(text) == ""), F.lit("blank"))
+        .when(F.col(first).isNull(), F.lit("malformed"))
+        .otherwise(F.lit(None).cast("string")),
+    )
+
+
+def _single_pass_struct(df: DataFrame, text_col: str, grok: CompiledGrok) -> DataFrame:
+    """One Arrow-batched regex pass extracting every field at once."""
+    struct_type = T.StructType(
+        [T.StructField(f, T.StringType(), True) for f in grok.fields]
+    )
+    pattern = grok.regex
+    fields = list(grok.fields)
+
+    @F.pandas_udf(struct_type)
+    def extract_all(s: pd.Series) -> pd.DataFrame:
+        ext = s.astype("string").str.extract(pattern)
+        ext.columns = fields
+        return ext
+
+    out = df.withColumn("_g", extract_all(F.col(text_col)))
+    for name, typ in zip(grok.fields, grok.types):
+        col = F.col(f"_g.{name}")
+        out = out.withColumn(name, col.cast(typ) if typ != "string" else col)
+    return out.drop("_g")
+
+
+def reassemble_text(df: DataFrame) -> Column:
+    """Inverse of the transcript grok — used by the round-trip invariant
+    "per-turn text equality under stable (conv_id, turn_idx) ordering"."""
+    return F.concat(
+        F.col("method"), F.lit(" "), F.col("path"), F.lit(" -> "),
+        F.col("status").cast("string"), F.lit(": "), F.col("msg"),
+    )

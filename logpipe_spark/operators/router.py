@@ -1,0 +1,90 @@
+"""Rule-driven multi-sink router (generalizes K6 sender dispatch).
+
+The reference picks exactly one sink by priority http > file > console
+(``bin/logpipe.js:82-120``, ``src/senders/senderFactory.js:99-122``); the
+north_rule upgrades this to declarative fan-out: one upstream DataFrame,
+persisted once, then per-rule ``filter(...).write`` — per-tool, per-role,
+error, and overflow sinks.
+
+Scale notes:
+- the upstream is persisted (MEMORY_AND_DISK) so N sinks = N cheap filtered
+  scans of the cached plan, not N recomputations of parse+enrich;
+- every rule predicate is a Catalyst ``Column``, so each sink's write gets
+  pushdown/pruning on top of the cached plan;
+- routes are non-exclusive by design (a turn can land in both its tool sink
+  and its role sink), matching "overlapping routes behave like a multi-way
+  union of filtered views" (SURVEY.md §2.4). ``overflow`` catches rows
+  matching no rule, ``error`` catches parse failures first.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+@dataclass
+class Rule:
+    name: str
+    predicate: Column  # evaluated against the enriched DataFrame
+
+
+def standard_rules(tools: list[str], roles: list[str]) -> list[Rule]:
+    """Per-tool + per-role sinks (north_rule's rule set)."""
+    rules = [Rule(f"tool_{t}", F.col("tool") == F.lit(t)) for t in tools]
+    rules += [Rule(f"role_{r}", F.col("role") == F.lit(r)) for r in roles]
+    return rules
+
+
+def route(
+    df: DataFrame,
+    rules: list[Rule],
+    error_col: str = "error_kind",
+    persist: bool = True,
+) -> dict[str, DataFrame]:
+    """Fan a DataFrame out into named sink views.
+
+    Returns ``{rule.name: df, 'error': df, 'overflow': df}``. Error rows
+    (``error_col`` non-null) are excluded from every regular rule and land
+    only in the error sink (≙ NDJSONParser drop semantics, but routed instead
+    of dropped). Overflow = clean rows matching no rule.
+    """
+    if persist:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    is_error = F.col(error_col).isNotNull()
+    clean = df.filter(~is_error)
+    out: dict[str, DataFrame] = {}
+    none_match: Column | None = None
+    for rule in rules:
+        out[rule.name] = clean.filter(rule.predicate)
+        none_match = rule.predicate if none_match is None else (none_match | rule.predicate)
+    out["error"] = df.filter(is_error)
+    out["overflow"] = clean.filter(~none_match) if none_match is not None else clean
+    return out
+
+
+def write_routed(
+    routed: dict[str, DataFrame],
+    base_dir: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    post: Callable[[str, DataFrame], DataFrame] | None = None,
+) -> dict[str, str]:
+    """Write each routed view to ``{base_dir}/{sink_name}``.
+
+    On a real deployment each sink is an Iceberg table append (atomic snapshot
+    commit subsumes the reference HTTP sender's batch+retry,
+    ``src/senders/httpSender.js:178-214``); the sandbox fallback is parquet.
+    """
+    paths = {}
+    for name, sdf in routed.items():
+        if post is not None:
+            sdf = post(name, sdf)
+        path = f"{base_dir}/sink_{name}"
+        sdf.write.mode(mode).format(fmt).save(path)
+        paths[name] = path
+    return paths
