@@ -1,0 +1,84 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "turns_per_sec": N}
+
+Each query is fully materialized through a `noop` sink write (forces the whole
+plan — scan → shuffle → agg — without paying an output-format cost), matching
+how the pipeline runs against real sinks. The headline metric is end-to-end
+parse→enrich→route→aggregate wall time; `turns_per_sec` is the flagship
+pipeline's throughput in input turns/sec (BASELINE.json metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: one per pipeline stage family + training-data ops.
+HEADLINE = [
+    "pipeline_flagship",
+    "parse_grok",
+    "enrich_lookup",
+    "route_counts",
+    "conv_spans",
+    "token_stats",
+    "topk_convs",
+    "window_rownum",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from logpipe_spark.session import build_session
+    import __spark_entry__ as entrymod
+
+    spark = build_session(app_name="logpipe_bench", cpus=CPUS,
+                          shuffle_partitions=2 * CPUS)
+    queries = entrymod.queries()
+    names = [n for n in HEADLINE if n in queries]
+    # include any bench_* tagged extras registered later
+    names += [n for n in queries if n.startswith("dedup_") or n.startswith("ann_")]
+
+    # Warm the JVM + parquet footer caches once (excluded from timings).
+    materialize(entrymod.queries()["count_by_tool"](spark, SF_DIR))
+
+    n_turns = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    timings: dict[str, float] = {}
+    t_all0 = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        materialize(queries[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all0, 3)
+
+    flagship = timings.get("pipeline_flagship", total)
+    out = {
+        "metric": "end-to-end parse->enrich->route->aggregate wall time (headline queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / flagship, 1) if flagship > 0 else None,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
