@@ -17,6 +17,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from logpipe_spark.operators.aggregate import count_by, stats_by
+from logpipe_spark.trainprep import dedup as dd
+from logpipe_spark.trainprep import multimodal as mm
+from logpipe_spark.trainprep import similarity as sim
+from logpipe_spark.trainprep import textqual as tq
 from logpipe_spark.operators.enrich import enrich_with_lookup
 from logpipe_spark.operators.parse import parse_grok
 from logpipe_spark.operators.spans import conv_spans, with_turn_latency
@@ -259,6 +263,223 @@ def q_topk_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data ops (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_signatures(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_near_dup_pairs(_emb(spark, sf_dir))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ann_bruteforce_topk(_emb(spark, sf_dir))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ann_lsh_topk(_emb(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tq.lang_id(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tq.quality_score(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tq.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.image_meta(mm.with_fake_payload(_docs(spark, sf_dir)))
+
+
+# --- DuckDB oracle fragments for the training-data ops ---------------------
+
+_SHINGLES_CTE = """
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i + 1]))) AS shingle
+       FROM w),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)"""
+
+_JACCARD_TAIL = """
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b),
+j AS (
+  SELECT i.doc_a, i.doc_b, i.i * 1.0 / (x.sz + y.sz - i.i) AS jaccard
+  FROM inter i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id)
+SELECT doc_a, doc_b, jaccard
+FROM j WHERE jaccard >= {thr}"""
+
+
+def _minhash_oracle(n_hashes: int = 12, band_size: int = 3,
+                    threshold: float = 0.4) -> str:
+    mins = ", ".join(
+        f"min(md5(shingle || '#{s}')) AS h{s}" for s in range(n_hashes))
+    n_bands = n_hashes // band_size
+    whens = " ".join(
+        "WHEN {b} THEN {concat}".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"h{b * band_size + j}" for j in range(band_size)),
+        )
+        for b in range(n_bands))
+    band_vals = ", ".join(f"({b})" for b in range(n_bands))
+    return f"""WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, bd.band_idx,
+         md5(CASE bd.band_idx {whens} END) AS band_hash
+  FROM sigs, (VALUES {band_vals}) bd(band_idx)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+{_JACCARD_TAIL.format(thr=threshold)}"""
+
+
+def _simhash_oracle() -> str:
+    return """WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+h AS (SELECT doc_id, md5(t) AS m FROM tok),
+bits AS (
+  SELECT doc_id, j.j,
+    CASE WHEN ((strpos('0123456789abcdef', substr(m, 16 - j.j // 4, 1)) - 1)
+               >> (j.j % 4)) & 1 = 1 THEN 1 ELSE -1 END AS c
+  FROM h, (SELECT unnest(generate_series(0, 62)) AS j) j),
+s AS (SELECT doc_id, j, sum(c) AS sc FROM bits GROUP BY doc_id, j)
+SELECT doc_id,
+       cast(sum(CASE WHEN sc > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)
+            AS bigint) AS simhash
+FROM s GROUP BY doc_id"""
+
+
+def _emb_norm_cte(bits: int) -> str:
+    bucket = " || ".join(
+        f"(CASE WHEN e[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(bits))
+    return f"""n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         {bucket} AS bucket
+  FROM embeddings)"""
+
+
+def _ann_oracle(k: int, bucketed: bool, bits: int, query_mod: int = 25) -> str:
+    join = "c.bucket = q.bucket AND" if bucketed else ""
+    return f"""WITH {_emb_norm_cte(bits)},
+q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, bucket
+      FROM n WHERE vec_id % {query_mod} = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.qe, c.e) / (q.qn * c.nrm) AS cos
+  FROM n c JOIN q ON {join} c.vec_id != q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cast(rank AS int) AS rank, cos
+FROM ranked WHERE rank <= {k}"""
+
+
+def _occ_sql(expr: str, pat: str) -> str:
+    esc = pat.replace("'", "''")
+    return (f"cast((length({expr}) - length(replace({expr}, '{esc}', '')))"
+            f" / {len(pat)} AS int)")
+
+
+def _lang_oracle() -> str:
+    score_cols = []
+    for lang, pats in tq.LANG_PROFILES.items():
+        terms = " + ".join(_occ_sql("p.padded", p) for p in pats)
+        score_cols.append(f"({terms}) AS s_{lang}")
+    cases = []
+    for lang in tq.LANG_ORDER:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{o}" for o in tq.LANG_ORDER if o != lang)
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    pred = "CASE " + " ".join(cases) + " END"
+    return f"""WITH p AS (
+  SELECT doc_id, lang, ' ' || text || ' ' AS padded FROM documents),
+s AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM p),
+r AS (SELECT doc_id, {pred} AS pred_lang, lang FROM s)
+SELECT doc_id, pred_lang, lang, pred_lang = lang AS is_match FROM r"""
+
+
+def _quality_oracle() -> str:
+    stop_terms = " + ".join(
+        _occ_sql("' ' || text || ' '", f" {w} ") for w in tq.STOPWORDS)
+    return f"""WITH q AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         {stop_terms} AS stop_hits
+  FROM documents)
+SELECT doc_id,
+       cast(n_chars AS int) AS n_chars,
+       cast(n_tokens AS int) AS n_tokens,
+       cast(stop_hits AS int) AS stop_hits,
+       (n_chars - (n_tokens - 1)) * 1.0 / n_tokens AS mean_token_len,
+       (least(n_tokens, 100) * n_tokens
+              + 60 * least(stop_hits * 5, n_tokens)
+              + 40 * n_tokens * (CASE WHEN n_chars - n_tokens + 1
+                                           BETWEEN 3 * n_tokens AND 8 * n_tokens
+                                      THEN 1 ELSE 0 END))
+             * 1.0 / (n_tokens * 200) AS quality
+FROM q"""
+
+
+_HEXVAL = "(strpos('0123456789abcdef', substr(m, {i}, 1)) - 1)"
+
+
+def _mm_oracle() -> str:
+    def byte(n: int) -> str:
+        return (f"({_HEXVAL.format(i=2 * n + 1)} * 16 + "
+                f"{_HEXVAL.format(i=2 * n + 2)})")
+
+    return f"""WITH h AS (SELECT doc_id, md5(text) AS m FROM documents)
+SELECT doc_id,
+       cast(1 + ({byte(0)} * 256 + {byte(1)}) % 2048 AS int) AS width,
+       cast(1 + ({byte(2)} * 256 + {byte(3)}) % 2048 AS int) AS height,
+       cast(1 + {byte(4)} % 4 AS int) AS channels,
+       16 AS n_bytes
+FROM h"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -289,6 +510,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sha256": q_hash_sha256,
         "window_rownum": q_window_rownum,
         "topk_convs": q_topk_convs,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "mm_image_meta": q_mm_image_meta,
     }
 
 
@@ -378,4 +610,34 @@ FROM transcripts""",
         "topk_convs": f"""{P}
 SELECT conv_id, count(*) AS n_turns FROM transcripts
 GROUP BY conv_id ORDER BY n_turns DESC, conv_id ASC LIMIT 10""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, count(*) AS n_copies,
+       min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY md5(text)""",
+        "dedup_minhash": _minhash_oracle(),
+        "dedup_simhash": _simhash_oracle(),
+        "dedup_ngram_jaccard": f"""WITH {_SHINGLES_CTE},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+{_JACCARD_TAIL.format(thr=0.12)}""",
+        "dedup_embedding": f"""WITH {_emb_norm_cte(bits=4)},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos
+FROM pairs WHERE cos >= 0.30""",
+        "ann_topk": _ann_oracle(k=10, bucketed=False, bits=6),
+        "ann_lsh_topk": _ann_oracle(k=5, bucketed=True, bits=6),
+        "lang_id": _lang_oracle(),
+        "quality_score": _quality_oracle(),
+        "doc_fingerprint": """
+SELECT doc_id,
+  list_aggregate(list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+                 i -> md5(substr(text, i, 8))), 'min') AS fingerprint,
+  cast(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS int)
+    AS n_bpe_tokens
+FROM documents""",
+        "mm_image_meta": _mm_oracle(),
     }

@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the actual decode is stubbed:
+:func:`decode_image_stub` raises ``NotImplementedError`` exactly where
+PIL/ffmpeg would plug in, and :func:`fake_decode_meta` is the deterministic
+stand-in (header-byte parse) used by tests and the oracle. Everything
+Spark-side — binary schema, Arrow batch shapes, ``mapInPandas`` signature,
+partition-preserving narrow execution — is real and exercised.
+
+At 100 TB the binary payloads dominate I/O: the plumbing keeps them in one
+columnar scan (no shuffle before decode), pushes the metadata projection
+into the scan, and the decode UDF streams record batches
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds executor memory
+per batch — size it to payload_size × batch ≤ heap headroom).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+IMAGE_META_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("n_bytes", IntegerType()),
+])
+
+
+def with_fake_payload(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic 16-byte binary 'image' payload: unhex(md5(text)).
+
+    Stands in for a real image column; the bytes are a pure function of the
+    row so the DuckDB oracle can reproduce the decoded metadata.
+    """
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.unhex(F.md5(F.col(text_col))).alias("payload"),
+    )
+
+
+def decode_image_stub(payload: bytes) -> tuple[int, int, int]:
+    """Real-codec seam. Replace with PIL.Image.open(io.BytesIO(payload))."""
+    raise NotImplementedError(
+        "image codec not available in this container; "
+        "wire PIL/turbojpeg here in production"
+    )
+
+
+def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: parse fake header fields out of the binary payload.
+
+    width  = 1 + (bytes[0]<<8 | bytes[1]) % 2048
+    height = 1 + (bytes[2]<<8 | bytes[3]) % 2048
+    channels = 1 + bytes[4] % 4
+    """
+    for pdf in it:
+        raw = pdf["payload"]
+        b0 = raw.str[0].astype("int64")
+        b1 = raw.str[1].astype("int64")
+        b2 = raw.str[2].astype("int64")
+        b3 = raw.str[3].astype("int64")
+        b4 = raw.str[4].astype("int64")
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "width": (1 + ((b0 * 256 + b1) % 2048)).astype("int32"),
+            "height": (1 + ((b2 * 256 + b3) % 2048)).astype("int32"),
+            "channels": (1 + (b4 % 4)).astype("int32"),
+            "n_bytes": raw.str.len().astype("int32"),
+        })
+
+
+def image_meta(docs_with_payload: DataFrame) -> DataFrame:
+    """Decode image metadata from the binary column via Arrow-batched mapInPandas.
+
+    Narrow (partition-preserving) — no shuffle; the binary column never
+    leaves the executor except as the decoded metadata.
+    """
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        _decode_batches, schema=IMAGE_META_SCHEMA)
+
+
+def frame_sample_stub(docs_with_payload: DataFrame, every_n: int = 10,
+                      ) -> DataFrame:
+    """Video frame-sampling seam: plumbing returns the sampling plan
+    (doc_id, frame_idx) without decoding; a real build would mapInPandas
+    an ffmpeg extraction over `payload` per sampled index."""
+    n_frames = (F.length("payload").cast("int") * 2).alias("n_frames")
+    plan = docs_with_payload.select("doc_id", n_frames)
+    return plan.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, n_frames - 1, {every_n})"))
+        .alias("frame_idx"),
+    )

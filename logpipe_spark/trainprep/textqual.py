@@ -1,0 +1,158 @@
+"""Text analysis for training-data curation: language-ID (n-gram heuristic),
+quality scoring, BPE-ish token counting, document fingerprinting.
+
+All pure JVM expressions (no UDFs): occurrence counting via
+``(len(s) - len(replace(s, pat, ''))) / len(pat)`` compiles to codegen'd
+string ops; fingerprinting folds ``md5`` over character 8-grams with
+``transform`` + ``array_min`` (winnowing-style min-gram fingerprint).
+At 100 TB each of these is a narrow map stage — no shuffle at all until the
+caller aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language substring profiles for the n-gram heuristic. The
+# priority order below (first match wins on ties) is part of the contract.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "ing", " a "],
+    "de": ["der", "sch", "ein", "und"],
+    "fr": ["les", "ent", "que", "des"],
+    "es": ["los", "ado", "ion", "nte"],
+    "zh": ["shi", "zho", "ang", "eng"],
+}
+LANG_ORDER = list(LANG_PROFILES.keys())
+
+STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
+
+
+def occurrences(col: Column, pat: str) -> Column:
+    """Non-overlapping occurrence count of literal `pat` (matches SQL replace)."""
+    return (
+        (F.length(col) - F.length(F.regexp_replace(col, _lit_re(pat), "")))
+        / F.lit(len(pat))
+    ).cast("int")
+
+
+def _lit_re(pat: str) -> str:
+    # escape regex metacharacters without backslash-heavy literals
+    out = []
+    for ch in pat:
+        out.append(("[" + ch + "]") if not ch.isalnum() and ch != " " else ch)
+    return "".join(out)
+
+
+def _occ_simple(col: Column, pat: str) -> Column:
+    # literal replace-based count (no regex) — identical across engines
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(pat), F.lit(""))))
+        / F.lit(len(pat))
+    ).cast("int")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    return {
+        lang: sum(
+            (_occ_simple(padded, p) for p in pats),
+            start=F.lit(0),
+        ).alias(f"s_{lang}")
+        for lang, pats in LANG_PROFILES.items()
+    }
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Predict language by profile-substring hit count, priority-ordered argmax.
+
+    Returns (doc_id, pred_lang, lang, is_match) so curation can measure
+    agreement with upstream labels.
+    """
+    scores = lang_scores(F.col(text_col))
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col("lang"),
+                    *scores.values())
+    pred = None
+    for lang in reversed(LANG_ORDER):
+        cond = None
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = (F.when(cond, F.lit(lang)) if pred is None
+                else F.when(cond, F.lit(lang)).otherwise(pred))
+    # reversed loop means earlier languages in LANG_ORDER take precedence
+    return d.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        "lang",
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score from length / stopword ratio / mean token length.
+
+    score = 0.5·min(n_tokens/100, 1) + 0.3·min(5·stop_ratio, 1)
+          + 0.2·[3 ≤ mean_token_len ≤ 8]
+
+    computed as a single integer-numerator fraction
+    ``num / (200·n_tokens)`` and emitted UNROUNDED: with identical integer
+    operands the division yields a bit-identical double in Spark and the
+    DuckDB oracle, whereas engine round() implementations disagree on
+    shortest-decimal-repr boundaries (Spark BigDecimal.valueOf vs DuckDB
+    scale-and-round).
+    """
+    text = F.col(text_col)
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    n_chars = F.length(text)
+    n_tokens = F.size(F.split(text, " "))
+    stop_hits = sum(
+        (_occ_simple(padded, f" {w} ") for w in STOPWORDS), start=F.lit(0))
+    mean_tok = (n_chars - (n_tokens - 1)) / n_tokens
+    num2 = n_chars - n_tokens + 1  # = mean_tok * n_tokens (integer)
+    ind = F.when((num2 >= 3 * n_tokens) & (num2 <= 8 * n_tokens),
+                 F.lit(1)).otherwise(F.lit(0))
+    num = (
+        F.least(n_tokens, F.lit(100)) * n_tokens
+        + F.lit(60) * F.least(stop_hits * 5, n_tokens)
+        + F.lit(40) * n_tokens * ind
+    )
+    score = num / (n_tokens * 200)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("int").alias("n_chars"),
+        n_tokens.cast("int").alias("n_tokens"),
+        stop_hits.cast("int").alias("stop_hits"),
+        mean_tok.alias("mean_token_len"),
+        score.alias("quality"),
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under a BPE-ish segmentation: letter runs, digit runs,
+    single punctuation marks each count as one token."""
+    return F.size(F.regexp_extract_all(text, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", gram: int = 8) -> DataFrame:
+    """Winnowing-style fingerprint: min over char-`gram`-grams of md5(gram).
+
+    Texts shorter than `gram` hash whole. Identical (even shifted /
+    lightly-edited sharing the minimizing gram) docs collide — groupBy the
+    fingerprint for candidate clusters. Pure codegen: sequence → transform
+    → array_min, no explode (no row blowup).
+    """
+    fp = F.expr(
+        f"array_min(transform(sequence(1, greatest(length({text_col}) - {gram - 1}, 1)), "
+        f"i -> md5(substring({text_col}, i, {gram}))))"
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        fp.alias("fingerprint"),
+        bpe_ish_token_count(F.col(text_col)).alias("n_bpe_tokens"),
+    )

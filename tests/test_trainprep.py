@@ -1,0 +1,94 @@
+"""Unit tests for training-data prep operators (dedup / similarity /
+multimodal plumbing) beyond the oracle-parity gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_TINY
+
+
+def test_decode_stub_raises():
+    from logpipe_spark.trainprep.multimodal import decode_image_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x00" * 16)
+
+
+def test_payload_is_binary_and_16_bytes(spark):
+    from logpipe_spark.trainprep.multimodal import with_fake_payload
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    p = with_fake_payload(docs)
+    assert dict(p.dtypes)["payload"] == "binary"
+    lens = p.select(F.length("payload").alias("n")).distinct().collect()
+    assert [r.n for r in lens] == [16]
+
+
+def test_frame_sample_plan(spark):
+    from logpipe_spark.trainprep.multimodal import (frame_sample_stub,
+                                                    with_fake_payload)
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").limit(5)
+    plan = frame_sample_stub(with_fake_payload(docs), every_n=10)
+    rows = plan.collect()
+    # 16-byte payload → 32 fake frames → indices 0,10,20,30 per doc
+    assert sorted({r.frame_idx for r in rows}) == [0, 10, 20, 30]
+    assert len(rows) == 5 * 4
+
+
+def test_simhash_band_reconstruction(spark):
+    from logpipe_spark.trainprep.dedup import (simhash_bands,
+                                               simhash_signatures)
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").limit(20)
+    sigs = simhash_signatures(docs)
+    bands = simhash_bands(sigs, n_bands=4)
+    # 4 bands per doc; identical docs would share all 4 band keys
+    counts = bands.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in counts)
+    # reconstruct low 60 bits from the 4×15-bit band keys (63//4 = 15)
+    joined = bands.groupBy("doc_id").agg(
+        F.sum(F.expr("band_key * cast(pow(2, band_idx * 15) AS long)"))
+        .alias("recon")).join(sigs, "doc_id")
+    bad = joined.where(
+        F.expr("recon != simhash % cast(pow(2, 60) AS long)")).count()
+    assert bad == 0
+
+
+def test_exact_dedup_finds_planted_duplicate(spark):
+    from logpipe_spark.trainprep.dedup import exact_dedup_groups
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string")
+    g = {r.text_hash: (r.n_copies, r.keeper_doc_id)
+         for r in exact_dedup_groups(docs).collect()}
+    assert sorted(g.values()) == [(1, 3), (2, 1)]
+
+
+def test_minhash_planted_near_dups(spark):
+    from logpipe_spark.trainprep.dedup import minhash_lsh_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words with no overlap whatsoever here now"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_dedup(docs).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_ann_bruteforce_self_excluded_and_ranked(spark):
+    from logpipe_spark.trainprep.similarity import ann_bruteforce_topk
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    top = ann_bruteforce_topk(emb, k=3).toPandas()
+    assert (top.neighbor_id != top.query_id).all()
+    per_q = top.groupby("query_id")
+    assert (per_q["rank"].max() == 3).all()
+    # cosine non-increasing with rank within each query
+    for _, g in per_q:
+        s = g.sort_values("rank")["cos"].to_numpy()
+        assert (s[:-1] >= s[1:] - 1e-12).all()
