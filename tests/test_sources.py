@@ -1,0 +1,119 @@
+"""Source-connector tests (S1–S4): NDJSON error channel, CSV options,
+format dispatch, gzip transparency — mirroring the reference's error corpus
+(``scripts/generate-ndjson-errors.js``)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (IntegerType, StringType, StructField,
+                               StructType)
+
+from logpipe_spark.sources import (read_csv, read_ndjson, read_source,
+                                   sniff_format)
+
+SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("turn_idx", IntegerType()),
+    StructField("role", StringType()),
+    StructField("text", StringType()),
+])
+
+GOOD = [
+    {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hi"},
+    {"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "hello"},
+    {"conv_id": "c2", "turn_idx": 0, "role": "user", "text": "x"},
+]
+
+
+def _write_ndjson(path, lines):
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_sniff_format():
+    assert sniff_format("a/b/logs.ndjson") == "ndjson"
+    assert sniff_format("logs.jsonl") == "ndjson"
+    assert sniff_format("logs.json") == "ndjson"
+    assert sniff_format("logs.csv") == "csv"
+    assert sniff_format("logs.csv.gz") == "csv"        # double-extension peek
+    assert sniff_format("logs.ndjson.gz") == "ndjson"
+    assert sniff_format("noext") == "ndjson"           # default
+    assert sniff_format("x.csv", explicit="json") == "ndjson"  # explicit wins
+
+
+def test_ndjson_error_channel(spark, tmp_path):
+    lines = [json.dumps(r) for r in GOOD]
+    lines.insert(1, "")                      # blank → skipped
+    lines.insert(2, "   ")                   # whitespace-only → skipped
+    lines.insert(3, "{not valid json")       # malformed → error channel
+    lines.append('{"conv_id": "c3", "extra_field": 1}')  # extra → dropped by schema
+    f = tmp_path / "logs.ndjson"
+    _write_ndjson(f, lines)
+    df = read_ndjson(spark, str(f), SCHEMA)
+    rows = df.collect()
+    # blanks skipped entirely: 3 good + 1 malformed + 1 partial
+    assert len(rows) == 5
+    bad = [r for r in rows if r.error_kind == "malformed"]
+    assert len(bad) == 1 and bad[0].raw == "{not valid json"
+    partial = [r for r in rows if r.conv_id == "c3"]
+    assert len(partial) == 1 and partial[0].turn_idx is None  # missing → null
+    good = df.filter(F.col("error_kind").isNull()).count()
+    assert good == 4
+
+
+def test_ndjson_gzip_transparent(spark, tmp_path):
+    f = tmp_path / "logs.ndjson.gz"
+    with gzip.open(f, "wt") as g:
+        for r in GOOD:
+            g.write(json.dumps(r) + "\n")
+    df = read_source(spark, str(f), SCHEMA)
+    assert df.filter(F.col("error_kind").isNull()).count() == 3
+
+
+def test_csv_options_and_string_semantics(spark, tmp_path):
+    f = tmp_path / "logs.csv"
+    f.write_text("conv_id;turn_idx;role;text\n"
+                 "c1;0;user;'hello; world'\n"
+                 "c2;1;tool;plain\n")
+    df = read_csv(spark, str(f), separator=";", quote="'", header=True)
+    rows = {r.conv_id: r for r in df.collect()}
+    assert rows["c1"].text == "hello; world"
+    # all-strings semantics (reference never coerces)
+    assert dict(df.dtypes)["turn_idx"] == "string"
+    assert rows["c2"].turn_idx == "1"
+
+
+def test_csv_with_schema_coerces(spark, tmp_path):
+    f = tmp_path / "logs.csv"
+    f.write_text("conv_id,turn_idx,role,text\nc1,7,user,hi\n")
+    df = read_csv(spark, str(f), schema=SCHEMA)
+    r = df.collect()[0]
+    assert r.turn_idx == 7 and isinstance(r.turn_idx, int)
+
+
+def test_read_source_dispatch_parquet(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([("c1", 0, "user", "hi")], SCHEMA).write.parquet(p)
+    df = read_source(spark, p, SCHEMA, fmt="parquet")
+    assert df.count() == 1
+
+
+def test_synth_determinism_and_skew(spark):
+    from logpipe_spark.synth import synth_transcripts
+
+    a = synth_transcripts(spark, n_turns=2000, n_convs=50,
+                          error_every=20, hot_conv_fraction=0.5)
+    b = synth_transcripts(spark, n_turns=2000, n_convs=50,
+                          error_every=20, hot_conv_fraction=0.5)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    counts = dict(a.groupBy("conv_id").count().collect())
+    assert counts["conv-000000"] == 1000  # hot conversation holds 50%
+    blanks = a.filter(F.trim("text") == "").count()
+    garbled = a.filter(F.col("text").startswith("garbled")).count()
+    assert blanks == 2000 // 40 and garbled == 2000 // 20 - blanks
+    # (conv_id, turn_idx) is a dense unique key
+    dup = a.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
+    assert dup == 0
