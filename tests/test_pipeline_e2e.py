@@ -1,0 +1,178 @@
+"""End-to-end pipeline tests (SURVEY.md §5.2 layers 2–5): routed-row
+equality against a pandas oracle, error corpus routing, checkpoint/resume,
+and skew-salting equivalence."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logpipe_spark.operators.skew import (salted_conv_spans,
+                                          salted_count_by, salted_stats_by)
+from logpipe_spark.plans.checkpoint import Stage, is_committed, read_manifest, run_stages
+from logpipe_spark.plans.pipeline import run_pipeline
+from logpipe_spark.synth import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synth_transcripts(spark, n_turns=4000, n_convs=80,
+                             error_every=20, hot_conv_fraction=0.3)
+
+
+def _key(df):
+    return df[["conv_id", "turn_idx"]].apply(tuple, axis=1)
+
+
+def test_routed_row_equality(spark, corpus):
+    """Each sink's rows equal the pandas oracle's routed set (sorted sets)."""
+    out = run_pipeline(spark, corpus)
+    pdf = corpus.toPandas()
+    blank = pdf.text.str.strip() == ""
+    malformed = ~blank & ~pdf.text.str.contains(" -> ", regex=False)
+    err = pdf[blank | malformed]
+    clean = pdf[~(blank | malformed)]
+
+    got_err = out["sink_error"].select("conv_id", "turn_idx").toPandas()
+    assert sorted(_key(got_err)) == sorted(_key(err))
+
+    for tool in ["bash", "search"]:
+        got = out[f"sink_tool_{tool}"].select("conv_id", "turn_idx").toPandas()
+        want = clean[clean.tool == tool]
+        assert sorted(_key(got)) == sorted(_key(want)), f"tool sink {tool}"
+    for role in ["user", "system"]:
+        got = out[f"sink_role_{role}"].select("conv_id", "turn_idx").toPandas()
+        want = clean[clean.role == role]
+        assert sorted(_key(got)) == sorted(_key(want)), f"role sink {role}"
+
+    # per-sink aggregate counts match the oracle
+    counts = out["agg_tool_bash_counts"].collect()
+    assert counts[0]["turn_count"] == (clean.tool == "bash").sum()
+
+    # per-turn text equality under stable (conv_id, turn_idx) ordering
+    got_txt = (out["sink_role_user"].orderBy("conv_id", "turn_idx")
+               .select("text").toPandas().text.tolist())
+    want_txt = (clean[clean.role == "user"]
+                .sort_values(["conv_id", "turn_idx"]).text.tolist())
+    assert got_txt == want_txt
+
+
+def test_overflow_sink_empty_when_rules_cover(spark, corpus):
+    out = run_pipeline(spark, corpus)
+    # tools+roles rules cover every clean row → overflow empty
+    assert out["sink_overflow"].count() == 0
+
+
+def test_checkpoint_resume_skips_committed(spark, corpus, tmp_path):
+    calls = {"parse": 0, "clean": 0}
+
+    def parse_stage(s, df):
+        calls["parse"] += 1
+        from logpipe_spark.plans.pipeline import parse_stage as ps
+        return ps(df)
+
+    def clean_stage(s, df):
+        calls["clean"] += 1
+        return df.filter(F.col("error_kind").isNull())
+
+    def agg_stage(s, df):
+        return df.groupBy("tool").agg(F.count(F.lit(1)).alias("n"))
+
+    stages = [Stage("parse", parse_stage), Stage("clean", clean_stage),
+              Stage("agg", agg_stage)]
+    base = str(tmp_path / "ckpt")
+
+    r1 = run_stages(spark, stages, base, source=corpus)
+    assert [r.skipped for r in r1] == [False, False, False]
+    assert calls == {"parse": 1, "clean": 1}
+    m = read_manifest(base, "parse")
+    assert m["status"] == "committed" and m["rows"] == 4000
+    assert m["partitions"] and all(p["rows"] >= 0 for p in m["partitions"])
+    assert sum(p["rows"] for p in m["partitions"]) == m["rows"]
+
+    # resume: everything committed → all skipped, stage fns not re-invoked
+    r2 = run_stages(spark, stages, base, source=corpus)
+    assert [r.skipped for r in r2] == [True, True, True]
+    assert calls == {"parse": 1, "clean": 1}
+    a1 = {r.tool: r.n for r in r1[-1].df.collect()}
+    a2 = {r.tool: r.n for r in r2[-1].df.collect()}
+    assert a1 == a2
+
+
+def test_checkpoint_kill_midway_reruns_cleanly(spark, corpus, tmp_path):
+    base = str(tmp_path / "ckpt2")
+
+    def parse_stage(s, df):
+        from logpipe_spark.plans.pipeline import parse_stage as ps
+        return ps(df)
+
+    boom = {"on": True}
+
+    def flaky(s, df):
+        if boom["on"]:
+            raise RuntimeError("simulated executor loss")
+        return df.filter(F.col("error_kind").isNull())
+
+    stages = [Stage("parse", parse_stage), Stage("clean", flaky)]
+    with pytest.raises(RuntimeError):
+        run_stages(spark, stages, base, source=corpus)
+    assert is_committed(base, "parse")
+    assert not is_committed(base, "clean")
+
+    boom["on"] = False
+    r = run_stages(spark, stages, base, source=corpus)
+    assert [x.skipped for x in r] == [True, False]
+    assert r[-1].rows == r[0].rows - corpus.filter(
+        (F.trim("text") == "") | F.col("text").startswith("garbled")).count()
+
+
+def test_salted_aggregates_match_unsalted(spark, corpus):
+    plain = {r.conv_id: r["count"] for r in
+             corpus.groupBy("conv_id").agg(
+                 F.count(F.lit(1)).alias("count")).collect()}
+    salted = {r.conv_id: r["count"] for r in
+              salted_count_by(corpus, "conv_id", F.col("turn_idx")).collect()}
+    assert plain == salted
+    # hot conversation really is hot (30% of rows)
+    assert plain["conv-000000"] == 1200
+
+    ps = (corpus.withColumn("_v", F.length("text").cast("double"))
+          .groupBy("role").agg(F.count("_v").alias("count"),
+                               F.sum("_v").alias("sum"),
+                               F.min("_v").alias("min"),
+                               F.max("_v").alias("max"),
+                               F.avg("_v").alias("avg")))
+    ss = salted_stats_by(corpus, "role", F.length("text"), F.col("turn_idx"))
+    p = {r.role: (r["count"], r["sum"], r["min"], r["max"]) for r in ps.collect()}
+    s = {r.role: (r["count"], r["sum"], r["min"], r["max"]) for r in ss.collect()}
+    assert p == s
+
+    spans_p = {r.conv_id: (r.n_turns, r.first_ts, r.last_ts) for r in
+               corpus.groupBy("conv_id").agg(
+                   F.count(F.lit(1)).alias("n_turns"),
+                   F.min("ts").alias("first_ts"),
+                   F.max("ts").alias("last_ts")).collect()}
+    spans_s = {r.conv_id: (r.n_turns, r.first_ts, r.last_ts) for r in
+               salted_conv_spans(corpus).collect()}
+    assert spans_p == spans_s
+
+
+def test_heavy_key_detection(spark, corpus):
+    from logpipe_spark.operators.skew import heavy_keys
+
+    hot = {r.conv_id for r in heavy_keys(corpus, "conv_id", 0.05).collect()}
+    assert hot == {"conv-000000"}
+
+
+def test_write_routed_round_trip(spark, corpus, tmp_path):
+    from logpipe_spark.operators.router import write_routed
+
+    out = run_pipeline(spark, corpus)
+    routed = {k.removeprefix("sink_"): v for k, v in out.items()
+              if k.startswith("sink_") and k in ("sink_error", "sink_tool_bash")}
+    paths = write_routed(routed, str(tmp_path))
+    for name, path in paths.items():
+        back = spark.read.parquet(path)
+        assert back.count() == routed[name].count()
+        assert set(back.columns) == set(routed[name].columns)
