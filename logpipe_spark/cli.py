@@ -1,0 +1,147 @@
+"""CLI entry point mirroring the reference's option surface
+(``bin/logpipe.js:20-52``) on Spark.
+
+    spark-submit --py-files dist/logpipe_spark.zip -m  # or:
+    python -m logpipe_spark.cli -i data.ndjson --filter role:user \
+        --select conv_id,role,text --count-by role -o out_dir
+
+Transformer order is the reference's fixed order (``bin/logpipe.js:177-274``):
+filter → select → hash → enrich → count-by → stats. Each CLI flag maps to a
+declarative DataFrame op, so the whole invocation is ONE Catalyst plan —
+the transformer array became a logical plan (SURVEY.md §3.1).
+
+Sink dispatch keeps the reference priority (``bin/logpipe.js:82-120``):
+``--route-dir`` (fan-out, supersedes single sinks) > ``-o`` file > console.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="logpipe-spark",
+        description="PySpark-native log/transcript ETL pipeline")
+    p.add_argument("-i", "--input", required=True,
+                   help="input path (ndjson/csv/parquet, .gz transparent)")
+    p.add_argument("--format", default=None,
+                   help="input format override (default: sniff extension)")
+    p.add_argument("--filter", action="append", default=[],
+                   metavar="FIELD:VALUE",
+                   help="equality filter, repeatable (AND-conjunction); "
+                        "prefix value with ~ for regex")
+    p.add_argument("--exclude-matches", action="store_true",
+                   help="invert the filter (includeMatches:false)")
+    p.add_argument("--select", default=None,
+                   help="comma-separated field list (dot-paths ok)")
+    p.add_argument("--hash-field", default=None,
+                   help="add <field>Hash = iterated sha256 of the field")
+    p.add_argument("--hash-iterations", type=int, default=10_000)
+    p.add_argument("--enrich", action="store_true",
+                   help="add processing metadata columns")
+    p.add_argument("--count-by", default=None, metavar="FIELD")
+    p.add_argument("--stats", default=None, metavar="KEY:VALUE",
+                   help="per-KEY count/sum/min/max/avg of VALUE")
+    p.add_argument("-o", "--output", default=None, help="output directory")
+    p.add_argument("--output-format", default="parquet",
+                   choices=["parquet", "json", "csv"])
+    p.add_argument("--route-dir", default=None,
+                   help="run the full parse/enrich/route fan-out into this dir")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="stage-checkpoint base dir (resume-capable)")
+    p.add_argument("--parallel", type=int, default=None,
+                   help="local core count (cluster: use spark-submit conf)")
+    p.add_argument("--limit", type=int, default=20,
+                   help="console sink row limit")
+    return p
+
+
+def apply_transforms(df: DataFrame, args) -> DataFrame:
+    """Fixed reference transformer order: filter → select → hash → enrich →
+    count-by → stats."""
+    from logpipe_spark.functions.textfn import iterated_sha256
+    from logpipe_spark.operators.aggregate import count_by, stats_by
+    from logpipe_spark.operators.enrich import add_processing_metadata
+
+    pred = None
+    for spec in args.filter:
+        field, _, value = spec.partition(":")
+        # CLI filter compares the string form (SURVEY.md §2.2 T1)
+        c = (F.col(field).cast("string").rlike(value[1:])
+             if value.startswith("~")
+             else F.col(field).cast("string") == F.lit(value))
+        pred = c if pred is None else (pred & c)
+    if pred is not None:
+        df = df.filter(~pred if args.exclude_matches else pred)
+
+    if args.select:
+        fields = [f.strip() for f in args.select.split(",") if f.strip()]
+        cols = []
+        for f_ in fields:  # nested dot-path rebuild (mapTransformer.js:88-109)
+            if "." in f_:
+                top, rest = f_.split(".", 1)
+                cols.append(F.struct(F.col(f_).alias(rest)).alias(top))
+            else:
+                cols.append(F.col(f_))
+        df = df.select(*cols)
+
+    if args.hash_field:
+        df = df.withColumn(
+            f"{args.hash_field}Hash",
+            iterated_sha256(args.hash_iterations)(F.col(args.hash_field)))
+
+    if args.enrich:
+        df = add_processing_metadata(df, deterministic=False)
+
+    if args.count_by:
+        df = count_by(df, args.count_by)
+
+    if args.stats:
+        key, _, value = args.stats.partition(":")
+        df = stats_by(df, key, F.col(value).cast("double"))
+
+    return df
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from logpipe_spark.schemas import TRANSCRIPT_SCHEMA
+    from logpipe_spark.session import build_session
+    from logpipe_spark.sources import read_source
+
+    spark = build_session(app_name="logpipe-cli", cpus=args.parallel)
+    try:
+        fmt = args.format or ("parquet" if args.input.endswith(".parquet")
+                              else None)
+        df = read_source(spark, args.input, TRANSCRIPT_SCHEMA, fmt=fmt)
+
+        if args.route_dir:  # full pipeline fan-out (supersedes single sink)
+            from logpipe_spark.operators.router import write_routed
+            from logpipe_spark.plans.pipeline import (enrich_stage,
+                                                      parse_stage,
+                                                      route_stage)
+            enriched = enrich_stage(spark, parse_stage(df))
+            paths = write_routed(route_stage(enriched), args.route_dir)
+            for name, path in sorted(paths.items()):
+                print(f"sink {name}: {path}")
+            return 0
+
+        out = apply_transforms(df, args)
+        if args.output:
+            out.write.mode("overwrite").format(args.output_format) \
+               .save(args.output)
+            print(f"wrote {args.output}")
+        else:  # console sender (senderFactory.js:48-72)
+            out.show(args.limit, truncate=False)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,100 @@
+"""CLI surface tests (reference option parity, ``bin/logpipe.js:20-52``)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+from logpipe_spark.cli import apply_transforms, build_parser
+
+
+def _args(argv):
+    return build_parser().parse_args(argv)
+
+
+def test_filter_select_order(spark, tmp_path):
+    from logpipe_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_turns=500, n_convs=20)
+    args = _args(["-i", "x", "--filter", "role:user",
+                  "--select", "conv_id,role"])
+    out = apply_transforms(t, args)
+    assert out.columns == ["conv_id", "role"]
+    assert out.filter("role != 'user'").count() == 0
+    assert out.count() == t.filter("role = 'user'").count()
+
+
+def test_filter_regex_and_invert(spark):
+    from logpipe_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_turns=500, n_convs=20)
+    args = _args(["-i", "x", "--filter", "text:~ -> 2[0-9][0-9]: "])
+    kept = apply_transforms(t, args).count()
+    args_inv = _args(["-i", "x", "--filter", "text:~ -> 2[0-9][0-9]: ",
+                      "--exclude-matches"])
+    dropped = apply_transforms(t, args_inv).count()
+    assert kept + dropped == 500 and kept > 0 and dropped > 0
+
+
+def test_count_by_and_stats_chain(spark):
+    from logpipe_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_turns=500, n_convs=20)
+    args = _args(["-i", "x", "--count-by", "role"])
+    counts = {r.role: r.turn_count for r in apply_transforms(t, args).collect()}
+    assert sum(counts.values()) == 500
+    args2 = _args(["-i", "x", "--stats", "role:turn_idx"])
+    stats = apply_transforms(t, args2)
+    assert {"count", "sum", "min", "max", "avg"} <= set(stats.columns)
+
+
+def test_hash_field_iterated(spark):
+    import hashlib
+
+    from logpipe_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_turns=20, n_convs=4)
+    args = _args(["-i", "x", "--hash-field", "role",
+                  "--hash-iterations", "3", "--select", "conv_id,role"])
+    row = apply_transforms(t, args).limit(1).collect()[0]
+
+    h = row.role.encode()
+    for _ in range(3):
+        h = hashlib.sha256(h).digest()
+    assert row.roleHash == h.hex()
+
+
+def test_cli_end_to_end_subprocess(tmp_path):
+    """Full process: ndjson in → routed sinks out (the spark-submit path)."""
+    src = tmp_path / "in.ndjson"
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "GET /api/x -> 200: ok", "tool": "none",
+         "ts": "2026-01-01T00:00:00Z"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "tool",
+         "text": "garbled", "tool": "bash",
+         "ts": "2026-01-01T00:00:05Z"},
+    ]
+    src.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = tmp_path / "sinks"
+    r = subprocess.run(
+        [sys.executable, "-m", "logpipe_spark.cli", "-i", str(src),
+         "--route-dir", str(out), "--parallel", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "sink error" in r.stdout
+    import pyarrow.parquet as pq
+    err = pq.read_table(str(out / "sink_error")).to_pandas()
+    assert len(err) == 1 and err.conv_id[0] == "c1" and err.turn_idx[0] == 1
+
+
+def test_make_pyfiles(tmp_path):
+    sys.path.insert(0, "/root/repo/scripts")
+    import make_pyfiles
+
+    z = make_pyfiles.build(tmp_path / "lp.zip")
+    import zipfile
+    names = zipfile.ZipFile(z).namelist()
+    assert "logpipe_spark/cli.py" in names
+    assert "logpipe_spark/plans/pipeline.py" in names
