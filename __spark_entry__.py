@@ -321,13 +321,18 @@ def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- DuckDB oracle fragments for the training-data ops ---------------------
 
-_SHINGLES_CTE = """
+def _shingles_cte(k: int = 2) -> str:
+    gram = " || ' ' || ".join(f"w[i + {j}]" for j in range(k))
+    return f"""
 w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (SELECT doc_id,
-         unnest(list_distinct(list_transform(generate_series(1, len(w) - 1),
-                i -> w[i] || ' ' || w[i + 1]))) AS shingle
+         unnest(list_distinct(list_transform(generate_series(1, len(w) - {k - 1}),
+                i -> {gram}))) AS shingle
        FROM w),
 sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)"""
+
+
+_SHINGLES_CTE = _shingles_cte(2)
 
 _JACCARD_TAIL = """
 inter AS (
@@ -616,7 +621,7 @@ SELECT md5(text) AS text_hash, count(*) AS n_copies,
 FROM documents GROUP BY md5(text)""",
         "dedup_minhash": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
-        "dedup_ngram_jaccard": f"""WITH {_SHINGLES_CTE},
+        "dedup_ngram_jaccard": f"""WITH {_shingles_cte(3)},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),

@@ -52,8 +52,10 @@ def main() -> None:
     # include any bench_* tagged extras registered later
     names += [n for n in queries if n.startswith("dedup_") or n.startswith("ann_")]
 
-    # Warm the JVM + parquet footer caches once (excluded from timings).
-    materialize(entrymod.queries()["count_by_tool"](spark, SF_DIR))
+    # Warmup pass (excluded): JIT/codegen-compile every plan shape once so
+    # the timed pass measures steady-state throughput, not JVM cold start.
+    for name in names:
+        materialize(queries[name](spark, SF_DIR))
 
     n_turns = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 

@@ -67,6 +67,53 @@ def route(
     return out
 
 
+def route_single_pass(
+    df: DataFrame,
+    rules: list[Rule],
+    error_col: str = "error_kind",
+    sink_col: str = "sink",
+) -> DataFrame:
+    """Single-pass fan-out: tag each row with ALL matching sink names and
+    explode — the scale path.
+
+    ``route()`` + ``write_routed()`` issue one Spark job per sink (N filtered
+    scans); fine for a handful of sinks, but at 10^12 turns × ~20 sinks the
+    fixed per-job cost and N passes dominate. This variant computes the
+    matching-sink array in one narrow projection and explodes, so the entire
+    fan-out is ONE pass over the data and one write job
+    (``write_fanout_single_pass``). Routed-row equality with route() is
+    tested; overlapping rules duplicate rows by design (a turn lands in both
+    its tool and its role sink).
+    """
+    is_error = F.col(error_col).isNotNull()
+    tags = [F.when(~is_error & rule.predicate, F.lit(rule.name))
+            for rule in rules]
+    none_match = None
+    for rule in rules:
+        none_match = rule.predicate if none_match is None \
+            else (none_match | rule.predicate)
+    tags.append(F.when(is_error, F.lit("error")))
+    if none_match is not None:
+        tags.append(F.when(~is_error & ~none_match, F.lit("overflow")))
+    sinks = F.array_compact(F.array(*tags))
+    return df.withColumn(sink_col, F.explode(sinks))
+
+
+def write_fanout_single_pass(
+    exploded: DataFrame,
+    base_dir: str,
+    sink_col: str = "sink",
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> str:
+    """One write job for every sink: ``partitionBy(sink)`` → per-sink
+    subdirectories ``{base_dir}/sink=<name>/``. On Iceberg this is an
+    identity-partitioned table; the atomic commit covers all sinks at once
+    (the reference's per-sink send+retry collapses into one snapshot)."""
+    exploded.write.mode(mode).partitionBy(sink_col).format(fmt).save(base_dir)
+    return base_dir
+
+
 def write_routed(
     routed: dict[str, DataFrame],
     base_dir: str,

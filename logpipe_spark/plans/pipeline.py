@@ -95,6 +95,55 @@ def run_pipeline(
     return out
 
 
+def run_pipeline_fanout(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    sink_base_dir: str,
+    cfg: PipelineConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Scale-path pipeline: single-pass routed write + consolidated aggregates.
+
+    Three jobs total regardless of sink count:
+      1. fan-out write — one pass, ``partitionBy(sink)``;
+      2. per-sink counts + token stats — ONE groupBy over the exploded frame;
+      3. conversation spans over clean rows.
+    The enriched frame is persisted once and feeds all three. This is the
+    plan shape that scales: job count is O(1) in the number of sinks, every
+    shuffle is a map-side-combining hash aggregate, and the only wide
+    exchange is on the (low-cardinality) sink key and conv_id.
+    """
+    from logpipe_spark.operators.router import (route_single_pass,
+                                                 write_fanout_single_pass)
+    from pyspark.storagelevel import StorageLevel
+
+    cfg = cfg or PipelineConfig()
+    parsed = parse_stage(transcripts, cfg)
+    enriched = enrich_stage(spark, parsed, cfg)
+    if cfg.persist_fanout:
+        enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
+    rules = standard_rules(cfg.tools, cfg.roles)
+    exploded = route_single_pass(enriched, rules)
+    write_fanout_single_pass(exploded, sink_base_dir)
+    sink_aggs = (
+        route_single_pass(enriched, rules)
+        .groupBy("sink")
+        .agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.avg("n_tokens").alias("avg_tokens"),
+        )
+    )
+    clean = enriched.filter(F.col("error_kind").isNull())
+    return {
+        "sink_dir": sink_base_dir,
+        "agg_per_sink": sink_aggs,
+        "agg_conv_spans": conv_spans(clean),
+        "_enriched": enriched,
+    }
+
+
 def flagship_summary(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
     """One-frame rollup used by the driver smoke check: per-(role, tool)
     turn counts + token stats over clean rows, ordered deterministically."""

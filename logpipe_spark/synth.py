@@ -72,6 +72,13 @@ def synth_transcripts(
     )
     from pyspark.sql import Window
     w = Window.partitionBy("conv_id").orderBy("_id")
-    return out.withColumn(
+    out = out.withColumn(
         "turn_idx", (F.row_number().over(w) - 1).cast("int")
     ).drop("_id").select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    # Explicit hash(conv_id) partitioning (north_rule): guarantees the
+    # written corpus exposes `partitions`-way read parallelism — AQE would
+    # otherwise coalesce the window's shuffle into a handful of output files
+    # and cap every downstream consumer's parallelism at that file count.
+    if partitions:
+        out = out.repartition(partitions, "conv_id")
+    return out

@@ -176,3 +176,25 @@ def test_write_routed_round_trip(spark, corpus, tmp_path):
         back = spark.read.parquet(path)
         assert back.count() == routed[name].count()
         assert set(back.columns) == set(routed[name].columns)
+
+
+def test_single_pass_fanout_equals_route(spark, corpus, tmp_path):
+    """route_single_pass + partitionBy write ≡ route() per-sink views."""
+    from logpipe_spark.operators.router import (route, route_single_pass,
+                                                standard_rules,
+                                                write_fanout_single_pass)
+    from logpipe_spark.plans.pipeline import (PipelineConfig, enrich_stage,
+                                              parse_stage)
+    from logpipe_spark.transcripts import ROLES, TOOLS
+
+    enriched = enrich_stage(spark, parse_stage(corpus))
+    rules = standard_rules(list(TOOLS), list(ROLES))
+    multi = route(enriched, rules, persist=False)
+    base = str(tmp_path / "fan")
+    write_fanout_single_pass(route_single_pass(enriched, rules), base)
+    written = spark.read.parquet(base)
+    for name, view in multi.items():
+        got = written.filter(F.col("sink") == name)
+        gk = sorted(map(tuple, got.select("conv_id", "turn_idx").collect()))
+        wk = sorted(map(tuple, view.select("conv_id", "turn_idx").collect()))
+        assert gk == wk, f"sink {name}"
