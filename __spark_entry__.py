@@ -262,6 +262,100 @@ def q_topk_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_null_key_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1 semantic: null group keys bypass aggregation and pass through
+    # unmodified (aggregateTransformer.js:71-73). Key = nullif(tool,'none').
+    from logpipe_spark.operators.aggregate import count_by_with_passthrough
+
+    t = _t(spark, sf_dir).withColumn("group_key", F.nullif("tool", F.lit("none")))
+    agg, passthrough = count_by_with_passthrough(t, "group_key")
+    agg_rows = agg.select(
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        "group_key",
+        F.col("turn_count"),
+    )
+    pass_rows = passthrough.select(
+        "conv_id", "turn_idx", "group_key",
+        F.lit(None).cast("long").alias("turn_count"),
+    )
+    return agg_rows.unionByName(pass_rows)
+
+
+def q_map_error_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T2 preserveOnError (mapTransformer.js:7-73): mapped value where the
+    # mapper succeeds, the ORIGINAL value where it fails.
+    t = _t(spark, sf_dir)
+    v = F.nullif(F.regexp_extract("text", "value=([0-9.]+)", 1), F.lit(""))
+    mapped = (v.cast("double") * 2).cast("string")
+    return t.select(
+        "conv_id", "turn_idx",
+        F.coalesce(mapped, F.col("text")).alias("mapped"),
+    )
+
+
+def q_normalize_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T5 normalizer (rename old->new, removeOriginal) + T4 field adder
+    t = (
+        _t(spark, sf_dir)
+        .withColumnRenamed("conv_id", "conversation_id")
+        .withColumnRenamed("turn_idx", "turn")
+        .withColumn("turn_parity",
+                    F.when(F.col("turn") % 2 == 0, F.lit("even"))
+                    .otherwise(F.lit("odd")))
+    )
+    return t.select("conversation_id", "turn", "turn_parity")
+
+
+def q_stringify_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # K5 JSON stringifier (bin/logpipe.js:123-141): record -> one JSON line
+    t = _t(spark, sf_dir)
+    return t.select(
+        "conv_id", "turn_idx",
+        F.to_json(F.struct("conv_id", "turn_idx", "role")).alias("json_line"),
+    )
+
+
+def q_hash_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T7 intended semantics (iterated sha256, pandas UDF) — procedural, so
+    # no SQL oracle: the driver records the weaker rows-only check.
+    from logpipe_spark.functions.textfn import iterated_sha256
+
+    return _t(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        iterated_sha256(5)(F.col("text")).alias("textHash5"),
+    )
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payload = mm.with_fake_payload(_docs(spark, sf_dir))
+    return mm.frame_sample_stub(payload, every_n=10)
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash near-dup: band-equality candidates, exact Hamming <= 8 verify
+    sigs = dd.simhash_signatures(_docs(spark, sf_dir))
+    bands = dd.simhash_bands(sigs, n_bands=4)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("hamming",
+                    F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops (documents / embeddings tables)
 # ---------------------------------------------------------------------------
@@ -391,6 +485,27 @@ SELECT doc_id,
 FROM s GROUP BY doc_id"""
 
 
+def _simhash_pairs_oracle(n_bands: int = 4, width: int = 15,
+                          max_hamming: int = 8) -> str:
+    band_vals = ", ".join(f"({b})" for b in range(n_bands))
+    return f"""WITH sigs AS ({_simhash_oracle()}),
+bands AS (
+  SELECT doc_id, bd.band_idx,
+         (simhash >> (bd.band_idx * {width})) & {(1 << width) - 1} AS band_key
+  FROM sigs, (VALUES {band_vals}) bd(band_idx)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       cast(bit_count(xor(sa.simhash, sb.simhash)) AS int) AS hamming
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}"""
+
+
 def _emb_norm_cte(bits: int) -> str:
     bucket = " || ".join(
         f"(CASE WHEN e[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
@@ -515,6 +630,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sha256": q_hash_sha256,
         "window_rownum": q_window_rownum,
         "topk_convs": q_topk_convs,
+        "null_key_passthrough": q_null_key_passthrough,
+        "map_error_preserve": q_map_error_preserve,
+        "normalize_rename": q_normalize_rename,
+        "stringify_json": q_stringify_json,
+        "hash_iterated": q_hash_iterated,
+        "mm_frame_sample": q_mm_frame_sample,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -615,6 +737,34 @@ FROM transcripts""",
         "topk_convs": f"""{P}
 SELECT conv_id, count(*) AS n_turns FROM transcripts
 GROUP BY conv_id ORDER BY n_turns DESC, conv_id ASC LIMIT 10""",
+        "null_key_passthrough": f"""{P},
+k AS (SELECT conv_id, turn_idx, nullif(tool, 'none') AS group_key
+      FROM transcripts)
+SELECT cast(NULL AS string) AS conv_id, cast(NULL AS int) AS turn_idx,
+       group_key, count(*) AS turn_count
+FROM k WHERE group_key IS NOT NULL GROUP BY group_key
+UNION ALL
+SELECT conv_id, turn_idx, group_key, cast(NULL AS bigint) AS turn_count
+FROM k WHERE group_key IS NULL""",
+        "map_error_preserve": f"""{P}
+SELECT conv_id, turn_idx,
+       coalesce(cast(cast(nullif(regexp_extract(text, 'value=([0-9.]+)', 1),
+                                 '') AS double) * 2 AS string),
+                text) AS mapped
+FROM transcripts""",
+        "normalize_rename": f"""{P}
+SELECT conv_id AS conversation_id, turn_idx AS turn,
+       CASE WHEN turn_idx % 2 = 0 THEN 'even' ELSE 'odd' END AS turn_parity
+FROM transcripts""",
+        "stringify_json": f"""{P}
+SELECT conv_id, turn_idx,
+       to_json(struct_pack(conv_id := conv_id, turn_idx := turn_idx,
+                           role := role)) AS json_line
+FROM transcripts""",
+        "mm_frame_sample": """
+SELECT doc_id, cast(unnest(generate_series(0, 31, 10)) AS int) AS frame_idx
+FROM documents""",
+        "dedup_simhash_pairs": _simhash_pairs_oracle(),
         "dedup_exact": """
 SELECT md5(text) AS text_hash, count(*) AS n_copies,
        min(doc_id) AS keeper_doc_id
