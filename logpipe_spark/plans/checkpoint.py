@@ -103,6 +103,7 @@ def run_stages(
     base_dir: str,
     source: DataFrame | None = None,
     resume: bool = True,
+    compute_metrics: bool = False,
 ) -> list[StageRun]:
     """Run a linear stage chain with checkpoint/skip semantics.
 
@@ -135,11 +136,15 @@ def run_stages(
                 shutil.rmtree(d)
         t0 = time.perf_counter()
         out = stage.fn(spark, prev)
+        acc = None
+        if compute_metrics:
+            from logpipe_spark.metrics import with_partition_metrics
+            out, acc = with_partition_metrics(spark, out)
         out.write.mode("overwrite").parquet(inprog)
         wall = time.perf_counter() - t0
         os.replace(inprog, final_dir)  # atomic commit of the snapshot dir
         parts, rows = _partition_lineage(final_dir)
-        _write_manifest(final_dir, {
+        manifest = {
             "stage": stage.name,
             "status": "committed",
             "rows": rows,
@@ -147,7 +152,17 @@ def run_stages(
             "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
             "partitions": parts,
             "input_stage": runs[-1].name if runs else "source",
-        })
+        }
+        if acc is not None:
+            from logpipe_spark.metrics import collect_metrics, skew_report
+            pm = collect_metrics(acc)
+            manifest["compute_partitions"] = [
+                {"pid": m.partition_id, "rows": m.rows,
+                 "wall_s": m.wall_s, "rows_per_sec": m.rows_per_sec}
+                for m in pm
+            ]
+            manifest["skew"] = skew_report(pm)
+        _write_manifest(final_dir, manifest)
         df = spark.read.parquet(final_dir)
         runs.append(StageRun(stage.name, final_dir, False, rows, wall, df))
         prev = df
