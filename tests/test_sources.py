@@ -117,3 +117,29 @@ def test_synth_determinism_and_skew(spark):
     # (conv_id, turn_idx) is a dense unique key
     dup = a.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
     assert dup == 0
+
+
+def test_ndjson_five_malformed_kinds(spark, tmp_path):
+    """The reference error corpus's five malformed kinds
+    (generate-ndjson-errors.js:145-153) + blanks: all five land on the
+    error channel, blanks are skipped, valid rows parse."""
+    malformed = [
+        '{ "conv_id": "c1", "turn_idx": 0, ',        # missing closing brace
+        '{ conv_id: "c1", "turn_idx": 0 }',          # unquoted key
+        '{ "conv_id": "c1", "text": "trailing", }',  # trailing comma
+        "not a json line at all",                    # plain text
+        '{ "conv_id": "c1"  "turn_idx": 0 }',        # missing comma
+    ]
+    lines = [json.dumps(r) for r in GOOD]
+    for i, m in enumerate(malformed):
+        lines.insert(i, m)
+    lines.insert(2, "")  # blank
+    f = tmp_path / "err.ndjson"
+    _write_ndjson(f, lines)
+    df = read_ndjson(spark, str(f), SCHEMA)
+    rows = df.collect()
+    assert len(rows) == len(GOOD) + len(malformed)  # blank skipped
+    bad = [r.raw for r in rows if r.error_kind == "malformed"]
+    assert sorted(bad) == sorted(malformed)
+    good = [r for r in rows if r.error_kind is None]
+    assert len(good) == len(GOOD)
