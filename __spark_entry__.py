@@ -397,6 +397,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_lsh_topk(_emb(spark, sf_dir))
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ann_ivf_topk(_emb(spark, sf_dir))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tq.lang_id(_docs(spark, sf_dir))
 
@@ -644,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -784,6 +789,34 @@ pairs AS (
 SELECT id_a, id_b, cos
 FROM pairs WHERE cos >= 0.30""",
         "ann_topk": _ann_oracle(k=10, bucketed=False, bits=6),
+        "ann_ivf_topk": f"""WITH {_emb_norm_cte(bits=1)},
+labeled AS (SELECT n.*, e2.label FROM n JOIN embeddings e2 USING (vec_id)),
+reps AS (
+  SELECT r.label, n2.e AS re, n2.nrm AS rn
+  FROM (SELECT label, min(vec_id) AS rep_id FROM labeled GROUP BY label) r
+  JOIN n n2 ON n2.vec_id = r.rep_id),
+q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn
+      FROM labeled WHERE vec_id % 25 = 0),
+probes AS (
+  SELECT query_id, qe, qn, label FROM (
+    SELECT q.query_id, q.qe, q.qn, reps.label,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qe, reps.re) / (q.qn * reps.rn) DESC,
+                      reps.label ASC) AS pr
+    FROM q, reps) WHERE pr = 1),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(p.qe, c.e) / (p.qn * c.nrm) AS cos
+  FROM labeled c JOIN probes p ON c.label = p.label
+   AND c.vec_id != p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cast(rank AS int) AS rank, cos
+FROM ranked WHERE rank <= 5""",
         "ann_lsh_topk": _ann_oracle(k=5, bucketed=True, bits=6),
         "lang_id": _lang_oracle(),
         "quality_score": _quality_oracle(),

@@ -66,6 +66,7 @@ shutil.rmtree(warm_dir, ignore_errors=True)
 # scaling that the criterion is about. Best-of-N rejects residual noise.
 tmpfs = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 walls = []
+loads = []  # host 1-min loadavg after each trial: documents co-tenant noise
 for _trial in range(int(sys.argv[3])):
     sink_dir = tempfile.mkdtemp(prefix=f"sinks{{cores}}_", dir=tmpfs)
     t0 = time.perf_counter()
@@ -73,10 +74,12 @@ for _trial in range(int(sys.argv[3])):
     out["agg_per_sink"].write.format("noop").mode("overwrite").save()
     out["agg_conv_spans"].write.format("noop").mode("overwrite").save()
     walls.append(time.perf_counter() - t0)
+    loads.append(float(open("/proc/loadavg").read().split()[0]))
     shutil.rmtree(sink_dir, ignore_errors=True)
 wall = min(walls)
 print(json.dumps({{"cores": cores, "wall_s": round(wall, 2),
                    "walls": [round(w, 2) for w in walls],
+                   "host_load_per_trial": loads,
                    "turns": n_turns,
                    "turns_per_sec": round(n_turns / wall, 1)}}))
 spark.stop()

@@ -125,6 +125,60 @@ def ann_lsh_topk(emb: DataFrame, k: int = 5, bits: int = 6,
     )
 
 
+def ann_ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 25) -> DataFrame:
+    """IVF-style ANN: inverted lists keyed by the `label` cluster id, a
+    deterministic representative vector per list (the min-vec_id member —
+    a medoid stand-in that keeps the oracle exact; k-means centroids would
+    introduce cross-engine float-sum nondeterminism), probe-1 search.
+
+    Plan shape at scale: representatives (n_clusters rows) broadcast both
+    ways; the probe assignment is a per-query argmax over n_clusters tiny
+    cosines; the candidate scan touches ~corpus/n_clusters rows via the
+    equality join on label — the IVF fan-in reduction. Multi-probe = rank
+    ≤ p in the probe window.
+    """
+    from pyspark.sql import Window
+
+    n = with_unit_norm(emb)
+    labeled = n.join(emb.select("vec_id", "label"), "vec_id")
+    reps = (
+        labeled.groupBy("label").agg(F.min("vec_id").alias("rep_id"))
+        .join(n.select(F.col("vec_id").alias("rep_id"),
+                       F.col("e").alias("re"), F.col("nrm").alias("rn")),
+              "rep_id")
+    )
+    q = labeled.where((F.col("vec_id") % query_mod) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"), F.col("nrm").alias("qn"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("rep_cos"), F.asc("label"))
+    probes = (
+        q.join(F.broadcast(reps))
+        .select("query_id", "qe", "qn", "label",
+                (_dot("qe", "re") / (F.col("qn") * F.col("rn")))
+                .alias("rep_cos"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") == 1)
+        .select("query_id", "qe", "qn", "label")
+    )
+    cand = labeled.select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("e").alias("ce"), F.col("nrm").alias("cn"),
+                          "label")
+    scored = (
+        cand.join(F.broadcast(probes), "label")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                (_dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.30,
                           bits: int = 4) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold within an LSH bucket.
