@@ -286,8 +286,10 @@ def q_map_error_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # T2 preserveOnError (mapTransformer.js:7-73): mapped value where the
     # mapper succeeds, the ORIGINAL value where it fails.
     t = _t(spark, sf_dir)
+    # decimal, not double: Spark's double->string flips to scientific
+    # notation at 1e7 while DuckDB never does - decimal formatting agrees
     v = F.nullif(F.regexp_extract("text", "value=([0-9.]+)", 1), F.lit(""))
-    mapped = (v.cast("double") * 2).cast("string")
+    mapped = (v.cast("decimal(18,2)") * 2).cast("string")
     return t.select(
         "conv_id", "turn_idx",
         F.coalesce(mapped, F.col("text")).alias("mapped"),
@@ -754,7 +756,7 @@ FROM k WHERE group_key IS NULL""",
         "map_error_preserve": f"""{P}
 SELECT conv_id, turn_idx,
        coalesce(cast(cast(nullif(regexp_extract(text, 'value=([0-9.]+)', 1),
-                                 '') AS double) * 2 AS string),
+                                 '') AS decimal(18,2)) * 2 AS string),
                 text) AS mapped
 FROM transcripts""",
         "normalize_rename": f"""{P}

@@ -2,8 +2,10 @@
 
 The 10^12-turn N-vs-4N-executor criterion cannot use a real cluster in this
 sandbox; per the round brief it is evidenced by running the SAME job on the
-SAME input at two parallelism levels — ``local[8]`` vs ``local[32]`` — and
-reporting throughput at both plus scaling efficiency
+SAME input at two parallelism levels (any N vs 4N cores; default
+``local[2]`` vs ``local[8]``, which fits inside the shared host's idle
+headroom — see BENCH.md) and reporting throughput at both plus scaling
+efficiency
 ``(tp_4N / tp_N) / 4`` (target ≥ 0.8).
 
 Method (each level in a fresh subprocess = fresh JVM):
@@ -16,7 +18,7 @@ Method (each level in a fresh subprocess = fresh JVM):
 3. efficiency and absolute turns/sec go to stdout as JSON and are recorded
    in BENCH.md / BASELINE.md.
 
-Run:  python bench/scaling.py [--turns 2000000] [--cores 8 32]
+Run:  python bench/scaling.py [--turns 2000000] [--cores 2 8]
 """
 
 from __future__ import annotations

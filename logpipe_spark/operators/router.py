@@ -60,8 +60,13 @@ def route(
     out: dict[str, DataFrame] = {}
     none_match: Column | None = None
     for rule in rules:
-        out[rule.name] = clean.filter(rule.predicate)
-        none_match = rule.predicate if none_match is None else (none_match | rule.predicate)
+        # coalesce to false: a NULL rule column (e.g. missing role/tool)
+        # must not silently drop the row from every sink - it falls through
+        # to overflow instead (three-valued logic would make both the rule
+        # filter AND ~none_match evaluate to NULL → row lost everywhere)
+        pred = F.coalesce(rule.predicate, F.lit(False))
+        out[rule.name] = clean.filter(pred)
+        none_match = pred if none_match is None else (none_match | pred)
     out["error"] = df.filter(is_error)
     out["overflow"] = clean.filter(~none_match) if none_match is not None else clean
     return out
@@ -86,12 +91,12 @@ def route_single_pass(
     its tool and its role sink).
     """
     is_error = F.col(error_col).isNotNull()
-    tags = [F.when(~is_error & rule.predicate, F.lit(rule.name))
-            for rule in rules]
+    preds = [F.coalesce(rule.predicate, F.lit(False)) for rule in rules]
+    tags = [F.when(~is_error & pred, F.lit(rule.name))
+            for rule, pred in zip(rules, preds)]
     none_match = None
-    for rule in rules:
-        none_match = rule.predicate if none_match is None \
-            else (none_match | rule.predicate)
+    for pred in preds:
+        none_match = pred if none_match is None else (none_match | pred)
     tags.append(F.when(is_error, F.lit("error")))
     if none_match is not None:
         tags.append(F.when(~is_error & ~none_match, F.lit("overflow")))

@@ -54,7 +54,9 @@ def enrich_stage(spark: SparkSession, parsed: DataFrame, cfg: PipelineConfig | N
     cfg = cfg or PipelineConfig()
     enriched = enrich_with_lookup(parsed, lookup_df(spark))
     enriched = add_processing_metadata(enriched, deterministic=cfg.deterministic_metadata)
-    return enriched.withColumn("n_tokens", token_count(F.col("text")))
+    # "[^ ]+" matches the DuckDB oracle exactly (the WS_TOKEN_RE default
+    # also strips tab/newline, which would diverge on such text)
+    return enriched.withColumn("n_tokens", token_count(F.col("text"), "[^ ]+"))
 
 
 def route_stage(enriched: DataFrame, cfg: PipelineConfig | None = None) -> dict[str, DataFrame]:

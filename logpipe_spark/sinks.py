@@ -31,7 +31,10 @@ def iceberg_available(spark: SparkSession) -> bool:
     if spark.conf.get(ICEBERG_CATALOG_CONF, None) is None:
         return False
     try:
-        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: SLF001
+        # py4j returns a JavaPackage (not an error) for missing classes;
+        # Class.forName is the reliable classpath probe
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog")
         return True
     except Exception:
         return False

@@ -125,15 +125,20 @@ def stream_route_fanout(spark: SparkSession, stream: DataFrame,
     appends keyed by epoch make replays idempotent on Iceberg/Delta
     (plain parquet appends may duplicate on batch replay — documented).
     """
+    from logpipe_spark.operators.router import (route_single_pass,
+                                                standard_rules)
     from logpipe_spark.plans.pipeline import (PipelineConfig, enrich_stage,
-                                              parse_stage, route_stage)
+                                              parse_stage)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        cfg = PipelineConfig(persist_fanout=True)
+        # single-pass fan-out per micro-batch: ONE write job tagged by sink
+        # (the per-sink-job variant leaked a persisted batch each trigger
+        # and paid N jobs x fixed cost per batch)
+        cfg = PipelineConfig(persist_fanout=False)
         enriched = enrich_stage(spark, parse_stage(batch_df, cfg), cfg)
-        routed = route_stage(enriched, cfg)
-        for name, sdf in routed.items():
-            sdf.write.mode("append").parquet(f"{base_dir}/sink_{name}")
+        exploded = route_single_pass(enriched,
+                                     standard_rules(cfg.tools, cfg.roles))
+        exploded.write.mode("append").partitionBy("sink").parquet(base_dir)
 
     return (
         stream.writeStream.foreachBatch(handle_batch)

@@ -100,12 +100,12 @@ def lookup_values_sql() -> str:
 def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the transcript table from `{sf_dir}/events.parquet`.
 
-    Registers a uniquely-named temp view for the events scan so concurrent
-    queries don't clobber each other.
+    Binds the events scan as a DataFrame parameter (``spark.sql(...,
+    events=df)``) — no session-global temp view, so concurrent derivations
+    over different sf_dirs cannot clobber each other.
     """
-    view = "lp_events_src"
-    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(view)
-    return spark.sql(TRANSCRIPTS_SQL.format(events=view))
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return spark.sql(TRANSCRIPTS_SQL, events=events)
 
 
 def transcripts_cte(events_rel: str) -> str:

@@ -198,3 +198,24 @@ def test_single_pass_fanout_equals_route(spark, corpus, tmp_path):
         gk = sorted(map(tuple, got.select("conv_id", "turn_idx").collect()))
         wk = sorted(map(tuple, view.select("conv_id", "turn_idx").collect()))
         assert gk == wk, f"sink {name}"
+
+
+def test_null_rule_columns_land_in_overflow(spark):
+    """Rows whose rule columns are NULL must not vanish — they belong to
+    overflow (three-valued-logic regression test)."""
+    from logpipe_spark.operators.router import (route, route_single_pass,
+                                                standard_rules)
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "hi", "bash", None),
+         ("c2", 0, None, "yo", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, error_kind string")
+    rules = standard_rules(["bash"], ["user"])
+    routed = route(df, rules, persist=False)
+    total_out = {n: v.count() for n, v in routed.items()}
+    assert total_out["overflow"] == 1  # the null-role/null-tool row
+    assert total_out["tool_bash"] == 1 and total_out["role_user"] == 1
+    exploded = route_single_pass(df, rules)
+    sinks = {r.sink for r in exploded.filter("conv_id = 'c2'").collect()}
+    assert sinks == {"overflow"}

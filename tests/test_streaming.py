@@ -88,8 +88,9 @@ def test_stream_fanout_matches_batch_router(spark, stream_dir, tmp_path):
 
     from logpipe_spark.plans.pipeline import run_pipeline
     batch_out = run_pipeline(spark, spark.read.parquet(stream_dir))
+    written = spark.read.parquet(base)
     for sink in ["tool_bash", "role_user", "error"]:
-        got = spark.read.parquet(f"{base}/sink_{sink}")
+        got = written.filter(F.col("sink") == sink)
         want = batch_out[f"sink_{sink}"]
         assert got.count() == want.count(), sink
         gk = sorted(map(tuple, got.select("conv_id", "turn_idx").collect()))
