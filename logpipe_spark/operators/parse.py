@@ -12,9 +12,13 @@ Two execution paths, both vectorized (input_hint: no per-row Python):
 1. **Builtin** (default): one ``regexp_extract`` per field — JVM-side,
    whole-stage-codegen'd, pushdown-friendly. N fields → N regex evaluations.
 2. **Single-pass pandas UDF**: one Arrow-batched ``Series.str.extract`` that
-   returns a struct of all fields in a single regex pass — wins when the
-   pattern is expensive and fields are many (the 100 TB path keeps regex cost
-   linear in bytes, not bytes × fields).
+   returns a struct of all fields in a single regex pass — a candidate when
+   the pattern is expensive and fields are many.
+
+Measured (2M rows, 4 fields, local[32], best-of-3 warm): builtin 2.19 s vs
+single-pass 7.42 s — whole-stage codegen + no Arrow round-trip beats the
+one-regex-pass saving by 3.4× at this field count, so builtin is the
+default. Re-measure before flipping for patterns with 10+ expensive fields.
 """
 
 from __future__ import annotations

@@ -96,3 +96,42 @@ def test_stream_fanout_matches_batch_router(spark, stream_dir, tmp_path):
         gk = sorted(map(tuple, got.select("conv_id", "turn_idx").collect()))
         wk = sorted(map(tuple, want.select("conv_id", "turn_idx").collect()))
         assert gk == wk, sink
+
+
+def test_stream_resume_from_checkpoint_no_duplicates(spark, tmp_path):
+    """Kill/restart semantics: a second availableNow run over the SAME
+    checkpoint processes only files added since the first run — routed
+    output equals one batch pass over everything, no duplicates."""
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "sinks")
+    ck = str(tmp_path / "ck")
+
+    first = synth_transcripts(spark, n_turns=1000, n_convs=20, error_every=25)
+    first.write.mode("overwrite").parquet(src)
+    writer = stream_route_fanout(spark, stream_transcripts(spark, src),
+                                 base, ck)
+    run_stream_once(writer)
+    n_after_first = spark.read.parquet(base).count()
+
+    # more data arrives; resume from the same checkpoint
+    second = synth_transcripts(spark, n_turns=3000, n_convs=20,
+                               error_every=25).filter("turn_idx >= 50")
+    second.write.mode("append").parquet(src)
+    writer2 = stream_route_fanout(spark, stream_transcripts(spark, src),
+                                  base, ck)
+    run_stream_once(writer2)
+
+    got = spark.read.parquet(base)
+    from logpipe_spark.operators.router import route_single_pass, standard_rules
+    from logpipe_spark.plans.pipeline import (PipelineConfig, enrich_stage,
+                                              parse_stage)
+    from logpipe_spark.transcripts import ROLES, TOOLS
+
+    cfg = PipelineConfig()
+    want = route_single_pass(
+        enrich_stage(spark, parse_stage(spark.read.parquet(src), cfg), cfg),
+        standard_rules(list(TOOLS), list(ROLES)))
+    assert got.count() == want.count() > n_after_first
+    gk = sorted(map(tuple, got.select("sink", "conv_id", "turn_idx").collect()))
+    wk = sorted(map(tuple, want.select("sink", "conv_id", "turn_idx").collect()))
+    assert gk == wk
