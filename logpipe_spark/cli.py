@@ -52,6 +52,19 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["parquet", "json", "csv"])
     p.add_argument("--route-dir", default=None,
                    help="run the full parse/enrich/route fan-out into this dir")
+    p.add_argument("--http-endpoint", default=None,
+                   help="HTTP endpoint URL to send records to")
+    p.add_argument("--http-method", default="POST", choices=["POST", "PUT"])
+    p.add_argument("--http-batch-size", type=int, default=100)
+    p.add_argument("--http-retries", type=int, default=3)
+    p.add_argument("--http-timeout", type=float, default=30.0,
+                   help="HTTP timeout in seconds")
+    p.add_argument("--http-headers", default=None,
+                   help="extra headers as a JSON object")
+    p.add_argument("--csv-separator", default=",")
+    p.add_argument("--csv-header", default=True, type=lambda v: v != "false")
+    p.add_argument("--pretty-output", action="store_true",
+                   help="indent JSON console output")
     p.add_argument("--checkpoint-dir", default=None,
                    help="stage-checkpoint base dir (resume-capable)")
     p.add_argument("--parallel", type=int, default=None,
@@ -118,7 +131,12 @@ def main(argv: list[str] | None = None) -> int:
     try:
         fmt = args.format or ("parquet" if args.input.endswith(".parquet")
                               else None)
-        df = read_source(spark, args.input, TRANSCRIPT_SCHEMA, fmt=fmt)
+        csv_opts = {}
+        if (args.format or "").lower() == "csv" or args.input.endswith(".csv"):
+            csv_opts = {"separator": args.csv_separator,
+                        "header": args.csv_header}
+        df = read_source(spark, args.input, TRANSCRIPT_SCHEMA, fmt=fmt,
+                         **csv_opts)
 
         if args.route_dir:  # full pipeline fan-out (supersedes single sink)
             from logpipe_spark.operators.router import write_routed
@@ -132,12 +150,30 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         out = apply_transforms(df, args)
-        if args.output:
+        if args.http_endpoint:  # sink priority http > file > console (K6)
+            import json as _json
+
+            from logpipe_spark.operators.http_sender import send_http
+            stats = send_http(
+                out, args.http_endpoint, method=args.http_method,
+                batch_size=args.http_batch_size, retries=args.http_retries,
+                timeout=args.http_timeout,
+                headers=_json.loads(args.http_headers)
+                if args.http_headers else None)
+            print(f"sent {stats['records_sent']} records in "
+                  f"{stats['batches_sent']} batches "
+                  f"({stats['retries']} retries)")
+        elif args.output:
             out.write.mode("overwrite").format(args.output_format) \
                .save(args.output)
             print(f"wrote {args.output}")
         else:  # console sender (senderFactory.js:48-72)
-            out.show(args.limit, truncate=False)
+            if args.pretty_output:
+                import json as _json
+                for line in out.toJSON().take(args.limit):
+                    print(_json.dumps(_json.loads(line), indent=2))
+            else:
+                out.show(args.limit, truncate=False)
         return 0
     finally:
         spark.stop()

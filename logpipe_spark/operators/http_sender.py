@@ -1,0 +1,101 @@
+"""HTTP batch sender (K1, ``src/senders/httpSender.js:10-319``) on Spark.
+
+Executor-side delivery via ``foreachPartition``: each partition serializes
+its rows to JSON-array batches of ``batch_size`` (reference default 100,
+httpSender.js:31) and POST/PUTs them with retry ≤ ``retries`` and
+exponential backoff ``retry_delay · 2^(attempt-1)`` (httpSender.js:178-214).
+A batch that exhausts its retries raises — failing the task and, after
+Spark's own task retries, the job (≙ the reference aborting the pipeline,
+httpSender.js:216-231). Delivery stats (records/batches/retries) accumulate
+driver-side.
+
+Semantics at scale: this is at-least-once (a task retry resends its
+partition's batches — same as the reference rerunning a file). The
+exactly-once path is the table sink (`sinks.py`); use HTTP for fire-and-
+forget fan-out to collectors, idempotent receivers, or test harnesses.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+
+from pyspark import AccumulatorParam
+from pyspark.sql import DataFrame
+
+
+class _StatsParam(AccumulatorParam):
+    def zero(self, value):
+        return {"records_sent": 0, "batches_sent": 0, "retries": 0}
+
+    def addInPlace(self, a, b):
+        for k in a:
+            a[k] += b.get(k, 0)
+        return a
+
+
+def send_http(
+    df: DataFrame,
+    endpoint: str,
+    method: str = "POST",
+    batch_size: int = 100,
+    retries: int = 3,
+    retry_delay: float = 1.0,
+    timeout: float = 30.0,
+    headers: dict[str, str] | None = None,
+) -> dict[str, int]:
+    """Send every row of ``df`` to ``endpoint`` in JSON-array batches.
+
+    Returns the aggregated delivery stats (≙ httpSender.js:299-318).
+    """
+    method = method.upper()
+    if method not in ("POST", "PUT"):
+        raise ValueError(f"Unsupported HTTP method: {method}")  # :40-42
+    hdrs = {"Content-Type": "application/json", **(headers or {})}
+    sc = df.sparkSession.sparkContext
+    acc = sc.accumulator(
+        {"records_sent": 0, "batches_sent": 0, "retries": 0}, _StatsParam())
+    json_rows = df.toJSON()  # one JSON object string per row
+
+    def send_batch(batch: list[str]) -> int:
+        body = ("[" + ",".join(batch) + "]").encode("utf-8")
+        last_err: Exception | None = None
+        n_retries = 0
+        for attempt in range(1, retries + 2):  # first try + `retries` retries
+            try:
+                req = urllib.request.Request(
+                    endpoint, data=body, headers=hdrs, method=method)
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    if 200 <= resp.status < 300:
+                        return n_retries
+                    last_err = RuntimeError(f"HTTP {resp.status}")
+            except urllib.error.HTTPError as ex:  # non-2xx raises here
+                last_err = ex
+            except Exception as ex:  # timeout / connection error
+                last_err = ex
+            if attempt <= retries:
+                n_retries += 1
+                time.sleep(retry_delay * (2 ** (attempt - 1)))  # :209-211
+        raise RuntimeError(
+            f"HTTP send failed after {retries} retries: {last_err}")
+
+    def handle_partition(rows) -> None:
+        batch: list[str] = []
+        stats = {"records_sent": 0, "batches_sent": 0, "retries": 0}
+        for row in rows:
+            batch.append(row)
+            if len(batch) >= batch_size:
+                stats["retries"] += send_batch(batch)
+                stats["batches_sent"] += 1
+                stats["records_sent"] += len(batch)
+                batch = []
+        if batch:  # final partial batch (≙ _final flush, :129-145)
+            stats["retries"] += send_batch(batch)
+            stats["batches_sent"] += 1
+            stats["records_sent"] += len(batch)
+        acc.add(stats)
+
+    json_rows.foreachPartition(handle_partition)
+    return dict(acc.value)
