@@ -262,6 +262,31 @@ def q_topk_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Order-sensitive custom fold (UDAF shape, SURVEY.md §2.8): per-conv
+    # digest = md5 of texts concatenated in turn order. Spark expresses the
+    # ordered fold as sort_array(collect_list(struct)) -> concat - no UDF.
+    t = _t(spark, sf_dir)
+    ordered = F.expr(
+        "array_join(transform(array_sort(collect_list(struct(turn_idx, text))),"
+        " s -> s.text), '|')")
+    return (
+        t.groupBy("conv_id")
+        .agg(F.md5(ordered).alias("digest"),
+             F.count(F.lit(1)).alias("n_turns"))
+    )
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # grouping-sets breadth: ROLLUP(role, tool) with grouping ids
+    t = _t(spark, sf_dir)
+    return (
+        t.rollup("role", "tool")
+        .agg(F.count(F.lit(1)).alias("turn_count"),
+             F.grouping_id("role", "tool").cast("int").alias("gid"))
+    )
+
+
 def q_null_key_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A1 semantic: null group keys bypass aggregation and pass through
     # unmodified (aggregateTransformer.js:71-73). Key = nullif(tool,'none').
@@ -636,6 +661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sha256": q_hash_sha256,
         "window_rownum": q_window_rownum,
         "topk_convs": q_topk_convs,
+        "conv_digest": q_conv_digest,
+        "rollup_counts": q_rollup_counts,
         "null_key_passthrough": q_null_key_passthrough,
         "map_error_preserve": q_map_error_preserve,
         "normalize_rename": q_normalize_rename,
@@ -744,6 +771,15 @@ FROM transcripts""",
         "topk_convs": f"""{P}
 SELECT conv_id, count(*) AS n_turns FROM transcripts
 GROUP BY conv_id ORDER BY n_turns DESC, conv_id ASC LIMIT 10""",
+        "conv_digest": f"""{P}
+SELECT conv_id,
+       md5(string_agg(text, '|' ORDER BY turn_idx)) AS digest,
+       count(*) AS n_turns
+FROM transcripts GROUP BY conv_id""",
+        "rollup_counts": f"""{P}
+SELECT role, tool, count(*) AS turn_count,
+       cast(grouping(role) * 2 + grouping(tool) AS int) AS gid
+FROM transcripts GROUP BY ROLLUP (role, tool)""",
         "null_key_passthrough": f"""{P},
 k AS (SELECT conv_id, turn_idx, nullif(tool, 'none') AS group_key
       FROM transcripts)
