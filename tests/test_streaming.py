@@ -135,3 +135,22 @@ def test_stream_resume_from_checkpoint_no_duplicates(spark, tmp_path):
     gk = sorted(map(tuple, got.select("sink", "conv_id", "turn_idx").collect()))
     wk = sorted(map(tuple, want.select("sink", "conv_id", "turn_idx").collect()))
     assert gk == wk
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    from logpipe_spark.streaming.stream import stream_dedup_exact
+
+    src = str(tmp_path / "dupsrc")
+    base = synth_transcripts(spark, n_turns=500, n_convs=10)
+    base.write.mode("overwrite").parquet(src)
+    base.limit(200).write.mode("append").parquet(src)  # duplicate turns
+
+    deduped = stream_dedup_exact(stream_transcripts(spark, src))
+    q = (deduped.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("SELECT conv_id, turn_idx FROM dedup_out")
+    assert out.count() == 500
+    assert out.distinct().count() == 500
