@@ -104,6 +104,41 @@ def route_single_pass(
     return df.withColumn(sink_col, F.explode(sinks))
 
 
+def apply_sink_quotas(
+    exploded: DataFrame,
+    quotas: dict[str, int],
+    sink_col: str = "sink",
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Per-sink quota enforcement (north_star overflow semantics): rows
+    beyond a sink's quota are re-routed to ``overflow``.
+
+    Deterministic: rank within each sink under (conv_id, turn_idx) ordering,
+    keep the first `quota` rows, retag the rest. One window over the sink
+    key — at scale the quota'd sinks are the small ones (error/debug taps);
+    unlimited sinks (absent from `quotas`) skip the window entirely via the
+    union split below.
+    """
+    from pyspark.sql import Window
+
+    if not quotas:
+        return exploded
+    limited = exploded.where(F.col(sink_col).isin(*quotas.keys()))
+    unlimited = exploded.where(~F.col(sink_col).isin(*quotas.keys()))
+    w = Window.partitionBy(sink_col).orderBy(*[F.asc(c) for c in order_cols])
+    quota_expr = F.coalesce(
+        *[F.when(F.col(sink_col) == k, F.lit(v)) for k, v in quotas.items()])
+    retagged = (
+        limited.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            sink_col,
+            F.when(F.col("_rn") <= quota_expr, F.col(sink_col))
+            .otherwise(F.lit("overflow")))
+        .drop("_rn")
+    )
+    return unlimited.unionByName(retagged)
+
+
 def write_fanout_single_pass(
     exploded: DataFrame,
     base_dir: str,
