@@ -30,14 +30,19 @@ from pyspark import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 
 
-class _DictSumParam(AccumulatorParam):
+class _DictMaxParam(AccumulatorParam):
+    """Per-partition elementwise MAX merge. Accumulator updates inside a
+    transformation are re-applied when a task is retried or speculated;
+    max() is idempotent for the (identical) recomputed rows/batches and
+    conservative for wall time, where sum() would double-count."""
+
     def zero(self, value):
         return {}
 
     def addInPlace(self, a, b):
         for k, v in b.items():
             if k in a:
-                a[k] = tuple(x + y for x, y in zip(a[k], v))
+                a[k] = tuple(max(x, y) for x, y in zip(a[k], v))
             else:
                 a[k] = v
         return a
@@ -59,7 +64,7 @@ def with_partition_metrics(spark: SparkSession, df: DataFrame):
     """Return (instrumented_df, accumulator). The instrumented frame is
     byte-identical to ``df``; consuming it fills the accumulator with
     per-partition (rows, batches, wall_s)."""
-    acc = spark.sparkContext.accumulator({}, _DictSumParam())
+    acc = spark.sparkContext.accumulator({}, _DictMaxParam())
     schema = df.schema
 
     def passthrough(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

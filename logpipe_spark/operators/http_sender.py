@@ -2,8 +2,10 @@
 
 Executor-side delivery via ``foreachPartition``: each partition serializes
 its rows to JSON-array batches of ``batch_size`` (reference default 100,
-httpSender.js:31) and POST/PUTs them with retry ≤ ``retries`` and
-exponential backoff ``retry_delay · 2^(attempt-1)`` (httpSender.js:178-214).
+httpSender.js:31) and POST/PUTs them with at most ``retries`` TOTAL
+attempts (the reference's `while attempt < this.retries`,
+httpSender.js:178-186) and exponential backoff
+``retry_delay · 2^(attempt-1)`` between attempts (httpSender.js:209-211).
 A batch that exhausts its retries raises — failing the task and, after
 Spark's own task retries, the job (≙ the reference aborting the pipeline,
 httpSender.js:216-231). Delivery stats (records/batches/retries) accumulate
@@ -62,24 +64,22 @@ def send_http(
     def send_batch(batch: list[str]) -> int:
         body = ("[" + ",".join(batch) + "]").encode("utf-8")
         last_err: Exception | None = None
-        n_retries = 0
-        for attempt in range(1, retries + 2):  # first try + `retries` retries
+        for attempt in range(1, retries + 1):  # `retries` TOTAL attempts
             try:
                 req = urllib.request.Request(
                     endpoint, data=body, headers=hdrs, method=method)
-                with urllib.request.urlopen(req, timeout=timeout) as resp:
-                    if 200 <= resp.status < 300:
-                        return n_retries
-                    last_err = RuntimeError(f"HTTP {resp.status}")
-            except urllib.error.HTTPError as ex:  # non-2xx raises here
+                # urlopen raises HTTPError for every non-2xx status, so a
+                # returned response IS a success
+                with urllib.request.urlopen(req, timeout=timeout):
+                    return attempt - 1  # retries performed
+            except urllib.error.HTTPError as ex:  # non-2xx
                 last_err = ex
             except Exception as ex:  # timeout / connection error
                 last_err = ex
-            if attempt <= retries:
-                n_retries += 1
+            if attempt < retries:
                 time.sleep(retry_delay * (2 ** (attempt - 1)))  # :209-211
         raise RuntimeError(
-            f"HTTP send failed after {retries} retries: {last_err}")
+            f"HTTP send failed after {retries} attempts: {last_err}")
 
     def handle_partition(rows) -> None:
         batch: list[str] = []

@@ -43,6 +43,12 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
 
 
 def plan_has_exchange(df: DataFrame) -> bool:
-    """True if the physical plan contains a shuffle Exchange (test helper)."""
+    """True if the physical plan contains a SHUFFLE Exchange (test helper).
+
+    Matches only shuffle exchanges ("Exchange hashpartitioning/
+    rangepartitioning/SinglePartition") — a BroadcastExchange is not a
+    shuffle and must not trip the bucketing assertion."""
     plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
-    return "Exchange" in plan
+    return any(m in plan for m in (
+        "Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition"))

@@ -53,8 +53,13 @@ def write_table(
     if iceberg_available(spark):
         ident = f"lp.{name}"
         writer = df.writeTo(ident)
+        if partition_by:
+            from pyspark.sql.functions import col
+            writer = writer.partitionedBy(*[col(c) for c in partition_by])
         if mode == "overwrite":
             writer.createOrReplace()
+        elif not spark.catalog.tableExists(ident):
+            writer.create()  # first append on a fresh deployment
         else:
             writer.append()
         return ident

@@ -148,16 +148,23 @@ def stream_route_fanout(spark: SparkSession, stream: DataFrame,
 
 def run_stream_once(writer, timeout_s: int = 120) -> None:
     """Drain all available input (availableNow) and stop — the test/bench
-    entry point; production uses a continuous trigger instead."""
+    entry point; production uses a continuous trigger instead. Raises if
+    the drain does not finish within ``timeout_s`` (a silent partial drain
+    would hand callers incomplete sink output as success)."""
     q = writer.trigger(availableNow=True).start()
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
     q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"availableNow drain did not finish within {timeout_s}s")
 
 
 def stream_dedup_exact(stream: DataFrame, watermark: str = "10 minutes",
                        keys: tuple[str, ...] = ("conv_id", "turn_idx")):
-    """Streaming exact dedup: state-backed ``dropDuplicates`` bounded by the
-    watermark (duplicate keys arriving within the watermark horizon are
-    suppressed; state for older keys is evicted — the unbounded-input analog
-    of ``trainprep.dedup.exact_dedup_groups``)."""
-    return stream.withWatermark("ts", watermark).dropDuplicates(list(keys))
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` — duplicate
+    keys arriving within the watermark horizon are suppressed AND state for
+    keys older than the horizon is actually evicted (plain dropDuplicates
+    without the event-time column in the key set keeps state forever).
+    The unbounded-input analog of ``trainprep.dedup.exact_dedup_groups``."""
+    return (stream.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))

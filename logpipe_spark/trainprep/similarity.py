@@ -19,7 +19,7 @@ left-to-right) so results are bit-identical with the DuckDB oracle's
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -46,6 +46,22 @@ def _dot(a: str, b: str) -> Column:
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
         f"cast(0 AS double), (acc, x) -> acc + x)"
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k: (cos desc, neighbor_id asc) tiebreak.
+
+    Single definition shared by all ANN variants — the output contract
+    (query_id, neighbor_id, rank, cos) is hash-compared against the DuckDB
+    oracle, so the tiebreak must never diverge between variants.
+    """
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
     )
 
 
@@ -84,14 +100,7 @@ def ann_bruteforce_topk(emb: DataFrame, k: int = 10,
             (_dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
-    from pyspark.sql import Window
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return _rank_topk(scored, k)
 
 
 def ann_lsh_topk(emb: DataFrame, k: int = 5, bits: int = 6,
@@ -115,14 +124,7 @@ def ann_lsh_topk(emb: DataFrame, k: int = 5, bits: int = 6,
         .select("query_id", "neighbor_id",
                 (_dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cos"))
     )
-    from pyspark.sql import Window
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return _rank_topk(scored, k)
 
 
 def ann_ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 25) -> DataFrame:
@@ -137,8 +139,6 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 25) -> DataFrame:
     equality join on label — the IVF fan-in reduction. Multi-probe = rank
     ≤ p in the probe window.
     """
-    from pyspark.sql import Window
-
     n = with_unit_norm(emb)
     labeled = n.join(emb.select("vec_id", "label"), "vec_id")
     reps = (
@@ -170,13 +170,7 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 25) -> DataFrame:
         .select("query_id", "neighbor_id",
                 (_dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cos"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return _rank_topk(scored, k)
 
 
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.30,
