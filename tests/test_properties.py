@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for engine invariants that must hold
+for ANY input, not just the synthetic corpora."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from logpipe_spark.operators.router import route_single_pass, standard_rules
+from logpipe_spark.transcripts import ROLES, TOOLS
+
+TEXT = st.text(
+    alphabet=st.characters(codec="utf-8",
+                           exclude_categories=("Cs",)),
+    max_size=60)
+ROW = st.tuples(
+    st.sampled_from(["c1", "c2", "c3"]),
+    st.integers(0, 99),
+    st.one_of(st.none(), st.sampled_from(ROLES), st.just("alien")),
+    TEXT,
+    st.one_of(st.none(), st.sampled_from(TOOLS), st.just("widget")),
+)
+
+_SETTINGS = dict(max_examples=8, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow])
+
+
+@given(rows=st.lists(ROW, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_router_conservation(spark, rows):
+    """Conservation law: every clean row lands in ≥1 sink, rows with a
+    known tool land in exactly one tool_* sink, no row is ever lost."""
+    df = spark.createDataFrame(
+        [(c, t, r, x, tl, None) for c, t, r, x, tl in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, error_kind string")
+    exploded = route_single_pass(df, standard_rules(list(TOOLS), list(ROLES)))
+    per_row = (
+        exploded.groupBy("conv_id", "turn_idx", "text")
+        .agg(F.count(F.lit(1)).alias("n_sinks"),
+             F.sum(F.when(F.col("sink").startswith("tool_"), 1)
+                   .otherwise(0)).alias("n_tool"),
+             F.sum(F.when(F.col("sink") == "overflow", 1)
+                   .otherwise(0)).alias("n_overflow"))
+        .collect())
+    # distinct (conv,turn,text) triples all survive routing
+    src_keys = {(c, t, x) for c, t, _, x, _ in rows}
+    assert {(r.conv_id, r.turn_idx, r.text) for r in per_row} == src_keys
+    for r in per_row:
+        assert r.n_sinks >= 1
+        assert r.n_tool <= 1  # tool rules are mutually exclusive
+        if r.n_overflow:
+            assert r.n_sinks == r.n_overflow  # overflow rows match nothing else
+
+
+@given(texts=st.lists(TEXT.filter(lambda s: s.strip()), min_size=1,
+                      max_size=15, unique=True))
+@settings(**_SETTINGS)
+def test_quality_score_bounds_and_determinism(spark, texts):
+    from logpipe_spark.trainprep.textqual import quality_score
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    out = quality_score(docs).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        assert 0.0 <= r.quality <= 1.0
+        assert r.n_tokens >= 1
+    again = quality_score(docs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+@given(texts=st.lists(st.text(alphabet="ab cd", min_size=0, max_size=30),
+                      min_size=2, max_size=10))
+@settings(**_SETTINGS)
+def test_jaccard_symmetric_bounded(spark, texts):
+    from logpipe_spark.trainprep.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(docs, k=2, threshold=0.0).collect()
+    for r in pairs:
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.doc_a < r.doc_b  # canonical orientation, no mirror dupes
+    seen = {(r.doc_a, r.doc_b) for r in pairs}
+    assert len(seen) == len(pairs)
+
+
+def test_salted_agg_equals_plain_on_adversarial_keys(spark):
+    """All rows one key + empty-string keys + unicode keys."""
+    from logpipe_spark.operators.skew import salted_count_by
+
+    rows = ([("k", i) for i in range(500)]
+            + [("", i) for i in range(50)]
+            + [("émoji🙂", i) for i in range(3)])
+    df = spark.createDataFrame(rows, "key string, v int")
+    plain = {r.key: r["count"] for r in
+             df.groupBy("key").agg(F.count(F.lit(1)).alias("count")).collect()}
+    salted = {r.key: r["count"] for r in
+              salted_count_by(df, "key", F.col("v"), buckets=7).collect()}
+    assert plain == salted
