@@ -40,15 +40,18 @@ from logpipe_spark.transcripts import (
 
 GROK_RE = "^([A-Za-z0-9_]+) ([^ ]+) -> ([0-9]+): (.*)$"
 
+# Field semantics mirror operators/parse.py: unmatched rows -> NULL fields;
+# matched-empty string groups keep '' (round-trip invariant); numeric
+# fields NULL-out '' before the cast.
 _PARSED_CTE = f"""
 parsed AS (
   SELECT t.*,
-    nullif(regexp_extract(text, '{GROK_RE}', 1), '') AS method,
-    nullif(regexp_extract(text, '{GROK_RE}', 2), '') AS path,
-    cast(nullif(regexp_extract(text, '{GROK_RE}', 3), '') AS int) AS status,
-    nullif(regexp_extract(text, '{GROK_RE}', 4), '') AS msg,
+    CASE WHEN regexp_matches(text, '{GROK_RE}') THEN regexp_extract(text, '{GROK_RE}', 1) END AS method,
+    CASE WHEN regexp_matches(text, '{GROK_RE}') THEN regexp_extract(text, '{GROK_RE}', 2) END AS path,
+    cast(nullif(CASE WHEN regexp_matches(text, '{GROK_RE}') THEN regexp_extract(text, '{GROK_RE}', 3) END, '') AS int) AS status,
+    CASE WHEN regexp_matches(text, '{GROK_RE}') THEN regexp_extract(text, '{GROK_RE}', 4) END AS msg,
     CASE WHEN text IS NULL OR trim(text) = '' THEN 'blank'
-         WHEN nullif(regexp_extract(text, '{GROK_RE}', 1), '') IS NULL THEN 'malformed'
+         WHEN NOT regexp_matches(text, '{GROK_RE}') THEN 'malformed'
          ELSE NULL END AS error_kind
   FROM transcripts t
 )"""
@@ -862,7 +865,7 @@ FROM ranked WHERE rank <= 5""",
 SELECT doc_id,
   list_aggregate(list_transform(generate_series(1, greatest(length(text) - 7, 1)),
                  i -> md5(substr(text, i, 8))), 'min') AS fingerprint,
-  cast(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS int)
+  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS int)
     AS n_bpe_tokens
 FROM documents""",
         "mm_image_meta": _mm_oracle(),

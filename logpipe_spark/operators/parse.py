@@ -78,11 +78,16 @@ TRANSCRIPT_CASTS = {"status": "int"}
 TRANSCRIPT_COMPILED = compile_grok(TRANSCRIPT_GROK, TRANSCRIPT_CASTS)
 
 
-def _cast_extracted(raw: Column, typ: str) -> Column:
-    # regexp_extract yields '' on no-match; NULL it out before any numeric
-    # cast (ANSI mode would otherwise throw on '').
-    c = F.nullif(raw, F.lit(""))
-    return c.cast(typ) if typ != "string" else c
+def _cast_extracted(raw: Column, matched: Column, typ: str) -> Column:
+    # regexp_extract yields '' BOTH for regex-miss and for a matched-empty
+    # group (e.g. GREEDYDATA msg on "... -> 200: "). Disambiguate with the
+    # match flag: unmatched rows -> NULL, matched-empty string fields keep
+    # '' (round-trip invariant). Numeric casts still NULL-out '' first
+    # (ANSI mode would throw on '').
+    c = F.when(matched, raw)
+    if typ != "string":
+        return F.nullif(c, F.lit("")).cast(typ)
+    return c
 
 
 def parse_grok(
@@ -99,19 +104,21 @@ def parse_grok(
     ndjsonParser.js:99-115), NULL for clean rows.
     """
     text = F.col(text_col)
+    matched = text.rlike(grok.regex)
     if single_pass:
         out = _single_pass_struct(df, text_col, grok)
     else:
         out = df
         for i, (name, typ) in enumerate(zip(grok.fields, grok.types), start=1):
             out = out.withColumn(
-                name, _cast_extracted(F.regexp_extract(text, grok.regex, i), typ)
+                name,
+                _cast_extracted(F.regexp_extract(text, grok.regex, i),
+                                matched, typ),
             )
-    first = grok.fields[0]
     return out.withColumn(
         error_col,
         F.when(text.isNull() | (F.trim(text) == ""), F.lit("blank"))
-        .when(F.col(first).isNull(), F.lit("malformed"))
+        .when(~matched, F.lit("malformed"))
         .otherwise(F.lit(None).cast("string")),
     )
 

@@ -98,8 +98,10 @@ def route_single_pass(
     for pred in preds:
         none_match = pred if none_match is None else (none_match | pred)
     tags.append(F.when(is_error, F.lit("error")))
-    if none_match is not None:
-        tags.append(F.when(~is_error & ~none_match, F.lit("overflow")))
+    # rules=[] -> every clean row is overflow (matches route(); without this
+    # the empty sink array + explode would silently DROP all clean rows)
+    no_match = (~none_match) if none_match is not None else F.lit(True)
+    tags.append(F.when(~is_error & no_match, F.lit("overflow")))
     sinks = F.array_compact(F.array(*tags))
     return df.withColumn(sink_col, F.explode(sinks))
 

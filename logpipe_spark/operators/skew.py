@@ -31,12 +31,17 @@ from pyspark.sql import functions as F
 def heavy_keys(df: DataFrame, key: str, min_fraction: float = 0.01,
                sample_fraction: float | None = None) -> DataFrame:
     """Keys holding ≥ min_fraction of (sampled) rows: (key, n, fraction)."""
+    from pyspark.sql import Window
+
     s = df.sample(sample_fraction, seed=7) if sample_fraction else df
     counts = s.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
-    total = s.count()
+    # total derived from the aggregated counts via an unpartitioned window
+    # sum - one scan of the input, no separate count() action
+    total = F.sum("n").over(Window.partitionBy())
     return (
-        counts.withColumn("fraction", F.col("n") / F.lit(total))
+        counts.withColumn("fraction", F.col("n") / total)
         .filter(F.col("fraction") >= min_fraction)
+        .select(key, "n", "fraction")
     )
 
 
@@ -63,7 +68,7 @@ def salted_stats_by(df: DataFrame, key: str, value: Column | str,
     """Two-phase count/sum/min/max/avg — partials are mergeable exactly;
     avg is re-derived from merged sum/count (never averaged-of-averages)."""
     v = F.col(value) if isinstance(value, str) else value
-    salted = with_salt(df.withColumn("_v", v.cast("double")),
+    salted = with_salt(df.withColumn("_v", v.try_cast("double")),
                        discriminator, buckets)
     partial = salted.groupBy(key, "_salt").agg(
         F.count("_v").alias("_n"), F.sum("_v").alias("_s"),

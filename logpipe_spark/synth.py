@@ -40,8 +40,13 @@ def synth_transcripts(
     rid = F.col("id")
     h = _mix(rid, "conv")
     n_hot = int(n_turns * hot_conv_fraction)
-    conv_n = F.when(rid < n_hot, F.lit(0)).otherwise((h % (n_convs - 1)) + 1) \
-        if n_hot > 0 else (h % n_convs)
+    if n_convs <= 1:
+        conv_n = F.lit(0)
+    elif n_hot > 0:
+        conv_n = (F.when(rid < n_hot, F.lit(0))
+                  .otherwise((h % (n_convs - 1)) + 1))
+    else:
+        conv_n = h % n_convs
     role = F.element_at(F.array(*[F.lit(r) for r in ROLES]),
                         (_mix(rid, "role") % len(ROLES) + 1).cast("int"))
     tool = F.element_at(F.array(*[F.lit(t) for t in TOOLS]),

@@ -103,6 +103,10 @@ def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = 12,
     The self-join is keyed on the band hash → hash-partitioned, linear
     candidate generation. Returns distinct (doc_a, doc_b).
     """
+    if n_hashes % band_size != 0:
+        raise ValueError(
+            f"n_hashes={n_hashes} not divisible by band_size={band_size}: "
+            f"the leftover hashes would be silently ignored, weakening recall")
     n_bands = n_hashes // band_size
     bands = F.array(*[
         F.struct(
@@ -193,12 +197,14 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    # no broadcast hint on sizes: it is corpus-sized (one row per doc) -
+    # AQE broadcasts it when small; at scale these stay shuffled joins
     j = (
         inter
-        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
-                                       F.col("sz").alias("sza"))), "doc_a")
-        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
-                                       F.col("sz").alias("szb"))), "doc_b")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sz").alias("szb")), "doc_b")
         .select("doc_a", "doc_b",
                 (F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")))
                 .alias("jaccard"))
@@ -246,9 +252,9 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash) — near-dup docs share low-Hamming-distance signatures.
 
-    Banding the 63 bits into 4×16-bit keys turns Hamming-≤3 search into
-    equality joins (same LSH trick as MinHash); exposed via
-    :func:`simhash_bands`.
+    Banding the 63 bits into 4×15-bit keys (the top 3 bits do not
+    participate) turns low-Hamming search into equality joins (same LSH
+    trick as MinHash); exposed via :func:`simhash_bands`.
     """
     return docs.select(
         F.col(id_col).alias("doc_id"),

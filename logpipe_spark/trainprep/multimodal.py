@@ -64,17 +64,16 @@ def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """
     for pdf in it:
         raw = pdf["payload"]
-        b0 = raw.str[0].astype("int64")
-        b1 = raw.str[1].astype("int64")
-        b2 = raw.str[2].astype("int64")
-        b3 = raw.str[3].astype("int64")
-        b4 = raw.str[4].astype("int64")
+        # corrupt-tolerant: NULL or <5-byte payloads decode to NULL metadata
+        # instead of crashing the task (real corpora have missing blobs)
+        valid = raw.notna() & (raw.str.len() >= 5)
+        bs = [raw.str[i].where(valid).astype("Int64") for i in range(5)]
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"],
-            "width": (1 + ((b0 * 256 + b1) % 2048)).astype("int32"),
-            "height": (1 + ((b2 * 256 + b3) % 2048)).astype("int32"),
-            "channels": (1 + (b4 % 4)).astype("int32"),
-            "n_bytes": raw.str.len().astype("int32"),
+            "width": (1 + ((bs[0] * 256 + bs[1]) % 2048)).astype("Int32"),
+            "height": (1 + ((bs[2] * 256 + bs[3]) % 2048)).astype("Int32"),
+            "channels": (1 + (bs[4] % 4)).astype("Int32"),
+            "n_bytes": raw.str.len().astype("Int32"),
         })
 
 
@@ -93,10 +92,13 @@ def frame_sample_stub(docs_with_payload: DataFrame, every_n: int = 10,
     """Video frame-sampling seam: plumbing returns the sampling plan
     (doc_id, frame_idx) without decoding; a real build would mapInPandas
     an ffmpeg extraction over `payload` per sampled index."""
-    n_frames = (F.length("payload").cast("int") * 2).alias("n_frames")
+    n_frames = (F.coalesce(F.length("payload"), F.lit(0)).cast("int") * 2
+                ).alias("n_frames")
     plan = docs_with_payload.select("doc_id", n_frames)
     return plan.select(
         "doc_id",
-        F.explode(F.expr(f"sequence(0, n_frames - 1, {every_n})"))
-        .alias("frame_idx"),
+        F.explode(F.expr(
+            f"CASE WHEN n_frames > 0 "
+            f"THEN sequence(0, n_frames - 1, {every_n}) "
+            f"ELSE array() END")).alias("frame_idx"),
     )

@@ -28,22 +28,6 @@ LANG_ORDER = list(LANG_PROFILES.keys())
 STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
 
 
-def occurrences(col: Column, pat: str) -> Column:
-    """Non-overlapping occurrence count of literal `pat` (matches SQL replace)."""
-    return (
-        (F.length(col) - F.length(F.regexp_replace(col, _lit_re(pat), "")))
-        / F.lit(len(pat))
-    ).cast("int")
-
-
-def _lit_re(pat: str) -> str:
-    # escape regex metacharacters without backslash-heavy literals
-    out = []
-    for ch in pat:
-        out.append(("[" + ch + "]") if not ch.isalnum() and ch != " " else ch)
-    return "".join(out)
-
-
 def _occ_simple(col: Column, pat: str) -> Column:
     # literal replace-based count (no regex) — identical across engines
     return (
@@ -133,9 +117,10 @@ def quality_score(docs: DataFrame, text_col: str = "text",
 
 
 def bpe_ish_token_count(text: Column) -> Column:
-    """Token count under a BPE-ish segmentation: letter runs, digit runs,
-    single punctuation marks each count as one token."""
-    return F.size(F.regexp_extract_all(text, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+    """Token count under a BPE-ish segmentation: letter runs (either case),
+    digit runs, single punctuation marks each count as one token."""
+    return F.size(F.regexp_extract_all(
+        text, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0))
 
 
 def doc_fingerprint(docs: DataFrame, text_col: str = "text",

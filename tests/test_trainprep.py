@@ -92,3 +92,60 @@ def test_ann_bruteforce_self_excluded_and_ranked(spark):
     for _, g in per_q:
         s = g.sort_values("rank")["cos"].to_numpy()
         assert (s[:-1] >= s[1:] - 1e-12).all()
+
+
+def test_parse_empty_msg_roundtrip_both_paths(spark):
+    """'GET /x -> 200: ' (matched-empty GREEDYDATA msg) is clean, msg=''
+    in BOTH parse paths, and round-trips to the original text."""
+    from logpipe_spark.operators.parse import parse_grok, reassemble_text
+
+    df = spark.createDataFrame(
+        [("c1", 0, "GET /x -> 200: "), ("c1", 1, "garbled"),
+         ("c1", 2, "GET /y -> 201: ok")],
+        "conv_id string, turn_idx int, text string")
+    for sp in (False, True):
+        p = parse_grok(df, single_pass=sp)
+        rows = {r.turn_idx: r for r in p.collect()}
+        assert rows[0].error_kind is None and rows[0].msg == "", f"sp={sp}"
+        assert rows[1].error_kind == "malformed" and rows[1].msg is None
+        ok = (p.filter(F.col("error_kind").isNull())
+              .select((reassemble_text(p) == F.col("text")).alias("ok"))
+              .collect())
+        assert all(r.ok for r in ok), f"sp={sp}"
+
+
+def test_image_meta_tolerates_null_and_short_payloads(spark):
+    from logpipe_spark.trainprep.multimodal import (frame_sample_stub,
+                                                    image_meta)
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(16))), (2, None), (3, b"ab")],
+        "doc_id long, payload binary")
+    rows = {r.doc_id: r for r in image_meta(df).collect()}
+    assert rows[1].width is not None
+    assert rows[2].width is None and rows[2].n_bytes is None
+    assert rows[3].width is None and rows[3].n_bytes == 2
+    plan = frame_sample_stub(df.where("doc_id != 1"), every_n=10)
+    assert plan.where("doc_id = 2").count() == 0  # null payload -> no frames
+
+
+def test_router_empty_rules_overflow(spark):
+    from logpipe_spark.operators.router import route, route_single_pass
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "x", "bash", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, error_kind string")
+    multi = route(df, [], persist=False)
+    assert multi["overflow"].count() == 1
+    single = route_single_pass(df, [])
+    assert [r.sink for r in single.collect()] == ["overflow"]
+
+
+def test_synth_single_conv_with_hot_fraction(spark):
+    from logpipe_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_turns=100, n_convs=1,
+                          hot_conv_fraction=0.5)
+    assert t.select("conv_id").distinct().count() == 1
+    assert t.count() == 100
