@@ -338,17 +338,22 @@ def q_normalize_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stringify_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # K5 JSON stringifier (bin/logpipe.js:123-141): record -> one JSON line
+    # K5 JSON stringifier (bin/logpipe.js:123-141): record -> one JSON line.
+    # ignoreNullFields=false keeps "field":null in the output exactly like
+    # DuckDB's to_json(struct_pack(...)) — without it the oracle hash only
+    # agrees while no field is ever null.
     t = _t(spark, sf_dir)
     return t.select(
         "conv_id", "turn_idx",
-        F.to_json(F.struct("conv_id", "turn_idx", "role")).alias("json_line"),
+        F.to_json(F.struct("conv_id", "turn_idx", "role"),
+                  {"ignoreNullFields": "false"}).alias("json_line"),
     )
 
 
 def q_hash_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # T7 intended semantics (iterated sha256, pandas UDF) — procedural, so
-    # no SQL oracle: the driver records the weaker rows-only check.
+    # T7 intended semantics (iterated sha256 over the hex string each round,
+    # worker.js:189-199). iterations=5 unrolls to 5 nested sha256() calls
+    # in the DuckDB oracle — full value-hash check.
     from logpipe_spark.functions.textfn import iterated_sha256
 
     return _t(spark, sf_dir).select(
@@ -806,6 +811,10 @@ FROM transcripts""",
 SELECT conv_id, turn_idx,
        to_json(struct_pack(conv_id := conv_id, turn_idx := turn_idx,
                            role := role)) AS json_line
+FROM transcripts""",
+        "hash_iterated": f"""{P}
+SELECT conv_id, turn_idx,
+       sha256(sha256(sha256(sha256(sha256(text))))) AS textHash5
 FROM transcripts""",
         "mm_frame_sample": """
 SELECT doc_id, cast(unnest(generate_series(0, 31, 10)) AS int) AS frame_idx

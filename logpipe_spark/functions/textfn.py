@@ -45,7 +45,10 @@ def sha256_once(col: Column) -> Column:
 def iterated_sha256(iterations: int = 10_000):
     """T7 Hasher intended semantics (``transformerFactory.js:153-163`` +
     worker kernel ``src/workers/worker.js:182-202``; the reference wiring is
-    bugged — SURVEY.md §7.4.2): sha256 iterated N times over the value.
+    bugged — SURVEY.md §7.4.2): sha256 iterated N times, each round hashing
+    the previous round's HEX string (``.update(hash).digest('hex')`` feeds
+    the hex back in — reference parity, and what makes the DuckDB oracle
+    expressible as N nested ``sha256()`` calls on VARCHAR).
     Irreducibly procedural → Arrow-batched pandas UDF (≙ the reference's
     CPU-bound worker-pool offload, replaced by Spark task parallelism)."""
 
@@ -54,10 +57,10 @@ def iterated_sha256(iterations: int = 10_000):
         def run(v) -> str | None:
             if v is None:
                 return None
-            h = str(v).encode("utf-8")
+            h = str(v)
             for _ in range(iterations):
-                h = hashlib.sha256(h).digest()
-            return h.hex()
+                h = hashlib.sha256(h.encode("utf-8")).hexdigest()
+            return h
 
         return s.map(run)
 

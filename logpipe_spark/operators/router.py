@@ -120,11 +120,20 @@ def apply_sink_quotas(
     key — at scale the quota'd sinks are the small ones (error/debug taps);
     unlimited sinks (absent from `quotas`) skip the window entirely via the
     union split below.
+
+    ``overflow`` is the uncapped catch-all BY CONTRACT: retagged over-quota
+    rows land there after the quota window has run, so a quota on it would
+    be silently bypassed by the retags — rejected loudly instead.
     """
     from pyspark.sql import Window
 
     if not quotas:
         return exploded
+    if "overflow" in quotas:
+        raise ValueError(
+            "the 'overflow' sink is the uncapped catch-all (over-quota rows "
+            "are retagged into it after the quota window); quota it upstream "
+            "by quota'ing the sinks that feed it")
     limited = exploded.where(F.col(sink_col).isin(*quotas.keys()))
     unlimited = exploded.where(~F.col(sink_col).isin(*quotas.keys()))
     w = Window.partitionBy(sink_col).orderBy(*[F.asc(c) for c in order_cols])

@@ -33,6 +33,7 @@ CORRUPT_COL = "_corrupt_record"
 
 NDJSON_EXTS = {".json", ".ndjson", ".jsonl"}
 CSV_EXTS = {".csv"}
+PARQUET_EXTS = {".parquet"}
 
 
 def sniff_format(path: str, explicit: str | None = None) -> str:
@@ -54,6 +55,8 @@ def sniff_format(path: str, explicit: str | None = None) -> str:
             return "csv"
         if suffixes[-1] in NDJSON_EXTS:
             return "ndjson"
+        if suffixes[-1] in PARQUET_EXTS:
+            return "parquet"
     return "ndjson"
 
 
@@ -76,9 +79,17 @@ def read_ndjson(
         "rec",
         F.from_json(F.col("raw"), schema, {"mode": "PERMISSIVE"}),
     )
-    # from_json yields a null/all-null struct on parse failure; detect via a
-    # strict reparse marker: valid JSON objects round-trip through get_json_object
-    is_bad = F.get_json_object(F.col("raw"), "$").isNull()
+    # from_json yields a null/all-null struct on parse failure; detect
+    # OBJECTS explicitly: the trimmed line must start with '{' AND survive a
+    # get_json_object reparse. Scalar-line policy (documented divergence):
+    # the reference's JSON.parse accepts bare scalars (5, "x", true, null)
+    # as records; here a non-object line routes to the error channel instead
+    # of becoming an all-null row silently marked clean — the object check
+    # is what keeps 'malformed' meaning "not a usable record".
+    is_bad = (
+        ~F.trim(F.col("raw")).startswith("{")
+        | F.get_json_object(F.col("raw"), "$").isNull()
+    )
     cols = [F.col(f"rec.{f.name}").alias(f.name) for f in schema.fields]
     return parsed.select(
         *cols,
@@ -100,11 +111,13 @@ def read_csv(
     """CSV scan mirroring csvParser options (csvParser.js:20-27).
 
     Without a schema all columns are strings — the reference's exact
-    semantics (values are never coerced). ``skip_lines`` maps to
-    ``skipRows``-style filtering via the `comment`-free monotonically
-    increasing prefilter only when needed; Spark handles the common
-    header case natively.
+    semantics (values are never coerced). ``skip_lines`` drops the first N
+    physical lines of EACH file (the reference is single-stream; per-file is
+    the faithful multi-file generalization) — see :func:`_read_csv_skipping`.
     """
+    if skip_lines:
+        return _read_csv_skipping(spark, path, schema, separator, quote,
+                                  escape, header, skip_lines)
     reader = (
         spark.read.option("sep", separator)
         .option("quote", quote)
@@ -116,17 +129,62 @@ def read_csv(
         reader = reader.option("escape", escape)
     if schema is not None:
         reader = reader.schema(schema)
-    if skip_lines:
-        # portable skip: read as text, drop N physical lines, re-parse
-        text = spark.read.text(path)
-        text = (
-            text.withColumn("_idx", F.monotonically_increasing_id())
-            .orderBy("_idx")
-            .filter(F.col("_idx") >= skip_lines)
-            .drop("_idx")
-        )
-        return reader.csv(text.rdd.map(lambda r: r.value))  # small-file path only
     return reader.csv(path)
+
+
+def _read_csv_skipping(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None,
+    separator: str,
+    quote: str,
+    escape: str | None,
+    header: bool,
+    skip_lines: int,
+) -> DataFrame:
+    """skip_lines path: per-file line numbering + JVM-side ``from_csv``.
+
+    ``wholetext`` loads each file as ONE row, so ``posexplode`` over the
+    line split yields EXACT per-file line numbers. (The previous
+    ``monotonically_increasing_id`` + global ``orderBy`` + ``.rdd`` shape
+    numbered lines wrongly on any multi-file or split read — ids only track
+    physical line order inside the first partition — and paid a full sort.)
+
+    Scale contract: parallelism is one task per file — the same unit gzip
+    compression already imposes on text sources. A single huge *splittable*
+    file materializes as one string here; strip its preamble upstream
+    instead of using skip_lines (documented guard, not a silent wrong-rows
+    path). Quoted fields containing raw newlines do not survive the line
+    split (same limitation as the reference's line-based csvParser).
+    """
+    whole = spark.read.text(path, wholetext=True)
+    lines = (
+        whole.select(
+            F.posexplode(F.split("value", "\r\n|\r|\n")).alias("_idx", "_line"))
+        .filter(F.col("_idx") >= skip_lines)
+        .filter(F.col("_line") != "")          # CSV readers skip empty lines
+    )
+    data = lines.filter(F.col("_idx") > skip_lines) if header else lines
+    if schema is None:
+        # all-strings schema; names from the (per-file) header line, else c0..cN
+        import csv as _csv
+        import io as _io
+
+        probe = lines.filter(F.col("_idx") == skip_lines).limit(1).collect()
+        if not probe:
+            raise ValueError(f"no lines left after skip_lines={skip_lines}")
+        fields = next(_csv.reader(
+            _io.StringIO(probe[0]._line), delimiter=separator,
+            quotechar=quote, escapechar=escape))
+        names = fields if header else [f"c{i}" for i in range(len(fields))]
+        schema = StructType([StructField(n, StringType()) for n in names])
+    opts = {"sep": separator, "quote": quote, "mode": "PERMISSIVE"}
+    if escape is not None:
+        opts["escape"] = escape
+    return (
+        data.select(F.from_csv(F.col("_line"), schema.toDDL(), opts).alias("_r"))
+        .select("_r.*")
+    )
 
 
 def read_source(

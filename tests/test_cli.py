@@ -59,10 +59,12 @@ def test_hash_field_iterated(spark):
                   "--hash-iterations", "3", "--select", "conv_id,role"])
     row = apply_transforms(t, args).limit(1).collect()[0]
 
-    h = row.role.encode()
+    # reference semantics (worker.js:189-199): each round hashes the
+    # previous round's hex string, not the raw digest
+    h = row.role
     for _ in range(3):
-        h = hashlib.sha256(h).digest()
-    assert row.roleHash == h.hex()
+        h = hashlib.sha256(h.encode("utf-8")).hexdigest()
+    assert row.roleHash == h
 
 
 def test_cli_end_to_end_subprocess(tmp_path):

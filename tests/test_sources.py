@@ -152,3 +152,48 @@ def test_csv_skip_lines(spark, tmp_path):
     df = read_csv(spark, str(f), schema=SCHEMA, skip_lines=2)
     rows = {r.conv_id: r for r in df.collect()}
     assert set(rows) == {"c1", "c2"} and rows["c2"].turn_idx == 1
+
+
+def test_csv_skip_lines_multi_file(spark, tmp_path):
+    """Per-FILE skip: every file's preamble is dropped, not just the global
+    first N lines (the old monotonic-id path skipped only one file's worth
+    and dropped good rows from whichever file happened to sort first)."""
+    d = tmp_path / "csvs"
+    d.mkdir()
+    for i in range(3):
+        (d / f"part{i}.csv").write_text(
+            "# preamble one\n# preamble two\n"
+            f"conv_id,turn_idx,role,text\nc{i},0,user,hi{i}\nc{i},1,tool,yo{i}\n")
+    df = read_csv(spark, str(d), schema=SCHEMA, skip_lines=2)
+    rows = df.collect()
+    assert len(rows) == 6                      # 2 data rows per file
+    assert {r.conv_id for r in rows} == {"c0", "c1", "c2"}
+    assert all(r.role in {"user", "tool"} for r in rows)
+
+
+def test_csv_skip_lines_no_schema_infers_header_names(spark, tmp_path):
+    f = tmp_path / "skip2.csv"
+    f.write_text("junk line\na;b\n1;'x;y'\n2;z\n")
+    df = read_csv(spark, str(f), separator=";", quote="'", skip_lines=1)
+    assert df.columns == ["a", "b"]
+    rows = sorted(df.collect(), key=lambda r: r.a)
+    assert rows[0].b == "x;y" and rows[1].a == "2"      # quote honored, strings
+
+
+def test_ndjson_scalar_lines_route_to_error(spark, tmp_path):
+    """Documented policy: non-object JSON lines (scalars, null) route to the
+    error channel instead of becoming silently-clean all-null rows (the
+    reference's JSON.parse accepts them as records; routed is recoverable)."""
+    lines = [json.dumps(GOOD[0]), "5", '"x"', "true", "null"]
+    f = tmp_path / "scalars.ndjson"
+    _write_ndjson(f, lines)
+    df = read_ndjson(spark, str(f), SCHEMA)
+    rows = df.collect()
+    assert len(rows) == 5
+    bad = sorted(r.raw for r in rows if r.error_kind == "malformed")
+    assert bad == sorted(["5", '"x"', "true", "null"])
+
+
+def test_sniff_format_parquet():
+    assert sniff_format("data.parquet") == "parquet"
+    assert sniff_format("a/b/part-0001.parquet") == "parquet"
