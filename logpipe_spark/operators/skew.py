@@ -30,16 +30,20 @@ from pyspark.sql import functions as F
 
 def heavy_keys(df: DataFrame, key: str, min_fraction: float = 0.01,
                sample_fraction: float | None = None) -> DataFrame:
-    """Keys holding ≥ min_fraction of (sampled) rows: (key, n, fraction)."""
-    from pyspark.sql import Window
+    """Keys holding ≥ min_fraction of (sampled) rows: (key, n, fraction).
 
+    The total is ONE number, so it is computed as a scalar aggregate and
+    broadcast back onto the per-key counts (an unpartitioned window here
+    would funnel every per-key count row through a single reducer — a
+    straggler at 10^9 distinct keys; the scalar agg's partial+final shape
+    shuffles one partial row per task instead).
+    """
     s = df.sample(sample_fraction, seed=7) if sample_fraction else df
     counts = s.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
-    # total derived from the aggregated counts via an unpartitioned window
-    # sum - one scan of the input, no separate count() action
-    total = F.sum("n").over(Window.partitionBy())
+    total = counts.agg(F.sum("n").alias("_total"))
     return (
-        counts.withColumn("fraction", F.col("n") / total)
+        counts.join(F.broadcast(total))
+        .withColumn("fraction", F.col("n") / F.col("_total"))
         .filter(F.col("fraction") >= min_fraction)
         .select(key, "n", "fraction")
     )
@@ -80,6 +84,48 @@ def salted_stats_by(df: DataFrame, key: str, value: Column | str,
         F.max("_mx").alias("max"),
         (F.sum("_s") / F.sum("_n")).alias("avg"),
     )
+
+
+def with_selective_salt(df: DataFrame, key: str, discriminator: Column,
+                        hot: DataFrame, buckets: int = 16,
+                        salt_col: str = "_salt") -> DataFrame:
+    """Salt ONLY the hot keys: rows of keys in ``hot`` get
+    pmod(hash(discriminator), buckets); cold rows get salt 0, so their
+    phase-1 group (key, 0) is just the key — phase 2 merges one partial row
+    per cold key. One plan, no union split, no window.
+
+    ``hot`` is the (tiny) output of :func:`heavy_keys` — broadcast joined.
+    """
+    hot_flag = hot.select(F.col(key).alias(key), F.lit(True).alias("_hot"))
+    flagged = df.join(F.broadcast(hot_flag), key, "left")
+    salt = (
+        F.when(F.col("_hot"),
+               F.pmod(F.hash(discriminator), F.lit(buckets)))
+        .otherwise(F.lit(0))
+    )
+    return flagged.withColumn(salt_col, salt).drop("_hot")
+
+
+def selective_salted_count_by(df: DataFrame, key: str, discriminator: Column,
+                              buckets: int = 16, min_fraction: float = 0.01,
+                              sample_fraction: float | None = None,
+                              hot: DataFrame | None = None,
+                              alias: str = "count") -> DataFrame:
+    """Two-phase count applied ONLY to hot keys (PERF.md §Deferred, closed).
+
+    Hot-key detection runs on a sample (:func:`heavy_keys`) unless a
+    precomputed ``hot`` frame is passed (at scale: detect once per input,
+    reuse across every aggregate over it). Cold keys pay one extra no-op
+    merge row instead of a second full shuffle — the blanket
+    :func:`salted_count_by` doubles the shuffle for EVERY key; this variant
+    keeps the cold path single-shuffle-equivalent while hot conversations
+    spread over ``buckets`` reducers.
+    """
+    if hot is None:
+        hot = heavy_keys(df, key, min_fraction, sample_fraction).select(key)
+    salted = with_selective_salt(df, key, discriminator, hot, buckets)
+    partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_c"))
+    return partial.groupBy(key).agg(F.sum("_c").alias(alias))
 
 
 def salted_conv_spans(df: DataFrame, buckets: int = 16) -> DataFrame:

@@ -76,6 +76,28 @@ def word_shingles(docs: DataFrame, text_col: str = "text",
     return w.select("doc_id", F.explode(F.expr(gram_expr)).alias("shingle"))
 
 
+def cap_shingles(shingles: DataFrame, max_df: int) -> DataFrame:
+    """Stop-shingle removal: drop shingles appearing in more than ``max_df``
+    documents before candidate generation.
+
+    A boilerplate shingle shared by M documents creates an O(M²) hot bucket
+    in any shingle-keyed self-join — at 100 TB a single license header makes
+    the join quadratic. Capping document frequency bounds every posting list
+    at ``max_df``, so candidate generation is ≤ max_df × n_postings pairs.
+    The hot-shingle set itself is small (≤ n_postings / max_df entries) —
+    AQE broadcasts the anti-join side.
+
+    Used for CANDIDATE GENERATION only: the exact-Jaccard verify still runs
+    on full shingle sets, so surviving pairs' scores are unchanged (a pair
+    connected only by boilerplate is the one class this de-recalls, by
+    design — boilerplate similarity is the noise being removed).
+    """
+    df_counts = shingles.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("_df"))
+    hot = df_counts.filter(F.col("_df") > max_df).select("shingle")
+    return shingles.join(hot, "shingle", "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -162,28 +184,56 @@ def jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_dedup(docs: DataFrame, k: int = 2, n_hashes: int = 12,
-                      band_size: int = 3, threshold: float = 0.4) -> DataFrame:
-    """Full MinHash→LSH→verify pipeline: near-dup pairs with Jaccard ≥ threshold."""
+                      band_size: int = 3, threshold: float = 0.4,
+                      max_df: int | None = None) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: near-dup pairs with Jaccard ≥ threshold.
+
+    ``max_df`` (the 100 TB default; None keeps exact oracle parity) drops
+    stop-shingles (:func:`cap_shingles`) before signatures + banding, so no
+    boilerplate shingle can dominate every band bucket; the exact-Jaccard
+    verify still runs on FULL shingle sets — surviving pairs keep their
+    uncapped scores.
+    """
     sh = word_shingles(docs, k=k)
-    sigs = minhash_signatures(sh, n_hashes=n_hashes)
+    sh_cand = cap_shingles(sh, max_df) if max_df is not None else sh
+    sigs = minhash_signatures(sh_cand, n_hashes=n_hashes)
     cand = lsh_candidate_pairs(sigs, n_hashes=n_hashes, band_size=band_size)
     j = jaccard_on_pairs(cand, sh)
     return j.where(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
-                        threshold: float = 0.12) -> DataFrame:
+                        threshold: float = 0.12,
+                        max_df: int | None = None) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold, candidates = docs sharing ≥1 shingle.
 
     The shingle-keyed self-join bounds the quadratic blowup to co-occurring
     shingles (inverted-index join). Shingle width is THE density lever:
     word bigrams over this corpus's small vocabulary made every doc pair
     collide (10.3M intersecting pairs at sf0.1, 24 s); trigrams cut it to
-    1.1M (2.5 s) with the same near-dup pairs surviving the threshold. At
-    100 TB you additionally cap posting-list length (drop shingles with
-    document frequency > max_df — stop-shingle removal) before the join.
+    1.1M (2.5 s) with the same near-dup pairs surviving the threshold.
+
+    ``max_df`` (the 100 TB default; None keeps the single-join oracle-parity
+    plan) removes stop-shingles before the inverted-index join — a
+    boilerplate shingle shared by M docs is an O(M²) hot bucket otherwise.
+    With the cap, candidates come from rare shingles only and the exact
+    Jaccard is then computed on FULL shingle sets via
+    :func:`jaccard_on_pairs`, so surviving pairs score identically to the
+    uncapped path.
     """
     sh = word_shingles(docs, k=k)
+    if max_df is not None:
+        sh_rare = cap_shingles(sh, max_df)
+        ra = sh_rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+        rb = sh_rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+        cand = (
+            ra.join(rb, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        j = jaccard_on_pairs(cand, sh)
+        return j.where(F.col("jaccard") >= threshold)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     ea = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     eb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -19,6 +19,7 @@ left-to-right) so results are bit-identical with the DuckDB oracle's
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -47,6 +48,36 @@ def _dot(a: str, b: str) -> Column:
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
         f"cast(0 AS double), (acc, x) -> acc + x)"
     )
+
+
+def _partition_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-partition top-k pre-prune ahead of the global ranking window.
+
+    Runs INSIDE the scoring join's output partitions (narrow — no shuffle):
+    each partition keeps only its local top-k rows per query under the SAME
+    total order the final window uses (cos desc, neighbor_id asc), so the
+    ranking exchange carries ≤ k × n_partitions rows per query instead of
+    the whole scored corpus — the 100 TB bottleneck named in PERF.md
+    §Deferred. The global top-k is a subset of the union of per-partition
+    top-ks under a total order, so the final output is bit-identical (cos
+    doubles round-trip exactly through Arrow).
+
+    Memory: the running `best` frame is bounded at k rows per query seen in
+    the partition, folded batch-by-batch.
+    """
+
+    def prune(it):
+        best: pd.DataFrame | None = None
+        for pdf in it:
+            cur = pdf if best is None else pd.concat((best, pdf))
+            cur = cur.sort_values(["query_id", "cos", "neighbor_id"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+            best = cur.groupby("query_id", sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    return scored.mapInPandas(prune, schema=scored.schema)
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -79,12 +110,12 @@ def ann_bruteforce_topk(emb: DataFrame, k: int = 10,
                         query_mod: int = 25) -> DataFrame:
     """Exact cosine top-k for the query subset (vec_id % query_mod == 0).
 
-    Queries are broadcast (small side); corpus is scanned in place. Ranking
-    uses a window over query_id ordered by (cosine desc, neighbor asc) —
-    deterministic tiebreak. For a 10^9-row corpus you'd insert a
-    per-partition top-k (groupBy query, partition → slice) before the global
-    window so the shuffle carries k rows per (query, partition), not the
-    whole corpus; at bench scale the direct window is faster.
+    Queries are broadcast (small side); corpus is scanned in place —
+    embarrassingly parallel scoring with no corpus shuffle. A per-partition
+    top-k pre-prune (:func:`_partition_topk`, narrow) then cuts the ranking
+    window's exchange from |corpus| rows per query down to k × n_partitions
+    — the plan that survives a 10^9-row corpus. Output is identical to the
+    direct window (same total order, superset-of-top-k invariant).
     """
     n = with_unit_norm(emb)
     q = n.where((F.col("vec_id") % query_mod) == 0).select(
@@ -100,7 +131,7 @@ def ann_bruteforce_topk(emb: DataFrame, k: int = 10,
             (_dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
-    return _rank_topk(scored, k)
+    return _rank_topk(_partition_topk(scored, k), k)
 
 
 def ann_lsh_topk(emb: DataFrame, k: int = 5, bits: int = 6,

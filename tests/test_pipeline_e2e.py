@@ -158,6 +158,41 @@ def test_salted_aggregates_match_unsalted(spark, corpus):
     assert spans_p == spans_s
 
 
+def test_selective_salting_hot_keys_only(spark, corpus):
+    """Selective salting: results equal the plain groupBy; the salted path
+    is applied ONLY to detected hot keys (cold keys keep salt 0, i.e. the
+    single-shuffle-equivalent plan)."""
+    from logpipe_spark.operators.skew import (heavy_keys,
+                                              selective_salted_count_by,
+                                              with_selective_salt)
+
+    hot = heavy_keys(corpus, "conv_id", min_fraction=0.05)
+    hot_ids = {r.conv_id for r in hot.collect()}
+    assert hot_ids == {"conv-000000"}          # 30% hot conversation detected
+
+    salted = with_selective_salt(corpus, "conv_id", F.col("turn_idx"),
+                                 hot.select("conv_id"), buckets=8)
+    per_key = {r.conv_id: r.n_salts for r in
+               salted.groupBy("conv_id")
+               .agg(F.countDistinct("_salt").alias("n_salts")).collect()}
+    assert per_key["conv-000000"] > 1          # hot key spreads over buckets
+    assert all(n == 1 for k, n in per_key.items() if k not in hot_ids)
+
+    plain = {r.conv_id: r["count"] for r in
+             corpus.groupBy("conv_id").agg(
+                 F.count(F.lit(1)).alias("count")).collect()}
+    sel = {r.conv_id: r["count"] for r in
+           selective_salted_count_by(
+               corpus, "conv_id", F.col("turn_idx"),
+               min_fraction=0.05).collect()}
+    assert plain == sel
+
+    # sampled detection path: deterministic seed, still catches the hot key
+    hot_sampled = heavy_keys(corpus, "conv_id", min_fraction=0.05,
+                             sample_fraction=0.5)
+    assert "conv-000000" in {r.conv_id for r in hot_sampled.collect()}
+
+
 def test_heavy_key_detection(spark, corpus):
     from logpipe_spark.operators.skew import heavy_keys
 

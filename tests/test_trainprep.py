@@ -80,6 +80,58 @@ def test_minhash_planted_near_dups(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_max_df_drops_boilerplate_hot_bucket(spark):
+    """Adversarial boilerplate corpus: every doc shares a license-header
+    shingle run. With max_df the hot posting list is dropped from candidate
+    generation (candidates shrink from all-pairs to genuine near-dups) and
+    the SURVIVORS' Jaccard values are identical to the uncapped path."""
+    from logpipe_spark.trainprep.dedup import (cap_shingles,
+                                               minhash_lsh_dedup,
+                                               ngram_jaccard_pairs,
+                                               word_shingles)
+
+    boiler = "licensed under the apache license version two point zero"
+    bodies = [
+        "alpha beta gamma delta epsilon zeta eta theta",       # 1
+        "alpha beta gamma delta epsilon zeta eta iota",        # 2 ~ near-dup of 1
+        "one two three four five six seven eight",             # 3
+        "red orange yellow green blue indigo violet ultra",    # 4
+        "north south east west up down left right",            # 5
+    ]
+    docs = spark.createDataFrame(
+        [(i + 1, f"{boiler} {b}") for i, b in enumerate(bodies)],
+        "doc_id long, text string")
+
+    # the boilerplate shingles hit every doc; max_df=3 drops them
+    sh = word_shingles(docs, k=3)
+    capped = cap_shingles(sh, max_df=3)
+    hot_left = capped.groupBy("shingle").count().filter("count > 3").count()
+    assert hot_left == 0
+    assert capped.count() < sh.count()
+
+    uncapped = {(r.doc_a, r.doc_b): r.jaccard
+                for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    capped_pairs = {(r.doc_a, r.doc_b): r.jaccard
+                    for r in ngram_jaccard_pairs(
+                        docs, threshold=0.0, max_df=3).collect()}
+    # hot bucket gone: uncapped connects all 10 pairs via boilerplate,
+    # capped keeps only pairs sharing a rare (body) shingle
+    assert len(uncapped) == 10
+    assert set(capped_pairs) == {(1, 2)}
+    # survivors' Jaccard is the FULL-set value, unchanged by the cap
+    assert capped_pairs[(1, 2)] == uncapped[(1, 2)]
+
+    # same contract on the MinHash pipeline: the near-dup still surfaces
+    # and its verify score matches the uncapped run's
+    mh_un = {(r.doc_a, r.doc_b): r.jaccard
+             for r in minhash_lsh_dedup(docs, threshold=0.3).collect()}
+    mh_cap = {(r.doc_a, r.doc_b): r.jaccard
+              for r in minhash_lsh_dedup(docs, threshold=0.3,
+                                         max_df=3).collect()}
+    assert (1, 2) in mh_cap
+    assert mh_cap[(1, 2)] == mh_un[(1, 2)]
+
+
 def test_ann_bruteforce_self_excluded_and_ranked(spark):
     from logpipe_spark.trainprep.similarity import ann_bruteforce_topk
 
