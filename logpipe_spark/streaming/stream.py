@@ -12,8 +12,10 @@ streaming-only concerns live here:
   ``maxGroups`` cap bounded its Map.
 - **stateful sessionization** (:func:`conversation_sessions`) — custom
   per-conversation state via ``applyInPandasWithState`` (Arrow-batched, no
-  per-row Python): emits a conversation's span once it has been idle past a
-  gap, with processing-time timeout — an operator the batch engine cannot
+  per-row Python): emits a conversation's span once the EVENT-TIME
+  watermark passes its last event + gap. Event-time timeout makes emission
+  deterministic in the data (a processing-time idle gap would emit
+  nondeterministically under load) — an operator the batch engine cannot
   express incrementally.
 - **fan-out sink** (:func:`stream_route_fanout`) — ``foreachBatch`` applies
   the batch router to each micro-batch and appends per-sink parquet;
@@ -75,43 +77,66 @@ def windowed_turn_counts(stream: DataFrame, window: str = "1 minute",
     )
 
 
-def _session_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
-                state: GroupState) -> Iterator[pd.DataFrame]:
-    """Per-conv state fold; emits the session when the group times out."""
-    if state.hasTimedOut:
-        n, first_us, last_us = state.get
-        state.remove()
-        yield pd.DataFrame({
-            "conv_id": [key[0]],
-            "n_turns": [n],
-            "first_ts": [pd.Timestamp(first_us, unit="us")],
-            "last_ts": [pd.Timestamp(last_us, unit="us")],
-        })
+def _session_fn_factory(gap_ms: int):
+    """Build the per-conv state fold; emits the session when the watermark
+    passes last event + gap (event-time timeout)."""
+
+    def _session_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "conv_id": [key[0]],
+                "n_turns": [n],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            })
+            return
+        n, first_us, last_us = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+            us = ts.astype("int64")
+            n += len(pdf)
+            first_us = us.min() if first_us is None else min(first_us, us.min())
+            last_us = us.max() if last_us is None else max(last_us, us.max())
+        state.update((int(n), int(first_us), int(last_us)))
+        # event-time timeout: fires when the WATERMARK (not the wall clock)
+        # passes last event + gap — deterministic in the data. A late batch
+        # arriving after the watermark already passed that point starts a
+        # new session; clamp so the timeout is always ahead of the
+        # watermark (Spark rejects timestamps at/behind it).
+        timeout_ms = int(last_us) // 1000 + gap_ms
+        state.setTimeoutTimestamp(
+            max(timeout_ms, int(state.getCurrentWatermarkMs()) + 1))
         return
-    n, first_us, last_us = state.get if state.exists else (0, None, None)
-    for pdf in pdfs:
-        ts = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
-        us = ts.astype("int64")
-        n += len(pdf)
-        first_us = us.min() if first_us is None else min(first_us, us.min())
-        last_us = us.max() if last_us is None else max(last_us, us.max())
-    state.update((int(n), int(first_us), int(last_us)))
-    state.setTimeoutDuration(2000)  # 2 s processing-time idle gap
-    return
-    yield  # pragma: no cover - generator form
+        yield  # pragma: no cover - generator form
+
+    return _session_fn
 
 
-def conversation_sessions(stream: DataFrame) -> DataFrame:
-    """Custom stateful operator: per-conversation running span, emitted on
-    idle timeout. Arrow-batched state updates (applyInPandasWithState)."""
+def conversation_sessions(stream: DataFrame, gap_ms: int = 3_600_000,
+                          watermark: str = "10 seconds") -> DataFrame:
+    """Custom stateful operator: per-conversation span, emitted once the
+    event-time watermark passes the conversation's last event + ``gap_ms``.
+
+    Arrow-batched state updates (applyInPandasWithState). Emission is
+    deterministic in EVENT time: two runs over the same data at different
+    paces/batch splits emit identical sessions (the previous
+    processing-time variant emitted whenever the executor happened to be
+    idle 2 s — wall-clock sensitive under load). Rows later than the
+    watermark delay may open a spurious successor session — the standard
+    watermark contract; size ``watermark`` to the source's disorder bound.
+    """
     return (
-        stream.groupBy("conv_id")
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
         .applyInPandasWithState(
-            _session_fn,
+            _session_fn_factory(gap_ms),
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

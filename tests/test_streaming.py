@@ -48,35 +48,60 @@ def test_windowed_counts_match_batch(spark, stream_dir, tmp_path):
     assert got_map == want_map
 
 
-def test_conversation_sessions_stateful(spark, stream_dir, tmp_path):
-    stream = stream_transcripts(spark, stream_dir)
-    sessions = conversation_sessions(stream)
-    q = (sessions.writeStream.format("memory").queryName("sessions")
+def _run_sessions(spark, src, ck, name, mft):
+    """Drain `src` with availableNow at `mft` files/trigger; return emitted
+    sessions keyed by conv_id, sentinel flush convs excluded."""
+    stream = stream_transcripts(spark, src, max_files_per_trigger=mft)
+    sessions = conversation_sessions(stream, gap_ms=3_600_000,
+                                     watermark="10 seconds")
+    q = (sessions.writeStream.format("memory").queryName(name)
          .outputMode("append")
-         .option("checkpointLocation", str(tmp_path / "ck2"))
-         .trigger(processingTime="1 second").start())
-    import time
-    # wait for input drain + idle timeout to fire emissions
-    deadline = time.time() + 90
-    batch = spark.read.parquet(stream_dir)
-    want_n = batch.select("conv_id").distinct().count()
-    while time.time() < deadline:
-        if spark.sql("SELECT * FROM sessions").count() >= want_n:
-            break
-        time.sleep(2)
-    q.stop()
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
     got = spark.sql(
-        "SELECT conv_id, n_turns, first_ts, last_ts FROM sessions").toPandas()
-    assert len(got) == want_n
-    want = (batch.groupBy("conv_id")
-            .agg(F.count(F.lit(1)).alias("n_turns"),
-                 F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
-            .toPandas())
-    g = got.sort_values("conv_id").reset_index(drop=True)
-    w = want.sort_values("conv_id").reset_index(drop=True)
-    assert (g.n_turns.values == w.n_turns.values).all()
-    assert (g.first_ts.values == w.first_ts.values).all()
-    assert (g.last_ts.values == w.last_ts.values).all()
+        f"SELECT conv_id, n_turns, first_ts, last_ts FROM {name}").toPandas()
+    return {r.conv_id: (r.n_turns, r.first_ts, r.last_ts)
+            for r in got.itertuples() if not r.conv_id.startswith("zz-flush")}
+
+
+def test_conversation_sessions_event_time_deterministic(spark, stream_dir,
+                                                        tmp_path):
+    """Event-time timeout: sessions are a pure function of the DATA — two
+    runs over the same files at different batch pacings (1 vs 2 files per
+    trigger) emit identical sessions, and they equal the batch groupBy.
+    Sentinel far-future 'flush' rows advance the watermark past every real
+    conversation's last_ts + gap (the watermark lags one batch, so two
+    ascending flush files are appended)."""
+    import shutil
+    import time
+
+    src = str(tmp_path / "src")
+    shutil.copytree(stream_dir, src)
+    flush_rows = [
+        ("zz-flush-1", 0, "user", "flush", "none", "2024-06-01 00:00:00"),
+        ("zz-flush-2", 0, "user", "flush", "none", "2024-12-01 00:00:00"),
+        ("zz-flush-3", 0, "user", "flush", "none", "2025-06-01 00:00:00"),
+    ]
+    for row in flush_rows:  # one file per flush, strictly later mtimes
+        time.sleep(0.05)
+        (spark.createDataFrame(
+            [row], "conv_id string, turn_idx int, role string, text string, "
+                   "tool string, ts string")
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    run1 = _run_sessions(spark, src, str(tmp_path / "ck_a"), "sess_a", 1)
+    run2 = _run_sessions(spark, src, str(tmp_path / "ck_b"), "sess_b", 2)
+    assert run1 == run2                      # pacing-independent
+    batch = spark.read.parquet(stream_dir)
+    want = {r.conv_id: (r.n_turns, r.first_ts, r.last_ts)
+            for r in (batch.groupBy("conv_id")
+                      .agg(F.count(F.lit(1)).alias("n_turns"),
+                           F.min("ts").alias("first_ts"),
+                           F.max("ts").alias("last_ts"))
+                      .toPandas().itertuples())}
+    assert run1 == want
 
 
 def test_stream_fanout_matches_batch_router(spark, stream_dir, tmp_path):
