@@ -86,6 +86,16 @@ def q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship_summary(spark, _t(spark, sf_dir))
 
 
+def q_flagship_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 100 TB default plan: approx_count_distinct (single-pass HLL++, no
+    # Expand + second exchange). KNOWN hash divergence: Spark and DuckDB
+    # HLL sketches estimate differently (153 vs 151 at sf0.01), so the
+    # value-hash check cannot pass by construction — rows+schema are the
+    # driver signal here; |approx-exact|<=rsd is asserted in pytest
+    # (test_pipeline_e2e.test_flagship_approx_within_tolerance).
+    return flagship_summary(spark, _t(spark, sf_dir), approx_distinct=True)
+
+
 def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # T1 criteria-conjunction filter (filterTransformer.js:7-110)
     return (
@@ -651,6 +661,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_flagship": q_pipeline_flagship,
+        "flagship_approx": q_flagship_approx,
         "filter_eq": q_filter_eq,
         "filter_regex": q_filter_regex,
         "filter_anti": q_filter_anti,
@@ -708,6 +719,17 @@ SELECT role, tool, team,
        round(cast(sum(n_tokens) AS double), 2) AS sum_tokens,
        round(avg(n_tokens), 4) AS avg_tokens,
        count(DISTINCT conv_id) AS n_convs
+FROM enriched WHERE error_kind IS NULL
+GROUP BY role, tool, team""",
+        # NOTE: n_convs is an HLL estimate in both engines; the sketches
+        # differ by design, so hash_match=false is EXPECTED for this entry
+        # (rows+schema are the checkable signal; pytest asserts tolerance)
+        "flagship_approx": f"""{PE}
+SELECT role, tool, team,
+       count(*) AS turn_count,
+       round(cast(sum(n_tokens) AS double), 2) AS sum_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       approx_count_distinct(conv_id) AS n_convs
 FROM enriched WHERE error_kind IS NULL
 GROUP BY role, tool, team""",
         "filter_eq": f"""{P}

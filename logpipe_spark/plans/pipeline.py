@@ -146,19 +146,30 @@ def run_pipeline_fanout(
     }
 
 
-def flagship_summary(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
+def flagship_summary(spark: SparkSession, transcripts: DataFrame,
+                     approx_distinct: bool = False) -> DataFrame:
     """One-frame rollup used by the driver smoke check: per-(role, tool)
-    turn counts + token stats over clean rows, ordered deterministically."""
+    turn counts + token stats over clean rows, ordered deterministically.
+
+    ``approx_distinct=True`` is the 100 TB default: ``countDistinct`` plans
+    an Expand + second exchange (every row duplicated per aggregate), while
+    ``approx_count_distinct`` is a single-pass HLL++ sketch merged map-side
+    — the distinct count stays within rsd with no extra shuffle. Exact mode
+    remains the oracle-contract default (cross-engine HLL sketches differ,
+    so approx values cannot hash-match DuckDB; tolerance is asserted in
+    pytest instead)."""
     parsed = parse_stage(transcripts)
     enriched = enrich_stage(spark, parsed)
     clean = enriched.filter(F.col("error_kind").isNull())
+    n_convs = (F.approx_count_distinct("conv_id") if approx_distinct
+               else F.countDistinct("conv_id"))
     return (
         clean.groupBy("role", "tool", "team")
         .agg(
             F.count(F.lit(1)).alias("turn_count"),
             F.round(F.sum("n_tokens").cast("double"), 2).alias("sum_tokens"),
             F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-            F.countDistinct("conv_id").alias("n_convs"),
+            n_convs.alias("n_convs"),
         )
         .orderBy("role", "tool")
     )

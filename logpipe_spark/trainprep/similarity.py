@@ -106,6 +106,37 @@ def sign_bucket(vec_col: str, bits: int = 6) -> Column:
     return F.concat(*parts)
 
 
+def probe_buckets(vec_col: str, bits: int, probes: int) -> Column:
+    """Multi-probe LSH bucket array: the vector's own bucket first, then the
+    ``probes - 1`` NEAREST neighboring buckets — formed by flipping the sign
+    bits whose dimensions lie closest to their hyperplane (smallest |e_i|,
+    the least-confident signs), per the multi-probe LSH heuristic (Lv et
+    al., VLDB'07 — public). All buckets are distinct, so probing never
+    duplicates a candidate; candidate volume is ~probes × corpus / 2^bits.
+    """
+    if probes < 1:
+        raise ValueError(f"probes={probes} must be >= 1")
+    if probes == 1:
+        return F.array(sign_bucket(vec_col, bits))
+    n_flips = min(probes - 1, bits)
+    cases = ", ".join(
+        f"CASE WHEN element_at({vec_col}, {i + 1}) >= 0 THEN '1' ELSE '0' END"
+        for i in range(bits))
+    base = f"concat({cases})"
+    # dims ranked by |e_i| ascending; ties break on dim index (struct sort)
+    ranked = (
+        f"slice(array_sort(transform(sequence(1, {bits}), "
+        f"i -> struct(abs(cast(element_at({vec_col}, i) AS double)) AS d, "
+        f"i AS i))), 1, {n_flips})"
+    )
+    return F.expr(
+        f"concat(array({base}), transform({ranked}, s -> concat("
+        f"substring({base}, 1, s.i - 1), "
+        f"CASE WHEN substring({base}, s.i, 1) = '1' THEN '0' ELSE '1' END, "
+        f"substring({base}, s.i + 1, {bits} - s.i))))"
+    )
+
+
 def ann_bruteforce_topk(emb: DataFrame, k: int = 10,
                         query_mod: int = 25) -> DataFrame:
     """Exact cosine top-k for the query subset (vec_id % query_mod == 0).
@@ -135,18 +166,23 @@ def ann_bruteforce_topk(emb: DataFrame, k: int = 10,
 
 
 def ann_lsh_topk(emb: DataFrame, k: int = 5, bits: int = 6,
-                 query_mod: int = 25) -> DataFrame:
-    """LSH-bucketed ANN: candidates restricted to the query's sign bucket.
+                 query_mod: int = 25, probes: int = 1) -> DataFrame:
+    """LSH-bucketed ANN: candidates restricted to the query's sign bucket(s).
 
     The join is keyed on the bucket string → hash-partitioned equality join,
-    corpus scanned once, ~corpus/2^bits candidates per query. Recall is
-    traded for the 2^bits fan-in reduction (multi-probe = union over
-    neighboring buckets would raise it; not needed for the bench).
+    corpus scanned once, ~probes × corpus/2^bits candidates per query.
+    ``probes > 1`` unions in the nearest neighboring buckets (least-
+    confident sign bits flipped — :func:`probe_buckets`): recall rises
+    monotonically with probes at linear candidate cost. probes=1 is the
+    oracle-parity default; buckets are distinct so no candidate duplicates.
     """
     n = with_unit_norm(emb).withColumn("bucket", sign_bucket("e", bits))
-    q = n.where((F.col("vec_id") % query_mod) == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"), F.col("nrm").alias("qn"), "bucket")
+    q = (
+        n.where((F.col("vec_id") % query_mod) == 0)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("e").alias("qe"), F.col("nrm").alias("qn"),
+                F.explode(probe_buckets("e", bits, probes)).alias("bucket"))
+    )
     c = n.select(F.col("vec_id").alias("neighbor_id"),
                  F.col("e").alias("ce"), F.col("nrm").alias("cn"), "bucket")
     scored = (
@@ -158,17 +194,19 @@ def ann_lsh_topk(emb: DataFrame, k: int = 5, bits: int = 6,
     return _rank_topk(scored, k)
 
 
-def ann_ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 25) -> DataFrame:
+def ann_ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 25,
+                 probes: int = 1) -> DataFrame:
     """IVF-style ANN: inverted lists keyed by the `label` cluster id, a
     deterministic representative vector per list (the min-vec_id member —
     a medoid stand-in that keeps the oracle exact; k-means centroids would
-    introduce cross-engine float-sum nondeterminism), probe-1 search.
+    introduce cross-engine float-sum nondeterminism).
 
     Plan shape at scale: representatives (n_clusters rows) broadcast both
-    ways; the probe assignment is a per-query argmax over n_clusters tiny
-    cosines; the candidate scan touches ~corpus/n_clusters rows via the
-    equality join on label — the IVF fan-in reduction. Multi-probe = rank
-    ≤ p in the probe window.
+    ways; the probe assignment is a per-query top-``probes`` over
+    n_clusters tiny cosines; the candidate scan touches
+    ~probes × corpus/n_clusters rows via the equality join on label — the
+    IVF fan-in reduction. Lists are disjoint, so multi-probe never
+    duplicates a candidate; probes=1 is the oracle-parity default.
     """
     n = with_unit_norm(emb)
     labeled = n.join(emb.select("vec_id", "label"), "vec_id")
@@ -189,7 +227,7 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 25) -> DataFrame:
                 (_dot("qe", "re") / (F.col("qn") * F.col("rn")))
                 .alias("rep_cos"))
         .withColumn("pr", F.row_number().over(probe_w))
-        .where(F.col("pr") == 1)
+        .where(F.col("pr") <= probes)
         .select("query_id", "qe", "qn", "label")
     )
     cand = labeled.select(F.col("vec_id").alias("neighbor_id"),
@@ -204,8 +242,22 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 25) -> DataFrame:
     return _rank_topk(scored, k)
 
 
+def choose_bits(n_rows: int, target_bucket_rows: int, min_bits: int = 4,
+                max_bits: int = 24) -> int:
+    """Bucket-count sizing: enough sign bits that the EXPECTED bucket holds
+    ~target_bucket_rows vectors, so the per-bucket self-join stays
+    O(target²) per bucket as the corpus grows (a fixed bit count is
+    quadratic in corpus size at 100×). Clamped to the embedding dimension
+    by the caller (sign bits use the leading dims)."""
+    import math
+
+    need = math.ceil(math.log2(max(n_rows / max(target_bucket_rows, 1), 1)))
+    return max(min_bits, min(need, max_bits))
+
+
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.30,
-                          bits: int = 4) -> DataFrame:
+                          bits: int = 4,
+                          target_bucket_rows: int | None = None) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold within an LSH bucket.
 
     Bucketing turns the O(n²) cross join into per-bucket joins (AQE handles
@@ -213,7 +265,18 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.30,
     thresholds; for the near-dup use case (θ ≥ 0.9 in production; relaxed
     here for the synthetic corpus) bucket-collision probability is
     (1 - θ_angle/π)^bits per plane — multi-probe extends recall.
+
+    ``target_bucket_rows`` is the scale path: the bit count GROWS with the
+    corpus (:func:`choose_bits`, one count() at plan time) so per-bucket
+    join work stays bounded at ~target² regardless of corpus size — the
+    fixed default (bits=4, oracle parity) is 16 buckets and O((n/16)²) at
+    100×. More bits trade recall exactly like narrower LSH bands; pair
+    output at higher bits is a subset of the lower-bit output.
     """
+    if target_bucket_rows is not None:
+        dim = emb.select(
+            F.size(_dvec("embedding")).alias("d")).first()["d"]
+        bits = min(choose_bits(emb.count(), target_bucket_rows, bits), dim)
     n = with_unit_norm(emb).withColumn("bucket", sign_bucket("e", bits))
     a = n.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
                  F.col("nrm").alias("na"), "bucket")

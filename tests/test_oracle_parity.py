@@ -15,6 +15,14 @@ from tests.conftest import SF_TINY
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
+# Columns that are ESTIMATES in both engines (HLL sketches differ by
+# design): compared within relative tolerance instead of exactly. The
+# driver's hash check is expected to record a mismatch for these — the
+# oracle entry documents it.
+APPROX_COLS: dict[str, dict[str, float]] = {
+    "flagship_approx": {"n_convs": 0.1},   # rsd 0.05 each engine → 0.1 rel
+}
+
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1).copy()
@@ -39,9 +47,18 @@ def test_query_matches_oracle(name, spark, duck):
     assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} != {len(odf)}"
     assert len(sdf) > 0, f"{name}: empty result"
     s, o = normalize(sdf), normalize(odf)
+    if name in APPROX_COLS:  # align rows on the deterministic columns only
+        keys = [c for c in s.columns if c not in APPROX_COLS[name]]
+        s = s.sort_values(keys).reset_index(drop=True)
+        o = o.sort_values(keys).reset_index(drop=True)
     assert list(s.columns) == list(o.columns), f"{name}: columns {list(s.columns)} vs {list(o.columns)}"
     for c in s.columns:
-        if pd.api.types.is_float_dtype(s[c]):
+        if c in APPROX_COLS.get(name, {}):
+            a, b = s[c].to_numpy(float), o[c].to_numpy(float)
+            rtol = APPROX_COLS[name][c]
+            assert np.isclose(a, b, rtol=rtol).all(), \
+                f"{name}.{c}: approx beyond rtol={rtol}: {a} vs {b}"
+        elif pd.api.types.is_float_dtype(s[c]):
             a, b = s[c].to_numpy(), o[c].to_numpy()
             both_nan = np.isnan(a) & np.isnan(b)
             ok = both_nan | np.isclose(a, b, rtol=0, atol=1e-9, equal_nan=True)

@@ -158,6 +158,28 @@ def test_salted_aggregates_match_unsalted(spark, corpus):
     assert spans_p == spans_s
 
 
+def test_flagship_approx_within_tolerance(spark, corpus):
+    """approx_count_distinct stays within HLL rsd of the exact count, and
+    its plan drops the Expand + second exchange countDistinct needs."""
+    from logpipe_spark.plans.pipeline import flagship_summary
+
+    exact = flagship_summary(spark, corpus).toPandas()
+    approx = flagship_summary(spark, corpus, approx_distinct=True).toPandas()
+    e = exact.sort_values(["role", "tool"]).reset_index(drop=True)
+    a = approx.sort_values(["role", "tool"]).reset_index(drop=True)
+    assert (e.turn_count == a.turn_count).all()
+    rel = (a.n_convs - e.n_convs).abs() / e.n_convs.clip(lower=1)
+    assert (rel <= 0.1).all(), rel.max()
+
+    # exact countDistinct re-aggregates on (group, conv_id) first — one
+    # extra shuffle Exchange the HLL sketch plan does not have
+    plan_exact = flagship_summary(spark, corpus)._jdf.queryExecution() \
+        .executedPlan().toString()
+    plan_approx = flagship_summary(spark, corpus, approx_distinct=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan_exact.count("Exchange") == plan_approx.count("Exchange") + 1
+
+
 def test_selective_salting_hot_keys_only(spark, corpus):
     """Selective salting: results equal the plain groupBy; the salted path
     is applied ONLY to detected hot keys (cold keys keep salt 0, i.e. the
@@ -298,13 +320,26 @@ def test_ann_lsh_and_ivf_recall(spark):
     exact = ann_bruteforce_topk(emb, k=5).toPandas()
     truth = {q: set(g.neighbor_id) for q, g in exact.groupby("query_id")}
 
+    def recall(approx_pdf):
+        got = {q: set(g.neighbor_id) for q, g in approx_pdf.groupby("query_id")}
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        return hits / sum(len(v) for v in truth.values())
+
     for name, approx in [("lsh", ann_lsh_topk(emb, k=5).toPandas()),
                          ("ivf", ann_ivf_topk(emb, k=5).toPandas())]:
-        got = {q: set(g.neighbor_id) for q, g in approx.groupby("query_id")}
-        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
-        total = sum(len(v) for v in truth.values())
-        recall = hits / total
+        r = recall(approx)
         # sign-bit LSH on 6 dims / probe-1 IVF over random clusters trade
         # most recall for fan-in on THIS unclustered corpus; the test pins
         # the behavior (non-zero, sane) rather than a production SLO
-        assert 0.02 <= recall <= 1.0, f"{name} recall {recall}"
+        assert 0.02 <= r <= 1.0, f"{name} recall {r}"
+
+    # multi-probe: recall non-decreasing in probes (candidate supersets),
+    # strictly better than probe-1 by the widest setting on both paths
+    lsh_r = [recall(ann_lsh_topk(emb, k=5, probes=p).toPandas())
+             for p in (1, 3, 5)]
+    assert lsh_r == sorted(lsh_r), lsh_r
+    assert lsh_r[-1] > lsh_r[0], lsh_r
+    ivf_r = [recall(ann_ivf_topk(emb, k=5, probes=p).toPandas())
+             for p in (1, 2, 4)]
+    assert ivf_r == sorted(ivf_r), ivf_r
+    assert ivf_r[-1] > ivf_r[0], ivf_r

@@ -132,7 +132,22 @@ def test_max_df_drops_boilerplate_hot_bucket(spark):
     assert mh_cap[(1, 2)] == mh_un[(1, 2)]
 
 
-def test_ann_bruteforce_self_excluded_and_ranked(spark):
+def test_cosine_near_dup_bucket_scaling(spark):
+    """choose_bits grows the bucket count with the corpus (bounded bucket
+    work at scale); higher-bit pair output is a subset of the 4-bit one."""
+    from logpipe_spark.trainprep.similarity import (choose_bits,
+                                                    cosine_near_dup_pairs)
+
+    assert choose_bits(1_000, 100) == 4            # floor
+    assert choose_bits(100_000, 100) == 10
+    assert choose_bits(1_000_000_000, 1000) == 20  # grows with corpus
+    assert choose_bits(10**12, 1) == 24            # ceiling
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    base = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs(emb).collect()}
+    scaled = {(r.id_a, r.id_b) for r in
+              cosine_near_dup_pairs(emb, target_bucket_rows=20).collect()}
+    assert scaled <= base and len(scaled) > 0
     from logpipe_spark.trainprep.similarity import ann_bruteforce_topk
 
     emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
