@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="extra headers as a JSON object")
     p.add_argument("--csv-separator", default=",")
     p.add_argument("--csv-header", default=True, type=lambda v: v != "false")
+    p.add_argument("--csv-quote", default='"')
+    p.add_argument("--csv-escape", default=None,
+                   help="escape character (default: Spark's backslash)")
+    p.add_argument("--csv-skip-lines", type=int, default=0,
+                   help="skip the first N lines of each input file")
     p.add_argument("--pretty-output", action="store_true",
                    help="indent JSON console output")
     p.add_argument("--checkpoint-dir", default=None,
@@ -121,6 +126,18 @@ def apply_transforms(df: DataFrame, args) -> DataFrame:
     return df
 
 
+def _warn_malformed(obs) -> None:
+    """Print the read-side malformed count after the sink action (metrics
+    reflect rows the action actually scanned — a console `show(limit)`
+    reports the scanned prefix only)."""
+    if obs is None:
+        return
+    m = obs.get
+    if m.get("rows_malformed"):
+        print(f"warning: {m['rows_malformed']} of {m['rows_read']} input "
+              f"lines malformed -> error channel", file=sys.stderr)
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     from logpipe_spark.schemas import TRANSCRIPT_SCHEMA
@@ -134,9 +151,18 @@ def main(argv: list[str] | None = None) -> int:
         csv_opts = {}
         if (args.format or "").lower() == "csv" or args.input.endswith(".csv"):
             csv_opts = {"separator": args.csv_separator,
-                        "header": args.csv_header}
+                        "header": args.csv_header,
+                        "quote": args.csv_quote,
+                        "escape": args.csv_escape,
+                        "skip_lines": args.csv_skip_lines}
         df = read_source(spark, args.input, TRANSCRIPT_SCHEMA, fmt=fmt,
                          **csv_opts)
+        # read-side malformed counter (≙ the reference's capped warn log,
+        # ndjsonParser.js:24-25): rides the sink action, no extra pass
+        obs = None
+        if "error_kind" in df.columns:
+            from logpipe_spark.sources import observe_malformed
+            df, obs = observe_malformed(df)
 
         if args.route_dir:  # full pipeline fan-out (supersedes single sink)
             from logpipe_spark.operators.router import write_routed
@@ -147,6 +173,7 @@ def main(argv: list[str] | None = None) -> int:
             paths = write_routed(route_stage(enriched), args.route_dir)
             for name, path in sorted(paths.items()):
                 print(f"sink {name}: {path}")
+            _warn_malformed(obs)
             return 0
 
         out = apply_transforms(df, args)
@@ -174,6 +201,7 @@ def main(argv: list[str] | None = None) -> int:
                     print(_json.dumps(_json.loads(line), indent=2))
             else:
                 out.show(args.limit, truncate=False)
+        _warn_malformed(obs)
         return 0
     finally:
         spark.stop()

@@ -104,12 +104,16 @@ def run_stages(
     source: DataFrame | None = None,
     resume: bool = True,
     compute_metrics: bool = False,
+    progress_interval_s: float | None = None,
 ) -> list[StageRun]:
     """Run a linear stage chain with checkpoint/skip semantics.
 
     Each stage's fn receives (spark, previous stage's DataFrame); the first
     receives ``source``. Committed stages are skipped on resume and their
     checkpoint is read back as the input to the next stage.
+    ``progress_interval_s`` turns on during-run task-progress sampling
+    (:class:`logpipe_spark.plans.progress.ProgressReporter`); the samples
+    land in each stage's manifest under ``progress``.
     """
     os.makedirs(base_dir, exist_ok=True)
     runs: list[StageRun] = []
@@ -140,7 +144,15 @@ def run_stages(
         if compute_metrics:
             from logpipe_spark.metrics import with_partition_metrics
             out, acc = with_partition_metrics(spark, out)
-        out.write.mode("overwrite").parquet(inprog)
+        reporter = None
+        if progress_interval_s is not None:
+            from logpipe_spark.plans.progress import ProgressReporter
+            reporter = ProgressReporter(spark, interval_s=progress_interval_s)
+        if reporter is not None:
+            with reporter:
+                out.write.mode("overwrite").parquet(inprog)
+        else:
+            out.write.mode("overwrite").parquet(inprog)
         wall = time.perf_counter() - t0
         os.replace(inprog, final_dir)  # atomic commit of the snapshot dir
         parts, rows = _partition_lineage(final_dir)
@@ -162,6 +174,9 @@ def run_stages(
                 for m in pm
             ]
             manifest["skew"] = skew_report(pm)
+        if reporter is not None:
+            manifest["progress"] = {"samples": reporter.samples(),
+                                    "summary": reporter.summary()}
         _write_manifest(final_dir, manifest)
         df = spark.read.parquet(final_dir)
         runs.append(StageRun(stage.name, final_dir, False, rows, wall, df))

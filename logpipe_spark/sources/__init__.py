@@ -8,6 +8,7 @@ is broken on gzip and never fires, SURVEY.md §2.7); resumability lives in
 """
 
 from logpipe_spark.sources.readers import (  # noqa: F401
+    observe_malformed,
     read_csv,
     read_ndjson,
     read_source,

@@ -187,6 +187,31 @@ def _read_csv_skipping(
     )
 
 
+def observe_malformed(df: DataFrame, name: str = "read",
+                      error_kind_col: str = "error_kind"):
+    """Read-side malformed-row counter — the Spark-native analog of the
+    reference's capped warning log (``ndjsonParser.js:24-25,99-115``: warn
+    on the first 10 parse errors, count the rest).
+
+    Attaches an ``Observation`` to the frame: metrics ride whatever action
+    consumes it (zero extra pass, zero data movement). Returns
+    ``(df, observation)``; after the first action ``observation.get`` is
+    ``{"rows_read": n, "rows_malformed": m}``. The rows themselves still
+    route to the error sink — the counter is the operator-level signal the
+    error *sink* alone doesn't surface at read time.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    instrumented = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_read"),
+        F.sum(F.when(F.col(error_kind_col).isNotNull(), 1).otherwise(0))
+        .cast("long").alias("rows_malformed"),
+    )
+    return instrumented, obs
+
+
 def read_source(
     spark: SparkSession,
     path: str,

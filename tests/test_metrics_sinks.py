@@ -35,6 +35,71 @@ def test_partition_metrics_detect_skew(spark):
     assert rep["rows_max"] >= 2000  # hot conv visible in the row imbalance
 
 
+def test_progress_reporter_captures_running_stages(spark):
+    """During-run progress (≙ progressTracker.js 5s bytes/s): the poller
+    snapshots active stages' task counts while a slow job runs."""
+    import time as _time
+
+    from logpipe_spark.plans.progress import ProgressReporter
+
+    t = synth_transcripts(spark, n_turns=400, n_convs=10, partitions=8)
+
+    def slow(it):
+        for pdf in it:
+            _time.sleep(0.3)
+            yield pdf
+
+    lines = []
+    with ProgressReporter(spark, interval_s=0.05,
+                          printer=lines.append) as pr:
+        t.mapInPandas(slow, schema=t.schema).write.format("noop") \
+            .mode("overwrite").save()
+    assert len(pr.samples()) >= 1
+    flat = [s for smp in pr.samples() for s in smp["stages"]]
+    assert all(s["tasks_total"] >= 1 for s in flat)
+    # a tick can land between task waves; across the run some tick must
+    # have seen work in flight or done
+    assert any(s["tasks_active"] > 0 or s["tasks_done"] > 0 for s in flat)
+    summ = pr.summary()
+    assert summ["n_samples"] == len(pr.samples()) and summ["stages"]
+    assert lines and "stage" in lines[0]
+
+
+def test_run_stages_manifest_carries_progress(spark, tmp_path):
+    from logpipe_spark.plans.checkpoint import Stage, read_manifest, run_stages
+
+    t = synth_transcripts(spark, n_turns=2000, n_convs=20, partitions=8)
+    stages = [Stage("ident", lambda s, df: df)]
+    run_stages(spark, stages, str(tmp_path / "ck"), source=t,
+               progress_interval_s=0.02)
+    m = read_manifest(str(tmp_path / "ck"), "ident")
+    assert m["status"] == "committed"
+    assert "progress" in m and m["progress"]["summary"]["n_samples"] >= 0
+    # samples are JSON-clean (already round-tripped through the manifest)
+    assert isinstance(m["progress"]["samples"], list)
+
+
+def test_observe_malformed_counter(spark, tmp_path):
+    """Read-side malformed counter (≙ the reference's capped warn log):
+    the Observation rides the consuming action, no extra job."""
+    import json
+
+    from logpipe_spark.schemas import TRANSCRIPT_SCHEMA
+    from logpipe_spark.sources import observe_malformed, read_ndjson
+
+    f = tmp_path / "in.ndjson"
+    lines = [json.dumps({"conv_id": f"c{i}", "turn_idx": i, "role": "user",
+                         "text": "hi", "tool": "none",
+                         "ts": "2026-01-01T00:00:00"}) for i in range(8)]
+    lines += ["{broken", "not json", "42"]
+    f.write_text("\n".join(lines) + "\n")
+    df, obs = observe_malformed(read_ndjson(spark, str(f), TRANSCRIPT_SCHEMA))
+    n = df.count()                       # the action the metrics ride on
+    got = obs.get
+    assert n == 11
+    assert got == {"rows_read": 11, "rows_malformed": 3}
+
+
 def test_write_table_parquet_fallback(spark, tmp_path):
     assert not iceberg_available(spark)  # sandbox has no Iceberg runtime
     t = synth_transcripts(spark, n_turns=500, n_convs=10)
