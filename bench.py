@@ -27,6 +27,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # Headline set: one per pipeline stage family + training-data ops.
 HEADLINE = [
     "pipeline_flagship",
+    "flagship_approx",
     "parse_grok",
     "enrich_lookup",
     "route_counts",

@@ -47,10 +47,17 @@ def send_http(
     retry_delay: float = 1.0,
     timeout: float = 30.0,
     headers: dict[str, str] | None = None,
+    stats_interval_s: float | None = None,
+    stats_printer=None,
 ) -> dict[str, int]:
     """Send every row of ``df`` to ``endpoint`` in JSON-array batches.
 
-    Returns the aggregated delivery stats (≙ httpSender.js:299-318).
+    Returns the aggregated delivery stats. ``stats_interval_s`` turns on
+    the reference's PERIODIC stats log (httpSender.js:299-318, 60 s
+    interval): a driver-side daemon thread snapshots the accumulator while
+    the send job runs (accumulators fold in as tasks finish — the Spark
+    analog of the reference's per-batch counter), printing through
+    ``stats_printer`` and returning the series under ``"snapshots"``.
     """
     method = method.upper()
     if method not in ("POST", "PUT"):
@@ -97,5 +104,34 @@ def send_http(
             stats["records_sent"] += len(batch)
         acc.add(stats)
 
-    json_rows.foreachPartition(handle_partition)
-    return dict(acc.value)
+    if stats_interval_s is None:
+        json_rows.foreachPartition(handle_partition)
+        return dict(acc.value)
+
+    import threading
+
+    snapshots: list[dict] = []
+    stop = threading.Event()
+    t0 = time.perf_counter()
+
+    def poll() -> None:
+        while not stop.wait(stats_interval_s):
+            snap = dict(acc.value)
+            snap["t_s"] = round(time.perf_counter() - t0, 1)
+            snapshots.append(snap)
+            if stats_printer is not None:
+                stats_printer(
+                    f"[http {snap['t_s']}s] {snap['records_sent']} records "
+                    f"in {snap['batches_sent']} batches "
+                    f"({snap['retries']} retries)")
+
+    poller = threading.Thread(target=poll, daemon=True)
+    poller.start()
+    try:
+        json_rows.foreachPartition(handle_partition)
+    finally:
+        stop.set()
+        poller.join(timeout=max(stats_interval_s * 2, 1.0))
+    out = dict(acc.value)
+    out["snapshots"] = snapshots
+    return out

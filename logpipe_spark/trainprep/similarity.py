@@ -96,10 +96,13 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def sign_bucket(vec_col: str, bits: int = 6) -> Column:
-    """Axis-aligned hyperplane LSH: concat of sign bits of the first `bits` dims."""
+def sign_bucket(vec_col: str, bits: int = 6, offset: int = 0) -> Column:
+    """Axis-aligned hyperplane LSH: concat of sign bits of dims
+    ``offset+1 .. offset+bits`` (offset>0 yields an independent hash table
+    over later dimensions — the multi-band lever)."""
     parts = [
-        F.when(F.expr(f"element_at({vec_col}, {i + 1})") >= 0, F.lit("1"))
+        F.when(F.expr(f"element_at({vec_col}, {offset + i + 1})") >= 0,
+               F.lit("1"))
         .otherwise(F.lit("0"))
         for i in range(bits)
     ]
@@ -257,7 +260,8 @@ def choose_bits(n_rows: int, target_bucket_rows: int, min_bits: int = 4,
 
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.30,
                           bits: int = 4,
-                          target_bucket_rows: int | None = None) -> DataFrame:
+                          target_bucket_rows: int | None = None,
+                          n_tables: int = 1) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold within an LSH bucket.
 
     Bucketing turns the O(n²) cross join into per-bucket joins (AQE handles
@@ -270,21 +274,58 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.30,
     corpus (:func:`choose_bits`, one count() at plan time) so per-bucket
     join work stays bounded at ~target² regardless of corpus size — the
     fixed default (bits=4, oracle parity) is 16 buckets and O((n/16)²) at
-    100×. More bits trade recall exactly like narrower LSH bands; pair
-    output at higher bits is a subset of the lower-bit output.
+    100×. More bits trade recall exactly like narrower LSH bands;
+    ``n_tables > 1`` buys it back MinHash-band style: each extra table is
+    an independent sign hash over the next ``bits`` dimensions, candidates
+    are the union over tables (a true pair only needs to agree in ONE
+    table), and the exact cosine verify filters the union. Pair output at
+    higher bits is a subset of the lower-bit output; adding tables is a
+    superset of table 0 alone.
     """
     if target_bucket_rows is not None:
         dim = emb.select(
             F.size(_dvec("embedding")).alias("d")).first()["d"]
         bits = min(choose_bits(emb.count(), target_bucket_rows, bits), dim)
-    n = with_unit_norm(emb).withColumn("bucket", sign_bucket("e", bits))
-    a = n.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
-                 F.col("nrm").alias("na"), "bucket")
-    b = n.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
-                 F.col("nrm").alias("nb"), "bucket")
-    return (
-        a.join(b, "bucket")
+    n = with_unit_norm(emb)
+    if n_tables == 1:
+        nb = n.withColumn("bucket", sign_bucket("e", bits))
+        a = nb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
+                      F.col("nrm").alias("na"), "bucket")
+        b = nb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
+                      F.col("nrm").alias("nb"), "bucket")
+        return (
+            a.join(b, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    (_dot("ea", "eb") / (F.col("na") * F.col("nb")))
+                    .alias("cos"))
+            .where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
+    # multi-band: explode (table_idx, bucket) pairs, candidate join keyed on
+    # both, distinct pair set, then ONE exact verify join (cos computed once
+    # per pair, not per colliding table)
+    bands = F.array(*[
+        F.struct(F.lit(t).alias("t"),
+                 sign_bucket("e", bits, offset=t * bits).alias("bucket"))
+        for t in range(n_tables)
+    ])
+    banded = n.select("vec_id", F.explode(bands).alias("b")).select(
+        "vec_id", F.col("b.t").alias("t"), F.col("b.bucket").alias("bucket"))
+    a = banded.select(F.col("vec_id").alias("id_a"), "t", "bucket")
+    b = banded.select(F.col("vec_id").alias("id_b"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = n.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
+                  F.col("nrm").alias("na"))
+    eb = n.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
+                  F.col("nrm").alias("nb"))
+    return (
+        cand.join(ea, "id_a").join(eb, "id_b")
         .select("id_a", "id_b",
                 (_dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cos"))
         .where(F.col("cos") >= threshold)

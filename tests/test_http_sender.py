@@ -79,6 +79,23 @@ def test_http_batching_and_counts(spark, harness):
     assert stats["batches_sent"] == len(harness.batches)
 
 
+def test_http_periodic_stats(spark, harness):
+    """Periodic stats emission during the send (≙ httpSender.js:299-318's
+    60s interval log): snapshots accumulate as tasks complete and the
+    final return still carries exact totals."""
+    df = synth_transcripts(spark, n_turns=400, n_convs=10, partitions=8)
+    lines = []
+    stats = send_http(df.select("conv_id", "turn_idx"), harness.url,
+                      batch_size=10, stats_interval_s=0.05,
+                      stats_printer=lines.append)
+    assert stats["records_sent"] == 400
+    assert isinstance(stats["snapshots"], list)
+    if stats["snapshots"]:                # fast sends may finish in 1 tick
+        last = stats["snapshots"][-1]
+        assert last["records_sent"] <= 400 and last["t_s"] >= 0
+        assert lines and "records" in lines[0]
+
+
 def test_http_retry_with_backoff(spark, harness):
     harness.fail_first = 2  # first two requests 503 → retried
     df = synth_transcripts(spark, n_turns=50, n_convs=5, partitions=1)

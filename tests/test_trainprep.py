@@ -148,6 +148,18 @@ def test_cosine_near_dup_bucket_scaling(spark):
     scaled = {(r.id_a, r.id_b) for r in
               cosine_near_dup_pairs(emb, target_bucket_rows=20).collect()}
     assert scaled <= base and len(scaled) > 0
+
+    # multi-band recall buy-back: extra independent sign tables recover
+    # pairs narrow single-table bucketing dropped; table 0 alone is a
+    # subset, and every recovered pair still passes the exact verify
+    one = {(r.id_a, r.id_b): r.cos for r in
+           cosine_near_dup_pairs(emb, bits=8).collect()}
+    multi = {(r.id_a, r.id_b): r.cos for r in
+             cosine_near_dup_pairs(emb, bits=8, n_tables=3).collect()}
+    assert set(one) <= set(multi)
+    assert len(multi) > len(one)
+    assert all(c >= 0.30 for c in multi.values())
+    assert all(multi[p] == one[p] for p in one)     # same exact cosines
     from logpipe_spark.trainprep.similarity import ann_bruteforce_topk
 
     emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
