@@ -185,7 +185,8 @@ def jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
 
 def minhash_lsh_dedup(docs: DataFrame, k: int = 2, n_hashes: int = 12,
                       band_size: int = 3, threshold: float = 0.4,
-                      max_df: int | None = None) -> DataFrame:
+                      max_df: int | None = None,
+                      reuse: str | None = "persist") -> DataFrame:
     """Full MinHash→LSH→verify pipeline: near-dup pairs with Jaccard ≥ threshold.
 
     ``max_df`` (the 100 TB default; None keeps exact oracle parity) drops
@@ -193,10 +194,25 @@ def minhash_lsh_dedup(docs: DataFrame, k: int = 2, n_hashes: int = 12,
     boilerplate shingle can dominate every band bucket; the exact-Jaccard
     verify still runs on FULL shingle sets — surviving pairs keep their
     uncapped scores.
+
+    The shingle table feeds FOUR consumers (signatures + both sides of the
+    intersection join + sizes) and the signature table both sides of the
+    band self-join — without reuse Spark re-runs the explode/groupBy per
+    consumer (measured 2.3× steady-state, 8× cold at sf0.1).
+    ``reuse='persist'`` caches both (MEMORY_AND_DISK); at 100 TB make the
+    shingle/signature tables explicit checkpointed stages instead
+    (`plans/checkpoint.py`) — same single-evaluation shape, spillable to
+    the cluster's disks. ``reuse=None`` keeps the pure-lazy plan.
     """
     sh = word_shingles(docs, k=k)
+    if reuse == "persist":
+        from pyspark.storagelevel import StorageLevel
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sh_cand = cap_shingles(sh, max_df) if max_df is not None else sh
     sigs = minhash_signatures(sh_cand, n_hashes=n_hashes)
+    if reuse == "persist":
+        from pyspark.storagelevel import StorageLevel
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(sigs, n_hashes=n_hashes, band_size=band_size)
     j = jaccard_on_pairs(cand, sh)
     return j.where(F.col("jaccard") >= threshold)
@@ -204,7 +220,8 @@ def minhash_lsh_dedup(docs: DataFrame, k: int = 2, n_hashes: int = 12,
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
                         threshold: float = 0.12,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        reuse: str | None = "persist") -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold, candidates = docs sharing ≥1 shingle.
 
     The shingle-keyed self-join bounds the quadratic blowup to co-occurring
@@ -220,8 +237,15 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
     Jaccard is then computed on FULL shingle sets via
     :func:`jaccard_on_pairs`, so surviving pairs score identically to the
     uncapped path.
+
+    ``reuse='persist'`` caches the shingle table, which feeds three
+    consumers (both join sides + sizes) — see :func:`minhash_lsh_dedup`'s
+    note; checkpoint it instead at 100 TB.
     """
     sh = word_shingles(docs, k=k)
+    if reuse == "persist":
+        from pyspark.storagelevel import StorageLevel
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if max_df is not None:
         sh_rare = cap_shingles(sh, max_df)
         ra = sh_rare.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -312,8 +336,15 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     )
 
 
-def simhash_bands(sigs: DataFrame, n_bands: int = 4) -> DataFrame:
-    """Split the 63-bit signature into n_bands equality-joinable keys."""
+def simhash_bands(sigs: DataFrame, n_bands: int = 4,
+                  keep_signature: bool = False) -> DataFrame:
+    """Split the 63-bit signature into n_bands equality-joinable keys.
+
+    ``keep_signature=True`` carries the simhash column through the explode
+    so the Hamming verify can ride the band join directly — without it the
+    caller re-joins ``sigs``, which re-evaluates the (pandas-UDF) signature
+    computation a second time per join side.
+    """
     width = _BITS // n_bands
     bands = F.array(*[
         F.struct(
@@ -323,5 +354,6 @@ def simhash_bands(sigs: DataFrame, n_bands: int = 4) -> DataFrame:
         )
         for b in range(n_bands)
     ])
-    return sigs.select("doc_id", F.explode(bands).alias("b")).select(
-        "doc_id", "b.band_idx", "b.band_key")
+    cols = ["doc_id"] + (["simhash"] if keep_signature else [])
+    return sigs.select(*cols, F.explode(bands).alias("b")).select(
+        *cols, "b.band_idx", "b.band_key")
