@@ -280,7 +280,9 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.30,
     are the union over tables (a true pair only needs to agree in ONE
     table), and the exact cosine verify filters the union. Pair output at
     higher bits is a subset of the lower-bit output; adding tables is a
-    superset of table 0 alone.
+    superset of table 0 alone. Requires embedding dim ≥ bits × n_tables
+    (out-of-range dims read as sign '0', silently degrading table
+    independence — size n_tables to the vector width).
     """
     if target_bucket_rows is not None:
         dim = emb.select(
