@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from logpipe_spark.operators.aggregate import count_by, stats_by
+from logpipe_spark.trainprep import curate as cur
 from logpipe_spark.trainprep import dedup as dd
 from logpipe_spark.trainprep import multimodal as mm
 from logpipe_spark.trainprep import similarity as sim
@@ -468,6 +469,55 @@ def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_meta(mm.with_fake_payload(_docs(spark, sf_dir)))
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairwise near-dups -> connected components -> one keeper per CLUSTER
+    # (A~B, B~C collapse to one doc even without an A~C pair; sf0.01 has a
+    # genuine 3-doc transitive cluster). is_keeper cast to int for the
+    # cross-engine value hash.
+    docs = _docs(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(docs)
+    return cur.dup_clusters(docs, pairs).select(
+        "doc_id", "cluster_id", F.col("is_keeper").cast("int").alias("is_keeper"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benchmark decontamination: docs sharing >=2 distinct word trigrams
+    # with the held-out eval split (doc_id % 50 == 0). Inverted-index join,
+    # bench side broadcast.
+    docs = _docs(spark, sf_dir)
+    return cur.decontaminate(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        k=3, min_overlap=2)
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cur.stratified_sample(_docs(spark, sf_dir), "source",
+                                 n_per_stratum=10)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cur.pack_sequences(_docs(spark, sf_dir), budget=200)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The synthetic corpus has no PII, so inject a deterministic email +
+    # phone into every 3rd doc (identical construction in the oracle SQL)
+    # and scrub it back out; counts prove the redaction actually fired.
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 415-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.col("text")).alias("text"))
+    return cur.pii_scrub(docs).select(
+        "doc_id", "n_emails", "n_phones", "clean_text")
+
+
 # --- DuckDB oracle fragments for the training-data ops ---------------------
 
 def _shingles_cte(k: int = 2) -> str:
@@ -483,7 +533,7 @@ sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)"""
 
 _SHINGLES_CTE = _shingles_cte(2)
 
-_JACCARD_TAIL = """
+_JACCARD_CTES = """
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS i
   FROM cand c
@@ -492,9 +542,34 @@ inter AS (
   GROUP BY c.doc_a, c.doc_b),
 j AS (
   SELECT i.doc_a, i.doc_b, i.i * 1.0 / (x.sz + y.sz - i.i) AS jaccard
-  FROM inter i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id)
+  FROM inter i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id)"""
+
+_JACCARD_TAIL = _JACCARD_CTES + """
 SELECT doc_a, doc_b, jaccard
 FROM j WHERE jaccard >= {thr}"""
+
+
+def _dup_clusters_oracle(thr: float = 0.12) -> str:
+    # Transitive closure of the near-dup pairs via a recursive CTE:
+    # walk(node, lbl) enumerates every (node, reachable-node) pair; the
+    # component id is the min reachable id — exactly what Spark's
+    # min-label propagation converges to.
+    return f"""WITH RECURSIVE {_shingles_cte(3)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),{_JACCARD_CTES},
+pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= {thr}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w2.lbl FROM edges e JOIN walk w2 ON e.dst = w2.node),
+comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster_id,
+       cast(d.doc_id = coalesce(c.component, d.doc_id) AS int) AS is_keeper
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"""
 
 
 def _minhash_oracle(n_hashes: int = 12, band_size: int = 3,
@@ -707,6 +782,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
         "mm_image_meta": q_mm_image_meta,
+        "dup_clusters": q_dup_clusters,
+        "decontaminate": q_decontaminate,
+        "sample_stratified": q_sample_stratified,
+        "pack_sequences": q_pack_sequences,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -906,4 +986,48 @@ SELECT doc_id,
     AS n_bpe_tokens
 FROM documents""",
         "mm_image_meta": _mm_oracle(),
+        "dup_clusters": _dup_clusters_oracle(),
+        "decontaminate": f"""WITH {_shingles_cte(3)},
+bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
+train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 != 0)
+SELECT t.doc_id, b.bench_id, count(*) AS n_overlap
+FROM train t JOIN bench b USING (shingle)
+GROUP BY t.doc_id, b.bench_id
+HAVING count(*) >= 2""",
+        "sample_stratified": """
+SELECT doc_id, source, cast(sample_rank AS int) AS sample_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 10""",
+        "pack_sequences": """
+SELECT doc_id, shard, n_tokens, pack_offset,
+       pack_offset // 200 AS bin_id
+FROM (
+  SELECT doc_id, source AS shard,
+         cast(len(string_split(text, ' ')) AS bigint) AS n_tokens,
+         cast(coalesce(sum(len(string_split(text, ' '))) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+           AS pack_offset
+  FROM documents)""",
+        "pii_scrub": f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' reach user' || cast(doc_id AS varchar) ||
+                   '@example.com or 415-555-' ||
+                   lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       cast(len(regexp_extract_all(text, '{cur.EMAIL_RE}')) AS bigint)
+         AS n_emails,
+       cast(len(regexp_extract_all(text, '{cur.PHONE_RE}')) AS bigint)
+         AS n_phones,
+       regexp_replace(regexp_replace(text, '{cur.EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{cur.PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM injected""",
     }

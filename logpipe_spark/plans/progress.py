@@ -53,17 +53,22 @@ class ProgressReporter:
     def _poll(self) -> None:
         while not self._stop.wait(self._interval):
             stages = []
-            for sid in self._tracker.getActiveStageIds():
-                info = self._tracker.getStageInfo(sid)
-                if info is None:
-                    continue
-                stages.append({
-                    "stage_id": sid,
-                    "tasks_total": info.numTasks,
-                    "tasks_active": info.numActiveTasks,
-                    "tasks_done": info.numCompletedTasks,
-                    "tasks_failed": info.numFailedTasks,
-                })
+            try:
+                for sid in self._tracker.getActiveStageIds():
+                    info = self._tracker.getStageInfo(sid)
+                    if info is None:
+                        continue
+                    stages.append({
+                        "stage_id": sid,
+                        "tasks_total": info.numTasks,
+                        "tasks_active": info.numActiveTasks,
+                        "tasks_done": info.numCompletedTasks,
+                        "tasks_failed": info.numFailedTasks,
+                    })
+            except Exception:
+                # A transient py4j/gateway hiccup must not kill the poller
+                # thread — skip the tick and keep sampling.
+                continue
             if not stages:
                 continue
             sample = {"t_s": round(time.perf_counter() - self._t0, 3),

@@ -1,0 +1,276 @@
+"""Corpus-curation operators: duplicate-cluster resolution, benchmark
+decontamination, stratified sampling, sequence packing, PII scrubbing.
+
+These extend the dedup/quality layer (``trainprep.dedup``, ``textqual``)
+with the remaining steps a large-scale training-data pipeline runs between
+"near-dup pairs found" and "corpus shipped to the tokenizer":
+
+- pairs -> connected components -> one keeper per duplicate CLUSTER
+  (pairwise dedup alone under-deletes: A~B, B~C must collapse to one doc
+  even when A~C was never emitted as a pair);
+- held-out benchmark decontamination (n-gram overlap against an eval set);
+- per-stratum deterministic sampling (md5-ordered, so both engines and
+  any two runs agree);
+- token-budget sequence packing (contiguous bins per shard);
+- regex PII redaction with per-doc redaction counts.
+
+Everything is deterministic and built-in-function-only (no UDFs), so the
+DuckDB oracles in ``__spark_entry__.oracle_sql`` reproduce results exactly.
+Reference parity: the reference (a log pipeline, SURVEY.md §2) has none of
+these; they are round-brief training-data extensions.
+
+Scale notes (100 TB corpus, 1000 executors):
+- ``connected_components`` is iterative min-label propagation: one
+  shuffle join per round, rounds bounded by component diameter. Near-dup
+  graphs are piles of tiny cliques (diameter ≤ 3-4 in practice), so the
+  loop converges in a handful of rounds; ``max_iter`` guards the
+  pathological chain. Each round ``localCheckpoint``s to truncate lineage
+  (an unbounded iterative plan re-executes from the scan). For graphs with
+  genuinely long chains, swap the body for alternating large-star /
+  small-star (Kiveris et al., "Connected Components in MapReduce"), which
+  bounds rounds by O(log n) with the same per-round join shape.
+- ``decontaminate`` is the same inverted-index shingle join as
+  ``dedup.ngram_jaccard_pairs`` — candidates come from an equality join on
+  shingle, never a doc×bench cross join; the benchmark side is tiny and
+  broadcast. ``max_df`` caps boilerplate shingles (stop-gram posting
+  lists) exactly like the dedup path.
+- ``stratified_sample`` shuffles once on the stratum key; the per-stratum
+  top-n window never materializes more than ``n_per_stratum`` winners per
+  task after the rank filter (Spark's WindowExec streams rank pruning).
+- ``pack_sequences`` partitions by shard and sorts within: at scale each
+  shard is one task's worth of docs (no global sort — a single global
+  ORDER BY would funnel the corpus through one reducer, which is exactly
+  the shape this avoids).
+- ``pii_scrub`` is a pure narrow codegen pass (regexp_replace), zero
+  shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, id_a: str = "doc_a",
+                         id_b: str = "doc_b", max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    Returns (node, component) where ``component`` is the smallest node id
+    reachable from ``node``. Only nodes that appear in ``pairs`` are
+    returned (singletons are their own component by definition and are
+    handled by the caller's left join).
+
+    One shuffle join per round; converges in diameter(G) rounds. Lineage
+    is truncated per round with ``localCheckpoint`` so the plan stays flat.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    # edges is joined every round — evaluate it once
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct() \
+        .withColumn("component", F.col("node"))
+    for _ in range(max_iter):
+        # candidate label for each node = min over its neighbors' labels
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("_chg"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                 id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
+    """Resolve near-dup PAIRS into per-document cluster assignments.
+
+    Returns (doc_id, cluster_id, is_keeper) for every document: docs in no
+    pair are their own singleton cluster; within a multi-doc cluster the
+    keeper is the smallest doc_id (the deterministic canonical pick).
+    ``docs.filter(is_keeper)`` is the deduplicated corpus.
+    """
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    return (
+        docs.join(comp, docs[id_col] == comp.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn(
+            "is_keeper", (F.col(id_col) == F.col("cluster_id"))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a held-out eval set)
+# ---------------------------------------------------------------------------
+
+
+def _word_shingle_sets(df: DataFrame, text_col: str, id_col: str,
+                       k: int) -> DataFrame:
+    """Distinct word k-grams per doc — same construction as
+    ``dedup.word_shingles`` but local so the two modules stay independent."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(-1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1)
+                                     for j in range(k)]),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
+    )
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 5, min_overlap: int = 1,
+                  max_df: int | None = None) -> DataFrame:
+    """Flag training docs sharing ≥ ``min_overlap`` distinct word k-grams
+    with any benchmark doc (the standard n-gram decontamination test, cf.
+    GPT-3 appendix C / most open-data pipelines).
+
+    Returns (doc_id, bench_id, n_overlap) for contaminated (doc, bench)
+    pairs. The join is shingle-keyed (inverted index): candidates are
+    linear in the number of shared shingles, never |docs|×|bench|. The
+    bench side's shingle table is small and broadcast. ``max_df`` drops
+    shingles appearing in more than ``max_df`` training docs (boilerplate
+    stop-grams) before the join, same lever as the dedup paths.
+    """
+    doc_sh = _word_shingle_sets(docs, text_col, id_col, k)
+    if max_df is not None:
+        w = Window.partitionBy("shingle")
+        doc_sh = (
+            doc_sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_df).drop("_df")
+        )
+    bench_sh = (
+        _word_shingle_sets(bench, text_col, id_col, k)
+        .withColumnRenamed("doc_id", "bench_id")
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(docs: DataFrame, stratum_col: str = "source",
+                      n_per_stratum: int = 10,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Take the ``n_per_stratum`` docs with the smallest md5(id) per
+    stratum — a deterministic uniform sample (md5 is a uniform hash of the
+    id, and identical in Spark and DuckDB, so both engines and any two
+    runs pick the same rows; no RNG, no seed drift across retries).
+
+    One shuffle on the stratum key; the rank filter prunes inside the
+    window task so only n winners per stratum survive.
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+        .select(id_col, stratum_col, "sample_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(docs: DataFrame, budget: int, shard_col: str = "source",
+                   id_col: str = "doc_id", tokens_col: Column | None = None,
+                   text_col: str = "text") -> DataFrame:
+    """Assign docs to contiguous token-budget bins per shard (sequence
+    packing for LLM pretraining: concatenate docs until ~``budget`` tokens,
+    start the next sample).
+
+    Within each shard (ordered by doc id) a doc's bin is
+    ``floor(tokens_before_it / budget)`` — contiguous streaming packing
+    with bin boundaries at budget multiples. Integer window arithmetic, so
+    Spark and DuckDB agree bit-for-bit. Packing is per-shard BY DESIGN: a
+    single global ORDER BY would serialize the corpus through one reducer;
+    per-shard windows scale with the shard count.
+
+    Returns (doc_id, shard, n_tokens, pack_offset, bin_id).
+    """
+    toks = tokens_col if tokens_col is not None \
+        else F.size(F.split(F.col(text_col), " "))
+    w = Window.partitionBy(shard_col).orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        docs.withColumn("n_tokens", toks.cast("bigint"))
+        .withColumn(
+            "pack_offset",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"))
+        .withColumn(
+            "bin_id", F.expr(f"pack_offset div {int(budget)}"))
+        .select(id_col, F.col(shard_col).alias("shard"), "n_tokens",
+                "pack_offset", "bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Backslash-free patterns (identical literals survive Spark-SQL and DuckDB
+# string parsing; both engines' regex dialects agree on this subset).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              out_col: str = "clean_text") -> DataFrame:
+    """Redact emails and phone numbers; count redactions per row.
+
+    Pure narrow codegen pass (regexp_replace / regexp_extract_all) — no
+    shuffle, no UDF; at 100 TB this pipelines inside the scan stage.
+    Adds ``out_col``, ``n_emails``, ``n_phones``.
+    """
+    c = F.col(text_col)
+    return (
+        df.withColumn(
+            "n_emails",
+            F.size(F.expr(f"regexp_extract_all({text_col}, '{EMAIL_RE}', 0)"))
+            .cast("bigint"))
+        .withColumn(
+            "n_phones",
+            F.size(F.expr(f"regexp_extract_all({text_col}, '{PHONE_RE}', 0)"))
+            .cast("bigint"))
+        .withColumn(
+            out_col,
+            F.regexp_replace(
+                F.regexp_replace(c, EMAIL_RE, "<EMAIL>"),
+                PHONE_RE, "<PHONE>"))
+    )

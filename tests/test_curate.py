@@ -1,0 +1,130 @@
+"""Tests for corpus-curation operators (trainprep.curate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logpipe_spark.trainprep.curate import (
+    connected_components,
+    decontaminate,
+    dup_clusters,
+    pack_sequences,
+    pii_scrub,
+    stratified_sample,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+
+
+def test_connected_components_merges_transitive(spark):
+    # A~B, B~C must collapse even though A~C was never a pair;
+    # the 4-hop chain exercises multiple propagation rounds.
+    pairs = _pairs(spark, [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12),
+                           (12, 13), (13, 14)])
+    comp = {r.node: r.component
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5,
+                    10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
+
+
+def test_connected_components_edge_direction_irrelevant(spark):
+    a = connected_components(_pairs(spark, [(2, 1), (3, 2)]))
+    b = connected_components(_pairs(spark, [(1, 2), (2, 3)]))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_dup_clusters_keeper_per_cluster(spark):
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    pairs = _pairs(spark, [(1, 2), (2, 3), (7, 8)])
+    out = dup_clusters(docs, pairs).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == 10
+    # cluster minima keep, the rest drop
+    keepers = sorted(r.doc_id for r in out if r.is_keeper)
+    assert keepers == [0, 1, 4, 5, 6, 7, 9]
+    assert by_id[3].cluster_id == 1 and by_id[8].cluster_id == 7
+    # singletons are their own cluster
+    assert by_id[0].cluster_id == 0 and by_id[0].is_keeper
+
+
+def test_decontaminate_planted_overlap(spark):
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    secret = "alpha beta gamma delta epsilon"  # a 5-gram both sides share
+    docs = mk([
+        (1, f"x y {secret} z w"),
+        (2, "totally unrelated words only here now"),
+        (3, f"{secret} trailing tail words"),
+    ])
+    bench = mk([(100, f"prefix {secret} suffix words")])
+    out = {(r.doc_id, r.bench_id): r.n_overlap
+           for r in decontaminate(docs, bench, k=5).collect()}
+    assert set(out) == {(1, 100), (3, 100)}
+    assert all(v >= 1 for v in out.values())
+
+
+def test_decontaminate_max_df_drops_boilerplate(spark):
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    boiler = "this document is auto generated"
+    docs = mk([(i, f"{boiler} body {i} unique words here") for i in range(6)])
+    bench = mk([(100, f"{boiler} eval question text")])
+    # every training doc shares only the boilerplate 5-gram with bench;
+    # capping its document frequency at 3 kills the stop-gram entirely
+    assert decontaminate(docs, bench, k=5).count() == 6
+    assert decontaminate(docs, bench, k=5, max_df=3).count() == 0
+
+
+def test_stratified_sample_counts_and_determinism(spark):
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 80, "big").otherwise("small").alias("source"))
+    out = stratified_sample(docs, "source", n_per_stratum=15)
+    counts = {r.source: r.c for r in
+              out.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"big": 15, "small": 15}
+    # smaller stratum than n -> whole stratum
+    out2 = stratified_sample(docs, "source", n_per_stratum=30)
+    counts2 = {r.source: r.c for r in
+               out2.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert counts2 == {"big": 30, "small": 20}
+    # deterministic across runs
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, stratified_sample(docs, "source", 15).collect()))
+
+
+def test_pack_sequences_offsets_and_bins(spark):
+    rows = [(i, "s", "a b c d e f g h") for i in range(5)]  # 8 tokens each
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = sorted(map(tuple, pack_sequences(docs, budget=20).collect()))
+    # offsets: 0,8,16,24,32 ; bins at floor(offset/20): 0,0,0,1,1
+    assert out == [(0, "s", 8, 0, 0), (1, "s", 8, 8, 0), (2, "s", 8, 16, 0),
+                   (3, "s", 8, 24, 1), (4, "s", 8, 32, 1)]
+
+
+def test_pack_sequences_per_shard_independent(spark):
+    rows = [(0, "a", "x y"), (1, "b", "x y z"), (2, "a", "x"), (3, "b", "x")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {r.doc_id: (r.pack_offset, r.bin_id)
+           for r in pack_sequences(docs, budget=3).collect()}
+    assert out[0] == (0, 0) and out[2] == (2, 0)   # shard a: 2 then 1 tokens
+    assert out[1] == (0, 0) and out[3] == (3, 1)   # shard b restarts at 0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    rows = [
+        (0, "mail me at jane.doe+x@corp.example.com or call 415-555-0133"),
+        (1, "no pii in this row at all"),
+        (2, "two mails a@b.io c@d.org and 212-555-0101 650-555-022"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert out[0].n_emails == 1 and out[0].n_phones == 1
+    assert "<EMAIL>" in out[0].clean_text and "<PHONE>" in out[0].clean_text
+    assert "jane.doe" not in out[0].clean_text
+    assert "415-555-0133" not in out[0].clean_text
+    assert out[1].n_emails == 0 and out[1].n_phones == 0
+    assert out[1].clean_text == out[1].text
+    # 650-555-022 is NOT a full phone (3-3-4) -> untouched
+    assert out[2].n_emails == 2 and out[2].n_phones == 1
+    assert "650-555-022" in out[2].clean_text

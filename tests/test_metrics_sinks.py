@@ -44,18 +44,27 @@ def test_progress_reporter_captures_running_stages(spark):
 
     t = synth_transcripts(spark, n_turns=400, n_convs=10, partitions=8)
 
-    def slow(it):
-        for pdf in it:
-            _time.sleep(0.3)
-            yield pdf
+    def make_slow(delay_s):
+        def slow(it):
+            for pdf in it:
+                _time.sleep(delay_s)
+                yield pdf
+        return slow
 
+    # Co-tenant load can starve the poller thread so a short job slips
+    # between ticks entirely; retry with a longer job rather than weaken
+    # the assertions.
     lines = []
-    with ProgressReporter(spark, interval_s=0.05,
-                          printer=lines.append) as pr:
-        t.mapInPandas(slow, schema=t.schema).write.format("noop") \
-            .mode("overwrite").save()
+    flat = []
+    for delay_s in (0.3, 1.0, 3.0):
+        with ProgressReporter(spark, interval_s=0.05,
+                              printer=lines.append) as pr:
+            t.mapInPandas(make_slow(delay_s), schema=t.schema) \
+                .write.format("noop").mode("overwrite").save()
+        flat = [s for smp in pr.samples() for s in smp["stages"]]
+        if any(s["tasks_active"] > 0 or s["tasks_done"] > 0 for s in flat):
+            break
     assert len(pr.samples()) >= 1
-    flat = [s for smp in pr.samples() for s in smp["stages"]]
     assert all(s["tasks_total"] >= 1 for s in flat)
     # a tick can land between task waves; across the run some tick must
     # have seen work in flight or done
