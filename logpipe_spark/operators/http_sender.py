@@ -15,6 +15,16 @@ Semantics at scale: this is at-least-once (a task retry resends its
 partition's batches — same as the reference rerunning a file). The
 exactly-once path is the table sink (`sinks.py`); use HTTP for fire-and-
 forget fan-out to collectors, idempotent receivers, or test harnesses.
+
+``max_in_flight > 1`` pipelines batches per partition through a bounded
+thread pool (the Spark analog of the reference's event-loop request
+pipelining — Node keeps sends in flight while streaming,
+httpSender.js:100-127): with a receiver latency of L seconds per request,
+a partition's wall time drops from ``n_batches·L`` to
+``~n_batches·L / max_in_flight``. Ordering across a partition's batches is
+no longer guaranteed at the receiver (same trade the reference makes);
+failures still propagate — the partition drains its in-flight window and
+the task fails if any batch exhausted its retries.
 """
 
 from __future__ import annotations
@@ -49,6 +59,7 @@ def send_http(
     headers: dict[str, str] | None = None,
     stats_interval_s: float | None = None,
     stats_printer=None,
+    max_in_flight: int = 1,
 ) -> dict[str, int]:
     """Send every row of ``df`` to ``endpoint`` in JSON-array batches.
 
@@ -89,20 +100,56 @@ def send_http(
             f"HTTP send failed after {retries} attempts: {last_err}")
 
     def handle_partition(rows) -> None:
-        batch: list[str] = []
         stats = {"records_sent": 0, "batches_sent": 0, "retries": 0}
-        for row in rows:
-            batch.append(row)
-            if len(batch) >= batch_size:
+        if max_in_flight <= 1:
+            batch: list[str] = []
+            for row in rows:
+                batch.append(row)
+                if len(batch) >= batch_size:
+                    stats["retries"] += send_batch(batch)
+                    stats["batches_sent"] += 1
+                    stats["records_sent"] += len(batch)
+                    batch = []
+            if batch:  # final partial batch (≙ _final flush, :129-145)
                 stats["retries"] += send_batch(batch)
                 stats["batches_sent"] += 1
                 stats["records_sent"] += len(batch)
-                batch = []
-        if batch:  # final partial batch (≙ _final flush, :129-145)
-            stats["retries"] += send_batch(batch)
+            acc.add(stats)
+            return
+
+        # Pipelined path: keep up to max_in_flight batches in flight; the
+        # submit loop blocks on the OLDEST future once the window is full,
+        # so memory stays bounded at max_in_flight batches. result() also
+        # re-raises a batch's terminal failure, failing the task promptly
+        # instead of after the whole partition is queued.
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending: deque = deque()  # (future, n_rows)
+
+        def reap(fut, n_rows: int) -> None:
+            stats["retries"] += fut.result()
             stats["batches_sent"] += 1
-            stats["records_sent"] += len(batch)
-        acc.add(stats)
+            stats["records_sent"] += n_rows
+
+        try:
+            with ThreadPoolExecutor(max_workers=max_in_flight) as pool:
+                batch = []
+                for row in rows:
+                    batch.append(row)
+                    if len(batch) >= batch_size:
+                        if len(pending) >= max_in_flight:
+                            reap(*pending.popleft())
+                        pending.append((pool.submit(send_batch, batch),
+                                        len(batch)))
+                        batch = []
+                if batch:
+                    pending.append((pool.submit(send_batch, batch),
+                                    len(batch)))
+                while pending:
+                    reap(*pending.popleft())
+        finally:
+            acc.add(stats)  # partial stats still land on failure
 
     if stats_interval_s is None:
         json_rows.foreachPartition(handle_partition)

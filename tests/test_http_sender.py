@@ -22,6 +22,7 @@ class Harness:
         self.batches: list[list[dict]] = []
         self.fail_first = 0
         self.requests = 0
+        self.delay_s = 0.0  # per-request latency (pipelining exercise)
         self.lock = threading.Lock()
         harness = self
 
@@ -30,6 +31,9 @@ class Harness:
                 with harness.lock:
                     harness.requests += 1
                     fail = harness.requests <= harness.fail_first
+                if harness.delay_s:
+                    import time
+                    time.sleep(harness.delay_s)
                 if fail:
                     self.send_response(503)
                     self.end_headers()
@@ -112,6 +116,39 @@ def test_http_permanent_failure_aborts(spark, harness):
     with pytest.raises(Exception, match="(?i)http|failed"):
         send_http(df.select("conv_id"), harness.url,
                   retries=1, retry_delay=0.01)
+
+
+def test_http_pipelined_counts_and_overlap(spark, harness):
+    """max_in_flight>1 keeps batches in flight concurrently: with 0.2 s
+    receiver latency and 8 batches in ONE partition, the serial floor is
+    1.6 s; a 4-deep pipeline must beat it."""
+    import time
+
+    harness.delay_s = 0.2
+    df = synth_transcripts(spark, n_turns=80, n_convs=4, partitions=1)
+    sel = df.select("conv_id", "turn_idx").coalesce(1)
+    sel.count()  # warm the plan so timing measures the send, not codegen
+    t0 = time.perf_counter()
+    stats = send_http(sel, harness.url, batch_size=10, max_in_flight=4)
+    wall = time.perf_counter() - t0
+    assert stats["records_sent"] == 80 and stats["batches_sent"] == 8
+    assert sum(len(b) for b in harness.batches) == 80
+    assert wall < 1.4, f"pipelined send took {wall:.2f}s (serial floor 1.6s)"
+
+
+def test_http_pipelined_retry_and_failure(spark, harness):
+    harness.fail_first = 2
+    df = synth_transcripts(spark, n_turns=60, n_convs=3, partitions=2)
+    stats = send_http(df.select("conv_id"), harness.url, batch_size=10,
+                      retry_delay=0.01, max_in_flight=3)
+    assert stats["records_sent"] == 60
+    assert stats["retries"] >= 2
+    assert sum(len(b) for b in harness.batches) == 60
+    # terminal failure still aborts the job through the pipelined path
+    harness.fail_first = 10**9
+    with pytest.raises(Exception, match="(?i)http|failed"):
+        send_http(df.select("conv_id"), harness.url, retries=1,
+                  retry_delay=0.01, max_in_flight=3)
 
 
 def test_http_rejects_bad_method(spark):
