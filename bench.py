@@ -35,6 +35,12 @@ HEADLINE = [
     "token_stats",
     "topk_convs",
     "window_rownum",
+    # corpus-curation ops (round 2)
+    "dup_clusters",
+    "decontaminate",
+    "sample_stratified",
+    "pack_sequences",
+    "pii_scrub",
 ]
 
 
