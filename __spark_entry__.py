@@ -500,6 +500,22 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.pack_sequences(_docs(spark, sf_dir), budget=200)
 
 
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style intra-doc repetition rule; rep_ratio is an exact
+    # integer-operand division (bit-identical cross-engine, no round()).
+    return tq.repetition_score(_docs(spark, sf_dir))
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-level vocabulary-induction counting pass; lexical tie-break
+    # makes the top-k deterministic in both engines
+    return tq.top_ngrams(_docs(spark, sf_dir), k=2, top=50)
+
+
+def q_mix_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cur.mix_budget_sample(_docs(spark, sf_dir), budget_tokens=1000)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The synthetic corpus has no PII, so inject a deterministic email +
     # phone into every 3rd doc (identical construction in the oracle SQL)
@@ -787,6 +803,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
+        "repetition_score": q_repetition_score,
+        "top_ngrams": q_top_ngrams,
+        "mix_budget_sample": q_mix_budget_sample,
     }
 
 
@@ -1030,4 +1049,42 @@ SELECT doc_id,
        regexp_replace(regexp_replace(text, '{cur.EMAIL_RE}', '<EMAIL>', 'g'),
                       '{cur.PHONE_RE}', '<PHONE>', 'g') AS clean_text
 FROM injected""",
+        "repetition_score": """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+         ELSE [] END AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+SELECT doc_id,
+       cast(len(grams) AS int) AS n_grams,
+       cast(len(list_distinct(grams)) AS int) AS n_distinct,
+       CASE WHEN len(grams) > 0 THEN
+         (len(grams) - len(list_distinct(grams))) * 1.0 / len(grams)
+       ELSE 0.0 END AS rep_ratio
+FROM g""",
+        "top_ngrams": """
+WITH g AS (
+  SELECT unnest(CASE WHEN len(w) >= 2 THEN
+    list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])
+  ELSE [] END) AS ngram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+c AS (SELECT ngram, count(*) AS n FROM g GROUP BY ngram)
+SELECT ngram, n, rank FROM (
+  SELECT ngram, n,
+         cast(row_number() OVER (ORDER BY n DESC, ngram) AS int) AS rank
+  FROM c)
+WHERE rank <= 50""",
+        "mix_budget_sample": """
+SELECT doc_id, stratum, n_tokens, cum_before FROM (
+  SELECT doc_id, source AS stratum,
+         cast(len(string_split(text, ' ')) AS bigint) AS n_tokens,
+         cast(coalesce(sum(len(string_split(text, ' '))) OVER (
+           PARTITION BY source
+           ORDER BY md5(cast(doc_id AS varchar)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+           AS cum_before
+  FROM documents)
+WHERE cum_before < 1000""",
     }

@@ -128,19 +128,29 @@ def dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+def word_grams(text_col: str, k: int) -> Column:
+    """Word k-gram array; empty for docs shorter than k words. The guard
+    matters: Spark's ``sequence(a, b)`` DESCENDS when a > b, so an
+    unguarded ``sequence(1, size - k + 1)`` on a short doc indexes past
+    the array and throws under ANSI mode (same construction as
+    ``dedup.word_shingles``, kept local so the modules stay independent).
+    """
+    w = f"split({text_col}, ' ')"
+    parts = ", ".join(f"element_at({w}, i + {j})" for j in range(k))
+    return F.expr(
+        f"CASE WHEN size({w}) >= {k} THEN "
+        f"transform(sequence(1, size({w}) - {k - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
+    )
+
+
 def _word_shingle_sets(df: DataFrame, text_col: str, id_col: str,
                        k: int) -> DataFrame:
-    """Distinct word k-grams per doc — same construction as
-    ``dedup.word_shingles`` but local so the two modules stay independent."""
-    words = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(-1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1)
-                                     for j in range(k)]),
-    )
+    """Distinct word k-grams per doc: (doc_id, shingle)."""
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(grams)).alias("shingle"),
+        F.explode(F.array_distinct(word_grams(text_col, k))).alias("shingle"),
     )
 
 
@@ -273,4 +283,39 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
             F.regexp_replace(
                 F.regexp_replace(c, EMAIL_RE, "<EMAIL>"),
                 PHONE_RE, "<PHONE>"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture sampling (token-budget per source)
+# ---------------------------------------------------------------------------
+
+
+def mix_budget_sample(docs: DataFrame, budget_tokens: int,
+                      stratum_col: str = "source", id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Sample each stratum down to ~``budget_tokens`` tokens — the data-
+    mixing step that rebalances source shares before training (e.g. cap
+    every domain at N tokens).
+
+    Docs are taken in md5(id) order (same deterministic coin as
+    :func:`stratified_sample`); a doc is kept iff the cumulative token
+    count BEFORE it is under the budget, so every stratum contributes
+    ≥1 doc and at most one doc of overshoot. Integer window arithmetic —
+    bit-identical across engines. One shuffle on the stratum key.
+
+    Returns (doc_id, stratum, n_tokens, cum_before).
+    """
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w = Window.partitionBy(stratum_col).orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        docs.withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"))
+        .filter(F.col("cum_before") < budget_tokens)
+        .select(id_col, F.col(stratum_col).alias("stratum"), "n_tokens",
+                "cum_before")
     )

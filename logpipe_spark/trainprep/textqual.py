@@ -141,3 +141,59 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text",
         fp.alias("fingerprint"),
         bpe_ish_token_count(F.col(text_col)).alias("n_bpe_tokens"),
     )
+
+
+def repetition_score(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Intra-document repetition: fraction of duplicated word k-grams
+    (the Gopher/MassiveText "repetitious document" quality rule — docs
+    whose text loops over the same phrases score high and get filtered).
+
+    rep_ratio = (n_grams - n_distinct) / n_grams, emitted as an exact
+    integer-operand division (bit-identical in Spark and DuckDB — see
+    quality_score's note on why round() is avoided). Pure codegen:
+    sequence/transform/array_distinct, no explode, zero shuffle.
+    """
+    from logpipe_spark.trainprep.curate import word_grams
+    grams = word_grams(text_col, k)
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    ratio = F.when(n_grams > 0, (n_grams - n_distinct) / n_grams) \
+        .otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_grams.cast("int").alias("n_grams"),
+        n_distinct.cast("int").alias("n_distinct"),
+        ratio.alias("rep_ratio"),
+    )
+
+
+def top_ngrams(docs: DataFrame, text_col: str = "text", k: int = 2,
+               top: int = 50) -> DataFrame:
+    """Corpus-level most-frequent word k-grams (the counting pass a BPE /
+    vocabulary-induction step runs over the corpus).
+
+    Plan: explode grams -> map-side-combining count -> rank window over a
+    frame already reduced to one row per distinct gram. At 100 TB the
+    explode is the dominant cost but stays narrow; the count shuffles
+    n_distinct_grams rows (corpus-vocabulary-sized, not corpus-sized).
+    Ties broken lexically so the top-k is deterministic cross-engine.
+    """
+    from logpipe_spark.trainprep.curate import word_grams
+    grams = word_grams(text_col, k)
+    counts = (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("n").desc(), F.col("ngram"))
+    # The global rank window funnels ONE ROW PER DISTINCT GRAM (not per
+    # occurrence) through a single task — vocabulary-sized, bounded; for
+    # huge vocabularies switch to a per-partition top-k pre-prune first
+    # (similarity.py's ann pattern).
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select("ngram", "n", F.col("rank").cast("int").alias("rank"))
+    )

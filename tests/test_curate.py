@@ -128,3 +128,47 @@ def test_pii_scrub_redacts_and_counts(spark):
     # 650-555-022 is NOT a full phone (3-3-4) -> untouched
     assert out[2].n_emails == 2 and out[2].n_phones == 1
     assert "650-555-022" in out[2].clean_text
+
+
+def test_mix_budget_sample_caps_tokens(spark):
+    from logpipe_spark.trainprep.curate import mix_budget_sample
+    rows = [(i, "a" if i < 20 else "b", "w " * 9 + "w") for i in range(30)]
+    docs = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows],
+        "doc_id bigint, source string, text string")  # 10 tokens/doc
+    out = mix_budget_sample(docs, budget_tokens=35).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.stratum, []).append(r)
+    # 10-token docs, budget 35 -> 4 docs kept per stratum (cum_before 0,10,20,30)
+    assert {s: len(v) for s, v in per.items()} == {"a": 4, "b": 4}
+    assert all(r.cum_before < 35 for r in out)
+    # tiny budget still keeps >=1 doc per stratum
+    out1 = mix_budget_sample(docs, budget_tokens=1).collect()
+    assert sorted(r.stratum for r in out1) == ["a", "b"]
+    # deterministic across runs
+    assert sorted(map(tuple, out)) == sorted(
+        map(tuple, mix_budget_sample(docs, budget_tokens=35).collect()))
+
+
+def test_repetition_score_flags_loops(spark):
+    from logpipe_spark.trainprep.textqual import repetition_score
+    docs = spark.createDataFrame(
+        [(0, "spam ham eggs spam ham eggs spam ham eggs"),
+         (1, "all words here are fully distinct tokens")],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in repetition_score(docs).collect()}
+    # doc 0: 7 trigrams, 3 distinct -> ratio 4/7
+    assert out[0].n_grams == 7 and out[0].n_distinct == 3
+    assert abs(out[0].rep_ratio - 4 / 7) < 1e-12
+    assert out[1].rep_ratio == 0.0
+
+
+def test_top_ngrams_rank_and_ties(spark):
+    from logpipe_spark.trainprep.textqual import top_ngrams
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "z z z z")],
+        "doc_id bigint, text string")
+    out = top_ngrams(docs, k=2, top=3).collect()
+    assert [(r.ngram, r.n, r.rank) for r in out] == [
+        ("a b", 3, 1), ("z z", 3, 2), ("b a", 2, 3)]  # lexical tie-break
