@@ -154,14 +154,22 @@ def repetition_score(docs: DataFrame, text_col: str = "text",
     quality_score's note on why round() is avoided). Pure codegen:
     sequence/transform/array_distinct, no explode, zero shuffle.
     """
-    from logpipe_spark.trainprep.curate import word_grams
-    grams = word_grams(text_col, k)
-    n_grams = F.size(grams)
-    n_distinct = F.size(F.array_distinct(grams))
+    from logpipe_spark.trainprep.curate import with_word_grams
+    g = with_word_grams(docs.withColumnRenamed(id_col, "doc_id"),
+                        text_col, k, keep=["doc_id"])
+    # materialize the counts as columns: referencing the grams expression
+    # from multiple output columns would re-evaluate it per reference
+    # (CollapseProject inlines single-use aliases only — see word_grams_col)
+    counts = g.select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.size(F.array_distinct("grams")).alias("n_distinct"),
+    )
+    n_grams, n_distinct = F.col("n_grams"), F.col("n_distinct")
     ratio = F.when(n_grams > 0, (n_grams - n_distinct) / n_grams) \
         .otherwise(F.lit(0.0))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return counts.select(
+        "doc_id",
         n_grams.cast("int").alias("n_grams"),
         n_distinct.cast("int").alias("n_distinct"),
         ratio.alias("rep_ratio"),
@@ -179,10 +187,13 @@ def top_ngrams(docs: DataFrame, text_col: str = "text", k: int = 2,
     n_distinct_grams rows (corpus-vocabulary-sized, not corpus-sized).
     Ties broken lexically so the top-k is deterministic cross-engine.
     """
-    from logpipe_spark.trainprep.curate import word_grams
-    grams = word_grams(text_col, k)
+    from logpipe_spark.trainprep.curate import with_word_grams
+    g = with_word_grams(docs, text_col, k, keep=[])
     counts = (
-        docs.select(F.explode(grams).alias("ngram"))
+        # explode_outer dodges InferFiltersFromGenerate re-evaluating the
+        # gram transform in a pushed filter (12x -- see _word_shingle_sets)
+        g.select(F.explode_outer("grams").alias("ngram"))
+        .filter(F.col("ngram").isNotNull())
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -172,3 +172,28 @@ def test_top_ngrams_rank_and_ties(spark):
     out = top_ngrams(docs, k=2, top=3).collect()
     assert [(r.ngram, r.n, r.rank) for r in out] == [
         ("a b", 3, 1), ("z z", 3, 2), ("b a", 2, 3)]  # lexical tie-break
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_curation_plan_shapes(spark):
+    """Assert the scale-critical plan properties PERF.md claims: bench side
+    of decontaminate broadcasts; packing windows are per-shard (no global
+    single-partition window); pii_scrub stays shuffle-free."""
+    import __spark_entry__ as E
+    from tests.conftest import SF_TINY
+
+    decon = _physical_plan(E.queries()["decontaminate"](spark, SF_TINY))
+    assert "BroadcastHashJoin" in decon
+    assert "SortMergeJoin" not in decon
+
+    pack = _physical_plan(E.queries()["pack_sequences"](spark, SF_TINY))
+    # per-shard window: the Window's partition spec must not be empty
+    assert "Window" in pack
+    assert "windowspecdefinition(source" in pack or \
+        "windowspecdefinition(shard" in pack
+
+    scrub = _physical_plan(E.queries()["pii_scrub"](spark, SF_TINY))
+    assert "Exchange" not in scrub  # narrow codegen pass, zero shuffle
