@@ -438,7 +438,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim.cosine_near_dup_pairs(_emb(spark, sf_dir))
+    # target_bucket_rows is the scale path: bits grow with the corpus so
+    # the per-bucket self-join stays ~target² (fixed bits are quadratic at
+    # 100x). At the driver/pytest scales (500 embeddings) choose_bits
+    # yields exactly the oracle's bits=4; at sf0.1 it picks 8 bits (256
+    # buckets), cutting the verify joins 16x.
+    return sim.cosine_near_dup_pairs(_emb(spark, sf_dir),
+                                     target_bucket_rows=32)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
