@@ -26,9 +26,10 @@ Scale notes (100 TB corpus, 1000 executors):
   loop converges in a handful of rounds; ``max_iter`` guards the
   pathological chain. Each round ``localCheckpoint``s to truncate lineage
   (an unbounded iterative plan re-executes from the scan). For graphs with
-  genuinely long chains, swap the body for alternating large-star /
-  small-star (Kiveris et al., "Connected Components in MapReduce"), which
-  bounds rounds by O(log n) with the same per-round join shape.
+  genuinely long chains use :func:`connected_components_star`
+  (alternating large-star / small-star, Kiveris et al.), which bounds
+  rounds by O(log n) with the same per-round join shape —
+  ``dup_clusters(algorithm='star')``.
 - ``decontaminate`` is the same inverted-index shingle join as
   ``dedup.ngram_jaccard_pairs`` — candidates come from an equality join on
   shingle, never a doc×bench cross join; the benchmark side is tiny and
@@ -102,15 +103,24 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
 
 
 def dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                 id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
+                 id_a: str = "doc_a", id_b: str = "doc_b",
+                 algorithm: str = "label") -> DataFrame:
     """Resolve near-dup PAIRS into per-document cluster assignments.
 
     Returns (doc_id, cluster_id, is_keeper) for every document: docs in no
     pair are their own singleton cluster; within a multi-doc cluster the
     keeper is the smallest doc_id (the deterministic canonical pick).
     ``docs.filter(is_keeper)`` is the deduplicated corpus.
+
+    ``algorithm``: 'label' (min-label propagation, rounds = diameter —
+    right for near-dup graphs, which are tiny cliques) or 'star'
+    (:func:`connected_components_star`, O(log n) rounds — right when
+    components can chain arbitrarily deep). Identical output either way
+    (asserted in tests).
     """
-    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    cc = connected_components if algorithm == "label" \
+        else connected_components_star
+    comp = cc(pairs, id_a=id_a, id_b=id_b)
     return (
         docs.join(comp, docs[id_col] == comp.node, "left")
         .select(
@@ -346,4 +356,89 @@ def mix_budget_sample(docs: DataFrame, budget_tokens: int,
         .filter(F.col("cum_before") < budget_tokens)
         .select(id_col, F.col(stratum_col).alias("stratum"), "n_tokens",
                 "cum_before")
+    )
+
+
+def connected_components_star(pairs: DataFrame, id_a: str = "doc_a",
+                              id_b: str = "doc_b",
+                              max_iter: int = 30) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the scale path :func:`connected_components`'s docstring
+    promises: rounds bounded by O(log n) on ANY graph shape, vs label
+    propagation's diameter(G) rounds (a 10^6-hop chain needs 10^6
+    propagation rounds but ~20 star rounds).
+
+    Per round each phase is one groupBy(min) + one join keyed on node id —
+    the same shuffle shape as a propagation round, so the win is purely in
+    round COUNT. Output matches :func:`connected_components`: (node,
+    component) with component = min node id of the component (asserted
+    equal on random graphs in tests/test_curate.py).
+    """
+    # symmetric edge list, self-loops dropped
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("u").alias("node")).distinct() \
+        .localCheckpoint(eager=True)
+
+    def neighborhood_min(edges: DataFrame) -> DataFrame:
+        return edges.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+
+    for _ in range(max_iter):
+        # LARGE-STAR: for every u, link its LARGER neighbors to
+        # m = min(N(u) ∪ {u}). Input must be symmetric; output is the new
+        # undirected edge set (emitted directed, re-symmetrized below).
+        m = neighborhood_min(e)
+        large = (
+            e.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        sym = large.union(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        # SMALL-STAR: orient edges toward the smaller endpoint (keep
+        # (u, v) with v < u), then link every small neighbor AND u itself
+        # to m = min(N_small(u) ∪ {u}) = min(N_small(u)).
+        small_in = sym.filter(F.col("v") < F.col("u"))
+        m2 = small_in.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            small_in.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_e = small.union(
+            small.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct().localCheckpoint(eager=True)
+        # converged when the edge set is a star forest: every remaining
+        # edge's larger endpoint has exactly one (minimal) neighbor, i.e.
+        # another round would change nothing. Cheap check: the oriented
+        # edge set equals its own small-star output <=> new_e == e.
+        if new_e.count() == e.count() and \
+                new_e.exceptAll(e).limit(1).count() == 0:
+            e = new_e
+            break
+        e = new_e
+    # star forest -> labels: each non-root points at its component min;
+    # roots are the mins themselves (appear only as v / as the min side)
+    comp = (
+        e.filter(F.col("v") < F.col("u"))
+        .groupBy("u").agg(F.min("v").alias("component"))
+        .select(F.col("u").alias("node"), "component")
+    )
+    return (
+        nodes.join(comp, "node", "left")
+        .select("node",
+                F.coalesce(F.col("component"), F.col("node"))
+                .alias("component"))
     )

@@ -197,3 +197,62 @@ def test_curation_plan_shapes(spark):
 
     scrub = _physical_plan(E.queries()["pii_scrub"](spark, SF_TINY))
     assert "Exchange" not in scrub  # narrow codegen pass, zero shuffle
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """large-star/small-star (O(log n) rounds) must produce exactly the
+    label-propagation components on adversarial and random graphs."""
+    import random
+
+    from logpipe_spark.trainprep.curate import connected_components_star
+
+    def ref_components(edges):
+        # union-find ground truth
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    cases = [
+        [(1, 2), (2, 3), (5, 6)],                      # cliques
+        [(i, i + 1) for i in range(1, 40)],            # 40-node chain
+        [(2 * i, 2 * i + 1) for i in range(10)],       # disjoint pairs
+    ]
+    rng = random.Random(7)
+    for _ in range(3):                                  # random graphs
+        n = 60
+        cases.append([(rng.randrange(n), rng.randrange(n))
+                      for _ in range(45)])
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        got = {r.node: r.component
+               for r in connected_components_star(_pairs(spark, edges)).collect()}
+        want = ref_components(edges)
+        assert got == want, f"mismatch on {edges[:5]}..."
+
+
+def test_dup_clusters_algorithms_agree(spark):
+    from logpipe_spark.trainprep.curate import dup_clusters as dc
+    docs = spark.range(12).withColumnRenamed("id", "doc_id")
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (8, 9)])
+    a = sorted(map(tuple, dc(docs, pairs, algorithm="label").collect()))
+    b = sorted(map(tuple, dc(docs, pairs, algorithm="star").collect()))
+    assert a == b
+
+
+def test_star_cc_round_count_on_chain(spark):
+    """The point of star CC: a D-hop chain must converge in far fewer than
+    D rounds (label propagation needs D)."""
+    from logpipe_spark.trainprep.curate import connected_components_star
+    chain = [(i, i + 1) for i in range(1, 64)]
+    out = connected_components_star(_pairs(spark, chain), max_iter=12)
+    comp = {r.node: r.component for r in out.collect()}
+    assert set(comp.values()) == {1} and len(comp) == 64
