@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--http-method", default="POST", choices=["POST", "PUT"])
     p.add_argument("--http-batch-size", type=int, default=100)
     p.add_argument("--http-retries", type=int, default=3)
+    p.add_argument("--http-max-in-flight", type=int, default=1,
+                   help="pipelined batches per partition (1 = serial)")
     p.add_argument("--http-timeout", type=float, default=30.0,
                    help="HTTP timeout in seconds")
     p.add_argument("--http-headers", default=None,
@@ -185,6 +187,7 @@ def main(argv: list[str] | None = None) -> int:
                 out, args.http_endpoint, method=args.http_method,
                 batch_size=args.http_batch_size, retries=args.http_retries,
                 timeout=args.http_timeout,
+                max_in_flight=args.http_max_in_flight,
                 headers=_json.loads(args.http_headers)
                 if args.http_headers else None)
             print(f"sent {stats['records_sent']} records in "

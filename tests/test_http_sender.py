@@ -171,7 +171,8 @@ def test_cli_http_sink(spark, harness, tmp_path):
     r = subprocess.run(
         [_sys.executable, "-m", "logpipe_spark.cli", "-i", str(src),
          "--select", "conv_id,role", "--http-endpoint", harness.url,
-         "--http-batch-size", "3", "--parallel", "2"],
+         "--http-batch-size", "3", "--parallel", "2",
+         "--http-max-in-flight", "2"],
         capture_output=True, text=True, timeout=300, cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "sent 7 records" in r.stdout
