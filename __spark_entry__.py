@@ -506,6 +506,43 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.pack_sequences(_docs(spark, sf_dir), budget=200)
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The curation layer composed end-to-end, the way a production corpus
+    # ships: per source, how many docs survive ALL gates (quality >= 0.55,
+    # rep_ratio < 0.04, near-dup cluster keeper, not contaminated vs the
+    # bench split) and how many each gate flags (independent counts).
+    # All-integer outputs; the double thresholds compare bit-identical
+    # values in both engines (integer-operand divisions).
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    q = tq.quality_score(docs).select("doc_id", "quality")
+    rep = tq.repetition_score(docs).select("doc_id", "rep_ratio")
+    clusters = cur.dup_clusters(docs, dd.ngram_jaccard_pairs(docs)) \
+        .select("doc_id", "is_keeper")
+    contam = (
+        cur.decontaminate(train, bench, k=3, min_overlap=2)
+        .select("doc_id").distinct().withColumn("_c", F.lit(1)))
+    flags = (
+        train.select("doc_id", "source")
+        .join(q, "doc_id").join(rep, "doc_id").join(clusters, "doc_id")
+        .join(contam, "doc_id", "left")
+        .select(
+            "source",
+            (F.col("quality") < 0.55).cast("int").alias("low_q"),
+            (F.col("rep_ratio") >= 0.04).cast("int").alias("repv"),
+            (~F.col("is_keeper")).cast("int").alias("dup"),
+            F.coalesce(F.col("_c"), F.lit(0)).alias("cont")))
+    gates = F.col("low_q") + F.col("repv") + F.col("dup") + F.col("cont")
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((gates == 0).cast("int")).cast("bigint").alias("n_kept"),
+        F.sum("low_q").cast("bigint").alias("n_low_quality"),
+        F.sum("repv").cast("bigint").alias("n_repetitive"),
+        F.sum("dup").cast("bigint").alias("n_dupe"),
+        F.sum("cont").cast("bigint").alias("n_contaminated"))
+
+
 def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher-style intra-doc repetition rule; rep_ratio is an exact
     # integer-operand division (bit-identical cross-engine, no round()).
@@ -592,6 +629,73 @@ SELECT d.doc_id,
        coalesce(c.component, d.doc_id) AS cluster_id,
        cast(d.doc_id = coalesce(c.component, d.doc_id) AS int) AS is_keeper
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"""
+
+
+_REPETITION_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+         ELSE [] END AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+SELECT doc_id,
+       cast(len(grams) AS int) AS n_grams,
+       cast(len(list_distinct(grams)) AS int) AS n_distinct,
+       CASE WHEN len(grams) > 0 THEN
+         (len(grams) - len(list_distinct(grams))) * 1.0 / len(grams)
+       ELSE 0.0 END AS rep_ratio
+FROM g"""
+
+
+def _curation_funnel_oracle(thr: float = 0.12) -> str:
+    # Composes the cluster oracle's recursive CTEs with quality /
+    # repetition / decontamination CTEs (the latter two embed their full
+    # oracle queries as subselects, so the funnel can never drift from the
+    # per-op oracles).
+    return f"""WITH RECURSIVE {_shingles_cte(3)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),{_JACCARD_CTES},
+pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= {thr}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w2.lbl FROM edges e JOIN walk w2 ON e.dst = w2.node),
+comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node),
+qual AS (SELECT doc_id, quality FROM ({_quality_oracle()})),
+rep AS (SELECT doc_id, rep_ratio FROM ({_REPETITION_SQL})),
+bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
+train_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 != 0),
+contam AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT t.doc_id, b.bench_id
+    FROM train_sh t JOIN bench b USING (shingle)
+    GROUP BY t.doc_id, b.bench_id HAVING count(*) >= 2)),
+flags AS (
+  SELECT d.source,
+         CASE WHEN q.quality < 0.55 THEN 1 ELSE 0 END AS low_q,
+         CASE WHEN r.rep_ratio >= 0.04 THEN 1 ELSE 0 END AS repv,
+         CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+              THEN 0 ELSE 1 END AS dup,
+         CASE WHEN ct.doc_id IS NULL THEN 0 ELSE 1 END AS cont
+  FROM documents d
+  JOIN qual q USING (doc_id)
+  JOIN rep r USING (doc_id)
+  LEFT JOIN comp c ON d.doc_id = c.node
+  LEFT JOIN contam ct USING (doc_id)
+  WHERE d.doc_id % 50 != 0)
+SELECT source,
+       count(*) AS n_docs,
+       cast(sum(CASE WHEN low_q + repv + dup + cont = 0
+                     THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+       cast(sum(low_q) AS bigint) AS n_low_quality,
+       cast(sum(repv) AS bigint) AS n_repetitive,
+       cast(sum(dup) AS bigint) AS n_dupe,
+       cast(sum(cont) AS bigint) AS n_contaminated
+FROM flags GROUP BY source"""
 
 
 def _minhash_oracle(n_hashes: int = 12, band_size: int = 3,
@@ -812,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_score": q_repetition_score,
         "top_ngrams": q_top_ngrams,
         "mix_budget_sample": q_mix_budget_sample,
+        "curation_funnel": q_curation_funnel,
     }
 
 
@@ -1055,21 +1160,7 @@ SELECT doc_id,
        regexp_replace(regexp_replace(text, '{cur.EMAIL_RE}', '<EMAIL>', 'g'),
                       '{cur.PHONE_RE}', '<PHONE>', 'g') AS clean_text
 FROM injected""",
-        "repetition_score": """
-WITH g AS (
-  SELECT doc_id,
-         CASE WHEN len(w) >= 3 THEN
-           list_transform(generate_series(1, len(w) - 2),
-                          i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
-         ELSE [] END AS grams
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
-SELECT doc_id,
-       cast(len(grams) AS int) AS n_grams,
-       cast(len(list_distinct(grams)) AS int) AS n_distinct,
-       CASE WHEN len(grams) > 0 THEN
-         (len(grams) - len(list_distinct(grams))) * 1.0 / len(grams)
-       ELSE 0.0 END AS rep_ratio
-FROM g""",
+        "repetition_score": _REPETITION_SQL,
         "top_ngrams": """
 WITH g AS (
   SELECT unnest(CASE WHEN len(w) >= 2 THEN
@@ -1082,6 +1173,7 @@ SELECT ngram, n, rank FROM (
          cast(row_number() OVER (ORDER BY n DESC, ngram) AS int) AS rank
   FROM c)
 WHERE rank <= 50""",
+        "curation_funnel": _curation_funnel_oracle(),
         "mix_budget_sample": """
 SELECT doc_id, stratum, n_tokens, cum_before FROM (
   SELECT doc_id, source AS stratum,

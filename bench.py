@@ -44,6 +44,7 @@ HEADLINE = [
     "repetition_score",
     "top_ngrams",
     "mix_budget_sample",
+    "curation_funnel",
 ]
 
 
