@@ -506,6 +506,23 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.pack_sequences(_docs(spark, sf_dir), budget=200)
 
 
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # aspect-preserving resize PLAN over decoded metadata (integer math;
+    # the pixel resample is the documented codec seam, multimodal.py)
+    return mm.resize_plan(
+        mm.image_meta(mm.with_fake_payload(_docs(spark, sf_dir))),
+        max_side=256)
+
+
+def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KMV bottom-k sketch: an APPROXIMATE distinct count whose estimate is
+    # bit-identical across engines (md5 + integer arithmetic), so unlike
+    # flagship_approx/HLL the driver's value-hash check passes. Groups
+    # under k distinct keys are exact by construction.
+    from logpipe_spark.operators.aggregate import kmv_distinct
+    return kmv_distinct(_t(spark, sf_dir), "role", "conv_id", k=64)
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The curation layer composed end-to-end, the way a production corpus
     # ships: per source, how many docs survive ALL gates (quality >= 0.55,
@@ -841,6 +858,44 @@ FROM q"""
 _HEXVAL = "(strpos('0123456789abcdef', substr(m, {i}, 1)) - 1)"
 
 
+def _mm_resize_oracle(max_side: int = 256) -> str:
+    return f"""WITH meta AS ({_mm_oracle()}),
+t AS (
+  SELECT doc_id, width, height, channels,
+         cast(CASE WHEN greatest(width, height) <= {max_side} THEN width
+                   WHEN width >= height THEN {max_side}
+                   ELSE greatest((width * {max_side}) // height, 1)
+              END AS int) AS target_w,
+         cast(CASE WHEN greatest(width, height) <= {max_side} THEN height
+                   WHEN width >= height
+                        THEN greatest((height * {max_side}) // width, 1)
+                   ELSE {max_side} END AS int) AS target_h
+  FROM meta)
+SELECT doc_id, width, height, channels, target_w, target_h,
+       cast(target_w AS bigint) * target_h * channels AS out_bytes
+FROM t"""
+
+
+def _kmv_oracle(k: int = 64) -> str:
+    poly = " + ".join(
+        f"{_HEXVAL.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8))
+    return f"""{_oracle_prefix()},
+d AS (SELECT DISTINCT role AS grp, md5(cast(conv_id AS varchar)) AS h
+      FROM transcripts),
+r AS (SELECT grp, h,
+             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM d),
+kept AS (SELECT grp, h, rn FROM r WHERE rn <= {k}),
+kth AS (SELECT grp, ({poly}) AS vk
+        FROM (SELECT grp, h AS m FROM kept WHERE rn = {k})),
+c AS (SELECT grp, count(*) AS n_hashes FROM kept GROUP BY grp)
+SELECT c.grp AS role,
+       cast(c.n_hashes AS bigint) AS n_hashes,
+       cast(CASE WHEN kth.vk IS NULL THEN c.n_hashes
+                 ELSE ({k - 1} * cast({16 ** 8} AS bigint))
+                      // greatest(kth.vk, 1) END AS bigint) AS estimate
+FROM c LEFT JOIN kth USING (grp)"""
+
+
 def _mm_oracle() -> str:
     def byte(n: int) -> str:
         return (f"({_HEXVAL.format(i=2 * n + 1)} * 16 + "
@@ -917,6 +972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "mix_budget_sample": q_mix_budget_sample,
         "curation_funnel": q_curation_funnel,
+        "approx_distinct_kmv": q_approx_distinct_kmv,
+        "mm_resize": q_mm_resize,
     }
 
 
@@ -1174,6 +1231,8 @@ SELECT ngram, n, rank FROM (
   FROM c)
 WHERE rank <= 50""",
         "curation_funnel": _curation_funnel_oracle(),
+        "approx_distinct_kmv": _kmv_oracle(),
+        "mm_resize": _mm_resize_oracle(),
         "mix_budget_sample": """
 SELECT doc_id, stratum, n_tokens, cum_before FROM (
   SELECT doc_id, source AS stratum,

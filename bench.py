@@ -45,6 +45,8 @@ HEADLINE = [
     "top_ngrams",
     "mix_budget_sample",
     "curation_funnel",
+    "approx_distinct_kmv",
+    "mm_resize",
 ]
 
 

@@ -91,3 +91,58 @@ def fold_by(
         return pd.DataFrame([row])
 
     return df.groupBy(key).applyInPandas(apply, schema=out_schema)
+
+
+def kmv_distinct(df: DataFrame, group_col: str, key_col: str,
+                 k: int = 64) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch with
+    CROSS-ENGINE-DETERMINISTIC estimates.
+
+    HLL (`approx_count_distinct`) estimates differ between engines by
+    construction, so the flagship_approx oracle can only check rows+schema.
+    KMV closes that gap: hash keys with md5 (identical in Spark and
+    DuckDB), keep the k smallest distinct hashes per group, and estimate
+
+        n ≈ (k - 1) * M / v_k
+
+    where v_k is the k-th smallest hash prefix as an integer and M = 16^8
+    is the prefix space — ALL INTEGER ARITHMETIC, so both engines produce
+    the identical estimate and the driver's value-hash check passes on an
+    approximate aggregate. Groups with fewer than k distinct keys are
+    counted exactly (the sketch is lossless below k).
+
+    Scale shape: one distinct shuffle on (group, hash) then a per-group
+    bottom-k window — the same cost class as exact distinct. The win over
+    exact is NOT this batch form but its mergeability: bottom-k sets union
+    across partitions/days into an O(k) state (the streaming/rollup path),
+    and the estimate is reproducible anywhere md5 exists.
+
+    Returns (group, n_hashes, estimate): n_hashes = min(k, true distinct).
+    """
+    from pyspark.sql import Window
+
+    m = 16 ** 8  # value space of an 8-hex-digit prefix
+    d = (
+        df.select(F.col(group_col).alias("grp"),
+                  F.md5(F.col(key_col).cast("string")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    ranked = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    kth = (
+        ranked.filter(F.col("rn") == k)
+        .select("grp", F.conv(F.substring("h", 1, 8), 16, 10)
+                .cast("bigint").alias("vk"))
+    )
+    return (
+        ranked.groupBy("grp").agg(F.count(F.lit(1)).alias("n_hashes"))
+        .join(kth, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_hashes").cast("bigint").alias("n_hashes"),
+            F.when(F.col("vk").isNull(), F.col("n_hashes"))
+            .otherwise(F.expr(
+                f"({k} - 1) * cast({m} AS bigint) div greatest(vk, 1)"))
+            .cast("bigint").alias("estimate"),
+        )
+    )

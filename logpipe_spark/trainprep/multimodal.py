@@ -102,3 +102,43 @@ def frame_sample_stub(docs_with_payload: DataFrame, every_n: int = 10,
             f"THEN sequence(0, n_frames - 1, {every_n}) "
             f"ELSE array() END")).alias("frame_idx"),
     )
+
+
+def resize_image_stub(payload: bytes, tw: int, th: int) -> bytes:
+    """Real-resample seam. Replace with PIL's Image.resize((tw, th))."""
+    raise NotImplementedError(
+        "image codec not available in this container; "
+        "wire PIL/opencv resampling here in production"
+    )
+
+
+def resize_plan(meta: DataFrame, max_side: int = 256) -> DataFrame:
+    """Aspect-preserving resize targets from decoded metadata — the
+    planning half of an image-resize stage (the pixel resample itself is
+    the :func:`resize_image_stub` seam, a mapInPandas over payload +
+    target dims exactly like :func:`image_meta`).
+
+    Pure integer arithmetic (floor division), so the DuckDB oracle
+    reproduces targets exactly. Narrow pass, fuses with the decode stage.
+    Emits (doc_id, width, height, target_w, target_h, out_bytes); images
+    already inside the box keep their dimensions.
+    """
+    w, h, c = F.col("width"), F.col("height"), F.col("channels")
+    needs = (F.greatest(w, h) > max_side)
+    landscape = w >= h
+    tw = F.when(~needs, w).otherwise(
+        F.when(landscape, F.lit(max_side))
+        .otherwise(F.greatest(F.expr(f"width * {max_side} div height"),
+                              F.lit(1))))
+    th = F.when(~needs, h).otherwise(
+        F.when(landscape, F.greatest(F.expr(f"height * {max_side} div width"),
+                                     F.lit(1)))
+        .otherwise(F.lit(max_side)))
+    return meta.select(
+        "doc_id", "width", "height", "channels",
+        tw.cast("int").alias("target_w"),
+        th.cast("int").alias("target_h"),
+    ).withColumn(
+        "out_bytes",
+        F.expr("cast(target_w AS bigint) * target_h * channels"),
+    )

@@ -228,3 +228,53 @@ def test_synth_single_conv_with_hot_fraction(spark):
                           hot_conv_fraction=0.5)
     assert t.select("conv_id").distinct().count() == 1
     assert t.count() == 100
+
+
+def test_kmv_estimate_accuracy_and_exact_small_groups(spark):
+    """KMV: exact below k; within ~3/sqrt(k) relative error above k; and
+    deterministic (the cross-engine property the oracle hash relies on)."""
+    from pyspark.sql import functions as F
+
+    from logpipe_spark.operators.aggregate import kmv_distinct
+
+    df = spark.range(5000).select(
+        F.when(F.col("id") < 4800, "big").otherwise("small").alias("g"),
+        F.concat(F.lit("k"), F.col("id")).alias("key"))
+    out = {r.g: r for r in kmv_distinct(df, "g", "key", k=64).collect()}
+    tiny = spark.range(10).select(F.lit("t").alias("g"),
+                                  F.col("id").cast("string").alias("key"))
+    t = kmv_distinct(tiny, "g", "key", k=64).collect()[0]
+    assert t.n_hashes == 10 and t.estimate == 10  # exact below k
+    # big group: 4800 distinct, k=64 -> rel error well under 3/sqrt(64)=0.375
+    big = out["big"]
+    assert big.n_hashes == 64
+    assert abs(big.estimate - 4800) / 4800 < 0.375, big.estimate
+    # determinism across runs
+    again = {r.g: r.estimate
+             for r in kmv_distinct(df, "g", "key", k=64).collect()}
+    assert again["big"] == big.estimate
+
+
+def test_mm_resize_plan_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from logpipe_spark.trainprep import multimodal as mm
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = mm.resize_plan(
+        mm.image_meta(mm.with_fake_payload(docs)), max_side=256).collect()
+    assert len(out) == 500
+    for r in out:
+        assert max(r.target_w, r.target_h) <= 256
+        assert r.target_w >= 1 and r.target_h >= 1
+        if max(r.width, r.height) <= 256:   # already inside the box
+            assert (r.target_w, r.target_h) == (r.width, r.height)
+        else:                               # aspect preserved within floor
+            long_side = max(r.width, r.height)
+            assert max(r.target_w, r.target_h) == 256
+            # floor division: target_short = short * 256 // long
+            short, tshort = ((r.height, r.target_h)
+                             if r.width >= r.height
+                             else (r.width, r.target_w))
+            assert tshort == max(short * 256 // long_side, 1)
+        assert r.out_bytes == r.target_w * r.target_h * r.channels
