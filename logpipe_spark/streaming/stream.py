@@ -36,8 +36,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (IntegerType, LongType, StringType,
-                               StructField, StructType, TimestampType)
+from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                               StringType, StructField, StructType,
+                               TimestampType)
 
 from logpipe_spark.schemas import TRANSCRIPT_SCHEMA
 
@@ -193,3 +194,62 @@ def stream_dedup_exact(stream: DataFrame, watermark: str = "10 minutes",
     The unbounded-input analog of ``trainprep.dedup.exact_dedup_groups``."""
     return (stream.withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(list(keys)))
+
+
+KMV_SCHEMA = StructType([
+    StructField("group_key", StringType()),
+    StructField("n_hashes", LongType()),
+    StructField("estimate", LongType()),
+])
+
+_KMV_STATE = StructType([
+    StructField("hashes", ArrayType(StringType())),
+])
+
+
+def _kmv_fn_factory(k: int):
+    m = 16 ** 8
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        cur = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            cur.update(pdf["h"].dropna().tolist())
+        top = sorted(cur)[:k]          # bottom-k union-merge: O(k) state
+        state.update((top,))
+        n = len(top)
+        if n < k:
+            est = n                    # lossless below k, same as batch
+        else:
+            est = (k - 1) * m // max(int(top[-1][:8], 16), 1)
+        yield pd.DataFrame({"group_key": [key[0]],
+                            "n_hashes": [n], "estimate": [est]})
+
+    return fn
+
+
+def stream_kmv_distinct(stream: DataFrame, group_col: str, key_col: str,
+                        k: int = 64) -> DataFrame:
+    """Streaming KMV distinct sketch: the incremental form of
+    ``operators.aggregate.kmv_distinct`` and the realization of its
+    mergeability claim — per-group state is the bottom-k hash set (O(k),
+    bounded forever, no watermark needed because the sketch itself is the
+    eviction policy), and the union-merge per trigger is exactly the
+    cross-partition/cross-day merge a 100 TB rollup does.
+
+    Update mode: every trigger emits the group's current (n_hashes,
+    estimate); estimates are monotonically non-decreasing (v_k only
+    shrinks) and the final emission equals the batch kmv_distinct over
+    the same data regardless of how the stream was micro-batched
+    (asserted in tests at two pacings).
+    """
+    hashed = stream.select(
+        F.col(group_col).alias("group_key"),
+        F.md5(F.col(key_col).cast("string")).alias("h"))
+    return hashed.groupBy("group_key").applyInPandasWithState(
+        _kmv_fn_factory(k),
+        outputStructType=KMV_SCHEMA,
+        stateStructType=_KMV_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

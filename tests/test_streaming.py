@@ -179,3 +179,32 @@ def test_stream_dedup_exact(spark, tmp_path):
     out = spark.sql("SELECT conv_id, turn_idx FROM dedup_out")
     assert out.count() == 500
     assert out.distinct().count() == 500
+
+
+def test_stream_kmv_matches_batch_at_two_pacings(spark, stream_dir, tmp_path):
+    """Streaming KMV final estimates must equal the batch sketch over the
+    same data regardless of micro-batch split (the mergeability claim)."""
+    from logpipe_spark.operators.aggregate import kmv_distinct
+    from logpipe_spark.streaming.stream import stream_kmv_distinct
+
+    batch = kmv_distinct(spark.read.parquet(stream_dir), "role", "conv_id",
+                         k=32)
+    want = {r.role: (r.n_hashes, r.estimate) for r in batch.collect()}
+
+    for i, mft in enumerate((None, 1)):
+        stream = stream_transcripts(spark, stream_dir,
+                                    max_files_per_trigger=mft)
+        q = (stream_kmv_distinct(stream, "role", "conv_id", k=32)
+             .writeStream.format("memory").queryName(f"kmv{i}")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / f"ck{i}"))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(180)
+        rows = spark.sql(f"SELECT * FROM kmv{i}").toPandas()
+        # update mode emits per trigger; the final state per group is the
+        # max n_hashes row, and estimates are monotone so max() is final
+        final = (rows.groupby("group_key")
+                 .agg({"n_hashes": "max", "estimate": "max"}))
+        got = {g: (int(r.n_hashes), int(r.estimate))
+               for g, r in final.iterrows()}
+        assert got == want, f"mft={mft}: {got} != {want}"
