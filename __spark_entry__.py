@@ -16,7 +16,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from logpipe_spark.operators.aggregate import count_by, stats_by
+from logpipe_spark.operators.aggregate import (
+    count_by,
+    percentiles_disc,
+    stats_by,
+    time_rollup,
+)
+from logpipe_spark.operators.asof import asof_join
+from logpipe_spark.operators.rangejoin import interval_join
 from logpipe_spark.trainprep import curate as cur
 from logpipe_spark.trainprep import dedup as dd
 from logpipe_spark.trainprep import multimodal as mm
@@ -911,6 +918,88 @@ FROM h"""
 
 
 # ---------------------------------------------------------------------------
+# Time-series operators over the raw events table (round-brief custom ops:
+# as-of join, range join, hypertable rollup, exact percentiles)
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # TIMESTAMP_NTZ → TIMESTAMP (session tz UTC: wall-clock identity)
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # For each click, the latest error at-or-before it for the same user
+    # (operators/asof.py: union+window single-shuffle as-of join).
+    # gap_seconds is a RAW double from identical integer operands in both
+    # engines (micros diff / 1e6) — bit-identical, never rounded.
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "value", "ts"
+    )
+    j = asof_join(
+        clicks, errors, on=["user_id"], ts="ts",
+        right_cols=["event_id", "value"], prefix="err_", tiebreak="event_id",
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "err_event_id",
+        "err_value",
+        (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("err_ts"))) / F.lit(1e6)
+        ).alias("gap_seconds"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interval containment join without an equality key: lineitems shipped
+    # inside each urgent order's 14-day window (operators/rangejoin.py:
+    # bucketed range join — hash join on time bucket, NOT a nested loop).
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    win = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 29 == 0)
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("start_ts"),
+            (F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 14 DAYS")).alias(
+                "end_ts"
+            ),
+        )
+    )
+    pts = li.select(
+        F.col("l_shipdate").cast("timestamp").alias("ship_ts"), "l_extendedprice"
+    )
+    j = interval_join(win, pts, "start_ts", "end_ts", "ship_ts", bucket_days=14)
+    return j.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shipped"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hypertable-style continuous aggregate: minute partials re-merged to
+    # hourly finals (operators/aggregate.py:time_rollup). avg_value is a RAW
+    # double from identical operands (rounded sum / exact count) both sides.
+    return time_rollup(_events(spark, sf_dir), "ts", ["event_type"], "value")
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact discrete percentiles (rank-based, no interpolation arithmetic →
+    # bit-identical cross-engine; operators/aggregate.py:percentiles_disc).
+    return percentiles_disc(
+        _events(spark, sf_dir), "event_type", "value", (0.5, 0.9, 0.99),
+        tiebreak="event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -974,6 +1063,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "approx_distinct_kmv": q_approx_distinct_kmv,
         "mm_resize": q_mm_resize,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
+        "value_percentiles": q_value_percentiles,
     }
 
 
@@ -1244,4 +1337,60 @@ SELECT doc_id, stratum, n_tokens, cum_before FROM (
            AS cum_before
   FROM documents)
 WHERE cum_before < 1000""",
+        # window-formulation oracle (deliberately a DIFFERENT algorithm from
+        # the engine's union+window — DuckDB's native ASOF JOIN is a third
+        # formulation cross-checked in tests/test_timeseries.py)
+        "asof_join": """
+WITH u AS (
+  SELECT user_id, ts, 1 AS side, event_id,
+         cast(NULL AS bigint) AS r_event_id, cast(NULL AS double) AS r_value,
+         cast(NULL AS timestamp) AS r_ts
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 0, NULL, event_id, value, ts
+  FROM events WHERE event_type = 'error'
+), w AS (
+  SELECT *,
+    last_value(r_event_id IGNORE NULLS) OVER win AS err_event_id,
+    last_value(r_value IGNORE NULLS) OVER win AS err_value,
+    last_value(r_ts IGNORE NULLS) OVER win AS err_ts
+  FROM u
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, r_event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, ts, err_event_id, err_value,
+       (epoch_us(ts) - epoch_us(err_ts)) / 1e6 AS gap_seconds
+FROM w WHERE side = 1""",
+        "range_join": """
+WITH win AS (
+  SELECT o_orderkey, cast(o_orderdate AS timestamp) AS start_ts,
+         cast(o_orderdate AS timestamp) + INTERVAL 14 DAY AS end_ts
+  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 29 = 0)
+SELECT w.o_orderkey, cast(count(*) AS bigint) AS n_shipped,
+       round(sum(l.l_extendedprice), 2) AS revenue
+FROM win w JOIN lineitem l
+  ON l.l_shipdate >= w.start_ts AND l.l_shipdate <= w.end_ts
+GROUP BY w.o_orderkey""",
+        "time_rollup": """
+SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+       cast(count(value) AS bigint) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       round(sum(value), 2) / count(value) AS avg_value
+FROM events GROUP BY 1, 2""",
+        "value_percentiles": """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       max(CASE WHEN rn = cast(ceil(0.5 * n) AS bigint) THEN value END) AS p50,
+       max(CASE WHEN rn = cast(ceil(0.9 * n) AS bigint) THEN value END) AS p90,
+       max(CASE WHEN rn = cast(ceil(0.99 * n) AS bigint) THEN value END) AS p99,
+       cast(max(n) AS bigint) AS n
+FROM r GROUP BY event_type""",
     }

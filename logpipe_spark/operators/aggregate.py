@@ -93,6 +93,105 @@ def fold_by(
     return df.groupBy(key).applyInPandas(apply, schema=out_schema)
 
 
+def time_rollup(
+    df: DataFrame,
+    ts: str,
+    keys: Sequence[str],
+    value: str,
+    fine: str = "minute",
+    coarse: str = "hour",
+    round_dp: int = 2,
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup (round brief's custom-op
+    list; TimescaleDB continuous aggregates are the public semantic spec).
+
+    Aggregates at the ``fine`` grain first (count / sum / min / max are all
+    MERGEABLE partials), then re-aggregates those partials up to ``coarse``.
+    Semantically equal to aggregating the raw rows at ``coarse`` directly —
+    the point at 100 TB is that the fine-grain table is the MATERIALIZED
+    rollup you keep (one row per key·minute instead of per event), and every
+    coarser grain (hour/day/month) derives from it by re-merging partials
+    without touching raw data again. avg is intentionally NOT carried as a
+    partial — it does not merge; it is recomputed from sum/count at the
+    coarse grain.
+
+    Shuffle shape: the fine groupBy is the only full-data exchange; the
+    coarse pass shuffles the (tiny) fine rollup. Both are partial+final
+    hash aggregates (map-side combine).
+    """
+    keys = list(keys)
+    t = F.col(ts).cast("timestamp")
+    v = F.col(value).try_cast("double")
+    fine_df = df.groupBy(F.date_trunc(fine, t).alias("_fine_ts"), *keys).agg(
+        F.count(v).alias("n_events"),
+        F.sum(v).alias("sum_value"),
+        F.min(v).alias("min_value"),
+        F.max(v).alias("max_value"),
+    )
+    return (
+        fine_df.groupBy(F.date_trunc(coarse, F.col("_fine_ts")).alias("bucket_ts"), *keys)
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.round(F.sum("sum_value"), round_dp).alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .withColumn(
+            # RAW double quotient of identical operands (rounded sum, exact
+            # count) — bit-identical cross-engine; rounding an identical
+            # double is the engine-divergence trap (CLAUDE.md round() note)
+            "avg_value",
+            F.col("sum_value") / F.col("n_events"),
+        )
+    )
+
+
+def percentiles_disc(
+    df: DataFrame,
+    key: str,
+    value: str,
+    ps: Sequence[float] = (0.5, 0.9, 0.99),
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Exact DISCRETE percentiles per group — rank-based, engine-portable.
+
+    ``percentile_disc(p)`` = the smallest group element whose cumulative
+    rank reaches ``ceil(p * n)``. Because the result is an ACTUAL element
+    (no interpolation arithmetic), the value is bit-identical across
+    engines — unlike interpolated ``percentile_cont``/``quantile_cont``
+    whose float blends can differ in the last ulp. Ties in ``value`` are
+    broken by ``tiebreak`` so ranks are total and deterministic.
+
+    Scale note: ranks need a per-group sort (one shuffle + sort — the same
+    cost class as any window over the group). For low-cardinality groups of
+    ~10^10 rows each, the production alternative is `approx_percentile`
+    (t-digest, map-side mergeable); this operator is the exact oracle-able
+    form and the correctness reference for that approximation.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(value).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    wn = Window.partitionBy(key)
+    ranked = df.select(
+        key,
+        F.col(value).alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    aggs = []
+    for p in ps:
+        tag = f"p{int(round(p * 100))}"
+        target = F.ceil(F.lit(p) * F.col("_n")).cast("bigint")
+        aggs.append(
+            F.max(F.when(F.col("_rn") == target, F.col("_v"))).alias(tag)
+        )
+    aggs.append(F.max("_n").cast("bigint").alias("n"))
+    return ranked.groupBy(key).agg(*aggs)
+
+
 def kmv_distinct(df: DataFrame, group_col: str, key_col: str,
                  k: int = 64) -> DataFrame:
     """KMV (k-minimum-values / bottom-k) distinct-count sketch with

@@ -56,7 +56,7 @@ def test_progress_reporter_captures_running_stages(spark):
     # the assertions.
     lines = []
     flat = []
-    for delay_s in (0.3, 1.0, 3.0):
+    for delay_s in (0.3, 1.0, 3.0, 8.0):
         with ProgressReporter(spark, interval_s=0.05,
                               printer=lines.append) as pr:
             t.mapInPandas(make_slow(delay_s), schema=t.schema) \

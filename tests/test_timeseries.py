@@ -1,0 +1,176 @@
+"""Time-series custom operators: as-of join, interval join, hypertable
+rollup, exact discrete percentiles.
+
+The driver-shaped oracle parity for the four queries lives in
+test_oracle_parity.py; here we check (a) operator semantics against
+INDEPENDENT formulations (DuckDB's native ASOF JOIN, a naive Catalyst
+inequality join, pandas recomputation) and (b) the PLAN SHAPES that make
+them scale — no nested-loop joins, no join at all for as-of.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from logpipe_spark.operators.aggregate import percentiles_disc, time_rollup
+from logpipe_spark.operators.asof import asof_join
+from logpipe_spark.operators.rangejoin import interval_join
+from tests.conftest import SF_TINY
+
+
+def _events(spark):
+    return (
+        spark.read.parquet(f"{SF_TINY}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def test_asof_matches_duckdb_native_asof(spark):
+    """Third formulation: DuckDB ASOF LEFT JOIN agrees with the engine's
+    union+window on the same (click ← latest prior error) task."""
+    ev = _events(spark)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    got = (
+        asof_join(clicks, errors, on=["user_id"], ts="ts",
+                  right_cols=["event_id"], prefix="err_", tiebreak="event_id")
+        .select("event_id", "err_event_id")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW e AS SELECT * FROM '{SF_TINY}/events.parquet'")
+    want = con.sql(
+        """
+        SELECT l.event_id, r.event_id AS err_event_id
+        FROM (SELECT * FROM e WHERE event_type = 'click') l
+        ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'error') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id
+        """
+    ).df().reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    pd.testing.assert_series_equal(
+        got["err_event_id"].astype("Int64"), want["err_event_id"].astype("Int64"),
+        check_names=False,
+    )
+
+
+def test_asof_plan_has_no_join(spark):
+    """The union+window formulation must compile to zero Join operators
+    (one exchange + one sort) — the property that makes it linear."""
+    ev = _events(spark)
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error")
+    j = asof_join(clicks, errors, on=["user_id"], ts="ts", right_cols=["event_id"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Union" in plan and "Window" in plan
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    ev = _events(spark)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    loose = asof_join(clicks, errors, on=["user_id"], ts="ts", right_cols=[])
+    tight = asof_join(
+        clicks, errors, on=["user_id"], ts="ts", right_cols=[],
+        tolerance_seconds=600,
+    )
+    lp = loose.select("event_id", "asof_ts").toPandas().set_index("event_id")
+    tp = tight.select("event_id", "ts", "asof_ts").toPandas().set_index("event_id")
+    # every within-tolerance match survives; every stale one is nulled
+    merged = tp.join(lp, rsuffix="_loose")
+    gap = (merged["ts"] - merged["asof_ts_loose"]).dt.total_seconds()
+    keep = gap <= 600
+    assert merged.loc[keep & merged["asof_ts_loose"].notna(), "asof_ts"].notna().all()
+    assert merged.loc[~keep.fillna(False), "asof_ts"].isna().all()
+    assert merged["asof_ts"].isna().sum() > merged["asof_ts_loose"].isna().sum()
+
+
+def test_interval_join_matches_naive_inequality_join(spark):
+    """Bucketed range join ≡ Catalyst's nested-loop inequality join, row for
+    row — including intervals spanning multiple buckets (width 1 day,
+    intervals 3 days long)."""
+    orders = spark.read.parquet(f"{SF_TINY}/orders.parquet").limit(40)
+    li = spark.read.parquet(f"{SF_TINY}/lineitem.parquet")
+    win = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("start_ts"),
+        (F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 3 DAYS")).alias("end_ts"),
+    )
+    pts = li.select(F.col("l_shipdate").cast("timestamp").alias("ship_ts"), "l_orderkey")
+    fast = interval_join(win, pts, "start_ts", "end_ts", "ship_ts", bucket_days=1)
+    naive = win.join(
+        pts,
+        (F.col("ship_ts") >= F.col("start_ts")) & (F.col("ship_ts") <= F.col("end_ts")),
+    )
+    cols = ["o_orderkey", "l_orderkey", "ship_ts"]
+    f = fast.select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+    n = naive.select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+    assert len(f) == len(n) > 0
+    pd.testing.assert_frame_equal(f, n)
+
+
+def test_interval_join_plan_is_hash_or_merge_join(spark):
+    """The scale property: an equality join on the bucket — never
+    BroadcastNestedLoopJoin / CartesianProduct."""
+    orders = spark.read.parquet(f"{SF_TINY}/orders.parquet")
+    li = spark.read.parquet(f"{SF_TINY}/lineitem.parquet")
+    win = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("start_ts"),
+        (F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 14 DAYS")).alias("end_ts"),
+    )
+    pts = li.select(F.col("l_shipdate").cast("timestamp").alias("ship_ts"))
+    plan = (
+        interval_join(win, pts, "start_ts", "end_ts", "ship_ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_time_rollup_equals_direct_aggregate(spark):
+    """Merging minute partials to hours == aggregating raw rows at hours."""
+    ev = _events(spark)
+    rolled = time_rollup(ev, "ts", ["event_type"], "value").toPandas()
+    direct = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_ts"), "event_type")
+        .agg(
+            F.count("value").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+    )
+    key = ["bucket_ts", "event_type"]
+    r = rolled.sort_values(key).reset_index(drop=True)
+    d = direct.sort_values(key).reset_index(drop=True)
+    assert len(r) == len(d) > 0
+    for c in ["n_events", "min_value", "max_value"]:
+        pd.testing.assert_series_equal(r[c], d[c], check_names=False)
+    # partial-merged sums can differ from direct sums only below the
+    # rounding grain
+    assert (r["sum_value"] - d["sum_value"]).abs().max() <= 0.011
+
+
+def test_percentiles_disc_against_sorted_lists(spark):
+    ev = _events(spark)
+    got = percentiles_disc(ev, "event_type", "value", (0.5, 0.9), tiebreak="event_id")
+    gp = got.toPandas().set_index("event_type")
+    raw = ev.select("event_type", "value").toPandas()
+    import math
+
+    for et, grp in raw.groupby("event_type"):
+        vals = sorted(grp["value"])
+        n = len(vals)
+        assert gp.loc[et, "n"] == n
+        assert gp.loc[et, "p50"] == vals[math.ceil(0.5 * n) - 1]
+        assert gp.loc[et, "p90"] == vals[math.ceil(0.9 * n) - 1]
