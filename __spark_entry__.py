@@ -31,7 +31,7 @@ from logpipe_spark.trainprep import similarity as sim
 from logpipe_spark.trainprep import textqual as tq
 from logpipe_spark.operators.enrich import enrich_with_lookup
 from logpipe_spark.operators.parse import parse_grok
-from logpipe_spark.operators.spans import conv_spans, with_turn_latency
+from logpipe_spark.operators.spans import conv_spans, sessionize, with_turn_latency
 from logpipe_spark.plans.pipeline import flagship_summary
 from logpipe_spark.functions.textfn import token_count
 from logpipe_spark.transcripts import (
@@ -990,6 +990,22 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_rollup(_events(spark, sf_dir), "ts", ["event_type"], "value")
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch gap-based sessionization (operators/spans.py:sessionize), the
+    # batch twin of streaming.conversation_sessions. 6 h idle gap.
+    return sessionize(
+        _events(spark, sf_dir), "user_id", "ts", gap_seconds=21600,
+        tiebreak="event_id",
+    )
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Symmetric int8 vector quantization (trainprep/similarity.py:
+    # quantize_int8): floor(x*scale+0.5) — floor, never round(), for
+    # cross-engine determinism. Checksums stand in for the full q vector.
+    return sim.quantize_int8(_emb(spark, sf_dir))
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact discrete percentiles (rank-based, no interpolation arithmetic →
     # bit-identical cross-engine; operators/aggregate.py:percentiles_disc).
@@ -1067,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
         "value_percentiles": q_value_percentiles,
+        "sessionize": q_sessionize,
+        "embed_quantize": q_embed_quantize,
     }
 
 
@@ -1393,4 +1411,42 @@ SELECT event_type,
        max(CASE WHEN rn = cast(ceil(0.99 * n) AS bigint) THEN value END) AS p99,
        cast(max(n) AS bigint) AS n
 FROM r GROUP BY event_type""",
+        "sessionize": """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         cast(sum(CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 21600000000
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+              AS int) AS session_idx
+  FROM o
+)
+SELECT user_id, session_idx, cast(count(*) AS bigint) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS span_seconds
+FROM s GROUP BY user_id, session_idx""",
+        "embed_quantize": """
+WITH s AS (
+  SELECT vec_id,
+         127.0 / greatest(list_max(list_transform(embedding,
+                 v -> abs(cast(v AS double)))), 1e-12) AS scale,
+         embedding
+  FROM embeddings
+), q AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+           v -> cast(floor(cast(v AS double) * scale + 0.5) AS bigint)) AS qv
+  FROM s
+)
+SELECT vec_id, scale,
+       cast(list_aggregate(qv, 'sum') AS bigint) AS q_sum,
+       cast(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS bigint)
+         AS q_sq_sum,
+       cast(len(qv) AS int) AS n_dims
+FROM q""",
     }

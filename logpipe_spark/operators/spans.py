@@ -45,6 +45,46 @@ def with_turn_latency(df: DataFrame) -> DataFrame:
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Batch gap-based sessionization: split each key's ordered event stream
+    into sessions wherever the inter-event gap exceeds ``gap_seconds``.
+
+    The batch twin of ``streaming.conversation_sessions`` (event-time
+    timeout sessions): session boundaries are a lag-gap indicator summed
+    cumulatively — one shuffle on ``key`` + one sort, linear, the same
+    plan shape as any per-key window. ``session_idx`` is 0-based per key.
+
+    Output: one row per (key, session) with event count, start/end ts and
+    the session span as a RAW double of integer micros / 1e6 (bit-identical
+    cross-engine; see CLAUDE.md round() note).
+    """
+    order = [F.col(ts).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    gap_us = int(gap_seconds) * 1_000_000
+    prev = F.lag(F.col(ts)).over(w)
+    is_new = F.when(
+        prev.isNull() | (_micros(F.col(ts)) - _micros(prev) > gap_us), 1
+    ).otherwise(0)
+    cum = Window.partitionBy(key).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_session = df.withColumn("session_idx", (F.sum(is_new).over(cum) - 1).cast("int"))
+    return with_session.groupBy(key, "session_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        ((_micros(F.max(ts)) - _micros(F.min(ts))) / F.lit(1e6)).alias("span_seconds"),
+    )
+
+
 def turn_numbering(df: DataFrame) -> DataFrame:
     """row_number over (conv_id, ts) — recomputes turn order from timestamps."""
     w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")

@@ -11,6 +11,7 @@ parse→enrich→route→aggregate pipeline.
 from logpipe_spark.streaming.stream import (  # noqa: F401
     conversation_sessions,
     stream_dedup_exact,
+    stream_interval_join,
     stream_kmv_distinct,
     run_stream_once,
     stream_route_fanout,

@@ -253,3 +253,37 @@ def stream_kmv_distinct(stream: DataFrame, group_col: str, key_col: str,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    max_lag: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time range — e.g. each
+    user turn joined to the assistant/tool turns that answer it within
+    ``max_lag`` in the same conversation.
+
+    Both sides carry a watermark and the join condition carries BOTH the
+    equality key and the time-range constraint: that pair is what lets the
+    state store evict — a row older than (watermark + max_lag) can never
+    match a future row, so Spark drops it. Without the range condition the
+    join state grows without bound (Spark would have to keep every left row
+    forever). Column names must already be disjoint apart from ``on``.
+
+    State is hash-partitioned on ``on`` across executors, so a 10^12-turn
+    stream scales the same way the batch router does — per-conversation
+    state, watermark-bounded.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[on] == r[on])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return l.join(r, cond, "inner").drop(r[on])

@@ -208,3 +208,41 @@ def test_stream_kmv_matches_batch_at_two_pacings(spark, stream_dir, tmp_path):
         got = {g: (int(r.n_hashes), int(r.estimate))
                for g, r in final.iterrows()}
         assert got == want, f"mft={mft}: {got} != {want}"
+
+
+def test_stream_interval_join_matches_batch(spark, stream_dir, tmp_path):
+    """Stream-stream time-bounded join (user turn ← responses within 5 min
+    in the same conversation) drains to exactly the batch join's rows."""
+    from logpipe_spark.streaming import stream_interval_join
+
+    def split(df):
+        users = df.filter(F.col("role") == "user").select(
+            "conv_id", F.col("turn_idx").alias("u_idx"), F.col("ts").alias("u_ts"))
+        resps = df.filter(F.col("role") == "assistant").select(
+            "conv_id", F.col("turn_idx").alias("r_idx"), F.col("ts").alias("r_ts"))
+        return users, resps
+
+    su, sr = split(stream_transcripts(spark, stream_dir))
+    joined = stream_interval_join(su, sr, on="conv_id", left_ts="u_ts",
+                                  right_ts="r_ts", max_lag="5 minutes")
+    q = (joined.writeStream.format("memory").queryName("ssjoin")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckj"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT conv_id, u_idx, r_idx FROM ssjoin").toPandas()
+
+    bu, br = split(spark.read.parquet(stream_dir))
+    want = (
+        bu.join(br, "conv_id")
+        .where((F.col("r_ts") >= F.col("u_ts")) &
+               (F.col("r_ts") <= F.col("u_ts") + F.expr("INTERVAL 5 MINUTES")))
+        .select("conv_id", "u_idx", "r_idx")
+        .toPandas()
+    )
+    assert len(got) == len(want) > 0
+    key = ["conv_id", "u_idx", "r_idx"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert g.equals(w)

