@@ -22,6 +22,7 @@ from logpipe_spark.operators.aggregate import (
     stats_by,
     time_rollup,
 )
+from logpipe_spark.operators import skew as skw
 from logpipe_spark.operators.asof import asof_join
 from logpipe_spark.operators.rangejoin import interval_join
 from logpipe_spark.trainprep import curate as cur
@@ -990,6 +991,45 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_rollup(_events(spark, sf_dir), "ts", ["event_type"], "value")
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-min-sketch heavy hitters (operators/skew.py:cms_sketch): the
+    # fixed-size mergeable alternative to exact per-key counts for hot-key
+    # detection. md5 + integer arithmetic → estimates are bit-identical
+    # cross-engine (same determinism trick as approx_distinct_kmv).
+    t = _t(spark, sf_dir)
+    sketch = skw.cms_sketch(t, "conv_id", depth=3, width=256)
+    exact = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    est = skw.cms_estimate(sketch, exact.select("conv_id"), "conv_id",
+                           depth=3, width=256)
+    return (
+        exact.join(est, "conv_id")
+        .orderBy(F.desc("exact_count"), "conv_id")
+        .limit(20)
+    )
+
+
+def _cms_oracle(depth: int = 3, width: int = 256) -> str:
+    poly = " + ".join(
+        f"{_HEXVAL.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8))
+    seeds = ", ".join(str(s) for s in range(depth))
+    return f"""{_oracle_prefix()},
+e AS (SELECT s.seed, cast(conv_id AS varchar) AS k
+      FROM transcripts, (SELECT unnest([{seeds}]) AS seed) s),
+h AS (SELECT seed, k, md5(cast(seed AS varchar) || ':' || k) AS m FROM e),
+b AS (SELECT seed, k, ({poly}) % {width} AS bucket FROM h),
+sk AS (SELECT seed, bucket, count(*) AS n FROM b GROUP BY seed, bucket),
+keyx AS (SELECT conv_id, cast(count(*) AS bigint) AS exact_count
+         FROM transcripts GROUP BY conv_id),
+kb AS (SELECT DISTINCT k, seed, bucket FROM b),
+est AS (SELECT k AS conv_id, cast(min(n) AS bigint) AS cms_count
+        FROM kb JOIN sk USING (seed, bucket) GROUP BY k)
+SELECT keyx.conv_id, exact_count, cms_count
+FROM keyx JOIN est USING (conv_id)
+ORDER BY exact_count DESC, conv_id LIMIT 20"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Batch gap-based sessionization (operators/spans.py:sessionize), the
     # batch twin of streaming.conversation_sessions. 6 h idle gap.
@@ -1085,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "sessionize": q_sessionize,
         "embed_quantize": q_embed_quantize,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
     }
 
 
@@ -1449,4 +1490,5 @@ SELECT vec_id, scale,
          AS q_sq_sum,
        cast(len(qv) AS int) AS n_dims
 FROM q""",
+        "cms_heavy_hitters": _cms_oracle(),
     }

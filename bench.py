@@ -47,6 +47,14 @@ HEADLINE = [
     "curation_funnel",
     "approx_distinct_kmv",
     "mm_resize",
+    # time-series custom ops
+    "asof_join",
+    "range_join",
+    "time_rollup",
+    "sessionize",
+    "value_percentiles",
+    "embed_quantize",
+    "cms_heavy_hitters",
 ]
 
 

@@ -141,3 +141,55 @@ def salted_conv_spans(df: DataFrame, buckets: int = 16) -> DataFrame:
         F.min("_first").alias("first_ts"),
         F.max("_last").alias("last_ts"),
     )
+
+
+def _cms_bucket(seed_col: Column, key_str: Column, width: int) -> Column:
+    """Bucket = first 8 md5 hex digits of "seed:key" as int, mod width.
+    md5 + integer arithmetic only — identical in Spark and DuckDB, so CMS
+    estimates are cross-engine deterministic (same trick as kmv_distinct)."""
+    h = F.md5(F.concat_ws(":", seed_col.cast("string"), key_str))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"),
+                  F.lit(width))
+
+
+def cms_sketch(df: DataFrame, key: str, depth: int = 3,
+               width: int = 1024) -> DataFrame:
+    """Count-min sketch of key frequencies: ``depth × width`` counters.
+
+    The scale path for heavy-key detection: :func:`heavy_keys` shuffles one
+    count row per DISTINCT key (10^9 rows at 10^9 conversations); the CMS
+    shuffles at most depth×width rows TOTAL, regardless of key cardinality,
+    because map-side partial aggregation collapses each task's increments
+    into the fixed counter grid. Sketches merge by adding counters —
+    per-partition, per-day, per-cluster — so one pass over 100 TB yields a
+    few-KB summary whose point queries overestimate by at most
+    ~e·N/width with probability 1−e^−depth (Cormode & Muthukrishnan 2005).
+    """
+    rows = df.select(F.col(key).cast("string").alias("_k"))
+    e = rows.withColumn(
+        "seed", F.explode(F.array(*[F.lit(s) for s in range(depth)]))
+    )
+    return (
+        e.withColumn("bucket", _cms_bucket(F.col("seed"), F.col("_k"), width))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, keys_df: DataFrame, key: str,
+                 depth: int = 3, width: int = 1024,
+                 alias: str = "cms_count") -> DataFrame:
+    """Point-query the sketch for each key in ``keys_df``: min over the
+    depth counters the key hashes into (upper bound on the true count;
+    equality when none of its buckets collide)."""
+    e = keys_df.select(F.col(key)).withColumn(
+        "seed", F.explode(F.array(*[F.lit(s) for s in range(depth)]))
+    )
+    e = e.withColumn(
+        "bucket", _cms_bucket(F.col("seed"), F.col(key).cast("string"), width)
+    )
+    return (
+        e.join(sketch, ["seed", "bucket"], "left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias(alias))
+    )

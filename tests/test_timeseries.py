@@ -221,3 +221,20 @@ def test_quantize_int8_reconstruction_error_bounded(spark):
     import numpy as np
     for _, row in q.iterrows():
         assert got.loc[row["vec_id"], "q_sum"] == int(np.sum(row["q"]))
+
+
+def test_cms_estimate_is_tight_upper_bound(spark):
+    """CMS invariants: estimate >= exact for every key (min of counters can
+    never undercount), sketch size <= depth*width, and with width >> keys
+    most estimates are exact."""
+    from logpipe_spark.operators.skew import cms_estimate, cms_sketch
+
+    ev = _events(spark)
+    sketch = cms_sketch(ev, "user_id", depth=3, width=512)
+    assert sketch.count() <= 3 * 512
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(sketch, exact.select("user_id"), "user_id",
+                       depth=3, width=512)
+    j = exact.join(est, "user_id").toPandas()
+    assert (j["cms_count"] >= j["exact"]).all()
+    assert (j["cms_count"] == j["exact"]).mean() > 0.5
