@@ -119,15 +119,39 @@ def time_rollup(
     coarse pass shuffles the (tiny) fine rollup. Both are partial+final
     hash aggregates (map-side combine).
     """
+    return rollup_merge(
+        rollup_partials(df, ts, keys, value, fine), keys, coarse, round_dp
+    )
+
+
+def rollup_partials(
+    df: DataFrame, ts: str, keys: Sequence[str], value: str,
+    fine: str = "minute",
+) -> DataFrame:
+    """The fine-grain MERGEABLE partial table behind :func:`time_rollup` —
+    what a hypertable materializes per ingest batch. Partials from disjoint
+    batches (days, micro-batches, backfills) that share a fine bucket merge
+    by re-aggregation (:func:`rollup_merge`), so the rollup is incremental:
+    new data only appends/updates its own fine buckets."""
     keys = list(keys)
     t = F.col(ts).cast("timestamp")
     v = F.col(value).try_cast("double")
-    fine_df = df.groupBy(F.date_trunc(fine, t).alias("_fine_ts"), *keys).agg(
+    return df.groupBy(F.date_trunc(fine, t).alias("_fine_ts"), *keys).agg(
         F.count(v).alias("n_events"),
         F.sum(v).alias("sum_value"),
         F.min(v).alias("min_value"),
         F.max(v).alias("max_value"),
     )
+
+
+def rollup_merge(
+    fine_df: DataFrame, keys: Sequence[str], coarse: str = "hour",
+    round_dp: int = 2,
+) -> DataFrame:
+    """Merge fine-grain partials (possibly from multiple ingest batches)
+    up to ``coarse`` finals. count/sum/min/max re-aggregate losslessly;
+    avg is derived after the merge."""
+    keys = list(keys)
     return (
         fine_df.groupBy(F.date_trunc(coarse, F.col("_fine_ts")).alias("bucket_ts"), *keys)
         .agg(
@@ -190,6 +214,25 @@ def percentiles_disc(
         )
     aggs.append(F.max("_n").cast("bigint").alias("n"))
     return ranked.groupBy(key).agg(*aggs)
+
+
+def percentiles_approx(
+    df: DataFrame,
+    key: str,
+    value: str,
+    ps: Sequence[float] = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB path for :func:`percentiles_disc`: `percentile_approx`
+    (Greenwald-Khanna sketch) is map-side mergeable — no per-group sort, no
+    rank shuffle; error bounded by 1/accuracy of the rank. Same output
+    column names as the exact form so callers can swap them; the exact
+    operator is the correctness reference (tests assert closeness)."""
+    cols = [
+        F.percentile_approx(value, float(p), accuracy).alias(f"p{int(round(p * 100))}")
+        for p in ps
+    ]
+    return df.groupBy(key).agg(*cols, F.count(value).cast("bigint").alias("n"))
 
 
 def kmv_distinct(df: DataFrame, group_col: str, key_col: str,

@@ -238,3 +238,47 @@ def test_cms_estimate_is_tight_upper_bound(spark):
     j = exact.join(est, "user_id").toPandas()
     assert (j["cms_count"] >= j["exact"]).all()
     assert (j["cms_count"] == j["exact"]).mean() > 0.5
+
+
+def test_rollup_partials_merge_incrementally(spark):
+    """The continuous-aggregate contract: fine partials computed on two
+    disjoint ingest batches, unioned, merge to the SAME hourly finals as a
+    full recompute — even when a batch boundary splits a fine bucket."""
+    from logpipe_spark.operators.aggregate import (rollup_merge,
+                                                   rollup_partials,
+                                                   time_rollup)
+
+    ev = _events(spark)
+    # split mid-stream so some minute buckets straddle the two batches
+    h1 = ev.filter(F.col("event_id") % 2 == 0)
+    h2 = ev.filter(F.col("event_id") % 2 == 1)
+    inc = rollup_merge(
+        rollup_partials(h1, "ts", ["event_type"], "value").unionByName(
+            rollup_partials(h2, "ts", ["event_type"], "value")),
+        ["event_type"],
+    )
+    full = time_rollup(ev, "ts", ["event_type"], "value")
+    key = ["bucket_ts", "event_type"]
+    a = inc.toPandas().sort_values(key).reset_index(drop=True)
+    b = full.toPandas().sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    for c in ["n_events", "min_value", "max_value"]:
+        pd.testing.assert_series_equal(a[c], b[c], check_names=False)
+    assert (a["sum_value"] - b["sum_value"]).abs().max() <= 0.011
+
+
+def test_percentiles_approx_close_to_exact(spark):
+    """The mergeable sketch path tracks the exact rank-based form within
+    sketch tolerance (and exactly at accuracy >> n)."""
+    from logpipe_spark.operators.aggregate import percentiles_approx
+
+    ev = _events(spark)
+    exact = percentiles_disc(ev, "event_type", "value", (0.5, 0.9),
+                             tiebreak="event_id").toPandas().set_index("event_type")
+    approx = percentiles_approx(ev, "event_type", "value", (0.5, 0.9),
+                                accuracy=10000).toPandas().set_index("event_type")
+    for et in exact.index:
+        for c in ("p50", "p90"):
+            lo, hi = exact[c].min(), exact[c].max()
+            spread = max(hi - lo, 1.0)
+            assert abs(exact.loc[et, c] - approx.loc[et, c]) <= 0.05 * spread + 5.0
