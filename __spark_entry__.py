@@ -991,6 +991,58 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_rollup(_events(spark, sf_dir), "ts", ["event_type"], "value")
 
 
+def q_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trailing 1-hour RANGE frame per user ordered by event time (the
+    # telemetry moving-aggregate shape). The frame is keyed on epoch
+    # SECONDS (long) — Spark rangeBetween needs a numeric order column and
+    # integer cents make the in-frame sum exact cross-engine (double sums
+    # inside a range frame associate differently per engine; integer sums
+    # cannot). avg is a RAW double from identical integer operands.
+    ev = _events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.sum(cents).over(w).cast("bigint").alias("sum_cents_1h"),
+        (F.sum(cents).over(w) / F.lit(100.0) / F.count(F.lit(1)).over(w)).alias(
+            "avg_value_1h"
+        ),
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LEFT SEMI (SURVEY §2.4 join-type coverage): conversations containing
+    # at least one blank turn (the deterministic event_id%131 blank channel)
+    # — semi join never materializes the match side's columns.
+    t = _t(spark, sf_dir)
+    blanks = t.filter(F.col("text") == "").select("conv_id").distinct()
+    return (
+        t.join(blanks, "conv_id", "left_semi")
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_turns"))
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LEFT ANTI: the complement — conversations with NO blank turn; with
+    # q_semi_join partitions the conv set (counts sum to n_convs).
+    t = _t(spark, sf_dir)
+    blanks = t.filter(F.col("text") == "").select("conv_id").distinct()
+    return (
+        t.join(blanks, "conv_id", "left_anti")
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_turns"))
+    )
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Count-min-sketch heavy hitters (operators/skew.py:cms_sketch): the
     # fixed-size mergeable alternative to exact per-key counts for hot-key
@@ -1126,6 +1178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "embed_quantize": q_embed_quantize,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "moving_window": q_moving_window,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
     }
 
 
@@ -1491,4 +1546,27 @@ SELECT vec_id, scale,
        cast(len(qv) AS int) AS n_dims
 FROM q""",
         "cms_heavy_hitters": _cms_oracle(),
+        # epoch seconds = epoch_us // 1e6 (integer floor) to match Spark's
+        # timestamp->long cast; RANGE frames include all integer-second
+        # peers so tie order cannot matter; integer cents keep frame sums
+        # exact cross-engine
+        "moving_window": """
+SELECT user_id, event_id, ts,
+       cast(count(*) OVER w AS bigint) AS n_1h,
+       cast(sum(cents) OVER w AS bigint) AS sum_cents_1h,
+       (sum(cents) OVER w) / 100.0 / (count(*) OVER w) AS avg_value_1h
+FROM (SELECT user_id, event_id, ts,
+             cast(floor(value * 100 + 0.5) AS bigint) AS cents,
+             epoch_us(ts) // 1000000 AS es
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY es
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+        "semi_join": f"""{P}
+SELECT conv_id, cast(count(*) AS bigint) AS n_turns FROM transcripts
+WHERE conv_id IN (SELECT conv_id FROM transcripts WHERE text = '')
+GROUP BY conv_id""",
+        "anti_join": f"""{P}
+SELECT conv_id, cast(count(*) AS bigint) AS n_turns FROM transcripts
+WHERE conv_id NOT IN (SELECT conv_id FROM transcripts WHERE text = '')
+GROUP BY conv_id""",
     }

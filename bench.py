@@ -55,6 +55,7 @@ HEADLINE = [
     "value_percentiles",
     "embed_quantize",
     "cms_heavy_hitters",
+    "moving_window",
 ]
 
 

@@ -100,3 +100,55 @@ def test_salted_agg_equals_plain_on_adversarial_keys(spark):
     salted = {r.key: r["count"] for r in
               salted_count_by(df, "key", F.col("v"), buckets=7).collect()}
     assert plain == salted
+
+
+ASOF_TS = st.integers(min_value=0, max_value=20)
+ASOF_LEFT = st.lists(
+    st.tuples(st.sampled_from(["u1", "u2"]), ASOF_TS), min_size=1, max_size=12)
+ASOF_RIGHT = st.lists(
+    st.tuples(st.sampled_from(["u1", "u2"]), ASOF_TS), min_size=0, max_size=12)
+
+
+@given(left=ASOF_LEFT, right=ASOF_RIGHT)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """For ANY key/ts multiset (duplicate timestamps, empty right side,
+    single-key pileups) the union+window as-of join agrees with pandas
+    merge_asof(direction='backward', allow_exact_matches=True) on the
+    matched timestamp."""
+    import pandas as pd
+
+    from logpipe_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, i, float(t)) for i, (k, t) in enumerate(left)],
+        "k string, lid int, ts double")
+    rdf = spark.createDataFrame(
+        [(k, float(t)) for (k, t) in right] or [("__none__", -1.0)],
+        "k string, ts double")
+    got = (
+        asof_join(ldf, rdf, on=["k"], ts="ts", right_cols=[])
+        .select("lid", "asof_ts").toPandas()
+        .sort_values("lid").reset_index(drop=True)
+    )
+    lp = pd.DataFrame({"k": [k for k, _ in left],
+                       "lid": range(len(left)),
+                       "ts": [float(t) for _, t in left]}).sort_values("ts", kind="stable")
+    rp = pd.DataFrame({"k": [k for k, _ in right] or ["__none__"],
+                       "ts": [float(t) for _, t in right] or [-1.0]}).sort_values("ts", kind="stable")
+    want = (
+        pd.merge_asof(lp, rp, on="ts", by="k", direction="backward",
+                      allow_exact_matches=True, suffixes=("", "_r"))
+        .sort_values("lid").reset_index(drop=True)
+    )
+    # merge_asof keeps the left ts and exposes no matched-right-ts column
+    # directly; with right_cols=[] our asof_ts IS the matched right ts, so
+    # recompute it: the greatest right ts <= left ts per key.
+    def expected_match(k, t):
+        c = [rt for rk, rt in zip(rp["k"], rp["ts"]) if rk == k and rt <= t]
+        return max(c) if c else None
+
+    exp = [expected_match(k, float(t)) for k, t in left]
+    got_vals = [None if pd.isna(v) else float(v) for v in got["asof_ts"]]
+    assert got_vals == exp
+    assert len(got) == len(want)
