@@ -1043,6 +1043,47 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # groupBy().pivot() reshape: role x tool turn-count matrix. The pivot
+    # value list is EXPLICIT (ROLES/TOOLS order) — never inferred, which
+    # at scale would cost an extra distinct pass and make the schema
+    # data-dependent. Oracle = conditional aggregation (the relational
+    # equivalent of pivot).
+    from logpipe_spark.transcripts import TOOLS
+
+    t = _t(spark, sf_dir)
+    p = (
+        t.groupBy("role")
+        .pivot("tool", TOOLS)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "role",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(f"n_{c}") for c in TOOLS],
+    )
+
+
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ntile(4) quartile assignment per event_type over a TOTAL order
+    # (value, event_id) — the total order makes tile membership
+    # deterministic and engine-identical.
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            F.ntile(4).over(w).alias("quartile"),
+            F.col("value").alias("value"),
+        )
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Count-min-sketch heavy hitters (operators/skew.py:cms_sketch): the
     # fixed-size mergeable alternative to exact per-key counts for hot-key
@@ -1181,6 +1222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_window": q_moving_window,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
+        "pivot_counts": q_pivot_counts,
+        "ntile_buckets": q_ntile_buckets,
     }
 
 
@@ -1569,4 +1612,23 @@ GROUP BY conv_id""",
 SELECT conv_id, cast(count(*) AS bigint) AS n_turns FROM transcripts
 WHERE conv_id NOT IN (SELECT conv_id FROM transcripts WHERE text = '')
 GROUP BY conv_id""",
+        "pivot_counts": f"""{P}
+SELECT role,
+       cast(sum(CASE WHEN tool = 'search' THEN 1 ELSE 0 END) AS bigint) AS n_search,
+       cast(sum(CASE WHEN tool = 'bash' THEN 1 ELSE 0 END) AS bigint) AS n_bash,
+       cast(sum(CASE WHEN tool = 'editor' THEN 1 ELSE 0 END) AS bigint) AS n_editor,
+       cast(sum(CASE WHEN tool = 'browser' THEN 1 ELSE 0 END) AS bigint) AS n_browser,
+       cast(sum(CASE WHEN tool = 'none' THEN 1 ELSE 0 END) AS bigint) AS n_none
+FROM transcripts GROUP BY role""",
+        "ntile_buckets": """
+WITH q AS (
+  SELECT event_type, value,
+         ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS quartile
+  FROM events
+)
+SELECT event_type, cast(quartile AS int) AS quartile,
+       cast(count(*) AS bigint) AS n,
+       min(value) AS lo, max(value) AS hi
+FROM q GROUP BY event_type, quartile""",
     }

@@ -13,6 +13,8 @@ from logpipe_spark.streaming.stream import (  # noqa: F401
     stream_dedup_exact,
     stream_interval_join,
     stream_kmv_distinct,
+    stream_rollup_incremental,
+    read_rollup,
     run_stream_once,
     stream_route_fanout,
     stream_transcripts,

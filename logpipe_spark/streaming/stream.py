@@ -287,3 +287,43 @@ def stream_interval_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_lag}"))
     )
     return l.join(r, cond, "inner").drop(r[on])
+
+
+def stream_rollup_incremental(spark: SparkSession, src: str, state_dir: str,
+                              checkpoint_dir: str, fine: str = "minute",
+                              max_files_per_trigger: int | None = None):
+    """Streaming continuous aggregate: each micro-batch writes its FINE-grain
+    mergeable partials (aggregate.rollup_partials) to an epoch-keyed
+    directory; :func:`read_rollup` re-merges them to any coarser grain.
+
+    Exactly-once by construction: the batch writes ``mode("overwrite")``
+    into ``{state_dir}/epoch=<id>``, so a replayed epoch (crash between
+    sink write and checkpoint commit) overwrites its own partials instead
+    of double-counting — the same idempotent-per-epoch pattern as the
+    fan-out sink. State per epoch is one row per (fine bucket, tool) —
+    the hypertable ingest path: raw turns are never re-read to serve a
+    coarser rollup.
+    """
+    from logpipe_spark.functions.textfn import token_count
+    from logpipe_spark.operators.aggregate import rollup_partials
+
+    stream = stream_transcripts(spark, src,
+                                max_files_per_trigger=max_files_per_trigger)
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        partials = rollup_partials(
+            df.withColumn("_v", token_count(F.col("text"))),
+            "ts", ["tool"], "_v", fine)
+        (partials.coalesce(1).write.mode("overwrite")
+         .parquet(f"{state_dir}/epoch={epoch_id}"))
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir))
+
+
+def read_rollup(spark: SparkSession, state_dir: str,
+                coarse: str = "hour") -> DataFrame:
+    """Merge all epochs' fine partials up to ``coarse`` finals."""
+    from logpipe_spark.operators.aggregate import rollup_merge
+
+    return rollup_merge(spark.read.parquet(state_dir), ["tool"], coarse)

@@ -246,3 +246,32 @@ def test_stream_interval_join_matches_batch(spark, stream_dir, tmp_path):
     g = got.sort_values(key).reset_index(drop=True)
     w = want.sort_values(key).reset_index(drop=True)
     assert g.equals(w)
+
+
+def test_stream_rollup_incremental_equals_batch(spark, stream_dir, tmp_path):
+    """Continuous-aggregate parity: per-micro-batch fine partials, merged
+    across all epochs, equal the batch rollup over the same corpus —
+    including fine buckets split across micro-batches."""
+    from logpipe_spark.functions.textfn import token_count
+    from logpipe_spark.operators.aggregate import time_rollup
+    from logpipe_spark.streaming import read_rollup, stream_rollup_incremental
+
+    state = str(tmp_path / "rollup_state")
+    writer = stream_rollup_incremental(
+        spark, stream_dir, state, str(tmp_path / "ckr"),
+        max_files_per_trigger=1)
+    run_stream_once(writer)
+
+    got = read_rollup(spark, state, "hour").drop("epoch").toPandas()
+    batch = spark.read.parquet(stream_dir)
+    want = time_rollup(
+        batch.withColumn("_v", token_count(F.col("text"))),
+        "ts", ["tool"], "_v").toPandas()
+    key = ["bucket_ts", "tool"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w) > 0
+    for c in ["n_events", "min_value", "max_value"]:
+        import pandas as pd
+        pd.testing.assert_series_equal(g[c], w[c], check_names=False)
+    assert (g["sum_value"] - w["sum_value"]).abs().max() <= 0.011
