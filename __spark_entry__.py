@@ -1043,6 +1043,37 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Graph analytics over the near-dup graph: per-document triangle counts
+    # on the simhash pair edge set. Edges are (a < b) ordered, so the
+    # e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) chain enumerates each triangle exactly
+    # once (a<b<c) — three hash joins on doc ids, no enumeration of
+    # wedges beyond the join, the standard distributed triangle count.
+    # At scale: order vertices by DEGREE (not id) first so high-degree hubs
+    # sit on the rare side of each join (documented; id-order is the
+    # oracle-parity form).
+    edges = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+
+
 def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy().pivot() reshape: role x tool turn-count matrix. The pivot
     # value list is EXPLICIT (ROLES/TOOLS order) — never inferred, which
@@ -1224,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "pivot_counts": q_pivot_counts,
         "ntile_buckets": q_ntile_buckets,
+        "triangle_count": q_triangle_count,
     }
 
 
@@ -1631,4 +1663,12 @@ SELECT event_type, cast(quartile AS int) AS quartile,
        cast(count(*) AS bigint) AS n,
        min(value) AS lo, max(value) AS hi
 FROM q GROUP BY event_type, quartile""",
+        "triangle_count": f"""WITH pairs AS ({_simhash_pairs_oracle()}),
+e AS (SELECT doc_a, doc_b FROM pairs),
+tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+        JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+n AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+SELECT doc_id, cast(count(*) AS bigint) AS n_triangles
+FROM n GROUP BY doc_id""",
     }

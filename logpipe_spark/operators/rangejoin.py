@@ -46,6 +46,11 @@ def interval_join(
     """
     if how != "inner":
         raise ValueError("interval_join supports how='inner' (aggregate + join back for outer shapes)")
+    common = set(intervals.columns) & set(points.columns)
+    if common:
+        raise ValueError(
+            f"intervals and points share column names {sorted(common)}; "
+            "rename before joining (the result carries all columns of both)")
     w = F.lit(bucket_days * _SECONDS_PER_DAY)
     s_epoch = F.col(start).cast("timestamp").cast("long")
     e_epoch = F.col(end).cast("timestamp").cast("long")
