@@ -25,6 +25,23 @@ Scale design — the union+window formulation, NOT an inequality join:
 
 ``tolerance_seconds`` bounds the lookback (rows whose match is older come
 back NULL), mirroring pandas ``merge_asof(tolerance=...)``.
+
+**Hot-key skew** (:func:`asof_join_segmented`): one conversation holding a
+large fraction of rows makes the single per-key window a straggler — and
+order-sensitive windows cannot be salted the way commutative aggregates
+can. The segmented variant is the prefix-scan decomposition instead:
+
+1. bucket both sides by ``floor(ts / segment_seconds)`` and run the same
+   union+window **per (key, bucket)** — the hot key now splits across its
+   time buckets;
+2. reduce each (key, bucket) to its LAST right row (a tiny summary frame,
+   one row per key×bucket) and running-carry it across buckets per key —
+   the only per-key-serial step, linear in #buckets, not #rows;
+3. join the carry-in back on (key, bucket) and ``coalesce(within-bucket
+   match, carry-in)``.
+
+Identical output to :func:`asof_join` (asserted in tests at several
+segment widths); use it when a key can exceed one task's worth of rows.
 """
 
 from __future__ import annotations
@@ -34,7 +51,49 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "asof_join_segmented"]
+
+
+def _tagged(left, right, on, ts, right_cols, left_payload):
+    """Union-ready tagged frames: right rows side=0 carrying `_r_*` payload,
+    left rows side=1 carrying their own columns; `_ts` is the sort key."""
+    l_tag = left.select(
+        *on,
+        F.col(ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_payload],
+        F.col(ts).alias(ts),  # preserved verbatim in the output
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[ts].dataType).alias("_r_ts"),
+    )
+    r_tag = right.select(
+        *on,
+        F.col(ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        F.lit(None).cast(left.schema[ts].dataType).alias(ts),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.col(ts).alias("_r_ts"),
+    )
+    return l_tag, r_tag
+
+
+def _order(tiebreak):
+    order = [F.col("_ts").asc(), F.col("_side").asc()]
+    if tiebreak is not None:
+        # among equal-ts right rows the greatest tiebreak lands last → wins
+        order.append(F.col(f"_r_{tiebreak}").asc_nulls_first())
+    return order
+
+
+def _apply_tolerance(out, ts, prefix, right_cols, tolerance_seconds):
+    stale = (
+        F.col(ts).cast("double") - F.col(f"{prefix}ts").cast("double")
+    ) > F.lit(float(tolerance_seconds))
+    for c in [*right_cols, "ts"]:
+        name = f"{prefix}{c}"
+        out = out.withColumn(name, F.when(stale, F.lit(None)).otherwise(F.col(name)))
+    return out
 
 
 def asof_join(
@@ -60,31 +119,10 @@ def asof_join(
     right_cols = list(right_cols)
     left_payload = [c for c in left.columns if c not in on and c != ts]
 
-    l_tag = left.select(
-        *on,
-        F.col(ts).alias("_ts"),
-        F.lit(1).alias("_side"),
-        *[F.col(c) for c in left_payload],
-        F.col(ts).alias(ts),  # preserved verbatim in the output
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
-        F.lit(None).cast(right.schema[ts].dataType).alias("_r_ts"),
-    )
-    r_tag = right.select(
-        *on,
-        F.col(ts).alias("_ts"),
-        F.lit(0).alias("_side"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        F.lit(None).cast(left.schema[ts].dataType).alias(ts),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
-        F.col(ts).alias("_r_ts"),
-    )
-    order = [F.col("_ts").asc(), F.col("_side").asc()]
-    if tiebreak is not None:
-        # among equal-ts right rows the greatest tiebreak lands last → wins
-        order.append(F.col(f"_r_{tiebreak}").asc_nulls_first())
+    l_tag, r_tag = _tagged(left, right, on, ts, right_cols, left_payload)
     w = (
         Window.partitionBy(*on)
-        .orderBy(*order)
+        .orderBy(*_order(tiebreak))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tag.unionByName(r_tag).select(
@@ -97,10 +135,105 @@ def asof_join(
     )
     out = carried.filter(F.col("_side") == 1).drop("_side")
     if tolerance_seconds is not None:
-        stale = (
-            F.col(ts).cast("double") - F.col(f"{prefix}ts").cast("double")
-        ) > F.lit(float(tolerance_seconds))
-        for c in [*right_cols, "ts"]:
-            name = f"{prefix}{c}"
-            out = out.withColumn(name, F.when(stale, F.lit(None)).otherwise(F.col(name)))
+        out = _apply_tolerance(out, ts, prefix, right_cols, tolerance_seconds)
+    return out
+
+
+def asof_join_segmented(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    prefix: str = "asof_",
+    tiebreak: str | None = None,
+    segment_seconds: int = 3600,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Skew-proof as-of join: identical output to :func:`asof_join`, but the
+    per-key window runs per (key, time segment) so a hot key splits across
+    its segments; only an O(#segments) per-key carry pass is serial.
+    See the module docstring for the three phases.
+
+    Assumes right payload columns are non-null (both formulations treat a
+    NULL payload as "no value here" via ignorenulls; wrap nullable payloads
+    in a struct before joining to carry them verbatim)."""
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != ts]
+    right_cols = list(right_cols)
+    left_payload = [c for c in left.columns if c not in on and c != ts]
+
+    l_tag, r_tag = _tagged(left, right, on, ts, right_cols, left_payload)
+    bucket = F.floor(
+        F.col("_ts").cast("timestamp").cast("double") / F.lit(float(segment_seconds))
+    ).cast("long")
+    u = l_tag.unionByName(r_tag).withColumn("_bucket", bucket)
+
+    # phase 1: within-segment running match — hot keys split by segment
+    w_in = (
+        Window.partitionBy(*on, "_bucket")
+        .orderBy(*_order(tiebreak))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lrows = (
+        u.select(
+            *on,
+            "_bucket",
+            "_side",
+            *left_payload,
+            ts,
+            *[F.last(f"_r_{c}", ignorenulls=True).over(w_in).alias(f"_in_{c}")
+              for c in right_cols],
+            F.last("_r_ts", ignorenulls=True).over(w_in).alias("_in_ts"),
+        )
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
+
+    # phase 2: per-segment summary (the LAST right row of each segment) —
+    # one row per key×segment — then running carry across segments per key
+    ordcol = F.struct(
+        F.col("_ts"),
+        (F.col(f"_r_{tiebreak}") if tiebreak is not None else F.lit(0)).alias("_tb"),
+    )
+    summ = (
+        r_tag.withColumn("_bucket", bucket)
+        .groupBy(*on, "_bucket")
+        .agg(
+            F.max_by(
+                F.struct(
+                    *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+                    F.col("_r_ts").alias("_ts_v"),
+                ),
+                ordcol,
+            ).alias("_lastrow")
+        )
+    )
+    all_buckets = u.select(*on, "_bucket").distinct()
+    w_carry = (
+        Window.partitionBy(*on)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = all_buckets.join(summ, [*on, "_bucket"], "left").select(
+        *on,
+        "_bucket",
+        *[F.last(F.col(f"_lastrow.{c}"), ignorenulls=True).over(w_carry)
+          .alias(f"_carry_{c}") for c in right_cols],
+        F.last(F.col("_lastrow._ts_v"), ignorenulls=True).over(w_carry)
+        .alias("_carry_ts"),
+    )
+
+    # phase 3: resolve — within-segment match wins, else the carry-in
+    out = lrows.join(carry, [*on, "_bucket"], "left").select(
+        *on,
+        *left_payload,
+        ts,
+        *[F.coalesce(F.col(f"_in_{c}"), F.col(f"_carry_{c}")).alias(f"{prefix}{c}")
+          for c in right_cols],
+        F.coalesce(F.col("_in_ts"), F.col("_carry_ts")).alias(f"{prefix}ts"),
+    )
+    if tolerance_seconds is not None:
+        out = _apply_tolerance(out, ts, prefix, right_cols, tolerance_seconds)
     return out

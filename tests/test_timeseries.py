@@ -282,3 +282,44 @@ def test_percentiles_approx_close_to_exact(spark):
             lo, hi = exact[c].min(), exact[c].max()
             spread = max(hi - lo, 1.0)
             assert abs(exact.loc[et, c] - approx.loc[et, c]) <= 0.05 * spread + 5.0
+
+
+def test_asof_segmented_equals_plain_at_all_widths(spark):
+    """The prefix-scan decomposition returns byte-identical matches to the
+    single-window form — at segment widths forcing many segments (60 s),
+    a typical width (1 h), and one segment for everything (10^9 s)."""
+    from logpipe_spark.operators.asof import asof_join, asof_join_segmented
+
+    ev = _events(spark)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "value", "ts")
+    kw = dict(on=["user_id"], ts="ts", right_cols=["event_id", "value"],
+              prefix="err_", tiebreak="event_id")
+    plain = (asof_join(clicks, errors, **kw)
+             .toPandas().sort_values("event_id").reset_index(drop=True))
+    for width in (60, 3600, 10**9):
+        seg = (asof_join_segmented(clicks, errors, segment_seconds=width, **kw)
+               .toPandas().sort_values("event_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            seg[plain.columns], plain, check_dtype=False), width
+
+
+def test_asof_segmented_equals_plain_on_hot_key(spark):
+    """One key holding ~50% of all rows (the skew case the decomposition
+    exists for): results still identical, including tolerance nulling."""
+    from logpipe_spark.operators.asof import asof_join, asof_join_segmented
+
+    ev = _events(spark)
+    hot = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(7)).otherwise(F.col("user_id")))
+    clicks = hot.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    errors = hot.filter(F.col("event_type") == "error").select("user_id", "event_id", "ts")
+    kw = dict(on=["user_id"], ts="ts", right_cols=["event_id"],
+              prefix="err_", tiebreak="event_id", tolerance_seconds=7200)
+    plain = (asof_join(clicks, errors, **kw)
+             .toPandas().sort_values("event_id").reset_index(drop=True))
+    seg = (asof_join_segmented(clicks, errors, segment_seconds=1800, **kw)
+           .toPandas().sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(seg[plain.columns], plain, check_dtype=False)
