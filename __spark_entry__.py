@@ -1043,6 +1043,36 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "Latest version wins" dedup — keep each (user, event_type)'s most
+    # recent event. row_number over a TOTAL order (ts desc, event_id desc)
+    # rather than max_by: deterministic under ts ties and engine-identical.
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+def q_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # log2-bucketed document length histogram per source (corpus profiling
+    # pass): bucket = floor(log2(n_chars)) computed as bit_length-1 —
+    # INTEGER arithmetic, no floating log whose libm could differ.
+    d = _docs(spark, sf_dir)
+    # bin() renders the minimal binary string; its length-1 = floor(log2)
+    b = F.length(F.expr("bin(n_chars)")) - F.lit(1)
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .select("source", b.cast("int").alias("log2_bucket"))
+        .groupBy("source", "log2_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Graph analytics over the near-dup graph: per-document triangle counts
     # on the simhash pair edge set. Edges are (a < b) ordered, so the
@@ -1256,6 +1286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": q_pivot_counts,
         "ntile_buckets": q_ntile_buckets,
         "triangle_count": q_triangle_count,
+        "latest_by_key": q_latest_by_key,
+        "len_histogram": q_len_histogram,
     }
 
 
@@ -1671,4 +1703,15 @@ tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
 n AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
 SELECT doc_id, cast(count(*) AS bigint) AS n_triangles
 FROM n GROUP BY doc_id""",
+        "latest_by_key": """
+SELECT user_id, event_type, event_id, ts, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1""",
+        "len_histogram": """
+SELECT source, cast(length(bin(n_chars)) - 1 AS int) AS log2_bucket,
+       cast(count(*) AS bigint) AS n_docs
+FROM documents WHERE n_chars > 0
+GROUP BY source, log2_bucket""",
     }
