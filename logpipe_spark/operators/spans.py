@@ -85,6 +85,71 @@ def sessionize(
     )
 
 
+def sessionize_segmented(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    gap_seconds: int = 1800,
+    segment_seconds: int = 86400,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Skew-proof :func:`sessionize` — identical output, but the per-key
+    window runs per (key, time segment), so one hot key splits across its
+    segments (order-sensitive windows cannot be salted; this is the same
+    prefix decomposition as ``asof_join_segmented``).
+
+    Phase 1 sessionizes each (key, segment) locally. Phase 2 re-runs the
+    SAME lag-gap pass over the per-session summaries (one row per local
+    session — rows ∝ sessions, not events): intra-segment summary gaps
+    exceed the threshold by construction, so only boundary-adjacent
+    sessions can merge, and chains spanning many segments merge
+    transitively through the running sum. Phase 3 merges counts/extents
+    per chain.
+    """
+    order = [F.col(ts).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    gap_us = int(gap_seconds) * 1_000_000
+    seg = F.floor(
+        _micros(F.col(ts)) / F.lit(int(segment_seconds) * 1_000_000)
+    ).cast("long")
+    w1 = Window.partitionBy(key, "_seg").orderBy(*order)
+    c1 = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(F.col(ts)).over(w1)
+    is_new = F.when(
+        prev.isNull() | (_micros(F.col(ts)) - _micros(prev) > gap_us), 1
+    ).otherwise(0)
+    local = (
+        df.withColumn("_seg", seg)
+        .withColumn("_ls", F.sum(is_new).over(c1))
+        .groupBy(key, "_seg", "_ls")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(ts).alias("_start"),
+            F.max(ts).alias("_end"),
+        )
+    )
+    w2 = Window.partitionBy(key).orderBy("_start", "_end")
+    c2 = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_end = F.lag("_end").over(w2)
+    chain_new = F.when(
+        prev_end.isNull()
+        | (_micros(F.col("_start")) - _micros(prev_end) > gap_us),
+        1,
+    ).otherwise(0)
+    chained = local.withColumn(
+        "session_idx", (F.sum(chain_new).over(c2) - 1).cast("int")
+    )
+    return chained.groupBy(key, "session_idx").agg(
+        F.sum("_n").cast("bigint").alias("n_events"),
+        F.min("_start").alias("session_start"),
+        F.max("_end").alias("session_end"),
+        (
+            (_micros(F.max("_end")) - _micros(F.min("_start"))) / F.lit(1e6)
+        ).alias("span_seconds"),
+    )
+
+
 def turn_numbering(df: DataFrame) -> DataFrame:
     """row_number over (conv_id, ts) — recomputes turn order from timestamps."""
     w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")

@@ -323,3 +323,31 @@ def test_asof_segmented_equals_plain_on_hot_key(spark):
     seg = (asof_join_segmented(clicks, errors, segment_seconds=1800, **kw)
            .toPandas().sort_values("event_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(seg[plain.columns], plain, check_dtype=False)
+
+
+def test_sessionize_segmented_equals_plain(spark):
+    """Segmented sessionization == single-window sessionization at widths
+    forcing many segments, a typical width, and one segment — and on a
+    hot-key corpus (one user holding ~50% of rows)."""
+    from logpipe_spark.operators.spans import sessionize, sessionize_segmented
+
+    for df in (
+        _events(spark),
+        _events(spark).withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 2 == 0, F.lit(7))
+            .otherwise(F.col("user_id"))),
+    ):
+        plain = (
+            sessionize(df, "user_id", "ts", 21600, tiebreak="event_id")
+            .toPandas().sort_values(["user_id", "session_idx"])
+            .reset_index(drop=True))
+        for width in (7200, 86400, 10**9):
+            seg = (
+                sessionize_segmented(df, "user_id", "ts", 21600,
+                                     segment_seconds=width,
+                                     tiebreak="event_id")
+                .toPandas().sort_values(["user_id", "session_idx"])
+                .reset_index(drop=True))
+            pd.testing.assert_frame_equal(
+                seg[plain.columns], plain, check_dtype=False)
