@@ -59,3 +59,48 @@ def test_clustered_scan_reads_fewer_rows_via_pushdown(spark, tmp_path):
     scanned_clustered = rows_scanned(clustered)
     scanned_arrival = rows_scanned(arrival)
     assert scanned_clustered <= scanned_arrival
+
+
+def _morton(a, b, bits=16):
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    from logpipe_spark.plans.layout import zorder_key
+
+    rows = [(1, 0), (0, 1), (3, 5), (255, 255), (12345, 54321)]
+    df = spark.createDataFrame(rows, "a int, b int").select(
+        "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z"))
+    for r in df.collect():
+        assert r.z == _morton(r.a, r.b), (r.a, r.b)
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
+    """Lexicographic (user, day) clustering leaves `day` unprunable;
+    Z-order keeps BOTH columns' row-group ranges tight(er)."""
+    from logpipe_spark.plans.layout import (overlap_fraction, rowgroup_ranges,
+                                            write_clustered, write_zordered)
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .withColumn("day", F.dayofmonth(F.col("ts").cast("timestamp")))
+        .select("user_id", "day", "event_id", "value")
+    )
+    lex = str(tmp_path / "lex")
+    write_clustered(ev, lex, ["user_id", "day"], n_files=16)
+    zord = str(tmp_path / "zord")
+    write_zordered(ev, zord, "user_id", "day", n_files=16)
+
+    lex_day = overlap_fraction(rowgroup_ranges(lex, "day"))
+    z_day = overlap_fraction(rowgroup_ranges(zord, "day"))
+    z_user = overlap_fraction(rowgroup_ranges(zord, "user_id"))
+    # lexicographic: day interleaved everywhere (near-total overlap);
+    # z-order: day substantially tighter AND user_id still clustered
+    assert lex_day > 0.8
+    assert z_day < 0.6          # measured 0.425 (1.0 lexicographic)
+    assert z_user < 0.9         # measured 0.6 — both dims stay prunable
+    assert spark.read.parquet(zord).count() == ev.count()
