@@ -12,6 +12,7 @@ from logpipe_spark.streaming.stream import (  # noqa: F401
     conversation_sessions,
     stream_dedup_exact,
     stream_interval_join,
+    stream_asof_enrich,
     stream_kmv_distinct,
     stream_rollup_incremental,
     read_rollup,

@@ -327,3 +327,93 @@ def read_rollup(spark: SparkSession, state_dir: str,
     from logpipe_spark.operators.aggregate import rollup_merge
 
     return rollup_merge(spark.read.parquet(state_dir), ["tool"], coarse)
+
+
+ASOF_ENRICH_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("turn_idx", IntegerType()),
+    StructField("ts", TimestampType()),
+    StructField("ref_turn_idx", IntegerType()),
+    StructField("ref_ts", TimestampType()),
+])
+
+_ASOF_STATE = StructType([
+    StructField("last_us", LongType()),
+    StructField("last_idx", LongType()),
+])
+
+
+def _asof_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-key streaming as-of: enrich side=1 rows with the latest side=0
+    row at-or-before them. Vectorized: the batch's within-key as-of is ONE
+    pandas merge_asof (no per-row Python); across batches the carried
+    state (one right row) is prepended as a synthetic reference."""
+    last_us, last_idx = state.get if state.exists else (None, None)
+    for pdf in pdfs:
+        pdf = pdf.copy()
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf = pdf.sort_values(["ts", "side", "turn_idx"], kind="stable")
+        rights = pdf.loc[pdf["side"] == 0, ["ts", "turn_idx"]].rename(
+            columns={"turn_idx": "ref_turn_idx"})
+        rights["ref_ts"] = rights["ts"]
+        if last_us is not None:
+            carry_ts = pd.Timestamp(last_us, unit="us")
+            carry = pd.DataFrame(
+                {"ts": [carry_ts], "ref_turn_idx": [last_idx],
+                 "ref_ts": [carry_ts]})
+            rights = pd.concat([carry, rights], ignore_index=True)
+            rights["ts"] = rights["ts"].astype("datetime64[us]")
+            rights["ref_ts"] = rights["ref_ts"].astype("datetime64[us]")
+            rights = rights.sort_values("ts", kind="stable")
+        lefts = pdf.loc[pdf["side"] == 1, ["turn_idx", "ts"]]
+        if len(rights):
+            tail = rights.iloc[-1]
+            last_us = int(tail["ref_ts"].value // 1000)  # ns → us
+            last_idx = int(tail["ref_turn_idx"])
+        if len(lefts):
+            if len(rights):
+                m = pd.merge_asof(
+                    lefts.sort_values("ts", kind="stable"), rights,
+                    on="ts", direction="backward", allow_exact_matches=True)
+            else:
+                m = lefts.assign(ref_turn_idx=pd.NA, ref_ts=pd.NaT)
+            m.insert(0, "conv_id", key[0])
+            m["ref_turn_idx"] = m["ref_turn_idx"].astype("Int32")
+            yield m[["conv_id", "turn_idx", "ts", "ref_turn_idx", "ref_ts"]]
+    if last_us is not None:
+        state.update((int(last_us), int(last_idx)))
+
+
+def stream_asof_enrich(left: DataFrame, right: DataFrame,
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming as-of enrichment: each left turn carries the latest right
+    turn at-or-before it in the same conversation — "enrich clicks with
+    the current config" as an unbounded operator, the streaming twin of
+    ``operators.asof.asof_join``.
+
+    Both sides union into one keyed stream (side 0 = reference, 1 = to
+    enrich); per-conversation state is ONE row (the last reference seen) —
+    O(keys) state, no buffering of the enriched side. Within a micro-batch
+    rows process in event-time order; ACROSS batches semantics are
+    at-arrival (a reference row arriving after later left rows were
+    already emitted cannot retro-fill them — the streaming enrich
+    contract; the batch operator is the replayable exact form).
+
+    Inputs are transcript-shaped (conv_id, turn_idx, ts); left/right are
+    usually role filters of one stream.
+    """
+    tag = lambda df, side: df.select(  # noqa: E731
+        "conv_id", "turn_idx", F.col("ts"), F.lit(side).alias("side"))
+    merged = tag(right, 0).unionByName(tag(left, 1))
+    return (
+        merged.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _asof_fn,
+            outputStructType=ASOF_ENRICH_SCHEMA,
+            stateStructType=_ASOF_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

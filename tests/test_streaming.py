@@ -275,3 +275,57 @@ def test_stream_rollup_incremental_equals_batch(spark, stream_dir, tmp_path):
         import pandas as pd
         pd.testing.assert_series_equal(g[c], w[c], check_names=False)
     assert (g["sum_value"] - w["sum_value"]).abs().max() <= 0.011
+
+
+def test_stream_asof_enrich_matches_batch(spark, tmp_path):
+    """Streaming as-of enrich == batch as-of join when per-key arrival is
+    event-ordered across batches (time-split ingest files): user turns
+    carry the latest assistant turn at-or-before them."""
+    import time as _time
+
+    from logpipe_spark.operators.asof import asof_join
+    from logpipe_spark.streaming import stream_asof_enrich
+
+    t = synth_transcripts(spark, n_turns=3000, n_convs=40)
+    mid = t.selectExpr(
+        "percentile(cast(cast(ts AS timestamp) AS double), 0.5)").first()[0]
+    src = str(tmp_path / "asrc")
+    t.filter(F.col("ts").cast("timestamp").cast("double") <= mid) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.2)  # later mtime → file source processes it second
+    t.filter(F.col("ts").cast("timestamp").cast("double") > mid) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = stream_transcripts(spark, src, max_files_per_trigger=1)
+    enriched = stream_asof_enrich(
+        stream.filter(F.col("role") == "user"),
+        stream.filter(F.col("role") == "assistant"))
+    q = (enriched.writeStream.format("memory").queryName("asof_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "cka"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT conv_id, turn_idx, ref_turn_idx, ref_ts "
+                     "FROM asof_out").toPandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+
+    batch = spark.read.parquet(src)
+    want = (
+        asof_join(
+            batch.filter(F.col("role") == "user")
+            .select("conv_id", "turn_idx", "ts"),
+            batch.filter(F.col("role") == "assistant")
+            .select("conv_id", "turn_idx", "ts"),
+            on=["conv_id"], ts="ts", right_cols=["turn_idx"],
+            prefix="ref_", tiebreak="turn_idx")
+        .select("conv_id", "turn_idx", "ref_turn_idx", "ref_ts")
+        .toPandas().sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    import pandas as pd
+    pd.testing.assert_series_equal(
+        got["ref_turn_idx"].astype("Int64"),
+        want["ref_turn_idx"].astype("Int64"), check_names=False)
+    pd.testing.assert_series_equal(
+        pd.to_datetime(got["ref_ts"]), pd.to_datetime(want["ref_ts"]),
+        check_names=False)
