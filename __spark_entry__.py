@@ -1184,6 +1184,46 @@ FROM keyx JOIN est USING (conv_id)
 ORDER BY exact_count DESC, conv_id LIMIT 20"""
 
 
+def q_asof_join_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SKEW path of asof_join (operators/asof.py:asof_join_segmented,
+    # prefix-scan decomposition) — output contract identical to asof_join,
+    # so it shares that oracle verbatim: the hot-key decomposition is
+    # oracle-verified, not just equality-tested.
+    from logpipe_spark.operators.asof import asof_join_segmented
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "value", "ts"
+    )
+    j = asof_join_segmented(
+        clicks, errors, on=["user_id"], ts="ts",
+        right_cols=["event_id", "value"], prefix="err_", tiebreak="event_id",
+        segment_seconds=86400,
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "err_event_id",
+        "err_value",
+        (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("err_ts"))) / F.lit(1e6)
+        ).alias("gap_seconds"),
+    )
+
+
+def q_sessionize_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Skew path of sessionize (spans.py:sessionize_segmented) — same
+    # output contract, same oracle as sessionize.
+    from logpipe_spark.operators.spans import sessionize_segmented
+
+    return sessionize_segmented(
+        _events(spark, sf_dir), "user_id", "ts", gap_seconds=21600,
+        segment_seconds=86400, tiebreak="event_id",
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Batch gap-based sessionization (operators/spans.py:sessionize), the
     # batch twin of streaming.conversation_sessions. 6 h idle gap.
@@ -1288,10 +1328,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "latest_by_key": q_latest_by_key,
         "len_histogram": q_len_histogram,
+        "asof_join_seg": q_asof_join_seg,
+        "sessionize_seg": q_sessionize_seg,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    return _add_segmented_aliases(_oracle_sql_base())
+
+
+def _oracle_sql_base() -> dict[str, str]:
     P = _oracle_prefix()
     PE = _oracle_prefix(with_enrich=True)
     stats_cols = """cast(count({v}) AS bigint) AS count,
@@ -1715,3 +1761,12 @@ SELECT source, cast(length(bin(n_chars)) - 1 AS int) AS log2_bucket,
 FROM documents WHERE n_chars > 0
 GROUP BY source, log2_bucket""",
     }
+
+
+def _add_segmented_aliases(oracles: dict[str, str]) -> dict[str, str]:
+    """The segmented skew paths share their plain forms' output contract,
+    so they share the oracles verbatim — the decomposition itself is
+    oracle-verified."""
+    oracles["asof_join_seg"] = oracles["asof_join"]
+    oracles["sessionize_seg"] = oracles["sessionize"]
+    return oracles
