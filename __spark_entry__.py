@@ -1043,6 +1043,48 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-way join coverage (the reference has NO joins — SURVEY §2.4):
+    # region ⊳ nation ⊳ customer ⊳ orders ⊳ lineitem. The two tiny dims
+    # broadcast explicitly; the two fact joins hash on their keys. Revenue
+    # uses integer cents (floor(x*100+0.5)) so the big sum is exact
+    # cross-engine; the emitted revenue divides back by 100 — identical
+    # operands, bit-identical doubles.
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            (F.sum(cents) / F.lit(100.0)).alias("revenue"),
+        )
+    )
+
+
+def q_extract_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Generator/UDTF shape (one row → many): explode every numeric token
+    # of each turn's text, count occurrences per number. regexp_extract_all
+    # + explode == DuckDB regexp_extract_all + unnest.
+    t = _t(spark, sf_dir)
+    nums = F.expr("regexp_extract_all(text, '[0-9]+', 0)")
+    return (
+        t.select(F.explode_outer(nums).alias("num"))
+        .where(F.col("num").isNotNull())
+        .groupBy("num")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
 def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "Latest version wins" dedup — keep each (user, event_type)'s most
     # recent event. row_number over a TOTAL order (ts desc, event_id desc)
@@ -1330,6 +1372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "len_histogram": q_len_histogram,
         "asof_join_seg": q_asof_join_seg,
         "sessionize_seg": q_sessionize_seg,
+        "revenue_by_nation": q_revenue_by_nation,
+        "extract_tokens": q_extract_tokens,
     }
 
 
@@ -1760,6 +1804,21 @@ SELECT source, cast(length(bin(n_chars)) - 1 AS int) AS log2_bucket,
        cast(count(*) AS bigint) AS n_docs
 FROM documents WHERE n_chars > 0
 GROUP BY source, log2_bucket""",
+        "revenue_by_nation": """
+SELECT r.r_name AS region, n.n_name AS nation,
+       cast(count(*) AS bigint) AS n_items,
+       sum(cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS bigint)) / 100.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY region, nation""",
+        "extract_tokens": f"""{P},
+tok AS (SELECT unnest(regexp_extract_all(text, '[0-9]+')) AS num
+        FROM transcripts)
+SELECT num, cast(count(*) AS bigint) AS n FROM tok GROUP BY num""",
     }
 
 

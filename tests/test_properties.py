@@ -152,3 +152,41 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     got_vals = [None if pd.isna(v) else float(v) for v in got["asof_ts"]]
     assert got_vals == exp
     assert len(got) == len(want)
+
+
+IV = st.tuples(st.integers(0, 30), st.integers(-2, 10))  # (start_day, len_days; negative => empty)
+PT = st.integers(0, 40)
+
+
+@given(ivs=st.lists(IV, min_size=1, max_size=8), pts=st.lists(PT, min_size=1, max_size=15))
+@settings(**_SETTINGS)
+def test_interval_join_matches_python_containment(spark, ivs, pts):
+    """Bucketed interval join == brute-force containment for ANY interval
+    set: zero-length, negative (start>end), duplicates, multi-bucket
+    spans."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from logpipe_spark.operators.rangejoin import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    iv_rows = [
+        (i, base + dt.timedelta(days=s), base + dt.timedelta(days=s + l))
+        for i, (s, l) in enumerate(ivs)
+    ]
+    pt_rows = [(j, base + dt.timedelta(days=p)) for j, p in enumerate(pts)]
+    iv_df = spark.createDataFrame(iv_rows, "iv_id int, start_ts timestamp, end_ts timestamp")
+    pt_df = spark.createDataFrame(pt_rows, "pt_id int, p_ts timestamp")
+    got = {
+        (r.iv_id, r.pt_id)
+        for r in interval_join(iv_df, pt_df, "start_ts", "end_ts", "p_ts",
+                               bucket_days=2).collect()
+    }
+    want = {
+        (i, j)
+        for i, s, e in iv_rows
+        for j, p in pt_rows
+        if s <= p <= e
+    }
+    assert got == want
