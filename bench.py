@@ -56,6 +56,8 @@ HEADLINE = [
     "embed_quantize",
     "cms_heavy_hitters",
     "moving_window",
+    "revenue_by_nation",
+    "extract_tokens",
 ]
 
 
