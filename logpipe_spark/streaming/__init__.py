@@ -16,6 +16,8 @@ from logpipe_spark.streaming.stream import (  # noqa: F401
     stream_kmv_distinct,
     stream_rollup_incremental,
     read_rollup,
+    stream_cms_incremental,
+    read_cms,
     run_stream_once,
     stream_route_fanout,
     stream_transcripts,

@@ -417,3 +417,36 @@ def stream_asof_enrich(left: DataFrame, right: DataFrame,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_cms_incremental(spark: SparkSession, src: str, state_dir: str,
+                           checkpoint_dir: str, key: str = "conv_id",
+                           depth: int = 3, width: int = 1024,
+                           max_files_per_trigger: int | None = None):
+    """Streaming count-min sketch: each micro-batch writes its own
+    ``depth x width`` counter grid to ``{state_dir}/epoch=<id>`` (overwrite
+    → idempotent on replay, same pattern as ``stream_rollup_incremental``);
+    :func:`read_cms` merges epochs by summing counters. CMS counters are
+    linear, so the union of per-batch sketches IS the sketch of the union —
+    the streaming form costs nothing beyond the batch operator."""
+    from logpipe_spark.operators.skew import cms_sketch
+
+    stream = stream_transcripts(spark, src,
+                                max_files_per_trigger=max_files_per_trigger)
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        (cms_sketch(df, key, depth=depth, width=width)
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{state_dir}/epoch={epoch_id}"))
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir))
+
+
+def read_cms(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merge all epochs' sketches: sum counters per (seed, bucket)."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )

@@ -329,3 +329,31 @@ def test_stream_asof_enrich_matches_batch(spark, tmp_path):
     pd.testing.assert_series_equal(
         pd.to_datetime(got["ref_ts"]), pd.to_datetime(want["ref_ts"]),
         check_names=False)
+
+
+def test_stream_cms_equals_batch_sketch(spark, stream_dir, tmp_path):
+    """CMS linearity: per-micro-batch sketches summed across epochs equal
+    the batch sketch of the whole corpus — so heavy-hitter estimates from
+    the streamed sketch match the batch estimates exactly."""
+    from logpipe_spark.operators.skew import cms_estimate, cms_sketch
+    from logpipe_spark.streaming import read_cms, stream_cms_incremental
+
+    state = str(tmp_path / "cms_state")
+    writer = stream_cms_incremental(
+        spark, stream_dir, state, str(tmp_path / "ckc"),
+        width=256, max_files_per_trigger=1)
+    run_stream_once(writer)
+
+    merged = read_cms(spark, state).select("seed", "bucket", "n")
+    batch = spark.read.parquet(stream_dir)
+    want = cms_sketch(batch, "conv_id", depth=3, width=256)
+    m = {(r.seed, r.bucket): r.n for r in merged.collect()}
+    w = {(r.seed, r.bucket): r.n for r in want.collect()}
+    assert m == w
+
+    keys = batch.select("conv_id").distinct()
+    est_stream = cms_estimate(merged, keys, "conv_id", depth=3, width=256)
+    est_batch = cms_estimate(want, keys, "conv_id", depth=3, width=256)
+    es = {r.conv_id: r.cms_count for r in est_stream.collect()}
+    eb = {r.conv_id: r.cms_count for r in est_batch.collect()}
+    assert es == eb
