@@ -1043,6 +1043,53 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Audio branch of the multimodal plumbing (trainprep/multimodal.py:
+    # audio_meta): binary payload → typed header via Arrow-batched
+    # mapInPandas; decode seam = decode_audio_stub, deterministic fake =
+    # payload bytes 5..9 so the oracle reproduces it.
+    return mm.audio_meta(mm.with_fake_payload(_docs(spark, sf_dir)))
+
+
+def q_mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-window chunk plan over decoded audio metadata (the unit of work
+    # for a downstream resample/transcribe stage).
+    meta = mm.audio_meta(mm.with_fake_payload(_docs(spark, sf_dir)))
+    return mm.audio_chunk_plan(meta)
+
+
+def _mm_audio_oracle() -> str:
+    def byte(n: int) -> str:
+        return (f"({_HEXVAL.format(i=2 * n + 1)} * 16 + "
+                f"{_HEXVAL.format(i=2 * n + 2)})")
+
+    return f"""WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+t AS (SELECT doc_id,
+        CASE ({byte(5)}) % 4 WHEN 0 THEN 16000 WHEN 1 THEN 22050
+             WHEN 2 THEN 44100 ELSE 48000 END AS sample_rate,
+        cast(1 + {byte(6)} % 2 AS int) AS n_channels,
+        cast(500 + ({byte(7)} * 65536 + {byte(8)} * 256 + {byte(9)}) % 600000
+             AS int) AS duration_ms
+      FROM h)
+SELECT doc_id, cast(sample_rate AS int) AS sample_rate, n_channels,
+       duration_ms,
+       cast(cast(duration_ms AS bigint) * sample_rate // 1000 AS bigint)
+         AS n_samples,
+       cast((duration_ms + 29999) // 30000 AS int) AS n_chunks
+FROM t"""
+
+
+def _mm_audio_chunks_oracle() -> str:
+    return f"""WITH meta AS ({_mm_audio_oracle()}),
+c AS (SELECT doc_id, duration_ms,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM meta)
+SELECT doc_id, cast(chunk_idx AS int) AS chunk_idx,
+       cast(chunk_idx * 30000 AS int) AS start_ms,
+       cast(least((chunk_idx + 1) * 30000, duration_ms) AS int) AS end_ms
+FROM c"""
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Multi-way join coverage (the reference has NO joins — SURVEY §2.4):
     # region ⊳ nation ⊳ customer ⊳ orders ⊳ lineitem. The two tiny dims
@@ -1117,14 +1164,32 @@ def q_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Graph analytics over the near-dup graph: per-document triangle counts
-    # on the simhash pair edge set. Edges are (a < b) ordered, so the
-    # e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) chain enumerates each triangle exactly
-    # once (a<b<c) — three hash joins on doc ids, no enumeration of
-    # wedges beyond the join, the standard distributed triangle count.
-    # At scale: order vertices by DEGREE (not id) first so high-degree hubs
-    # sit on the rare side of each join (documented; id-order is the
-    # oracle-parity form).
-    edges = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # on the simhash pair edge set, using DEGREE ORIENTATION (the standard
+    # scale-safe scheme): every edge points from its (degree, id)-smaller
+    # endpoint to the larger, so each vertex's out-degree is O(sqrt(|E|))
+    # and the wedge join e1(a→b) ⋈ e2(b→c) never explodes on a hub — with
+    # id-only orientation one celebrity node of degree d contributes
+    # O(d²) wedges. Each triangle still has exactly one source vertex
+    # under any total order, so it is enumerated exactly once and the
+    # per-node counts (hence the oracle) are IDENTICAL to the id-ordered
+    # form.
+    raw = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        raw.select(F.col("doc_a").alias("v"))
+        .unionAll(raw.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("doc_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("doc_b"), F.col("deg").alias("deg_b"))
+    keyed = raw.join(da, "doc_a").join(db, "doc_b")
+    lt = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    edges = keyed.select(
+        F.when(lt, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_a"),
+        F.when(lt, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_b"),
+    )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
@@ -1374,6 +1439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_seg": q_sessionize_seg,
         "revenue_by_nation": q_revenue_by_nation,
         "extract_tokens": q_extract_tokens,
+        "mm_audio_meta": q_mm_audio_meta,
+        "mm_audio_chunks": q_mm_audio_chunks,
     }
 
 
@@ -1819,6 +1886,8 @@ GROUP BY region, nation""",
 tok AS (SELECT unnest(regexp_extract_all(text, '[0-9]+')) AS num
         FROM transcripts)
 SELECT num, cast(count(*) AS bigint) AS n FROM tok GROUP BY num""",
+        "mm_audio_meta": _mm_audio_oracle(),
+        "mm_audio_chunks": _mm_audio_chunks_oracle(),
     }
 
 

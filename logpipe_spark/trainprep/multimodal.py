@@ -142,3 +142,77 @@ def resize_plan(meta: DataFrame, max_side: int = 256) -> DataFrame:
         "out_bytes",
         F.expr("cast(target_w AS bigint) * target_h * channels"),
     )
+
+
+AUDIO_META_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("n_chunks", IntegerType()),
+])
+
+SAMPLE_RATES = {0: 16000, 1: 22050, 2: 44100, 3: 48000}
+CHUNK_MS = 30000
+
+
+def decode_audio_stub(payload: bytes) -> tuple[int, int, int]:
+    """Real-codec seam. Replace with soundfile/ffprobe header parse."""
+    raise NotImplementedError(
+        "audio codec not available in this container; "
+        "wire soundfile/ffmpeg here in production"
+    )
+
+
+def _audio_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: fake audio header from payload bytes 5..9.
+
+    sample_rate = {16000,22050,44100,48000}[bytes[5] % 4]
+    n_channels  = 1 + bytes[6] % 2
+    duration_ms = 500 + (bytes[7]<<16 | bytes[8]<<8 | bytes[9]) % 600000
+    n_samples   = duration_ms * sample_rate // 1000
+    n_chunks    = ceil(duration_ms / 30000)   (integer arithmetic)
+    """
+    for pdf in it:
+        raw = pdf["payload"]
+        valid = raw.notna() & (raw.str.len() >= 10)
+        b = [raw.str[i].where(valid).astype("Int64") for i in range(5, 10)]
+        rate = (b[0] % 4).map(SAMPLE_RATES).astype("Int64")
+        dur = (500 + ((b[2] * 65536 + b[3] * 256 + b[4]) % 600000)).astype("Int64")
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "sample_rate": rate.astype("Int32"),
+            "n_channels": (1 + (b[1] % 2)).astype("Int32"),
+            "duration_ms": dur.astype("Int32"),
+            "n_samples": (dur * rate) // 1000,
+            "n_chunks": ((dur + (CHUNK_MS - 1)) // CHUNK_MS).astype("Int32"),
+        })
+
+
+def audio_meta(docs_with_payload: DataFrame) -> DataFrame:
+    """Decode audio metadata via Arrow-batched mapInPandas — same narrow,
+    shuffle-free plumbing as :func:`image_meta`; the codec seam is
+    :func:`decode_audio_stub`."""
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        _audio_batches, schema=AUDIO_META_SCHEMA)
+
+
+def audio_chunk_plan(meta: DataFrame, chunk_ms: int = CHUNK_MS) -> DataFrame:
+    """Fixed-window chunking plan (doc_id, chunk_idx, start_ms, end_ms) —
+    the resample/transcribe stage consumes one chunk per row; planning is
+    pure integer sequence arithmetic, no decode."""
+    return meta.select(
+        "doc_id",
+        "duration_ms",
+        F.explode(
+            F.expr("sequence(0, n_chunks - 1)")
+        ).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * chunk_ms).cast("int").alias("start_ms"),
+        F.least(
+            (F.col("chunk_idx") + 1) * chunk_ms, F.col("duration_ms")
+        ).cast("int").alias("end_ms"),
+    )
