@@ -1043,6 +1043,33 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Eval-contamination audit (trainprep/curate.py:split_leakage):
+    # hash-based train/val split + count of near-dup pairs crossing the
+    # boundary. Composes the oracled simhash pair set, so the oracle embeds
+    # that query as a CTE and cannot drift.
+    docs = _docs(spark, sf_dir)
+    pairs = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return cur.split_leakage(docs, pairs)
+
+
+def _split_leakage_oracle(val_pct: int = 10) -> str:
+    poly = " + ".join(
+        f"{_HEXVAL.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8))
+    return f"""WITH pairs AS ({_simhash_pairs_oracle()}),
+s AS (SELECT doc_id,
+             CASE WHEN ({poly}) % 100 < {val_pct} THEN 'val' ELSE 'train' END
+               AS split
+      FROM (SELECT doc_id, md5(cast(doc_id AS varchar)) AS m
+            FROM documents)),
+j AS (SELECT sa.split AS split_a, sb.split AS split_b
+      FROM pairs p
+      JOIN s sa ON p.doc_a = sa.doc_id
+      JOIN s sb ON p.doc_b = sb.doc_id)
+SELECT split_a, split_b, cast(count(*) AS bigint) AS n_pairs
+FROM j GROUP BY split_a, split_b"""
+
+
 def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Audio branch of the multimodal plumbing (trainprep/multimodal.py:
     # audio_meta): binary payload → typed header via Arrow-batched
@@ -1441,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_tokens": q_extract_tokens,
         "mm_audio_meta": q_mm_audio_meta,
         "mm_audio_chunks": q_mm_audio_chunks,
+        "split_leakage": q_split_leakage,
     }
 
 
@@ -1888,6 +1916,7 @@ tok AS (SELECT unnest(regexp_extract_all(text, '[0-9]+')) AS num
 SELECT num, cast(count(*) AS bigint) AS n FROM tok GROUP BY num""",
         "mm_audio_meta": _mm_audio_oracle(),
         "mm_audio_chunks": _mm_audio_chunks_oracle(),
+        "split_leakage": _split_leakage_oracle(),
     }
 
 

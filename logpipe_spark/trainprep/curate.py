@@ -442,3 +442,41 @@ def connected_components_star(pairs: DataFrame, id_a: str = "doc_a",
                 F.coalesce(F.col("component"), F.col("node"))
                 .alias("component"))
     )
+
+
+def hash_split(docs: DataFrame, id_col: str = "doc_id",
+               val_pct: int = 10) -> DataFrame:
+    """Deterministic train/val split: a doc goes to 'val' iff the first 8
+    md5 hex digits of its id, as an integer, fall in the lowest
+    ``val_pct`` % of the hash space. Hash-based (not random) so the split
+    is stable under re-runs, appends, and engine changes — the property
+    an eval split MUST have at 100 TB (a random split re-rolls every run).
+    """
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+               16, 10).cast("bigint")
+    return docs.withColumn(
+        "split",
+        F.when(h % 100 < val_pct, F.lit("val")).otherwise(F.lit("train")),
+    )
+
+
+def split_leakage(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  val_pct: int = 10) -> DataFrame:
+    """Eval-leakage audit: count near-duplicate pairs that CROSS the
+    train/val boundary — each one is a validation doc whose near-copy is
+    trained on (the contamination a hash split alone cannot prevent;
+    the fix is splitting by dup-CLUSTER, and this query is the detector
+    that tells you how much it matters).
+
+    Output: one row per (split_a, split_b) ordered pair class with the
+    pair count — 'train'/'val' rows are the leaks.
+    """
+    s = hash_split(docs, id_col, val_pct).select(
+        F.col(id_col), F.col("split"))
+    a = s.select(F.col(id_col).alias("doc_a"), F.col("split").alias("split_a"))
+    b = s.select(F.col(id_col).alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
