@@ -58,6 +58,16 @@ HEADLINE = [
     "moving_window",
     "revenue_by_nation",
     "extract_tokens",
+    "semi_join",
+    "anti_join",
+    "pivot_counts",
+    "ntile_buckets",
+    "latest_by_key",
+    "len_histogram",
+    "triangle_count",
+    "split_leakage",
+    "mm_audio_meta",
+    "mm_audio_chunks",
 ]
 
 
