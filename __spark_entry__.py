@@ -1043,6 +1043,69 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Estimator-quality audit: MinHash signature-agreement fraction vs the
+    # exact Jaccard, per LSH candidate pair. E[n_agree/n_hashes] = J, so
+    # this query IS the sketch's error measurement — and because both the
+    # estimate and the truth are integer fractions emitted as raw doubles,
+    # the whole audit passes the exact value-hash gate.
+    sh = dd.word_shingles(_docs(spark, sf_dir), k=2)
+    sigs = dd.minhash_signatures(sh, n_hashes=12)
+    pairs = dd.lsh_candidate_pairs(sigs, n_hashes=12, band_size=3)
+    agree = sum(
+        F.when(F.col(f"a.h{s}") == F.col(f"b.h{s}"), 1).otherwise(0)
+        for s in range(12)
+    )
+    est = (
+        pairs.join(sigs.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(sigs.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.cast("int").alias("n_agree"),
+            (agree / F.lit(12.0)).alias("jaccard_est"),
+        )
+    )
+    exact = dd.jaccard_on_pairs(pairs, sh)
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "n_agree", "jaccard_est", "jaccard"
+    )
+
+
+def _minhash_estimate_oracle(n_hashes: int = 12, band_size: int = 3) -> str:
+    mins = ", ".join(
+        f"min(md5(shingle || '#{s}')) AS h{s}" for s in range(n_hashes))
+    n_bands = n_hashes // band_size
+    whens = " ".join(
+        "WHEN {b} THEN {concat}".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"h{b * band_size + j}" for j in range(band_size)),
+        )
+        for b in range(n_bands))
+    band_vals = ", ".join(f"({b})" for b in range(n_bands))
+    agree = " + ".join(
+        f"CASE WHEN x.h{s} = y.h{s} THEN 1 ELSE 0 END" for s in range(n_hashes))
+    return f"""WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, bd.band_idx,
+         md5(CASE bd.band_idx {whens} END) AS band_hash
+  FROM sigs, (VALUES {band_vals}) bd(band_idx)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+agree AS (
+  SELECT c.doc_a, c.doc_b, cast(({agree}) AS int) AS n_agree
+  FROM cand c JOIN sigs x ON c.doc_a = x.doc_id
+              JOIN sigs y ON c.doc_b = y.doc_id),{_JACCARD_CTES}
+SELECT g.doc_a, g.doc_b, g.n_agree, g.n_agree / {float(n_hashes)} AS jaccard_est,
+       j.jaccard
+FROM agree g JOIN j ON g.doc_a = j.doc_a AND g.doc_b = j.doc_b"""
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Eval-contamination audit (trainprep/curate.py:split_leakage):
     # hash-based train/val split + count of near-dup pairs crossing the
@@ -1469,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_meta": q_mm_audio_meta,
         "mm_audio_chunks": q_mm_audio_chunks,
         "split_leakage": q_split_leakage,
+        "minhash_estimate": q_minhash_estimate,
     }
 
 
@@ -1917,6 +1981,7 @@ SELECT num, cast(count(*) AS bigint) AS n FROM tok GROUP BY num""",
         "mm_audio_meta": _mm_audio_oracle(),
         "mm_audio_chunks": _mm_audio_chunks_oracle(),
         "split_leakage": _split_leakage_oracle(),
+        "minhash_estimate": _minhash_estimate_oracle(),
     }
 
 
