@@ -1043,6 +1043,34 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_digest_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale path of conv_digest (the order-sensitive fold): a 10^6-turn
+    # conversation makes collect_list + concat a single giant string in one
+    # reducer. The Merkle form digests fixed 64-turn CHUNKS first (per
+    # (conv, chunk) — a hot conversation spreads over its chunks, same
+    # decomposition as asof/sessionize _segmented) and then digests the
+    # ordered chunk digests — order-sensitive, collision-resistant, and
+    # O(chunk) per task. Different digest VALUE than conv_digest by
+    # construction; this oracle verifies the Merkle form itself.
+    t = _t(spark, sf_dir)
+    chunked = t.withColumn("chunk", (F.col("turn_idx") / 64).cast("int"))
+    ordered_txt = F.expr(
+        "array_join(transform(array_sort(collect_list(struct(turn_idx, text))),"
+        " s -> s.text), '|')")
+    seg = chunked.groupBy("conv_id", "chunk").agg(
+        F.md5(ordered_txt).alias("chunk_digest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ordered_digests = F.expr(
+        "array_join(transform(array_sort(collect_list(struct(chunk, chunk_digest))),"
+        " s -> s.chunk_digest), '|')")
+    return seg.groupBy("conv_id").agg(
+        F.md5(ordered_digests).alias("digest"),
+        F.sum("n").cast("bigint").alias("n_turns"),
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+    )
+
+
 def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Estimator-quality audit: MinHash signature-agreement fraction vs the
     # exact Jaccard, per LSH candidate pair. E[n_agree/n_hashes] = J, so
@@ -1533,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_chunks": q_mm_audio_chunks,
         "split_leakage": q_split_leakage,
         "minhash_estimate": q_minhash_estimate,
+        "conv_digest_merkle": q_conv_digest_merkle,
     }
 
 
@@ -1982,6 +2011,17 @@ SELECT num, cast(count(*) AS bigint) AS n FROM tok GROUP BY num""",
         "mm_audio_chunks": _mm_audio_chunks_oracle(),
         "split_leakage": _split_leakage_oracle(),
         "minhash_estimate": _minhash_estimate_oracle(),
+        "conv_digest_merkle": f"""{P},
+seg AS (
+  SELECT conv_id, cast(turn_idx // 64 AS int) AS chunk,
+         md5(string_agg(text, '|' ORDER BY turn_idx)) AS chunk_digest,
+         count(*) AS n
+  FROM transcripts GROUP BY conv_id, chunk)
+SELECT conv_id,
+       md5(string_agg(chunk_digest, '|' ORDER BY chunk)) AS digest,
+       cast(sum(n) AS bigint) AS n_turns,
+       cast(count(*) AS int) AS n_chunks
+FROM seg GROUP BY conv_id""",
     }
 
 
