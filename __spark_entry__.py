@@ -1043,6 +1043,18 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Statistical anomaly detection that still hash-matches: z-score of
+    # per-minute event counts vs the trailing hour (integer sums → IEEE
+    # sqrt is correctly rounded → bit-identical doubles both engines).
+    from logpipe_spark.operators.aggregate import rolling_zscore
+
+    return rolling_zscore(
+        _events(spark, sf_dir), "ts", ["event_type"],
+        window_seconds=86400, fine="hour", min_points=10,
+    )
+
+
 def q_conv_digest_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale path of conv_digest (the order-sensitive fold): a 10^6-turn
     # conversation makes collect_list + concat a single giant string in one
@@ -1562,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "minhash_estimate": q_minhash_estimate,
         "conv_digest_merkle": q_conv_digest_merkle,
+        "rate_anomaly": q_rate_anomaly,
     }
 
 
@@ -2022,6 +2035,25 @@ SELECT conv_id,
        cast(sum(n) AS bigint) AS n_turns,
        cast(count(*) AS int) AS n_chunks
 FROM seg GROUP BY conv_id""",
+        # arithmetic ORDER matters: the oracle mirrors the engine's exact
+        # expression tree ((ss - s*s/k)/k, (n - s/k)/sqrt(var)) so every
+        # intermediate double is bit-identical
+        "rate_anomaly": """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+         cast(count(*) AS bigint) AS n
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT event_type, bucket_ts, n,
+         count(*) OVER win AS k,
+         sum(n) OVER win AS s,
+         sum(n * n) OVER win AS ss
+  FROM (SELECT *, epoch_us(bucket_ts) // 1000000 AS es FROM c)
+  WINDOW win AS (PARTITION BY event_type ORDER BY es
+                 RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING))
+SELECT event_type, bucket_ts, n, cast(k AS bigint) AS n_window,
+       (n - s / k) / sqrt((ss - s * s / k) / k) AS zscore
+FROM w WHERE k >= 10 AND (ss - s * s / k) / k > 0""",
     }
 
 

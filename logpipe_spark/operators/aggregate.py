@@ -216,6 +216,63 @@ def percentiles_disc(
     return ranked.groupBy(key).agg(*aggs)
 
 
+def rolling_zscore(
+    df: DataFrame,
+    ts: str,
+    keys: Sequence[str],
+    window_seconds: int = 3600,
+    fine: str = "minute",
+    min_points: int = 10,
+) -> DataFrame:
+    """Rate-anomaly detection: z-score of each fine-grain event count
+    against the TRAILING window's mean/stddev (current bucket excluded).
+
+    Cross-engine-deterministic statistics: counts are integers, the
+    trailing mean/variance derive from integer sums (sum, sum of squares),
+    and IEEE-754 sqrt is correctly rounded — so the z-score doubles are
+    bit-identical in Spark and DuckDB and the anomaly table passes the
+    exact value-hash gate (statistical ops usually can't).
+
+    Shape: one fine-grain aggregate (the only full-data shuffle), then a
+    RANGE-frame window over the tiny rollup. Flat-rate windows (variance
+    0) are excluded — z is undefined there.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    fine_counts = df.groupBy(
+        F.date_trunc(fine, F.col(ts).cast("timestamp")).alias("bucket_ts"), *keys
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    epoch = F.col("bucket_ts").cast("long")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(epoch)
+        .rangeBetween(-window_seconds, -1)
+    )
+    stats = fine_counts.select(
+        *keys,
+        "bucket_ts",
+        "n",
+        F.count(F.lit(1)).over(w).alias("_k"),
+        F.sum("n").over(w).alias("_s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("_ss"),
+    )
+    mean = F.col("_s") / F.col("_k")
+    var = (F.col("_ss") - F.col("_s") * F.col("_s") / F.col("_k")) / F.col("_k")
+    return (
+        stats.where((F.col("_k") >= min_points))
+        .withColumn("_var", var)
+        .where(F.col("_var") > 0)
+        .select(
+            *keys,
+            "bucket_ts",
+            "n",
+            (F.col("_k")).cast("bigint").alias("n_window"),
+            ((F.col("n") - mean) / F.sqrt(F.col("_var"))).alias("zscore"),
+        )
+    )
+
+
 def percentiles_approx(
     df: DataFrame,
     key: str,
