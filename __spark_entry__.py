@@ -1043,6 +1043,66 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hrw_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rendezvous (highest-random-weight) sharding: doc → argmax over
+    # shards of md5(doc '#' shard). The consistent-hashing property that
+    # matters at 10^12 rows: growing K→K+1 moves only ~1/(K+1) of keys
+    # (mod-hashing reshuffles almost everything). This query emits the
+    # K=8 assignment AND the stability audit vs K=9 — moved iff the
+    # argmax changed, all md5-deterministic.
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def assign(k: int, alias: str):
+        weights = F.array(*[
+            F.struct(
+                F.md5(F.concat_ws("#", F.col("doc_id").cast("string"),
+                                  F.lit(str(s)))).alias("w"),
+                F.lit(s).alias("shard"),
+            )
+            for s in range(k)
+        ])
+        return F.array_max(weights)["shard"].cast("int").alias(alias)
+
+    return docs.select(
+        "doc_id", assign(8, "shard8"), assign(9, "shard9")
+    ).withColumn("moved", (F.col("shard8") != F.col("shard9")).cast("int"))
+
+
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ratio-to-report window: each tool's share of its role's turns —
+    # integer count / integer window sum, raw double (bit-identical).
+    t = _t(spark, sf_dir)
+    counts = t.groupBy("role", "tool").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("role")
+    return counts.select(
+        "role", "tool", "n",
+        (F.col("n") / F.sum("n").over(w)).alias("share"),
+    )
+
+
+def q_dedup_within_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch twin of streaming dropDuplicatesWithinWatermark: suppress
+    # repeats of the same (conv, text) arriving within 6 h of the PREVIOUS
+    # occurrence (chained horizon — the duplicate chain is a session and
+    # each chain's first row is kept; same lag-gap machinery as sessionize).
+    t = _t(spark, sf_dir)
+    key = [F.col("conv_id"), F.md5(F.col("text")).alias("h")]
+    w = Window.partitionBy("conv_id", "h").orderBy("ts", "turn_idx")
+    gap_us = 21600 * 1_000_000
+    prev = F.lag(F.col("ts")).over(w)
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_micros = F.unix_micros(prev.cast("timestamp"))
+    is_new = F.when(prev.isNull() | (micros - prev_micros > gap_us), 1).otherwise(0)
+    return (
+        t.select(*key, "turn_idx", "ts")
+        .withColumn("_new", is_new)
+        .where(F.col("_new") == 1)
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+
+
 def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Statistical anomaly detection that still hash-matches: z-score of
     # per-minute event counts vs the trailing hour (integer sums → IEEE
@@ -1575,6 +1635,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_estimate": q_minhash_estimate,
         "conv_digest_merkle": q_conv_digest_merkle,
         "rate_anomaly": q_rate_anomaly,
+        "hrw_shards": q_hrw_shards,
+        "share_of_total": q_share_of_total,
+        "dedup_within_horizon": q_dedup_within_horizon,
     }
 
 
@@ -2054,6 +2117,42 @@ w AS (
 SELECT event_type, bucket_ts, n, cast(k AS bigint) AS n_window,
        (n - s / k) / sqrt((ss - s * s / k) / k) AS zscore
 FROM w WHERE k >= 10 AND (ss - s * s / k) / k > 0""",
+        "hrw_shards": """
+WITH s8 AS (
+  SELECT doc_id, shard,
+         md5(cast(doc_id AS varchar) || '#' || cast(shard AS varchar)) AS w
+  FROM documents, (SELECT unnest([0,1,2,3,4,5,6,7]) AS shard)),
+r8 AS (SELECT doc_id, shard FROM (
+         SELECT doc_id, shard,
+                row_number() OVER (PARTITION BY doc_id ORDER BY w DESC) AS rn
+         FROM s8) WHERE rn = 1),
+s9 AS (
+  SELECT doc_id, shard,
+         md5(cast(doc_id AS varchar) || '#' || cast(shard AS varchar)) AS w
+  FROM documents, (SELECT unnest([0,1,2,3,4,5,6,7,8]) AS shard)),
+r9 AS (SELECT doc_id, shard FROM (
+         SELECT doc_id, shard,
+                row_number() OVER (PARTITION BY doc_id ORDER BY w DESC) AS rn
+         FROM s9) WHERE rn = 1)
+SELECT d.doc_id, cast(r8.shard AS int) AS shard8,
+       cast(r9.shard AS int) AS shard9,
+       cast(CASE WHEN r8.shard != r9.shard THEN 1 ELSE 0 END AS int) AS moved
+FROM documents d JOIN r8 USING (doc_id) JOIN r9 USING (doc_id)""",
+        "share_of_total": f"""{P},
+c AS (SELECT role, tool, cast(count(*) AS bigint) AS n
+      FROM transcripts GROUP BY role, tool)
+SELECT role, tool, n, n / sum(n) OVER (PARTITION BY role) AS share
+FROM c""",
+        "dedup_within_horizon": f"""{P},
+d AS (
+  SELECT conv_id, md5(text) AS h, turn_idx, ts,
+         lag(ts) OVER (PARTITION BY conv_id, md5(text)
+                       ORDER BY ts, turn_idx) AS prev_ts
+  FROM transcripts)
+SELECT conv_id, cast(count(*) AS bigint) AS n_kept
+FROM d
+WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 21600000000
+GROUP BY conv_id""",
     }
 
 
