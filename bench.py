@@ -68,6 +68,14 @@ HEADLINE = [
     "split_leakage",
     "mm_audio_meta",
     "mm_audio_chunks",
+    "minhash_estimate",
+    "conv_digest_merkle",
+    "rate_anomaly",
+    "hrw_shards",
+    "share_of_total",
+    "dedup_within_horizon",
+    "asof_join_seg",
+    "sessionize_seg",
 ]
 
 

@@ -190,3 +190,23 @@ def test_interval_join_matches_python_containment(spark, ivs, pts):
         if s <= p <= e
     }
     assert got == want
+
+
+@given(vals=st.lists(st.integers(-50, 50), min_size=1, max_size=40),
+       p=st.sampled_from([0.1, 0.5, 0.9, 0.99]))
+@settings(**_SETTINGS)
+def test_percentiles_disc_property(spark, vals, p):
+    """percentile_disc(p) is the sorted element at rank ceil(p*n) for ANY
+    multiset (duplicates, negatives, singletons)."""
+    import math
+
+    from logpipe_spark.operators.aggregate import percentiles_disc
+
+    df = spark.createDataFrame(
+        [("g", float(v), i) for i, v in enumerate(vals)],
+        "k string, v double, i int")
+    got = percentiles_disc(df, "k", "v", (p,), tiebreak="i").collect()[0]
+    tag = f"p{int(round(p * 100))}"
+    want = sorted(vals)[math.ceil(p * len(vals)) - 1]
+    assert got["n"] == len(vals)
+    assert got[tag] == float(want)
