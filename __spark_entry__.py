@@ -1043,6 +1043,62 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Priority sampling (Duffield/Lund/Thorup): weight-proportional sample
+    # without replacement — priority = weight / u, u = md5-uniform in
+    # (0,1], keep the top-k priorities. Unbiased subset-sum estimator AND
+    # fully deterministic: u derives from md5 integers, priority is one
+    # double division of identical operands. weight = token count.
+    d = _docs(spark, sf_dir)
+    w = F.size(F.expr("regexp_extract_all(text, '[^ ]+', 0)")).cast("int")
+    u = (
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+         .cast("bigint") + 1) / F.lit(float(16 ** 8))
+    )
+    return (
+        d.select(
+            "doc_id",
+            w.alias("weight"),
+            (w / u).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(20)
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-group top-k (top-3 docs per source by quality): rank window +
+    # filter — the grouped-top-N reporting shape. Total order via
+    # (quality desc, doc_id) keeps ranks engine-identical.
+    d = _docs(spark, sf_dir)
+    q = tq.quality_score(d).select("doc_id", "quality").join(
+        d.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), "doc_id")
+    return (
+        q.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("source", F.col("rank").cast("int").alias("rank"),
+                "doc_id", "quality")
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohort retention matrix (classic telemetry): users grouped by
+    # first-seen week, counted per subsequent activity week. Two integer
+    # aggregates — first-seen via min, then distinct users per
+    # (cohort_week, activity_week).
+    ev = _events(spark, sf_dir)
+    wk = F.weekofyear(F.col("ts")).cast("int")
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    return (
+        ev.select("user_id", wk.alias("activity_week"))
+        .distinct()
+        .join(first, "user_id")
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
 def q_hrw_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rendezvous (highest-random-weight) sharding: doc → argmax over
     # shards of md5(doc '#' shard). The consistent-hashing property that
@@ -1638,6 +1694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hrw_shards": q_hrw_shards,
         "share_of_total": q_share_of_total,
         "dedup_within_horizon": q_dedup_within_horizon,
+        "priority_sample": q_priority_sample,
+        "topk_per_group": q_topk_per_group,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -2153,6 +2212,34 @@ SELECT conv_id, cast(count(*) AS bigint) AS n_kept
 FROM d
 WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 21600000000
 GROUP BY conv_id""",
+        "priority_sample": f"""
+WITH h AS (SELECT doc_id, text, md5(cast(doc_id AS varchar)) AS m
+           FROM documents),
+s AS (SELECT doc_id,
+             cast(len(regexp_extract_all(text, '[^ ]+')) AS int) AS weight,
+             (({" + ".join(_HEXVAL.format(i=i + 1) + f" * {16 ** (7 - i)}"
+                           for i in range(8))}) + 1) / 4294967296.0 AS u
+      FROM h)
+SELECT doc_id, weight, weight / u AS priority
+FROM s ORDER BY priority DESC, doc_id LIMIT 20""",
+        "topk_per_group": f"""
+WITH qx AS ({_quality_oracle()}),
+j AS (SELECT d.source, q.doc_id, q.quality
+      FROM qx q JOIN documents d USING (doc_id)),
+r AS (SELECT source, doc_id, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rank
+      FROM j)
+SELECT source, cast(rank AS int) AS rank, doc_id, quality
+FROM r WHERE rank <= 3""",
+        "cohort_retention": """
+WITH f AS (SELECT user_id, min(cast(weekofyear(ts) AS int)) AS cohort_week
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, cast(weekofyear(ts) AS int) AS activity_week
+      FROM events)
+SELECT cohort_week, activity_week, cast(count(*) AS bigint) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY cohort_week, activity_week""",
     }
 
 
