@@ -76,6 +76,9 @@ HEADLINE = [
     "dedup_within_horizon",
     "asof_join_seg",
     "sessionize_seg",
+    "priority_sample",
+    "topk_per_group",
+    "cohort_retention",
 ]
 
 
