@@ -1043,6 +1043,29 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fuzzy-match verification: exact Levenshtein distance on the simhash
+    # CANDIDATE pairs only (edit distance is O(len²) per pair — running it
+    # all-pairs is the classic scale mistake; the banded LSH prunes first).
+    # Distance is integer DP — identical in both engines; the normalized
+    # similarity is an integer fraction (raw double).
+    docs = _docs(spark, sf_dir)
+    pairs = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    d = F.levenshtein(F.col("ta"), F.col("tb"))
+    mx = F.greatest(F.length("ta"), F.length("tb"))
+    return (
+        pairs.join(ta, "doc_a").join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            d.cast("int").alias("edit_distance"),
+            (F.lit(1.0) - d / mx).alias("similarity"),
+        )
+    )
+
+
 def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Priority sampling (Duffield/Lund/Thorup): weight-proportional sample
     # without replacement — priority = weight / u, u = md5-uniform in
@@ -1697,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": q_priority_sample,
         "topk_per_group": q_topk_per_group,
         "cohort_retention": q_cohort_retention,
+        "fuzzy_pairs": q_fuzzy_pairs,
     }
 
 
@@ -2240,6 +2264,14 @@ a AS (SELECT DISTINCT user_id, cast(weekofyear(ts) AS int) AS activity_week
 SELECT cohort_week, activity_week, cast(count(*) AS bigint) AS n_users
 FROM a JOIN f USING (user_id)
 GROUP BY cohort_week, activity_week""",
+        "fuzzy_pairs": f"""WITH pairs AS ({_simhash_pairs_oracle()})
+SELECT p.doc_a, p.doc_b,
+       cast(levenshtein(a.text, b.text) AS int) AS edit_distance,
+       1.0 - levenshtein(a.text, b.text)
+             / greatest(length(a.text), length(b.text)) AS similarity
+FROM pairs p
+JOIN documents a ON p.doc_a = a.doc_id
+JOIN documents b ON p.doc_b = b.doc_id""",
     }
 
 
