@@ -1625,6 +1625,68 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Strict-order view->click->purchase funnel (operators/funnel.py:
+    # funnel_steps): ONE shuffle on user_id + an aggregate() fold over the
+    # per-user history, vs the oracle's unrolled one-join-per-step SQL.
+    # Greedy earliest-completion == any-chain completion (exchange arg).
+    from logpipe_spark.operators.funnel import funnel_steps
+
+    return funnel_steps(_events(spark, sf_dir), ["view", "click", "purchase"])
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Markov transition counts (operators/funnel.py:event_transitions):
+    # lead() over per-user ts order, ties broken by event_id for a
+    # deterministic chain; count combines map-side.
+    from logpipe_spark.operators.funnel import event_transitions
+
+    return event_transitions(_events(spark, sf_dir))
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Data-quality profile (operators/profile.py): every column's
+    # null/distinct tally in ONE scan (fused aggregate expressions), long
+    # form via a 1-row explode. Batch analog of the reference's edge
+    # counters (src/utils/progressTracker.js, ndjsonParser.js warn cap).
+    from logpipe_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        _events(spark, sf_dir),
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Boilerplate-term removal (trainprep/textqual.py:strip_boilerplate):
+    # drop words with df > 1/2 of docs, order/multiplicity-preserving
+    # filter(array, lambda). Integer threshold compare -> bit-identical
+    # stop-set cross-engine; stop-set travels as a 1-row broadcast.
+    return tq.strip_boilerplate(_docs(spark, sf_dir))
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distinctive keywords per doc (trainprep/textqual.py:doc_keywords):
+    # (tf desc, df asc, word) integer ranking — the log-free tf-idf
+    # surrogate; top-3 per document.
+    return tq.doc_keywords(_docs(spark, sf_dir), k=3)
+
+
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wide->long reshape: per-user event-type counts pivoted wide, then
+    # DataFrame.unpivot back to (user_id, event_type, n). Counts coalesce
+    # to 0 before the unpivot: Spark keeps NULL value rows, DuckDB UNPIVOT
+    # drops them — zero-filling removes the divergence.
+    ev = _events(spark, sf_dir)
+    types = ["view", "click", "purchase", "signup", "error"]
+    wide = ev.groupBy("user_id").pivot("event_type", types).count()
+    wide = wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types],
+    )
+    return wide.unpivot(["user_id"], types, "event_type", "n")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1721,6 +1783,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "cohort_retention": q_cohort_retention,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "funnel_steps": q_funnel_steps,
+        "event_transitions": q_event_transitions,
+        "profile_columns": q_profile_columns,
+        "strip_boilerplate": q_strip_boilerplate,
+        "doc_keywords": q_doc_keywords,
+        "unpivot_long": q_unpivot_long,
     }
 
 
@@ -2272,6 +2340,84 @@ SELECT p.doc_a, p.doc_b,
 FROM pairs p
 JOIN documents a ON p.doc_a = a.doc_id
 JOIN documents b ON p.doc_b = b.doc_id""",
+        # Unrolled one-join-per-step funnel — the N-shuffle formulation the
+        # Spark side's single-shuffle fold replaces (see operators/funnel.py).
+        "funnel_steps": """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT cast(1 AS int) AS step_idx, 'view' AS step,
+       (SELECT cast(count(*) AS bigint) FROM s1) AS n_users
+UNION ALL
+SELECT cast(2 AS int), 'click', (SELECT cast(count(*) AS bigint) FROM s2)
+UNION ALL
+SELECT cast(3 AS int), 'purchase', (SELECT cast(count(*) AS bigint) FROM s3)""",
+        "event_transitions": """
+WITH o AS (SELECT event_type AS from_type,
+                  lead(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM events)
+SELECT from_type, to_type, cast(count(*) AS bigint) AS n_transitions
+FROM o WHERE to_type IS NOT NULL GROUP BY from_type, to_type""",
+        "profile_columns": " UNION ALL ".join(
+            f"SELECT '{c}' AS column_name, cast(count(*) AS bigint) AS n_rows,"
+            f" cast(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS bigint)"
+            f" AS n_null, cast(count(DISTINCT {c}) AS bigint) AS n_distinct"
+            f" FROM events"
+            for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ),
+        # Integer threshold (df*2 > n_docs*1) == strip_boilerplate's
+        # max_df_num/den = 1/2 default; list_filter preserves order and
+        # multiplicity exactly like Spark's filter(array, lambda).
+        "strip_boilerplate": """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+dfc AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+stops AS (SELECT coalesce(list(word ORDER BY word), []) AS s
+          FROM dfc, nd WHERE df * 2 > n_docs * 1),
+base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+f AS (SELECT doc_id, ws,
+             list_filter(ws, x -> NOT list_contains(s, x)) AS kept
+      FROM base, stops)
+SELECT doc_id,
+       coalesce(array_to_string(kept, ' '), '') AS clean_text,
+       cast(len(ws) - len(kept) AS int) AS n_removed
+FROM f""",
+        "doc_keywords": """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+tf AS (SELECT doc_id, word, cast(count(*) AS bigint) AS tf
+       FROM w GROUP BY doc_id, word),
+dfc AS (SELECT word, cast(count(DISTINCT doc_id) AS bigint) AS df
+        FROM w GROUP BY word),
+r AS (SELECT t.doc_id, t.word, t.tf, d.df,
+             row_number() OVER (PARTITION BY t.doc_id
+               ORDER BY t.tf DESC, d.df ASC, t.word ASC) AS rank
+      FROM tf t JOIN dfc d USING (word))
+SELECT doc_id, word, tf, df, cast(rank AS int) AS rank FROM r
+WHERE rank <= 3""",
+        "unpivot_long": """
+WITH wide AS (
+  SELECT user_id,
+    cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS bigint)
+      AS "view",
+    cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS bigint)
+      AS click,
+    cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bigint)
+      AS purchase,
+    cast(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS bigint)
+      AS signup,
+    cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS bigint)
+      AS error
+  FROM events GROUP BY user_id)
+UNPIVOT wide ON "view", click, purchase, signup, error
+INTO NAME event_type VALUE n""",
     }
 
 

@@ -1,0 +1,131 @@
+"""Ordered-event analytics: funnel progression and transition matrices.
+
+Classic product/telemetry queries over an event stream — the kind of
+reporting a user of the reference pipeline runs downstream of routing
+(readme.md:1-40 positions logpipe as the ingest stage for exactly this).
+Both operators are single-shuffle designs:
+
+- ``funnel_steps``: one hash shuffle on the user key; each step's
+  "earliest qualifying timestamp" is a conditional aggregate, so the
+  whole N-step funnel is ONE groupBy over the filtered event set, not N
+  self-joins (the naive SQL formulation joins the event table once per
+  step — quadratic in steps, N shuffles).
+- ``event_transitions``: one shuffle to order each user's history, then
+  a map-side-combinable count of (state, next_state) pairs. The window
+  frame is per-user (bounded); the count output is |state|^2 rows.
+
+Both scale linearly in events and are AQE-skew-splittable on the user
+key (a bot user with 10^8 events lands in one window partition — the
+same mitigation as sessionize_segmented applies if that matters).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strict-order funnel: a user completes step i+1 only with an event
+    of that type STRICTLY AFTER their step-i completion time.
+
+    Returns one row per step: (step_idx, step, n_users), where n_users
+    counts users whose earliest qualifying chain reaches that step.
+    Greedy earliest-completion is correct here: taking the earliest
+    qualifying event at each step maximizes the remaining time window, so
+    a user completes the funnel under the greedy chain iff they complete
+    it under any chain (exchange argument).
+
+    Plan shape: filter to funnel event types -> ONE groupBy(user)
+    collecting the (small) per-user funnel history -> a single
+    aggregate() fold scanning it in ts order -> tiny per-step
+    conditional-sum. One shuffle total; the unrolled-SQL formulation
+    (one join + groupBy per step) is what the DuckDB oracle runs.
+    """
+    steps = list(steps)
+    ev = events.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("etype"),
+        F.col(ts_col).alias("ts"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ts"), F.col("etype")))
+        ).alias("h")
+    )
+    # Greedy scan over the (small, per-user) sorted history with a single
+    # aggregate() fold: state = (next step index, ts of last completion).
+    # Bounded per-user state; no repeated self-joins.
+    n = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    fold = F.aggregate(
+        "h",
+        F.struct(
+            F.lit(0).cast("int").alias("i"),
+            F.lit(None).cast("timestamp").alias("t"),
+        ),
+        lambda acc, e: F.when(
+            (acc["i"] < F.lit(n))
+            & (e["etype"] == F.element_at(step_arr, acc["i"] + 1))
+            & (acc["t"].isNull() | (e["ts"] > acc["t"])),
+            F.struct((acc["i"] + 1).alias("i"), e["ts"].alias("t")),
+        ).otherwise(acc),
+    )
+    reached = per_user.select(fold["i"].alias("max_step"))
+    # n_users for step i = count of users with max_step >= i+1 — a tiny
+    # (n_steps x user_count) conditional-sum aggregate, one row out per step.
+    aggs = [
+        F.sum(F.when(F.col("max_step") >= i + 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"s{i}")
+        for i in range(n)
+    ]
+    wide = reached.agg(*aggs)
+    long = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).cast("int").alias("step_idx"),
+                        F.lit(steps[i]).alias("step"),
+                        F.col(f"s{i}").alias("n_users"),
+                    )
+                    for i in range(n)
+                ]
+            )
+        ).alias("r")
+    )
+    return long.select("r.step_idx", "r.step", "r.n_users")
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(state -> next state) transition counts per user history ordered by
+    timestamp (Markov chain estimation over the event log).
+
+    One shuffle: the lead() window orders each user's events; the
+    transition count then combines map-side. Terminal events (no
+    successor) are dropped. Ties on ts are broken by ``tiebreak_col`` so
+    the chain — and therefore the counts — is deterministic cross-engine.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    nxt = F.lead(type_col).over(w)
+    return (
+        events.select(F.col(type_col).alias("from_type"), nxt.alias("to_type"))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )

@@ -208,3 +208,105 @@ def top_ngrams(docs: DataFrame, text_col: str = "text", k: int = 2,
         .filter(F.col("rank") <= top)
         .select("ngram", "n", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def corpus_term_df(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Document frequency per word: (word, df). One distinct + one count —
+    the shuffle carries one row per (doc, distinct word), then one per
+    vocabulary term. The building block for strip_boilerplate/doc_keywords.
+    """
+    words = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.split(F.col(text_col), " ").alias("_w"))
+        # explode_outer + isNotNull: dodge InferFiltersFromGenerate
+        # re-evaluating the split in a pushed-down filter (see
+        # _word_shingle_sets in curate.py — measured 12x)
+        .select("doc_id", F.explode_outer("_w").alias("word"))
+        .filter(F.col("word").isNotNull())
+    )
+    return (
+        words.distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+
+
+def strip_boilerplate(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_df_num: int = 1, max_df_den: int = 2) -> DataFrame:
+    """Boilerplate-term removal (CCNet-style corpus cleaning): delete words
+    whose document frequency exceeds ``max_df_num/max_df_den`` of the
+    corpus, preserving the order and multiplicity of surviving words.
+
+    The threshold compare is INTEGER (df * den > n_docs * num) so the
+    stop-set is bit-identical cross-engine — no fraction doubles.
+    Order preservation is why this is ``filter(array, lambda)`` and not
+    ``array_except`` (which dedups and cannot express multiplicity).
+
+    Scale: the stop-set is at most vocabulary-sized and in practice tiny
+    (only near-ubiquitous terms pass the threshold), so it travels as a
+    one-row broadcast; the cleaning pass itself is narrow — no shuffle
+    touches the corpus text. Returns (doc_id, clean_text, n_removed).
+    """
+    df_counts = corpus_term_df(docs, text_col, id_col)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    stops = (
+        df_counts.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * max_df_den > F.col("n_docs") * max_df_num)
+        .agg(F.sort_array(F.collect_list("word")).alias("stops"))
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.split(F.col(text_col), " ").alias("_w"))
+    kept = base.crossJoin(F.broadcast(stops)).select(
+        "doc_id", "_w",
+        # materialize the filtered array once: clean_text and n_removed
+        # both reference it (CollapseProject would inline a single-use
+        # alias, but two uses of an un-materialized expression re-filter)
+        F.filter("_w", lambda w: ~F.array_contains(F.col("stops"), w))
+        .alias("_kept"),
+    )
+    return kept.select(
+        "doc_id",
+        F.array_join("_kept", " ").alias("clean_text"),
+        (F.size("_w") - F.size("_kept")).cast("int").alias("n_removed"),
+    )
+
+
+def doc_keywords(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Top-k distinctive terms per document, ranked by (tf desc, df asc,
+    word asc) — a log-free tf-idf surrogate whose ordering is pure integer
+    comparison, so the extracted keywords are deterministic cross-engine
+    (float log() is the one piece of tf-idf that can diverge in the last
+    bit between engines; rank order on (tf, -df) preserves the tf-idf
+    ordering whenever tf ties break by rarity).
+
+    Plan: one explode -> tf count per (doc, word) -> join vocabulary df on
+    the word key -> per-doc row_number window. The df side is
+    vocabulary-sized; the join shuffles on word, the window on doc_id —
+    both keys are the natural partitioners at 100 TB.
+    Returns (doc_id, word, tf, df, rank).
+    """
+    from pyspark.sql import Window
+
+    words = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.split(F.col(text_col), " ").alias("_w"))
+        .select("doc_id", F.explode_outer("_w").alias("word"))
+        .filter(F.col("word").isNotNull())
+    )
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfc = corpus_term_df(docs, text_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("word").asc()
+    )
+    return (
+        tf.join(dfc, "word")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "word", "tf", "df",
+                F.col("rank").cast("int").alias("rank"))
+    )
