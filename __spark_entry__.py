@@ -1625,6 +1625,17 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dropped-record audit (operators/spans.py:sequence_gaps): missing
+    # event_id ranges in the non-error feed — the errors ARE the holes, so
+    # the result is non-trivial. Bucketed two-level lag, never a global
+    # sort; the oracle runs the naive global lag(id) SQL.
+    from logpipe_spark.operators.spans import sequence_gaps
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") != "error")
+    return sequence_gaps(ev, "event_id", bucket_width=256)
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Strict-order view->click->purchase funnel (operators/funnel.py:
     # funnel_steps): ONE shuffle on user_id + an aggregate() fold over the
@@ -1783,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "cohort_retention": q_cohort_retention,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "seq_gaps": q_seq_gaps,
         "funnel_steps": q_funnel_steps,
         "event_transitions": q_event_transitions,
         "profile_columns": q_profile_columns,
@@ -2340,6 +2352,14 @@ SELECT p.doc_a, p.doc_b,
 FROM pairs p
 JOIN documents a ON p.doc_a = a.doc_id
 JOIN documents b ON p.doc_b = b.doc_id""",
+        # Naive global-lag gap scan — the single-sort formulation the Spark
+        # side's bucketed two-level design replaces (operators/spans.py).
+        "seq_gaps": """
+WITH ids AS (SELECT event_id AS id FROM events WHERE event_type <> 'error'),
+l AS (SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM ids)
+SELECT cast(prev + 1 AS bigint) AS gap_start,
+       cast(id - 1 AS bigint) AS gap_end
+FROM l WHERE prev IS NOT NULL AND id - prev > 1""",
         # Unrolled one-join-per-step funnel — the N-shuffle formulation the
         # Spark side's single-shuffle fold replaces (see operators/funnel.py).
         "funnel_steps": """

@@ -154,3 +154,51 @@ def turn_numbering(df: DataFrame) -> DataFrame:
     """row_number over (conv_id, ts) — recomputes turn order from timestamps."""
     w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
     return df.withColumn("rn", F.row_number().over(w) - F.lit(1))
+
+
+def sequence_gaps(df: DataFrame, id_col: str = "event_id",
+                  bucket_width: int = 1 << 16) -> DataFrame:
+    """Missing-id ranges in a monotone sequence — the "did we drop
+    events?" audit a log pipeline runs on a sequenced feed (the reference
+    counts records in/out per stage, src/utils/progressTracker.js; this
+    finds WHICH records vanished).
+
+    The naive formulation is lag(id) over a GLOBAL order — a single-task
+    sort at 100 TB. Distributed form: bucket ids by floor(id / W); then
+    every consecutive-id pair is either (a) inside one bucket — found by
+    a per-bucket lag window, shuffled on the bucket key, embarrassingly
+    parallel — or (b) across buckets — found by lag over the per-bucket
+    (min, max) SUMMARY frame, which has n/W rows (millions of buckets for
+    trillions of ids: trivially window-able; wholly-absent buckets are
+    covered because the summary lag spans them). Union of (a) + (b) is
+    exactly the global-lag gap set.
+
+    Returns (gap_start, gap_end) inclusive ranges, one row per gap.
+    """
+    ids = df.select(F.col(id_col).cast("bigint").alias("id"))
+    b = ids.withColumn("bucket", F.floor(F.col("id") / F.lit(bucket_width)))
+    w_in = Window.partitionBy("bucket").orderBy("id")
+    prev = F.lag("id").over(w_in)
+    internal = (
+        b.withColumn("prev", prev)
+        .filter(F.col("prev").isNotNull() & (F.col("id") - F.col("prev") > 1))
+        .select(
+            (F.col("prev") + 1).cast("bigint").alias("gap_start"),
+            (F.col("id") - 1).cast("bigint").alias("gap_end"),
+        )
+    )
+    summary = b.groupBy("bucket").agg(
+        F.min("id").alias("mn"), F.max("id").alias("mx")
+    )
+    # n/W-row frame: the single-partition window is bounded by design.
+    w_b = Window.orderBy("bucket")
+    prev_mx = F.lag("mx").over(w_b)
+    boundary = (
+        summary.withColumn("prev_mx", prev_mx)
+        .filter(F.col("prev_mx").isNotNull() & (F.col("mn") - F.col("prev_mx") > 1))
+        .select(
+            (F.col("prev_mx") + 1).cast("bigint").alias("gap_start"),
+            (F.col("mn") - 1).cast("bigint").alias("gap_end"),
+        )
+    )
+    return internal.unionByName(boundary)

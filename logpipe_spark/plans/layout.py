@@ -149,3 +149,56 @@ def overlap_fraction(ranges: list[tuple]) -> float:
             if a_lo <= b_hi and b_lo <= a_hi:
                 overlapping += 1
     return overlapping / pairs
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: Sequence[str] | None = None,
+) -> dict:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_bytes) files, optionally re-clustering.
+
+    Streaming sinks and per-epoch incremental writers (stream_rollup's
+    epoch partials, routed fan-out at high trigger rates) accrete files
+    far smaller than a scan task wants; at 100 TB a million 1 MB files
+    turn every scan into a task-scheduling storm and NameNode/listing
+    pressure. Compaction is the standing maintenance job (Iceberg's
+    rewrite_data_files, Delta's OPTIMIZE) — this is the plain-parquet
+    form: one job, one wide repartition (or repartitionByRange when
+    re-clustering, preserving data-skipping layout), atomic swap via
+    temp-dir rename.
+
+    Returns {files_before, files_after, bytes_total} so callers (and the
+    maintenance loop) can assert the effect.
+    """
+    import math
+    import shutil
+    from pathlib import Path
+
+    p = Path(path)
+    parts = [f for f in p.rglob("*.parquet") if f.is_file()]
+    bytes_total = sum(f.stat().st_size for f in parts)
+    files_before = len(parts)
+    # Parquet encoding ≈ on-disk size; in-memory rows inflate, but the
+    # target is file COUNT, so sizing from on-disk bytes is the right lever.
+    n_out = max(1, math.ceil(bytes_total / target_bytes))
+    df = spark.read.parquet(str(p))
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *[F.col(c) for c in sort_cols]) \
+                .sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_out)
+    tmp = str(p) + "._compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    bak = str(p) + "._compact_old"
+    shutil.move(str(p), bak)
+    shutil.move(tmp, str(p))
+    shutil.rmtree(bak)
+    files_after = len([f for f in p.rglob("*.parquet") if f.is_file()])
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_total": bytes_total,
+    }

@@ -34,6 +34,7 @@ CORRUPT_COL = "_corrupt_record"
 NDJSON_EXTS = {".json", ".ndjson", ".jsonl"}
 CSV_EXTS = {".csv"}
 PARQUET_EXTS = {".parquet"}
+ORC_EXTS = {".orc"}
 
 
 def sniff_format(path: str, explicit: str | None = None) -> str:
@@ -57,6 +58,8 @@ def sniff_format(path: str, explicit: str | None = None) -> str:
             return "ndjson"
         if suffixes[-1] in PARQUET_EXTS:
             return "parquet"
+        if suffixes[-1] in ORC_EXTS:
+            return "orc"
     return "ndjson"
 
 
@@ -227,4 +230,8 @@ def read_source(
         return read_csv(spark, path, schema=schema, **csv_opts)
     if resolved == "parquet":
         return spark.read.schema(schema).parquet(path)
+    if resolved == "orc":
+        # Columnar like parquet (predicate pushdown + column pruning reach
+        # the scan identically); same straight-through dispatch.
+        return spark.read.schema(schema).orc(path)
     raise ValueError(f"unknown source format: {resolved!r}")

@@ -104,3 +104,30 @@ def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
     assert z_day < 0.6          # measured 0.425 (1.0 lexicographic)
     assert z_user < 0.9         # measured 0.6 — both dims stay prunable
     assert spark.read.parquet(zord).count() == ev.count()
+
+
+def test_compact_small_files(spark, tmp_path):
+    """200 tiny files -> a handful; row set identical; clustered variant
+    leaves non-overlapping row-group key ranges (skipping preserved)."""
+    from logpipe_spark.plans.layout import (
+        compact_small_files, rowgroup_ranges, overlap_fraction,
+    )
+
+    p = str(tmp_path / "tiny")
+    df = spark.range(0, 20_000).withColumn("k", (F.col("id") * 37) % 1000)
+    df.repartition(200).write.parquet(p)
+    before = spark.read.parquet(p).groupBy().sum("id", "k").collect()[0]
+
+    stats = compact_small_files(spark, p, target_bytes=1 << 20,
+                                sort_cols=["k"])
+    assert stats["files_before"] == 200
+    assert stats["files_after"] < 20
+    after_df = spark.read.parquet(p)
+    after = after_df.groupBy().sum("id", "k").collect()[0]
+    assert before == after and after_df.count() == 20_000
+
+    import pathlib
+    ranges = []
+    for f in pathlib.Path(p).rglob("*.parquet"):
+        ranges.extend(rowgroup_ranges(str(f), "k"))
+    assert overlap_fraction(ranges) <= 0.02   # re-clustered on k

@@ -197,3 +197,16 @@ def test_ndjson_scalar_lines_route_to_error(spark, tmp_path):
 def test_sniff_format_parquet():
     assert sniff_format("data.parquet") == "parquet"
     assert sniff_format("a/b/part-0001.parquet") == "parquet"
+
+
+def test_read_source_dispatch_orc(spark, tmp_path):
+    """ORC is a first-class columnar source: extension sniff + schema-forced
+    read, same straight-through dispatch as parquet."""
+    p = str(tmp_path / "t.orc")
+    spark.createDataFrame(
+        [("c1", 0, "user", "hi"), ("c2", 1, "assistant", "yo")], SCHEMA
+    ).write.orc(p)
+    assert sniff_format(p) == "orc"
+    df = read_source(spark, p, SCHEMA)      # no explicit fmt: sniffed
+    rows = {(r.conv_id, r.turn_idx) for r in df.collect()}
+    assert rows == {("c1", 0), ("c2", 1)}

@@ -351,3 +351,32 @@ def test_sessionize_segmented_equals_plain(spark):
                 .reset_index(drop=True))
             pd.testing.assert_frame_equal(
                 seg[plain.columns], plain, check_dtype=False)
+
+
+def test_sequence_gaps_matches_global_lag(spark):
+    """Bucketed two-level gap detection == naive global lag, on an id set
+    engineered to hit every case: intra-bucket gaps, a gap crossing a
+    bucket boundary, and whole buckets absent (width=8 -> buckets 0..)."""
+    from logpipe_spark.operators.spans import sequence_gaps
+
+    ids = [0, 1, 2, 5, 6, 7,          # gap 3-4 inside bucket 0
+           8, 9,                      # bucket 1 truncated: gap 10-15 crosses
+           16,                        # into bucket 2
+           40, 41,                    # buckets 3,4 wholly absent: gap 17-39
+           42, 63, 64]                # gap 43-62 spans bucket edge at 48,56
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    got = {(r.gap_start, r.gap_end)
+           for r in sequence_gaps(df, "event_id", bucket_width=8).collect()}
+    want = set()
+    for a, b in zip(sorted(ids), sorted(ids)[1:]):
+        if b - a > 1:
+            want.add((a + 1, b - 1))
+    assert got == want
+    assert (3, 4) in want and (17, 39) in want    # the engineered cases
+
+
+def test_sequence_gaps_no_gaps_empty(spark):
+    from logpipe_spark.operators.spans import sequence_gaps
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "event_id long")
+    assert sequence_gaps(df, "event_id", bucket_width=4).count() == 0
