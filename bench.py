@@ -79,6 +79,15 @@ HEADLINE = [
     "priority_sample",
     "topk_per_group",
     "cohort_retention",
+    # round-2 continuation: event analytics, profiling, curation, audit
+    "fuzzy_pairs",
+    "funnel_steps",
+    "event_transitions",
+    "profile_columns",
+    "strip_boilerplate",
+    "doc_keywords",
+    "unpivot_long",
+    "seq_gaps",
 ]
 
 
