@@ -1698,6 +1698,93 @@ def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(["user_id"], types, "event_type", "n")
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD type-2 build from the event changelog (operators/scd.py):
+    # consecutive same-state changes collapse, each run becomes a
+    # [valid_from, valid_to) row. Both windows share one user_id
+    # exchange; per-key window state is a single lag/lead row.
+    from logpipe_spark.operators.scd import scd2_intervals
+
+    return scd2_intervals(
+        _events(spark, sf_dir), "user_id", "ts", "event_type", "event_id"
+    )
+
+
+def q_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # +1/-1 boundary sweep over 14-day order-fulfillment intervals
+    # (operators/sweep.py): per-instant net deltas, then a TWO-LEVEL
+    # prefix sum (per-bucket window + n/W-row bucket-summary carry) — the
+    # oracle runs the naive single-window global running sum this
+    # decomposes.
+    from logpipe_spark.operators.sweep import interval_concurrency
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    iv = orders.select(
+        F.col("o_orderdate").cast("timestamp").alias("t0"),
+        (F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 14 DAYS")).alias(
+            "t1"
+        ),
+    )
+    return interval_concurrency(iv, "t0", "t1", bucket_seconds=7 * 24 * 3600)
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Data-quality suite (operators/profile.py): per-table checks fuse
+    # into ONE aggregate scan each (uniqueness / nullability / range in a
+    # single pass over orders); FK orphan checks are anti joins on the
+    # key. The report is a union of aggregate rows — metadata-sized.
+    from logpipe_spark.operators.profile import (
+        dq_fk_check,
+        dq_suite,
+        dq_table_checks,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return dq_suite(
+        [
+            dq_table_checks(
+                orders,
+                unique_cols=["o_orderkey"],
+                not_null_cols=["o_custkey"],
+                range_checks=[("positive_price", F.col("o_totalprice") > 0)],
+                table="orders",
+            ),
+            dq_fk_check(orders, customer, "o_custkey", "c_custkey", table="orders"),
+            dq_fk_check(li, orders, "l_orderkey", "o_orderkey", table="lineitem"),
+        ]
+    )
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top-20 opening event paths (operators/funnel.py:top_paths): one
+    # groupBy(user) sorted-collect-slice — no separate ordering window —
+    # then a path-cardinality-bounded ranking. Ties (ts -> event_id,
+    # count -> path text) are fully deterministic.
+    from logpipe_spark.operators.funnel import top_paths
+
+    return top_paths(_events(spark, sf_dir), n_events=5, k=20)
+
+
+def q_build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inverted index (trainprep/index.py): exact df per term, postings
+    # capped at 10 ids BEFORE collection (row_number window, bounded
+    # state) so a stop word never materializes a corpus-sized list.
+    from logpipe_spark.trainprep.index import build_postings
+
+    return build_postings(_docs(spark, sf_dir), max_postings=10)
+
+
+def q_dup_chunk_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-document duplicated-chunk fraction (trainprep/dedup.py:
+    # chunk_dup_stats): 8-word non-overlapping chunks hashed with md5,
+    # per-hash distinct-doc frequency joined back on the hash key;
+    # dup_frac is a raw integer-quotient double (bit-identical
+    # cross-engine, never rounded).
+    return dd.chunk_dup_stats(_docs(spark, sf_dir), chunk_words=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1801,6 +1888,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "doc_keywords": q_doc_keywords,
         "unpivot_long": q_unpivot_long,
+        "scd2_intervals": q_scd2_intervals,
+        "concurrency_curve": q_concurrency_curve,
+        "dq_checks": q_dq_checks,
+        "top_paths": q_top_paths,
+        "build_postings": q_build_postings,
+        "dup_chunk_frac": q_dup_chunk_frac,
     }
 
 
@@ -2438,6 +2531,105 @@ WITH wide AS (
   FROM events GROUP BY user_id)
 UNPIVOT wide ON "view", click, purchase, signup, error
 INTO NAME event_type VALUE n""",
+        # Change-collapse + interval-close, both per-user windows; the
+        # first-row case rides prev IS NULL (event_type is never null in
+        # the feed — the engine's eqNullSafe generalizes it).
+        "scd2_intervals": """
+WITH o AS (SELECT user_id, event_type, ts, event_id,
+                  lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+c AS (SELECT user_id, event_type, ts, event_id FROM o
+      WHERE prev IS NULL OR prev <> event_type),
+iv AS (SELECT user_id, event_type AS state, ts AS valid_from,
+              lead(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+       FROM c)
+SELECT user_id, state, valid_from, valid_to,
+       cast(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS bigint)
+         AS is_current
+FROM iv""",
+        # Naive global running sum over ALL boundary instants — the
+        # single-reducer formulation operators/sweep.py's two-level
+        # prefix scan replaces. Per-instant net deltas first, so no
+        # within-instant order exists to disagree on.
+        "concurrency_curve": """
+WITH b AS (SELECT o_orderdate AS t, 1 AS d FROM orders
+           UNION ALL
+           SELECT o_orderdate + INTERVAL 14 DAY AS t, -1 AS d FROM orders),
+g AS (SELECT t, cast(sum(d) AS bigint) AS delta FROM b GROUP BY t)
+SELECT t, delta,
+       cast(sum(delta) OVER (ORDER BY t) AS bigint) AS concurrent
+FROM g""",
+        "dq_checks": """
+WITH v AS (
+  SELECT 'orders.unique:o_orderkey' AS "check",
+         cast(count(o_orderkey) - count(DISTINCT o_orderkey) AS bigint)
+           AS violations FROM orders
+  UNION ALL
+  SELECT 'orders.not_null:o_custkey',
+         cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS bigint)
+         FROM orders
+  UNION ALL
+  SELECT 'orders.range:positive_price',
+         cast(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS bigint)
+         FROM orders
+  UNION ALL
+  SELECT 'orders.fk:o_custkey',
+         (SELECT cast(count(*) AS bigint) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'lineitem.fk:l_orderkey',
+         (SELECT cast(count(*) AS bigint) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)))
+SELECT "check", violations,
+       cast(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS bigint) AS passed
+FROM v""",
+        "top_paths": """
+WITH r AS (SELECT user_id, event_type,
+                  row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 5 GROUP BY user_id),
+c AS (SELECT path, cast(count(*) AS bigint) AS n_users FROM p GROUP BY path),
+k AS (SELECT path, n_users,
+             row_number() OVER (ORDER BY n_users DESC, path) AS rank
+      FROM c)
+SELECT path, n_users, cast(rank AS int) AS rank FROM k WHERE rank <= 20""",
+        # list(doc_id ORDER BY doc_id) keeps NUMERIC order before the
+        # string join — matching the engine's sort-then-cast.
+        "build_postings": """
+WITH w AS (SELECT DISTINCT doc_id, word FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents)),
+r AS (SELECT word, doc_id,
+             row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY word) AS df
+      FROM w)
+SELECT word, cast(max(df) AS bigint) AS df,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+FROM r WHERE rn <= 10 GROUP BY word""",
+        # 1-based inclusive list slice == Spark slice(ws, start, len);
+        # both clip the tail chunk. Integer-quotient raw double, never
+        # rounded.
+        "dup_chunk_frac": """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ch AS (SELECT doc_id,
+              md5(array_to_string(ws[(i*8+1):(i*8+8)], ' ')) AS chunk_hash
+       FROM base, unnest(range((len(ws) + 7) // 8)) AS t(i)),
+dfc AS (SELECT chunk_hash, count(DISTINCT doc_id) AS docs
+        FROM ch GROUP BY chunk_hash),
+pd AS (SELECT c.doc_id,
+              cast(count(*) AS bigint) AS n_chunks,
+              cast(sum(CASE WHEN d.docs > 1 THEN 1 ELSE 0 END) AS bigint)
+                AS n_dup_chunks
+       FROM ch c JOIN dfc d USING (chunk_hash) GROUP BY c.doc_id)
+SELECT doc_id, n_chunks, n_dup_chunks,
+       n_dup_chunks / n_chunks AS dup_frac
+FROM pd""",
     }
 
 

@@ -88,6 +88,13 @@ HEADLINE = [
     "doc_keywords",
     "unpivot_long",
     "seq_gaps",
+    # round-2 continuation batch 3: warehouse modeling, DQ, IR, chunk dedup
+    "scd2_intervals",
+    "concurrency_curve",
+    "dq_checks",
+    "top_paths",
+    "build_postings",
+    "dup_chunk_frac",
 ]
 
 

@@ -106,6 +106,63 @@ def funnel_steps(
     return long.select("r.step_idx", "r.step", "r.n_users")
 
 
+def top_paths(
+    events: DataFrame,
+    n_events: int = 5,
+    k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    sep: str = ">",
+) -> DataFrame:
+    """Top-k most common opening event paths (each user's first
+    ``n_events`` event types, in time order, joined with ``sep``).
+
+    Plan shape: ONE groupBy(user) collects (ts, tiebreak, type) structs,
+    sorts the per-user array and slices the first n — no window pass, so
+    there is no full-history ordering shuffle separate from the grouping
+    one. The path-frequency count then combines map-side, and the final
+    ranking windows a frame bounded by |event types|^n_events distinct
+    paths, not by users. Ties on ts are broken by ``tiebreak_col`` so
+    every user's path — and the ranking, which ties on path text — is
+    deterministic cross-engine.
+
+    A bot user with 10^8 events does collect its full funnel-window
+    history before the slice; if that matters, pre-filter with a per-user
+    limit (the events feed here is bounded per user by upstream quotas).
+    """
+    per_user = events.groupBy(F.col(user_col)).agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col(ts_col).alias("ts"),
+                                F.col(tiebreak_col).alias("tb"),
+                                F.col(type_col).alias("et"),
+                            )
+                        )
+                    ),
+                    lambda s: s["et"],
+                ),
+                1,
+                n_events,
+            ),
+            sep,
+        ).alias("path")
+    )
+    counts = per_user.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    w = Window.orderBy(F.col("n_users").desc(), F.col("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def event_transitions(
     events: DataFrame,
     user_col: str = "user_id",

@@ -22,8 +22,111 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def dq_table_checks(
+    df: DataFrame,
+    unique_cols: Sequence[str] = (),
+    not_null_cols: Sequence[str] = (),
+    range_checks: Sequence[tuple[str, Column]] = (),
+    table: str = "table",
+) -> DataFrame:
+    """Single-scan data-quality checks over one table (Deequ-style).
+
+    Emits (check, violations, passed) rows for:
+    - ``unique:<col>``  — duplicate rows beyond the first per key value
+      (``count(*) - count(distinct col)``; NULL keys count as duplicates
+      of each other only via the not-null check, matching SQL distinct);
+    - ``not_null:<col>`` — NULL count;
+    - ``range:<name>``   — rows where the given predicate is FALSE or
+      NULL (a NULL predicate is a violation: unknown ≠ valid).
+
+    Every metric is an aggregate expression in ONE fused pass — N checks
+    never re-scan the table (same single-scan contract as
+    :func:`profile_columns`; the exact count-distincts bring the same
+    documented Expand trade-off).
+    """
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_rows")]
+    names: list[str] = []
+    for c in unique_cols:
+        names.append(f"unique:{c}")
+        aggs.append(
+            (F.count(c) - F.count_distinct(F.col(c)))
+            .cast("bigint")
+            .alias(f"_v{len(names)}")
+        )
+    for c in not_null_cols:
+        names.append(f"not_null:{c}")
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_v{len(names)}")
+        )
+    for name, pred in range_checks:
+        names.append(f"range:{name}")
+        aggs.append(
+            F.sum(F.when(pred, 0).otherwise(1)).cast("bigint").alias(f"_v{len(names)}")
+        )
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(f"{table}.{n}").alias("check"),
+                F.col(f"_v{i + 1}").alias("violations"),
+            )
+            for i, n in enumerate(names)
+        ]
+    )
+    long = wide.select(F.explode(rows).alias("r")).select("r.check", "r.violations")
+    return _with_passed(long)
+
+
+def dq_fk_check(
+    child: DataFrame,
+    parent: DataFrame,
+    child_col: str,
+    parent_col: str,
+    table: str = "table",
+) -> DataFrame:
+    """Referential-integrity check: child rows whose FK has no parent.
+
+    One anti join on the key — broadcastable when the parent is a
+    dimension, AQE-planned otherwise; NULL FKs are orphans here (SQL anti
+    join keeps them), pair with a ``not_null`` check to tell the cases
+    apart. Emits one (check, violations, passed) row.
+    """
+    orphans = child.join(
+        parent.select(F.col(parent_col).alias(child_col)), child_col, "left_anti"
+    )
+    row = orphans.agg(
+        F.count(F.lit(1)).cast("bigint").alias("violations")
+    ).select(
+        F.lit(f"{table}.fk:{child_col}").alias("check"), F.col("violations")
+    )
+    return _with_passed(row)
+
+
+def dq_suite(checks: Sequence[DataFrame]) -> DataFrame:
+    """Union per-table check frames into one report. Each input is a
+    handful of rows (aggregates), so the union is metadata-sized however
+    large the scanned tables were."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _with_passed(df: DataFrame) -> DataFrame:
+    return df.select(
+        "check",
+        "violations",
+        F.when(F.col("violations") == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("passed"),
+    )
 
 
 def profile_columns(

@@ -357,3 +357,62 @@ def simhash_bands(sigs: DataFrame, n_bands: int = 4,
     cols = ["doc_id"] + (["simhash"] if keep_signature else [])
     return sigs.select(*cols, F.explode(bands).alias("b")).select(
         *cols, "b.band_idx", "b.band_key")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-chunk fraction (RefinedWeb/FineWeb-style signal)
+# ---------------------------------------------------------------------------
+
+
+def chunk_dup_stats(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_words: int = 8) -> DataFrame:
+    """Per-document fraction of text duplicated ACROSS the corpus, at
+    fixed-width word-chunk granularity: (doc_id, n_chunks, n_dup_chunks,
+    dup_frac). A chunk is "duplicated" when its hash occurs in more than
+    one distinct document — the cross-corpus complement of the intra-doc
+    ``textqual.repetition_score`` (Gopher) signal; high dup_frac marks
+    near-template documents that survive doc-level exact dedup.
+
+    Chunks are consecutive ``chunk_words``-word windows (non-overlapping;
+    the tail chunk may be short), built array-side with sequence/slice —
+    no per-word explode, one chunk row per ~``chunk_words`` words. The
+    per-chunk document frequency is a groupBy on the md5 chunk hash (the
+    natural shuffle key, fixed 32 B regardless of chunk text) joined back
+    on the same key; the per-doc rollup combines map-side. A boilerplate
+    chunk's hash group carries one COUNT per doc, never the texts — the
+    hot-key cost is a count aggregation, not a quadratic join.
+
+    dup_frac is the raw double quotient of the two integer counts —
+    bit-identical cross-engine, never rounded.
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.split(F.col(text_col), " ").alias("ws"))
+    # ws materialized above: the chunk lambda references it many times, and
+    # CollapseProject would otherwise inline one split() call per reference
+    # (the 25x re-split trap — BENCH.md round-2 notes).
+    n_chunks = F.floor((F.size("ws") + F.lit(chunk_words - 1)) / F.lit(chunk_words))
+    chunks = base.select(
+        "doc_id",
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+                lambda i: F.md5(F.array_join(
+                    F.slice("ws", i * chunk_words + 1, chunk_words), " ")),
+            )
+        ).alias("chunk_hash"),
+    ).filter(F.col("chunk_hash").isNotNull())
+    dfc = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct("doc_id").alias("_docs"))
+    per_doc = (
+        chunks.join(dfc, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("_docs") > 1, 1).otherwise(0))
+            .cast("bigint").alias("n_dup_chunks"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_chunks", "n_dup_chunks",
+        (F.col("n_dup_chunks") / F.col("n_chunks")).alias("dup_frac"),
+    )
