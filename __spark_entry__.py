@@ -1785,6 +1785,41 @@ def q_dup_chunk_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.chunk_dup_stats(_docs(spark, sf_dir), chunk_words=8)
 
 
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weekly event volume per type with previous-week delta and relative
+    # change (operators/aggregate.py:period_over_period): one map-side-
+    # combinable groupBy, then a lag window over the weeks-per-type frame
+    # (period-cardinality rows, not input rows). pct_change is the raw
+    # double quotient of two bigint counts — bit-identical cross-engine.
+    from logpipe_spark.operators.aggregate import period_over_period
+
+    return period_over_period(_events(spark, sf_dir), "ts", ["event_type"], "week")
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Snapshot diff / CDC-derive (operators/diff.py:snapshot_diff): two
+    # deterministic "vendor dump" versions of orders (old drops keys
+    # %3==0, new drops %5==0 and bumps price on %7==0), classified
+    # added/removed/changed by ONE full-outer join on the key — the only
+    # shuffle; unchanged bulk is dropped before materializing.
+    from logpipe_spark.operators.diff import snapshot_diff
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1894,6 +1929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_paths": q_top_paths,
         "build_postings": q_build_postings,
         "dup_chunk_frac": q_dup_chunk_frac,
+        "period_over_period": q_period_over_period,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -2630,6 +2667,47 @@ pd AS (SELECT c.doc_id,
 SELECT doc_id, n_chunks, n_dup_chunks,
        n_dup_chunks / n_chunks AS dup_frac
 FROM pd""",
+        # Weeks start Monday in BOTH engines' date_trunc('week');
+        # pct_change is a raw bigint/bigint double quotient (never
+        # rounded — identical integer operands → bit-identical).
+        "period_over_period": """
+WITH g AS (SELECT event_type,
+                  cast(date_trunc('week', ts) AS timestamp) AS period,
+                  cast(count(*) AS bigint) AS n
+           FROM events GROUP BY 1, 2)
+SELECT event_type, period, n,
+       lag(n) OVER w AS prev_n,
+       n - lag(n) OVER w AS delta,
+       cast(n - lag(n) OVER w AS double) / lag(n) OVER w AS pct_change
+FROM g WINDOW w AS (PARTITION BY event_type ORDER BY period)""",
+        # Same deterministic snapshot derivation both sides; presence by
+        # key-side null after the full outer join, value compare
+        # null-safe (IS NOT DISTINCT FROM == eqNullSafe). +1.0 on the
+        # same double operand is bit-identical cross-engine.
+        "snapshot_diff": """
+WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+             WHERE o_orderkey % 3 <> 0),
+new AS (SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 5 <> 0),
+j AS (SELECT o.o_orderkey AS ko, n.o_orderkey AS kn,
+             o.o_totalprice AS old_o_totalprice,
+             o.o_orderstatus AS old_o_orderstatus,
+             n.o_totalprice AS new_o_totalprice,
+             n.o_orderstatus AS new_o_orderstatus
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey),
+c AS (SELECT coalesce(ko, kn) AS o_orderkey,
+             CASE WHEN ko IS NULL THEN 'added'
+                  WHEN kn IS NULL THEN 'removed'
+                  WHEN old_o_totalprice IS NOT DISTINCT FROM new_o_totalprice
+                   AND old_o_orderstatus IS NOT DISTINCT FROM new_o_orderstatus
+                  THEN 'unchanged' ELSE 'changed' END AS change_type,
+             old_o_totalprice, old_o_orderstatus,
+             new_o_totalprice, new_o_orderstatus
+      FROM j)
+SELECT * FROM c WHERE change_type <> 'unchanged'""",
     }
 
 

@@ -345,3 +345,43 @@ def kmv_distinct(df: DataFrame, group_col: str, key_col: str,
             .cast("bigint").alias("estimate"),
         )
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    grain: str = "week",
+) -> DataFrame:
+    """Period-over-period reporting: per-key counts at ``grain`` with the
+    previous period's count, absolute delta and relative change.
+
+    Returns (keys..., period, n, prev_n, delta, pct_change). pct_change
+    is the RAW double quotient of two integer counts (bit-identical
+    cross-engine — see the round() divergence note in CLAUDE.md); NULL
+    for each key's first period. Periods with zero rows simply don't
+    appear — the lag is over OBSERVED periods (gap-filling is a join
+    against a generated calendar if needed, deliberately not implied
+    here).
+
+    Plan: one map-side-combinable groupBy(keys, period), then a lag
+    window per key over the period-cardinality frame (weeks-per-key
+    rows, not input rows). date_trunc weeks start Monday in both Spark
+    and DuckDB.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    g = df.groupBy(
+        *keys, F.date_trunc(grain, F.col(ts_col)).alias("period")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy(*keys).orderBy("period")
+    prev = F.lag("n").over(w)
+    return g.select(
+        *keys,
+        "period",
+        "n",
+        prev.alias("prev_n"),
+        (F.col("n") - prev).alias("delta"),
+        ((F.col("n") - prev) / prev).alias("pct_change"),
+    )

@@ -242,3 +242,62 @@ def test_chunk_dup_stats_intra_doc_repeat_is_not_cross_dup(spark):
     assert out[1].n_dup_chunks == 0
     # short doc: single tail chunk
     assert out[2].n_chunks == 1
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff / period_over_period
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classes_and_nullsafe_values(spark):
+    from logpipe_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 3.0), (4, None, 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "c", 30.0), (4, "x", 4.0), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    out = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out[1].change_type == "removed"
+    assert out[5].change_type == "added" and out[5].new_s == "e"
+    # NULL == NULL under eqNullSafe: row 2 is unchanged, so absent
+    assert 2 not in out
+    assert out[3].change_type == "changed" and out[3].new_v == 30.0
+    # NULL -> value IS a change
+    assert out[4].change_type == "changed"
+
+
+def test_snapshot_diff_include_unchanged_and_compare_subset(spark):
+    from logpipe_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "k long, s string, v double")
+    new = spark.createDataFrame([(1, "a", 9.0)], "k long, s string, v double")
+    # compare only s: the v change is invisible -> unchanged
+    full = snapshot_diff(old, new, ["k"], ["s"], include_unchanged=True).collect()
+    assert len(full) == 1 and full[0].change_type == "unchanged"
+    assert snapshot_diff(old, new, ["k"], ["s"]).count() == 0
+
+
+def test_period_over_period_first_and_gap_periods(spark):
+    from logpipe_spark.operators.aggregate import period_over_period
+
+    rows = [
+        ("a", _ts("2024-01-01T00:00:00")),  # week of Jan 1 (Mon)
+        ("a", _ts("2024-01-02T00:00:00")),
+        ("a", _ts("2024-01-08T00:00:00")),  # next week
+        ("a", _ts("2024-01-22T00:00:00")),  # gap week skipped entirely
+        ("b", _ts("2024-01-08T00:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = period_over_period(df, "ts", ["g"], "week").collect()
+    a = sorted([r for r in out if r.g == "a"], key=lambda r: r.period)
+    assert [r.n for r in a] == [2, 1, 1]
+    assert a[0].prev_n is None and a[0].pct_change is None
+    assert a[1].delta == -1 and a[1].pct_change == -0.5
+    # lag is over OBSERVED periods: the gap week's prev is week of Jan 8
+    assert a[2].prev_n == 1 and a[2].delta == 0
+    b = [r for r in out if r.g == "b"]
+    assert len(b) == 1 and b[0].prev_n is None
