@@ -866,6 +866,50 @@ FROM q"""
 _HEXVAL = "(strpos('0123456789abcdef', substr(m, {i}, 1)) - 1)"
 
 
+def _hexpoly8(col: str) -> str:
+    """8-hex-char prefix of a named md5 column as an integer — the DuckDB
+    twin of Spark's conv(substring(md5, 1, 8), 16, 10)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+def _bloom_oracle(m_bits: int = 1 << 16, k: int = 3) -> str:
+    """Rebuilds plans/bloom.py's filter bit-for-bit in DuckDB: identical
+    md5-derived positions -> identical words -> identical (false-
+    positive-inclusive) pruned set."""
+    seeds = ", ".join(str(s) for s in range(k))
+    probe_ms = ",\n              ".join(
+        f"md5(cast(key AS varchar) || '#{s}') AS m{s}" for s in range(k))
+    probe_ps = ",\n             ".join(
+        f"({_hexpoly8(f'm{s}')}) % {m_bits} AS p{s}" for s in range(k))
+    member = "\n  AND ".join(
+        f"""EXISTS (SELECT 1 FROM w
+       WHERE word_idx = cast(p{s} // 32 AS int)
+         AND ((word >> cast(p{s} % 32 AS int)) % 2) = 1)"""
+        for s in range(k))
+    return f"""WITH dim AS (SELECT o_orderkey AS key FROM orders
+             WHERE o_orderpriority = '1-URGENT'),
+hh AS (SELECT md5(cast(key AS varchar) || '#' || cast(s AS varchar)) AS m
+       FROM dim, unnest([{seeds}]) AS t(s)),
+p AS (SELECT ({_hexpoly8('m')}) % {m_bits} AS pos FROM hh),
+w AS (SELECT cast(pos // 32 AS int) AS word_idx,
+             bit_or(cast(1 AS bigint) << cast(pos % 32 AS int)) AS word
+      FROM p GROUP BY 1),
+keys AS (SELECT l_orderkey AS key, cast(count(*) AS bigint) AS n_items
+         FROM lineitem GROUP BY 1),
+kh AS (SELECT key, n_items,
+              {probe_ms}
+       FROM keys),
+kp AS (SELECT key, n_items,
+             {probe_ps}
+      FROM kh)
+SELECT key AS l_orderkey, n_items FROM kp
+WHERE {member}"""
+
+
 def _mm_resize_oracle(max_side: int = 256) -> str:
     return f"""WITH meta AS ({_mm_oracle()}),
 t AS (
@@ -1785,6 +1829,26 @@ def q_dup_chunk_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.chunk_dup_stats(_docs(spark, sf_dir), chunk_words=8)
 
 
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bloom-pruned semi-join (plans/bloom.py): filter over urgent orders'
+    # keys built as an 8 KiB word array, broadcast as ONE row, fact scan
+    # pruned by a narrow codegen expression — the fact side NEVER
+    # shuffles on the key. md5-derived bits -> the same deterministic
+    # false-positive set in both engines, so even the approximation is
+    # value-hash exact.
+    from logpipe_spark.plans.bloom import bloom_prune
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pruned = bloom_prune(li, orders, "l_orderkey", "o_orderkey",
+                         m_bits=1 << 16, k=3)
+    return pruned.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items")
+    )
+
+
 def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Weekly event volume per type with previous-week delta and relative
     # change (operators/aggregate.py:period_over_period): one map-side-
@@ -1931,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_chunk_frac": q_dup_chunk_frac,
         "period_over_period": q_period_over_period,
         "snapshot_diff": q_snapshot_diff,
+        "bloom_prune": q_bloom_prune,
     }
 
 
@@ -2708,6 +2773,7 @@ c AS (SELECT coalesce(ko, kn) AS o_orderkey,
              new_o_totalprice, new_o_orderstatus
       FROM j)
 SELECT * FROM c WHERE change_type <> 'unchanged'""",
+        "bloom_prune": _bloom_oracle(),
     }
 
 

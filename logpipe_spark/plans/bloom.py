@@ -1,0 +1,117 @@
+"""Bloom-filter pruned join: build a tiny deterministic Bloom filter over
+the dim side's join keys, broadcast it as ONE row, and prune the fact scan
+with a narrow expression BEFORE any shuffle happens.
+
+This is the explicit, persistable form of a runtime join filter (what
+Spark's own InjectRuntimeFilter / DPP do opportunistically): at 100 TB the
+semi-join `fact ⋉ dim` normally shuffles the fact on the key; with a
+Bloom pass the fact scan drops ~all non-matching rows in place (a
+whole-stage-codegen filter over a broadcast array), and only the
+surviving sliver pays the join/aggregate shuffle. The filter itself is
+m/32 bigint words — 8 KiB at m=2^16, 32 MiB at m=2^28 (a 1e9-key dim at
+10 bits/key) — well inside broadcast budget, and the word table is
+mergeable across dims/days with a plain ``bit_or`` groupBy.
+
+Determinism: bit positions derive from md5 (identical in every engine),
+so the SAME keys always produce the SAME filter and the SAME false
+positives — the pruned result is exactly reproducible (and DuckDB-
+oracle-able) despite being approximate.
+
+Reference seam: the reference has no runtime filters — its enricher
+(src/transformers/enrichTransformer.js) always materializes the full
+lookup; this is the scale path Spark enables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 32-bit words inside bigints: 1 << 31 still fits, no sign games.
+_WORD_BITS = 32
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """k deterministic bit positions for a key: md5("key#seed") 8-hex
+    prefix as an integer, mod m_bits. Pure codegen expressions."""
+    out = []
+    for s in range(k):
+        h = F.md5(F.concat(key.cast("string"), F.lit(f"#{s}")))
+        out.append(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % m_bits
+        )
+    return out
+
+
+def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16,
+                k: int = 3) -> DataFrame:
+    """Build the filter as a word table (word_idx int, word bigint).
+
+    One explode(k)+groupBy(word_idx): shuffle volume is capped at
+    m_bits/32 rows per task by map-side bit_or combine — independent of
+    dim cardinality. Word tables from different partitions/days merge
+    with the same bit_or (sketch-mergeable, like cms_sketch).
+    """
+    assert m_bits % _WORD_BITS == 0
+    key = F.col(key_col)
+    pos = F.array(*_positions(key, m_bits, k))
+    return (
+        df.select(F.explode(pos).alias("pos"))
+        .select(
+            (F.col("pos") / _WORD_BITS).cast("int").alias("word_idx"),
+            # call_function: the shiftleft/shiftright python wrappers only
+            # take literal ints for numBits; the SQL functions take columns
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"),
+                (F.col("pos") % _WORD_BITS).cast("int")).alias("m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("m").alias("word"))
+    )
+
+
+def bloom_as_array(words: DataFrame, m_bits: int) -> DataFrame:
+    """Densify the word table into ONE row holding array<bigint> of
+    length m_bits/32 (absent words = 0) — the broadcastable form."""
+    n_words = m_bits // _WORD_BITS
+    sparse = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))).alias("wm"))
+    return sparse.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(F.element_at("wm", i), F.lit(0).cast("bigint")),
+        ).alias("bloom")
+    )
+
+
+def bloom_might_contain(key: Column, bloom: Column, m_bits: int,
+                        k: int = 3) -> Column:
+    """Membership test expression: all k bits set. No false negatives;
+    false-positive rate ~ (1 - e^(-k*n/m))^k, deterministic per key."""
+    cond = F.lit(True)
+    for pos in _positions(key, m_bits, k):
+        word = F.element_at(bloom, (pos / _WORD_BITS).cast("int") + 1)
+        # call_function: same literal-only numBits limitation as shiftleft
+        bit = F.call_function(
+            "shiftright", word, (pos % _WORD_BITS).cast("int")) % 2
+        cond = cond & (bit == 1)
+    return cond
+
+
+def bloom_prune(fact: DataFrame, dim: DataFrame, fact_key: str,
+                dim_key: str, m_bits: int = 1 << 16, k: int = 3) -> DataFrame:
+    """fact rows whose key might be in dim (superset of the exact
+    semi-join by the deterministic FP set).
+
+    Plan: dim → word table → 1-row array (m_bits/32 longs) → broadcast
+    cross join → narrow codegen filter on the fact scan. The fact side
+    never shuffles; pair with an exact join downstream only on the
+    survivors when FPs must be removed.
+    """
+    arr = bloom_as_array(bloom_build(dim, dim_key, m_bits, k), m_bits)
+    return (
+        fact.crossJoin(F.broadcast(arr))
+        .filter(bloom_might_contain(F.col(fact_key), F.col("bloom"), m_bits, k))
+        .drop("bloom")
+    )
