@@ -866,14 +866,43 @@ FROM q"""
 _HEXVAL = "(strpos('0123456789abcdef', substr(m, {i}, 1)) - 1)"
 
 
-def _hexpoly8(col: str) -> str:
-    """8-hex-char prefix of a named md5 column as an integer — the DuckDB
-    twin of Spark's conv(substring(md5, 1, 8), 16, 10)."""
+def _hexpoly8(col: str, start: int = 1) -> str:
+    """8 hex chars of a named md5 column from ``start`` as an integer — the
+    DuckDB twin of Spark's conv(substring(md5, start, 8), 16, 10)."""
     return " + ".join(
-        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
+        f"(strpos('0123456789abcdef', substr({col}, {start + i}, 1)) - 1)"
         f" * {16 ** (7 - i)}"
         for i in range(8)
     )
+
+
+def _hll_oracle(p: int = 9) -> str:
+    """DuckDB twin of operators/hll.py — same md5 registers, same exact
+    dyadic harmonic sum, same floor(x+0.5) integer estimate (ln differs by
+    1 ulp between engines on 39/512 inputs; the rounded bigint absorbs it).
+    """
+    from logpipe_spark.operators.hll import _alpha
+
+    m = 1 << p
+    a = repr(_alpha(m))
+    raw = f"((cast({a} AS double) * {m}) * {m}) / z"
+    return f"""hh AS (SELECT tool, md5(cast(conv_id AS varchar)) AS m
+       FROM transcripts),
+r AS (SELECT tool,
+             cast(({_hexpoly8('m')}) % {m} AS int) AS reg,
+             cast(33 - length(bin(cast(({_hexpoly8('m', 9)}) AS bigint)))
+                  AS int) AS rho
+      FROM hh),
+s AS (SELECT tool, reg, max(rho) AS rho FROM r GROUP BY 1, 2),
+e AS (SELECT tool,
+             cast({m} - count(*) AS bigint) AS v,
+             ({m} - count(*)) + sum(pow(2.0, -cast(rho AS double))) AS z
+      FROM s GROUP BY 1)
+SELECT tool,
+       cast(CASE WHEN {raw} <= {2.5 * m!r} AND v > 0
+                 THEN floor({float(m)!r} * ln({float(m)!r} / cast(v AS double)) + 0.5)
+                 ELSE floor({raw} + 0.5) END AS bigint) AS hll_distinct
+FROM e"""
 
 
 def _bloom_oracle(m_bits: int = 1 << 16, k: int = 3) -> str:
@@ -1849,6 +1878,18 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic mergeable HLL (operators/hll.py): per-tool distinct
+    # conv_id estimate whose md5-derived registers reproduce bit-for-bit
+    # in DuckDB — an APPROXIMATE aggregate that passes the exact value-
+    # hash gate (contrast flagship_approx, where the engine-private HLL++
+    # sketches diverge by design). Shuffle is capped at 2^p rows per task
+    # per group regardless of key cardinality.
+    from logpipe_spark.operators.hll import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir), "conv_id", ["tool"], p=9)
+
+
 def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Weekly event volume per type with previous-week delta and relative
     # change (operators/aggregate.py:period_over_period): one map-side-
@@ -1996,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "period_over_period": q_period_over_period,
         "snapshot_diff": q_snapshot_diff,
         "bloom_prune": q_bloom_prune,
+        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -2774,6 +2816,8 @@ c AS (SELECT coalesce(ko, kn) AS o_orderkey,
       FROM j)
 SELECT * FROM c WHERE change_type <> 'unchanged'""",
         "bloom_prune": _bloom_oracle(),
+        "hll_distinct": f"""{P},
+{_hll_oracle()}""",
     }
 
 

@@ -1,0 +1,106 @@
+"""Deterministic, mergeable HyperLogLog distinct-count sketch.
+
+Why another HLL when `approx_count_distinct` exists: Spark's built-in HLL++
+sketch is engine-private — its estimates can't be reproduced by any other
+system (the flagship_approx oracle documents the divergence), and the
+binary sketch can't be stored/merged outside Spark. This implementation
+derives every register from md5 (identical in Spark, DuckDB, Postgres,
+anything), so
+
+- the SAME keys always yield the SAME estimate in every engine — the
+  driver's value-hash check passes on an *approximate* aggregate;
+- the sketch is a plain (group, reg, rho) table: persistable as parquet,
+  mergeable with a ``groupBy(reg).max(rho)`` across partitions / days /
+  clusters (the same partial-merge shape as ``rollup_partials`` /
+  ``cms_sketch``), so one pass over 100 TB leaves a few-KB summary per
+  group that any later job can combine without rescanning.
+
+Scale shape: the sketch ``groupBy(group, reg)`` is map-side combinable, so
+the shuffle carries at most ``m = 2**p`` rows per task per group —
+independent of key cardinality (exact ``count(DISTINCT ...)`` shuffles one
+row per distinct key: 10^9 rows at 10^9 conversations).
+
+Cross-engine determinism notes (verified bitwise in this sandbox):
+- ``pow(2.0, -rho)`` is exact for rho ≤ 33 in both engines, and every
+  partial sum of such dyadic terms fits in 53 mantissa bits — the harmonic
+  sum Z is EXACT, hence order-independent and identical across engines.
+- ``ln`` is NOT bit-identical between Spark (Math.log) and DuckDB (libm):
+  39/512 inputs differ by 1 ulp. The linear-counting branch therefore
+  emits ``floor(x + 0.5)`` as bigint — a 1-ulp input wobble cannot move
+  the rounded integer unless x sits within ~1e-13 of a half-integer.
+
+The estimator is Flajolet et al. 2007's: E = alpha_m * m^2 / Z with
+linear-counting fallback when E <= 2.5 m and empty registers exist.
+
+Reference seam: the reference has no approximate aggregates at all
+(SURVEY.md §2.3) — its stats aggregator (src/aggregators/statsAggregator.js)
+is exact-only; this is a Spark-native scale addition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _alpha(m: int) -> float:
+    # standard bias constant for m >= 128
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_sketch(df: DataFrame, key: str, group_cols: list[str] | None = None,
+               p: int = 9) -> DataFrame:
+    """Register table (group..., reg int, rho int) for distinct ``key``.
+
+    reg = first 8 md5 hex digits of the key mod 2**p; rho = position of
+    the leading 1-bit in the NEXT 8 hex digits (33 - length(bin(w))) —
+    pure codegen, no UDFs, no rand().
+    """
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    h = F.md5(F.col(key).cast("string"))
+    reg = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % m).cast("int")
+    w = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    rho = (F.lit(33) - F.length(F.bin(w))).cast("int")
+    return (
+        df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(sketches: DataFrame, group_cols: list[str] | None = None
+              ) -> DataFrame:
+    """Merge a union of register tables: max rho per (group, reg).
+    hll_merge(sketch(A) ∪ sketch(B)) == hll_sketch(A ∪ B) exactly."""
+    group_cols = list(group_cols or [])
+    return sketches.groupBy(*group_cols, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, group_cols: list[str] | None = None,
+                 p: int = 9, alias: str = "hll_distinct") -> DataFrame:
+    """Per-group distinct estimate (bigint) from a register table."""
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    a = _alpha(m)
+    e = sketch.groupBy(*group_cols).agg(
+        (F.lit(m) - F.count(F.lit(1))).cast("bigint").alias("_v"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho").cast("double"))).alias("_hsum"),
+    ).withColumn("_z", F.col("_v").cast("double") + F.col("_hsum"))
+    raw = F.lit(a) * m * m / F.col("_z")
+    linear = F.floor(
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_v").cast("double"))
+        + F.lit(0.5))
+    est = (
+        F.when((raw <= F.lit(2.5 * m)) & (F.col("_v") > 0), linear)
+        .otherwise(F.floor(raw + F.lit(0.5)))
+        .cast("bigint")
+    )
+    return e.select(*group_cols, est.alias(alias))
+
+
+def hll_distinct(df: DataFrame, key: str, group_cols: list[str] | None = None,
+                 p: int = 9, alias: str = "hll_distinct") -> DataFrame:
+    """One-shot sketch + estimate."""
+    return hll_estimate(hll_sketch(df, key, group_cols, p), group_cols, p,
+                        alias)
