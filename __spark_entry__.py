@@ -906,34 +906,34 @@ FROM e"""
 
 
 def _bloom_oracle(m_bits: int = 1 << 16, k: int = 3) -> str:
-    """Rebuilds plans/bloom.py's filter bit-for-bit in DuckDB: identical
-    md5-derived positions -> identical words -> identical (false-
-    positive-inclusive) pruned set."""
+    """Rebuilds plans/bloom.py's filter bit-for-bit in DuckDB: one md5
+    per key, Kirsch–Mitzenmacher positions (h1 + s*h2) % m from its two
+    8-hex halves -> identical words -> identical (false-positive-
+    inclusive) pruned set."""
     seeds = ", ".join(str(s) for s in range(k))
-    probe_ms = ",\n              ".join(
-        f"md5(cast(key AS varchar) || '#{s}') AS m{s}" for s in range(k))
-    probe_ps = ",\n             ".join(
-        f"({_hexpoly8(f'm{s}')}) % {m_bits} AS p{s}" for s in range(k))
+    halves = (f"({_hexpoly8('m')}) % {m_bits} AS h1,\n"
+              f"             ({_hexpoly8('m', 9)}) % {m_bits} AS h2")
     member = "\n  AND ".join(
         f"""EXISTS (SELECT 1 FROM w
-       WHERE word_idx = cast(p{s} // 32 AS int)
-         AND ((word >> cast(p{s} % 32 AS int)) % 2) = 1)"""
+       WHERE word_idx = cast(((h1 + {s} * h2) % {m_bits}) // 32 AS int)
+         AND ((word >> cast(((h1 + {s} * h2) % {m_bits}) % 32 AS int))
+              % 2) = 1)"""
         for s in range(k))
     return f"""WITH dim AS (SELECT o_orderkey AS key FROM orders
              WHERE o_orderpriority = '1-URGENT'),
-hh AS (SELECT md5(cast(key AS varchar) || '#' || cast(s AS varchar)) AS m
-       FROM dim, unnest([{seeds}]) AS t(s)),
-p AS (SELECT ({_hexpoly8('m')}) % {m_bits} AS pos FROM hh),
+hh AS (SELECT md5(cast(key AS varchar)) AS m FROM dim),
+hv AS (SELECT {halves}
+       FROM hh),
+p AS (SELECT (h1 + s * h2) % {m_bits} AS pos
+      FROM hv, unnest([{seeds}]) AS t(s)),
 w AS (SELECT cast(pos // 32 AS int) AS word_idx,
              bit_or(cast(1 AS bigint) << cast(pos % 32 AS int)) AS word
       FROM p GROUP BY 1),
 keys AS (SELECT l_orderkey AS key, cast(count(*) AS bigint) AS n_items
          FROM lineitem GROUP BY 1),
-kh AS (SELECT key, n_items,
-              {probe_ms}
-       FROM keys),
+kh AS (SELECT key, n_items, md5(cast(key AS varchar)) AS m FROM keys),
 kp AS (SELECT key, n_items,
-             {probe_ps}
+             {halves}
       FROM kh)
 SELECT key AS l_orderkey, n_items FROM kp
 WHERE {member}"""
@@ -1878,6 +1878,54 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ["spark", "window", "merge"]
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25 ranked retrieval (trainprep/index.py:bm25_topk): top-10 docs
+    # for a 3-term query. Per-term contributions floored to integer
+    # micros BEFORE the per-doc sum, so the score is order-independent
+    # and the ln() 1-ulp engine divergence is absorbed — an exact value-
+    # hash on a ranked float-scoring query.
+    from logpipe_spark.trainprep.index import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_TERMS, k=10,
+                     k1=BM25_K1, b=BM25_B)
+
+
+def _bm25_oracle(k: int = 10) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    k1, b, k1p1 = repr(BM25_K1), repr(BM25_B), repr(BM25_K1 + 1.0)
+    return f"""WITH tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents),
+qt AS (SELECT * FROM tok WHERE term IN ({terms})),
+tf AS (SELECT doc_id, dl, term, cast(count(*) AS bigint) AS tf
+       FROM qt GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, cast(count(DISTINCT doc_id) AS bigint) AS df
+          FROM qt GROUP BY 1),
+stats AS (SELECT cast(count(*) AS bigint) AS n_docs,
+                 cast(sum(len(string_split(text, ' '))) AS double)
+                   / count(*) AS avgdl
+          FROM documents),
+sc AS (SELECT doc_id,
+        cast(floor(
+          ln((cast(n_docs AS double) - df + 0.5)
+             / (cast(df AS double) + 0.5) + 1.0)
+          * ((cast(tf AS double) * {k1p1}) /
+             (cast(tf AS double)
+              + {k1} * (1.0 - {b} + {b} * (cast(dl AS double) / avgdl))))
+          * 1000000.0 + 0.5) AS bigint) AS sm
+       FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+SELECT doc_id, cast(count(*) AS bigint) AS n_terms_hit,
+       cast(sum(sm) AS bigint) AS score_micro
+FROM sc GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}"""
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deterministic mergeable HLL (operators/hll.py): per-tool distinct
     # conv_id estimate whose md5-derived registers reproduce bit-for-bit
@@ -2038,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "bloom_prune": q_bloom_prune,
         "hll_distinct": q_hll_distinct,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -2818,6 +2867,7 @@ SELECT * FROM c WHERE change_type <> 'unchanged'""",
         "bloom_prune": _bloom_oracle(),
         "hll_distinct": f"""{P},
 {_hll_oracle()}""",
+        "bm25_search": _bm25_oracle(),
     }
 
 

@@ -31,20 +31,38 @@ from pyspark.sql import functions as F
 _WORD_BITS = 32
 
 
-def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    """k deterministic bit positions for a key: md5("key#seed") 8-hex
-    prefix as an integer, mod m_bits. Pure codegen expressions."""
-    out = []
-    for s in range(k):
-        h = F.md5(F.concat(key.cast("string"), F.lit(f"#{s}")))
-        out.append(
-            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % m_bits
-        )
-    return out
+def _positions(key: Column, m_bits: int, k: int,
+               hash_fn: str = "md5") -> list[Column]:
+    """k deterministic bit positions via Kirsch–Mitzenmacher double
+    hashing: pos_s = (h1 + s*h2) mod m — ONE hash evaluation per key
+    instead of k (the probe runs once per FACT row; at 20M rows the
+    per-row hash cost dominated the whole prune, see BENCH.md).
+
+    hash_fn='md5': h1/h2 are the two 8-hex halves of one md5 — identical
+    in DuckDB, so the filter (and its false positives) is cross-engine
+    reproducible. hash_fn='xxhash64': two JVM xxhash64 seeds — ~4× faster
+    probe, Spark-deterministic but engine-private (the 100 TB default).
+    Both hashes are pre-reduced mod m before combining so the arithmetic
+    stays far from bigint overflow (ANSI mode).
+    """
+    # normalize to string BEFORE hashing in both branches: xxhash64 is
+    # type-sensitive (int 7 and bigint 7 hash differently), so a fact/dim
+    # type mismatch would silently produce false NEGATIVES otherwise
+    ks = key.cast("string")
+    if hash_fn == "md5":
+        h = F.md5(ks)
+        h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+        h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    elif hash_fn == "xxhash64":
+        h1, h2 = F.xxhash64(ks, F.lit(1)), F.xxhash64(ks, F.lit(2))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    m1, m2 = F.pmod(h1, F.lit(m_bits)), F.pmod(h2, F.lit(m_bits))
+    return [F.pmod(m1 + F.lit(s) * m2, F.lit(m_bits)) for s in range(k)]
 
 
 def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16,
-                k: int = 3) -> DataFrame:
+                k: int = 3, hash_fn: str = "md5") -> DataFrame:
     """Build the filter as a word table (word_idx int, word bigint).
 
     One explode(k)+groupBy(word_idx): shuffle volume is capped at
@@ -54,7 +72,7 @@ def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16,
     """
     assert m_bits % _WORD_BITS == 0
     key = F.col(key_col)
-    pos = F.array(*_positions(key, m_bits, k))
+    pos = F.array(*_positions(key, m_bits, k, hash_fn))
     return (
         df.select(F.explode(pos).alias("pos"))
         .select(
@@ -86,11 +104,11 @@ def bloom_as_array(words: DataFrame, m_bits: int) -> DataFrame:
 
 
 def bloom_might_contain(key: Column, bloom: Column, m_bits: int,
-                        k: int = 3) -> Column:
+                        k: int = 3, hash_fn: str = "md5") -> Column:
     """Membership test expression: all k bits set. No false negatives;
     false-positive rate ~ (1 - e^(-k*n/m))^k, deterministic per key."""
     cond = F.lit(True)
-    for pos in _positions(key, m_bits, k):
+    for pos in _positions(key, m_bits, k, hash_fn):
         word = F.element_at(bloom, (pos / _WORD_BITS).cast("int") + 1)
         # call_function: same literal-only numBits limitation as shiftleft
         bit = F.call_function(
@@ -99,8 +117,10 @@ def bloom_might_contain(key: Column, bloom: Column, m_bits: int,
     return cond
 
 
-def bloom_prune(fact: DataFrame, dim: DataFrame, fact_key: str,
-                dim_key: str, m_bits: int = 1 << 16, k: int = 3) -> DataFrame:
+def bloom_prune(fact: DataFrame, dim: DataFrame | None, fact_key: str,
+                dim_key: str | None = None, m_bits: int = 1 << 16,
+                k: int = 3, hash_fn: str = "md5",
+                prebuilt: DataFrame | None = None) -> DataFrame:
     """fact rows whose key might be in dim (superset of the exact
     semi-join by the deterministic FP set).
 
@@ -108,10 +128,20 @@ def bloom_prune(fact: DataFrame, dim: DataFrame, fact_key: str,
     cross join → narrow codegen filter on the fact scan. The fact side
     never shuffles; pair with an exact join downstream only on the
     survivors when FPs must be removed.
+
+    ``prebuilt``: a cached/persisted output of :func:`bloom_as_array` —
+    at scale the filter is built ONCE per dim (or loaded from a parquet
+    of merged daily word tables) and reused across every fact pass;
+    rebuilding it per action re-scans the dim.
     """
-    arr = bloom_as_array(bloom_build(dim, dim_key, m_bits, k), m_bits)
+    if prebuilt is None:
+        arr = bloom_as_array(
+            bloom_build(dim, dim_key, m_bits, k, hash_fn), m_bits)
+    else:
+        arr = prebuilt
     return (
         fact.crossJoin(F.broadcast(arr))
-        .filter(bloom_might_contain(F.col(fact_key), F.col("bloom"), m_bits, k))
+        .filter(bloom_might_contain(F.col(fact_key), F.col("bloom"),
+                                    m_bits, k, hash_fn))
         .drop("bloom")
     )

@@ -74,3 +74,88 @@ def build_postings(
             ).alias("postings"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval: top-k docs for a bag of query terms.
+
+    Robertson/Sparck-Jones BM25 with the standard +1 idf smoothing:
+
+        score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        idf(t)   = ln((N - df + 0.5) / (df + 0.5) + 1)
+
+    Scale shape: doc length rides THROUGH the tokenize explode as
+    ``size(split(text))`` (narrow — no separate dl aggregation or join on
+    doc_id); the query-term filter prunes the exploded stream before the
+    only per-doc shuffle (groupBy doc_id,term); df and the corpus stats
+    are tiny frames broadcast onto the tf rows; the final top-k is a
+    global TakeOrdered (k rows per partition shuffle, not a full sort).
+
+    Cross-engine determinism: per-term contributions are floored to
+    INTEGER micros before the per-doc sum, so the sum is order-independent
+    (float addition order differs between engines; integer addition
+    doesn't) and DuckDB reproduces the score exactly — the 1-ulp ln()
+    divergence (39/512 inputs, see operators/hll.py) is absorbed by
+    floor(x+0.5). Ties broken by ascending doc id.
+
+    Returns (doc_id, n_terms_hit, score_micro) — score in micro-units.
+    """
+    k1p1 = k1 + 1.0
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("_toks"),
+        )
+        .select(
+            "doc_id",
+            F.size("_toks").alias("dl"),
+            F.explode_outer("_toks").alias("term"),
+        )
+        .filter(F.col("term").isNotNull() & F.col("term").isin(list(terms)))
+    )
+    tf = toks.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df"))
+    stats = docs.select(
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("_dl")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = (
+        F.col("tf").cast("double")
+        + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                       + F.lit(b) * (F.col("dl").cast("double")
+                                     / F.col("avgdl")))
+    )
+    contrib = idf * ((F.col("tf").cast("double") * F.lit(k1p1)) / denom)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(contrib * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint").alias("_sm"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+             F.sum("_sm").cast("bigint").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+        .limit(k)
+    )
