@@ -1385,6 +1385,30 @@ SELECT split_a, split_b, cast(count(*) AS bigint) AS n_pairs
 FROM j GROUP BY split_a, split_b"""
 
 
+def _pagerank_oracle(iterations: int = 3, scale: int = 1_000_000,
+                     damping_pct: int = 85) -> str:
+    # K unrolled (join + groupBy) rounds — aggregates are illegal inside a
+    # recursive CTE term, and unrolling keeps the oracle a plain query.
+    base = (100 - damping_pct) * scale // 100
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(f"""r{i} AS (
+  SELECT e.dst AS node,
+         cast({base} + ({damping_pct} * sum(r.rank // d.deg)) // 100
+              AS bigint) AS rank
+  FROM e JOIN r{i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst)""")
+    chain = ",\n".join(rounds)
+    return f"""WITH pairs AS ({_simhash_pairs_oracle()}),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+deg AS (SELECT src, cast(count(*) AS bigint) AS deg FROM e GROUP BY src),
+r0 AS (SELECT src AS node, cast({scale} AS bigint) AS rank FROM deg),
+{chain}
+SELECT r.node AS doc_id, r.rank AS rank_micro, d.deg AS degree
+FROM r{iterations} r JOIN deg d ON r.node = d.src"""
+
+
 def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Audio branch of the multimodal plumbing (trainprep/multimodal.py:
     # audio_meta): binary payload → typed header via Arrow-batched
@@ -1973,6 +1997,98 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TimescaleDB time_bucket_gapfill + locf() semantics
+    # (operators/gapfill.py): dense per-user hourly series between each
+    # user's first and last event, missing buckets explicit with the last
+    # observed sum carried forward. Zero join operators — grid ∪ observed
+    # meet in a groupBy (the asof union+max trick); per-key sequence()
+    # means a one-day user never materializes the corpus calendar. All
+    # filled values integer cents → exact cross-engine.
+    from logpipe_spark.operators.gapfill import time_gapfill_locf
+
+    return time_gapfill_locf(
+        _events(spark, sf_dir), "ts", ["user_id"], "value", 3600
+    )
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher/MassiveText composite quality gate (textqual.py:
+    # gopher_quality): five integer-comparison rules (word count, mean
+    # word length, symbol ratio, alpha-word fraction, distinct stopwords)
+    # — the pass/fail filter shape a curation pipeline actually applies,
+    # complementing the scalar quality_score. Pure codegen, zero shuffle.
+    return tq.gopher_quality(_docs(spark, sf_dir))
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pearson correlation (value-cents vs hour-of-day per event type) from
+    # INTEGER sufficient statistics (aggregate.py:corr_from_sums): builtin
+    # corr()'s one-pass float accumulation is order-dependent and can
+    # never hash-match; integer sums are exact in any order and the final
+    # doubles derive from identical operands. One map-side-combinable
+    # aggregate — same cost class as a count.
+    from logpipe_spark.operators.aggregate import corr_from_sums
+
+    ev = _events(spark, sf_dir)
+    return corr_from_sums(
+        ev,
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        F.hour(F.col("ts").cast("timestamp")),
+    )
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-dimensional CUBE report with GROUPING() disambiguation —
+    # completes the grouping-sets surface next to rollup_counts (the
+    # reference has no grouping sets at all, SURVEY §2.3 note). gid
+    # encodes which dimensions are aggregated (role-bit MSB), computed
+    # explicitly as grouping(role)*2+grouping(tool) so both engines agree
+    # on bit order regardless of their internal grouping_id layout.
+    t = _t(spark, sf_dir)
+    return (
+        t.cube("role", "tool")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            (F.grouping("role") * 2 + F.grouping("tool"))
+            .cast("int")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("role"), F.lit("ALL")).alias("role"),
+            F.coalesce(F.col("tool"), F.lit("ALL")).alias("tool"),
+            "gid",
+            "n_turns",
+        )
+    )
+
+
+def q_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic per-user modal event type (aggregate.py:mode_by):
+    # builtin mode() is tie-nondeterministic in both engines; max over the
+    # (count, value) struct totalizes the order (ties → larger string).
+    # Two map-side-combinable aggregates, no window, no sort.
+    from logpipe_spark.operators.aggregate import mode_by
+
+    return mode_by(_events(spark, sf_dir), "user_id", "event_type")
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Damped PageRank over the simhash near-dup graph in FULLY INTEGER
+    # arithmetic (operators/graph.py:pagerank_int) — the iterative-
+    # algorithm category with an EXACT oracle: 3 unrolled rounds of
+    # (join + groupBy) whose micro-ranks reproduce bit-for-bit in DuckDB
+    # (floats never appear). Composes the oracled simhash pair set.
+    from logpipe_spark.operators.graph import pagerank_int
+
+    pairs = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pr = pagerank_int(pairs, iterations=3)
+    return pr.select(
+        F.col("node").alias("doc_id"), "rank_micro", "degree"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2087,6 +2203,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune": q_bloom_prune,
         "hll_distinct": q_hll_distinct,
         "bm25_search": q_bm25_search,
+        "gapfill_locf": q_gapfill_locf,
+        "gopher_filter": q_gopher_filter,
+        "corr_stats": q_corr_stats,
+        "cube_counts": q_cube_counts,
+        "mode_per_key": q_mode_per_key,
+        "pagerank": q_pagerank,
     }
 
 
@@ -2868,6 +2990,111 @@ SELECT * FROM c WHERE change_type <> 'unchanged'""",
         "hll_distinct": f"""{P},
 {_hll_oracle()}""",
         "bm25_search": _bm25_oracle(),
+        # grid from each key's own span (never a global calendar cross
+        # join); LOCF = IGNORE NULLS last_value; integer cents throughout
+        "gapfill_locf": """
+WITH obs AS (
+  SELECT user_id,
+         (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 3600) AS bkt,
+         cast(count(*) AS bigint) AS n_events,
+         cast(sum(cast(floor(value * 100 + 0.5) AS bigint)) AS bigint)
+           AS sum_cents
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(bkt) AS lo, max(bkt) AS hi FROM obs GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bkt FROM span
+), merged AS (
+  SELECT g.user_id, g.bkt, o.n_events, o.sum_cents
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bkt = o.bkt
+)
+SELECT user_id,
+       make_timestamp(bkt * 1000000) AS bucket_ts,
+       cast(coalesce(n_events, 0) AS bigint) AS n_events,
+       sum_cents,
+       last_value(sum_cents IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS locf_sum_cents,
+       n_events IS NULL AS is_gap
+FROM merged""",
+        "gopher_filter": """
+WITH d AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) - (len(string_split(text, ' ')) - 1) AS sum_len,
+         len(list_filter(string_split(text, ' '),
+             w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+         cast((length(text) - length(replace(text, '#', ''))) / 1 AS int)
+           + cast((length(text) - length(replace(text, '...', ''))) / 3
+                  AS int) AS n_symbols,
+         (CASE WHEN contains(' ' || text || ' ', ' the ') THEN 1 ELSE 0 END
+          + CASE WHEN contains(' ' || text || ' ', ' a ') THEN 1 ELSE 0 END
+          + CASE WHEN contains(' ' || text || ' ', ' of ') THEN 1 ELSE 0 END
+          + CASE WHEN contains(' ' || text || ' ', ' and ') THEN 1 ELSE 0 END
+          + CASE WHEN contains(' ' || text || ' ', ' in ') THEN 1 ELSE 0 END
+          + CASE WHEN contains(' ' || text || ' ', ' to ') THEN 1 ELSE 0 END
+          + CASE WHEN contains(' ' || text || ' ', ' is ') THEN 1 ELSE 0 END)
+           AS n_stop_kinds
+  FROM documents)
+SELECT doc_id,
+       cast(n_words AS int) AS n_words,
+       sum_len / n_words AS mean_word_len,
+       n_symbols / n_words AS symbol_ratio,
+       n_alpha_words / n_words AS alpha_frac,
+       cast(n_stop_kinds AS int) AS n_stop_kinds,
+       n_words >= 50 AND n_words <= 100000 AS r_wordcount,
+       sum_len >= 3 * n_words AND sum_len <= 10 * n_words AS r_meanlen,
+       10 * n_symbols <= n_words AS r_symbol,
+       10 * n_alpha_words >= 8 * n_words AS r_alpha,
+       n_stop_kinds >= 2 AS r_stop,
+       (n_words >= 50 AND n_words <= 100000)
+         AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+         AND (10 * n_symbols <= n_words)
+         AND (10 * n_alpha_words >= 8 * n_words)
+         AND (n_stop_kinds >= 2) AS keep
+FROM d""",
+        # integer sufficient statistics; DuckDB sum(bigint) is HUGEINT but
+        # the values are equal and the final double derives from identical
+        # operands (IEEE sqrt/mul/div are correctly rounded)
+        "corr_stats": """
+WITH b AS (
+  SELECT event_type,
+         cast(floor(value * 100 + 0.5) AS bigint) AS x,
+         cast(hour(ts) AS bigint) AS y
+  FROM events
+), g AS (
+  SELECT event_type, cast(count(*) AS bigint) AS n,
+         cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+         cast(sum(x * y) AS bigint) AS sxy,
+         cast(sum(x * x) AS bigint) AS sxx,
+         cast(sum(y * y) AS bigint) AS syy
+  FROM b GROUP BY event_type
+)
+SELECT event_type, n,
+       (n * sxy - sx * sy)
+         / (sqrt(cast(n * sxx - sx * sx AS double))
+            * sqrt(cast(n * syy - sy * sy AS double))) AS pearson_r
+FROM g
+WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""",
+        "cube_counts": f"""{P}
+SELECT coalesce(role, 'ALL') AS role,
+       coalesce(tool, 'ALL') AS tool,
+       cast(grouping(role) * 2 + grouping(tool) AS int) AS gid,
+       cast(count(*) AS bigint) AS n_turns
+FROM transcripts GROUP BY CUBE (role, tool)""",
+        "mode_per_key": """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type DESC) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_event_type, cast(n AS bigint) AS mode_n
+FROM r WHERE rn = 1""",
+        "pagerank": _pagerank_oracle(),
     }
 
 

@@ -347,6 +347,74 @@ def kmv_distinct(df: DataFrame, group_col: str, key_col: str,
     )
 
 
+def corr_from_sums(
+    df: DataFrame,
+    key: str,
+    x: Column,
+    y: Column,
+    min_n: int = 2,
+) -> DataFrame:
+    """Per-group Pearson correlation with CROSS-ENGINE-EXACT values.
+
+    Built-in ``corr()`` uses a streaming one-pass update whose float
+    accumulation order differs per engine (and per partitioning!), so its
+    output can never pass an exact value-hash gate. This operator instead
+    aggregates the five INTEGER sufficient statistics (n, Σx, Σy, Σxy,
+    Σx², Σy² — callers must pass integer-valued columns, e.g. cents) whose
+    sums are exact in any order, then forms
+
+        r = (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − Σx²ᵗᵒᵗ) · sqrt(n·Σy² − …))
+
+    from identical operands: IEEE sqrt/mul/div are correctly rounded, so
+    the doubles are bit-identical in Spark and DuckDB. Plan: ONE map-side
+    combinable hash aggregate — same cost as a count. Groups with zero
+    variance in either variable are dropped (r undefined).
+    """
+    xi = x.cast("bigint")
+    yi = y.cast("bigint")
+    g = df.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xi).alias("sx"),
+        F.sum(yi).alias("sy"),
+        F.sum(xi * yi).alias("sxy"),
+        F.sum(xi * xi).alias("sxx"),
+        F.sum(yi * yi).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov_n = n * F.col("sxy") - sx * sy
+    var_x = n * F.col("sxx") - sx * sx
+    var_y = n * F.col("syy") - sy * sy
+    return (
+        g.where((n >= min_n) & (var_x > 0) & (var_y > 0))
+        .select(
+            key,
+            "n",
+            (cov_n / (F.sqrt(var_x.cast("double"))
+                      * F.sqrt(var_y.cast("double")))).alias("pearson_r"),
+        )
+    )
+
+
+def mode_by(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Deterministic per-key mode (most frequent value).
+
+    Two hash aggregates, both map-side combinable: count per (key, value),
+    then max of the (count, value) struct per key — ties break toward the
+    LARGER value string, making the answer total-order deterministic
+    (built-in ``mode()`` is explicitly nondeterministic on ties in both
+    engines, so it can never be oracled). No window, no sort: the second
+    aggregate reduces each key's candidate set in the combiner, so the
+    shuffle carries one row per (key, value) pair at most.
+    """
+    counts = df.groupBy(key, value).agg(F.count(F.lit(1)).alias("_n"))
+    best = F.max(F.struct(F.col("_n"), F.col(value))).alias("_b")
+    return counts.groupBy(key).agg(best).select(
+        key,
+        F.col(f"_b.{value}").alias(f"mode_{value}"),
+        F.col("_b._n").cast("bigint").alias("mode_n"),
+    )
+
+
 def period_over_period(
     df: DataFrame,
     ts_col: str,

@@ -1,0 +1,101 @@
+"""Time-bucket gap filling with last-observation-carried-forward (LOCF).
+
+TimescaleDB's ``time_bucket_gapfill`` + ``locf()`` is the public semantic
+spec (the reference has no time-series surface; this extends the engine's
+hypertable rollup family, SURVEY.md §2 round-2 continuation). Given an
+event stream, produce one row per (key, bucket) for EVERY bucket between
+each key's first and last observation — observed buckets carry their
+aggregate, missing buckets are explicit rows whose value is carried
+forward from the most recent observed bucket.
+
+Scale design (100 TB):
+
+- The only full-data exchange is the (key, bucket) aggregate — map-side
+  combinable, output is one row per key·bucket (metadata-sized next to
+  the raw events).
+- The dense grid is generated FROM the aggregate (per-key min/max bucket
+  → ``sequence()``), never by cross-joining a global calendar: a key
+  active for one day never materializes the corpus' full date range.
+- Grid ∪ observed rows meet in a groupBy — the union+max trick borrowed
+  from :mod:`logpipe_spark.operators.asof` — so the plan contains ZERO
+  join operators and the fill itself is one per-key window (the second,
+  grid-sized exchange).
+- All filled values are integers (cents), so results are bit-identical
+  cross-engine (see CLAUDE.md round() divergence note).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_gapfill_locf(
+    df: DataFrame,
+    ts: str,
+    keys: Sequence[str],
+    value: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Gap-filled per-key bucket series with LOCF.
+
+    Returns (keys..., bucket_ts, n_events, sum_cents, locf_sum_cents,
+    is_gap): ``n_events``/``sum_cents`` are NULL-free integers (0 / NULL on
+    gap rows → n_events=0, sum_cents NULL), ``locf_sum_cents`` carries the
+    last observed bucket's sum forward (NULL before the first observation
+    cannot occur — the grid starts at each key's first observed bucket).
+    """
+    keys = list(keys)
+    epoch = F.col(ts).cast("timestamp").cast("long")
+    bucket = (epoch - (epoch % bucket_seconds)).alias("_bkt")
+    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("bigint")
+
+    observed = df.groupBy(*keys, bucket).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(cents).cast("bigint").alias("sum_cents"),
+    )
+
+    # Per-key dense grid from that key's own observed span. The grid frame
+    # has one row per key before the explode, so the sequence() is evaluated
+    # once per key regardless of Catalyst projection collapse.
+    span = observed.groupBy(*keys).agg(
+        F.min("_bkt").alias("_lo"), F.max("_bkt").alias("_hi")
+    )
+    grid = span.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(bucket_seconds)))
+        ).alias("_bkt"),
+    ).select(
+        *keys,
+        "_bkt",
+        F.lit(None).cast("bigint").alias("n_events"),
+        F.lit(None).cast("bigint").alias("sum_cents"),
+    )
+
+    # Zero-join merge: at most one observed row per (key, bucket), so max()
+    # over the union reproduces LEFT JOIN grid←observed without a join.
+    merged = (
+        observed.unionByName(grid)
+        .groupBy(*keys, "_bkt")
+        .agg(
+            F.max("n_events").alias("_n"),
+            F.max("sum_cents").alias("sum_cents"),
+        )
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return merged.select(
+        *keys,
+        F.timestamp_seconds(F.col("_bkt")).alias("bucket_ts"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_events"),
+        "sum_cents",
+        F.last("sum_cents", ignorenulls=True).over(w).alias("locf_sum_cents"),
+        F.col("_n").isNull().alias("is_gap"),
+    )

@@ -116,6 +116,65 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     )
 
 
+def gopher_quality(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+    """Gopher/MassiveText-style composite quality gate (Rae et al. 2021,
+    public heuristics). Five rules, each an integer comparison so the gate
+    and every reported ratio are bit-identical cross-engine:
+
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10]   (sum_len ⋚ k·n_words — no division)
+    - symbol-to-word ratio ≤ 0.1    (symbols = '#' and '...')
+    - ≥ 80% of words contain an alphabetic character
+    - ≥ 2 distinct stopwords present
+
+    The corpus is single-line, so the paper's bullet-line / ellipsis-line
+    ratios (line-level rules) degenerate to constants and are omitted;
+    the ellipsis count is retained inside the symbol ratio. Pure codegen
+    (split + filter + literal replace counts) — a narrow map stage, zero
+    shuffle. Complements :func:`quality_score` (a scalar score) with the
+    pass/fail gate shape an actual curation pipeline filters on, and
+    :func:`repetition_score` (the paper's repetition rules).
+    """
+    text = F.col(text_col)
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    words = F.split(text, " ")
+    n_words = F.col("n_words")
+    sum_len = F.col("sum_len")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).alias("n_words"),
+        # total word chars = chars minus the single separators
+        (F.length(text) - (F.size(words) - 1)).alias("sum_len"),
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        .alias("n_alpha_words"),
+        (_occ_simple(text, "#") + _occ_simple(text, "...")).alias("n_symbols"),
+        sum((F.when(F.contains(padded, F.lit(f" {w} ")), 1).otherwise(0)
+             for w in STOPWORDS), start=F.lit(0)).alias("n_stop_kinds"),
+    )
+    rules = {
+        "r_wordcount": (n_words >= min_words) & (n_words <= max_words),
+        "r_meanlen": (sum_len >= 3 * n_words) & (sum_len <= 10 * n_words),
+        "r_symbol": 10 * F.col("n_symbols") <= n_words,
+        "r_alpha": 10 * F.col("n_alpha_words") >= 8 * n_words,
+        "r_stop": F.col("n_stop_kinds") >= 2,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return d.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        (sum_len / n_words).alias("mean_word_len"),
+        (F.col("n_symbols") / n_words).alias("symbol_ratio"),
+        (F.col("n_alpha_words") / n_words).alias("alpha_frac"),
+        F.col("n_stop_kinds").cast("int").alias("n_stop_kinds"),
+        *[cond.alias(name) for name, cond in rules.items()],
+        keep.alias("keep"),
+    )
+
+
 def bpe_ish_token_count(text: Column) -> Column:
     """Token count under a BPE-ish segmentation: letter runs (either case),
     digit runs, single punctuation marks each count as one token."""

@@ -1,0 +1,148 @@
+"""Round-2 continuation batch 3: gapfill/LOCF, Gopher quality gate,
+integer-exact correlation, cube, deterministic mode, integer PageRank.
+
+Oracle parity for each is covered by test_oracle_parity (parametrized);
+these tests assert the ENGINE-level invariants the oracle can't see:
+plan shapes, determinism under repartitioning, and semantic properties
+on adversarial inputs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from logpipe_spark.operators.aggregate import corr_from_sums, mode_by
+from logpipe_spark.operators.gapfill import time_gapfill_locf
+from logpipe_spark.operators.graph import pagerank_int
+from logpipe_spark.trainprep.textqual import gopher_quality
+
+
+# ---------------------------------------------------------------- gapfill
+
+def _mini_events(spark):
+    rows = [
+        # user 1: hours 0, 3 observed -> 1,2 are gaps carrying hour-0 sum
+        (1, "2024-01-01T00:10:00", 10.0),
+        (1, "2024-01-01T00:40:00", 5.0),
+        (1, "2024-01-01T03:20:00", 7.0),
+        # user 2: single bucket, no gaps
+        (2, "2024-01-02T10:00:00", 1.0),
+    ]
+    return spark.createDataFrame(rows, "user_id int, ts string, value double")
+
+
+def test_gapfill_fills_and_carries_forward(spark):
+    out = time_gapfill_locf(_mini_events(spark), "ts", ["user_id"], "value")
+    rows = {(r.user_id, r.bucket_ts.hour): r for r in out.collect()}
+    assert len(rows) == 5  # user1 hours 0..3, user2 hour 10
+    assert rows[(1, 0)].n_events == 2 and rows[(1, 0)].sum_cents == 1500
+    assert rows[(1, 1)].is_gap and rows[(1, 1)].n_events == 0
+    assert rows[(1, 1)].sum_cents is None
+    assert rows[(1, 1)].locf_sum_cents == 1500
+    assert rows[(1, 2)].locf_sum_cents == 1500
+    assert not rows[(1, 3)].is_gap and rows[(1, 3)].locf_sum_cents == 700
+    assert not rows[(2, 10)].is_gap
+
+
+def test_gapfill_plan_has_no_join(spark):
+    # the grid∪observed merge is a groupBy, not a join — the whole plan
+    # must contain ZERO join operators (the asof.py zero-join claim,
+    # applied to gapfill)
+    out = time_gapfill_locf(_mini_events(spark), "ts", ["user_id"], "value")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, f"join operator {op} leaked into gapfill plan"
+
+
+def test_gapfill_grid_is_per_key_span(spark):
+    # a key active for one day must not inherit another key's date range
+    out = time_gapfill_locf(_mini_events(spark), "ts", ["user_id"], "value")
+    per_user = {r.user_id: r.n for r in
+                out.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert per_user == {1: 4, 2: 1}
+
+
+# ----------------------------------------------------------- gopher gate
+
+def test_gopher_rules_fire_individually(spark):
+    base = "the brave knights rode across a valley of legends and it is glorious "
+    docs = spark.createDataFrame(
+        [
+            (1, (base * 5).strip()),                  # 55 words, clean: keep
+            (2, "short doc only"),                    # wordcount fails
+            (3, ("# " * 60).strip()),                 # symbol ratio fails
+            (4, ("12345 " * 60).strip()),             # alpha + stopword fail
+            (5, ("a " * 60).strip()),                 # mean word len < 3
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality(docs).collect()}
+    assert out[1].keep
+    assert not out[2].r_wordcount and not out[2].keep
+    assert not out[3].r_symbol
+    assert not out[4].r_alpha and not out[4].r_stop
+    assert not out[5].r_meanlen
+    # ratios are consistent with the flags
+    assert out[1].alpha_frac == 1.0 and out[1].n_stop_kinds >= 2
+
+
+# ------------------------------------------------------- correlation/mode
+
+def test_corr_matches_builtin_within_tolerance(spark, sf=None):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    x = F.floor(F.col("value") * 100 + F.lit(0.5))
+    y = F.hour(F.col("ts").cast("timestamp"))
+    exact = {r.event_type: r.pearson_r
+             for r in corr_from_sums(ev, "event_type", x, y).collect()}
+    builtin = {r.event_type: r.r for r in
+               ev.groupBy("event_type")
+               .agg(F.corr(x.cast("double"), y.cast("double")).alias("r"))
+               .collect()}
+    for k, v in exact.items():
+        assert abs(v - builtin[k]) < 1e-9, (k, v, builtin[k])
+
+
+def test_corr_is_partitioning_invariant(spark):
+    # float corr() would drift under re-partitioning; integer sums cannot
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    x = F.floor(F.col("value") * 100 + F.lit(0.5))
+    y = F.hour(F.col("ts").cast("timestamp"))
+    a = sorted(corr_from_sums(ev, "event_type", x, y).collect())
+    b = sorted(corr_from_sums(ev.repartition(17), "event_type", x, y).collect())
+    assert a == b  # bit-identical, not approximately equal
+
+
+def test_mode_by_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "z"), (2, "z"), (2, "y")],
+        "k int, v string",
+    )
+    out = {r.k: (r.mode_v, r.mode_n) for r in mode_by(df, "k", "v").collect()}
+    assert out[1] == ("b", 1)  # tie -> larger string, always
+    assert out[2] == ("z", 2)
+
+
+# --------------------------------------------------------------- pagerank
+
+def test_pagerank_star_graph(spark):
+    # star: hub 0 with leaves 1..4. deg(hub)=4, deg(leaf)=1.
+    # it1: hub gets 150000 + 85% * 4*(1e6 div 1) = 3550000
+    #      leaf gets 150000 + 85% * (1e6 div 4) = 362500
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "doc_a int, doc_b int")
+    pr = {r.node: r.rank_micro
+          for r in pagerank_int(pairs, iterations=1).collect()}
+    assert pr[0] == 150000 + 85 * (4 * (1_000_000 // 1)) // 100
+    assert pr[1] == 150000 + 85 * (1_000_000 // 4) // 100
+    # hub outranks leaves, leaves identical
+    assert pr[0] > pr[1] and len({pr[i] for i in range(1, 5)}) == 1
+
+
+def test_pagerank_partitioning_invariant(spark):
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)], "doc_a int, doc_b int")
+    a = sorted(pagerank_int(pairs, iterations=3).collect())
+    b = sorted(pagerank_int(pairs.repartition(7), iterations=3).collect())
+    assert a == b  # integer fixed point: bit-identical under any plan
