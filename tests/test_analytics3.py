@@ -140,6 +140,38 @@ def test_pagerank_star_graph(spark):
     assert pr[0] > pr[1] and len({pr[i] for i in range(1, 5)}) == 1
 
 
+def test_pq_recall_against_exact_l2(spark):
+    # PQ/ADC approximates L2 — recall@5 vs the exact L2 top-5 must be
+    # well above chance (5/500 = 1%) and the top-1 usually survives.
+    from logpipe_spark.trainprep.similarity import ann_pq_topk, _dvec, _dot
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pq = ann_pq_topk(emb, k=5, m=16, codebook=64, rerank=100)
+    ev = emb.select(F.col("vec_id"), _dvec("embedding").alias("v"))
+    q = ev.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    c = ev.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("v").alias("cv"))
+    d2 = (_dot("qv", "qv") + _dot("cv", "cv")
+          - F.lit(2.0) * _dot("qv", "cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("neighbor_id"))
+    exact = (
+        c.join(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )
+    hits = pq.join(exact.select("query_id", "neighbor_id"),
+                   ["query_id", "neighbor_id"]).count()
+    total = exact.count()
+    assert total > 0
+    recall = hits / total
+    assert recall > 0.9, f"re-ranked PQ recall@5 {recall:.2f} too low"
+
+
 def test_pagerank_partitioning_invariant(spark):
     pairs = spark.createDataFrame(
         [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)], "doc_a int, doc_b int")
