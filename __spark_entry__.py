@@ -2089,6 +2089,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TimescaleDB time_weight('LOCF') semantics (operators/gapfill.py:
+    # time_weighted_avg): per-user average weighted by holding duration —
+    # integer-second intervals x integer cents keep both sums exact; the
+    # quotient is a raw double. One lead() window + one aggregate on the
+    # same key exchange.
+    from logpipe_spark.operators.gapfill import time_weighted_avg
+
+    return time_weighted_avg(_events(spark, sf_dir), "ts", ["user_id"], "value")
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Product-quantization ANN with integer-micro ADC tables and exact
     # re-rank (trainprep/similarity.py:ann_pq_topk): vectors compress to
@@ -2222,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mode_per_key": q_mode_per_key,
         "pagerank": q_pagerank,
         "ann_pq_topk": q_ann_pq_topk,
+        "time_weighted_avg": q_time_weighted_avg,
     }
 
 
@@ -3172,6 +3184,25 @@ SELECT query_id, neighbor_id, cast(rank AS int) AS rank, l2_micros FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY l2_micros, neighbor_id) AS rank
   FROM refined) WHERE rank <= 5""",
+        "time_weighted_avg": """
+WITH s AS (
+  SELECT user_id,
+         cast(floor(value * 100 + 0.5) AS bigint) AS c,
+         lead(epoch_us(ts) // 1000000)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000,
+                 event_id)
+           - epoch_us(ts) // 1000000 AS dt
+  FROM events
+), g AS (
+  SELECT user_id,
+         cast(count(*) AS bigint) AS n_intervals,
+         cast(sum(dt) AS bigint) AS total_seconds,
+         cast(sum(c * dt) AS bigint) AS wsum
+  FROM s WHERE dt IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_intervals, total_seconds,
+       wsum / total_seconds AS twa_cents
+FROM g WHERE total_seconds > 0""",
     }
 
 

@@ -95,6 +95,20 @@ HEADLINE = [
     "top_paths",
     "build_postings",
     "dup_chunk_frac",
+    # round-2 continuation batch 4: retrieval, sketches, gapfill, PQ, graph
+    "period_over_period",
+    "snapshot_diff",
+    "bloom_prune",
+    "hll_distinct",
+    "bm25_search",
+    "gapfill_locf",
+    "gopher_filter",
+    "corr_stats",
+    "cube_counts",
+    "mode_per_key",
+    "pagerank",
+    "ann_pq_topk",
+    "time_weighted_avg",
 ]
 
 

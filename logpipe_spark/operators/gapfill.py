@@ -32,6 +32,57 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def time_weighted_avg(
+    df: DataFrame,
+    ts: str,
+    keys: Sequence[str],
+    value: str,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average per key (TimescaleDB ``time_weight('LOCF')``
+    semantics, public spec): each observation's value holds until the next
+    observation, so the average weights values by their holding duration —
+    the correct mean for irregularly-sampled series (a plain avg
+    over-weights bursts).
+
+        twa = Σ value_i · Δt_i / Σ Δt_i   (Δt = seconds to next obs)
+
+    Determinism: Δt is integer seconds (ties in ts totalized by
+    ``tiebreak``, giving zero-width intervals — they drop out of both sums
+    identically), values are integer cents, and both sums are exact
+    integer aggregates — the final quotient is a raw double of identical
+    operands (see CLAUDE.md round() note). Each key's LAST observation has
+    no interval and is excluded (matching the closed-open integral).
+
+    Plan: one lead() window + one hash aggregate, both on the same key
+    exchange. Returns (keys..., n_intervals, total_seconds, twa_cents).
+    """
+    keys = list(keys)
+    epoch = F.col(ts).cast("timestamp").cast("long")
+    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy(*keys).orderBy(epoch, F.col(tiebreak))
+    spans = df.select(
+        *keys,
+        cents.alias("_c"),
+        (F.lead(epoch).over(w) - epoch).alias("_dt"),
+    ).where(F.col("_dt").isNotNull())
+    return (
+        spans.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("_dt").cast("bigint").alias("total_seconds"),
+            F.sum(F.col("_c") * F.col("_dt")).cast("bigint").alias("_wsum"),
+        )
+        .where(F.col("total_seconds") > 0)
+        .select(
+            *keys,
+            "n_intervals",
+            "total_seconds",
+            (F.col("_wsum") / F.col("total_seconds")).alias("twa_cents"),
+        )
+    )
+
+
 def time_gapfill_locf(
     df: DataFrame,
     ts: str,
@@ -52,10 +103,15 @@ def time_gapfill_locf(
     bucket = (epoch - (epoch % bucket_seconds)).alias("_bkt")
     cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("bigint")
 
+    # observed feeds BOTH union branches (directly, and via span→grid);
+    # persisting the key·bucket-sized aggregate keeps the raw-event scan
+    # single-pass — without it each branch re-runs the full aggregate
+    from pyspark import StorageLevel
+
     observed = df.groupBy(*keys, bucket).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum(cents).cast("bigint").alias("sum_cents"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # Per-key dense grid from that key's own observed span. The grid frame
     # has one row per key before the explode, so the sequence() is evaluated

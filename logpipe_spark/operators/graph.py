@@ -44,10 +44,19 @@ def pagerank_int(
 
     Returns (node, rank_micro, degree).
     """
+    from pyspark import StorageLevel
+
+    # edges and degrees feed every iteration — persist once (at web scale
+    # this is the checkpointed edge table every iterative graph system
+    # keeps); per-iteration persist truncates the rank lineage so iteration
+    # K's plan doesn't re-run iterations 1..K-1 per consumer. The upstream
+    # pair-generation pipeline (e.g. simhash LSH) is thus evaluated ONCE.
     e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")).union(
         pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(scale).cast("bigint").alias("rank")
     )
@@ -63,6 +72,7 @@ def pagerank_int(
             .cast("bigint")
             .alias("rank")
         ).select(F.col("dst").alias("node"), "rank")
+        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
     return (
         ranks.join(deg, ranks.node == deg.src)
         .select("node", F.col("rank").alias("rank_micro"),
