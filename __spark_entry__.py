@@ -1029,6 +1029,33 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FORWARD as-of: for each click, the next error at-or-after it (pandas
+    # merge_asof(direction='forward')) — the mirrored window over the SAME
+    # single key exchange (operators/asof.py, direction param); equal-ts
+    # ties go to the smallest event_id. gap_seconds raw double (next - ts).
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "value", "ts")
+    j = asof_join(
+        clicks, errors, on=["user_id"], ts="ts",
+        right_cols=["event_id", "value"], prefix="nxt_",
+        tiebreak="event_id", direction="forward",
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "nxt_event_id",
+        "nxt_value",
+        (
+            (F.unix_micros(F.col("nxt_ts")) - F.unix_micros(F.col("ts"))) / F.lit(1e6)
+        ).alias("gap_seconds"),
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Interval containment join without an equality key: lineitems shipped
     # inside each urgent order's 14-day window (operators/rangejoin.py:
@@ -2234,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "ann_pq_topk": q_ann_pq_topk,
         "time_weighted_avg": q_time_weighted_avg,
+        "asof_join_fwd": q_asof_join_fwd,
     }
 
 
@@ -3203,6 +3231,30 @@ WITH s AS (
 SELECT user_id, n_intervals, total_seconds,
        wsum / total_seconds AS twa_cents
 FROM g WHERE total_seconds > 0""",
+        # forward mirror of the asof_join oracle: right rows sort AFTER
+        # left at equal ts (side DESC), first_value over the following
+        # frame, smallest event_id wins equal-ts ties
+        "asof_join_fwd": """
+WITH u AS (
+  SELECT user_id, ts, 1 AS side, event_id,
+         cast(NULL AS bigint) AS r_event_id, cast(NULL AS double) AS r_value,
+         cast(NULL AS timestamp) AS r_ts
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 0, NULL, event_id, value, ts
+  FROM events WHERE event_type = 'error'
+), w AS (
+  SELECT *,
+    first_value(r_event_id IGNORE NULLS) OVER win AS nxt_event_id,
+    first_value(r_value IGNORE NULLS) OVER win AS nxt_value,
+    first_value(r_ts IGNORE NULLS) OVER win AS nxt_ts
+  FROM u
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side DESC, r_event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id, ts, nxt_event_id, nxt_value,
+       (epoch_us(nxt_ts) - epoch_us(ts)) / 1e6 AS gap_seconds
+FROM w WHERE side = 1""",
     }
 
 

@@ -23,6 +23,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from logpipe_spark.operators.aggregate import time_rollup  # noqa: E402
 from logpipe_spark.operators.asof import asof_join  # noqa: E402
+from logpipe_spark.operators.gapfill import (  # noqa: E402
+    time_gapfill_locf,
+    time_weighted_avg,
+)
 from logpipe_spark.operators.skew import cms_sketch  # noqa: E402
 from logpipe_spark.operators.spans import sessionize  # noqa: E402
 from logpipe_spark.session import build_session  # noqa: E402
@@ -84,6 +88,13 @@ def main() -> None:
                                                  "value"))),
         ("cms_sketch", lambda: noop(cms_sketch(ev, "user_id", depth=3,
                                                width=4096))),
+        # gapfill output ≈ users × span-hours (~72M grid rows at 100k
+        # users / 30 days) regardless of N — stresses the grid generate +
+        # locf window, not the scan
+        ("gapfill_locf", lambda: noop(time_gapfill_locf(
+            ev, "ts", ["user_id"], "value", 3600))),
+        ("time_weighted_avg", lambda: noop(time_weighted_avg(
+            ev, "ts", ["user_id"], "value"))),
     ]:
         fn()  # warmup (JIT/codegen)
         timings[name] = min(t(fn), t(fn))

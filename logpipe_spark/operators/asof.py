@@ -87,7 +87,9 @@ def _order(tiebreak):
 
 
 def _apply_tolerance(out, ts, prefix, right_cols, tolerance_seconds):
-    stale = (
+    # abs() covers every direction: backward matches are at-or-before
+    # (diff >= 0), forward at-or-after (diff <= 0), nearest either side
+    stale = F.abs(
         F.col(ts).cast("double") - F.col(f"{prefix}ts").cast("double")
     ) > F.lit(float(tolerance_seconds))
     for c in [*right_cols, "ts"]:
@@ -105,14 +107,31 @@ def asof_join(
     prefix: str = "asof_",
     tiebreak: str | None = None,
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left rows + most recent right row at or before
-    the left row's ``ts`` within the same ``on`` keys.
+    """As-of join: left rows + the right row nearest in time within the
+    same ``on`` keys, in the given ``direction``:
+
+    - ``backward`` (default): greatest ``right_ts <= left_ts``; equal-ts
+      ties go to the greatest ``tiebreak``.
+    - ``forward``: smallest ``right_ts >= left_ts`` (pandas
+      ``merge_asof(direction='forward')``); equal-ts ties go to the
+      SMALLEST ``tiebreak`` (the first match scanned).
+    - ``nearest``: whichever of the two is closer in time; an exact
+      distance tie prefers the backward match (pandas semantics).
+
+    All three compile to the SAME single key exchange — forward is the
+    mirrored window (``first ignorenulls`` over currentRow→following with
+    right rows sorted after left at equal ts), and nearest evaluates both
+    windows over one partitioning (two sorts, one shuffle) then picks
+    per-column by time distance.
 
     Returns all left columns plus ``{prefix}{c}`` for each of ``right_cols``
     and ``{prefix}ts`` (the matched right timestamp; NULL when unmatched or
     outside ``tolerance_seconds``).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction={direction!r}")
     on = list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != ts]
@@ -120,18 +139,49 @@ def asof_join(
     left_payload = [c for c in left.columns if c not in on and c != ts]
 
     l_tag, r_tag = _tagged(left, right, on, ts, right_cols, left_payload)
-    w = (
+    u = l_tag.unionByName(r_tag)
+    wb = (
         Window.partitionBy(*on)
         .orderBy(*_order(tiebreak))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = l_tag.unionByName(r_tag).select(
+    fwd_order = [F.col("_ts").asc(), F.col("_side").desc()]
+    if tiebreak is not None:
+        fwd_order.append(F.col(f"_r_{tiebreak}").asc_nulls_first())
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(*fwd_order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+
+    def back(c):
+        return F.last(f"_r_{c}", ignorenulls=True).over(wb)
+
+    def fwd(c):
+        return F.first(f"_r_{c}", ignorenulls=True).over(wf)
+
+    if direction == "backward":
+        picked = {c: back(c) for c in [*right_cols, "ts"]}
+    elif direction == "forward":
+        picked = {c: fwd(c) for c in [*right_cols, "ts"]}
+    else:
+        b_ts, f_ts = back("ts"), fwd("ts")
+        t = F.col("_ts").cast("double")
+        use_b = b_ts.isNotNull() & (
+            f_ts.isNull()
+            | ((t - b_ts.cast("double")) <= (f_ts.cast("double") - t))
+        )
+        picked = {
+            c: F.when(use_b, back(c)).otherwise(fwd(c))
+            for c in [*right_cols, "ts"]
+        }
+    carried = u.select(
         *on,
         "_side",
         *left_payload,
         ts,
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}") for c in right_cols],
-        F.last("_r_ts", ignorenulls=True).over(w).alias(f"{prefix}ts"),
+        *[picked[c].alias(f"{prefix}{c}") for c in right_cols],
+        picked["ts"].alias(f"{prefix}ts"),
     )
     out = carried.filter(F.col("_side") == 1).drop("_side")
     if tolerance_seconds is not None:

@@ -124,6 +124,59 @@ def test_mode_by_deterministic_ties(spark):
     assert out[2] == ("z", 2)
 
 
+# ---------------------------------------------------------- directed asof
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 200, 11), (1, 300, 12)],
+        "k int, t long, lid int",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [(1, 100, 50), (1, 150, 51), (1, 250, 52)],
+        "k int, t long, rid int",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "rid")
+    return left, right
+
+
+def test_asof_forward_and_nearest(spark):
+    from logpipe_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    fwd = {r.lid: r.a_rid for r in asof_join(
+        left, right, on=["k"], right_cols=["rid"], prefix="a_",
+        tiebreak="rid", direction="forward").collect()}
+    # t=100: equal-ts right matches forward; t=200 -> next at 250;
+    # t=300 -> nothing ahead
+    assert fwd == {10: 50, 11: 52, 12: None}
+    near = {r.lid: r.a_rid for r in asof_join(
+        left, right, on=["k"], right_cols=["rid"], prefix="a_",
+        tiebreak="rid", direction="nearest").collect()}
+    # t=200 is 50s after 150 and 50s before 250 — tie prefers backward
+    assert near == {10: 50, 11: 51, 12: 52}
+
+
+def test_asof_forward_matches_pandas(spark):
+    import pandas as pd
+    from logpipe_spark.operators.asof import asof_join
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("rid"), "ts")
+    got = (asof_join(clicks, errors, on=["user_id"], right_cols=["rid"],
+                     prefix="a_", tiebreak="rid", direction="forward")
+           .select("user_id", "event_id", "a_rid").toPandas()
+           .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    lp = clicks.toPandas().sort_values("ts", kind="mergesort")
+    rp = errors.toPandas().sort_values(["ts", "rid"], kind="mergesort")
+    exp = (pd.merge_asof(lp, rp, on="ts", by="user_id",
+                         direction="forward")
+           .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    assert (got["a_rid"].fillna(-1) == exp["rid"].fillna(-1)).all()
+
+
 # --------------------------------------------------------------- pagerank
 
 def test_pagerank_star_graph(spark):
