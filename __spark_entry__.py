@@ -2039,6 +2039,20 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TimescaleDB interpolate() companion to gapfill_locf
+    # (operators/gapfill.py:time_gapfill_interp): gap buckets blend
+    # linearly between neighbors in FULLY INTEGER arithmetic — the
+    # pmod-adjusted floor division is the cross-engine form (Spark div
+    # truncates, DuckDB // floors; they disagree on negative slopes).
+    # Same zero-join plan, one extra forward-fill window on the same sort.
+    from logpipe_spark.operators.gapfill import time_gapfill_interp
+
+    return time_gapfill_interp(
+        _events(spark, sf_dir), "ts", ["user_id"], "value", 3600
+    )
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher/MassiveText composite quality gate (textqual.py:
     # gopher_quality): five integer-comparison rules (word count, mean
@@ -2262,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "time_weighted_avg": q_time_weighted_avg,
         "asof_join_fwd": q_asof_join_fwd,
+        "gapfill_interp": q_gapfill_interp,
     }
 
 
@@ -3255,6 +3270,51 @@ WITH u AS (
 SELECT user_id, event_id, ts, nxt_event_id, nxt_value,
        (epoch_us(nxt_ts) - epoch_us(ts)) / 1e6 AS gap_seconds
 FROM w WHERE side = 1""",
+        # interpolation: pmod-adjusted floor division (num − pmod)/den is
+        # the cross-engine floor for possibly-negative slopes; nullif
+        # keeps observed rows' unused blend branch NULL-safe
+        "gapfill_interp": """
+WITH obs AS (
+  SELECT user_id,
+         (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 3600) AS bkt,
+         cast(count(*) AS bigint) AS n_events,
+         cast(sum(cast(floor(value * 100 + 0.5) AS bigint)) AS bigint)
+           AS sum_cents
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(bkt) AS lo, max(bkt) AS hi FROM obs GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bkt FROM span
+), merged AS (
+  SELECT g.user_id, g.bkt, o.n_events, o.sum_cents
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bkt = o.bkt
+), f AS (
+  SELECT user_id, bkt, n_events, sum_cents,
+         last_value(sum_cents IGNORE NULLS) OVER wb AS prev_v,
+         last_value(CASE WHEN n_events IS NOT NULL THEN bkt END IGNORE NULLS)
+           OVER wb AS prev_t,
+         first_value(sum_cents IGNORE NULLS) OVER wf AS next_v,
+         first_value(CASE WHEN n_events IS NOT NULL THEN bkt END IGNORE NULLS)
+           OVER wf AS next_t
+  FROM merged
+  WINDOW wb AS (PARTITION BY user_id ORDER BY bkt
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY bkt
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), nd AS (
+  SELECT *, (next_v - prev_v) * (bkt - prev_t) AS num,
+         nullif(next_t - prev_t, 0) AS den
+  FROM f
+)
+SELECT user_id,
+       make_timestamp(bkt * 1000000) AS bucket_ts,
+       cast(coalesce(n_events, 0) AS bigint) AS n_events,
+       sum_cents,
+       cast(CASE WHEN n_events IS NOT NULL THEN sum_cents
+                 ELSE prev_v + (num - ((num % den) + den) % den) // den
+            END AS bigint) AS interp_cents,
+       n_events IS NULL AS is_gap
+FROM nd""",
     }
 
 

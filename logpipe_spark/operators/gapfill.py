@@ -32,6 +32,78 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def time_gapfill_interp(
+    df: DataFrame,
+    ts: str,
+    keys: Sequence[str],
+    value: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Gap filling with LINEAR interpolation (TimescaleDB ``interpolate()``)
+    — the companion to :func:`time_gapfill_locf`: a gap bucket gets the
+    value linearly blended between the previous and next observed buckets.
+
+    Fully integer: the blend is
+
+        prev + (next − prev) · (t − t_prev)  FLOOR-DIV  (t_next − t_prev)
+
+    where floor-division of the (possibly negative) numerator is expressed
+    as ``(num − pmod(num, den)) div den`` — ``pmod`` is non-negative in
+    both engines, the adjusted numerator divides exactly, and truncating
+    ``div`` equals floor on an exact quotient. (Plain ``div`` truncates
+    toward zero in Spark but DuckDB ``//`` floors — they disagree on
+    negative slopes; the pmod form is the cross-engine floor.) Every gap
+    bucket has both neighbors because each key's grid spans its own
+    observed min..max.
+
+    Same zero-join plan as LOCF with one extra window function pair
+    (forward fills) over the SAME exchange and sort.
+    """
+    keys = list(keys)
+    filled = time_gapfill_locf(df, ts, keys, value, bucket_seconds)
+    epoch = F.col("bucket_ts").cast("long")
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(epoch)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(epoch)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bkt = F.when(~F.col("is_gap"), epoch)
+    base = filled.select(
+        *keys,
+        "bucket_ts",
+        "n_events",
+        "sum_cents",
+        "is_gap",
+        F.col("locf_sum_cents").alias("_prev"),
+        F.last(obs_bkt, ignorenulls=True).over(w_back).alias("_prev_t"),
+        F.first("sum_cents", ignorenulls=True).over(w_fwd).alias("_next"),
+        F.first(obs_bkt, ignorenulls=True).over(w_fwd).alias("_next_t"),
+    )
+    with_nd = base.select(
+        *base.columns,
+        ((F.col("_next") - F.col("_prev")) * (epoch - F.col("_prev_t")))
+        .alias("_num"),
+        (F.col("_next_t") - F.col("_prev_t")).alias("_den"),
+    )
+    blend = F.col("_prev") + F.expr("(_num - pmod(_num, _den)) div _den")
+    return with_nd.select(
+        *keys,
+        "bucket_ts",
+        "n_events",
+        "sum_cents",
+        F.when(~F.col("is_gap"), F.col("sum_cents"))
+        .otherwise(blend)
+        .cast("bigint")
+        .alias("interp_cents"),
+        "is_gap",
+    )
+
+
 def time_weighted_avg(
     df: DataFrame,
     ts: str,

@@ -64,6 +64,22 @@ def test_gapfill_grid_is_per_key_span(spark):
     assert per_user == {1: 4, 2: 1}
 
 
+def test_gapfill_interp_blends_linearly(spark):
+    from logpipe_spark.operators.gapfill import time_gapfill_interp
+
+    out = time_gapfill_interp(_mini_events(spark), "ts", ["user_id"], "value")
+    rows = {(r.user_id, r.bucket_ts.hour): r for r in out.collect()}
+    # user 1: hour0 sum=1500, hour3 sum=700 -> slope (700-1500)/3 per hour
+    # hour1 = 1500 + floor(-800*1/3) = 1500 - 267 = 1233
+    # hour2 = 1500 + floor(-800*2/3) = 1500 - 534 = 966
+    assert rows[(1, 0)].interp_cents == 1500
+    assert rows[(1, 1)].interp_cents == 1233
+    assert rows[(1, 2)].interp_cents == 966
+    assert rows[(1, 3)].interp_cents == 700
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # still the zero-join gapfill plan
+
+
 # ----------------------------------------------------------- gopher gate
 
 def test_gopher_rules_fire_individually(spark):
