@@ -1149,6 +1149,12 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all-pairs is the classic scale mistake; the banded LSH prunes first).
     # Distance is integer DP — identical in both engines; the normalized
     # similarity is an integer fraction (raw double).
+    #
+    # The explicit repartition spreads the DP compute: AQE coalesces the
+    # (row-wise tiny) candidate frame to ONE partition, and the O(len²)
+    # Levenshtein projection would run serially after it — measured 40 s
+    # single-task vs ~3 s spread at sf0.1 (25k pairs x 300² chars). Rows
+    # are cheap to shuffle; the projection is what must parallelize.
     docs = _docs(spark, sf_dir)
     pairs = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
@@ -1157,6 +1163,7 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = F.greatest(F.length("ta"), F.length("tb"))
     return (
         pairs.join(ta, "doc_a").join(tb, "doc_b")
+        .repartition(spark.sparkContext.defaultParallelism * 2)
         .select(
             "doc_a",
             "doc_b",

@@ -109,6 +109,8 @@ HEADLINE = [
     "pagerank",
     "ann_pq_topk",
     "time_weighted_avg",
+    "asof_join_fwd",
+    "gapfill_interp",
 ]
 
 

@@ -104,6 +104,32 @@ def test_gopher_rules_fire_individually(spark):
     assert out[1].alpha_frac == 1.0 and out[1].n_stop_kinds >= 2
 
 
+def test_time_weighted_avg_semantics(spark):
+    from logpipe_spark.operators.gapfill import time_weighted_avg
+
+    rows = [
+        # user 1: 10.0 held 100s, then 20.0 held 300s -> twa = (1000*100
+        # + 2000*300)/400 = 1750 cents; last obs contributes no interval
+        (1, 1000, 1, 10.0), (1, 1100, 2, 20.0), (1, 1400, 3, 99.0),
+        # user 2: tie at same ts (zero-width interval drops from both
+        # sums), then 60s of 5.0
+        (2, 2000, 4, 1.0), (2, 2000, 5, 5.0), (2, 2060, 6, 7.0),
+        # user 3: single event -> no interval -> excluded entirely
+        (3, 3000, 7, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, t long, event_id int, value double"
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"),
+             "event_id", "value")
+    out = {r.user_id: r for r in
+           time_weighted_avg(df, "ts", ["user_id"], "value").collect()}
+    assert set(out) == {1, 2}
+    assert out[1].total_seconds == 400 and out[1].twa_cents == 1750.0
+    # user 2: event 4 (tiebreak smaller) gets dt=0 -> drops; event 5
+    # holds 60s -> twa = 500 exactly
+    assert out[2].total_seconds == 60 and out[2].twa_cents == 500.0
+
+
 # ------------------------------------------------------- correlation/mode
 
 def test_corr_matches_builtin_within_tolerance(spark, sf=None):
