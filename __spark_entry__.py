@@ -2060,6 +2060,31 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ranking-function completeness in one query: row_number / rank /
+    # dense_rank / percent_rank / cume_dist per event_type over value
+    # DESC. rank/dense_rank/cume_dist are computed over the REAL value
+    # ties; row_number totalizes with event_id. percent_rank and
+    # cume_dist are integer fractions ((rank-1)/(n-1), peers_cume/n) —
+    # raw doubles of identical integer operands, bit-exact cross-engine.
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin("purchase", "signup"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    base = ev.select("event_type", "event_id", cents.alias("cents"))
+    wt = Window.partitionBy("event_type").orderBy(
+        F.desc("cents"), F.asc("event_id"))
+    wv = Window.partitionBy("event_type").orderBy(F.desc("cents"))
+    return base.select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.row_number().over(wt).alias("rn"),
+        F.rank().over(wv).alias("rnk"),
+        F.dense_rank().over(wv).alias("drnk"),
+        F.percent_rank().over(wv).alias("pct_rank"),
+        F.cume_dist().over(wv).alias("cume"),
+    )
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher/MassiveText composite quality gate (textqual.py:
     # gopher_quality): five integer-comparison rules (word count, mean
@@ -2284,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "asof_join_fwd": q_asof_join_fwd,
         "gapfill_interp": q_gapfill_interp,
+        "rank_functions": q_rank_functions,
     }
 
 
@@ -3322,6 +3348,21 @@ SELECT user_id,
             END AS bigint) AS interp_cents,
        n_events IS NULL AS is_gap
 FROM nd""",
+        "rank_functions": """
+WITH b AS (
+  SELECT event_type, event_id,
+         cast(floor(value * 100 + 0.5) AS bigint) AS cents
+  FROM events WHERE event_type IN ('purchase', 'signup')
+)
+SELECT event_type, event_id, cents,
+       cast(row_number() OVER wt AS int) AS rn,
+       cast(rank() OVER wv AS int) AS rnk,
+       cast(dense_rank() OVER wv AS int) AS drnk,
+       percent_rank() OVER wv AS pct_rank,
+       cume_dist() OVER wv AS cume
+FROM b
+WINDOW wt AS (PARTITION BY event_type ORDER BY cents DESC, event_id),
+       wv AS (PARTITION BY event_type ORDER BY cents DESC)""",
     }
 
 

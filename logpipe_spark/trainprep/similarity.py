@@ -392,37 +392,60 @@ def ann_pq_topk(emb: DataFrame, k: int = 5, m: int = 4, codebook: int = 16,
         .withColumn("c_self", _dot("cs", "cs"))
     )
 
+    # codebook as ONE broadcast row: book[ms][j] = struct(cidx, c_self, cs),
+    # ordered by (ms, cidx). The encode is then a single NARROW projection
+    # per vector — the first implementation exploded n·m sub-rows and
+    # joined them against the K-row codebook, materializing an n·m·K-row
+    # frame through a shuffle+argmin (a BILLION rows at n=10^6, measured
+    # 287 s vs 9.5 s brute force at 1M×20); the in-expression argmin keeps
+    # the same n·m·K FLOPs inside one projection with zero extra rows.
+    book = (
+        cents.groupBy("ms")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("cidx", "c_self", "cs"))).alias("row"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("ms", "row"))).alias("mr"))
+        .select(F.expr("transform(mr, s -> s.row)").alias("book"))
+    )
+
+    # dsq mirrors the oracle's literal order: dot(sv,sv) + c_self − 2·dot.
+    # The self-dot is recomputed per centroid (2× the dot FLOPs) so the
+    # argmin compares FULL dsq values — dropping the constant term would
+    # keep the same winner but can collapse oracle-visible ties.
+    _enc_expr = f"""
+      transform(sequence(0, {m - 1}), ms ->
+        element_at(array_sort(transform(element_at(book, ms + 1), c ->
+          struct(
+            aggregate(zip_with(slice(v, ms * {w} + 1, {w}),
+                               slice(v, ms * {w} + 1, {w}),
+                               (x, y) -> x * y),
+                      cast(0 AS double), (acc, x) -> acc + x)
+            + c.c_self
+            - 2 * aggregate(zip_with(slice(v, ms * {w} + 1, {w}), c.cs,
+                                     (x, y) -> x * y),
+                            cast(0 AS double), (acc, x) -> acc + x) AS d,
+            c.cidx AS i))), 1).i)
+    """
+    codes = (
+        ev.join(F.broadcast(book))
+        .select("vec_id", F.expr(_enc_expr).alias("codes"))
+    )
+
+    # per-query ADC lookup tables, floored to integer micros — queries
+    # only (tiny), so the explode+join formulation is fine here
     subs = (
-        ev.select("vec_id",
-                  F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("ms"),
-                  "v")
-        .select("vec_id", "ms",
+        ev.where((F.col("vec_id") % query_mod) == 0)
+        .select(F.col("vec_id").alias("query_id"),
+                F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("ms"),
+                "v")
+        .select("query_id", "ms",
                 F.expr(f"slice(v, ms * {w} + 1, {w})").alias("sv"))
         .withColumn("s_self", _dot("sv", "sv"))
     )
     dsq = (F.col("s_self") + F.col("c_self")
            - F.lit(2.0) * _dot("sv", "cs"))
-
-    # encode: per (vector, sub-space) argmin over the codebook
-    enc = (
-        subs.join(F.broadcast(cents), "ms")
-        .select("vec_id", "ms", F.struct(dsq.alias("d"),
-                                         F.col("cidx").alias("c")).alias("dc"))
-        .groupBy("vec_id", "ms").agg(F.min("dc").alias("best"))
-        .select("vec_id", "ms", F.col("best.c").alias("code"))
-    )
-    codes = (
-        enc.groupBy("vec_id")
-        .agg(F.array_sort(F.collect_list(F.struct("ms", "code"))).alias("mc"))
-        .select("vec_id",
-                F.expr("transform(mc, s -> s.code)").alias("codes"))
-    )
-
-    # per-query ADC lookup tables, floored to integer micros
     lut = (
-        subs.where((F.col("vec_id") % query_mod) == 0)
-        .withColumnRenamed("vec_id", "query_id")
-        .join(F.broadcast(cents), "ms")
+        subs.join(F.broadcast(cents), "ms")
         .select("query_id", "ms", "cidx",
                 F.floor(dsq * F.lit(1_000_000.0)).cast("bigint").alias("dm"))
         .groupBy("query_id", "ms")
