@@ -18,13 +18,17 @@ from pyspark.sql import functions as F
 
 from logpipe_spark.operators.aggregate import (
     count_by,
+    kmv_set_ops,
     percentiles_disc,
     stats_by,
     time_rollup,
+    weighted_median,
 )
 from logpipe_spark.operators import skew as skw
 from logpipe_spark.operators.asof import asof_join
-from logpipe_spark.operators.rangejoin import interval_join
+from logpipe_spark.operators.assoc import cooccurrence_lift
+from logpipe_spark.operators.rangejoin import interval_join, interval_overlap_join
+from logpipe_spark.operators.skyline import pareto_front
 from logpipe_spark.trainprep import curate as cur
 from logpipe_spark.trainprep import dedup as dd
 from logpipe_spark.trainprep import multimodal as mm
@@ -975,6 +979,44 @@ SELECT c.grp AS role,
                  ELSE ({k - 1} * cast({16 ** 8} AS bigint))
                       // greatest(kth.vk, 1) END AS bigint) AS estimate
 FROM c LEFT JOIN kth USING (grp)"""
+
+
+def _kmv_set_ops_oracle(k: int = 64) -> str:
+    # mirrors operators/aggregate.py:kmv_set_ops — bottom-k per set, then
+    # bottom-k of each pair's union with per-side membership flags
+    poly = _hexpoly8("m")
+    return f"""
+WITH d AS (SELECT DISTINCT event_type AS s,
+                  md5(cast(user_id AS varchar)) AS h FROM events),
+r AS (SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn
+      FROM d),
+sk AS (SELECT s, h FROM r WHERE rn <= {k}),
+p AS (SELECT a.s AS set_a, b.s AS set_b
+      FROM (SELECT DISTINCT s FROM sk) a
+      JOIN (SELECT DISTINCT s FROM sk) b ON a.s < b.s),
+mem AS (SELECT p.set_a, p.set_b, sk.h,
+               max(CASE WHEN sk.s = p.set_a THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN sk.s = p.set_b THEN 1 ELSE 0 END) AS in_b
+        FROM p JOIN sk ON sk.s = p.set_a OR sk.s = p.set_b
+        GROUP BY p.set_a, p.set_b, sk.h),
+u AS (SELECT *, row_number() OVER (PARTITION BY set_a, set_b ORDER BY h)
+             AS rn FROM mem),
+kept AS (SELECT * FROM u WHERE rn <= {k}),
+kth AS (SELECT set_a, set_b, ({poly}) AS vk
+        FROM (SELECT set_a, set_b, h AS m FROM kept WHERE rn = {k})),
+agg AS (SELECT set_a, set_b, cast(count(*) AS bigint) AS union_k,
+               cast(sum(in_a * in_b) AS bigint) AS shared_k
+        FROM kept GROUP BY set_a, set_b),
+e AS (SELECT agg.*,
+             cast(CASE WHEN kth.vk IS NULL THEN agg.union_k
+                  ELSE ({k - 1} * cast({16 ** 8} AS bigint))
+                       // greatest(kth.vk, 1) END AS bigint) AS est_union
+      FROM agg LEFT JOIN kth USING (set_a, set_b))
+SELECT set_a, set_b, union_k, shared_k, est_union,
+       cast((shared_k * est_union) // union_k AS bigint)
+         AS est_intersection,
+       shared_k / cast(union_k AS double) AS jaccard_k
+FROM e"""
 
 
 def _mm_oracle() -> str:
@@ -2085,6 +2127,87 @@ def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Market-basket association mining (operators/assoc.py): which event
+    # types co-occur for the same user beyond chance. support and lift
+    # are RAW doubles of integer operands (single IEEE divisions) —
+    # bit-identical cross-engine, never rounded.
+    return cooccurrence_lift(_events(spark, sf_dir), "user_id", "event_type")
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact weighted (lower) median per return flag: price cents weighted
+    # by quantity (operators/aggregate.py:weighted_median — RANGE-frame
+    # cumulative weight on ONE exchange, all-integer compares, the value
+    # is an actual element so it is bit-identical cross-engine).
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return weighted_median(base, "l_returnflag", "cents", "qty")
+
+
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 2-D skyline over per-user activity: users not dominated in
+    # (n_events, total cents). The engine runs the two-level bucketed
+    # prefix-max decomposition (operators/skyline.py); the oracle is the
+    # naive quadratic NOT EXISTS anti-join — same frontier.
+    u = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint").alias("cents"),
+        )
+    )
+    return pareto_front(u, "n_events", "cents", bucket_width=16)
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interval×interval overlap join without an equality key
+    # (operators/rangejoin.py:interval_overlap_join — both sides bucket-
+    # exploded, each pair attributed to the first bucket of its
+    # intersection so no dedup pass): pairs of sparse urgent-order
+    # 14-day windows that overlap, with the overlap length in whole
+    # days (integer micros arithmetic both engines).
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    win = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 31 == 0)
+    ).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("s"),
+        (F.col("o_orderdate").cast("timestamp")
+         + F.expr("INTERVAL 14 DAYS")).alias("e"),
+    )
+    a = win.select(F.col("o_orderkey").alias("key_a"),
+                   F.col("s").alias("sa"), F.col("e").alias("ea"))
+    b = win.select(F.col("o_orderkey").alias("key_b"),
+                   F.col("s").alias("sb"), F.col("e").alias("eb"))
+    j = interval_overlap_join(a, b, "sa", "ea", "sb", "eb", bucket_days=14)
+    return (
+        j.where(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a", "key_b",
+            F.expr("(unix_micros(least(ea, eb)) - "
+                   "unix_micros(greatest(sa, sb))) div 86400000000")
+            .cast("bigint").alias("overlap_days"),
+        )
+    )
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sketch set algebra (operators/aggregate.py:kmv_set_ops): union /
+    # intersection / Jaccard estimates for every event-type pair's user
+    # sets, computed from bottom-64 md5 signatures alone — integer
+    # arithmetic end-to-end so an APPROXIMATE set operation passes the
+    # exact value-hash gate.
+    return kmv_set_ops(_events(spark, sf_dir), "event_type", "user_id", k=64)
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher/MassiveText composite quality gate (textqual.py:
     # gopher_quality): five integer-comparison rules (word count, mean
@@ -2310,6 +2433,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_fwd": q_asof_join_fwd,
         "gapfill_interp": q_gapfill_interp,
         "rank_functions": q_rank_functions,
+        "cooccurrence_lift": q_cooccurrence_lift,
+        "weighted_median": q_weighted_median,
+        "pareto_front": q_pareto_front,
+        "interval_overlap": q_interval_overlap,
+        "kmv_set_ops": q_kmv_set_ops,
     }
 
 
@@ -3363,6 +3491,66 @@ SELECT event_type, event_id, cents,
 FROM b
 WINDOW wt AS (PARTITION BY event_type ORDER BY cents DESC, event_id),
        wv AS (PARTITION BY event_type ORDER BY cents DESC)""",
+        "cooccurrence_lift": """
+WITH b AS (
+  SELECT DISTINCT user_id AS basket, event_type AS item FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+t AS (SELECT cast(count(DISTINCT basket) AS bigint) AS n_baskets FROM b),
+ic AS (SELECT item, cast(count(*) AS bigint) AS n_i FROM b GROUP BY item),
+pc AS (
+  SELECT a.item AS item_a, c.item AS item_b,
+         cast(count(*) AS bigint) AS n_ab
+  FROM b a JOIN b c ON a.basket = c.basket AND a.item < c.item
+  GROUP BY a.item, c.item)
+SELECT pc.item_a, pc.item_b, ia.n_i AS n_a, ib.n_i AS n_b, pc.n_ab,
+       t.n_baskets,
+       pc.n_ab / cast(t.n_baskets AS double) AS support,
+       (pc.n_ab * t.n_baskets) / cast(ia.n_i * ib.n_i AS double) AS lift
+FROM pc
+JOIN ic ia ON ia.item = pc.item_a
+JOIN ic ib ON ib.item = pc.item_b
+CROSS JOIN t""",
+        "weighted_median": """
+WITH b AS (
+  SELECT l_returnflag,
+         cast(floor(l_extendedprice * 100 + 0.5) AS bigint) AS v,
+         cast(l_quantity AS bigint) AS w
+  FROM lineitem),
+s AS (
+  SELECT l_returnflag, v,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS total
+  FROM b)
+SELECT l_returnflag,
+       cast(min(v) AS bigint) AS median_value,
+       cast(max(total) AS bigint) AS total_weight
+FROM s WHERE 2 * cumw >= total
+GROUP BY l_returnflag""",
+        "pareto_front": """
+WITH u AS (
+  SELECT user_id, cast(count(*) AS bigint) AS n_events,
+         cast(sum(cast(floor(value * 100 + 0.5) AS bigint)) AS bigint)
+           AS cents
+  FROM events GROUP BY user_id)
+SELECT user_id, n_events, cents FROM u a
+WHERE NOT EXISTS (
+  SELECT 1 FROM u b
+  WHERE b.n_events >= a.n_events AND b.cents >= a.cents
+    AND (b.n_events > a.n_events OR b.cents > a.cents))""",
+        "interval_overlap": """
+WITH win AS (
+  SELECT o_orderkey, cast(o_orderdate AS timestamp) AS s,
+         cast(o_orderdate AS timestamp) + INTERVAL 14 DAY AS e
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 31 = 0)
+SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+       cast((epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)))
+            // 86400000000 AS bigint) AS overlap_days
+FROM win a JOIN win b
+  ON a.o_orderkey < b.o_orderkey AND a.s <= b.e AND b.s <= a.e""",
+        "kmv_set_ops": _kmv_set_ops_oracle(),
     }
 
 

@@ -453,3 +453,126 @@ def period_over_period(
         (F.col("n") - prev).alias("delta"),
         ((F.col("n") - prev) / prev).alias("pct_change"),
     )
+
+
+def weighted_median(df: DataFrame, key: str, value_col: str,
+                    weight_col: str) -> DataFrame:
+    """Exact weighted (lower) median per group: the smallest value whose
+    inclusive cumulative weight reaches half the group's total weight —
+    ``min v  s.t.  2 * cumw(v) >= total_w`` (all-integer compare, so the
+    chosen value is bit-identical cross-engine; no interpolation).
+
+    Same shape as ``percentiles_disc``: value and weight must be
+    integer-valued. ONE hash exchange on the key carries everything —
+    the cumulative sum uses a RANGE frame ordered by value (peers
+    included, so duplicate values accumulate deterministically
+    regardless of intra-tie order) and the total a whole-partition
+    frame on the same exchange; the winner is a min-aggregate over the
+    qualifying rows, partial+final combinable.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("bigint")
+    wgt = F.col(weight_col).cast("bigint")
+    w_cum = (Window.partitionBy(key).orderBy(F.col("_v"))
+             .rangeBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy(key)
+    scored = df.select(
+        key, v.alias("_v"), wgt.alias("_w")
+    ).select(
+        key, "_v",
+        F.sum("_w").over(w_cum).alias("_cumw"),
+        F.sum("_w").over(w_all).alias("_total"),
+    )
+    return (
+        scored.where(F.lit(2) * F.col("_cumw") >= F.col("_total"))
+        .groupBy(key)
+        .agg(F.min("_v").alias("median_value"),
+             F.max("_total").cast("bigint").alias("total_weight"))
+    )
+
+
+def kmv_set_ops(df: DataFrame, set_col: str, key_col: str,
+                k: int = 64) -> DataFrame:
+    """Set algebra on KMV sketches: for every pair of set labels
+    ``(set_a < set_b)``, estimate ``|A ∪ B|``, Jaccard and ``|A ∩ B|``
+    from bottom-k signatures alone — the reason mergeable sketches beat
+    exact distinct at warehouse scale (Beyer et al., SIGMOD'07: the
+    bottom-k of a union is computable from the two bottom-k sets, and
+    the fraction of union-sketch hashes present in BOTH sets is an
+    unbiased Jaccard estimator).
+
+    The only corpus-sized pass is the per-set sketch build (distinct +
+    bottom-k window, same as :func:`kmv_distinct`); every pair
+    estimate operates on the O(sets × k) sketch frame — re-scanning
+    raw data per pair (the exact-intersect cost) never happens.
+
+    Determinism: md5 hashing + integer arithmetic end-to-end; jaccard_k
+    is the RAW double of two integers (shared / union_k), and the
+    intersection estimate is integer ``shared * est_union div union_k``
+    — all bit-identical cross-engine.
+
+    Returns (set_a, set_b, union_k, shared_k, est_union,
+    est_intersection, jaccard_k).
+    """
+    from pyspark.sql import Window
+
+    m = 16 ** 8
+    d = (
+        df.select(F.col(set_col).alias("s"),
+                  F.md5(F.col(key_col).cast("string")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("s").orderBy("h")
+    sk = (d.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= k).drop("rn").persist())
+
+    pairs = (
+        sk.select("s").distinct().alias("pa")
+        .crossJoin(sk.select(F.col("s").alias("s2")).distinct().alias("pb"))
+        .where(F.col("s") < F.col("s2"))
+        .select(F.col("s").alias("set_a"), F.col("s2").alias("set_b"))
+    )
+    # membership of each sketch hash in each pair's two sides — the pair
+    # frame explodes to (pair, side) so the sketch join is a plain
+    # broadcast equi-join on the set label
+    sides = pairs.select(
+        "set_a", "set_b",
+        F.explode(F.array(F.col("set_a"), F.col("set_b"))).alias("s"))
+    mem = (
+        sk.join(F.broadcast(sides), "s")
+        .groupBy("set_a", "set_b", "h")
+        .agg(
+            F.max((F.col("s") == F.col("set_a")).cast("int")).alias("in_a"),
+            F.max((F.col("s") == F.col("set_b")).cast("int")).alias("in_b"),
+        )
+    )
+    wu = Window.partitionBy("set_a", "set_b").orderBy("h")
+    u = mem.withColumn("rn", F.row_number().over(wu)).filter(F.col("rn") <= k)
+    kth = (
+        u.filter(F.col("rn") == k)
+        .select("set_a", "set_b",
+                F.conv(F.substring("h", 1, 8), 16, 10)
+                .cast("bigint").alias("vk"))
+    )
+    agg = u.groupBy("set_a", "set_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("union_k"),
+        F.sum((F.col("in_a") * F.col("in_b"))).cast("bigint").alias("shared_k"),
+    )
+    est_union = (
+        F.when(F.col("vk").isNull(), F.col("union_k"))
+        .otherwise(F.expr(
+            f"({k} - 1) * cast({m} AS bigint) div greatest(vk, 1)"))
+        .cast("bigint")
+    )
+    return (
+        agg.join(kth, ["set_a", "set_b"], "left")
+        .select("set_a", "set_b", "union_k", "shared_k",
+                est_union.alias("est_union"))
+        .select(
+            "set_a", "set_b", "union_k", "shared_k", "est_union",
+            F.expr("shared_k * est_union div union_k")
+            .cast("bigint").alias("est_intersection"),
+            (F.col("shared_k") / F.col("union_k")).alias("jaccard_k"),
+        )
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["interval_join"]
+__all__ = ["interval_join", "interval_overlap_join"]
 
 _SECONDS_PER_DAY = 86400
 
@@ -64,3 +64,57 @@ def interval_join(
         (F.col(point_ts) >= F.col(start)) & (F.col(point_ts) <= F.col(end))
     )
     return joined.drop("_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_days: int = 30,
+) -> DataFrame:
+    """Interval×interval OVERLAP join (inclusive ends): every pair with
+    ``l_start <= r_end AND r_start <= l_end``, without an equality key.
+
+    Same bucketed shape as :func:`interval_join`, but both sides explode
+    into their covered buckets, so a pair can meet in EVERY bucket their
+    intersection spans. Instead of a distinct pass over the (possibly
+    large) join output, each pair is ATTRIBUTED to exactly one bucket —
+    the first bucket of the intersection, ``floor(max(l_start, r_start)
+    / W)`` — and emitted only there: a post-join filter on values both
+    rows already carry, no extra shuffle. Cost is one hash join on the
+    bucket key; blow-up factor is len/W + 1 per interval, so pick ``W``
+    near the median interval length. For a self-join pass the same frame
+    twice (with renamed columns) and keep one orientation with a key
+    inequality filter on the result.
+    """
+    common = set(left.columns) & set(right.columns)
+    if common:
+        raise ValueError(
+            f"left and right share column names {sorted(common)}; "
+            "rename before joining (the result carries all columns of both)")
+    w = F.lit(bucket_days * _SECONDS_PER_DAY)
+
+    def _epoch(c: str):
+        return F.col(c).cast("timestamp").cast("long")
+
+    lv = left.withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.floor(_epoch(l_start) / w),
+                             F.floor(_epoch(l_end) / w))))
+    rv = right.withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.floor(_epoch(r_start) / w),
+                             F.floor(_epoch(r_end) / w))))
+    meet = F.floor(F.greatest(_epoch(l_start), _epoch(r_start)) / w)
+    return (
+        lv.join(rv, on="_bucket", how="inner")
+        .where(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("_bucket") == meet)
+        )
+        .drop("_bucket")
+    )

@@ -1,0 +1,75 @@
+"""2-D skyline (Pareto frontier) — maximize both dimensions.
+
+A row is on the frontier iff no other row dominates it: ``x' >= x AND
+y' >= y`` with at least one strict. The naive formulation (the oracle's
+``NOT EXISTS`` anti-join) is O(n²); the classic sort-based algorithm is
+a single scan — sort by x descending and keep a row iff its y exceeds
+the running max of y over everything already seen with strictly larger
+x (Kung/Luccio/Preparata, JACM'75).
+
+Distributed decomposition (same two-level shape as ``seq_gaps`` /
+``interval_concurrency``): a global ORDER BY + running max would funnel
+every row through one reducer, so instead
+
+1. range-bucket on ``x`` (``bucket = x div bucket_width``) — one hash
+   shuffle; within each bucket two window frames over the SAME
+   exchange+sort (orderBy x, RANGE (1, ∞) and RANGE (0, ∞)) give the
+   in-bucket "max y over strictly-larger x" and "max y over
+   greater-or-equal x";
+2. an n/W-row per-bucket summary gets a suffix max (the only global
+   window, over metadata-sized input — documented single-reducer on
+   the SUMMARY, never the data) and broadcasts back: every row in a
+   higher bucket has strictly larger x by construction.
+
+Dominance test per row, all from window/broadcast values:
+``max(in_bucket_gt, higher_bucket_suffix) >= y``  (some x' > x with
+y' >= y) ``OR in_bucket_ge > y`` (some x' >= x with y' > y — covers
+the equal-x strict-y case; exact-duplicate rows survive, both are
+non-dominated by definition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pareto_front"]
+
+
+def pareto_front(df: DataFrame, x_col: str, y_col: str,
+                 bucket_width: int = 1024) -> DataFrame:
+    """Rows not dominated in (``x_col``, ``y_col``), both maximized.
+
+    Both columns must be integer-valued (RANGE frames and exact
+    cross-engine comparisons need integer arithmetic). Returns the
+    input columns unchanged, frontier rows only.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    b = df.withColumn("_bkt", x.cast("bigint") - (x.cast("bigint") % bucket_width))
+
+    # per-bucket summary: max y per bucket, suffix max over HIGHER buckets
+    summary = b.groupBy("_bkt").agg(F.max(y).alias("_bmax"))
+    w_suffix = (Window.orderBy(F.col("_bkt").desc())
+                .rowsBetween(Window.unboundedPreceding, -1))
+    summary = summary.select(
+        "_bkt", F.max("_bmax").over(w_suffix).alias("_hi"))
+
+    # two frames on one in-bucket exchange+sort
+    w_gt = (Window.partitionBy("_bkt").orderBy(x.cast("bigint"))
+            .rangeBetween(1, Window.unboundedFollowing))
+    w_ge = (Window.partitionBy("_bkt").orderBy(x.cast("bigint"))
+            .rangeBetween(0, Window.unboundedFollowing))
+    scored = (
+        b.withColumn("_gt", F.max(y).over(w_gt))
+        .withColumn("_ge", F.max(y).over(w_ge))
+        .join(F.broadcast(summary), "_bkt")
+    )
+    # greatest() skips NULLs (no larger-x row in bucket / no higher bucket)
+    dominated = (
+        (F.greatest(F.col("_gt"), F.col("_hi")) >= y)
+        | (F.col("_ge") > y)
+    )
+    return (
+        scored.where(~F.coalesce(dominated, F.lit(False)))
+        .drop("_bkt", "_gt", "_ge", "_hi")
+    )

@@ -1,0 +1,195 @@
+"""Round-2 continuation batch 5: association lift, weighted median,
+Pareto skyline, interval-overlap join, KMV set algebra.
+
+Oracle parity runs in the parametrized test_oracle_parity; here we
+assert the ENGINE invariants the oracle can't see: brute-force
+equivalence on adversarial inputs, per-basket capping, dedup-free pair
+attribution, and sketch exactness below k.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pyspark.sql.functions as F
+import pytest
+
+from logpipe_spark.operators.aggregate import kmv_set_ops, weighted_median
+from logpipe_spark.operators.assoc import cooccurrence_lift
+from logpipe_spark.operators.rangejoin import interval_overlap_join
+from logpipe_spark.operators.skyline import pareto_front
+
+
+# ------------------------------------------------------------------ assoc
+
+def _baskets(spark):
+    rows = [
+        (1, "a"), (1, "b"), (1, "b"),          # repeat within basket: once
+        (2, "a"), (2, "b"), (2, "c"),
+        (3, "a"),
+        (4, "c"), (4, "a"),
+        (None, "a"), (5, None),                 # null basket/item dropped
+    ]
+    return spark.createDataFrame(rows, "basket int, item string")
+
+
+def test_cooccurrence_counts_and_lift(spark):
+    out = {(r.item_a, r.item_b): r
+           for r in cooccurrence_lift(_baskets(spark), "basket", "item").collect()}
+    # baskets: {1:ab, 2:abc, 3:a, 4:ac, 5:-} -> N=5 w/ basket 5 dropped? no:
+    # (5, None) drops the item, so basket 5 contributes no rows at all -> N=4
+    ab = out[("a", "b")]
+    assert (ab.n_ab, ab.n_a, ab.n_b, ab.n_baskets) == (2, 4, 2, 4)
+    assert ab.support == 2 / 4
+    assert ab.lift == (2 * 4) / (4 * 2)
+    ac = out[("a", "c")]
+    assert (ac.n_ab, ac.n_a, ac.n_b) == (2, 4, 2)
+    bc = out[("b", "c")]
+    assert bc.n_ab == 1 and bc.lift == (1 * 4) / (2 * 2)
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_cooccurrence_max_items_caps_fanout(spark):
+    # a degenerate basket holding the whole vocabulary must not produce
+    # C(V,2) pairs when capped
+    rows = [(1, f"w{i:02d}") for i in range(20)] + [(2, "w00"), (2, "w01")]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    capped = cooccurrence_lift(df, "basket", "item", max_items=4)
+    # basket 1 contributes C(4,2)=6 pairs, basket 2 at most 1
+    assert capped.agg(F.sum("n_ab")).first()[0] <= 7
+    # and the cap is deterministic: same answer twice
+    a = sorted(map(tuple, capped.collect()))
+    b = sorted(map(tuple, cooccurrence_lift(
+        df, "basket", "item", max_items=4).collect()))
+    assert a == b
+
+
+# -------------------------------------------------------- weighted median
+
+def test_weighted_median_brute_force(spark):
+    import numpy as np
+
+    rows = []
+    rng = np.random.RandomState(7)
+    for g in ("x", "y", "z"):
+        for _ in range(50):
+            rows.append((g, int(rng.randint(-100, 100)),
+                         int(rng.randint(1, 10))))
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {r.g: (r.median_value, r.total_weight)
+           for r in weighted_median(df, "g", "v", "w").collect()}
+    for g in ("x", "y", "z"):
+        sub = sorted((v, w) for gg, v, w in rows if gg == g)
+        total = sum(w for _, w in sub)
+        cum = 0
+        for v, w in sub:
+            cum += w
+            if 2 * cum >= total:
+                expect = v
+                break
+        assert got[g] == (expect, total), g
+
+
+def test_weighted_median_all_equal_weights_matches_lower_median(spark):
+    df = spark.createDataFrame(
+        [("g", v, 1) for v in [5, 1, 3, 2, 4]], "g string, v long, w long")
+    assert weighted_median(df, "g", "v", "w").first().median_value == 3
+    df2 = spark.createDataFrame(
+        [("g", v, 1) for v in [4, 1, 3, 2]], "g string, v long, w long")
+    # even count -> lower median
+    assert weighted_median(df2, "g", "v", "w").first().median_value == 2
+
+
+# ----------------------------------------------------------------- skyline
+
+def _brute_skyline(pts):
+    out = []
+    for p in pts:
+        dominated = any(
+            q[0] >= p[0] and q[1] >= p[1] and (q[0] > p[0] or q[1] > p[1])
+            for q in pts)
+        if not dominated:
+            out.append(p)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("bucket_width", [1, 3, 1024])
+def test_pareto_front_matches_brute_force(spark, bucket_width):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    pts = [(int(x), int(y)) for x, y in rng.randint(-20, 20, size=(200, 2))]
+    pts += pts[:5]  # exact duplicates: both copies survive if frontier
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = sorted((r.x, r.y) for r in
+                 pareto_front(df, "x", "y", bucket_width=bucket_width).collect())
+    assert got == _brute_skyline(pts)
+
+
+def test_pareto_front_duplicates_both_kept(spark):
+    df = spark.createDataFrame(
+        [(10, 10), (10, 10), (5, 20), (1, 1)], "x long, y long")
+    got = sorted((r.x, r.y) for r in pareto_front(df, "x", "y").collect())
+    assert got == [(5, 20), (10, 10), (10, 10)]
+
+
+# ------------------------------------------------------- interval overlap
+
+def test_interval_overlap_matches_naive(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    n = 60
+    starts = rng.randint(0, 365, size=n)
+    lens = rng.randint(0, 40, size=n)
+    ivs = [(i, int(s), int(s + ln))
+           for i, (s, ln) in enumerate(zip(starts, lens))]
+    base = spark.createDataFrame(
+        ivs, "key int, sd int, ed int"
+    ).select(
+        "key",
+        F.expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,sd)")
+        .alias("s"),
+        F.expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,ed)")
+        .alias("e"),
+    )
+    a = base.select(F.col("key").alias("ka"), F.col("s").alias("sa"),
+                    F.col("e").alias("ea"))
+    b = base.select(F.col("key").alias("kb"), F.col("s").alias("sb"),
+                    F.col("e").alias("eb"))
+    got = sorted(
+        (r.ka, r.kb) for r in
+        interval_overlap_join(a, b, "sa", "ea", "sb", "eb", bucket_days=20)
+        .where(F.col("ka") < F.col("kb")).collect())
+    expect = sorted(
+        (i, j) for (i, s1, e1), (j, s2, e2)
+        in combinations(ivs, 2) if s1 <= e2 and s2 <= e1)
+    assert got == expect
+    # attribution emits each pair exactly once (no dedup pass needed)
+    assert len(got) == len(set(got))
+
+
+# ------------------------------------------------------------ KMV set ops
+
+def test_kmv_set_ops_exact_below_k(spark):
+    # two sets smaller than k: every estimate is exact set algebra
+    rows = [("A", i) for i in range(30)] + [("B", i) for i in range(20, 50)]
+    df = spark.createDataFrame(rows, "s string, k long")
+    r = kmv_set_ops(df, "s", "k", k=64).first()
+    assert (r.set_a, r.set_b) == ("A", "B")
+    assert r.union_k == 50 and r.est_union == 50
+    assert r.shared_k == 10 and r.est_intersection == 10
+    assert r.jaccard_k == 10 / 50
+
+
+def test_kmv_set_ops_estimates_within_bound(spark):
+    # large sets: estimates within the k-sketch's expected error band
+    n = 3000
+    rows = ([("A", i) for i in range(n)]
+            + [("B", i) for i in range(n // 2, n + n // 2)])
+    df = spark.createDataFrame(rows, "s string, k long")
+    r = kmv_set_ops(df, "s", "k", k=256).first()
+    true_union, true_inter = n + n // 2, n // 2
+    assert abs(r.est_union - true_union) / true_union < 0.25
+    assert abs(r.est_intersection - true_inter) / true_inter < 0.4
+    assert abs(r.jaccard_k - true_inter / true_union) < 0.15
