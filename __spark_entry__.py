@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 
 from logpipe_spark.operators.aggregate import (
     count_by,
+    gini_impurity,
     kmv_set_ops,
+    median_mad,
     percentiles_disc,
     stats_by,
     time_rollup,
@@ -2208,6 +2210,40 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(_events(spark, sf_dir), "event_type", "user_id", k=64)
 
 
+def q_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gini impurity / Simpson diversity of each tool's role mix
+    # (operators/aggregate.py:gini_impurity): 1 - sum(p_i^2) emitted as
+    # the raw integer fraction (N^2 - sum(n_i^2)) / N^2 — a statistical
+    # index under the exact hash gate (entropy's log() never could be).
+    return gini_impurity(_t(spark, sf_dir), "tool", "role")
+
+
+def q_mad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust location/scale per event type: discrete lower median and
+    # MAD of integer cents (operators/aggregate.py:median_mad — two
+    # rank passes, values are actual elements, no interpolation).
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    return median_mad(ev, "event_type", "cents")
+
+
+def q_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Set-operator coverage: INTERSECT (distinct) and EXCEPT ALL
+    # (multiset difference — per-user surplus of week-1 events over
+    # week-2) in one tagged union. Spark's intersect/exceptAll plan as
+    # aggregates/joins under the hood; the oracle is the literal SQL
+    # set operators.
+    ev = _events(spark, sf_dir)
+    w1 = ev.where(F.dayofmonth("ts") <= 7).select("user_id")
+    w2 = ev.where((F.dayofmonth("ts") > 7) & (F.dayofmonth("ts") <= 14)).select("user_id")
+    inter = (w1.distinct().intersect(w2.distinct())
+             .withColumn("op", F.lit("intersect")))
+    exc = w1.exceptAll(w2).withColumn("op", F.lit("except_all"))
+    return inter.unionByName(exc)
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher/MassiveText composite quality gate (textqual.py:
     # gopher_quality): five integer-comparison rules (word count, mean
@@ -2438,6 +2474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_front": q_pareto_front,
         "interval_overlap": q_interval_overlap,
         "kmv_set_ops": q_kmv_set_ops,
+        "gini_diversity": q_gini_diversity,
+        "mad_stats": q_mad_stats,
+        "except_intersect": q_except_intersect,
     }
 
 
@@ -3551,6 +3590,45 @@ SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
 FROM win a JOIN win b
   ON a.o_orderkey < b.o_orderkey AND a.s <= b.e AND b.s <= a.e""",
         "kmv_set_ops": _kmv_set_ops_oracle(),
+        "gini_diversity": f"""{P}
+, pc AS (SELECT tool, role, cast(count(*) AS bigint) AS ni
+         FROM transcripts GROUP BY tool, role),
+g AS (SELECT tool, cast(sum(ni) AS bigint) AS n,
+             cast(count(*) AS bigint) AS n_cats,
+             cast(sum(ni * ni) AS bigint) AS sq
+      FROM pc GROUP BY tool)
+SELECT tool, n, n_cats, (n * n - sq) / cast(n * n AS double) AS gini
+FROM g""",
+        "mad_stats": """
+WITH b AS (SELECT event_type,
+                  cast(floor(value * 100 + 0.5) AS bigint) AS v FROM events),
+r AS (SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n FROM b),
+med AS (SELECT event_type, cast(max(n) AS bigint) AS n,
+               cast(max(v) AS bigint) AS median_value
+        FROM r WHERE rn = cast(ceil(n / 2.0) AS bigint)
+        GROUP BY event_type),
+d AS (SELECT b.event_type, abs(b.v - med.median_value) AS dv
+      FROM b JOIN med USING (event_type)),
+r2 AS (SELECT event_type, dv,
+              row_number() OVER (PARTITION BY event_type ORDER BY dv) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n FROM d),
+mad AS (SELECT event_type, cast(max(dv) AS bigint) AS mad FROM r2
+        WHERE rn = cast(ceil(n / 2.0) AS bigint) GROUP BY event_type)
+SELECT med.event_type, med.n, med.median_value, mad.mad
+FROM med JOIN mad USING (event_type)""",
+        "except_intersect": """
+WITH w1 AS (SELECT user_id FROM events
+            WHERE cast(extract(day FROM ts) AS int) <= 7),
+w2 AS (SELECT user_id FROM events
+       WHERE cast(extract(day FROM ts) AS int) > 7
+         AND cast(extract(day FROM ts) AS int) <= 14)
+SELECT user_id, 'intersect' AS op
+FROM (SELECT user_id FROM w1 INTERSECT SELECT user_id FROM w2)
+UNION ALL
+SELECT user_id, 'except_all' AS op
+FROM (SELECT user_id FROM w1 EXCEPT ALL SELECT user_id FROM w2)""",
     }
 
 

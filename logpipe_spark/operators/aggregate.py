@@ -576,3 +576,81 @@ def kmv_set_ops(df: DataFrame, set_col: str, key_col: str,
             (F.col("shared_k") / F.col("union_k")).alias("jaccard_k"),
         )
     )
+
+
+def gini_impurity(df: DataFrame, key: str, cat_col: str) -> DataFrame:
+    """Gini impurity / Simpson diversity of a categorical distribution per
+    group: ``1 - Σ p_i²`` with ``p_i = n_i / N``, emitted as the RAW
+    double ``(N² - Σ n_i²) / N²`` — a single IEEE division of two exact
+    integers, so a STATISTICAL index passes the exact cross-engine hash
+    gate (the usual entropy form needs log() and never would).
+
+    Two map-side-combinable aggregates, no window: count per (group,
+    category), then per group sum the squared counts. Shuffle volume is
+    one row per distinct (group, category).
+
+    Returns (key, n, n_cats, gini).
+    """
+    per_cat = df.groupBy(key, cat_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ni"))
+    return (
+        per_cat.groupBy(key)
+        .agg(
+            F.sum("_ni").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cats"),
+            F.sum(F.col("_ni") * F.col("_ni")).cast("bigint").alias("_sq"),
+        )
+        .select(
+            key, "n", "n_cats",
+            ((F.col("n") * F.col("n") - F.col("_sq"))
+             / (F.col("n") * F.col("n"))).alias("gini"),
+        )
+    )
+
+
+def median_mad(df: DataFrame, key: str, value_col: str) -> DataFrame:
+    """Robust location/scale per group: discrete lower median and MAD
+    (median absolute deviation), both ACTUAL integer elements — no
+    interpolation, bit-identical cross-engine.
+
+    median = smallest v with 2·rank(v) >= n (rank inclusive of peers);
+    MAD = the same statistic over |v - median|. Two window passes on the
+    same group key (the deviation pass needs the median first — MAD is
+    inherently two-pass); each is one exchange + sort, the same cost
+    class as any per-group rank.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("bigint")
+    base = df.select(key, v.alias("_v"))
+
+    def _lower_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(F.col(col))
+        wn = Window.partitionBy(key)
+        ranked = frame.select(
+            key, F.col(col),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wn).alias("_n"),
+        )
+        # row_number ranks duplicates arbitrarily but the SELECTED value
+        # at rank ceil(n/2) is order-unique: equal values are
+        # interchangeable at every rank
+        target = F.ceil(F.col("_n") / 2).cast("bigint")
+        return (
+            ranked.where(F.col("_rn") == target)
+            .groupBy(key)
+            .agg(F.max(F.col(col)).alias(out),
+                 F.max("_n").cast("bigint").alias(f"_n_{out}"))
+        )
+
+    med = _lower_median(base, "_v", "median_value")
+    dev = (
+        base.join(F.broadcast(med.select(key, "median_value")), key)
+        .select(key, F.abs(F.col("_v") - F.col("median_value")).alias("_d"))
+    )
+    mad = _lower_median(dev, "_d", "mad")
+    return (
+        med.join(mad.select(key, "mad"), key)
+        .select(key, F.col("_n_median_value").alias("n"),
+                "median_value", "mad")
+    )

@@ -193,3 +193,37 @@ def test_kmv_set_ops_estimates_within_bound(spark):
     assert abs(r.est_union - true_union) / true_union < 0.25
     assert abs(r.est_intersection - true_inter) / true_inter < 0.4
     assert abs(r.jaccard_k - true_inter / true_union) < 0.15
+
+
+# -------------------------------------------------------------- gini / MAD
+
+def test_gini_impurity_known_distributions(spark):
+    from logpipe_spark.operators.aggregate import gini_impurity
+
+    rows = ([("uniform", c) for c in "abcd" * 5]          # 4 equal cats
+            + [("pure", "x")] * 8                          # single cat
+            + [("skew", "a")] * 9 + [("skew", "b")])       # 9:1
+    df = spark.createDataFrame(rows, "g string, c string")
+    got = {r.g: r for r in gini_impurity(df, "g", "c").collect()}
+    assert got["pure"].gini == 0.0 and got["pure"].n_cats == 1
+    assert got["uniform"].gini == (400 - 4 * 25) / 400     # 1 - 4*(5/20)^2
+    assert got["skew"].gini == (100 - 81 - 1) / 100
+    assert got["uniform"].n == 20
+
+
+def test_median_mad_brute_force(spark):
+    import numpy as np
+    from logpipe_spark.operators.aggregate import median_mad
+
+    rng = np.random.RandomState(5)
+    rows = [(g, int(v)) for g in ("a", "b")
+            for v in rng.randint(-50, 50, size=41)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: r for r in median_mad(df, "g", "v").collect()}
+    for g in ("a", "b"):
+        vals = sorted(v for gg, v in rows if gg == g)
+        med = vals[(len(vals) - 1) // 2]  # lower median, odd n -> exact
+        devs = sorted(abs(v - med) for v in vals)
+        assert got[g].median_value == med
+        assert got[g].mad == devs[(len(devs) - 1) // 2]
+        assert got[g].n == 41
