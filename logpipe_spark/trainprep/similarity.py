@@ -19,6 +19,7 @@ left-to-right) so results are bit-identical with the DuckDB oracle's
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -50,17 +51,18 @@ def _dot(a: str, b: str) -> Column:
     )
 
 
-def _partition_topk(scored: DataFrame, k: int) -> DataFrame:
+def _partition_topk(scored: DataFrame, k: int, order_col: str = "cos",
+                    ascending: bool = False) -> DataFrame:
     """Per-partition top-k pre-prune ahead of the global ranking window.
 
     Runs INSIDE the scoring join's output partitions (narrow — no shuffle):
     each partition keeps only its local top-k rows per query under the SAME
-    total order the final window uses (cos desc, neighbor_id asc), so the
-    ranking exchange carries ≤ k × n_partitions rows per query instead of
-    the whole scored corpus — the 100 TB bottleneck named in PERF.md
-    §Deferred. The global top-k is a subset of the union of per-partition
-    top-ks under a total order, so the final output is bit-identical (cos
-    doubles round-trip exactly through Arrow).
+    total order the final window uses (``order_col`` then neighbor_id asc),
+    so the ranking exchange carries ≤ k × n_partitions rows per query
+    instead of the whole scored corpus — the 100 TB bottleneck named in
+    PERF.md §Deferred. The global top-k is a subset of the union of
+    per-partition top-ks under a total order, so the final output is
+    bit-identical (score doubles round-trip exactly through Arrow).
 
     Memory: the running `best` frame is bounded at k rows per query seen in
     the partition, folded batch-by-batch.
@@ -70,8 +72,8 @@ def _partition_topk(scored: DataFrame, k: int) -> DataFrame:
         best: pd.DataFrame | None = None
         for pdf in it:
             cur = pdf if best is None else pd.concat((best, pdf))
-            cur = cur.sort_values(["query_id", "cos", "neighbor_id"],
-                                  ascending=[True, False, True],
+            cur = cur.sort_values(["query_id", order_col, "neighbor_id"],
+                                  ascending=[True, ascending, True],
                                   kind="mergesort")
             best = cur.groupby("query_id", sort=False).head(k)
         if best is not None and len(best):
@@ -392,44 +394,58 @@ def ann_pq_topk(emb: DataFrame, k: int = 5, m: int = 4, codebook: int = 16,
         .withColumn("c_self", _dot("cs", "cs"))
     )
 
-    # codebook as ONE broadcast row: book[ms][j] = struct(cidx, c_self, cs),
-    # ordered by (ms, cidx). The encode is then a single NARROW projection
-    # per vector — the first implementation exploded n·m sub-rows and
-    # joined them against the K-row codebook, materializing an n·m·K-row
-    # frame through a shuffle+argmin (a BILLION rows at n=10^6, measured
-    # 287 s vs 9.5 s brute force at 1M×20); the in-expression argmin keeps
-    # the same n·m·K FLOPs inside one projection with zero extra rows.
-    book = (
-        cents.groupBy("ms")
-        .agg(F.array_sort(
-            F.collect_list(F.struct("cidx", "c_self", "cs"))).alias("row"))
-        .groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("ms", "row"))).alias("mr"))
-        .select(F.expr("transform(mr, s -> s.row)").alias("book"))
-    )
+    # Encode: the codebook collapses to a driver-side numpy constant
+    # (K·m·w doubles — metadata-sized, same class as the dim probe above)
+    # and the per-vector argmin runs as an Arrow-batched mapInPandas.
+    # The float64 arithmetic REPLAYS the oracle's evaluation order
+    # exactly — every dot is the left-to-right fold ((0 + a1·b1) + a2·b2)
+    # + …, dsq is (s_self + c_self) − 2·dot in that literal order, and
+    # np.argmin's first-minimum tiebreak equals ORDER BY (dsq, cidx)
+    # because centroids are evaluated in cidx order — so codes are
+    # bit-identical to the SQL formulation at numpy speed. Two prior
+    # formulations both failed at 1M×20: an exploded n·m·K-row
+    # join+shuffle+argmin (287 s) and a pure-expression in-projection
+    # argmin (higher-order lambdas don't codegen: ~1B interpreted evals
+    # with a slice allocation per centroid — slower still).
+    book_rows = cents.select("ms", "cidx", "cs").collect()
+    cbook = np.empty((m, codebook, w), dtype=np.float64)
+    for r in book_rows:
+        cbook[r["ms"], r["cidx"] - 1, :] = r["cs"]
+    cself = np.empty((m, codebook), dtype=np.float64)
+    for msi in range(m):
+        for j in range(codebook):
+            acc = np.float64(0.0)
+            for i in range(w):
+                acc = acc + cbook[msi, j, i] * cbook[msi, j, i]
+            cself[msi, j] = acc
 
-    # dsq mirrors the oracle's literal order: dot(sv,sv) + c_self − 2·dot.
-    # The self-dot is recomputed per centroid (2× the dot FLOPs) so the
-    # argmin compares FULL dsq values — dropping the constant term would
-    # keep the same winner but can collapse oracle-visible ties.
-    _enc_expr = f"""
-      transform(sequence(0, {m - 1}), ms ->
-        element_at(array_sort(transform(element_at(book, ms + 1), c ->
-          struct(
-            aggregate(zip_with(slice(v, ms * {w} + 1, {w}),
-                               slice(v, ms * {w} + 1, {w}),
-                               (x, y) -> x * y),
-                      cast(0 AS double), (acc, x) -> acc + x)
-            + c.c_self
-            - 2 * aggregate(zip_with(slice(v, ms * {w} + 1, {w}), c.cs,
-                                     (x, y) -> x * y),
-                            cast(0 AS double), (acc, x) -> acc + x) AS d,
-            c.cidx AS i))), 1).i)
-    """
-    codes = (
-        ev.join(F.broadcast(book))
-        .select("vec_id", F.expr(_enc_expr).alias("codes"))
-    )
+    def _fold_dot(A, B):
+        # aggregate()/list_dot_product evaluation order, elementwise
+        acc = np.float64(0.0) + A[:, 0] * B[..., 0]
+        for i in range(1, A.shape[1]):
+            acc = acc + A[:, i] * B[..., i]
+        return acc
+
+    n_cent = codebook
+
+    def _encode(batches):
+        for pdf in batches:
+            V = np.asarray(pdf["v"].to_list(), dtype=np.float64)
+            n = V.shape[0]
+            out = np.empty((n, m), dtype=np.int64)
+            for msi in range(m):
+                S = V[:, msi * w:(msi + 1) * w]
+                ss = _fold_dot(S, S)
+                D = np.empty((n, n_cent), dtype=np.float64)
+                for j in range(n_cent):
+                    D[:, j] = (ss + cself[msi, j]) \
+                        - 2.0 * _fold_dot(S, cbook[msi, j])
+                out[:, msi] = np.argmin(D, axis=1) + 1  # cidx is 1-based
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                                "codes": out.tolist()})
+
+    codes = ev.select("vec_id", "v").mapInPandas(
+        _encode, schema="vec_id bigint, codes array<int>")
 
     # per-query ADC lookup tables, floored to integer micros — queries
     # only (tiny), so the explode+join formulation is fine here
@@ -470,6 +486,12 @@ def ann_pq_topk(emb: DataFrame, k: int = 5, m: int = 4, codebook: int = 16,
             ).alias("adc_micros"),
         )
     )
+    # per-partition pre-prune before the global ranking window (same
+    # output-identical argument as ann_topk): the exchange carries
+    # ≤ prune_k × n_partitions rows per query, not the scored corpus
+    prune_k = k if rerank is None else rerank
+    scored = _partition_topk(scored, prune_k, order_col="adc_micros",
+                             ascending=True)
     rk = Window.partitionBy("query_id").orderBy(
         F.asc("adc_micros"), F.asc("neighbor_id"))
     if rerank is None:
@@ -483,13 +505,17 @@ def ann_pq_topk(emb: DataFrame, k: int = 5, m: int = 4, codebook: int = 16,
         .where(F.col("rank") <= rerank)
         .select("query_id", "neighbor_id")
     )
-    qv = ev.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    # queries and the shortlist are candidate-sized — broadcast BOTH so
+    # the refine never shuffles the corpus-sized vector table
+    qv = (ev.where((F.col("vec_id") % query_mod) == 0)
+          .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
     cv = ev.select(F.col("vec_id").alias("neighbor_id"),
                    F.col("v").alias("cv"))
     exact_d2 = (_dot("qv", "qv") + _dot("cv", "cv")
                 - F.lit(2.0) * _dot("qv", "cv"))
     refined = (
-        shortlist.join(cv, "neighbor_id").join(F.broadcast(qv), "query_id")
+        cv.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
         .select("query_id", "neighbor_id",
                 F.floor(exact_d2 * F.lit(1_000_000.0)).cast("bigint")
                 .alias("l2_micros"))
