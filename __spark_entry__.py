@@ -2210,6 +2210,35 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(_events(spark, sf_dir), "event_type", "user_id", k=64)
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hybrid retrieval via reciprocal-rank fusion (trainprep/index.py:
+    # rrf_fuse): the semantic ranker (exact cosine ANN top-10 per query)
+    # fused with a query-independent quality prior (top-20 docs by
+    # quality_score, ranked via orderBy+limit = distributed TakeOrdered,
+    # never a global row_number over the corpus). Each contribution is
+    # 1.0/(60+rank) — one IEEE division of exact integers — and the
+    # two-ranker sum is commutative, so the fused score passes the
+    # exact hash gate.
+    from logpipe_spark.trainprep.index import rrf_fuse
+
+    annr = sim.ann_bruteforce_topk(_emb(spark, sf_dir)).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    qsc = tq.quality_score(_docs(spark, sf_dir)).select("doc_id", "quality")
+    top20 = qsc.orderBy(F.col("quality").desc(), "doc_id").limit(20)
+    wq = Window.orderBy(F.col("quality").desc(), "doc_id")  # 20-row frame
+    qrank = top20.select(
+        "doc_id", F.row_number().over(wq).cast("int").alias("rank"))
+    queries = annr.select("query_id").distinct()
+    qcand = queries.join(F.broadcast(qrank))
+    fused = rrf_fuse([annr, qcand.select("query_id", "doc_id", "rank")])
+    wr = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("hrank", F.row_number().over(wr).cast("int"))
+        .where(F.col("hrank") <= 5)
+        .select("query_id", "doc_id", "hrank", "rrf", "n_rankers")
+    )
+
+
 def q_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gini impurity / Simpson diversity of each tool's role mix
     # (operators/aggregate.py:gini_impurity): 1 - sum(p_i^2) emitted as
@@ -2477,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_diversity": q_gini_diversity,
         "mad_stats": q_mad_stats,
         "except_intersect": q_except_intersect,
+        "hybrid_search": q_hybrid_search,
     }
 
 
@@ -3629,6 +3659,32 @@ FROM (SELECT user_id FROM w1 INTERSECT SELECT user_id FROM w2)
 UNION ALL
 SELECT user_id, 'except_all' AS op
 FROM (SELECT user_id FROM w1 EXCEPT ALL SELECT user_id FROM w2)""",
+        "hybrid_search": f"""
+WITH annr AS ({_ann_oracle(k=10, bucketed=False, bits=6)}),
+qualr AS ({_quality_oracle()}),
+top20 AS (SELECT doc_id, quality FROM qualr
+          ORDER BY quality DESC, doc_id LIMIT 20),
+qrank AS (SELECT doc_id,
+                 cast(row_number() OVER (ORDER BY quality DESC, doc_id)
+                      AS int) AS rank
+          FROM top20),
+qs AS (SELECT DISTINCT query_id FROM annr),
+c AS (
+  SELECT query_id, neighbor_id AS doc_id,
+         cast(1 AS double) / (60 + rank) AS contrib FROM annr
+  UNION ALL
+  SELECT qs.query_id, qrank.doc_id,
+         cast(1 AS double) / (60 + qrank.rank) AS contrib
+  FROM qs CROSS JOIN qrank),
+f AS (SELECT query_id, doc_id, sum(contrib) AS rrf,
+             cast(count(*) AS bigint) AS n_rankers
+      FROM c GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, hrank, rrf, n_rankers FROM (
+  SELECT query_id, doc_id,
+         cast(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf DESC, doc_id) AS int) AS hrank,
+         rrf, n_rankers
+  FROM f) WHERE hrank <= 5""",
     }
 
 

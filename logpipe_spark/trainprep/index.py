@@ -159,3 +159,40 @@ def bm25_topk(
         .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+def rrf_fuse(rankings, c: int = 60,
+             query_col: str = "query_id", doc_col: str = "doc_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09): combine ranked
+    lists from heterogeneous retrievers — each (query, doc, rank) frame
+    contributes ``1 / (c + rank)`` and fused docs are ordered by the sum.
+    RRF is the standard hybrid-search combiner (lexical BM25 + semantic
+    ANN + priors) because it needs no score calibration, only ranks.
+
+    Scale shape: a unionAll of candidate-sized frames (each retriever
+    already returned top-k per query) and ONE hash aggregate on
+    (query, doc) — never corpus-sized. Determinism: each contribution is
+    ``1.0 / (c + rank)`` — one IEEE division of exact integers — and
+    IEEE addition is commutative, so with ≤ 2 rankers the fused sum is
+    bit-identical cross-engine regardless of aggregation order (3+
+    rankers can associate differently under partial aggregation; rank
+    outputs stay stable, but the raw sum may differ in the last ulp —
+    pass integer-scaled contributions if exactness matters there).
+
+    Returns (query, doc, rrf, n_rankers).
+    """
+    parts = [
+        r.select(
+            F.col(query_col), F.col(doc_col),
+            (F.lit(1.0) / (F.lit(c) + F.col(rank_col))).alias("_contrib"))
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(query_col, doc_col)
+        .agg(F.sum("_contrib").alias("rrf"),
+             F.count(F.lit(1)).cast("bigint").alias("n_rankers"))
+    )

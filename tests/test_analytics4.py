@@ -227,3 +227,25 @@ def test_median_mad_brute_force(spark):
         assert got[g].median_value == med
         assert got[g].mad == devs[(len(devs) - 1) // 2]
         assert got[g].n == 41
+
+
+# ---------------------------------------------------------------- RRF fuse
+
+def test_rrf_fuse_properties(spark):
+    from logpipe_spark.trainprep.index import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id int, doc_id int, rank int")
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id int, doc_id int, rank int")
+    got = {r.doc_id: r for r in rrf_fuse([a, b], c=60).collect()}
+    # doc 11 appears in both rankers, rest in one
+    assert got[11].n_rankers == 2 and got[11].rrf == 1 / 62 + 1 / 61
+    assert got[10].n_rankers == 1 and got[10].rrf == 1 / 61
+    assert got[13].rrf == 1 / 62
+    # fusion is ranker-order invariant (IEEE add is commutative)
+    swapped = {r.doc_id: r.rrf for r in rrf_fuse([b, a], c=60).collect()}
+    assert all(swapped[d] == got[d].rrf for d in got)
+    # the doc present in both rankers outranks same-rank singles
+    order = sorted(got.values(), key=lambda r: (-r.rrf, r.doc_id))
+    assert order[0].doc_id == 11
