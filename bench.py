@@ -111,6 +111,18 @@ HEADLINE = [
     "time_weighted_avg",
     "asof_join_fwd",
     "gapfill_interp",
+    # round-2 continuation batches 5-7: window family, association,
+    # robust stats, skyline, overlap join, sketch algebra, hybrid IR
+    "rank_functions",
+    "cooccurrence_lift",
+    "weighted_median",
+    "pareto_front",
+    "interval_overlap",
+    "kmv_set_ops",
+    "gini_diversity",
+    "mad_stats",
+    "except_intersect",
+    "hybrid_search",
 ]
 
 
