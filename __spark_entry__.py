@@ -2210,6 +2210,49 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(_events(spark, sf_dir), "event_type", "user_id", k=64)
 
 
+def q_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semi-structured JSON-path analytics over the events.props column
+    # (the reference's whole data model is dynamic JSON records —
+    # src/parsers/ndjsonParser.js): extract $.k, bucket by tens, count +
+    # sum per (event_type, bucket). get_json_object is a narrow codegen
+    # expression fused into the scan; one map-side-combinable aggregate.
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type", F.expr("k div 10").cast("bigint").alias("k_bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.sum("k").cast("bigint").alias("sum_k"))
+    )
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Last-touch marketing attribution: each purchase credits the most
+    # recent click by the same user within a 7-day window — the as-of
+    # join's tolerance_seconds parameter (operators/asof.py: lookback
+    # bound NULLs stale matches) driving a per-user credited/uncredited
+    # revenue split. Integer cents keep the sums exact cross-engine.
+    ev = _events(spark, sf_dir)
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts")
+    j = asof_join(purch, clicks, on=["user_id"], ts="ts",
+                  right_cols=["event_id"], prefix="click_",
+                  tiebreak="event_id", tolerance_seconds=7 * 86400)
+    attributed = F.col("click_event_id").isNotNull()
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.count("click_event_id").cast("bigint").alias("n_attributed"),
+        F.coalesce(F.sum(F.when(attributed, F.col("cents"))), F.lit(0))
+        .cast("bigint").alias("attributed_cents"),
+        F.coalesce(F.sum(F.when(~attributed, F.col("cents"))), F.lit(0))
+        .cast("bigint").alias("unattributed_cents"),
+    )
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hybrid retrieval via reciprocal-rank fusion (trainprep/index.py:
     # rrf_fuse): the semantic ranker (exact cosine ANN top-10 per query)
@@ -2507,6 +2550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_stats": q_mad_stats,
         "except_intersect": q_except_intersect,
         "hybrid_search": q_hybrid_search,
+        "json_props_agg": q_json_props_agg,
+        "attribution": q_attribution,
     }
 
 
@@ -3685,6 +3730,48 @@ SELECT query_id, doc_id, hrank, rrf, n_rankers FROM (
                                  ORDER BY rrf DESC, doc_id) AS int) AS hrank,
          rrf, n_rankers
   FROM f) WHERE hrank <= 5""",
+        "json_props_agg": """
+WITH j AS (
+  SELECT event_type,
+         cast(json_extract_string(props, '$.k') AS int) AS k
+  FROM events)
+SELECT event_type, cast(k // 10 AS bigint) AS k_bucket,
+       cast(count(*) AS bigint) AS n,
+       cast(sum(k) AS bigint) AS sum_k
+FROM j WHERE k IS NOT NULL
+GROUP BY event_type, k // 10""",
+        "attribution": """
+WITH u AS (
+  SELECT user_id, ts, 1 AS side, event_id,
+         cast(floor(value * 100 + 0.5) AS bigint) AS cents,
+         cast(NULL AS bigint) AS r_event_id,
+         cast(NULL AS timestamp) AS r_ts
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 0, NULL, NULL, event_id, ts
+  FROM events WHERE event_type = 'click'
+), w AS (
+  SELECT *,
+    last_value(r_event_id IGNORE NULLS) OVER win AS c_event_id,
+    last_value(r_ts IGNORE NULLS) OVER win AS c_ts
+  FROM u
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, r_event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), p AS (
+  SELECT user_id, cents,
+         CASE WHEN abs(epoch_us(ts) - epoch_us(c_ts)) / 1e6 > 604800.0
+              THEN NULL ELSE c_event_id END AS attributed_click
+  FROM w WHERE side = 1)
+SELECT user_id,
+       cast(count(*) AS bigint) AS n_purchases,
+       cast(count(attributed_click) AS bigint) AS n_attributed,
+       cast(coalesce(sum(CASE WHEN attributed_click IS NOT NULL
+                              THEN cents END), 0) AS bigint)
+         AS attributed_cents,
+       cast(coalesce(sum(CASE WHEN attributed_click IS NULL
+                              THEN cents END), 0) AS bigint)
+         AS unattributed_cents
+FROM p GROUP BY user_id""",
     }
 
 

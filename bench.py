@@ -123,6 +123,8 @@ HEADLINE = [
     "mad_stats",
     "except_intersect",
     "hybrid_search",
+    "json_props_agg",
+    "attribution",
 ]
 
 
