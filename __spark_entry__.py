@@ -2210,6 +2210,32 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(_events(spark, sf_dir), "event_type", "user_id", k=64)
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q1 pricing summary: the canonical scan-heavy groupBy —
+    # filter + 8 aggregates over lineitem in ONE partial+final hash
+    # aggregate pass (predicate pushed to the scan, 2-column group).
+    # Float sums/avgs round(2): partial-sum order differs across
+    # engines and rounding absorbs it (CLAUDE.md round() note —
+    # aggregate sums are the sanctioned round() case).
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
 def q_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Semi-structured JSON-path analytics over the events.props column
     # (the reference's whole data model is dynamic JSON records —
@@ -2552,6 +2578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "json_props_agg": q_json_props_agg,
         "attribution": q_attribution,
+        "pricing_summary": q_pricing_summary,
     }
 
 
@@ -3772,6 +3799,20 @@ SELECT user_id,
                               THEN cents END), 0) AS bigint)
          AS unattributed_cents
 FROM p GROUP BY user_id""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       cast(count(*) AS bigint) AS count_order
+FROM lineitem
+WHERE l_shipdate <= cast('1998-09-02' AS timestamp)
+GROUP BY l_returnflag, l_linestatus""",
     }
 
 

@@ -622,7 +622,9 @@ def median_mad(df: DataFrame, key: str, value_col: str) -> DataFrame:
     from pyspark.sql import Window
 
     v = F.col(value_col).cast("bigint")
-    base = df.select(key, v.alias("_v"))
+    # two-pass by nature (MAD needs the median first): persist the
+    # projected base so the deviation pass reuses the scan
+    base = df.select(key, v.alias("_v")).persist()
 
     def _lower_median(frame: DataFrame, col: str, out: str) -> DataFrame:
         w = Window.partitionBy(key).orderBy(F.col(col))

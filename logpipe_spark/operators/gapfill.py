@@ -67,10 +67,15 @@ def time_gapfill_interp(
         .orderBy(epoch)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # forward fill = last-non-null over the REVERSED order with an
+    # expanding frame — Spark computes UNBOUNDED PRECEDING frames in
+    # O(n); (current, UNBOUNDED FOLLOWING) re-aggregates per row (O(n²)
+    # on a hot key; see operators/skyline.py). Costs one extra local
+    # sort on the same exchange.
     w_fwd = (
         Window.partitionBy(*keys)
-        .orderBy(epoch)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(epoch.desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_bkt = F.when(~F.col("is_gap"), epoch)
     base = filled.select(
@@ -81,8 +86,8 @@ def time_gapfill_interp(
         "is_gap",
         F.col("locf_sum_cents").alias("_prev"),
         F.last(obs_bkt, ignorenulls=True).over(w_back).alias("_prev_t"),
-        F.first("sum_cents", ignorenulls=True).over(w_fwd).alias("_next"),
-        F.first(obs_bkt, ignorenulls=True).over(w_fwd).alias("_next_t"),
+        F.last("sum_cents", ignorenulls=True).over(w_fwd).alias("_next"),
+        F.last(obs_bkt, ignorenulls=True).over(w_fwd).alias("_next_t"),
     )
     with_nd = base.select(
         *base.columns,

@@ -45,7 +45,12 @@ def pareto_front(df: DataFrame, x_col: str, y_col: str,
     input columns unchanged, frontier rows only.
     """
     x, y = F.col(x_col), F.col(y_col)
-    b = df.withColumn("_bkt", x.cast("bigint") - (x.cast("bigint") % bucket_width))
+    # multi-consumer frame (summary aggregate + scored windows) — persist
+    # or the upstream plan recomputes once per consumer (measured 36 s →
+    # ~12 s at 10M input rows feeding a groupBy upstream; BENCH.md)
+    b = df.withColumn(
+        "_bkt", x.cast("bigint") - (x.cast("bigint") % bucket_width)
+    ).persist()
 
     # per-bucket summary: max y per bucket, suffix max over HIGHER buckets
     summary = b.groupBy("_bkt").agg(F.max(y).alias("_bmax"))
@@ -54,11 +59,17 @@ def pareto_front(df: DataFrame, x_col: str, y_col: str,
     summary = summary.select(
         "_bkt", F.max("_bmax").over(w_suffix).alias("_hi"))
 
-    # two frames on one in-bucket exchange+sort
-    w_gt = (Window.partitionBy("_bkt").orderBy(x.cast("bigint"))
-            .rangeBetween(1, Window.unboundedFollowing))
-    w_ge = (Window.partitionBy("_bkt").orderBy(x.cast("bigint"))
-            .rangeBetween(0, Window.unboundedFollowing))
+    # two frames on one in-bucket exchange+sort, BOTH expanding from the
+    # partition start (ORDER BY x DESC + UNBOUNDED PRECEDING): Spark
+    # computes expanding frames incrementally in O(n), while the
+    # equivalent ascending (k, UNBOUNDED FOLLOWING) frames re-aggregate
+    # from scratch per row — O(n²) per bucket, measured 29 s vs 3.4 s at
+    # 10M input rows (BENCH.md). Descending RANGE offsets are negated:
+    # (-∞, -1] over x DESC = rows with x' > x; (-∞, 0] = x' >= x.
+    w_gt = (Window.partitionBy("_bkt").orderBy(x.cast("bigint").desc())
+            .rangeBetween(Window.unboundedPreceding, -1))
+    w_ge = (Window.partitionBy("_bkt").orderBy(x.cast("bigint").desc())
+            .rangeBetween(Window.unboundedPreceding, 0))
     scored = (
         b.withColumn("_gt", F.max(y).over(w_gt))
         .withColumn("_ge", F.max(y).over(w_ge))
