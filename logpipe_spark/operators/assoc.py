@@ -6,16 +6,19 @@ behind frequent-itemset mining (Agrawal & Srikant, VLDB'94): at pipeline
 scale the pair-counting pass IS the workload (the apriori/FP-growth
 lattice on top is driver-sized once pair counts exist).
 
-Scale shape (three bounded passes, no all-pairs join over baskets):
+Scale shape (ONE corpus-sized hash shuffle, no joins over baskets):
 
-1. ``distinct (basket, item)`` — one hash shuffle, map-side combinable.
-2. pair generation: a self-join ON THE BASKET KEY (a plain hash join —
-   every candidate pair shares a basket by construction, never a
-   cartesian). Fan-out per basket is C(d, 2) with d = that basket's
-   DISTINCT item count, bounded by ``max_items`` — the cap is applied
-   deterministically (items hashed per basket, lowest-md5 kept) BEFORE
-   the self-join so a degenerate basket containing the whole vocabulary
-   cannot produce a quadratic row blow-up.
+1. ``groupBy(basket).collect_set(item)`` — a single map-side-combinable
+   shuffle turns each basket into its sorted distinct-item array.
+2. pair generation is a NARROW projection over the array (items[i] <
+   items[j] for i < j, so each unordered pair is emitted exactly once —
+   no self-join, no second shuffle). Fan-out per basket is C(d, 2) with
+   d = that basket's distinct item count, bounded by ``max_items`` —
+   the cap keeps the lowest-md5 items deterministically, so a
+   degenerate basket holding the whole vocabulary cannot produce a
+   quadratic blow-up (nor an unbounded collect_set array: cap upstream
+   if single baskets exceed memory, the same discipline as
+   build_postings' bounded-state window).
 3. per-item counts and the basket total are metadata-sized
    (|vocabulary| rows / one scalar) and broadcast back onto the pair
    counts.
@@ -28,7 +31,7 @@ single IEEE divisions of exact integers, bit-identical across engines
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["cooccurrence_lift"]
@@ -51,34 +54,43 @@ def cooccurrence_lift(
     association). All counts are over DISTINCT basket membership —
     repeat occurrences within a basket count once.
     """
-    baskets = (
+    # ONE hash shuffle total for both dedup and pair generation: group
+    # each basket's distinct items into a sorted array (map-side
+    # combinable collect_set), then emit item pairs NARROWLY from the
+    # array — no self-join, no second shuffle of the baskets frame.
+    deduped = (
         df.select(F.col(basket_col).alias("basket"),
                   F.col(item_col).alias("item"))
         .where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
-        .distinct()
+        .groupBy("basket")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
     )
     if max_items is not None:
         # deterministic per-basket cap: keep the max_items lowest-md5
         # items so a vocabulary-sized basket stays C(max_items, 2)
-        w = Window.partitionBy("basket").orderBy(
-            F.md5(F.col("item").cast("string")), "item")
-        baskets = (
-            baskets.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= max_items)
-            .drop("_rn")
-        )
-    baskets = baskets.persist()
+        capped = F.expr(
+            "transform(slice(array_sort(transform(items, "
+            f"x -> struct(md5(cast(x AS string)) AS h, x AS i))), 1, {int(max_items)}), "
+            "s -> s.i)")
+        deduped = deduped.select("basket", F.array_sort(capped).alias("items"))
+    baskets = deduped.persist()
 
-    total = baskets.select("basket").distinct().agg(
+    total = baskets.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
-    item_counts = baskets.groupBy("item").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_i"))
+    item_counts = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("n_i"))
+    )
 
-    a = baskets.select("basket", F.col("item").alias("item_a"))
-    b = baskets.select("basket", F.col("item").alias("item_b"))
+    # pairs from the sorted array: items[i] < items[j] for i < j by
+    # construction, so each unordered pair appears exactly once
+    pairs_expr = F.expr(
+        "flatten(transform(items, (x, i) -> "
+        "transform(slice(items, i + 2, size(items)), y -> "
+        "struct(x AS item_a, y AS item_b))))")
     pair_counts = (
-        a.join(b, "basket")
-        .where(F.col("item_a") < F.col("item_b"))
+        baskets.select(F.explode(pairs_expr).alias("p"))
+        .select("p.item_a", "p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
         .where(F.col("n_ab") >= min_pair_count)
