@@ -2342,6 +2342,73 @@ def q_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.unionByName(exc)
 
 
+def q_chisq_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Chi-square contingency cells between corpus source and language
+    # (aggregate.py:chisq_contingency) — the feature-association scan a
+    # curation pipeline runs before trusting source-level metadata. One
+    # corpus-sized shuffle; marginals are cell-frame re-aggregates that
+    # broadcast back. expected/contrib are raw doubles from exact integer
+    # operands through identical IEEE op order both engines (the scalar
+    # chi2 would need a float sum — cells themselves are the diagnostic).
+    from logpipe_spark.operators.aggregate import chisq_contingency
+
+    return chisq_contingency(_docs(spark, sf_dir), "lang", "source")
+
+
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact distinct users per OVERLAPPING trailing hour sampled every 30
+    # minutes (aggregate.py:sliding_distinct): Spark-native F.window
+    # fan-out (bounded size/slide = 2 copies, no join) + one two-phase
+    # count(distinct) shuffle. The oracle replays the epoch-aligned
+    # window grid with integer microsecond arithmetic.
+    from logpipe_spark.operators.aggregate import sliding_distinct
+
+    return sliding_distinct(_events(spark, sf_dir), "ts", "user_id")
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shape (unshipped-revenue top-10): two selective date/segment
+    # predicates pushed into all three scans, two hash joins, one
+    # aggregate, then orderBy+limit — Spark plans the top-10 as
+    # TakeOrderedAndProject (distributed partial top-k, never a global
+    # sort). Revenue in integer cents so the sort key and sum are exact
+    # cross-engine; ties broken by (o_orderdate, l_orderkey).
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderdate") < "1998-01-01")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_shipdate") > "1998-01-01")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(cents).cast("bigint").alias("revenue_cents"),
+        )
+        .select(
+            "l_orderkey", "o_orderdate", "o_orderpriority", "n_items",
+            "revenue_cents",
+            (F.col("revenue_cents") / 100.0).alias("revenue"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher/MassiveText composite quality gate (textqual.py:
     # gopher_quality): five integer-comparison rules (word count, mean
@@ -2573,6 +2640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "kmv_set_ops": q_kmv_set_ops,
         "gini_diversity": q_gini_diversity,
+        "chisq_assoc": q_chisq_assoc,
+        "sliding_distinct": q_sliding_distinct,
+        "shipping_priority": q_shipping_priority,
         "mad_stats": q_mad_stats,
         "except_intersect": q_except_intersect,
         "hybrid_search": q_hybrid_search,
@@ -3701,6 +3771,51 @@ g AS (SELECT tool, cast(sum(ni) AS bigint) AS n,
       FROM pc GROUP BY tool)
 SELECT tool, n, n_cats, (n * n - sq) / cast(n * n AS double) AS gini
 FROM g""",
+        "chisq_assoc": """
+WITH cells AS (SELECT lang, source, cast(count(*) AS bigint) AS n_obs
+               FROM documents
+               WHERE lang IS NOT NULL AND source IS NOT NULL
+               GROUP BY lang, source),
+r AS (SELECT lang, cast(sum(n_obs) AS bigint) AS n_row
+      FROM cells GROUP BY lang),
+c AS (SELECT source, cast(sum(n_obs) AS bigint) AS n_col
+      FROM cells GROUP BY source),
+g AS (SELECT cast(sum(n_obs) AS bigint) AS n_total FROM cells)
+SELECT lang, source, n_obs, n_row, n_col, n_total,
+       cast(n_row AS double) * n_col / n_total AS expected,
+       (n_obs - cast(n_row AS double) * n_col / n_total)
+         * (n_obs - cast(n_row AS double) * n_col / n_total)
+         / (cast(n_row AS double) * n_col / n_total) AS contrib
+FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN g""",
+        "sliding_distinct": """
+WITH e AS (SELECT epoch_us(ts) AS eu, user_id
+           FROM events WHERE ts IS NOT NULL),
+w AS (SELECT (eu // 1800000000) * 1800000000 - k.k * 1800000000 AS ws,
+             user_id
+      FROM e CROSS JOIN (VALUES (0), (1)) AS k(k))
+SELECT make_timestamp(ws) AS window_start,
+       make_timestamp(ws + 3600000000) AS window_end,
+       cast(count(DISTINCT user_id) AS bigint) AS n_keys,
+       cast(count(*) AS bigint) AS n_events
+FROM w GROUP BY ws""",
+        "shipping_priority": """
+WITH j AS (
+  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+              AS bigint) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND l.l_shipdate > TIMESTAMP '1998-01-01')
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       cast(count(*) AS bigint) AS n_items,
+       cast(sum(cents) AS bigint) AS revenue_cents,
+       cast(sum(cents) AS bigint) / 100.0 AS revenue
+FROM j GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+LIMIT 10""",
         "mad_stats": """
 WITH b AS (SELECT event_type,
                   cast(floor(value * 100 + 0.5) AS bigint) AS v FROM events),

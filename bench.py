@@ -125,6 +125,10 @@ HEADLINE = [
     "hybrid_search",
     "json_props_agg",
     "attribution",
+    # batch 8: contingency association, sliding windows, TPC-H Q3 shape
+    "chisq_assoc",
+    "sliding_distinct",
+    "shipping_priority",
 ]
 
 

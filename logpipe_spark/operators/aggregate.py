@@ -656,3 +656,85 @@ def median_mad(df: DataFrame, key: str, value_col: str) -> DataFrame:
         .select(key, F.col("_n_median_value").alias("n"),
                 "median_value", "mad")
     )
+
+
+def chisq_contingency(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Chi-square contingency table between two categorical columns — the
+    feature-association scan a curation pipeline runs to ask "does corpus
+    source predict language?" (reference has stats per single field only,
+    ``src/transformers/aggregateTransformer.js``; the cross-tab is ours).
+
+    Emits one row per OBSERVED cell: observed count, both marginals, the
+    grand total, ``expected = n_row·n_col / N`` and the cell's chi-square
+    contribution ``(obs − exp)² / exp``. Every double derives from exact
+    integer operands through the same IEEE operation order in Spark and
+    DuckDB, so the whole table passes the exact cross-engine hash gate
+    (the scalar chi² statistic would need a float SUM whose order differs
+    per engine — consumers fold the cells themselves, or rank cells by
+    contribution directly, which is the usual diagnostic anyway).
+
+    Scale shape: ONE corpus-sized shuffle (the cell groupBy, map-side
+    combinable). Marginals re-aggregate the cell frame (distinct-cells
+    rows, metadata-sized) and broadcast back onto it — the raw data is
+    never touched again and nothing corpus-sized joins.
+    """
+    cells = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    row_tot = cells.groupBy(col_a).agg(
+        F.sum("n_obs").cast("bigint").alias("n_row"))
+    col_tot = cells.groupBy(col_b).agg(
+        F.sum("n_obs").cast("bigint").alias("n_col"))
+    grand = cells.agg(F.sum("n_obs").cast("bigint").alias("n_total"))
+    expected = (F.col("n_row") * F.col("n_col")) / F.col("n_total")
+    diff = F.col("n_obs") - F.col("expected")
+    return (
+        cells.join(F.broadcast(row_tot), col_a)
+        .join(F.broadcast(col_tot), col_b)
+        .crossJoin(F.broadcast(grand))
+        .select(
+            col_a, col_b, "n_obs", "n_row", "n_col", "n_total",
+            expected.alias("expected"),
+        )
+        .withColumn("contrib", diff * diff / F.col("expected"))
+    )
+
+
+def sliding_distinct(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    size: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Exact distinct keys per OVERLAPPING time window (sliding-window
+    cardinality: "distinct active users in every trailing hour, sampled
+    each half hour"). Built on Spark's native ``F.window(ts, size, slide)``
+    — each event fans out narrowly into the size/slide windows containing
+    it (a bounded explode, no join), then ONE shuffle keyed on the window
+    computes the exact distinct count (Spark plans count(distinct) as the
+    usual two-phase partial-dedup aggregate, map-side combinable).
+
+    At 100 TB the fan-out factor is the knob: size/slide = 2 here doubles
+    the shuffle rows — still linear, and strictly cheaper than the
+    self-join formulations; for large ratios switch the consumer to the
+    rollup_partials + KMV-merge path (`kmv_distinct`) instead.
+
+    Returns (window_start, window_end, n_keys, n_events).
+    """
+    w = F.window(F.col(ts_col).cast("timestamp"), size, slide)
+    return (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(w.alias("_w"))
+        .agg(
+            F.countDistinct(key_col).cast("bigint").alias("n_keys"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "n_keys", "n_events",
+        )
+    )

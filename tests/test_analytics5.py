@@ -1,0 +1,109 @@
+"""Round-2 continuation batch 8: chi-square contingency association,
+sliding-window exact distinct counts, TPC-H Q3-shape top-k join.
+
+Oracle parity runs in the parametrized test_oracle_parity; here we
+assert ENGINE invariants the oracle can't see: marginal consistency and
+the zero-contribution independence case for the chi-square cells,
+brute-force window membership for the sliding distinct count, and the
+distributed-top-k plan shape for the Q3 query.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from logpipe_spark.operators.aggregate import chisq_contingency, sliding_distinct
+
+
+# ------------------------------------------------------------ chi-square
+
+def test_chisq_marginals_and_known_cells(spark):
+    rows = [("en", "s1")] * 3 + [("en", "s2")] * 1 + [("fr", "s1")] * 1 + [
+        ("fr", "s2")] * 3 + [(None, "s1"), ("en", None)]  # nulls dropped
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = {(r.lang, r.source): r
+           for r in chisq_contingency(df, "lang", "source").collect()}
+    assert set(out) == {("en", "s1"), ("en", "s2"), ("fr", "s1"), ("fr", "s2")}
+    cell = out[("en", "s1")]
+    assert (cell.n_obs, cell.n_row, cell.n_col, cell.n_total) == (3, 4, 4, 8)
+    assert cell.expected == 2.0
+    assert cell.contrib == 0.5  # (3-2)^2 / 2
+    # marginal consistency: cells of one row sum to that row's total
+    assert out[("en", "s1")].n_obs + out[("en", "s2")].n_obs == cell.n_row
+    assert sum(r.n_obs for r in out.values()) == cell.n_total
+
+
+def test_chisq_independent_table_has_zero_contrib(spark):
+    # perfectly independent 2x3 table: every contrib must be exactly 0.0
+    rows = [(a, b) for a in ("x", "y") for b in ("p", "q", "r")
+            for _ in range(4)]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = chisq_contingency(df, "lang", "source").collect()
+    assert len(out) == 6
+    assert all(r.expected == 4.0 and r.contrib == 0.0 for r in out)
+
+
+# ------------------------------------------------------ sliding distinct
+
+def test_sliding_distinct_brute_force(spark):
+    ts = [
+        ("2024-01-01 00:05:00", 1),
+        ("2024-01-01 00:05:00", 1),   # duplicate user, same window set
+        ("2024-01-01 00:29:00", 2),
+        ("2024-01-01 00:31:00", 3),   # next slide bucket
+        ("2024-01-01 01:00:00", 1),
+        (None, 9),                     # null ts dropped
+    ]
+    df = spark.createDataFrame(ts, "ts string, user_id int").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    out = {r.window_start.replace(tzinfo=None): r
+           for r in sliding_distinct(df, "ts", "user_id").collect()}
+
+    # brute force: every event belongs to exactly the two windows
+    # [floor30(t), +1h) and [floor30(t)-30m, +1h)
+    epoch = datetime(1970, 1, 1)
+    expect: dict[datetime, set[int]] = {}
+    counts: dict[datetime, int] = {}
+    for s, uid in ts:
+        if s is None:
+            continue
+        eu = int((datetime.fromisoformat(s) - epoch).total_seconds())
+        base = (eu // 1800) * 1800
+        for ws in (base, base - 1800):
+            key = datetime.utcfromtimestamp(ws)
+            expect.setdefault(key, set()).add(uid)
+            counts[key] = counts.get(key, 0) + 1
+
+    assert set(out) == set(expect)
+    for ws, users in expect.items():
+        row = out[ws]
+        assert row.n_keys == len(users), ws
+        assert row.n_events == counts[ws], ws
+        assert (row.window_end - row.window_start).total_seconds() == 3600
+
+
+def test_sliding_distinct_total_fanout(spark):
+    # size/slide = 2 -> every non-null event is counted in exactly 2 windows
+    df = spark.range(100).select(
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(mins=F.col("id"))).alias("ts"),
+        (F.col("id") % 7).alias("user_id"))
+    out = sliding_distinct(df, "ts", "user_id")
+    assert out.agg(F.sum("n_events")).first()[0] == 200
+
+
+# ------------------------------------------------------------- Q3 top-k
+
+def test_shipping_priority_plan_is_distributed_topk(spark):
+    from __spark_entry__ import q_shipping_priority
+
+    df = q_shipping_priority(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # not a global Sort + limit
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    cents = [r.revenue_cents for r in rows]
+    assert cents == sorted(cents, reverse=True)
+    assert all(abs(r.revenue - r.revenue_cents / 100.0) < 1e-12 for r in rows)
