@@ -2409,6 +2409,23 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-event-type least-squares drift of value-cents over time
+    # (aggregate.py:ols_trend): the "is this metric trending?" scan from
+    # integer sufficient statistics — exact in any aggregation order, so
+    # slope/intercept are bit-identical cross-engine (builtin regr_slope's
+    # float accumulation never could be). x is minutes since 2024-01-01
+    # (rebased so n*x^2 stays far below 2^63). One combinable aggregate.
+    from logpipe_spark.operators.aggregate import ols_trend
+
+    ev = _events(spark, sf_dir)
+    epoch_min = F.floor(
+        (F.col("ts").cast("timestamp").cast("long") - 1704067200) / 60)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5))
+    return ols_trend(ev.where(F.col("ts").isNotNull()),
+                     "event_type", epoch_min, cents)
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher/MassiveText composite quality gate (textqual.py:
     # gopher_quality): five integer-comparison rules (word count, mean
@@ -2643,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chisq_assoc": q_chisq_assoc,
         "sliding_distinct": q_sliding_distinct,
         "shipping_priority": q_shipping_priority,
+        "trend_slope": q_trend_slope,
         "mad_stats": q_mad_stats,
         "except_intersect": q_except_intersect,
         "hybrid_search": q_hybrid_search,
@@ -3816,6 +3834,23 @@ SELECT l_orderkey, o_orderdate, o_orderpriority,
 FROM j GROUP BY 1, 2, 3
 ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
 LIMIT 10""",
+        "trend_slope": """
+WITH b AS (SELECT event_type,
+                  (epoch_us(ts) // 1000000 - 1704067200) // 60 AS xv,
+                  cast(floor(value * 100 + 0.5) AS bigint) AS yv
+           FROM events WHERE ts IS NOT NULL),
+g AS (SELECT event_type,
+             cast(count(*) AS bigint) AS n,
+             cast(sum(xv) AS bigint) AS sx,
+             cast(sum(yv) AS bigint) AS sy,
+             cast(sum(xv * yv) AS bigint) AS sxy,
+             cast(sum(xv * xv) AS bigint) AS sxx
+      FROM b GROUP BY event_type)
+SELECT event_type, n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+         AS intercept
+FROM g WHERE n >= 2 AND n * sxx - sx * sx > 0""",
         "mad_stats": """
 WITH b AS (SELECT event_type,
                   cast(floor(value * 100 + 0.5) AS bigint) AS v FROM events),

@@ -129,6 +129,7 @@ HEADLINE = [
     "chisq_assoc",
     "sliding_distinct",
     "shipping_priority",
+    "trend_slope",
 ]
 
 

@@ -738,3 +738,48 @@ def sliding_distinct(
             "n_keys", "n_events",
         )
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    key: str,
+    x: Column,
+    y: Column,
+    min_n: int = 2,
+) -> DataFrame:
+    """Per-group least-squares trend line (slope + intercept) with
+    CROSS-ENGINE-EXACT values — the "is this metric drifting?" scan.
+
+    Same design as :func:`corr_from_sums`: aggregate INTEGER sufficient
+    statistics (exact in any order), then form
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+
+    from identical operands — single IEEE mul/sub/div chain, bit-identical
+    in Spark and DuckDB. Callers must pass integer-valued columns REBASED
+    so ``n·max(x)²`` stays below 2⁶³ (e.g. minutes since the corpus epoch,
+    cents for values) — the overflow bound of any exact-sums formulation.
+    Plan: ONE map-side-combinable hash aggregate, same cost as a count.
+    Groups with zero x-variance are dropped (slope undefined).
+    """
+    xi = x.cast("bigint")
+    yi = y.cast("bigint")
+    g = df.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xi).alias("sx"),
+        F.sum(yi).alias("sy"),
+        F.sum(xi * yi).alias("sxy"),
+        F.sum(xi * xi).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov_n = n * F.col("sxy") - sx * sy
+    var_x = n * F.col("sxx") - sx * sx
+    slope = cov_n / var_x
+    return (
+        g.where((n >= min_n) & (var_x > 0))
+        .select(
+            key, "n", slope.alias("slope"),
+            ((sy - slope * sx) / n).alias("intercept"),
+        )
+    )

@@ -107,3 +107,21 @@ def test_shipping_priority_plan_is_distributed_topk(spark):
     cents = [r.revenue_cents for r in rows]
     assert cents == sorted(cents, reverse=True)
     assert all(abs(r.revenue - r.revenue_cents / 100.0) < 1e-12 for r in rows)
+
+
+# ------------------------------------------------------------- OLS trend
+
+def test_ols_trend_exact_line_and_degenerate_groups(spark):
+    from logpipe_spark.operators.aggregate import ols_trend
+
+    rows = [
+        ("a", 0, 10), ("a", 1, 12), ("a", 2, 14),   # exact line y = 2x+10
+        ("b", 5, 1), ("b", 5, 9),                    # zero x-variance: drop
+        ("c", 0, 0), ("c", 2, 5),                    # slope 2.5, icpt 0.0
+        ("d", 7, 3),                                 # n < min_n: drop
+    ]
+    df = spark.createDataFrame(rows, "k string, x int, y int")
+    out = {r.k: r for r in ols_trend(df, "k", F.col("x"), F.col("y")).collect()}
+    assert set(out) == {"a", "c"}
+    assert (out["a"].slope, out["a"].intercept, out["a"].n) == (2.0, 10.0, 3)
+    assert (out["c"].slope, out["c"].intercept) == (2.5, 0.0)
