@@ -2426,6 +2426,25 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "event_type", epoch_min, cents)
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-sample KS drift per event type: value-cents distribution of the
+    # first half-month vs the rest (operators/drift.py:ks_drift — the
+    # "does this batch still look like the corpus?" gate). Cumulative
+    # counts run the two-level bucketed prefix scan (never a per-key
+    # single-task window); ks is |F_A - F_B| from exact integer
+    # cumulatives, so it passes the exact hash gate — PSI/KL's log never
+    # could.
+    from logpipe_spark.operators.drift import ks_drift
+
+    ev = _events(spark, sf_dir).where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
+    return ks_drift(
+        ev, "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        F.dayofmonth("ts") <= 15,
+    )
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher/MassiveText composite quality gate (textqual.py:
     # gopher_quality): five integer-comparison rules (word count, mean
@@ -2661,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_distinct": q_sliding_distinct,
         "shipping_priority": q_shipping_priority,
         "trend_slope": q_trend_slope,
+        "ks_drift": q_ks_drift,
         "mad_stats": q_mad_stats,
         "except_intersect": q_except_intersect,
         "hybrid_search": q_hybrid_search,
@@ -3851,6 +3871,34 @@ SELECT event_type, n,
        (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
          AS intercept
 FROM g WHERE n >= 2 AND n * sxx - sx * sx > 0""",
+        "ks_drift": """
+WITH base AS (SELECT event_type,
+                     cast(floor(value * 100 + 0.5) AS bigint) AS v,
+                     CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS ia
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+pv AS (SELECT event_type, v,
+              cast(sum(ia) AS bigint) AS ca,
+              cast(sum(1 - ia) AS bigint) AS cb
+       FROM base GROUP BY event_type, v),
+c AS (SELECT event_type, v,
+             cast(sum(ca) OVER (PARTITION BY event_type ORDER BY v)
+                  AS bigint) AS cuma,
+             cast(sum(cb) OVER (PARTITION BY event_type ORDER BY v)
+                  AS bigint) AS cumb
+      FROM pv),
+t AS (SELECT event_type, cast(sum(ca) AS bigint) AS n_a,
+             cast(sum(cb) AS bigint) AS n_b
+      FROM pv GROUP BY event_type),
+g AS (SELECT c.event_type, v, n_a, n_b,
+             abs(cuma / n_a - cumb / n_b) AS gap
+      FROM c JOIN t USING (event_type)
+      WHERE n_a >= 1 AND n_b >= 1),
+k AS (SELECT event_type, max(gap) AS ks FROM g GROUP BY event_type)
+SELECT g.event_type, g.n_a, g.n_b, k.ks,
+       cast(min(v) AS bigint) AS ks_at_value
+FROM g JOIN k USING (event_type)
+WHERE gap = ks GROUP BY g.event_type, g.n_a, g.n_b, k.ks""",
         "mad_stats": """
 WITH b AS (SELECT event_type,
                   cast(floor(value * 100 + 0.5) AS bigint) AS v FROM events),

@@ -130,6 +130,7 @@ HEADLINE = [
     "sliding_distinct",
     "shipping_priority",
     "trend_slope",
+    "ks_drift",
 ]
 
 

@@ -1,7 +1,8 @@
-"""Scale check for the batch-5/6 analytics ops: pareto_front,
-weighted_median, cooccurrence_lift, kmv_set_ops, median_mad at N and 2N
-synthetic rows (hash-derived, no RNG) — near-linear wall growth is the
-pass signal, mirroring bench/timeseries_scale.py.
+"""Scale check for the batch-5/6/8 analytics ops: pareto_front,
+weighted_median, cooccurrence_lift, kmv_set_ops, median_mad,
+chisq_contingency, sliding_distinct, ols_trend at N and 2N synthetic
+rows (hash-derived, no RNG) — near-linear wall growth is the pass
+signal, mirroring bench/timeseries_scale.py.
 
 Usage:  SPARK_GRAFT_CPUS=32 python bench/analytics_scale.py [n_rows]
 Prints one JSON line with per-op seconds at N and 2N.
@@ -21,8 +22,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 from logpipe_spark.operators.aggregate import (  # noqa: E402
+    chisq_contingency,
     kmv_set_ops,
     median_mad,
+    ols_trend,
+    sliding_distinct,
     weighted_median,
 )
 from logpipe_spark.operators.assoc import cooccurrence_lift  # noqa: E402
@@ -45,6 +49,12 @@ def gen(spark, n, path):
                   F.pmod(F.hash(F.col("id") * 7), F.lit(8))).alias("item"),
          F.pmod(F.hash(F.col("id") * 13), F.lit(100_000)).alias("cents"),
          (F.pmod(F.hash(F.col("id") * 17), F.lit(9)) + 1).alias("qty"),
+         F.concat(F.lit("s"),
+                  F.pmod(F.hash(F.col("id") * 19), F.lit(12))).alias("seg"),
+         F.timestamp_seconds(
+             F.lit(1704067200)
+             + F.pmod(F.hash(F.col("id") * 23), F.lit(30 * 86400))
+         ).alias("ts"),
      )
      .repartition(2 * CPUS)
      .write.mode("overwrite").parquet(path))
@@ -76,6 +86,13 @@ def run_suite(spark, path):
             cooccurrence_lift(ev, "user_id", "item", max_items=8)),
         "kmv_set_ops": lambda: noop(
             kmv_set_ops(ev, "item", "user_id", k=256)),
+        "chisq_assoc": lambda: noop(chisq_contingency(ev, "item", "seg")),
+        "sliding_distinct": lambda: noop(
+            sliding_distinct(ev, "ts", "user_id")),
+        "ols_trend": lambda: noop(ols_trend(
+            ev, "item",
+            F.floor((F.col("ts").cast("long") - 1704067200) / 60),
+            F.col("cents"))),
     }
     out = {}
     for name, fn in ops.items():

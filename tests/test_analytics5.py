@@ -125,3 +125,35 @@ def test_ols_trend_exact_line_and_degenerate_groups(spark):
     assert set(out) == {"a", "c"}
     assert (out["a"].slope, out["a"].intercept, out["a"].n) == (2.0, 10.0, 3)
     assert (out["c"].slope, out["c"].intercept) == (2.5, 0.0)
+
+
+# -------------------------------------------------------------- KS drift
+
+def _ks(spark, rows, **kw):
+    from logpipe_spark.operators.drift import ks_drift
+
+    df = spark.createDataFrame(rows, "k string, v int, a boolean")
+    return {r.k: r for r in
+            ks_drift(df, "k", F.col("v"), F.col("a"), **kw).collect()}
+
+
+def test_ks_drift_known_case_and_bucket_carry(spark):
+    # A=[1,2,3], B=[2,4]: CDF gaps 1/3, 1/6, 1/2, 0 -> ks=0.5 at v=3
+    rows = ([("g", v, True) for v in (1, 2, 3)]
+            + [("g", v, False) for v in (2, 4)])
+    for width in (1, 2, 1024):   # width=1/2 force the cross-bucket carry
+        out = _ks(spark, rows, bucket_width=width)
+        r = out["g"]
+        assert (r.n_a, r.n_b, r.ks, r.ks_at_value) == (3, 2, 0.5, 3), width
+
+
+def test_ks_drift_identical_and_disjoint_samples(spark):
+    same = ([("id", v, True) for v in (5, 6, 7)]
+            + [("id", v, False) for v in (5, 6, 7)])
+    dis = ([("dj", v, True) for v in (1, 2)]
+           + [("dj", v, False) for v in (10, 11)])
+    one_sided = [("os", 3, True)]  # no B rows: dropped
+    out = _ks(spark, same + dis + one_sided)
+    assert set(out) == {"id", "dj"}
+    assert out["id"].ks == 0.0 and out["id"].ks_at_value == 5
+    assert out["dj"].ks == 1.0 and out["dj"].ks_at_value == 2
