@@ -3550,11 +3550,14 @@ WITH b AS (
   FROM b GROUP BY event_type
 )
 SELECT event_type, n,
-       (n * sxy - sx * sy)
-         / (sqrt(cast(n * sxx - sx * sx AS double))
-            * sqrt(cast(n * syy - sy * sy AS double))) AS pearson_r
+       (cast(n AS double) * sxy - cast(sx AS double) * sy)
+         / (sqrt(cast(n AS double) * sxx - cast(sx AS double) * sx)
+            * sqrt(cast(n AS double) * syy - cast(sy AS double) * sy))
+         AS pearson_r
 FROM g
-WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""",
+WHERE n >= 2
+  AND cast(n AS double) * sxx - cast(sx AS double) * sx > 0
+  AND cast(n AS double) * syy - cast(sy AS double) * sy > 0""",
         "cube_counts": f"""{P}
 SELECT coalesce(role, 'ALL') AS role,
        coalesce(tool, 'ALL') AS tool,
@@ -3754,7 +3757,8 @@ pc AS (
 SELECT pc.item_a, pc.item_b, ia.n_i AS n_a, ib.n_i AS n_b, pc.n_ab,
        t.n_baskets,
        pc.n_ab / cast(t.n_baskets AS double) AS support,
-       (pc.n_ab * t.n_baskets) / cast(ia.n_i * ib.n_i AS double) AS lift
+       (cast(pc.n_ab AS double) * t.n_baskets)
+         / (cast(ia.n_i AS double) * ib.n_i) AS lift
 FROM pc
 JOIN ic ia ON ia.item = pc.item_a
 JOIN ic ib ON ib.item = pc.item_b
@@ -3807,7 +3811,8 @@ g AS (SELECT tool, cast(sum(ni) AS bigint) AS n,
              cast(count(*) AS bigint) AS n_cats,
              cast(sum(ni * ni) AS bigint) AS sq
       FROM pc GROUP BY tool)
-SELECT tool, n, n_cats, (n * n - sq) / cast(n * n AS double) AS gini
+SELECT tool, n, n_cats,
+       (cast(n AS double) * n - sq) / (cast(n AS double) * n) AS gini
 FROM g""",
         "chisq_assoc": """
 WITH cells AS (SELECT lang, source, cast(count(*) AS bigint) AS n_obs
@@ -3867,10 +3872,15 @@ g AS (SELECT event_type,
              cast(sum(xv * xv) AS bigint) AS sxx
       FROM b GROUP BY event_type)
 SELECT event_type, n,
-       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
-         AS intercept
-FROM g WHERE n >= 2 AND n * sxx - sx * sx > 0""",
+       (cast(n AS double) * sxy - cast(sx AS double) * sy)
+         / (cast(n AS double) * sxx - cast(sx AS double) * sx) AS slope,
+       (cast(sy AS double)
+        - ((cast(n AS double) * sxy - cast(sx AS double) * sy)
+           / (cast(n AS double) * sxx - cast(sx AS double) * sx))
+          * cast(sx AS double))
+         / cast(n AS double) AS intercept
+FROM g WHERE n >= 2
+  AND cast(n AS double) * sxx - cast(sx AS double) * sx > 0""",
         "ks_drift": """
 WITH base AS (SELECT event_type,
                      cast(floor(value * 100 + 0.5) AS bigint) AS v,

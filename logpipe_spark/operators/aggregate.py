@@ -380,17 +380,22 @@ def corr_from_sums(
         F.sum(xi * xi).alias("sxx"),
         F.sum(yi * yi).alias("syy"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    # cross products in DOUBLE: n·Σxy etc. overflow int64 long before the
+    # sums themselves do (n_group·x·y vs x·y headroom — found by the 10M-row
+    # scale harness under ANSI mode). The sums stay exact integers; casting
+    # them to double BEFORE the products keeps every downstream operand
+    # identical in both engines (same rounding, same bits) with no overflow.
+    n, sx, sy = (F.col("n").cast("double"), F.col("sx").cast("double"),
+                 F.col("sy").cast("double"))
     cov_n = n * F.col("sxy") - sx * sy
     var_x = n * F.col("sxx") - sx * sx
     var_y = n * F.col("syy") - sy * sy
     return (
-        g.where((n >= min_n) & (var_x > 0) & (var_y > 0))
+        g.where((F.col("n") >= min_n) & (var_x > 0) & (var_y > 0))
         .select(
             key,
             "n",
-            (cov_n / (F.sqrt(var_x.cast("double"))
-                      * F.sqrt(var_y.cast("double")))).alias("pearson_r"),
+            (cov_n / (F.sqrt(var_x) * F.sqrt(var_y))).alias("pearson_r"),
         )
     )
 
@@ -602,8 +607,10 @@ def gini_impurity(df: DataFrame, key: str, cat_col: str) -> DataFrame:
         )
         .select(
             key, "n", "n_cats",
-            ((F.col("n") * F.col("n") - F.col("_sq"))
-             / (F.col("n") * F.col("n"))).alias("gini"),
+            # n·n in DOUBLE: exact-int n² overflows past ~3e9 rows/group;
+            # double-first keeps operands identical cross-engine
+            ((F.col("n").cast("double") * F.col("n") - F.col("_sq"))
+             / (F.col("n").cast("double") * F.col("n"))).alias("gini"),
         )
     )
 
@@ -688,7 +695,9 @@ def chisq_contingency(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     col_tot = cells.groupBy(col_b).agg(
         F.sum("n_obs").cast("bigint").alias("n_col"))
     grand = cells.agg(F.sum("n_obs").cast("bigint").alias("n_total"))
-    expected = (F.col("n_row") * F.col("n_col")) / F.col("n_total")
+    # marginal product in DOUBLE (n_row·n_col overflows int64 at 100 TB
+    # marginals); double-first matches the oracle's cast order exactly
+    expected = (F.col("n_row").cast("double") * F.col("n_col")) / F.col("n_total")
     diff = F.col("n_obs") - F.col("expected")
     return (
         cells.join(F.broadcast(row_tot), col_a)
@@ -772,12 +781,16 @@ def ols_trend(
         F.sum(xi * yi).alias("sxy"),
         F.sum(xi * xi).alias("sxx"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    # cross products in DOUBLE — same overflow discipline as
+    # corr_from_sums: the exact integer sums cast to double before n·Σxy
+    # and Σx·Σy, identical operands both engines, no int64 overflow.
+    n, sx, sy = (F.col("n").cast("double"), F.col("sx").cast("double"),
+                 F.col("sy").cast("double"))
     cov_n = n * F.col("sxy") - sx * sy
     var_x = n * F.col("sxx") - sx * sx
     slope = cov_n / var_x
     return (
-        g.where((n >= min_n) & (var_x > 0))
+        g.where((F.col("n") >= min_n) & (var_x > 0))
         .select(
             key, "n", slope.alias("slope"),
             ((sy - slope * sx) / n).alias("intercept"),

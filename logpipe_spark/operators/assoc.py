@@ -96,8 +96,12 @@ def cooccurrence_lift(
         .where(F.col("n_ab") >= min_pair_count)
     )
 
-    num = F.col("n_ab") * F.col("n_baskets")
-    den = F.col("n_a") * F.col("n_b")
+    # count products in DOUBLE: n_ab·n_baskets and n_a·n_b overflow int64
+    # when basket counts reach ~1e10 (products of two corpus-scale counts);
+    # casting the exact counts to double first keeps operands identical in
+    # both engines with no overflow (same discipline as corr_from_sums).
+    num = F.col("n_ab").cast("double") * F.col("n_baskets")
+    den = F.col("n_a").cast("double") * F.col("n_b")
     return (
         pair_counts
         .join(F.broadcast(item_counts.select(
