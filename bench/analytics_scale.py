@@ -1,8 +1,8 @@
 """Scale check for the batch-5/6/8 analytics ops: pareto_front,
 weighted_median, cooccurrence_lift, kmv_set_ops, median_mad,
-chisq_contingency, sliding_distinct, ols_trend at N and 2N synthetic
-rows (hash-derived, no RNG) — near-linear wall growth is the pass
-signal, mirroring bench/timeseries_scale.py.
+chisq_contingency, sliding_distinct, ols_trend, ks_drift at N and 2N
+synthetic rows (hash-derived, no RNG) — near-linear wall growth is the
+pass signal, mirroring bench/timeseries_scale.py.
 
 Usage:  SPARK_GRAFT_CPUS=32 python bench/analytics_scale.py [n_rows]
 Prints one JSON line with per-op seconds at N and 2N.
@@ -30,6 +30,7 @@ from logpipe_spark.operators.aggregate import (  # noqa: E402
     weighted_median,
 )
 from logpipe_spark.operators.assoc import cooccurrence_lift  # noqa: E402
+from logpipe_spark.operators.drift import ks_drift  # noqa: E402
 from logpipe_spark.operators.skyline import pareto_front  # noqa: E402
 from logpipe_spark.session import build_session  # noqa: E402
 
@@ -93,6 +94,10 @@ def run_suite(spark, path):
             ev, "item",
             F.floor((F.col("ts").cast("long") - 1704067200) / 60),
             F.col("cents"))),
+        "ks_drift": lambda: noop(ks_drift(
+            ev, "item", F.col("cents"),
+            F.col("ts").cast("long") - 1704067200 < 15 * 86400,
+            bucket_width=1024)),
     }
     out = {}
     for name, fn in ops.items():
