@@ -451,6 +451,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PPJoin-style prefix-filtering Jaccard self-join (dedup.py:
+    # jaccard_prefix_pairs): only each doc's rarest |S|-ceil(t|S|)+1
+    # shingles are indexed, plus the min>=t*max length filter — the
+    # published lossless prune for high-threshold similarity joins. The
+    # oracle is the PLAIN inverted-index join at the same threshold:
+    # prefix filtering must not change the answer, so the exact-value
+    # hash match IS the losslessness proof at this scale.
+    return dd.jaccard_prefix_pairs(_docs(spark, sf_dir), k=3, threshold=0.4)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # target_bucket_rows is the scale path: bits grow with the corpus so
     # the per-bucket self-join stays ~target² (fixed bits are quadratic at
@@ -2445,6 +2456,36 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Degree assortativity of the near-dup graph (Newman 2002): Pearson
+    # correlation of endpoint degrees over the symmetrized edge list —
+    # "do well-connected documents cluster with each other?", the
+    # dup-cluster topology health check. Degrees are one count shuffle;
+    # the edge frame joins the vertex-sized degree table twice; the
+    # correlation reuses corr_from_sums' integer sufficient statistics,
+    # so the emitted double is hash-exact cross-engine.
+    from logpipe_spark.operators.aggregate import corr_from_sums
+
+    raw = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        raw.select(F.col("doc_a").alias("v"))
+        .unionAll(raw.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    sym = raw.unionAll(
+        raw.select(F.col("doc_b").alias("doc_a"),
+                   F.col("doc_a").alias("doc_b")))
+    e = (
+        sym.join(deg.select(F.col("v").alias("doc_a"),
+                            F.col("deg").alias("deg_a")), "doc_a")
+        .join(deg.select(F.col("v").alias("doc_b"),
+                         F.col("deg").alias("deg_b")), "doc_b")
+        .withColumn("graph", F.lit("simhash_near_dup"))
+    )
+    return corr_from_sums(e, "graph", F.col("deg_a"), F.col("deg_b"))
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher/MassiveText composite quality gate (textqual.py:
     # gopher_quality): five integer-comparison rules (word count, mean
@@ -2681,6 +2722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "trend_slope": q_trend_slope,
         "ks_drift": q_ks_drift,
+        "graph_assortativity": q_graph_assortativity,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "mad_stats": q_mad_stats,
         "except_intersect": q_except_intersect,
         "hybrid_search": q_hybrid_search,
@@ -2843,6 +2886,11 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
 {_JACCARD_TAIL.format(thr=0.12)}""",
+        "dedup_jaccard_prefix": f"""WITH {_shingles_cte(3)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+{_JACCARD_TAIL.format(thr=0.4)}""",
         "dedup_embedding": f"""WITH {_emb_norm_cte(bits=4)},
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -3098,6 +3146,32 @@ SELECT event_type, cast(quartile AS int) AS quartile,
        cast(count(*) AS bigint) AS n,
        min(value) AS lo, max(value) AS hi
 FROM q GROUP BY event_type, quartile""",
+        "graph_assortativity": f"""WITH pairs AS ({_simhash_pairs_oracle()}),
+e0 AS (SELECT doc_a, doc_b FROM pairs),
+sym AS (SELECT doc_a, doc_b FROM e0
+        UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM e0),
+deg AS (SELECT v, cast(count(*) AS bigint) AS deg
+        FROM (SELECT doc_a AS v FROM e0
+              UNION ALL SELECT doc_b AS v FROM e0)
+        GROUP BY v),
+j AS (SELECT da.deg AS x, db.deg AS y
+      FROM sym JOIN deg da ON da.v = sym.doc_a
+      JOIN deg db ON db.v = sym.doc_b),
+g AS (SELECT cast(count(*) AS bigint) AS n,
+             cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+             cast(sum(x * y) AS bigint) AS sxy,
+             cast(sum(x * x) AS bigint) AS sxx,
+             cast(sum(y * y) AS bigint) AS syy
+      FROM j)
+SELECT 'simhash_near_dup' AS graph, n,
+       (cast(n AS double) * sxy - cast(sx AS double) * sy)
+         / (sqrt(cast(n AS double) * sxx - cast(sx AS double) * sx)
+            * sqrt(cast(n AS double) * syy - cast(sy AS double) * sy))
+         AS pearson_r
+FROM g
+WHERE n >= 2
+  AND cast(n AS double) * sxx - cast(sx AS double) * sx > 0
+  AND cast(n AS double) * syy - cast(sy AS double) * sy > 0""",
         "triangle_count": f"""WITH pairs AS ({_simhash_pairs_oracle()}),
 e AS (SELECT doc_a, doc_b FROM pairs),
 tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c

@@ -131,6 +131,8 @@ HEADLINE = [
     "shipping_priority",
     "trend_slope",
     "ks_drift",
+    "graph_assortativity",
+    "dedup_jaccard_prefix",
 ]
 
 

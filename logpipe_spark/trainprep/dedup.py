@@ -416,3 +416,74 @@ def chunk_dup_stats(docs: DataFrame, text_col: str = "text",
         "doc_id", "n_chunks", "n_dup_chunks",
         (F.col("n_dup_chunks") / F.col("n_chunks")).alias("dup_frac"),
     )
+
+
+def jaccard_prefix_pairs(docs: DataFrame, k: int = 3,
+                         threshold: float = 0.4,
+                         reuse: str | None = "persist") -> DataFrame:
+    """Prefix-filtering set-similarity self-join (the PPJoin family:
+    Chaudhuri et al. ICDE'06 prefix filter + the length filter of Xiao
+    et al. WWW'08) — the published scale path for high-threshold Jaccard
+    joins, LOSSLESS vs the plain inverted-index join.
+
+    Two prunes, both safe for Jaccard ≥ t:
+
+    * **prefix filter**: order every doc's shingles by ascending document
+      frequency (rarest first, (df, shingle) as the canonical total
+      order); two sets with Jaccard ≥ t MUST collide inside each other's
+      first ``|S| − ⌈t·|S|⌉ + 1`` shingles, so only that prefix is indexed —
+      the join density drops from "docs sharing ANY shingle" to "docs
+      sharing a RARE shingle", and hot boilerplate shingles fall out of
+      the index automatically (they sort last).
+    * **length filter**: Jaccard ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|);
+      applied inside the candidate join.
+
+    Both float comparisons carry a 1e-9 slack toward MORE candidates, so
+    rounding can only widen the candidate set — the exact verify
+    (:func:`jaccard_on_pairs` on FULL shingle sets) makes the final pair
+    set identical to :func:`ngram_jaccard_pairs` at the same threshold
+    (asserted in tests).
+
+    Plan: df counts are one combinable shuffle; the per-doc rank window
+    partitions by doc_id (bounded by document length); the candidate
+    join touches only prefix postings. Output (doc_a, doc_b, jaccard).
+    """
+    from pyspark.sql import Window
+
+    sh = word_shingles(docs, k=k)
+    if reuse == "persist":
+        from pyspark.storagelevel import StorageLevel
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("_df", "shingle")
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .select(
+            "doc_id", "shingle",
+            F.row_number().over(w_rank).alias("_rn"),
+            F.count(F.lit(1)).over(w_doc).alias("_sz"),
+        )
+    )
+    # prefix length |S| - ceil(t*|S|) + 1; the 1e-9 slack errs toward a
+    # LONGER prefix when t*|S| lands on an integer boundary
+    prefix_len = (F.col("_sz")
+                  - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9))
+                  + 1)
+    prefix = ranked.where(F.col("_rn") <= prefix_len)
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "shingle",
+                       F.col("_sz").alias("_sza"))
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "shingle",
+                       F.col("_sz").alias("_szb"))
+    cand = (
+        pa.join(pb, "shingle")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.least("_sza", "_szb")
+               >= F.lit(threshold) * F.greatest("_sza", "_szb") - F.lit(1e-9))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    j = jaccard_on_pairs(cand, sh)
+    return j.where(F.col("jaccard") >= threshold)

@@ -157,3 +157,35 @@ def test_ks_drift_identical_and_disjoint_samples(spark):
     assert set(out) == {"id", "dj"}
     assert out["id"].ks == 0.0 and out["id"].ks_at_value == 5
     assert out["dj"].ks == 1.0 and out["dj"].ks_at_value == 2
+
+
+# ------------------------------------------------- prefix-filter Jaccard
+
+def test_jaccard_prefix_equals_inverted_index(spark):
+    from logpipe_spark.trainprep.dedup import (
+        jaccard_prefix_pairs, ngram_jaccard_pairs)
+
+    # adversarial corpus: universal boilerplate shingle, a near-dup pair,
+    # a disjoint doc, and length-skewed docs the length filter prunes
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different words appear in this document here"),
+        (4, "the quick brown fox jumps over the lazy dog again and "
+            "again with many extra trailing words padding the length"),
+        (5, "short text only"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        got = {(r.doc_a, r.doc_b, r.jaccard)
+               for r in jaccard_prefix_pairs(docs, k=3, threshold=t,
+                                             reuse=None).collect()}
+        want = {(r.doc_a, r.doc_b, r.jaccard)
+                for r in ngram_jaccard_pairs(docs, k=3, threshold=t,
+                                             reuse=None).collect()}
+        assert got == want, t
+    # sanity at t=0.3: the near-dup pair survives, the disjoint doc never
+    surviving = {(r.doc_a, r.doc_b) for r in jaccard_prefix_pairs(
+        docs, k=3, threshold=0.3, reuse=None).collect()}
+    assert (1, 2) in surviving
+    assert all(3 not in p for p in surviving)
