@@ -2486,6 +2486,18 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr_from_sums(e, "graph", F.col("deg_a"), F.col("deg_b"))
 
 
+def q_value_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gaps-and-islands: longest consecutive run of each event type per
+    # user (operators/spans.py:value_streaks). Change-point flags +
+    # running sum keep both window functions on ONE (user)-partitioned
+    # sort — the textbook two-row_number form pays a second exchange.
+    # All-integer output, exact cross-engine.
+    from logpipe_spark.operators.spans import value_streaks
+
+    return value_streaks(
+        _events(spark, sf_dir), "user_id", "event_type", ["ts", "event_id"])
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher/MassiveText composite quality gate (textqual.py:
     # gopher_quality): five integer-comparison rules (word count, mean
@@ -2724,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "graph_assortativity": q_graph_assortativity,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "value_streaks": q_value_streaks,
         "mad_stats": q_mad_stats,
         "except_intersect": q_except_intersect,
         "hybrid_search": q_hybrid_search,
@@ -3955,6 +3968,27 @@ SELECT event_type, n,
          / cast(n AS double) AS intercept
 FROM g WHERE n >= 2
   AND cast(n AS double) * sxx - cast(sx AS double) * sx > 0""",
+        "value_streaks": """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN event_type IS NOT DISTINCT FROM
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+              THEN 0 ELSE 1 END AS chg
+  FROM events),
+i AS (SELECT user_id, event_type,
+             sum(chg) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM o),
+r AS (SELECT user_id, event_type, island,
+             cast(count(*) AS bigint) AS len
+      FROM i GROUP BY user_id, event_type, island)
+SELECT user_id, event_type,
+       cast(max(len) AS bigint) AS longest_streak,
+       cast(count(*) AS bigint) AS n_streaks,
+       cast(sum(len) AS bigint) AS n_rows
+FROM r GROUP BY user_id, event_type""",
         "ks_drift": """
 WITH base AS (SELECT event_type,
                      cast(floor(value * 100 + 0.5) AS bigint) AS v,

@@ -133,6 +133,7 @@ HEADLINE = [
     "ks_drift",
     "graph_assortativity",
     "dedup_jaccard_prefix",
+    "value_streaks",
 ]
 
 

@@ -202,3 +202,48 @@ def sequence_gaps(df: DataFrame, id_col: str = "event_id",
         )
     )
     return internal.unionByName(boundary)
+
+
+def value_streaks(
+    df: DataFrame,
+    key: str,
+    value: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Gaps-and-islands streak detection: for every (key, value), the
+    longest CONSECUTIVE run of that value in the key's ordered event
+    stream, plus the number of distinct runs ("did this user fire 14
+    errors in a row, or 14 scattered ones?" — the run-shape question
+    counts alone cannot answer).
+
+    Gaps-and-islands via change-point flags, NOT the textbook
+    two-row_number trick: ``rn_key − rn_(key,value)`` needs a SECOND
+    exchange (the two row_numbers partition differently), while
+    ``island = running_sum(value ≠ lag(value))`` keeps both window
+    functions on the SAME (key)-partitioned sort — one Exchange, one
+    Sort, the two window operators chained over it (asserted in tests).
+    The only other shuffle is the run-length groupBy (map-side
+    combinable).
+
+    ``order_cols`` must be a deterministic total order per key (include
+    a unique tiebreaker — same discipline as every ordered op here).
+    Returns (key, value, longest_streak, n_streaks, n_rows).
+    """
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    # null-safe change flag (IS DISTINCT FROM): plain != returns NULL
+    # against a NULL value and would silently merge runs across it;
+    # eqNullSafe treats NULL as one more value with its own runs
+    chg = F.when(
+        F.col(value).eqNullSafe(F.lag(value).over(w)), 0).otherwise(1)
+    islands = df.select(
+        key, value,
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("_island"),
+    )
+    runs = islands.groupBy(key, value, "_island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_len"))
+    return runs.groupBy(key, value).agg(
+        F.max("_len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.sum("_len").cast("bigint").alias("n_rows"),
+    )

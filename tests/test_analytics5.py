@@ -189,3 +189,33 @@ def test_jaccard_prefix_equals_inverted_index(spark):
         docs, k=3, threshold=0.3, reuse=None).collect()}
     assert (1, 2) in surviving
     assert all(3 not in p for p in surviving)
+
+
+# --------------------------------------------------------------- streaks
+
+def test_value_streaks_brute_force_and_nulls(spark):
+    from logpipe_spark.operators.spans import value_streaks
+
+    seq = ["a", "a", "a", "b", "a", "a", None, None, "b"]
+    rows = [(1, i, v) for i, v in enumerate(seq)] + [(2, 0, "a")]
+    df = spark.createDataFrame(rows, "k int, i int, v string")
+    out = {(r.k, r.v): r for r in value_streaks(df, "k", "v", ["i"]).collect()}
+    # user 1: a-runs 3,2 ; b-runs 1,1 ; null-run 2 (nulls are a value)
+    assert (out[(1, "a")].longest_streak, out[(1, "a")].n_streaks,
+            out[(1, "a")].n_rows) == (3, 2, 5)
+    assert (out[(1, "b")].longest_streak, out[(1, "b")].n_streaks) == (1, 2)
+    assert (out[(1, None)].longest_streak, out[(1, None)].n_streaks) == (2, 1)
+    assert (out[(2, "a")].longest_streak, out[(2, "a")].n_streaks) == (1, 1)
+
+
+def test_value_streaks_single_window_exchange(spark):
+    from logpipe_spark.operators.spans import value_streaks
+
+    df = spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "x"), (2, 1, "y")], "k int, i int, v string")
+    plan = (value_streaks(df, "k", "v", ["i"])
+            ._jdf.queryExecution().executedPlan().toString())
+    # the lag + running-sum form pays ONE sort (both window ops chain on
+    # the same (k)-partitioned order); the two-row_number textbook form
+    # would add a second differently-partitioned Sort + Exchange
+    assert plan.count("+- Sort ") == 1, plan
