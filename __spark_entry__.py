@@ -2498,6 +2498,36 @@ def q_value_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir), "user_id", "event_type", ["ts", "event_id"])
 
 
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exponentially-weighted moving average of value-cents per user
+    # (aggregate.py:ewma_smooth): an ORDERED float fold no window frame
+    # expresses, run as an in-group aggregate() higher-order fold whose
+    # strict left-to-right order DuckDB's list_reduce replays exactly —
+    # the smoothed double is bit-identical cross-engine. Groups are
+    # user-session-sized (~66 rows at sf0.1; bounded-state caveat
+    # documented on the operator).
+    from logpipe_spark.operators.aggregate import ewma_smooth
+
+    ev = _events(spark, sf_dir)
+    return ewma_smooth(
+        ev, "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+        ["ts", "event_id"], alpha=0.3)
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benford first-digit audit of value-cents per event type
+    # (operators/profile.py:benford_digits): the fabricated-numbers /
+    # broken-instrumentation detector. Expected frequencies are literal
+    # doubles (no log10 anywhere); obs_frac/dev are raw integer-derived
+    # doubles — the whole table passes the exact hash gate.
+    from logpipe_spark.operators.profile import benford_digits
+
+    ev = _events(spark, sf_dir)
+    return benford_digits(
+        ev, "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)))
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher/MassiveText composite quality gate (textqual.py:
     # gopher_quality): five integer-comparison rules (word count, mean
@@ -2737,6 +2767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": q_graph_assortativity,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "value_streaks": q_value_streaks,
+        "ewma_smooth": q_ewma_smooth,
+        "benford_digits": q_benford_digits,
         "mad_stats": q_mad_stats,
         "except_intersect": q_except_intersect,
         "hybrid_search": q_hybrid_search,
@@ -2751,8 +2783,13 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_base() -> dict[str, str]:
+    from logpipe_spark.operators.profile import BENFORD_EXPECTED
+
     P = _oracle_prefix()
     PE = _oracle_prefix(with_enrich=True)
+    benford_case = " ".join(
+        f"WHEN {d} THEN {v!r}" for d, v in BENFORD_EXPECTED.items())
+    ewma_a, ewma_m = repr(0.3), repr(1.0 - 0.3)
     stats_cols = """cast(count({v}) AS bigint) AS count,
        cast(sum({v}) AS double) AS sum,
        cast(min({v}) AS double) AS min,
@@ -3989,6 +4026,34 @@ SELECT user_id, event_type,
        cast(count(*) AS bigint) AS n_streaks,
        cast(sum(len) AS bigint) AS n_rows
 FROM r GROUP BY user_id, event_type""",
+        "ewma_smooth": f"""
+WITH b AS (SELECT user_id, ts, event_id,
+                  cast(cast(floor(value * 100 + 0.5) AS bigint) AS double)
+                    AS v
+           FROM events WHERE value IS NOT NULL),
+g AS (SELECT user_id, list(v ORDER BY ts, event_id) AS xs
+      FROM b GROUP BY user_id)
+SELECT user_id, cast(len(xs) AS bigint) AS n,
+       xs[-1] AS last_value,
+       list_reduce(xs, (acc, x) -> acc * {ewma_m} + x * {ewma_a}) AS ewma
+FROM g""",
+        "benford_digits": f"""
+WITH v AS (SELECT event_type,
+                  cast(floor(value * 100 + 0.5) AS bigint) AS cents
+           FROM events),
+d AS (SELECT event_type,
+             cast(substring(cast(cents AS varchar), 1, 1) AS int) AS digit,
+             cast(count(*) AS bigint) AS n_obs
+      FROM v WHERE cents IS NOT NULL AND cents > 0
+      GROUP BY event_type, digit),
+t AS (SELECT event_type, cast(sum(n_obs) AS bigint) AS n_total
+      FROM d GROUP BY event_type)
+SELECT d.event_type, digit, n_obs, n_total,
+       n_obs / cast(n_total AS double) AS obs_frac,
+       CASE digit {benford_case} END AS expected,
+       n_obs / cast(n_total AS double)
+         - (CASE digit {benford_case} END) AS dev
+FROM d JOIN t USING (event_type)""",
         "ks_drift": """
 WITH base AS (SELECT event_type,
                      cast(floor(value * 100 + 0.5) AS bigint) AS v,

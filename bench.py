@@ -134,6 +134,8 @@ HEADLINE = [
     "graph_assortativity",
     "dedup_jaccard_prefix",
     "value_streaks",
+    "ewma_smooth",
+    "benford_digits",
 ]
 
 

@@ -796,3 +796,58 @@ def ols_trend(
             ((sy - slope * sx) / n).alias("intercept"),
         )
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    order_cols: Sequence[str],
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key — the smoothing fold
+    ``ewma ← (1−α)·ewma + α·x`` over the key's ordered values, seeded
+    with the first value (standard init). An ORDERED float fold cannot be
+    a window sum (the weights never stop), so it runs as an in-group
+    ``aggregate()`` higher-order fold over the sorted value array:
+    strictly left-to-right, which DuckDB's ``list_reduce`` replays with
+    the identical operand order — the emitted double is bit-identical
+    cross-engine (same toolkit as conv_digest's ordered md5 chain).
+
+    BOUNDED-STATE discipline: the per-key array lives in one task —
+    fine for conversation/session-sized groups (the conv_digest /
+    pack_sequences caveat); for unbounded keys pre-segment as in
+    sessionize_segmented, or use :func:`fold_by`'s Arrow path.
+
+    Returns (key, n, last_value, ewma).
+    """
+    a = float(alpha)
+    one_m = 1.0 - a
+    grouped = (
+        df.where(value.isNotNull())
+        .groupBy(key)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(
+                    *[F.col(c).alias(f"_o{i}") for i, c in
+                      enumerate(order_cols)],
+                    value.cast("double").alias("_v"),
+                ))
+            ).alias("_arr"),
+        )
+        .select(
+            key,
+            F.expr("transform(_arr, s -> s._v)").alias("_xs"),
+        )
+    )
+    fold = F.expr(
+        f"aggregate(slice(_xs, 2, greatest(size(_xs) - 1, 0)), "
+        f"element_at(_xs, 1), "
+        f"(acc, x) -> acc * {one_m!r}D + x * {a!r}D)"
+    )
+    return grouped.select(
+        key,
+        F.size("_xs").cast("bigint").alias("n"),
+        F.element_at("_xs", -1).alias("last_value"),
+        fold.alias("ewma"),
+    )

@@ -161,3 +161,62 @@ def profile_columns(
     return wide.select(F.explode(rows).alias("r")).select(
         "r.column_name", "r.n_rows", "r.n_null", "r.n_distinct"
     )
+
+
+# log10(1 + 1/d) for d = 1..9 — Benford's law expected first-digit
+# frequencies, embedded as literal doubles so neither engine ever calls
+# log() (the repr strings below parse to the identical nearest double in
+# Spark and DuckDB; logpipe_spark/__spark_entry__ builds the oracle CASE
+# from this same table)
+BENFORD_EXPECTED = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_digits(df: DataFrame, key: str, value) -> DataFrame:
+    """Benford's-law first-digit audit per group — the classic
+    fabricated-numbers / broken-instrumentation detector for positive
+    value columns (amounts, counts, durations).
+
+    ``value`` must be an integer-valued Column; only strictly positive
+    values participate. The first digit comes from the decimal string
+    head (``substring(cast(v AS string), 1, 1)``) — identical in both
+    engines and free of log10(). Expected frequencies are the literal
+    constants above; ``obs_frac`` is the raw integer division and
+    ``dev`` its signed gap vs Benford. Plan: ONE map-side-combinable
+    shuffle on (key, digit); per-key totals re-aggregate the 9-row-per-
+    key digit frame and broadcast back.
+
+    Returns (key, digit, n_obs, n_total, obs_frac, expected, dev).
+    """
+    v = value.cast("bigint")
+    digits = (
+        df.where(v.isNotNull() & (v > 0))
+        .select(key, F.substring(v.cast("string"), 1, 1)
+                .cast("int").alias("digit"))
+        .groupBy(key, "digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    totals = digits.groupBy(key).agg(
+        F.sum("n_obs").cast("bigint").alias("n_total"))
+    expected = F.element_at(
+        F.create_map(*[F.lit(x) for kv in BENFORD_EXPECTED.items()
+                       for x in kv]),
+        F.col("digit"))
+    return (
+        digits.join(F.broadcast(totals), key)
+        .select(
+            key, "digit", "n_obs", "n_total",
+            (F.col("n_obs") / F.col("n_total")).alias("obs_frac"),
+            expected.alias("expected"),
+        )
+        .withColumn("dev", F.col("obs_frac") - F.col("expected"))
+    )

@@ -219,3 +219,38 @@ def test_value_streaks_single_window_exchange(spark):
     # the same (k)-partitioned order); the two-row_number textbook form
     # would add a second differently-partitioned Sort + Exchange
     assert plan.count("+- Sort ") == 1, plan
+
+
+# ------------------------------------------------------------ EWMA fold
+
+def test_ewma_smooth_hand_cases(spark):
+    from logpipe_spark.operators.aggregate import ewma_smooth
+
+    rows = [
+        ("a", 2, 20), ("a", 1, 10), ("a", 3, 40),   # order: 10,20,40
+        ("b", 1, 7),                                 # single: ewma = itself
+    ]
+    df = spark.createDataFrame(rows, "k string, i int, v int")
+    out = {r.k: r for r in
+           ewma_smooth(df, "k", F.col("v"), ["i"], alpha=0.5).collect()}
+    # a: seed 10 -> 10*.5+20*.5 = 15 -> 15*.5+40*.5 = 27.5
+    assert (out["a"].n, out["a"].last_value, out["a"].ewma) == (3, 40.0, 27.5)
+    assert (out["b"].n, out["b"].ewma) == (1, 7.0)
+
+
+# --------------------------------------------------------------- Benford
+
+def test_benford_digits_counts_and_constants(spark):
+    from logpipe_spark.operators.profile import (
+        BENFORD_EXPECTED, benford_digits)
+
+    vals = [1, 19, 123, 2, 25, 9, -5, 0, None]   # digits: 1,1,1,2,2,9
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v int")
+    out = {r.digit: r for r in
+           benford_digits(df, "k", F.col("v")).collect()}
+    assert set(out) == {1, 2, 9}
+    assert (out[1].n_obs, out[2].n_obs, out[9].n_obs) == (3, 2, 1)
+    assert out[1].n_total == 6
+    assert out[1].obs_frac == 0.5
+    assert out[1].expected == BENFORD_EXPECTED[1]
+    assert out[9].dev == 1 / 6 - BENFORD_EXPECTED[9]
