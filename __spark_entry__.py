@@ -2528,6 +2528,22 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)))
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-event-type winsorization of value-cents to the discrete
+    # [p5, p95] (aggregate.py:winsorize) — outlier containment before a
+    # long-tailed column feeds corpus statistics. Bounds are ACTUAL
+    # elements (rank-based), broadcast back; the clip is a narrow
+    # projection — all-integer outputs, exact cross-engine.
+    from logpipe_spark.operators.aggregate import winsorize
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        .alias("cents"))
+    return winsorize(ev, "event_type", "cents", p_lo=0.05, p_hi=0.95,
+                     tiebreak="event_id")
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher/MassiveText composite quality gate (textqual.py:
     # gopher_quality): five integer-comparison rules (word count, mean
@@ -2769,6 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_streaks": q_value_streaks,
         "ewma_smooth": q_ewma_smooth,
         "benford_digits": q_benford_digits,
+        "winsorize": q_winsorize,
         "mad_stats": q_mad_stats,
         "except_intersect": q_except_intersect,
         "hybrid_search": q_hybrid_search,
@@ -4026,6 +4043,26 @@ SELECT user_id, event_type,
        cast(count(*) AS bigint) AS n_streaks,
        cast(sum(len) AS bigint) AS n_rows
 FROM r GROUP BY user_id, event_type""",
+        "winsorize": """
+WITH b AS (SELECT event_id, event_type,
+                  cast(floor(value * 100 + 0.5) AS bigint) AS cents
+           FROM events),
+r AS (SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM b),
+bounds AS (
+  SELECT event_type,
+         cast(max(CASE WHEN rn = cast(ceil(0.05 * n) AS bigint)
+                       THEN cents END) AS bigint) AS lo,
+         cast(max(CASE WHEN rn = cast(ceil(0.95 * n) AS bigint)
+                       THEN cents END) AS bigint) AS hi
+  FROM r GROUP BY event_type)
+SELECT b.event_id, b.event_type, b.cents,
+       least(greatest(b.cents, lo), hi) AS cents_w,
+       (b.cents < lo OR b.cents > hi) AS clipped
+FROM b JOIN bounds USING (event_type)""",
         "ewma_smooth": f"""
 WITH b AS (SELECT user_id, ts, event_id,
                   cast(cast(floor(value * 100 + 0.5) AS bigint) AS double)

@@ -136,6 +136,7 @@ HEADLINE = [
     "value_streaks",
     "ewma_smooth",
     "benford_digits",
+    "winsorize",
 ]
 
 

@@ -851,3 +851,39 @@ def ewma_smooth(
         F.element_at("_xs", -1).alias("last_value"),
         fold.alias("ewma"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    key: str,
+    value: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value`` to the group's discrete
+    [p_lo, p_hi] percentiles — the standard outlier containment applied
+    before corpus statistics trust a long-tailed column. Uses
+    :func:`percentiles_disc` (actual elements, no interpolation), so on
+    integer inputs every emitted number is integer-exact cross-engine.
+
+    Plan: the percentile pass is the usual one-shuffle rank window; the
+    bounds frame is group-cardinality-sized and broadcast back onto the
+    corpus — the data itself is never re-shuffled for the clip (a narrow
+    projection). Returns the input columns plus ``<value>_w`` (clipped)
+    and ``clipped`` (flag).
+    """
+    lo_tag = f"p{int(round(p_lo * 100))}"
+    hi_tag = f"p{int(round(p_hi * 100))}"
+    bounds = percentiles_disc(df, key, value, ps=(p_lo, p_hi),
+                              tiebreak=tiebreak)
+    v = F.col(value)
+    lo, hi = F.col(lo_tag), F.col(hi_tag)
+    return (
+        df.join(F.broadcast(bounds.select(key, lo_tag, hi_tag)), key)
+        .select(
+            *df.columns,
+            F.least(F.greatest(v, lo), hi).alias(f"{value}_w"),
+            ((v < lo) | (v > hi)).alias("clipped"),
+        )
+    )

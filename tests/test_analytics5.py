@@ -254,3 +254,21 @@ def test_benford_digits_counts_and_constants(spark):
     assert out[1].obs_frac == 0.5
     assert out[1].expected == BENFORD_EXPECTED[1]
     assert out[9].dev == 1 / 6 - BENFORD_EXPECTED[9]
+
+
+# ------------------------------------------------------------- winsorize
+
+def test_winsorize_clips_to_discrete_bounds(spark):
+    from logpipe_spark.operators.aggregate import winsorize
+
+    # 10 values: p10 = 1st element (=0), p90 = 9th (=80); 1000 clips down
+    rows = [("g", i, v) for i, v in enumerate(
+        [0, 10, 20, 30, 40, 50, 60, 70, 80, 1000])]
+    df = spark.createDataFrame(rows, "k string, i long, v long")
+    out = {r.i: r for r in winsorize(
+        df, "k", "v", p_lo=0.1, p_hi=0.9, tiebreak="i").collect()}
+    assert out[9].v == 1000 and out[9].v_w == 80 and out[9].clipped
+    assert out[0].v_w == 0 and not out[0].clipped  # p10 element itself
+    assert all(not out[i].clipped and out[i].v_w == out[i].v
+               for i in range(9))
+    assert len(out) == 10  # row-preserving transform
