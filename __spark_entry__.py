@@ -511,6 +511,38 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "cluster_id", F.col("is_keeper").cast("int").alias("is_keeper"))
 
 
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The dedup pipeline's actual OUTPUT: one canonical document per
+    # near-dup cluster, chosen by QUALITY (argmax quality_score, ties to
+    # the smallest doc_id) rather than dup_clusters' min-id keeper — what
+    # a curation run keeps and ships. Cluster sizes are tiny (near-dup
+    # cliques), so the per-cluster rank window is cheap; quality doubles
+    # are bit-identical cross-engine so the argmax agrees exactly.
+    docs = _docs(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(docs)
+    clusters = cur.dup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    qual = tq.quality_score(docs).select("doc_id", "quality")
+    j = clusters.join(qual, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), "doc_id")
+    wn = Window.partitionBy("cluster_id")
+    r = j.select(
+        "cluster_id", "doc_id", "quality",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    return (
+        r.where(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("_n").cast("bigint").alias("n_docs"),
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("quality").alias("keep_quality"),
+            (F.col("_n") - 1).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Benchmark decontamination: docs sharing >=2 distinct word trigrams
     # with the held-out eval split (doc_id % 50 == 0). Inverted-index join,
@@ -671,6 +703,36 @@ SELECT d.doc_id,
        coalesce(c.component, d.doc_id) AS cluster_id,
        cast(d.doc_id = coalesce(c.component, d.doc_id) AS int) AS is_keeper
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"""
+
+
+def _dedup_keep_list_oracle(thr: float = 0.12) -> str:
+    # dup_clusters' recursive-CTE components + the quality formula, then
+    # a per-cluster argmax (quality DESC, doc_id) window
+    return f"""WITH RECURSIVE {_shingles_cte(3)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),{_JACCARD_CTES},
+pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= {thr}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w2.lbl FROM edges e JOIN walk w2 ON e.dst = w2.node),
+comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node),
+cl AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+       FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+qual AS (SELECT doc_id, quality FROM ({_quality_oracle()})),
+r AS (SELECT cl.cluster_id, cl.doc_id, qual.quality,
+             row_number() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY qual.quality DESC, cl.doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY cl.cluster_id) AS n_docs
+      FROM cl JOIN qual USING (doc_id))
+SELECT cluster_id, cast(n_docs AS bigint) AS n_docs,
+       doc_id AS keep_doc_id, quality AS keep_quality,
+       cast(n_docs - 1 AS bigint) AS n_dropped
+FROM r WHERE rn = 1"""
 
 
 _REPETITION_SQL = """
@@ -2786,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_smooth": q_ewma_smooth,
         "benford_digits": q_benford_digits,
         "winsorize": q_winsorize,
+        "dedup_keep_list": q_dedup_keep_list,
         "mad_stats": q_mad_stats,
         "except_intersect": q_except_intersect,
         "hybrid_search": q_hybrid_search,
@@ -3006,6 +3069,7 @@ SELECT doc_id,
 FROM documents""",
         "mm_image_meta": _mm_oracle(),
         "dup_clusters": _dup_clusters_oracle(),
+        "dedup_keep_list": _dedup_keep_list_oracle(),
         "decontaminate": f"""WITH {_shingles_cte(3)},
 bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
 train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 != 0)

@@ -137,6 +137,7 @@ HEADLINE = [
     "ewma_smooth",
     "benford_digits",
     "winsorize",
+    "dedup_keep_list",
 ]
 
 
