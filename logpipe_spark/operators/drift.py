@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ks_drift"]
+__all__ = ["ks_drift", "ks_from_counts"]
 
 
 def ks_drift(
@@ -62,6 +62,21 @@ def ks_drift(
             F.sum(F.when(sample_a, 0).otherwise(1)).cast("bigint").alias("cb"),
         )
     )
+    return ks_from_counts(per_v, key, bucket_width=bucket_width, min_n=min_n)
+
+
+def ks_from_counts(
+    per_v: DataFrame,
+    key: str,
+    bucket_width: int = 1024,
+    min_n: int = 1,
+) -> DataFrame:
+    """KS statistic from a pre-aggregated count frame (key, v, ca, cb) —
+    the mergeable-partial entry point: per-(key, value) counts SUM across
+    batches/epochs/shards, so an incremental consumer (e.g. the streaming
+    drift monitor) accumulates counts and calls this for the readout.
+    Same two-level bucketed prefix scan and exact integer-derived doubles
+    as :func:`ks_drift` (which is now a thin wrapper over this)."""
     b = per_v.withColumn("_bkt", F.floor(F.col("v") / F.lit(int(bucket_width))))
     w_in = Window.partitionBy(key, "_bkt").orderBy("v")
     b = (

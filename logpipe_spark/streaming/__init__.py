@@ -16,6 +16,8 @@ from logpipe_spark.streaming.stream import (  # noqa: F401
     stream_kmv_distinct,
     stream_rollup_incremental,
     read_rollup,
+    stream_drift_monitor,
+    read_drift,
     stream_cms_incremental,
     read_cms,
     run_stream_once,

@@ -450,3 +450,65 @@ def read_cms(spark: SparkSession, state_dir: str) -> DataFrame:
         .groupBy("seed", "bucket")
         .agg(F.sum("n").alias("n"))
     )
+
+
+def stream_drift_monitor(spark: SparkSession, src: str, state_dir: str,
+                         checkpoint_dir: str,
+                         max_files_per_trigger: int | None = None):
+    """Streaming distribution-drift monitor: each micro-batch writes its
+    per-(tool, token-count) COUNTS — the KS statistic's mergeable
+    partial — to an epoch-keyed directory; :func:`read_drift` merges all
+    epochs and scores the accumulated stream distribution against a
+    static reference with :func:`~logpipe_spark.operators.drift.
+    ks_from_counts`.
+
+    Same exactly-once-by-construction shape as
+    :func:`stream_rollup_incremental`: ``mode("overwrite")`` into
+    ``{state_dir}/epoch=<id>`` makes a replayed epoch idempotent. State
+    per epoch is one row per (tool, distinct value) — the raw stream is
+    never re-read to re-score drift as data accumulates.
+    """
+    from logpipe_spark.functions.textfn import token_count
+
+    stream = stream_transcripts(spark, src,
+                                max_files_per_trigger=max_files_per_trigger)
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        counts = (
+            df.select("tool", token_count(F.col("text")).alias("v"))
+            .where(F.col("v").isNotNull())
+            .groupBy("tool", "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        (counts.coalesce(1).write.mode("overwrite")
+         .parquet(f"{state_dir}/epoch={epoch_id}"))
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir))
+
+
+def read_drift(spark: SparkSession, state_dir: str,
+               reference: DataFrame, bucket_width: int = 1024) -> DataFrame:
+    """Score the accumulated stream counts against ``reference`` (a
+    static (tool, v, c) count frame). Stream = sample A, reference =
+    sample B; values only one side saw carry a zero count on the other
+    (full outer merge), exactly the pooled-support frame ks_from_counts
+    expects. Returns (tool, n_a, n_b, ks, ks_at_value)."""
+    from logpipe_spark.operators.drift import ks_from_counts
+
+    stream_counts = (
+        spark.read.parquet(state_dir)
+        .groupBy("tool", "v")
+        .agg(F.sum("c").cast("bigint").alias("ca"))
+    )
+    ref_counts = reference.select(
+        "tool", "v", F.col("c").cast("bigint").alias("cb"))
+    per_v = (
+        stream_counts.join(ref_counts, ["tool", "v"], "full_outer")
+        .select(
+            "tool", "v",
+            F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
+        )
+    )
+    return ks_from_counts(per_v, "tool", bucket_width=bucket_width)

@@ -357,3 +357,39 @@ def test_stream_cms_equals_batch_sketch(spark, stream_dir, tmp_path):
     es = {r.conv_id: r.cms_count for r in est_stream.collect()}
     eb = {r.conv_id: r.cms_count for r in est_batch.collect()}
     assert es == eb
+
+
+def test_stream_drift_monitor_merges_and_scores(spark, stream_dir, tmp_path):
+    """Drift-monitor parity: (1) the merged epoch count partials equal the
+    batch per-(tool, value) counts; (2) scoring the accumulated stream
+    against its OWN batch distribution gives ks = 0 for every tool;
+    (3) against a shifted reference, ks = 1 (disjoint supports)."""
+    from logpipe_spark.functions.textfn import token_count
+    from logpipe_spark.streaming import read_drift, stream_drift_monitor
+
+    state = str(tmp_path / "drift_state")
+    writer = stream_drift_monitor(
+        spark, stream_dir, state, str(tmp_path / "ckd"),
+        max_files_per_trigger=1)
+    run_stream_once(writer)
+
+    batch_counts = (
+        spark.read.parquet(stream_dir)
+        .select("tool", token_count(F.col("text")).alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy("tool", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    merged = (spark.read.parquet(state).groupBy("tool", "v")
+              .agg(F.sum("c").cast("bigint").alias("c")))
+    a = {(r.tool, r.v): r.c for r in merged.collect()}
+    b = {(r.tool, r.v): r.c for r in batch_counts.collect()}
+    assert a == b and len(a) > 0
+
+    self_score = read_drift(spark, state, batch_counts).collect()
+    assert len(self_score) > 0
+    assert all(r.ks == 0.0 and r.n_a == r.n_b for r in self_score)
+
+    shifted = batch_counts.withColumn("v", F.col("v") + F.lit(10_000))
+    far = read_drift(spark, state, shifted).collect()
+    assert all(r.ks == 1.0 for r in far)
