@@ -138,6 +138,7 @@ HEADLINE = [
     "benford_digits",
     "winsorize",
     "dedup_keep_list",
+    "skew_salted_counts",
 ]
 
 
