@@ -682,11 +682,13 @@ SELECT doc_a, doc_b, jaccard
 FROM j WHERE jaccard >= {thr}"""
 
 
-def _dup_clusters_oracle(thr: float = 0.12) -> str:
-    # Transitive closure of the near-dup pairs via a recursive CTE:
-    # walk(node, lbl) enumerates every (node, reachable-node) pair; the
-    # component id is the min reachable id — exactly what Spark's
-    # min-label propagation converges to.
+def _components_cte_prefix(thr: float = 0.12) -> str:
+    """Shared recursive-CTE chain: shingles → candidates → jaccard →
+    near-dup pairs → transitive closure (walk) → components. walk(node,
+    lbl) enumerates every (node, reachable-node) pair; the component id
+    is the min reachable id — exactly what Spark's min-label propagation
+    converges to. Both cluster oracles format over THIS one helper so
+    their clustering definitions cannot drift apart."""
     return f"""WITH RECURSIVE {_shingles_cte(3)},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -698,7 +700,11 @@ walk(node, lbl) AS (
   SELECT src, src FROM edges
   UNION
   SELECT e.src, w2.lbl FROM edges e JOIN walk w2 ON e.dst = w2.node),
-comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node)
+comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node)"""
+
+
+def _dup_clusters_oracle(thr: float = 0.12) -> str:
+    return f"""{_components_cte_prefix(thr)}
 SELECT d.doc_id,
        coalesce(c.component, d.doc_id) AS cluster_id,
        cast(d.doc_id = coalesce(c.component, d.doc_id) AS int) AS is_keeper
@@ -706,20 +712,10 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"""
 
 
 def _dedup_keep_list_oracle(thr: float = 0.12) -> str:
-    # dup_clusters' recursive-CTE components + the quality formula, then
-    # a per-cluster argmax (quality DESC, doc_id) window
-    return f"""WITH RECURSIVE {_shingles_cte(3)},
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),{_JACCARD_CTES},
-pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= {thr}),
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-walk(node, lbl) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.src, w2.lbl FROM edges e JOIN walk w2 ON e.dst = w2.node),
-comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node),
+    # dup_clusters' recursive-CTE components (shared helper — cannot
+    # drift from the dup_clusters oracle) + the quality formula, then a
+    # per-cluster argmax (quality DESC, doc_id) window
+    return f"""{_components_cte_prefix(thr)},
 cl AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
 qual AS (SELECT doc_id, quality FROM ({_quality_oracle()})),
@@ -2528,7 +2524,11 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the emitted double is hash-exact cross-engine.
     from logpipe_spark.operators.aggregate import corr_from_sums
 
-    raw = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # persist the edge list: it feeds sym (2 branches) and deg (2 more),
+    # and deg joins back twice — without reuse the simhash band self-join
+    # (the expensive stage) would re-execute up to ~6x in one plan
+    raw = q_dedup_simhash_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b").persist()
     deg = (
         raw.select(F.col("doc_a").alias("v"))
         .unionAll(raw.select(F.col("doc_b").alias("v")))

@@ -879,11 +879,18 @@ def winsorize(
                               tiebreak=tiebreak)
     v = F.col(value)
     lo, hi = F.col(lo_tag), F.col(hi_tag)
+    # null-safe LEFT join so the transform is genuinely row-preserving:
+    # a plain equi-join would silently DROP every NULL-key row (NULL=NULL
+    # never matches) — data loss for a clip/flag operator. Spark's
+    # least/greatest skip NULL operands, so a row with no bounds passes
+    # through unclipped.
+    b = F.broadcast(bounds.select(
+        F.col(key).alias("_bk"), lo_tag, hi_tag))
     return (
-        df.join(F.broadcast(bounds.select(key, lo_tag, hi_tag)), key)
+        df.join(b, F.col(key).eqNullSafe(F.col("_bk")), "left")
         .select(
             *df.columns,
             F.least(F.greatest(v, lo), hi).alias(f"{value}_w"),
-            ((v < lo) | (v > hi)).alias("clipped"),
+            F.coalesce((v < lo) | (v > hi), F.lit(False)).alias("clipped"),
         )
     )

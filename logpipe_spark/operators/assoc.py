@@ -6,19 +6,20 @@ behind frequent-itemset mining (Agrawal & Srikant, VLDB'94): at pipeline
 scale the pair-counting pass IS the workload (the apriori/FP-growth
 lattice on top is driver-sized once pair counts exist).
 
-Scale shape (ONE corpus-sized hash shuffle, no joins over baskets):
+Scale shape (no joins over baskets, two paths):
 
-1. ``groupBy(basket).collect_set(item)`` — a single map-side-combinable
+1. fast path (``max_items=None``, caller guarantees bounded baskets):
+   ``groupBy(basket).collect_set(item)`` — ONE map-side-combinable
    shuffle turns each basket into its sorted distinct-item array.
+   capped path (``max_items`` set): dedup groupBy, then a SPILL-SAFE
+   row_number window keeps each basket's ``max_items`` lowest-md5 items
+   BEFORE any array materializes — a vocabulary-sized degenerate basket
+   never builds an unbounded aggregation buffer (the bounded-state
+   discipline of build_postings); the collected array is ≤ max_items.
 2. pair generation is a NARROW projection over the array (items[i] <
    items[j] for i < j, so each unordered pair is emitted exactly once —
-   no self-join, no second shuffle). Fan-out per basket is C(d, 2) with
-   d = that basket's distinct item count, bounded by ``max_items`` —
-   the cap keeps the lowest-md5 items deterministically, so a
-   degenerate basket holding the whole vocabulary cannot produce a
-   quadratic blow-up (nor an unbounded collect_set array: cap upstream
-   if single baskets exceed memory, the same discipline as
-   build_postings' bounded-state window).
+   no self-join, no extra shuffle of the baskets frame). Fan-out per
+   basket is C(d, 2), d capped by ``max_items``.
 3. per-item counts and the basket total are metadata-sized
    (|vocabulary| rows / one scalar) and broadcast back onto the pair
    counts.
@@ -54,25 +55,40 @@ def cooccurrence_lift(
     association). All counts are over DISTINCT basket membership —
     repeat occurrences within a basket count once.
     """
-    # ONE hash shuffle total for both dedup and pair generation: group
-    # each basket's distinct items into a sorted array (map-side
-    # combinable collect_set), then emit item pairs NARROWLY from the
-    # array — no self-join, no second shuffle of the baskets frame.
-    deduped = (
+    rows = (
         df.select(F.col(basket_col).alias("basket"),
                   F.col(item_col).alias("item"))
         .where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
-        .groupBy("basket")
-        .agg(F.array_sort(F.collect_set("item")).alias("items"))
     )
     if max_items is not None:
-        # deterministic per-basket cap: keep the max_items lowest-md5
-        # items so a vocabulary-sized basket stays C(max_items, 2)
-        capped = F.expr(
-            "transform(slice(array_sort(transform(items, "
-            f"x -> struct(md5(cast(x AS string)) AS h, x AS i))), 1, {int(max_items)}), "
-            "s -> s.i)")
-        deduped = deduped.select("basket", F.array_sort(capped).alias("items"))
+        # BOUNDED-STATE cap path: the cap must run BEFORE any per-basket
+        # array materializes, or a vocabulary-sized basket blows the
+        # collect_set aggregation buffer (the exact case the cap exists
+        # for). Dedup via groupBy (map-side combinable), then a
+        # row_number window over (md5(item), item) — sort-based, spills
+        # to disk — keeps the max_items lowest-md5 items
+        # deterministically; only then does the ≤max_items array form.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("basket").orderBy(
+            F.md5(F.col("item").cast("string")), "item")
+        deduped = (
+            rows.groupBy("basket", "item").agg(F.lit(1).alias("_one"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= int(max_items))
+            .groupBy("basket")
+            .agg(F.array_sort(F.collect_list("item")).alias("items"))
+        )
+    else:
+        # fast path: ONE hash shuffle total for both dedup and pair
+        # generation — collect_set is map-side combinable and the pairs
+        # are emitted NARROWLY from the array (no self-join). Array size
+        # is the basket's distinct-item count: acceptable only when the
+        # caller guarantees bounded baskets; pass max_items otherwise.
+        deduped = (
+            rows.groupBy("basket")
+            .agg(F.array_sort(F.collect_set("item")).alias("items"))
+        )
     baskets = deduped.persist()
 
     total = baskets.agg(

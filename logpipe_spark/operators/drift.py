@@ -54,8 +54,11 @@ def ks_drift(
     summary rows ≈ value_range / bucket_width.
     """
     vi = value.cast("bigint")
+    # rows whose sample predicate evaluates to NULL belong to NEITHER
+    # sample — drop them rather than letting when().otherwise(0) silently
+    # misfile them into sample B and skew F_B
     per_v = (
-        df.where(vi.isNotNull())
+        df.where(vi.isNotNull() & sample_a.isNotNull())
         .groupBy(key, vi.alias("v"))
         .agg(
             F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint").alias("ca"),

@@ -272,3 +272,14 @@ def test_winsorize_clips_to_discrete_bounds(spark):
     assert all(not out[i].clipped and out[i].v_w == out[i].v
                for i in range(9))
     assert len(out) == 10  # row-preserving transform
+
+
+def test_winsorize_preserves_null_key_rows(spark):
+    from logpipe_spark.operators.aggregate import winsorize
+
+    rows = [("g", 1, 10), ("g", 2, 20), ("g", 3, 999), (None, 4, 5)]
+    df = spark.createDataFrame(rows, "k string, i long, v long")
+    out = winsorize(df, "k", "v", p_lo=0.05, p_hi=0.7, tiebreak="i")
+    got = {r.i: r for r in out.collect()}
+    assert len(got) == 4  # the NULL-key row survives (null-safe join)
+    assert got[4].k is None
