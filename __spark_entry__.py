@@ -2720,6 +2720,105 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            rerank=100)
 
 
+def q_cusum_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-user CUSUM level-shift detection on value-cents vs a 50.00
+    # target (operators/drift.py:cusum_scan). The sequential recurrence
+    # s_t = max(0, s+x−k) runs as its prefix-sum closed form — two
+    # expanding-frame windows over ONE per-user sort, O(n), all bigint,
+    # exact cross-engine.
+    from logpipe_spark.operators.drift import cusum_scan
+
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    return cusum_scan(
+        ev, "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        ["ts", "event_id"], target=5000, threshold=50000)
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Welch two-sample t per event type: value-cents of the first
+    # half-month vs the rest — the parametric mean-shift companion to
+    # ks_drift's shape test (operators/drift.py:welch_ttest). One
+    # combinable aggregate of six integer sums; t and the Welch df are
+    # IEEE-exact doubles from identical operands in both engines.
+    from logpipe_spark.operators.drift import welch_ttest
+
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    return welch_ttest(
+        ev, "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        F.dayofmonth("ts") <= 15)
+
+
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One-way ANOVA across event types on value-cents
+    # (operators/aggregate.py:anova_f): does the type explain variance?
+    # The only order-sensitive float sum (Σ S_g²/n_g) folds left-to-right
+    # over the sorted bounded group frame — DuckDB list_reduce replays it.
+    from logpipe_spark.operators.aggregate import anova_f
+
+    ev = _events(spark, sf_dir).where(F.col("event_type").isNotNull())
+    return anova_f(ev, "event_type",
+                   F.floor(F.col("value") * 100 + F.lit(0.5)))
+
+
+def q_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mann–Whitney ROC AUC per source: does doc length rank English docs
+    # above the rest? (operators/drift.py:auc_rank — the "does this
+    # score separate the classes?" curation gate.) Tie-aware U from the
+    # bucketed CDF prefix scan, never a per-row rank window.
+    from logpipe_spark.operators.drift import auc_rank
+
+    docs = _docs(spark, sf_dir)
+    return auc_rank(
+        docs.where(F.col("lang").isNotNull()), "source",
+        F.col("n_chars"), F.col("lang") == "en")
+
+
+def q_gini_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gini gain of source → lang (operators/aggregate.py:gini_gain): the
+    # log-free mutual-information analog — which sources are
+    # language-pure vs mixed relative to the corpus. Polynomial in
+    # counts, so exact cross-engine where entropy MI never could be.
+    from logpipe_spark.operators.aggregate import gini_gain
+
+    return gini_gain(_docs(spark, sf_dir), "source", "lang")
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quantile-normalize doc length across sources
+    # (trainprep/curate.py:quantile_normalize): every source mapped onto
+    # the pooled length distribution by midrank — discrete, integer-exact
+    # (no interpolation). Pooled ranks come from the bucketed prefix
+    # scan; the rank→value lookup is a bucketed interval join.
+    from logpipe_spark.trainprep.curate import quantile_normalize
+
+    return quantile_normalize(
+        _docs(spark, sf_dir), "source", "n_chars", "doc_id")
+
+
+def q_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Vocabulary-rarity profile per doc (trainprep/textqual.py:
+    # doc_rarity): mean corpus document-frequency of the doc's distinct
+    # terms — the cheap lexical-unusualness signal. Narrow distinct
+    # pairs, one vocabulary count, one equi join back.
+    from logpipe_spark.trainprep.textqual import doc_rarity
+
+    return doc_rarity(_docs(spark, sf_dir))
+
+
+def q_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (event_type × hour) activity heatmap with independence lift
+    # (operators/profile.py:hist2d): which cells run hot vs their
+    # marginals. One cell count + broadcast marginals; frac/lift follow
+    # the cast-before-product discipline.
+    from logpipe_spark.operators.profile import hist2d
+
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    return hist2d(
+        ev.withColumn("hour", F.hour("ts")), "event_type", "hour")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2870,6 +2969,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_agg": q_json_props_agg,
         "attribution": q_attribution,
         "pricing_summary": q_pricing_summary,
+        "cusum_alert": q_cusum_alert,
+        "welch_ttest": q_welch_ttest,
+        "anova_f": q_anova_f,
+        "auc_rank": q_auc_rank,
+        "gini_gain": q_gini_gain,
+        "quantile_normalize": q_quantile_normalize,
+        "doc_rarity": q_doc_rarity,
+        "hist2d": q_hist2d,
     }
 
 
@@ -4314,6 +4421,180 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= cast('1998-09-02' AS timestamp)
 GROUP BY l_returnflag, l_linestatus""",
+        "cusum_alert": """
+WITH b AS (SELECT user_id, ts, event_id,
+                  cast(floor(value * 100 + 0.5) AS bigint) - 5000 AS d
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+s AS (SELECT user_id, ts, event_id, d,
+             sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sv
+      FROM b),
+c AS (SELECT user_id, d, sv,
+             sv - least(cast(0 AS bigint),
+                        min(sv) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)) AS cu
+      FROM s)
+SELECT user_id, cast(count(*) AS bigint) AS n,
+       cast(sum(d) - least(cast(0 AS bigint), min(sv)) AS bigint)
+         AS final_cusum,
+       cast(max(cu) AS bigint) AS max_cusum,
+       max(cu) >= 50000 AS alert
+FROM c GROUP BY user_id""",
+        "welch_ttest": """
+WITH b AS (SELECT event_type,
+                  cast(floor(value * 100 + 0.5) AS bigint) AS v,
+                  CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS ia
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+g AS (SELECT event_type,
+             cast(sum(ia) AS bigint) AS n_a,
+             cast(sum(1 - ia) AS bigint) AS n_b,
+             cast(sum(v * ia) AS bigint) AS sa,
+             cast(sum(v * (1 - ia)) AS bigint) AS sb,
+             cast(sum(v * v * ia) AS bigint) AS qa,
+             cast(sum(v * v * (1 - ia)) AS bigint) AS qb
+      FROM b GROUP BY event_type),
+m AS (SELECT event_type, n_a, n_b,
+             cast(sa AS double) / cast(n_a AS double) AS mean_a,
+             cast(sb AS double) / cast(n_b AS double) AS mean_b,
+             (cast(n_a AS double) * qa - cast(sa AS double) * sa)
+               / (cast(n_a AS double) * (cast(n_a AS double) - 1))
+               / cast(n_a AS double) AS sea,
+             (cast(n_b AS double) * qb - cast(sb AS double) * sb)
+               / (cast(n_b AS double) * (cast(n_b AS double) - 1))
+               / cast(n_b AS double) AS seb
+      FROM g
+      WHERE n_a >= 2 AND n_b >= 2
+        AND (cast(n_a AS double) * qa - cast(sa AS double) * sa)
+            + (cast(n_b AS double) * qb - cast(sb AS double) * sb) > 0)
+SELECT event_type, n_a, n_b, mean_a, mean_b,
+       (mean_a - mean_b) / sqrt(sea + seb) AS t_stat,
+       ((sea + seb) * (sea + seb))
+         / (sea * sea / (cast(n_a AS double) - 1)
+            + seb * seb / (cast(n_b AS double) - 1)) AS df_welch
+FROM m""",
+        "anova_f": """
+WITH g AS (SELECT event_type,
+                  cast(count(*) AS bigint) AS gn,
+                  cast(sum(cast(floor(value * 100 + 0.5) AS bigint))
+                       AS bigint) AS gs,
+                  cast(sum(cast(floor(value * 100 + 0.5) AS bigint)
+                           * cast(floor(value * 100 + 0.5) AS bigint))
+                       AS bigint) AS gq
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL
+           GROUP BY event_type),
+one AS (SELECT cast(sum(gn) AS bigint) AS n,
+               cast(count(*) AS bigint) AS k,
+               cast(sum(gs) AS bigint) AS ss,
+               cast(sum(gq) AS bigint) AS sq,
+               list_reduce(
+                 list_prepend(cast(0.0 AS double),
+                   list(cast(gs AS double) * gs / gn ORDER BY event_type)),
+                 (acc, x) -> acc + x) AS tsum
+        FROM g),
+stats AS (SELECT n, k,
+                 tsum - cast(ss AS double) * ss / cast(n AS double)
+                   AS ss_between,
+                 cast(sq AS double) - tsum AS ss_within
+          FROM one WHERE k >= 2 AND n > k)
+SELECT n, k, ss_between, ss_within,
+       (ss_between / (cast(k AS double) - 1))
+         / (ss_within / (cast(n AS double) - cast(k AS double))) AS f_stat
+FROM stats WHERE ss_within > 0""",
+        "auc_rank": """
+WITH b AS (SELECT source, cast(n_chars AS bigint) AS v,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM documents
+           WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+pv AS (SELECT source, v,
+              cast(sum(pos) AS bigint) AS np,
+              cast(sum(1 - pos) AS bigint) AS nn
+       FROM b GROUP BY source, v),
+c AS (SELECT source, v, np, nn,
+             cast(sum(nn) OVER (PARTITION BY source ORDER BY v)
+                  AS bigint) AS cumn
+      FROM pv),
+g AS (SELECT source,
+             cast(sum(np) AS bigint) AS n_pos,
+             cast(sum(nn) AS bigint) AS n_neg,
+             sum(2.0 * cast(np AS double) * (cumn - nn)
+                 + cast(np AS double) * nn) AS u2
+      FROM c GROUP BY source)
+SELECT source, n_pos, n_neg,
+       u2 / (2.0 * cast(n_pos AS double) * n_neg) AS auc
+FROM g WHERE n_pos >= 1 AND n_neg >= 1""",
+        "gini_gain": """
+WITH cells AS (SELECT source, lang, cast(count(*) AS bigint) AS nxy
+               FROM documents
+               WHERE source IS NOT NULL AND lang IS NOT NULL
+               GROUP BY source, lang),
+px AS (SELECT source,
+              cast(sum(nxy) AS bigint) AS n,
+              cast(count(*) AS bigint) AS n_targets,
+              cast(sum(nxy * nxy) AS bigint) AS ssq
+       FROM cells GROUP BY source),
+py AS (SELECT lang, cast(sum(nxy) AS bigint) AS ny FROM cells
+       GROUP BY lang),
+parent AS (SELECT (cast(sum(ny) AS double) * sum(ny)
+                   - sum(ny * ny))
+                    / (cast(sum(ny) AS double) * sum(ny)) AS parent_gini
+           FROM py)
+SELECT source, n, n_targets,
+       (cast(n AS double) * n - ssq) / (cast(n AS double) * n) AS gini,
+       parent_gini,
+       parent_gini
+         - (cast(n AS double) * n - ssq) / (cast(n AS double) * n) AS gain
+FROM px, parent""",
+        "quantile_normalize": """
+WITH base AS (SELECT doc_id, source, cast(n_chars AS bigint) AS val
+              FROM documents WHERE n_chars IS NOT NULL),
+r AS (SELECT doc_id, source, val,
+             cast(row_number() OVER (PARTITION BY source
+                                     ORDER BY val, doc_id) AS bigint) AS rn,
+             cast(count(*) OVER (PARTITION BY source) AS bigint) AS n_group
+      FROM base),
+t AS (SELECT cast(count(*) AS bigint) AS nt FROM base),
+tr AS (SELECT r.*, ((2 * rn - 1) * nt + 2 * n_group - 1) // (2 * n_group)
+                     AS target_rank
+       FROM r, t),
+pooled AS (SELECT val AS norm_value,
+                  cast(sum(count(*)) OVER (ORDER BY val)
+                       - count(*) + 1 AS bigint) AS lo,
+                  cast(sum(count(*)) OVER (ORDER BY val) AS bigint) AS hi
+           FROM base GROUP BY val)
+SELECT doc_id, source, val AS n_chars, rn AS rank_in_group, n_group,
+       norm_value
+FROM tr JOIN pooled
+  ON tr.target_rank >= pooled.lo AND tr.target_rank <= pooled.hi""",
+        "doc_rarity": """
+WITH pairs AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+  FROM documents),
+p AS (SELECT doc_id, term FROM pairs WHERE term <> ''),
+tdf AS (SELECT term, cast(count(*) AS bigint) AS df FROM p GROUP BY term)
+SELECT doc_id,
+       cast(count(*) AS bigint) AS n_terms,
+       cast(sum(df) AS bigint) AS sum_df,
+       cast(sum(df) AS bigint) / cast(count(*) AS double) AS mean_df,
+       cast(max(df) AS bigint) AS max_df
+FROM p JOIN tdf USING (term)
+GROUP BY doc_id""",
+        "hist2d": """
+WITH b AS (SELECT event_type, cast(hour(ts) AS int) AS hour
+           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+cells AS (SELECT event_type, hour, cast(count(*) AS bigint) AS n
+          FROM b GROUP BY event_type, hour),
+mx AS (SELECT event_type, cast(sum(n) AS bigint) AS n_x FROM cells
+       GROUP BY event_type),
+my AS (SELECT hour, cast(sum(n) AS bigint) AS n_y FROM cells
+       GROUP BY hour),
+tot AS (SELECT cast(sum(n) AS bigint) AS n_total FROM cells)
+SELECT cells.event_type, cells.hour, n, n_x, n_y,
+       n / cast(n_total AS double) AS frac,
+       cast(n AS double) * n_total
+         / (cast(n_x AS double) * n_y) AS lift
+FROM cells JOIN mx USING (event_type) JOIN my USING (hour), tot""",
     }
 
 

@@ -894,3 +894,118 @@ def winsorize(
             F.coalesce((v < lo) | (v > hi), F.lit(False)).alias("clipped"),
         )
     )
+
+
+def anova_f(
+    df: DataFrame,
+    group_col: str,
+    value,
+    min_groups: int = 2,
+) -> DataFrame:
+    """One-way ANOVA F statistic across the values of ``group_col`` —
+    "does the group explain any of the variance?", the k-sample
+    generalization of a t-test (Welch's pairwise form lives in
+    operators/drift.py:welch_ttest).
+
+    Pass an INTEGER-valued ``value`` column (cents / rebased units). One
+    map-side-combinable aggregate produces per-group (n, Σx, Σx²); the
+    decomposition needs Σ_g S_g²/n_g — a sum of NON-integer doubles, so
+    its float order matters. The group frame is group-cardinality-sized
+    (bounded, e.g. event types), so the terms fold LEFT-TO-RIGHT over
+    the group-key sort order via aggregate() — the same ordered-fold
+    pattern DuckDB's list_reduce replays exactly (see ewma_smooth) —
+    making F bit-identical cross-engine. Do NOT point this at an
+    unbounded group column; the fold row is one collected array.
+
+    Returns ONE row: (n, k, ss_between, ss_within, f_stat).
+    """
+    vi = value.cast("bigint")
+    g = df.where(vi.isNotNull()).groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(vi).cast("bigint").alias("_s"),
+        F.sum(vi * vi).cast("bigint").alias("_q"),
+    )
+    # per-group term S_g²/n_g with the cast-before-product discipline
+    terms = g.select(
+        F.col(group_col).alias("_g"), "_n", "_s", "_q",
+        (F.col("_s").cast("double") * F.col("_s") / F.col("_n")).alias("_t"),
+    )
+    one = terms.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("_s").cast("bigint").alias("_ss"),
+        F.sum("_q").cast("bigint").alias("_sq"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_g", "_t"))),
+                lambda x: x["_t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_tsum"),
+    )
+    nd = F.col("n").cast("double")
+    ssb = F.col("_tsum") - F.col("_ss").cast("double") * F.col("_ss") / nd
+    ssw = F.col("_sq").cast("double") - F.col("_tsum")
+    # ss_within = 0 (every group constant) must be filtered BEFORE the F
+    # ratio is formed — ANSI mode throws on the divide-by-zero
+    kd = F.col("k").cast("double")
+    stats = (
+        one.where((F.col("k") >= min_groups) & (F.col("n") > F.col("k")))
+        .select("n", "k", ssb.alias("ss_between"), ssw.alias("ss_within"))
+        .where(F.col("ss_within") > 0)
+    )
+    return stats.select(
+        "n", "k", "ss_between", "ss_within",
+        ((F.col("ss_between") / (kd - 1))
+         / (F.col("ss_within") / (F.col("n").cast("double") - kd)))
+        .alias("f_stat"),
+    )
+
+
+def gini_gain(df: DataFrame, feature: str, target: str) -> DataFrame:
+    """Per feature-value Gini impurity of the ``target`` distribution and
+    its gain over the unconditional (parent) impurity — the LOG-FREE
+    mutual-information analog ("how much does knowing the feature purify
+    the target?"), e.g. does `source` predict `lang`. Entropy-based MI
+    needs log() and could never pass the exact hash gate; Gini is
+    polynomial in counts, so every emitted double is a ratio of exact
+    integers (Σ n_xy² stays bigint; the n² denominators follow the
+    cast-before-product discipline, same as gini_impurity).
+
+    Plan: one (feature, target) cell count shuffle — map-side combinable
+    — then two metadata-sized reductions; the parent row is a broadcast
+    cross join. Returns (feature, n, n_targets, gini, parent_gini, gain)
+    with one row per feature value; gain > 0 ⇔ conditioning on that
+    value purifies the target mix.
+    """
+    cells = (
+        df.where(F.col(feature).isNotNull() & F.col(target).isNotNull())
+        .groupBy(feature, target)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_nxy"))
+    )
+    per_x = cells.groupBy(feature).agg(
+        F.sum("_nxy").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_targets"),
+        F.sum(F.col("_nxy") * F.col("_nxy")).cast("bigint").alias("_ssq"),
+    )
+    per_y = cells.groupBy(target).agg(
+        F.sum("_nxy").cast("bigint").alias("_ny"))
+    parent = per_y.agg(
+        F.sum("_ny").cast("bigint").alias("_nt"),
+        F.sum(F.col("_ny") * F.col("_ny")).cast("bigint").alias("_ssqp"),
+    ).select(
+        ((F.col("_nt").cast("double") * F.col("_nt") - F.col("_ssqp"))
+         / (F.col("_nt").cast("double") * F.col("_nt")))
+        .alias("parent_gini"))
+    nd = F.col("n").cast("double")
+    child = (nd * F.col("n") - F.col("_ssq")) / (nd * F.col("n"))
+    return (
+        per_x.crossJoin(F.broadcast(parent))
+        .select(
+            feature, "n", "n_targets",
+            child.alias("gini"),
+            "parent_gini",
+            (F.col("parent_gini") - child).alias("gain"),
+        )
+    )

@@ -1,17 +1,19 @@
-"""Two-sample distribution drift: the Kolmogorov–Smirnov statistic.
+"""Two-sample distribution statistics: KS drift, Welch's t, CUSUM, AUC.
 
-The drift gate a training-data pipeline runs before trusting a new batch:
-"does this week's value distribution still look like last week's?" KS is
-the max gap between the two empirical CDFs — and unlike PSI or KL it
-needs NO log(), so every emitted double derives from exact integer
-cumulative counts through single IEEE divisions and passes the exact
-cross-engine hash gate.
+The drift gates a training-data pipeline runs before trusting a new
+batch: "does this week's value distribution still look like last
+week's?" (KS, Welch), "did the level shift mid-stream?" (CUSUM), and
+"does this score actually separate the two populations?" (Mann–Whitney
+AUC). All four are log-free: every emitted double derives from exact
+integer sufficient statistics through correctly-rounded IEEE ops, so
+they pass the exact cross-engine hash gate (PSI/KL/entropy never could).
 
 No reference counterpart (the reference has no ordered analytics at all —
-SURVEY.md §2.4). The naive formulation is a cumulative sum over a global
-per-key value order — the single-reducer window trap — so the cumulative
-counts run through the same two-level bucketed prefix scan as
-``operators/sweep.py:interval_concurrency`` / ``spans.py:sequence_gaps``:
+SURVEY.md §2.4). The naive CDF formulations are cumulative sums over a
+global per-key value order — the single-reducer window trap — so the
+cumulative counts run through the same two-level bucketed prefix scan as
+``operators/sweep.py:interval_concurrency`` / ``spans.py:sequence_gaps``
+(factored here as :func:`bucketed_cumsum`):
 
 1. ONE map-side-combinable shuffle collapses the corpus to per
    (key, distinct value) counts for each sample — within-value order
@@ -26,10 +28,62 @@ counts run through the same two-level bucketed prefix scan as
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ks_drift", "ks_from_counts"]
+__all__ = [
+    "ks_drift",
+    "ks_from_counts",
+    "bucketed_cumsum",
+    "welch_ttest",
+    "cusum_scan",
+    "auc_rank",
+]
+
+
+def bucketed_cumsum(
+    per_v: DataFrame,
+    key: str,
+    cols: Sequence[str],
+    value_col: str = "v",
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """Per-key INCLUSIVE cumulative sums of ``cols`` over ascending
+    ``value_col``, via the two-level bucketed prefix scan (never a
+    per-key single-task window): in-bucket running sums window on
+    (key, bucket); the cross-bucket carry is an exclusive prefix over
+    the bucket-summary frame (values/width rows per key), joined back.
+
+    Input must already be one row per (key, value) — aggregate first so
+    within-value order cannot matter. Returns the input columns plus
+    ``cum_<c>`` (bigint) for each ``c`` in ``cols``. ``bucket_width``
+    is in VALUE units: summary rows per key ≈ value_range / width.
+    """
+    b = per_v.withColumn(
+        "_bkt", F.floor(F.col(value_col) / F.lit(int(bucket_width))))
+    w_in = Window.partitionBy(key, "_bkt").orderBy(value_col)
+    for c in cols:
+        b = b.withColumn(f"_in_{c}", F.sum(c).over(w_in))
+    summary = b.groupBy(key, "_bkt").agg(
+        *[F.sum(c).alias(f"_t_{c}") for c in cols])
+    w_b = (
+        Window.partitionBy(key).orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = summary.select(
+        key, "_bkt",
+        *[F.coalesce(F.sum(f"_t_{c}").over(w_b), F.lit(0)).alias(f"_off_{c}")
+          for c in cols],
+    )
+    out = b.join(offsets, [key, "_bkt"])
+    for c in cols:
+        out = out.withColumn(
+            f"cum_{c}",
+            (F.col(f"_in_{c}") + F.col(f"_off_{c}")).cast("bigint"))
+    return out.drop("_bkt", *[f"_in_{c}" for c in cols],
+                    *[f"_off_{c}" for c in cols])
 
 
 def ks_drift(
@@ -80,27 +134,12 @@ def ks_from_counts(
     drift monitor) accumulates counts and calls this for the readout.
     Same two-level bucketed prefix scan and exact integer-derived doubles
     as :func:`ks_drift` (which is now a thin wrapper over this)."""
-    b = per_v.withColumn("_bkt", F.floor(F.col("v") / F.lit(int(bucket_width))))
-    w_in = Window.partitionBy(key, "_bkt").orderBy("v")
-    b = (
-        b.withColumn("_cuma", F.sum("ca").over(w_in))
-        .withColumn("_cumb", F.sum("cb").over(w_in))
-    )
-    summary = b.groupBy(key, "_bkt").agg(
-        F.sum("ca").alias("_ta"), F.sum("cb").alias("_tb"))
-    w_b = (
-        Window.partitionBy(key).orderBy("_bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = summary.select(
-        key, "_bkt",
-        F.coalesce(F.sum("_ta").over(w_b), F.lit(0)).alias("_offa"),
-        F.coalesce(F.sum("_tb").over(w_b), F.lit(0)).alias("_offb"),
-    )
-    cums = b.join(offsets, [key, "_bkt"]).select(
+    cums = bucketed_cumsum(
+        per_v, key, ["ca", "cb"], bucket_width=bucket_width
+    ).select(
         key, "v",
-        (F.col("_cuma") + F.col("_offa")).cast("bigint").alias("cuma"),
-        (F.col("_cumb") + F.col("_offb")).cast("bigint").alias("cumb"),
+        F.col("cum_ca").alias("cuma"),
+        F.col("cum_cb").alias("cumb"),
     )
     totals = per_v.groupBy(key).agg(
         F.sum("ca").cast("bigint").alias("n_a"),
@@ -125,3 +164,184 @@ def ks_from_counts(
         .agg(F.min("v").alias("ks_at_value"))
     )
     return ks.join(at, key).select(key, "n_a", "n_b", "ks", "ks_at_value")
+
+
+def welch_ttest(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    sample_a: Column,
+    min_n: int = 2,
+) -> DataFrame:
+    """Per-group Welch two-sample t statistic (unequal variances) between
+    the rows where ``sample_a`` is true and the rest — the parametric
+    mean-shift companion to :func:`ks_drift`'s shape test.
+
+    Pass an INTEGER-valued ``value`` (cents / rebased units). Everything
+    reduces to ONE map-side-combinable aggregate of six integer sums
+    (n, Σx, Σx² per sample); t and the Welch–Satterthwaite df are formed
+    from identical double operands in both engines (cast-before-product
+    overflow discipline, correctly-rounded IEEE sqrt/div), so the output
+    passes the exact value-hash gate. Groups where either sample has
+    < ``min_n`` rows or both variances are zero are dropped.
+
+    Returns (key, n_a, n_b, mean_a, mean_b, t_stat, df_welch).
+    """
+    vi = value.cast("bigint")
+    # NULL predicate rows belong to NEITHER sample (same policy as
+    # ks_drift) — drop, don't misfile into sample B
+    base = df.where(vi.isNotNull() & sample_a.isNotNull())
+    ia = F.when(sample_a, 1).otherwise(0)
+    g = base.groupBy(key).agg(
+        F.sum(ia).cast("bigint").alias("n_a"),
+        F.sum(1 - ia).cast("bigint").alias("n_b"),
+        F.sum(vi * ia).cast("bigint").alias("sa"),
+        F.sum(vi * (1 - ia)).cast("bigint").alias("sb"),
+        F.sum(vi * vi * ia).cast("bigint").alias("qa"),
+        F.sum(vi * vi * (1 - ia)).cast("bigint").alias("qb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    qa, qb = F.col("qa").cast("double"), F.col("qb").cast("double")
+    # sample variance via the sufficient-stat identity; cross products in
+    # DOUBLE (n·Σx² overflows int64 long before the sums do). The
+    # degenerate both-variances-zero groups are filtered BEFORE any
+    # division is formed — ANSI mode throws on divide-by-zero, so the
+    # guard must not rely on filter/projection evaluation order.
+    m = (
+        g.where(
+            (F.col("n_a") >= min_n) & (F.col("n_b") >= min_n)
+            & ((na * qa - sa * sa) + (nb * qb - sb * sb) > 0)
+        )
+        .select(
+            key, "n_a", "n_b",
+            (sa / na).alias("mean_a"),
+            (sb / nb).alias("mean_b"),
+            ((na * qa - sa * sa) / (na * (na - 1)) / na).alias("_sea"),
+            ((nb * qb - sb * sb) / (nb * (nb - 1)) / nb).alias("_seb"),
+        )
+    )
+    sea, seb = F.col("_sea"), F.col("_seb")
+    se2 = sea + seb
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    return m.select(
+        key, "n_a", "n_b", "mean_a", "mean_b",
+        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)).alias("t_stat"),
+        ((se2 * se2)
+         / (sea * sea / (nad - 1) + seb * seb / (nbd - 1)))
+        .alias("df_welch"),
+    )
+
+
+def cusum_scan(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    order_by: Sequence[str],
+    target: int,
+    threshold: int,
+) -> DataFrame:
+    """One-sided (high-side) CUSUM change detection per key: the classic
+    control chart ``s_t = max(0, s_{t-1} + (x_t − target))``, alerting
+    when any ``s_t ≥ threshold`` — "did this user's/metric's level shift
+    upward mid-stream?".
+
+    The recurrence looks inherently sequential, but it has a prefix-sum
+    closed form: with ``S_t = Σ_{i≤t}(x_i − target)`` and ``S_0 = 0``,
+
+        s_t = S_t − min(0, min_{j≤t} S_j)
+
+    so the whole scan is TWO expanding-frame window expressions (running
+    sum, then running min of it) over one per-key sort — O(n), no fold,
+    no UDF — and every value is an exact bigint (pass integer cents), so
+    the output hash-matches any engine. Keys partition the sort: no
+    single-reducer stage; a key's rows must fit a sort spill, which the
+    sort-based window guarantees.
+
+    Returns (key, n, final_cusum, max_cusum, alert).
+    """
+    d = (value.cast("bigint") - F.lit(int(target))).alias("_d")
+    base = df.where(value.isNotNull()).select(key, *order_by, d)
+    w = (
+        Window.partitionBy(key).orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = base.withColumn("_s", F.sum("_d").over(w))
+    # running min of the running sum needs a second window pass over the
+    # SAME partitioning+order — Catalyst reuses the sort, no new exchange
+    c = s.withColumn(
+        "_c",
+        F.col("_s")
+        - F.least(F.lit(0).cast("bigint"), F.min("_s").over(w)),
+    )
+    return c.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        # final s_n = S_n − min(0, min_t S_t): both terms are plain
+        # aggregates of the windowed columns — no "last row" lookup
+        (F.sum("_d") - F.least(F.lit(0).cast("bigint"), F.min("_s")))
+        .cast("bigint").alias("final_cusum"),
+        F.max("_c").cast("bigint").alias("max_cusum"),
+    ).withColumn("alert", F.col("max_cusum") >= F.lit(int(threshold)))
+
+
+def auc_rank(
+    df: DataFrame,
+    key: str,
+    score: Column,
+    label: Column,
+    bucket_width: int = 1024,
+    min_each: int = 1,
+) -> DataFrame:
+    """Per-group ROC AUC of ``score`` separating ``label`` true/false —
+    the Mann–Whitney U statistic with ties counted half, i.e. the
+    probability a random positive outscores a random negative. The
+    "does this quality score actually rank good docs above bad ones?"
+    gate of a curation pipeline.
+
+    Plan: ONE shuffle to per-(key, distinct score) positive/negative
+    counts, then the same two-level :func:`bucketed_cumsum` prefix scan
+    as KS — never a per-row rank window. With ``cum_neg_lt(v)`` the
+    negatives strictly below v:
+
+        U = Σ_v  n_pos(v)·cum_neg_lt(v) + n_pos(v)·n_neg(v)/2
+
+    summed as doubled-U to stay integral. Products run in DOUBLE
+    (cast-before-product discipline); each term is an integer-valued
+    double, so the sum is EXACT and order-independent while
+    2U < 2^53 — i.e. up to ~10^8 rows per group per side, beyond which
+    only the last bits of a statistic in [0,1] wobble. Groups with
+    fewer than ``min_each`` rows on either side are dropped.
+
+    Returns (key, n_pos, n_neg, auc).
+    """
+    vi = score.cast("bigint")
+    per_v = (
+        df.where(vi.isNotNull() & label.isNotNull())
+        .groupBy(key, vi.alias("v"))
+        .agg(
+            F.sum(F.when(label, 1).otherwise(0)).cast("bigint").alias("np"),
+            F.sum(F.when(label, 0).otherwise(1)).cast("bigint").alias("nn"),
+        )
+    )
+    cums = bucketed_cumsum(per_v, key, ["np", "nn"],
+                           bucket_width=bucket_width)
+    npd = F.col("np").cast("double")
+    term = (
+        F.lit(2.0) * npd * (F.col("cum_nn") - F.col("nn"))
+        + npd * F.col("nn")
+    )
+    g = cums.groupBy(key).agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+        F.sum(term).alias("_u2"),
+    )
+    return (
+        g.where((F.col("n_pos") >= min_each) & (F.col("n_neg") >= min_each))
+        .select(
+            key, "n_pos", "n_neg",
+            (F.col("_u2")
+             / (F.lit(2.0) * F.col("n_pos").cast("double")
+                * F.col("n_neg"))).alias("auc"),
+        )
+    )

@@ -220,3 +220,40 @@ def benford_digits(df: DataFrame, key: str, value) -> DataFrame:
         )
         .withColumn("dev", F.col("obs_frac") - F.col("expected"))
     )
+
+
+def hist2d(df: DataFrame, x: str, y: str, min_n: int = 1) -> DataFrame:
+    """2-D categorical/bucketed histogram with independence lift — the
+    activity-heatmap profiler ("which (event_type, hour) cells run hot
+    relative to their marginals?"). Pass pre-bucketed columns (ints or
+    categories); the operator never buckets for you, so the cell grid is
+    whatever grain the caller chose.
+
+    Plan: one (x, y) cell count — map-side combinable — plus two
+    metadata-sized marginal reductions broadcast back; the scalar total
+    is a broadcast cross join. frac and lift are raw doubles from exact
+    integer counts with the cast-before-product overflow discipline
+    (n_x·n_y of two corpus-scale marginals overflows int64), so the
+    table passes the exact cross-engine hash gate.
+
+    Returns (x, y, n, n_x, n_y, frac, lift); lift > 1 ⇔ the cell is
+    overrepresented vs independent marginals.
+    """
+    base = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+    cells = base.groupBy(x, y).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    mx = cells.groupBy(x).agg(F.sum("n").cast("bigint").alias("n_x"))
+    my = cells.groupBy(y).agg(F.sum("n").cast("bigint").alias("n_y"))
+    total = cells.agg(F.sum("n").cast("bigint").alias("n_total"))
+    return (
+        cells.where(F.col("n") >= min_n)
+        .join(F.broadcast(mx), x)
+        .join(F.broadcast(my), y)
+        .crossJoin(F.broadcast(total))
+        .select(
+            x, y, "n", "n_x", "n_y",
+            (F.col("n") / F.col("n_total")).alias("frac"),
+            (F.col("n").cast("double") * F.col("n_total")
+             / (F.col("n_x").cast("double") * F.col("n_y"))).alias("lift"),
+        )
+    )

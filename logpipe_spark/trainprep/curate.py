@@ -480,3 +480,96 @@ def split_leakage(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    rank_bucket: int = 4096,
+) -> DataFrame:
+    """Quantile-normalize ``value_col`` ACROSS groups: replace each row's
+    value with the pooled corpus value at the same within-group quantile,
+    so every group ends up with the identical (pooled) distribution —
+    the standard cross-source calibration before length/quality cuts
+    ("src7's scores run hot; compare ranks, not raw values").
+
+    Discrete and integer-exact end to end (no interpolation, so the
+    output hash-matches any engine): row's within-group quantile is the
+    midrank q = (2·rn − 1)/(2·n_g); its pooled target rank is
+    ceil(q·N), computed in INTEGER arithmetic — exact while
+    2·rn·N < 2^63 (N ≲ 2e9 at equal group sizes; past that the products
+    need decimal(38)).
+
+    Plan, three shuffles, none global:
+    1. within-group row_number over (value, id) — sort-based window,
+       partitioned by group, spills; no single-reducer stage.
+    2. pooled rank intervals WITHOUT a global sort: per distinct value
+       counts (map-side combinable), then the two-level bucketed prefix
+       scan (operators/drift.py:bucketed_cumsum) gives each distinct
+       value its rank interval [cum−cnt+1, cum].
+    3. target_rank → pooled value is a bucketed interval join on the
+       RANK axis (each rank meets its covering interval in exactly one
+       rank-bucket — the rangejoin.py trick), never a BNL join.
+
+    Returns (id, group, value, rank_in_group, n_group, norm_value).
+    """
+    from pyspark.sql import Window
+
+    from logpipe_spark.operators.drift import bucketed_cumsum
+
+    v = F.col(value_col).cast("bigint")
+    base = df.where(v.isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        v.alias("val"),
+    )
+    w = Window.partitionBy("grp").orderBy("val", "id")
+    ranked = (
+        base.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "n_group",
+            F.count(F.lit(1)).over(Window.partitionBy("grp")).cast("bigint"))
+    )
+    total = base.agg(F.count(F.lit(1)).cast("bigint").alias("_nt"))
+    # ceil(((2rn−1)·N) / (2n_g)) in pure INTEGER math: add (den−1), then
+    # truncating integer division — Spark's `div`, DuckDB's `//`
+    ranked = (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("_num",
+                    (F.lit(2) * F.col("rn") - 1) * F.col("_nt")
+                    + F.lit(2) * F.col("n_group") - 1)
+        .withColumn("_den", F.lit(2) * F.col("n_group"))
+        .withColumn("_tr", F.expr("_num div _den").cast("bigint"))
+        .drop("_nt", "_num", "_den")
+    )
+
+    per_val = base.groupBy("val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    pooled = bucketed_cumsum(
+        per_val.withColumn("_all", F.lit(1)),
+        "_all", ["cnt"], value_col="val",
+    ).select(
+        F.col("val").alias("norm_value"),
+        (F.col("cum_cnt") - F.col("cnt") + 1).alias("_lo"),
+        F.col("cum_cnt").alias("_hi"),
+    )
+    wb = F.lit(int(rank_bucket))
+    iv = pooled.withColumn(
+        "_rbkt",
+        F.explode(F.sequence(F.floor(F.col("_lo") / wb),
+                             F.floor(F.col("_hi") / wb))))
+    pt = ranked.withColumn("_rbkt", F.floor(F.col("_tr") / wb))
+    return (
+        pt.join(iv, "_rbkt")
+        .where((F.col("_tr") >= F.col("_lo")) & (F.col("_tr") <= F.col("_hi")))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            F.col("val").alias(value_col),
+            F.col("rn").alias("rank_in_group"),
+            "n_group",
+            "norm_value",
+        )
+    )

@@ -369,3 +369,49 @@ def doc_keywords(docs: DataFrame, text_col: str = "text",
         .select("doc_id", "word", "tf", "df",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def doc_rarity(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Vocabulary-rarity profile per document: how COMMON are this doc's
+    distinct terms across the corpus? Low mean document frequency ⇒ rare
+    vocabulary (jargon, misspellings, other languages); high ⇒ generic
+    boilerplate. The cheap "is this doc lexically unusual?" signal a
+    curation pass runs before spending embedding compute.
+
+    Plan: distinct (doc, term) pairs via a NARROW array_distinct on the
+    split — no groupBy-dedup shuffle; term document-frequencies are one
+    map-side-combinable count (vocabulary-sized result); the join back
+    to pairs is a plain equi shuffle join keyed by term, skew-safe under
+    AQE (stop-word terms are hot keys, but each carries only its df).
+    All outputs are exact integers plus one raw double division
+    (sum_df/n_terms), so the table hash-matches cross-engine.
+
+    Returns (doc_id, n_terms, sum_df, mean_df, max_df).
+    """
+    pairs = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(F.split(F.col(text_col), " "))
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    term_df = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    return (
+        pairs.join(term_df, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("df").cast("bigint").alias("sum_df"),
+            F.max("df").cast("bigint").alias("max_df"),
+        )
+        .select(
+            id_col, "n_terms", "sum_df",
+            (F.col("sum_df") / F.col("n_terms").cast("double"))
+            .alias("mean_df"),
+            "max_df",
+        )
+    )

@@ -1,0 +1,256 @@
+"""Round-2 continuation batch 10: two-sample / k-sample statistics
+(Welch t, ANOVA F, CUSUM change detection, Mann–Whitney AUC), Gini-gain
+association, quantile normalization, vocabulary rarity, 2-D heatmap.
+
+Oracle parity runs in the driver gate; here we assert ENGINE invariants
+the oracle can't see: brute-force recurrence/pairwise equivalence,
+known-answer hand cases, degenerate-group filtering, plan shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from logpipe_spark.operators.aggregate import anova_f, gini_gain
+from logpipe_spark.operators.drift import auc_rank, cusum_scan, welch_ttest
+from logpipe_spark.operators.profile import hist2d
+from logpipe_spark.trainprep.curate import quantile_normalize
+from logpipe_spark.trainprep.textqual import doc_rarity
+
+
+# ----------------------------------------------------------------- CUSUM
+
+def _cusum_brute(xs, k):
+    s, smax = 0, 0
+    for x in xs:
+        s = max(0, s + (x - k))
+        smax = max(smax, s)
+    return s, smax
+
+
+def test_cusum_matches_brute_force_recurrence(spark):
+    xs = [5, 5, 9, 1, 2, 14, 14, 3, 0, 8, 8, 8]
+    rows = [("a", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, i int, x int")
+    out = cusum_scan(df, "k", F.col("x"), ["i"], target=5,
+                     threshold=10).collect()
+    assert len(out) == 1
+    final, smax = _cusum_brute(xs, 5)
+    r = out[0]
+    assert (r.final_cusum, r.max_cusum) == (final, smax)
+    assert r.n == len(xs)
+    assert r.alert == (smax >= 10)
+
+
+def test_cusum_resets_after_dips_and_per_key(spark):
+    # key a: spike then long dip — final resets to 0, max remembers spike
+    # key b: monotone drift — final == max
+    rows = ([("a", i, v) for i, v in enumerate([9, 9, 0, 0, 0, 0])]
+            + [("b", i, 7) for i in range(4)])
+    df = spark.createDataFrame(rows, "k string, i int, x int")
+    out = {r.k: r for r in
+           cusum_scan(df, "k", F.col("x"), ["i"], target=5,
+                      threshold=8).collect()}
+    assert (out["a"].final_cusum, out["a"].max_cusum) == (0, 8)
+    assert out["a"].alert
+    assert (out["b"].final_cusum, out["b"].max_cusum) == (8, 8)
+
+
+def test_cusum_single_sort_plan(spark):
+    df = spark.createDataFrame([("a", 1, 1)], "k string, i int, x int")
+    plan = (cusum_scan(df, "k", F.col("x"), ["i"], target=0, threshold=1)
+            ._jdf.queryExecution().executedPlan().toString())
+    # running-sum and running-min-of-sum share the (k)-partitioned order:
+    # one Sort, one window exchange — the naive per-row fold can't even
+    # be expressed without a UDF
+    assert plan.count("+- Sort ") == 1, plan
+
+
+# --------------------------------------------------------------- Welch t
+
+def _welch_brute(a, b):
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    dfw = se2 ** 2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    return t, dfw
+
+
+def test_welch_known_samples(spark):
+    a = [10, 12, 14, 16, 18, 20]
+    b = [11, 11, 12, 12]
+    rows = [("g", x, True) for x in a] + [("g", x, False) for x in b]
+    df = spark.createDataFrame(rows, "k string, x int, ia boolean")
+    r = welch_ttest(df, "k", F.col("x"), F.col("ia")).collect()[0]
+    t, dfw = _welch_brute(a, b)
+    assert (r.n_a, r.n_b) == (6, 4)
+    assert abs(r.t_stat - t) < 1e-12
+    assert abs(r.df_welch - dfw) < 1e-9
+    assert r.mean_a == sum(a) / 6 and r.mean_b == sum(b) / 4
+
+
+def test_welch_drops_degenerate_groups(spark):
+    rows = (
+        # both samples constant → zero pooled variance: dropped
+        [("const", 5, True)] * 3 + [("const", 5, False)] * 3
+        # one side too small (n_b = 1): dropped
+        + [("tiny", x, True) for x in (1, 2, 3)] + [("tiny", 9, False)]
+        # NULL predicate rows belong to neither sample
+        + [("ok", x, True) for x in (1, 2, 3)]
+        + [("ok", x, False) for x in (7, 9)]
+        + [("ok", 1000, None)]
+    )
+    df = spark.createDataFrame(rows, "k string, x int, ia boolean")
+    out = {r.k: r for r in welch_ttest(df, "k", F.col("x"),
+                                       F.col("ia")).collect()}
+    assert set(out) == {"ok"}
+    assert (out["ok"].n_a, out["ok"].n_b) == (3, 2)  # null row excluded
+    assert out["ok"].t_stat < 0  # sample A clearly below B
+
+
+# --------------------------------------------------------------- ANOVA F
+
+def test_anova_known_decomposition(spark):
+    groups = {"a": [1, 2, 3], "b": [4, 5, 6], "c": [7, 8, 9]}
+    rows = [(g, x) for g, xs in groups.items() for x in xs]
+    df = spark.createDataFrame(rows, "g string, x int")
+    r = anova_f(df, "g", F.col("x")).collect()[0]
+    # hand decomposition: grand mean 5, SSB = 3*(16+0+16) ... over means
+    all_x = [x for xs in groups.values() for x in xs]
+    gm = sum(all_x) / len(all_x)
+    ssb = sum(len(xs) * (sum(xs) / len(xs) - gm) ** 2
+              for xs in groups.values())
+    ssw = sum((x - sum(xs) / len(xs)) ** 2
+              for xs in groups.values() for x in xs)
+    assert (r.n, r.k) == (9, 3)
+    assert abs(r.ss_between - ssb) < 1e-9
+    assert abs(r.ss_within - ssw) < 1e-9
+    assert abs(r.f_stat - (ssb / 2) / (ssw / 6)) < 1e-9
+
+
+def test_anova_all_constant_filtered(spark):
+    df = spark.createDataFrame(
+        [("a", 5)] * 3 + [("b", 5)] * 3, "g string, x int")
+    assert anova_f(df, "g", F.col("x")).count() == 0
+
+
+# ------------------------------------------------------ Mann–Whitney AUC
+
+def _auc_brute(pos, neg):
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0
+               for p in pos for n in neg)
+    return wins / (len(pos) * len(neg))
+
+
+def test_auc_brute_force_with_ties(spark):
+    pos = [3, 5, 5, 8, 10]
+    neg = [1, 3, 5, 6]
+    rows = ([("g", x, True) for x in pos] + [("g", x, False) for x in neg])
+    df = spark.createDataFrame(rows, "k string, x int, y boolean")
+    r = auc_rank(df, "k", F.col("x"), F.col("y")).collect()[0]
+    assert (r.n_pos, r.n_neg) == (5, 4)
+    assert r.auc == _auc_brute(pos, neg)
+
+
+def test_auc_extremes_and_bucket_carry(spark):
+    # perfect separation across bucket boundaries (values straddle the
+    # 1024-wide prefix-scan buckets) → exactly 1.0; reversed → 0.0
+    pos = [5000, 6000, 7000]
+    neg = [10, 2000, 3000]
+    rows = [("sep", x, True) for x in pos] + [("sep", x, False) for x in neg]
+    rows += [("rev", x, False) for x in pos] + [("rev", x, True) for x in neg]
+    rows += [("coin", 7, True), ("coin", 7, False)]  # all tied → 0.5
+    df = spark.createDataFrame(rows, "k string, x int, y boolean")
+    out = {r.k: r.auc for r in
+           auc_rank(df, "k", F.col("x"), F.col("y")).collect()}
+    assert out == {"sep": 1.0, "rev": 0.0, "coin": 0.5}
+
+
+# --------------------------------------------------------------- Gini gain
+
+def test_gini_gain_pure_and_independent(spark):
+    # feature p: pure targets (each value → one lang): child gini 0,
+    # gain == parent gini. feature rows are built so the parent mix is
+    # 6 en / 6 fr → parent gini = 0.5 exactly.
+    rows = ([("p1", "en")] * 3 + [("p2", "fr")] * 3
+            + [("m", "en")] * 3 + [("m", "fr")] * 3)
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = {r.source: r for r in gini_gain(df, "source", "lang").collect()}
+    assert out["p1"].gini == 0.0 and out["p1"].gain == 0.5
+    assert out["p2"].gini == 0.0 and out["p2"].gain == 0.5
+    # the mixed value mirrors the parent mix exactly → zero gain
+    assert out["m"].gini == 0.5 and out["m"].gain == 0.0
+    assert all(r.parent_gini == 0.5 for r in out.values())
+
+
+# ------------------------------------------------------ quantile normalize
+
+def test_quantile_normalize_equalizes_group_distributions(spark):
+    # two equal-size groups with shifted scales: after normalization the
+    # multiset of values per group must be IDENTICAL (that's the point)
+    a = [10, 20, 30, 40]
+    b = [1000, 2000, 3000, 4000]
+    rows = ([("a", i, v) for i, v in enumerate(a)]
+            + [("b", 100 + i, v) for i, v in enumerate(b)])
+    df = spark.createDataFrame(rows, "source string, doc_id int, n_chars int")
+    out = quantile_normalize(df, "source", "n_chars", "doc_id").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.source, []).append(r.norm_value)
+    assert sorted(by_group["a"]) == sorted(by_group["b"])
+    # rank order is preserved within each group
+    ranked = sorted((r for r in out if r.source == "a"),
+                    key=lambda r: r.rank_in_group)
+    assert [r.n_chars for r in ranked] == a
+    assert all(x <= y for x, y in
+               zip([r.norm_value for r in ranked],
+                   [r.norm_value for r in ranked][1:]))
+
+
+def test_quantile_normalize_row_preserving(spark):
+    rows = [("a", i, v) for i, v in enumerate([5, 5, 7])] + [
+        ("b", 10, 100), ("b", 11, None)]
+    df = spark.createDataFrame(rows, "source string, doc_id int, n_chars int")
+    out = quantile_normalize(df, "source", "n_chars", "doc_id")
+    assert out.count() == 4  # null value dropped, ties kept
+    assert out.select("doc_id").distinct().count() == 4
+
+
+# ------------------------------------------------------------- doc rarity
+
+def test_doc_rarity_hand_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat"), (3, "the the unique")],
+        "doc_id int, text string")
+    out = {r.doc_id: r for r in doc_rarity(df).collect()}
+    # df: the=3, sat=2, cat=1, dog=1, unique=1 (distinct per doc)
+    assert (out[1].n_terms, out[1].sum_df, out[1].max_df) == (3, 6, 3)
+    assert out[1].mean_df == 2.0
+    assert (out[3].n_terms, out[3].sum_df) == (2, 4)  # 'the' counted once
+    assert out[3].mean_df == 2.0
+
+
+# ----------------------------------------------------------------- hist2d
+
+def test_hist2d_marginals_and_independence(spark):
+    # independent 2x2 grid, 4 rows each → every lift exactly 1.0
+    rows = [(a, b) for a in ("x", "y") for b in (0, 1) for _ in range(4)]
+    df = spark.createDataFrame(rows, "t string, h int")
+    out = hist2d(df, "t", "h").collect()
+    assert len(out) == 4
+    assert all(r.lift == 1.0 and r.frac == 0.25 for r in out)
+    assert all(r.n_x == 8 and r.n_y == 8 for r in out)
+
+
+def test_hist2d_hot_cell_lift(spark):
+    rows = [("x", 0)] * 6 + [("x", 1)] * 2 + [("y", 0)] * 2 + [("y", 1)] * 6
+    df = spark.createDataFrame(rows, "t string, h int")
+    out = {(r.t, r.h): r for r in hist2d(df, "t", "h").collect()}
+    assert out[("x", 0)].lift == (6 * 16) / (8 * 8)  # 1.5, diagonal hot
+    assert out[("x", 1)].lift == (2 * 16) / (8 * 8)  # 0.5
+    assert sum(r.n for r in out.values()) == 16
