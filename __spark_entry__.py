@@ -2819,6 +2819,68 @@ def q_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("hour", F.hour("ts")), "event_type", "hour")
 
 
+def q_cusum_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Segment-parallel CUSUM (operators/drift.py:cusum_partials/
+    # cusum_merge): per-(user, day) monoid partials folded in epoch
+    # order — the date-partitioned-parquet scan shape. The oracle is the
+    # FULL-stream closed form (same SQL as cusum_alert), so the gate
+    # itself proves segment merge == global scan.
+    from logpipe_spark.operators.drift import cusum_merge, cusum_partials
+
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    p = cusum_partials(
+        ev, "user_id",
+        F.floor(F.col("ts").cast("long") / 86400),
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        ["ts", "event_id"], target=5000)
+    return cusum_merge(p, "user_id", threshold=50000)
+
+
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Drain-style template mining (operators/parse.py:log_templates)
+    # over the reassembled event message line: every variable number
+    # collapses to '#', leaving the message SHAPES and their heat — the
+    # triage view a log pipeline starts from. Pure codegen: one
+    # regexp_replace + one combinable aggregate.
+    from logpipe_spark.operators.parse import log_templates
+
+    ev = _events(spark, sf_dir).where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("props").isNotNull())
+    msg = F.concat(
+        F.col("event_type"), F.lit(" user="),
+        F.col("user_id").cast("string"), F.lit(" cents="),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        .cast("string"), F.lit(" "), F.col("props"))
+    return log_templates(ev.withColumn("msg", msg), "msg")
+
+
+def q_holt_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Holt double-exponential level+trend smoothing per user
+    # (operators/aggregate.py:holt_smooth): the trend-aware sibling of
+    # ewma_smooth — the fold carries a STRUCT (level, trend)
+    # accumulator, still strictly left-to-right, which DuckDB's
+    # list_reduce replays over identically-cast struct elements.
+    from logpipe_spark.operators.aggregate import holt_smooth
+
+    ev = _events(spark, sf_dir)
+    return holt_smooth(
+        ev, "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+        ["ts", "event_id"], alpha=0.3, beta=0.1)
+
+
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairwise vocabulary Jaccard between sources
+    # (trainprep/curate.py:vocab_overlap): the group-level redundancy
+    # scan — terms as baskets, sources as items, so a stop word costs
+    # one row per source PAIR, never per occurrence.
+    from logpipe_spark.trainprep.curate import vocab_overlap
+
+    return vocab_overlap(_docs(spark, sf_dir), "source", "text")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2977,6 +3039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "doc_rarity": q_doc_rarity,
         "hist2d": q_hist2d,
+        "cusum_merged": q_cusum_merged,
+        "log_templates": q_log_templates,
+        "holt_smooth": q_holt_smooth,
+        "vocab_overlap": q_vocab_overlap,
     }
 
 
@@ -2992,6 +3058,8 @@ def _oracle_sql_base() -> dict[str, str]:
     benford_case = " ".join(
         f"WHEN {d} THEN {v!r}" for d, v in BENFORD_EXPECTED.items())
     ewma_a, ewma_m = repr(0.3), repr(1.0 - 0.3)
+    holt_a, holt_ma = repr(0.3), repr(1.0 - 0.3)
+    holt_b, holt_mb = repr(0.1), repr(1.0 - 0.1)
     stats_cols = """cast(count({v}) AS bigint) AS count,
        cast(sum({v}) AS double) AS sum,
        cast(min({v}) AS double) AS min,
@@ -4595,6 +4663,64 @@ SELECT cells.event_type, cells.hour, n, n_x, n_y,
        cast(n AS double) * n_total
          / (cast(n_x AS double) * n_y) AS lift
 FROM cells JOIN mx USING (event_type) JOIN my USING (hour), tot""",
+        # NOTE: a list_reduce struct fold is WRONG here — DuckDB evaluates
+        # the lambda's struct fields sequentially with the accumulator
+        # mutated in place, so the 'b' expression sees the NEW 'l'
+        # (verified: (acc,x)->{{'l':acc.l+1,'b':acc.l*10}} yields b=20 after
+        # two steps, not 10). A recursive CTE has standard semantics; the
+        # qualified r.l/r.tr references replay Spark's operand order
+        # exactly → bit-identical doubles.
+        "holt_smooth": f"""
+WITH RECURSIVE b AS (
+  SELECT user_id, ts, event_id,
+         cast(cast(floor(value * 100 + 0.5) AS bigint) AS double) AS v
+  FROM events WHERE value IS NOT NULL),
+g AS (SELECT user_id, list(v ORDER BY ts, event_id) AS xs
+      FROM b GROUP BY user_id),
+r AS (
+  SELECT user_id, xs, 1 AS i, len(xs) AS n,
+         xs[1] AS l, cast(0.0 AS double) AS tr
+  FROM g
+  UNION ALL
+  SELECT user_id, xs, i + 1 AS i, n,
+         {holt_a} * xs[i + 1] + {holt_ma} * (r.l + r.tr) AS l,
+         {holt_b} * (({holt_a} * xs[i + 1] + {holt_ma} * (r.l + r.tr))
+                     - r.l) + {holt_mb} * r.tr AS tr
+  FROM r WHERE i < n)
+SELECT user_id, cast(n AS bigint) AS n,
+       l AS level, tr AS trend, l + tr AS forecast
+FROM r WHERE i = n""",
+        "log_templates": """
+WITH m AS (
+  SELECT event_type || ' user=' || cast(user_id AS varchar)
+         || ' cents='
+         || cast(cast(floor(value * 100 + 0.5) AS bigint) AS varchar)
+         || ' ' || props AS msg
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+    AND user_id IS NOT NULL AND props IS NOT NULL)
+SELECT regexp_replace(msg, '[0-9]+', '#', 'g') AS skeleton,
+       cast(count(*) AS bigint) AS n,
+       cast(count(DISTINCT msg) AS bigint) AS n_variants,
+       min(msg) AS example
+FROM m GROUP BY skeleton""",
+        "vocab_overlap": """
+WITH terms AS (
+  SELECT DISTINCT source AS grp,
+         unnest(list_distinct(string_split(text, ' '))) AS term
+  FROM documents WHERE source IS NOT NULL),
+t AS (SELECT grp, term FROM terms WHERE term <> ''),
+v AS (SELECT grp, cast(count(*) AS bigint) AS vocab FROM t GROUP BY grp),
+shared AS (SELECT a.grp AS group_a, b.grp AS group_b,
+                  cast(count(*) AS bigint) AS shared
+           FROM t a JOIN t b ON a.term = b.term AND a.grp < b.grp
+           GROUP BY a.grp, b.grp)
+SELECT group_a, group_b,
+       va.vocab AS vocab_a, vb.vocab AS vocab_b, shared,
+       shared / cast(va.vocab + vb.vocab - shared AS double) AS jaccard
+FROM shared
+JOIN v va ON va.grp = group_a
+JOIN v vb ON vb.grp = group_b""",
     }
 
 
@@ -4604,4 +4730,7 @@ def _add_segmented_aliases(oracles: dict[str, str]) -> dict[str, str]:
     oracle-verified."""
     oracles["asof_join_seg"] = oracles["asof_join"]
     oracles["sessionize_seg"] = oracles["sessionize"]
+    # segment-parallel CUSUM must equal the full-stream scan: sharing the
+    # oracle verbatim IS the merge==scan equivalence proof
+    oracles["cusum_merged"] = oracles["cusum_alert"]
     return oracles

@@ -1009,3 +1009,66 @@ def gini_gain(df: DataFrame, feature: str, target: str) -> DataFrame:
             (F.col("parent_gini") - child).alias("gain"),
         )
     )
+
+
+def holt_smooth(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    order_cols: Sequence[str],
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Holt double-exponential smoothing per key — EWMA's trend-aware
+    sibling: level ``l ← α·x + (1−α)(l+b)`` and trend ``b ← β(l−l_prev)
+    + (1−β)b``, seeded l₁ = x₁, b₁ = 0. The readout is the one-step
+    forecast ``l + b`` — "where is this metric heading?", which a plain
+    EWMA (no trend state) systematically lags on drifting series.
+
+    The fold carries a STRUCT accumulator (level, trend) — the same
+    ordered left-to-right ``aggregate()`` as :func:`ewma_smooth`, which
+    DuckDB's list_reduce replays over identically-cast struct elements,
+    so both doubles are bit-identical cross-engine. The new-level
+    subexpression appears twice inside the step (once for l, once for
+    l−l_prev); both engines duplicate the SAME operand tree, so the
+    duplication is harmless for exactness.
+
+    BOUNDED-STATE discipline as ewma_smooth: one array per key in one
+    task — session-sized keys, or pre-segment first.
+
+    Returns (key, n, level, trend, forecast).
+    """
+    a, b = float(alpha), float(beta)
+    ma, mb = 1.0 - a, 1.0 - b
+    grouped = (
+        df.where(value.isNotNull())
+        .groupBy(key)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(
+                    *[F.col(c).alias(f"_o{i}") for i, c in
+                      enumerate(order_cols)],
+                    value.cast("double").alias("_v"),
+                ))
+            ).alias("_arr"),
+        )
+        .select(key, F.expr("transform(_arr, s -> s._v)").alias("_xs"))
+    )
+    new_l = f"({a!r}D * x + {ma!r}D * (acc.l + acc.b))"
+    fold = F.expr(
+        "aggregate(slice(_xs, 2, greatest(size(_xs) - 1, 0)), "
+        "named_struct('l', element_at(_xs, 1), 'b', 0.0D), "
+        f"(acc, x) -> named_struct("
+        f"'l', {new_l}, "
+        f"'b', {b!r}D * ({new_l} - acc.l) + {mb!r}D * acc.b))"
+    )
+    return grouped.select(
+        key,
+        F.size("_xs").cast("bigint").alias("n"),
+        fold.alias("_st"),
+    ).select(
+        key, "n",
+        F.col("_st.l").alias("level"),
+        F.col("_st.b").alias("trend"),
+        (F.col("_st.l") + F.col("_st.b")).alias("forecast"),
+    )

@@ -345,3 +345,102 @@ def auc_rank(
                 * F.col("n_neg"))).alias("auc"),
         )
     )
+
+
+def cusum_partials(
+    df: DataFrame,
+    key: str,
+    epoch: Column,
+    value: Column,
+    order_by: Sequence[str],
+    target: int,
+) -> DataFrame:
+    """Per (key, epoch-segment) CUSUM MONOID partials — the mergeable
+    form of :func:`cusum_scan` for data that arrives in time-contiguous
+    segments (date-partitioned parquet, daily batches): each segment is
+    scanned independently (no global per-key sort), and
+    :func:`cusum_merge` composes the segment states in epoch order.
+
+    The state per segment, over d_t = x_t − target with prefix sums S_t:
+
+        (s = Σd,  m = min_t S_t,  big_m = max_t S_t,
+         g = max_t (S_t − min_{j≤t} S_j))
+
+    is associative under segment concatenation (A then B):
+
+        s = sA+sB;  m = min(mA, sA+mB);  big_m = max(MA, sA+MB);
+        g = max(gA, gB, sA + MB − mA)
+
+    so day-partitioned scans compose EXACTLY into the full-stream CUSUM
+    without re-sorting the corpus — the scan becomes embarrassingly
+    parallel across segments. ``epoch`` must be monotone in the event
+    order (e.g. floor(epoch_sec/86400)); segments must not interleave.
+
+    Returns (key, epoch, n, s, m, big_m, g) — all exact bigint.
+    """
+    d = (value.cast("bigint") - F.lit(int(target))).alias("_d")
+    base = df.where(value.isNotNull()).select(
+        key, epoch.cast("bigint").alias("epoch"), *order_by, d)
+    w = (
+        Window.partitionBy(key, "epoch").orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = base.withColumn("_s", F.sum("_d").over(w))
+    c = s.withColumn("_gap", F.col("_s") - F.min("_s").over(w))
+    return c.groupBy(key, "epoch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_d").cast("bigint").alias("s"),
+        F.min("_s").cast("bigint").alias("m"),
+        F.max("_s").cast("bigint").alias("big_m"),
+        F.max("_gap").cast("bigint").alias("g"),
+    )
+
+
+def cusum_merge(
+    partials: DataFrame,
+    key: str,
+    threshold: int,
+) -> DataFrame:
+    """Fold per-segment CUSUM monoid states (from :func:`cusum_partials`)
+    in epoch order into the exact full-stream readout — identical output
+    contract to :func:`cusum_scan` (key, n, final_cusum, max_cusum,
+    alert), proving segment-parallel == global scan.
+
+    The fold is per key over its EPOCH-count-sized state list (bounded:
+    days, not rows) via a left-to-right aggregate() — first segment as
+    the init, so no ±infinity identity element is needed.
+    """
+    collected = partials.groupBy(key).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("epoch", "s", "m", "big_m", "g"))),
+            lambda x: F.struct(
+                x["s"].alias("s"), x["m"].alias("m"),
+                x["big_m"].alias("big_m"), x["g"].alias("g")),
+        ).alias("_states"),
+    )
+    st = F.col("_states")
+    merged = collected.select(
+        key, "n",
+        F.aggregate(
+            F.slice(st, F.lit(2), F.greatest(F.size(st) - 1, F.lit(0))),
+            F.element_at(st, 1),
+            lambda acc, x: F.struct(
+                (acc["s"] + x["s"]).alias("s"),
+                F.least(acc["m"], acc["s"] + x["m"]).alias("m"),
+                F.greatest(acc["big_m"],
+                           acc["s"] + x["big_m"]).alias("big_m"),
+                F.greatest(acc["g"], x["g"],
+                           acc["s"] + x["big_m"] - acc["m"]).alias("g"),
+            ),
+        ).alias("_st"),
+    )
+    return merged.select(
+        key, "n",
+        (F.col("_st.s")
+         - F.least(F.lit(0).cast("bigint"), F.col("_st.m")))
+        .cast("bigint").alias("final_cusum"),
+        F.greatest(F.col("_st.big_m"), F.col("_st.g"))
+        .cast("bigint").alias("max_cusum"),
+    ).withColumn("alert", F.col("max_cusum") >= F.lit(int(threshold)))

@@ -151,3 +151,41 @@ def reassemble_text(df: DataFrame) -> Column:
         F.col("method"), F.lit(" "), F.col("path"), F.lit(" -> "),
         F.col("status").cast("string"), F.lit(": "), F.col("msg"),
     )
+
+
+def log_templates(
+    df: DataFrame,
+    text_col: str,
+    mask: str = "[0-9]+",
+    placeholder: str = "#",
+    min_n: int = 1,
+) -> DataFrame:
+    """Log-template mining, the Drain-style first pass: collapse every
+    variable number in a message to a placeholder and group by the
+    resulting SKELETON — "which message shapes does this firehose
+    contain, and how hot is each?". The reference parses individual
+    lines (src/parsers — SURVEY.md §2.2) but has no template clustering;
+    this is the aggregate view log triage actually starts from.
+
+    Pure codegen: one regexp_replace projection (narrow) + one map-side
+    combinable aggregate; no UDF, no shuffle beyond the skeleton
+    groupBy. ``example`` is the MIN raw message per skeleton — a
+    deterministic representative, so the whole table is exactly
+    oracle-able (DuckDB needs the 'g' flag to match Spark's
+    replace-all semantics).
+
+    Returns (skeleton, n, n_variants, example), hottest templates first
+    being a cheap ORDER BY for the caller.
+    """
+    skel = F.regexp_replace(F.col(text_col), mask, placeholder)
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(skel.alias("skeleton"), F.col(text_col).alias("_raw"))
+        .groupBy("skeleton")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("_raw").cast("bigint").alias("n_variants"),
+            F.min("_raw").alias("example"),
+        )
+        .where(F.col("n") >= min_n)
+    )

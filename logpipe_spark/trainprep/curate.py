@@ -502,13 +502,19 @@ def quantile_normalize(
     2·rn·N < 2^63 (N ≲ 2e9 at equal group sizes; past that the products
     need decimal(38)).
 
-    Plan, three shuffles, none global:
-    1. within-group row_number over (value, id) — sort-based window,
-       partitioned by group, spills; no single-reducer stage.
-    2. pooled rank intervals WITHOUT a global sort: per distinct value
-       counts (map-side combinable), then the two-level bucketed prefix
-       scan (operators/drift.py:bucketed_cumsum) gives each distinct
-       value its rank interval [cum−cnt+1, cum].
+    Plan, three shuffles, none global and none group-count-bounded:
+    1. within-group ranks WITHOUT a per-group sort: a naive
+       row_number() over (group) caps parallelism at #groups (12
+       sources = 12 tasks no matter the corpus — measured 2.9× wall at
+       2× rows). Instead the rank decomposes as
+       exclusive-cum-count(values below) + row_number within the
+       (group, value) TIE cell: the cum counts run the two-level
+       bucketed prefix scan (operators/drift.py:bucketed_cumsum) and
+       the tiebreak windows partition on (group, value) — parallelism
+       scales with distinct cells, not groups.
+    2. pooled rank intervals the same way (no global sort): per
+       distinct value counts, bucketed prefix scan, interval
+       [cum−cnt+1, cum] per value.
     3. target_rank → pooled value is a bucketed interval join on the
        RANK axis (each rank meets its covering interval in exactly one
        rank-bucket — the rangejoin.py trick), never a BNL join.
@@ -525,12 +531,22 @@ def quantile_normalize(
         F.col(group_col).alias("grp"),
         v.alias("val"),
     )
-    w = Window.partitionBy("grp").orderBy("val", "id")
+    per_gv = base.groupBy("grp", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+    starts = bucketed_cumsum(per_gv, "grp", ["_cnt"],
+                             value_col="val").select(
+        "grp", "val",
+        (F.col("cum__cnt") - F.col("_cnt")).alias("_start"))
+    n_groups = per_gv.groupBy("grp").agg(
+        F.sum("_cnt").cast("bigint").alias("n_group"))
+    w_tie = Window.partitionBy("grp", "val").orderBy("id")
     ranked = (
-        base.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        base.join(starts, ["grp", "val"])
         .withColumn(
-            "n_group",
-            F.count(F.lit(1)).over(Window.partitionBy("grp")).cast("bigint"))
+            "rn",
+            (F.col("_start") + F.row_number().over(w_tie)).cast("bigint"))
+        .join(F.broadcast(n_groups), "grp")
+        .drop("_start")
     )
     total = base.agg(F.count(F.lit(1)).cast("bigint").alias("_nt"))
     # ceil(((2rn−1)·N) / (2n_g)) in pure INTEGER math: add (den−1), then
@@ -572,4 +588,47 @@ def quantile_normalize(
             "n_group",
             "norm_value",
         )
+    )
+
+
+def vocab_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between groups (sources): which
+    sources are lexical near-copies of each other — the GROUP-level
+    redundancy scan that runs before any doc-level dedup ("src3 is a
+    mirror of src7; drop one feed, not 10M individual docs").
+
+    Reuses the cooccurrence engine (operators/assoc.py) with the roles
+    flipped: baskets = TERMS, items = the sources containing them — so
+    n_a is source a's vocabulary size, n_ab the shared vocabulary, and
+    the per-basket pair fan-out is bounded by C(#sources, 2) no matter
+    how hot the term (a stop word adds one row per source pair, not per
+    occurrence). jaccard = n_ab / (n_a + n_b − n_ab), a raw double from
+    exact integers.
+
+    Returns (group_a, group_b, vocab_a, vocab_b, shared, jaccard) with
+    group_a < group_b.
+    """
+    from logpipe_spark.operators.assoc import cooccurrence_lift
+
+    terms = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), " "))).alias("term"),
+    ).where(F.col("term") != "")
+    pairs = cooccurrence_lift(terms, "term", "grp",
+                              min_pair_count=min_shared)
+    return pairs.select(
+        F.col("item_a").alias("group_a"),
+        F.col("item_b").alias("group_b"),
+        F.col("n_a").alias("vocab_a"),
+        F.col("n_b").alias("vocab_b"),
+        F.col("n_ab").alias("shared"),
+        (F.col("n_ab")
+         / (F.col("n_a") + F.col("n_b") - F.col("n_ab")).cast("double"))
+        .alias("jaccard"),
     )

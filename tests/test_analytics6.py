@@ -254,3 +254,83 @@ def test_hist2d_hot_cell_lift(spark):
     assert out[("x", 0)].lift == (6 * 16) / (8 * 8)  # 1.5, diagonal hot
     assert out[("x", 1)].lift == (2 * 16) / (8 * 8)  # 0.5
     assert sum(r.n for r in out.values()) == 16
+
+
+# ---------------------------------------------------- CUSUM monoid merge
+
+def test_cusum_merge_equals_full_scan(spark):
+    from logpipe_spark.operators.drift import cusum_merge, cusum_partials
+
+    # deterministic pseudo-random stream, 3 keys, epochs of 5 rows
+    rows = [("k%d" % (i % 3), i, (i * 2654435761) % 17) for i in range(90)]
+    df = spark.createDataFrame(rows, "k string, i int, x int")
+    full = {r.k: r for r in
+            cusum_scan(df, "k", F.col("x"), ["i"], target=8,
+                       threshold=10).collect()}
+    p = cusum_partials(df, "k", (F.col("i") / 5).cast("bigint"),
+                       F.col("x"), ["i"], target=8)
+    merged = {r.k: r for r in cusum_merge(p, "k", threshold=10).collect()}
+    assert set(full) == set(merged)
+    for k in full:
+        a, b = full[k], merged[k]
+        assert (a.n, a.final_cusum, a.max_cusum, a.alert) == \
+            (b.n, b.final_cusum, b.max_cusum, b.alert), k
+
+
+def test_cusum_merge_single_and_unbalanced_epochs(spark):
+    from logpipe_spark.operators.drift import cusum_merge, cusum_partials
+
+    # one epoch only (fold over a 1-element list) and a key whose
+    # epochs are wildly unbalanced — both must equal the plain scan
+    rows = ([("one", i, v) for i, v in enumerate([9, 0, 9])]
+            + [("skew", 0, 12)]
+            + [("skew", i, (i % 4)) for i in range(1, 40)])
+    df = spark.createDataFrame(rows, "k string, i int, x int")
+    epoch = F.when(F.col("k") == "one", F.lit(0)).otherwise(
+        F.least(F.col("i"), F.lit(1)))  # skew: epoch0 = 1 row, epoch1 = rest
+    full = {r.k: r for r in cusum_scan(df, "k", F.col("x"), ["i"],
+                                       target=5, threshold=7).collect()}
+    merged = {r.k: r for r in cusum_merge(
+        cusum_partials(df, "k", epoch, F.col("x"), ["i"], target=5),
+        "k", threshold=7).collect()}
+    for k in full:
+        a, b = full[k], merged[k]
+        assert (a.n, a.final_cusum, a.max_cusum, a.alert) == \
+            (b.n, b.final_cusum, b.max_cusum, b.alert), k
+
+
+# ---------------------------------------------------------- log templates
+
+def test_log_templates_masks_numbers(spark):
+    from logpipe_spark.operators.parse import log_templates
+
+    df = spark.createDataFrame(
+        [("GET /api/v2/users/123 took 45ms",),
+         ("GET /api/v2/users/999 took 7ms",),
+         ("POST /login failed",),
+         (None,)],
+        "msg string")
+    out = {r.skeleton: r for r in log_templates(df, "msg").collect()}
+    assert set(out) == {"GET /api/v#/users/# took #ms", "POST /login failed"}
+    t = out["GET /api/v#/users/# took #ms"]
+    assert (t.n, t.n_variants) == (2, 2)
+    assert t.example == "GET /api/v2/users/123 took 45ms"  # min raw
+    assert out["POST /login failed"].n_variants == 1
+
+
+# ---------------------------------------------------------- vocab overlap
+
+def test_vocab_overlap_hand_case(spark):
+    from logpipe_spark.trainprep.curate import vocab_overlap
+
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("a", "x q"),          # vocab a = {x,y,z,q}
+         ("b", "x y"),                          # vocab b = {x,y}
+         ("c", "unique tokens only")],          # disjoint from a,b
+        "source string, text string")
+    out = {(r.group_a, r.group_b): r
+           for r in vocab_overlap(df, "source", "text").collect()}
+    assert set(out) == {("a", "b")}  # c shares nothing → no row
+    r = out[("a", "b")]
+    assert (r.vocab_a, r.vocab_b, r.shared) == (4, 2, 2)
+    assert r.jaccard == 2 / 4
