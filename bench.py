@@ -139,6 +139,20 @@ HEADLINE = [
     "winsorize",
     "dedup_keep_list",
     "skew_salted_counts",
+    # batch 10: two-sample statistics + calibration
+    "welch_ttest",
+    "anova_f",
+    "auc_rank",
+    "gini_gain",
+    "cusum_alert",
+    "quantile_normalize",
+    "doc_rarity",
+    "hist2d",
+    # batch 11: segment-parallel scans + template mining
+    "cusum_merged",
+    "log_templates",
+    "holt_smooth",
+    "vocab_overlap",
 ]
 
 
