@@ -512,3 +512,116 @@ def read_drift(spark: SparkSession, state_dir: str,
         )
     )
     return ks_from_counts(per_v, "tool", bucket_width=bucket_width)
+
+
+CUSUM_SEGMENT_SCHEMA = StructType([
+    StructField("tool", StringType()),
+    StructField("epoch", LongType()),
+    StructField("n", LongType()),
+    StructField("s", LongType()),
+    StructField("m", LongType()),
+    StructField("big_m", LongType()),
+    StructField("g", LongType()),
+])
+
+_CUSUM_STATE = StructType([
+    StructField("us", ArrayType(LongType())),
+    StructField("tb", ArrayType(LongType())),
+    StructField("d", ArrayType(LongType())),
+])
+
+
+def _cusum_fn_factory(target: int, epoch_seconds: int):
+    """Per-(tool, epoch) buffered state; emits the EXACT segment monoid
+    state once the event-time watermark passes the epoch's end."""
+    import numpy as np
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            us, tb, d = state.get
+            state.remove()
+            order = np.lexsort((np.asarray(tb, dtype=np.int64),
+                                np.asarray(us, dtype=np.int64)))
+            dv = np.asarray(d, dtype=np.int64)[order]
+            prefix = np.cumsum(dv)
+            gap = prefix - np.minimum.accumulate(prefix)
+            yield pd.DataFrame({
+                "tool": [key[0]], "epoch": [int(key[1])],
+                "n": [len(dv)], "s": [int(prefix[-1])],
+                "m": [int(prefix.min())], "big_m": [int(prefix.max())],
+                "g": [int(gap.max())],
+            })
+            return
+        us, tb, d = state.get if state.exists else ([], [], [])
+        us, tb, d = list(us), list(tb), list(d)
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+            us.extend(ts.astype("int64").tolist())
+            tb.extend(pdf["tb"].astype("int64").tolist())
+            d.extend((pdf["v"].astype("int64") - target).tolist())
+        state.update((us, tb, d))
+        # the segment closes when the WATERMARK passes the epoch's end —
+        # deterministic in event time (clamped ahead of the watermark)
+        epoch_end_ms = (int(key[1]) + 1) * epoch_seconds * 1000
+        state.setTimeoutTimestamp(
+            max(epoch_end_ms, int(state.getCurrentWatermarkMs()) + 1))
+        return
+        yield  # pragma: no cover - generator form
+
+    return fn
+
+
+def stream_cusum_monitor(stream: DataFrame, target: int,
+                         epoch_seconds: int = 86400,
+                         watermark: str = "10 seconds") -> DataFrame:
+    """Streaming changepoint monitor on the CUSUM segment monoid
+    (:mod:`logpipe_spark.operators.drift`): each (tool, event-time epoch)
+    buffers its token-count deviations until the watermark passes the
+    epoch's end, then emits the segment's EXACT monoid state
+    (n, s, min-prefix, max-prefix, max-gap) — the same partials
+    ``cusum_partials`` computes in batch, so :func:`read_cusum` folds
+    them into the full-stream CUSUM without ever re-reading the stream.
+
+    This is the streaming realization of the batch-11 merge==scan proof:
+    segments are complete by construction (event-time closed), so the
+    epoch-ordered fold is bit-exactly the global scan. State is bounded
+    by one epoch of one tool's events (the sessionize bounded-state
+    discipline; shrink ``epoch_seconds`` for hotter keys). Rows later
+    than the watermark re-open a closed epoch and emit a SECOND state
+    row for it, breaking order-exactness — the standard watermark
+    contract (size ``watermark`` to the source's disorder bound; same
+    caveat as :func:`conversation_sessions`).
+    """
+    from logpipe_spark.functions.textfn import token_count
+
+    base = (
+        stream.withWatermark("ts", watermark)
+        .where(F.col("tool").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "tool", "ts",
+            F.col("turn_idx").cast("long").alias("tb"),
+            token_count(F.col("text")).cast("long").alias("v"),
+            F.floor(F.col("ts").cast("long") / F.lit(int(epoch_seconds)))
+            .cast("long").alias("epoch"),
+        )
+        .where(F.col("v").isNotNull())
+    )
+    return base.groupBy("tool", "epoch").applyInPandasWithState(
+        _cusum_fn_factory(int(target), int(epoch_seconds)),
+        outputStructType=CUSUM_SEGMENT_SCHEMA,
+        stateStructType=_CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def read_cusum(segments: DataFrame, threshold: int) -> DataFrame:
+    """Fold emitted epoch-segment states into the exact full-stream CUSUM
+    readout — identical contract to ``drift.cusum_scan`` (tool, n,
+    final_cusum, max_cusum, alert). A thin alias over
+    :func:`~logpipe_spark.operators.drift.cusum_merge` so the streaming
+    and batch paths share one merge implementation."""
+    from logpipe_spark.operators.drift import cusum_merge
+
+    return cusum_merge(segments, "tool", threshold=threshold)

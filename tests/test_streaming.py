@@ -393,3 +393,70 @@ def test_stream_drift_monitor_merges_and_scores(spark, stream_dir, tmp_path):
     shifted = batch_counts.withColumn("v", F.col("v") + F.lit(10_000))
     far = read_drift(spark, state, shifted).collect()
     assert all(r.ks == 1.0 for r in far)
+
+
+def _run_cusum(spark, src, ck, name, mft):
+    from logpipe_spark.streaming.stream import stream_cusum_monitor
+
+    stream = stream_transcripts(spark, src, max_files_per_trigger=mft)
+    segs = stream_cusum_monitor(stream, target=8, epoch_seconds=3600,
+                                watermark="10 seconds")
+    q = (segs.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    return spark.sql(
+        f"SELECT tool, epoch, n, s, m, big_m, g FROM {name}")
+
+
+def test_stream_cusum_matches_batch_scan(spark, stream_dir, tmp_path):
+    """Streaming CUSUM epoch segments fold (read_cusum) into EXACTLY the
+    batch cusum_scan readout, at two micro-batch pacings — the streaming
+    realization of the cusum_partials/cusum_merge merge==scan proof.
+    Flush sentinels must FLOW THROUGH the watermark node to advance it —
+    a null-tool sentinel gets filter-pushed below the EventTimeWatermark
+    operator and never advances the clock (measured: the last real epoch
+    then never fires). So they carry a real tool; their own far-future
+    epoch state simply never times out (never emitted), and the batch
+    side excludes them by conv_id."""
+    import shutil
+    import time
+
+    from logpipe_spark.functions.textfn import token_count
+    from logpipe_spark.operators.drift import cusum_scan
+    from logpipe_spark.streaming.stream import read_cusum
+
+    src = str(tmp_path / "src")
+    shutil.copytree(stream_dir, src)
+    for i, ts in enumerate(["2024-06-01 00:00:00", "2024-12-01 00:00:00",
+                            "2025-06-01 00:00:00"]):
+        time.sleep(0.05)
+        (spark.createDataFrame(
+            [(f"zz-flush-{i}", 0, "user", "flush", "none", ts)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts string")
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    batch = spark.read.parquet(src).where(
+        ~F.col("conv_id").startswith("zz-flush"))
+    want = {r.tool: (r.n, r.final_cusum, r.max_cusum, r.alert)
+            for r in cusum_scan(
+                batch, "tool", token_count(F.col("text")).cast("long"),
+                ["ts", "turn_idx"], target=8, threshold=500).collect()}
+    # "close the books through the last real epoch": the flush sentinels'
+    # own far-future epochs also emit (each flush closes its predecessor)
+    cutoff = batch.agg(
+        F.max(F.floor(F.col("ts").cast("long") / 3600))).collect()[0][0]
+
+    for i, mft in enumerate((1, 2)):
+        segs = _run_cusum(spark, src, str(tmp_path / f"ck{i}"),
+                          f"cusum{i}", mft).where(F.col("epoch") <= cutoff)
+        # every real (tool, hour-epoch) emitted exactly once
+        n_dupes = (segs.groupBy("tool", "epoch").count()
+                   .where(F.col("count") > 1).count())
+        assert n_dupes == 0, f"mft={mft}: duplicate epoch states"
+        got = {r.tool: (r.n, r.final_cusum, r.max_cusum, r.alert)
+               for r in read_cusum(segs, threshold=500).collect()}
+        assert got == want, f"mft={mft}"
