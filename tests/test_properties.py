@@ -210,3 +210,44 @@ def test_percentiles_disc_property(spark, vals, p):
     want = sorted(vals)[math.ceil(p * len(vals)) - 1]
     assert got["n"] == len(vals)
     assert got[tag] == float(want)
+
+
+@given(vals=st.lists(st.integers(-40, 40), min_size=1, max_size=30),
+       cuts=st.lists(st.integers(0, 29), max_size=5),
+       target=st.integers(-5, 5))
+@settings(**_SETTINGS)
+def test_cusum_monoid_merge_equals_scan_any_segmentation(spark, vals, cuts,
+                                                         target):
+    """For ANY value stream and ANY epoch segmentation, the segment-monoid
+    fold (cusum_partials + cusum_merge) must equal the global scan
+    (cusum_scan) AND a plain Python reference fold — the associativity
+    property the batch-11 merge==scan proof rests on."""
+    from logpipe_spark.operators.drift import (cusum_merge, cusum_partials,
+                                               cusum_scan)
+
+    # epoch id = number of cut points at or before the row index:
+    # monotone in row order, arbitrary segment sizes (empty cuts = 1 epoch)
+    bounds = sorted(cuts)
+    epochs = [sum(1 for b in bounds if b <= i) for i in range(len(vals))]
+    rows = [("k", i, e, v) for i, (e, v) in enumerate(zip(epochs, vals))]
+    df = spark.createDataFrame(rows, "k string, i int, e int, x int")
+
+    # Python reference: prefix sums of deviations, expanding min, max gap
+    s = m = big_m = g = 0
+    run = 0
+    for v in vals:
+        run += v - target
+        m = min(m, run)
+        big_m = max(big_m, run)
+        g = max(g, run - m)
+    want = (len(vals), run - min(0, m), max(big_m, g))
+
+    scan = cusum_scan(df, "k", F.col("x"), ["i"], target=target,
+                      threshold=10**9).collect()[0]
+    assert (scan.n, scan.final_cusum, scan.max_cusum) == want
+
+    merged = cusum_merge(
+        cusum_partials(df, "k", F.col("e"), F.col("x"), ["i"],
+                       target=target),
+        "k", threshold=10**9).collect()[0]
+    assert (merged.n, merged.final_cusum, merged.max_cusum) == want
