@@ -334,3 +334,26 @@ def test_vocab_overlap_hand_case(spark):
     r = out[("a", "b")]
     assert (r.vocab_a, r.vocab_b, r.shared) == (4, 2, 2)
     assert r.jaccard == 2 / 4
+
+
+# ----------------------------------------------------------- holt smoothing
+
+def test_holt_smooth_matches_python_fold(spark):
+    from logpipe_spark.operators.aggregate import holt_smooth
+
+    series = {"a": [1.0, 2.0, 4.0, 3.0], "b": [10.0]}
+    rows = [(k, i, v) for k, xs in series.items()
+            for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, i int, x double")
+    out = {r.k: r for r in holt_smooth(
+        df, "k", F.col("x"), ["i"], alpha=0.3, beta=0.1).collect()}
+    for k, xs in series.items():
+        l, t = xs[0], 0.0
+        for x in xs[1:]:
+            nl = 0.3 * x + 0.7 * (l + t)
+            nt = 0.1 * (nl - l) + 0.9 * t
+            l, t = nl, nt
+        r = out[k]
+        # exact equality: the fold replays the same float operand order
+        assert (r.n, r.level, r.trend, r.forecast) == \
+            (len(xs), l, t, l + t), k
