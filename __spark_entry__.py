@@ -2881,6 +2881,17 @@ def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_overlap(_docs(spark, sf_dir), "source", "text")
 
 
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Diurnal-baseline anomaly scores (aggregate.py:seasonal_anomaly):
+    # each (event_type, day, hour) count z-scored against that hour's
+    # cross-day profile — the seasonal complement of rate_anomaly's
+    # trailing window. One corpus shuffle; baseline re-aggregates the
+    # cell frame; integer sums cast to double before any product.
+    from logpipe_spark.operators.aggregate import seasonal_anomaly
+
+    return seasonal_anomaly(_events(spark, sf_dir), "event_type", "ts")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3043,6 +3054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_templates": q_log_templates,
         "holt_smooth": q_holt_smooth,
         "vocab_overlap": q_vocab_overlap,
+        "seasonal_anomaly": q_seasonal_anomaly,
     }
 
 
@@ -4721,6 +4733,39 @@ SELECT group_a, group_b,
 FROM shared
 JOIN v va ON va.grp = group_a
 JOIN v vb ON vb.grp = group_b""",
+        # operand trees mirror seasonal_anomaly exactly: sums cast to
+        # double BEFORE products, var = (d*ss - s*s)/(d*d), sqrt is
+        # correctly rounded in both engines
+        "seasonal_anomaly": """
+WITH base AS (
+  SELECT event_type,
+         cast(floor((epoch_us(ts) // 1000000) / 86400) AS bigint)
+           AS period,
+         cast(floor(((epoch_us(ts) // 1000000) % 86400) / 3600)
+              AS bigint) AS slot,
+         cast(count(*) AS bigint) AS n
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY event_type, period, slot),
+prof AS (
+  SELECT event_type, slot,
+         cast(count(*) AS bigint) AS n_periods,
+         cast(sum(n) AS bigint) AS s,
+         cast(sum(n * n) AS bigint) AS ss
+  FROM base GROUP BY event_type, slot),
+sc AS (
+  SELECT b.event_type, b.period, b.slot, b.n, p.n_periods,
+         cast(p.s AS double) / cast(p.n_periods AS double) AS mean,
+         sqrt((cast(p.n_periods AS double) * cast(p.ss AS double)
+               - cast(p.s AS double) * cast(p.s AS double))
+              / (cast(p.n_periods AS double)
+                 * cast(p.n_periods AS double))) AS std
+  FROM base b JOIN prof p
+    ON b.event_type = p.event_type AND b.slot = p.slot)
+SELECT event_type, period, slot, n, n_periods, mean, std,
+       CASE WHEN n_periods > 1 AND std > 0
+            THEN (cast(n AS double) - mean) / std END AS z
+FROM sc""",
     }
 
 

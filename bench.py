@@ -153,6 +153,7 @@ HEADLINE = [
     "log_templates",
     "holt_smooth",
     "vocab_overlap",
+    "seasonal_anomaly",
 ]
 
 

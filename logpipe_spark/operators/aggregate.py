@@ -1072,3 +1072,75 @@ def holt_smooth(
         F.col("_st.b").alias("trend"),
         (F.col("_st.l") + F.col("_st.b")).alias("forecast"),
     )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    slot_seconds: int = 3600,
+    period_seconds: int = 86400,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection: score each (key, period,
+    slot) count against the key's baseline FOR THAT SLOT-OF-PERIOD
+    (hour-of-day by default) — "is this Monday-9am spike abnormal for
+    Monday 9am?", the diurnal-profile complement of
+    :func:`rolling_zscore`'s trailing-window form (which flags diurnal
+    peaks as anomalies every single day).
+
+    Plan: ONE corpus-sized map-side-combinable shuffle — the
+    (key, slot, period) counts; the per-(key, slot) baseline
+    re-aggregates that metadata-sized frame and joins back by
+    (key, slot) (small, AQE-broadcastable). Nothing else touches the
+    raw rows.
+
+    Cross-engine exactness: baseline integer sums (d periods, s = Σn,
+    ss = Σn²) are cast to double BEFORE any product (the CLAUDE.md
+    overflow rule — d·ss and s² overflow int64 long before the sums
+    do); population variance = (d·ss − s·s) / (d·d) in doubles, std =
+    sqrt (correctly rounded in both engines), z = (n − mean)/std —
+    every operand tree mirrored in the oracle, so the scores
+    hash-match. Slots seen in only one period or with zero variance
+    emit a NULL z (no anomaly call on no evidence).
+
+    Exactness bound: the ONLY integer product is the per-cell n·n, so
+    Σn² stays in int64 while n_cell·sqrt(n_periods) ≲ 3e9 (e.g. 1e8
+    rows per key-slot-day across a year); past that Spark's ANSI sum
+    throws LOUDLY — switch the cell counts to decimal(38) then.
+
+    Returns (key, period, slot, n, n_periods, mean, std, z).
+    """
+    sec = F.col(ts).cast("timestamp").cast("long")
+    base = (
+        df.where(F.col(key).isNotNull() & F.col(ts).isNotNull())
+        .groupBy(
+            key,
+            F.floor(sec / F.lit(int(period_seconds)))
+            .cast("bigint").alias("period"),
+            F.floor(F.pmod(sec, F.lit(int(period_seconds)))
+                    / F.lit(int(slot_seconds))).cast("bigint").alias("slot"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    prof = base.groupBy(key, "slot").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_periods"),
+        F.sum("n").cast("bigint").alias("_s"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("_ss"),
+    )
+    d = F.col("n_periods").cast("double")
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    scored = (
+        base.join(prof, [key, "slot"])
+        .withColumn("mean", s / d)
+        .withColumn("_var", (d * ss - s * s) / (d * d))
+        .withColumn("std", F.sqrt(F.col("_var")))
+        .withColumn(
+            "z",
+            F.when((F.col("n_periods") > 1) & (F.col("std") > 0),
+                   (F.col("n").cast("double") - F.col("mean"))
+                   / F.col("std")),
+        )
+    )
+    return scored.select(key, "period", "slot", "n", "n_periods",
+                         "mean", "std", "z")

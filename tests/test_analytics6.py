@@ -357,3 +357,34 @@ def test_holt_smooth_matches_python_fold(spark):
         # exact equality: the fold replays the same float operand order
         assert (r.n, r.level, r.trend, r.forecast) == \
             (len(xs), l, t, l + t), k
+
+
+# -------------------------------------------------------- seasonal anomaly
+
+def test_seasonal_anomaly_hand_case(spark):
+    from datetime import datetime
+
+    from logpipe_spark.operators.aggregate import seasonal_anomaly
+
+    # key k, slot 0 (hour 0) across 3 days: counts 2, 2, 5 -> day 2 is hot
+    rows = []
+    for day, cnt in enumerate([2, 2, 5]):
+        for j in range(cnt):
+            rows.append(("k", datetime(2024, 1, 1 + day, 0, 0, j)))
+    # slot 1 seen on one day only -> z NULL (no evidence)
+    rows.append(("k", datetime(2024, 1, 1, 1, 0, 0)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = {(r.period, r.slot): r
+           for r in seasonal_anomaly(df, "k", "ts").collect()}
+    d, s, ss = 3.0, 9.0, 33.0          # slot-0 baseline: 2,2,5
+    mean = s / d
+    var = (d * ss - s * s) / (d * d)
+    std = var ** 0.5
+    # find the day with n=5 irrespective of absolute epoch numbering
+    hot = next(r for r in out.values() if r.slot == 0 and r.n == 5)
+    assert hot.n_periods == 3 and hot.mean == mean and hot.std == std
+    assert hot.z == (5.0 - mean) / std
+    cold = next(r for r in out.values() if r.slot == 0 and r.n == 2)
+    assert cold.z == (2.0 - mean) / std
+    lone = next(r for r in out.values() if r.slot == 1)
+    assert lone.n_periods == 1 and lone.z is None
