@@ -1122,6 +1122,10 @@ def seasonal_anomaly(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+    # the cell frame feeds both the score join and the baseline; persist
+    # it (metadata-sized: keys x slots x periods) so the corpus is
+    # scanned ONCE — without this the profile side re-reads the input
+    base = base.persist()
     prof = base.groupBy(key, "slot").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_periods"),
         F.sum("n").cast("bigint").alias("_s"),
