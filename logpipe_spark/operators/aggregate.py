@@ -1026,12 +1026,16 @@ def holt_smooth(
     EWMA (no trend state) systematically lags on drifting series.
 
     The fold carries a STRUCT accumulator (level, trend) — the same
-    ordered left-to-right ``aggregate()`` as :func:`ewma_smooth`, which
-    DuckDB's list_reduce replays over identically-cast struct elements,
-    so both doubles are bit-identical cross-engine. The new-level
-    subexpression appears twice inside the step (once for l, once for
-    l−l_prev); both engines duplicate the SAME operand tree, so the
-    duplication is harmless for exactness.
+    ordered left-to-right ``aggregate()`` as :func:`ewma_smooth`, BUT
+    DuckDB's list_reduce CANNOT replay a struct fold: it evaluates the
+    lambda's struct fields sequentially against an accumulator mutated
+    in place, so a later field reads an earlier field's NEW value
+    (verified; see the oracle NOTE in ``__spark_entry__.py`` and the
+    CLAUDE.md batch-11 hazard entry). The oracle is therefore a
+    recursive CTE whose qualified ``r.col`` references replay this
+    fold's exact operand order — the new-level subexpression appears
+    twice inside the step, and both engines duplicate the SAME operand
+    tree, so the emitted doubles are still bit-identical.
 
     BOUNDED-STATE discipline as ewma_smooth: one array per key in one
     task — session-sized keys, or pre-segment first.

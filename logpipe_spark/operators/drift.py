@@ -73,11 +73,17 @@ def bucketed_cumsum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = summary.select(
-        key, "_bkt",
+        F.col(key).alias("_ok"), F.col("_bkt").alias("_ob"),
         *[F.coalesce(F.sum(f"_t_{c}").over(w_b), F.lit(0)).alias(f"_off_{c}")
           for c in cols],
     )
-    out = b.join(offsets, [key, "_bkt"])
+    # NULL-SAFE on the key: window partitions treat a NULL key as one
+    # group, so the carry join must too (a plain equi-join silently
+    # drops the NULL-key rows its own windows just scanned)
+    out = b.join(
+        offsets,
+        F.col(key).eqNullSafe(F.col("_ok")) & (F.col("_bkt") == F.col("_ob")),
+    ).drop("_ok", "_ob")
     for c in cols:
         out = out.withColumn(
             f"cum_{c}",

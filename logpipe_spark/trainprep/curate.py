@@ -540,13 +540,22 @@ def quantile_normalize(
     n_groups = per_gv.groupBy("grp").agg(
         F.sum("_cnt").cast("bigint").alias("n_group"))
     w_tie = Window.partitionBy("grp", "val").orderBy("id")
+    # NULL-SAFE joins on grp: a NULL group is a real group here (window
+    # partitions treat NULL as one key, and the pre-rewrite row_number
+    # formulation ranked it) — a plain equi-join would silently DROP
+    # null-group rows while they still counted in the pooled total.
+    st = starts.select(F.col("grp").alias("_sg"),
+                       F.col("val").alias("_sv"), "_start")
+    ng = n_groups.select(F.col("grp").alias("_ng"), "n_group")
     ranked = (
-        base.join(starts, ["grp", "val"])
+        base.join(st, F.col("grp").eqNullSafe(F.col("_sg"))
+                  & (F.col("val") == F.col("_sv")))
+        .drop("_sg", "_sv")
         .withColumn(
             "rn",
             (F.col("_start") + F.row_number().over(w_tie)).cast("bigint"))
-        .join(F.broadcast(n_groups), "grp")
-        .drop("_start")
+        .join(F.broadcast(ng), F.col("grp").eqNullSafe(F.col("_ng")))
+        .drop("_ng", "_start")
     )
     total = base.agg(F.count(F.lit(1)).cast("bigint").alias("_nt"))
     # ceil(((2rn−1)·N) / (2n_g)) in pure INTEGER math: add (den−1), then

@@ -388,3 +388,23 @@ def test_seasonal_anomaly_hand_case(spark):
     assert cold.z == (2.0 - mean) / std
     lone = next(r for r in out.values() if r.slot == 1)
     assert lone.n_periods == 1 and lone.z is None
+
+
+def test_quantile_normalize_keeps_null_group_rows(spark):
+    """A NULL group is a real group (window partitions treat NULL as one
+    key): the bucketed-rank rewrite must not drop its rows via a
+    null-unsafe join — every input row with a non-null value appears in
+    the output, ranked within the NULL group."""
+    from logpipe_spark.trainprep.curate import quantile_normalize
+
+    rows = [(1, "a", 10), (2, "a", 20), (3, None, 5), (4, None, 15)]
+    df = spark.createDataFrame(rows, "id long, src string, v long")
+    out = {r.id: r for r in
+           quantile_normalize(df, "src", "v", "id").collect()}
+    assert len(out) == 4                       # nothing dropped
+    assert out[3].src is None and out[4].src is None
+    assert (out[3].rank_in_group, out[4].rank_in_group) == (1, 2)
+    assert (out[3].n_group, out[4].n_group) == (2, 2)
+    # pooled = [5,10,15,20]; both groups map rank 1->5, rank 2->15
+    assert (out[3].norm_value, out[4].norm_value) == (5, 15)
+    assert (out[1].norm_value, out[2].norm_value) == (5, 15)
