@@ -23,6 +23,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from logpipe_spark.operators.aggregate import anova_f, gini_gain  # noqa: E402
 from logpipe_spark.operators.drift import (  # noqa: E402
     auc_rank,
+    cusum_merge,
+    cusum_partials,
     cusum_scan,
     welch_ttest,
 )
@@ -75,6 +77,15 @@ def run_suite(spark, path):
         "cusum_scan": lambda: noop(cusum_scan(
             ev, "user_id", F.col("cents"), ["ts", "row_id"],
             target=50_000, threshold=5_000_000)),
+        # the segment-parallel monoid path: per-(user, day) partial
+        # scans + epoch-ordered merge — same answer, windows bounded
+        # by a day instead of the whole key history
+        "cusum_merged": lambda: noop(cusum_merge(
+            cusum_partials(
+                ev, "user_id",
+                F.floor(F.col("ts").cast("long") / 86400),
+                F.col("cents"), ["ts", "row_id"], target=50_000),
+            "user_id", threshold=5_000_000)),
         # one combinable aggregate of six integer sums
         "welch_ttest": lambda: noop(welch_ttest(
             ev, "item", F.col("cents"), first_half)),
