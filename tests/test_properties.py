@@ -251,3 +251,34 @@ def test_cusum_monoid_merge_equals_scan_any_segmentation(spark, vals, cuts,
                        target=target),
         "k", threshold=10**9).collect()[0]
     assert (merged.n, merged.final_cusum, merged.max_cusum) == want
+
+
+@given(rows=st.lists(
+    st.tuples(st.one_of(st.none(), st.sampled_from(["s1", "s2", "s3"])),
+              st.integers(0, 9)),
+    min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_quantile_normalize_invariants(spark, rows):
+    """For ANY input (including NULL groups): every row survives, ranks
+    are a 1..n_group bijection within each group, and every normalized
+    value is an element of the pooled value multiset."""
+    from logpipe_spark.trainprep.curate import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)],
+        "id long, src string, v long")
+    out = quantile_normalize(df, "src", "v", "id").collect()
+    assert len(out) == len(rows)                     # row-preserving
+    by_grp: dict = {}
+    for r in out:
+        by_grp.setdefault(r.src, []).append(r)
+    pooled = sorted(v for _, v in rows)
+    for g, rs in by_grp.items():
+        n = len(rs)
+        assert sorted(r.rank_in_group for r in rs) == list(range(1, n + 1))
+        assert all(r.n_group == n for r in rs)
+        assert all(r.norm_value in pooled for r in rs)
+        # monotone: higher in-group rank never maps to a smaller pooled value
+        srt = sorted(rs, key=lambda r: r.rank_in_group)
+        assert all(a.norm_value <= b.norm_value
+                   for a, b in zip(srt, srt[1:]))
