@@ -89,8 +89,14 @@ def _order(tiebreak):
 def _apply_tolerance(out, ts, prefix, right_cols, tolerance_seconds):
     # abs() covers every direction: backward matches are at-or-before
     # (diff >= 0), forward at-or-after (diff <= 0), nearest either side
+    # NTZ-safe: TIMESTAMP_NTZ (the parquet default here) cannot cast
+    # straight to DOUBLE — hop through TIMESTAMP first (session tz UTC:
+    # wall-clock identity), the CLAUDE.md epoch-math rule
+    def _secs(c):
+        return F.col(c).cast("timestamp").cast("double")
+
     stale = F.abs(
-        F.col(ts).cast("double") - F.col(f"{prefix}ts").cast("double")
+        _secs(ts) - _secs(f"{prefix}ts")
     ) > F.lit(float(tolerance_seconds))
     for c in [*right_cols, "ts"]:
         name = f"{prefix}{c}"
@@ -171,10 +177,12 @@ def asof_join(
         picked = {c: fwd(c) for c in [*right_cols, "ts"]}
     else:
         b_ts, f_ts = back("ts"), fwd("ts")
-        t = F.col("_ts").cast("double")
+        # NTZ-safe double conversion (see _apply_tolerance)
+        t = F.col("_ts").cast("timestamp").cast("double")
         use_b = b_ts.isNotNull() & (
             f_ts.isNull()
-            | ((t - b_ts.cast("double")) <= (f_ts.cast("double") - t))
+            | ((t - b_ts.cast("timestamp").cast("double"))
+               <= (f_ts.cast("timestamp").cast("double") - t))
         )
         picked = {
             c: F.when(use_b, back(c)).otherwise(fwd(c))

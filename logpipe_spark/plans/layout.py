@@ -177,12 +177,58 @@ def compact_small_files(
     import shutil
     from pathlib import Path
 
+    def _compact_dir(d: Path) -> dict:
+        parts = [f for f in d.glob("*.parquet") if f.is_file()]
+        bytes_total = sum(f.stat().st_size for f in parts)
+        files_before = len(parts)
+        if not parts:
+            return {"files_before": 0, "files_after": 0, "bytes_total": 0}
+        # Parquet encoding ≈ on-disk size; in-memory rows inflate, but
+        # the target is file COUNT, so on-disk bytes is the right lever.
+        n_out = max(1, math.ceil(bytes_total / target_bytes))
+        df = spark.read.parquet(str(d))
+        if sort_cols:
+            out = df.repartitionByRange(
+                n_out, *[F.col(c) for c in sort_cols]
+            ).sortWithinPartitions(*sort_cols)
+        else:
+            out = df.repartition(n_out)
+        tmp = str(d) + "._compact_tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        bak = str(d) + "._compact_old"
+        shutil.move(str(d), bak)
+        shutil.move(tmp, str(d))
+        shutil.rmtree(bak)
+        files_after = len([f for f in d.glob("*.parquet") if f.is_file()])
+        return {"files_before": files_before, "files_after": files_after,
+                "bytes_total": bytes_total}
+
     p = Path(path)
+    # PARTITION-AWARE: a hive layout (key=value dirs — exactly what the
+    # docstring's epoch-partial and routed-fan-out use cases produce)
+    # must compact LEAF dir by LEAF dir. Reading the root and rewriting
+    # flat would demote partition dirs to data columns in root-level
+    # files, which partition discovery then IGNORES next to the dirs a
+    # later dynamic-partition write creates — silent row loss (measured:
+    # a bucketed table went 20 → 6 visible rows after flat compaction +
+    # one merge_upsert). Each leaf is read/written in place, so dir
+    # names — and with them the partition columns — survive.
+    leaves = sorted({f.parent for f in p.rglob("*.parquet")
+                     if f.is_file() and f.parent != p})
+    partitioned = any("=" in seg for leaf in leaves
+                      for seg in leaf.relative_to(p).parts)
+    if partitioned:
+        stats = [_compact_dir(d) for d in leaves]
+        return {
+            "files_before": sum(x["files_before"] for x in stats),
+            "files_after": sum(x["files_after"] for x in stats),
+            "bytes_total": sum(x["bytes_total"] for x in stats),
+            "partitions_compacted": len(stats),
+        }
+    # flat layout (possibly nested non-hive dirs): compact the root
     parts = [f for f in p.rglob("*.parquet") if f.is_file()]
     bytes_total = sum(f.stat().st_size for f in parts)
     files_before = len(parts)
-    # Parquet encoding ≈ on-disk size; in-memory rows inflate, but the
-    # target is file COUNT, so sizing from on-disk bytes is the right lever.
     n_out = max(1, math.ceil(bytes_total / target_bytes))
     df = spark.read.parquet(str(p))
     if sort_cols:

@@ -52,7 +52,26 @@ def merge_upsert(
 ) -> dict:
     """Upsert ``updates`` into the keyed table at ``path``: matching keys
     are replaced, new keys inserted; only affected bucket dirs rewrite.
-    Returns {"touched_buckets": [...], "n_upserts": int}."""
+    Returns {"touched_buckets": [...], "n_upserts": int}.
+
+    MERGE INTO source discipline: the updates batch must carry at most
+    ONE row per key and no NULL keys — duplicates would both insert
+    (breaking the table's one-row-per-key invariant) and a NULL key can
+    never anti-join its stale row (every batch would append another).
+    Violations raise, mirroring Iceberg's "multiple source rows matched"
+    error rather than silently corrupting the table."""
+    bad = (
+        updates.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1).limit(1).count()
+    )
+    if bad:
+        raise ValueError(
+            f"merge_upsert: updates contain duplicate '{key}' keys — "
+            "dedupe the batch (latest version per key) before upserting")
+    if updates.where(F.col(key).isNull()).limit(1).count():
+        raise ValueError(
+            f"merge_upsert: updates contain NULL '{key}' keys — a NULL "
+            "key can never match its target row")
     up = updates.withColumn("_bucket", _bucket(key, n_buckets))
     buckets = sorted(
         r["_bucket"] for r in up.select("_bucket").distinct().collect()

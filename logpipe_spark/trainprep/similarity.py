@@ -31,7 +31,12 @@ def _dvec(col: str) -> Column:
 
 def with_unit_norm(emb: DataFrame, vec_col: str = "embedding",
                    id_col: str = "vec_id") -> DataFrame:
-    """Project to (id, e double[], nrm) — norms computed once, upstream of joins."""
+    """Project to (id, e double[], nrm) — norms computed once, upstream of
+    joins. ZERO-NORM vectors are dropped: a zero vector has no direction,
+    so every cosine against it is undefined — and under the session's
+    default ANSI mode the 0/0 division THROWS rather than yielding NaN
+    (one corrupt embedding would kill the whole ANN job). The filter
+    fixes every downstream cos division in this module at one point."""
     d = _dvec(vec_col)
     return emb.select(
         F.col(id_col).alias("vec_id"),
@@ -40,7 +45,7 @@ def with_unit_norm(emb: DataFrame, vec_col: str = "embedding",
             f"aggregate(transform({vec_col}, x -> cast(x AS double)), "
             f"cast(0 AS double), (acc, x) -> acc + x * x)"
         )).alias("nrm"),
-    )
+    ).where(F.col("nrm") > 0)
 
 
 def _dot(a: str, b: str) -> Column:
@@ -68,13 +73,19 @@ def _partition_topk(scored: DataFrame, k: int, order_col: str = "cos",
     the partition, folded batch-by-batch.
     """
 
+    # Spark orders NaN as the LARGEST double (desc → NaN first, asc →
+    # NaN last); pandas puts NaN last by default in BOTH directions —
+    # na_position must mirror Spark or a NaN score survives the direct
+    # window but gets pruned here, breaking the identical-output contract
+    na_pos = "first" if not ascending else "last"
+
     def prune(it):
         best: pd.DataFrame | None = None
         for pdf in it:
             cur = pdf if best is None else pd.concat((best, pdf))
             cur = cur.sort_values(["query_id", order_col, "neighbor_id"],
                                   ascending=[True, ascending, True],
-                                  kind="mergesort")
+                                  kind="mergesort", na_position=na_pos)
             best = cur.groupby("query_id", sort=False).head(k)
         if best is not None and len(best):
             yield best
@@ -103,7 +114,7 @@ def sign_bucket(vec_col: str, bits: int = 6, offset: int = 0) -> Column:
     ``offset+1 .. offset+bits`` (offset>0 yields an independent hash table
     over later dimensions — the multi-band lever)."""
     parts = [
-        F.when(F.expr(f"element_at({vec_col}, {offset + i + 1})") >= 0,
+        F.when(F.expr(f"try_element_at({vec_col}, {offset + i + 1})") >= 0,
                F.lit("1"))
         .otherwise(F.lit("0"))
         for i in range(bits)
@@ -125,13 +136,14 @@ def probe_buckets(vec_col: str, bits: int, probes: int) -> Column:
         return F.array(sign_bucket(vec_col, bits))
     n_flips = min(probes - 1, bits)
     cases = ", ".join(
-        f"CASE WHEN element_at({vec_col}, {i + 1}) >= 0 THEN '1' ELSE '0' END"
+        f"CASE WHEN try_element_at({vec_col}, {i + 1}) >= 0 "
+        f"THEN '1' ELSE '0' END"
         for i in range(bits))
     base = f"concat({cases})"
     # dims ranked by |e_i| ascending; ties break on dim index (struct sort)
     ranked = (
         f"slice(array_sort(transform(sequence(1, {bits}), "
-        f"i -> struct(abs(cast(element_at({vec_col}, i) AS double)) AS d, "
+        f"i -> struct(abs(cast(try_element_at({vec_col}, i) AS double)) AS d, "
         f"i AS i))), 1, {n_flips})"
     )
     return F.expr(
@@ -408,12 +420,19 @@ def ann_pq_topk(emb: DataFrame, k: int = 5, m: int = 4, codebook: int = 16,
     # argmin (higher-order lambdas don't codegen: ~1B interpreted evals
     # with a slice allocation per centroid — slower still).
     book_rows = cents.select("ms", "cidx", "cs").collect()
-    cbook = np.empty((m, codebook, w), dtype=np.float64)
+    # clamp to the centroids that actually exist: a corpus smaller than
+    # `codebook` fills fewer cidx slots, and np.empty's uninitialized
+    # tail would otherwise win argmins nondeterministically (and emit
+    # code indices past the ADC LUT rows — an ANSI element_at crash)
+    n_cent = max((r["cidx"] for r in book_rows), default=0)
+    if n_cent == 0:
+        raise ValueError("ann_pq_topk: corpus has no codebook rows")
+    cbook = np.empty((m, n_cent, w), dtype=np.float64)
     for r in book_rows:
         cbook[r["ms"], r["cidx"] - 1, :] = r["cs"]
-    cself = np.empty((m, codebook), dtype=np.float64)
+    cself = np.empty((m, n_cent), dtype=np.float64)
     for msi in range(m):
-        for j in range(codebook):
+        for j in range(n_cent):
             acc = np.float64(0.0)
             for i in range(w):
                 acc = acc + cbook[msi, j, i] * cbook[msi, j, i]
@@ -425,8 +444,6 @@ def ann_pq_topk(emb: DataFrame, k: int = 5, m: int = 4, codebook: int = 16,
         for i in range(1, A.shape[1]):
             acc = acc + A[:, i] * B[..., i]
         return acc
-
-    n_cent = codebook
 
     def _encode(batches):
         for pdf in batches:

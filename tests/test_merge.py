@@ -65,3 +65,49 @@ def test_merge_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got[3] == "patched" and got[4] == "old4"
     assert len(got) == 500
+
+
+def test_merge_upsert_rejects_duplicate_and_null_keys(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from logpipe_spark.plans.merge import merge_upsert, write_keyed
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(i, "v%d" % i) for i in range(8)],
+                                 "k long, v string")
+    write_keyed(base, path, "k", n_buckets=4)
+
+    dup = spark.createDataFrame([(3, "a"), (3, "b")], "k long, v string")
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_upsert(spark, path, dup, "k", n_buckets=4)
+
+    nulls = spark.createDataFrame([(None, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="NULL"):
+        merge_upsert(spark, path, nulls, "k", n_buckets=4)
+    # table untouched by the rejected batches
+    assert spark.read.parquet(path).count() == 8
+
+
+def test_compact_preserves_bucketed_layout_for_upsert(spark, tmp_path):
+    """The reviewer's reproduction: compact a bucketed table, then upsert —
+    every row must stay visible (flat compaction used to demote _bucket to
+    a data column that partition discovery then ignored: 20 -> 6 rows)."""
+    from pyspark.sql import functions as F
+
+    from logpipe_spark.plans.layout import compact_small_files
+    from logpipe_spark.plans.merge import merge_upsert, write_keyed
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(i, "v%d" % i) for i in range(20)],
+                                 "k long, v string")
+    write_keyed(base, path, "k", n_buckets=4)
+    stats = compact_small_files(spark, path, target_bytes=1 << 30)
+    assert stats["partitions_compacted"] == 4
+    assert spark.read.parquet(path).count() == 20
+
+    up = spark.createDataFrame([(3, "NEW"), (100, "ins")], "k long, v string")
+    merge_upsert(spark, path, up, "k", n_buckets=4)
+    got = spark.read.parquet(path)
+    assert got.count() == 21
+    assert got.where(F.col("k") == 3).collect()[0].v == "NEW"

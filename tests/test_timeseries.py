@@ -380,3 +380,27 @@ def test_sequence_gaps_no_gaps_empty(spark):
 
     df = spark.createDataFrame([(i,) for i in range(20)], "event_id long")
     assert sequence_gaps(df, "event_id", bucket_width=4).count() == 0
+
+
+def test_asof_tolerance_and_nearest_on_ntz_timestamps(spark):
+    """TIMESTAMP_NTZ (the parquet-read default here) cannot cast straight
+    to DOUBLE — tolerance and 'nearest' used to throw AnalysisException;
+    the epoch math now hops through TIMESTAMP first."""
+    from pyspark.sql import functions as F
+
+    from logpipe_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:10:00")], "k string, ts string"
+    ).select("k", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", 1), ("k", "2024-01-01 00:11:00", 2)],
+        "k string, ts string, v int"
+    ).select("k", F.col("ts").cast("timestamp_ntz").alias("ts"), "v")
+
+    back = asof_join(left, right, ["k"], tolerance_seconds=120.0).collect()[0]
+    assert back.asof_v is None            # at-or-before match is 600 s stale
+    wide = asof_join(left, right, ["k"], tolerance_seconds=3600.0).collect()[0]
+    assert wide.asof_v == 1
+    near = asof_join(left, right, ["k"], direction="nearest").collect()[0]
+    assert near.asof_v == 2               # 60 s forward beats 600 s back

@@ -278,3 +278,41 @@ def test_mm_resize_plan_invariants(spark):
                              else (r.width, r.target_w))
             assert tshort == max(short * 256 // long_side, 1)
         assert r.out_bytes == r.target_w * r.target_h * r.channels
+
+
+def test_ann_tolerates_zero_norm_and_short_vectors(spark):
+    """ANSI hardening: a zero-norm embedding must not crash the cosine
+    ops (0/0 throws under ANSI) — it is dropped as directionless; and
+    LSH bucketing past the vector's last dim reads sign '0' instead of
+    throwing INVALID_ARRAY_INDEX."""
+    from logpipe_spark.trainprep.similarity import (ann_bruteforce_topk,
+                                                    cosine_near_dup_pairs)
+
+    rows = [(0, [1.0, 2.0]), (1, [0.0, 0.0]), (2, [1.0, 1.9]),
+            (3, [-1.0, 0.5]), (4, [1.0, 2.1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ann_bruteforce_topk(emb, k=3, query_mod=2).collect()
+    ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
+    assert 1 not in ids                       # zero vector absent
+    assert any(r.query_id == 0 for r in out)  # job ran end to end
+
+    # bits=6 > dim=2: out-of-range dims read as sign 0 (documented)
+    pairs = cosine_near_dup_pairs(emb, threshold=0.9, bits=6).collect()
+    assert all(1 not in (r.id_a, r.id_b) for r in pairs)
+    assert any({r.id_a, r.id_b} == {0, 4} for r in pairs)  # near-parallel
+
+
+def test_ann_pq_small_corpus_clamps_codebook(spark):
+    """Corpus smaller than the codebook: centroid slots must clamp to the
+    rows that exist (np.empty garbage used to win argmins or crash the
+    ADC element_at) — and stay deterministic across runs."""
+    from logpipe_spark.trainprep.similarity import ann_pq_topk
+
+    rows = [(i, [float(i), float(i % 3), 1.0, -float(i)])
+            for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, ann_pq_topk(
+        emb, k=3, m=2, codebook=16, query_mod=5).collect()))
+    b = sorted(map(tuple, ann_pq_topk(
+        emb, k=3, m=2, codebook=16, query_mod=5).collect()))
+    assert a == b and len(a) > 0
