@@ -4055,7 +4055,7 @@ WITH s AS (
            OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000,
                  event_id)
            - epoch_us(ts) // 1000000 AS dt
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), g AS (
   SELECT user_id,
          cast(count(*) AS bigint) AS n_intervals,
@@ -4111,10 +4111,10 @@ WITH obs AS (
 ), f AS (
   SELECT user_id, bkt, n_events, sum_cents,
          last_value(sum_cents IGNORE NULLS) OVER wb AS prev_v,
-         last_value(CASE WHEN n_events IS NOT NULL THEN bkt END IGNORE NULLS)
+         last_value(CASE WHEN sum_cents IS NOT NULL THEN bkt END IGNORE NULLS)
            OVER wb AS prev_t,
          first_value(sum_cents IGNORE NULLS) OVER wf AS next_v,
-         first_value(CASE WHEN n_events IS NOT NULL THEN bkt END IGNORE NULLS)
+         first_value(CASE WHEN sum_cents IS NOT NULL THEN bkt END IGNORE NULLS)
            OVER wf AS next_t
   FROM merged
   WINDOW wb AS (PARTITION BY user_id ORDER BY bkt
@@ -4130,7 +4130,7 @@ SELECT user_id,
        make_timestamp(bkt * 1000000) AS bucket_ts,
        cast(coalesce(n_events, 0) AS bigint) AS n_events,
        sum_cents,
-       cast(CASE WHEN n_events IS NOT NULL THEN sum_cents
+       cast(CASE WHEN sum_cents IS NOT NULL THEN sum_cents
                  ELSE prev_v + (num - ((num % den) + den) % den) // den
             END AS bigint) AS interp_cents,
        n_events IS NULL AS is_gap
@@ -4189,11 +4189,12 @@ SELECT l_returnflag,
 FROM s WHERE 2 * cumw >= total
 GROUP BY l_returnflag""",
         "pareto_front": """
-WITH u AS (
+WITH u0 AS (
   SELECT user_id, cast(count(*) AS bigint) AS n_events,
          cast(sum(cast(floor(value * 100 + 0.5) AS bigint)) AS bigint)
            AS cents
-  FROM events GROUP BY user_id)
+  FROM events GROUP BY user_id),
+u AS (SELECT * FROM u0 WHERE cents IS NOT NULL)
 SELECT user_id, n_events, cents FROM u a
 WHERE NOT EXISTS (
   SELECT 1 FROM u b

@@ -77,7 +77,15 @@ def time_gapfill_interp(
         .orderBy(epoch.desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    obs_bkt = F.when(~F.col("is_gap"), epoch)
+    # anchors must be VALUE-BEARING buckets: an observed bucket whose
+    # events all carry NULL values has no sum — using it as a TIME anchor
+    # while the VALUE anchors skip it blends a neighbor's value at the
+    # wrong timestamp (and a trailing valueless bucket voids the
+    # "both neighbors" guarantee). Valueless buckets are interpolation
+    # TARGETS (TimescaleDB interpolate() fills NULL aggregate values,
+    # observed or not), never anchors.
+    obs_bkt = F.when((~F.col("is_gap")) & F.col("sum_cents").isNotNull(),
+                     epoch)
     base = filled.select(
         *keys,
         "bucket_ts",
@@ -101,7 +109,7 @@ def time_gapfill_interp(
         "bucket_ts",
         "n_events",
         "sum_cents",
-        F.when(~F.col("is_gap"), F.col("sum_cents"))
+        F.when(F.col("sum_cents").isNotNull(), F.col("sum_cents"))
         .otherwise(blend)
         .cast("bigint")
         .alias("interp_cents"),
@@ -138,6 +146,12 @@ def time_weighted_avg(
     epoch = F.col(ts).cast("timestamp").cast("long")
     cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("bigint")
     w = Window.partitionBy(*keys).orderBy(epoch, F.col(tiebreak))
+    # a NULL-value row is NOT an observation under time_weight('LOCF'):
+    # the previous value keeps holding through it. Filtering it here
+    # extends the previous span to the next REAL observation; counting
+    # its duration while dropping its (NULL) product would silently
+    # deflate the average instead.
+    df = df.where(F.col(value).isNotNull())
     spans = df.select(
         *keys,
         cents.alias("_c"),

@@ -58,6 +58,10 @@ def hll_sketch(df: DataFrame, key: str, group_cols: list[str] | None = None,
     """
     group_cols = list(group_cols or [])
     m = 1 << p
+    # COUNT(DISTINCT) ignores NULLs; md5(NULL) is NULL and would create a
+    # (reg=NULL, rho=NULL) row that hll_estimate counts as an occupied
+    # register with zero harmonic mass — one extra phantom distinct
+    df = df.where(F.col(key).isNotNull())
     h = F.md5(F.col(key).cast("string"))
     reg = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % m).cast("int")
     w = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")

@@ -45,6 +45,11 @@ def pareto_front(df: DataFrame, x_col: str, y_col: str,
     input columns unchanged, frontier rows only.
     """
     x, y = F.col(x_col), F.col(y_col)
+    # a point with a NULL coordinate has no dominance relation: keep-vs-
+    # drop is undefined, and the NULL bucket would silently fall out of
+    # the inner carry join anyway (neither kept nor dominated) — filter
+    # explicitly so the behavior is a documented policy, not join luck
+    df = df.where(x.isNotNull() & y.isNotNull())
     # multi-consumer frame (summary aggregate + scored windows) — persist
     # or the upstream plan recomputes once per consumer (measured 36 s →
     # ~12 s at 10M input rows feeding a groupBy upstream; BENCH.md)

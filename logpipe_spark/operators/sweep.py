@@ -52,6 +52,11 @@ def interval_concurrency(
     """
     start = F.col(start_col) if isinstance(start_col, str) else start_col
     end = F.col(end_col) if isinstance(end_col, str) else end_col
+    # NULL boundaries are dropped as a PAIR: an interval missing either
+    # endpoint has no defined span, and a lone NULL boundary would form a
+    # NULL bucket that sorts FIRST — its delta would fold into every real
+    # bucket's carry offset, shifting the whole curve by a constant.
+    df = df.where(start.isNotNull() & end.isNotNull())
     bounds = df.select(start.alias("t"), F.lit(1).alias("d")).unionAll(
         df.select(end.alias("t"), F.lit(-1).alias("d"))
     )

@@ -144,14 +144,13 @@ def run_stages(
         if compute_metrics:
             from logpipe_spark.metrics import with_partition_metrics
             out, acc = with_partition_metrics(spark, out)
+        from contextlib import nullcontext
+
         reporter = None
         if progress_interval_s is not None:
             from logpipe_spark.plans.progress import ProgressReporter
             reporter = ProgressReporter(spark, interval_s=progress_interval_s)
-        if reporter is not None:
-            with reporter:
-                out.write.mode("overwrite").parquet(inprog)
-        else:
+        with reporter if reporter is not None else nullcontext():
             out.write.mode("overwrite").parquet(inprog)
         wall = time.perf_counter() - t0
         os.replace(inprog, final_dir)  # atomic commit of the snapshot dir

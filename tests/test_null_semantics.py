@@ -1,0 +1,87 @@
+"""NULL-input semantics regressions (second review sweep): operators whose
+group/boundary/value columns can be NULL must follow a DOCUMENTED policy,
+never join-luck — each case here reproduced a silent corruption before the
+fix."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_time_weighted_avg_locf_through_null_observation(spark):
+    """(0,100), (10s,NULL), (20s,100): LOCF holds 100 the whole window —
+    the NULL row used to count 10 s of duration with zero value mass,
+    deflating the average to 50.00."""
+    from logpipe_spark.operators.gapfill import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [(1, 1, _ts(0), 100.0), (1, 2, _ts(10), None),
+         (1, 3, _ts(20), 100.0)],
+        "user_id long, event_id long, ts timestamp, value double")
+    r = time_weighted_avg(df, "ts", ["user_id"], "value").collect()[0]
+    assert (r.n_intervals, r.total_seconds) == (1, 20)
+    assert r.twa_cents == 10000.0          # 100.00 held throughout
+
+
+def test_gapfill_interp_valueless_bucket_is_target_not_anchor(spark):
+    """Hourly buckets A(100), B(all-NULL values), C(300): B used to serve
+    as a TIME anchor while the VALUE anchors skipped it — blending C's
+    value as if reached at B's time. Now B is an interpolation TARGET
+    (anchors are value-bearing buckets only): B = 100 + (300-100)*1h/2h
+    = 200; and sum_cents-bearing rows pass through untouched."""
+    from logpipe_spark.operators.gapfill import time_gapfill_interp
+
+    rows = [(1, datetime(2024, 1, 1, 0, 0, 0), 1.0),
+            (1, datetime(2024, 1, 1, 1, 0, 0), None),   # observed, valueless
+            (1, datetime(2024, 1, 1, 2, 0, 0), 3.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r.bucket_ts.hour: r for r in time_gapfill_interp(
+        df, "ts", ["user_id"], "value", 3600).collect()}
+    assert out[0].interp_cents == 100 and out[2].interp_cents == 300
+    mid = out[1]
+    assert not mid.is_gap and mid.n_events == 1 and mid.sum_cents is None
+    assert mid.interp_cents == 200         # linear blend at B's OWN time
+
+
+def test_interval_concurrency_drops_null_boundaries(spark):
+    """A NULL end used to leave a lone -1 delta in a NULL bucket that
+    sorts first, folding -1 into EVERY real bucket's carry — the whole
+    curve shifted down by one."""
+    from logpipe_spark.operators.sweep import interval_concurrency
+
+    df = spark.createDataFrame(
+        [(_ts(0), _ts(10)), (_ts(5), None), (_ts(2), _ts(8))],
+        "s timestamp, e timestamp")
+    out = sorted(interval_concurrency(df, "s", "e").collect(),
+                 key=lambda r: r.t)
+    assert [r.concurrent for r in out] == [1, 2, 1, 0]  # returns to zero
+    assert all(r.t is not None for r in out)
+
+
+def test_pareto_front_drops_null_coordinates(spark):
+    from logpipe_spark.operators.skyline import pareto_front
+
+    df = spark.createDataFrame(
+        [(None, 5), (1, 1), (2, 3)], "x long, y long")
+    out = sorted((r.x, r.y) for r in pareto_front(df, "x", "y").collect())
+    assert out == [(2, 3)]                 # NULL-x row neither kept nor lost
+
+
+def test_hll_ignores_null_keys(spark):
+    """COUNT(DISTINCT) ignores NULLs: estimates with and without NULL keys
+    must be identical (the phantom NULL register used to add one)."""
+    from logpipe_spark.operators.hll import hll_distinct
+
+    clean = spark.createDataFrame(
+        [("g", i) for i in range(50)], "g string, k long")
+    noisy = clean.unionByName(spark.createDataFrame(
+        [("g", None)] * 7, "g string, k long"))
+    a = hll_distinct(clean, "k", ["g"]).collect()[0].hll_distinct
+    b = hll_distinct(noisy, "k", ["g"]).collect()[0].hll_distinct
+    assert a == b
