@@ -909,7 +909,9 @@ def _lang_oracle() -> str:
         cases.append(f"WHEN {conds} THEN '{lang}'")
     pred = "CASE " + " ".join(cases) + " END"
     return f"""WITH p AS (
-  SELECT doc_id, lang, ' ' || text || ' ' AS padded FROM documents),
+  SELECT doc_id, lang,
+         ' ' || replace(text, ' ', '  ') || ' ' AS padded
+  FROM documents),
 s AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM p),
 r AS (SELECT doc_id, {pred} AS pred_lang, lang FROM s)
 SELECT doc_id, pred_lang, lang, pred_lang = lang AS is_match FROM r"""
@@ -917,7 +919,8 @@ SELECT doc_id, pred_lang, lang, pred_lang = lang AS is_match FROM r"""
 
 def _quality_oracle() -> str:
     stop_terms = " + ".join(
-        _occ_sql("' ' || text || ' '", f" {w} ") for w in tq.STOPWORDS)
+        _occ_sql("' ' || replace(text, ' ', '  ') || ' '", f" {w} ")
+        for w in tq.STOPWORDS)
     return f"""WITH q AS (
   SELECT doc_id,
          length(text) AS n_chars,
@@ -3143,11 +3146,11 @@ UNION ALL
 SELECT 'error' AS sink, count(*) AS turn_count FROM parsed WHERE error_kind IS NOT NULL""",
         "conv_spans": f"""{P}
 SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts, max(ts) AS last_ts,
-       round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6, 3) AS span_seconds
+       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS span_seconds
 FROM parsed WHERE error_kind IS NULL GROUP BY conv_id""",
         "turn_latency": f"""{P}
 SELECT conv_id, turn_idx,
-       round((epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx))) / 1e6, 3)
+       (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx))) / 1e6
          AS latency_seconds
 FROM transcripts""",
         "token_stats": f"""{P},
@@ -3390,7 +3393,7 @@ WITH r AS (
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT event_type,
        max(CASE WHEN rn = cast(ceil(0.5 * n) AS bigint) THEN value END) AS p50,
@@ -4175,7 +4178,8 @@ WITH b AS (
   SELECT l_returnflag,
          cast(floor(l_extendedprice * 100 + 0.5) AS bigint) AS v,
          cast(l_quantity AS bigint) AS w
-  FROM lineitem),
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
 s AS (
   SELECT l_returnflag, v,
          sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
@@ -4322,7 +4326,7 @@ r AS (SELECT event_type, cents,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY cents, event_id) AS rn,
              count(*) OVER (PARTITION BY event_type) AS n
-      FROM b),
+      FROM b WHERE cents IS NOT NULL),
 bounds AS (
   SELECT event_type,
          cast(max(CASE WHEN rn = cast(ceil(0.05 * n) AS bigint)
@@ -4392,7 +4396,8 @@ FROM g JOIN k USING (event_type)
 WHERE gap = ks GROUP BY g.event_type, g.n_a, g.n_b, k.ks""",
         "mad_stats": """
 WITH b AS (SELECT event_type,
-                  cast(floor(value * 100 + 0.5) AS bigint) AS v FROM events),
+                  cast(floor(value * 100 + 0.5) AS bigint) AS v
+           FROM events WHERE value IS NOT NULL),
 r AS (SELECT event_type, v,
              row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
              count(*) OVER (PARTITION BY event_type) AS n FROM b),

@@ -194,6 +194,11 @@ def percentiles_disc(
     """
     from pyspark.sql import Window
 
+    # NULL values are not elements of the distribution: Spark's asc sort
+    # is NULLS FIRST, so unfiltered NULLs would occupy the lowest ranks,
+    # shift every percentile, and let a NULL row BE the selected
+    # percentile (percentile_disc/median semantics ignore NULLs)
+    df = df.where(F.col(value).isNotNull())
     order = [F.col(value).asc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc())
@@ -479,6 +484,11 @@ def weighted_median(df: DataFrame, key: str, value_col: str,
 
     v = F.col(value_col).cast("bigint")
     wgt = F.col(weight_col).cast("bigint")
+    # NULL-value rows sort first and would inject their weight into every
+    # real row's cumulative frame (and the total), distorting the
+    # 2·cumw >= total threshold; NULL-weight rows have no mass — both are
+    # non-observations
+    df = df.where(v.isNotNull() & wgt.isNotNull())
     w_cum = (Window.partitionBy(key).orderBy(F.col("_v"))
              .rangeBetween(Window.unboundedPreceding, 0))
     w_all = Window.partitionBy(key)
@@ -630,8 +640,10 @@ def median_mad(df: DataFrame, key: str, value_col: str) -> DataFrame:
 
     v = F.col(value_col).cast("bigint")
     # two-pass by nature (MAD needs the median first): persist the
-    # projected base so the deviation pass reuses the scan
-    base = df.select(key, v.alias("_v")).persist()
+    # projected base so the deviation pass reuses the scan. NULL values
+    # are excluded (median/MAD ignore NULLs; unfiltered they occupy the
+    # lowest ranks and shift — or NULL out — both statistics)
+    base = df.where(v.isNotNull()).select(key, v.alias("_v")).persist()
 
     def _lower_median(frame: DataFrame, col: str, out: str) -> DataFrame:
         w = Window.partitionBy(key).orderBy(F.col(col))

@@ -25,14 +25,18 @@ def _micros(c) -> "F.Column":
     return F.unix_micros(c.cast("timestamp"))
 
 
-def conv_spans(df: DataFrame, round_dp: int = 3) -> DataFrame:
+def conv_spans(df: DataFrame) -> DataFrame:
+    # span_seconds is a RAW quotient of an exact integer-micros diff —
+    # rounding a deterministic ratio is the cross-engine divergence trap
+    # (Spark BigDecimal.valueOf vs DuckDB scale-and-round disagree when
+    # the shortest repr ends in …5; CLAUDE.md round() rule). sessionize
+    # below was already in the raw form.
     return df.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
-        F.round(
-            (_micros(F.max("ts")) - _micros(F.min("ts"))) / 1e6, round_dp
-        ).alias("span_seconds"),
+        ((_micros(F.max("ts")) - _micros(F.min("ts"))) / F.lit(1e6))
+        .alias("span_seconds"),
     )
 
 
@@ -41,7 +45,7 @@ def with_turn_latency(df: DataFrame) -> DataFrame:
     prev_ts = F.lag("ts").over(w)
     return df.withColumn(
         "latency_seconds",
-        F.round((_micros(F.col("ts")) - _micros(prev_ts)) / 1e6, 3),
+        (_micros(F.col("ts")) - _micros(prev_ts)) / F.lit(1e6),
     )
 
 

@@ -77,7 +77,10 @@ def read_ndjson(
     schema wins: missing fields → null, extra fields dropped (SURVEY.md §1.3).
     """
     lines = spark.read.text(path).withColumnRenamed("value", "raw")
-    lines = lines.filter(F.trim(F.col("raw")) != "")
+    # whitespace-blank skip: F.trim strips ASCII SPACES only, so a
+    # tab-only line would survive as a malformed all-null row — match
+    # any non-whitespace char instead (JSON.parse's skippable set)
+    lines = lines.filter(F.col("raw").rlike(r"\S"))
     parsed = lines.withColumn(
         "rec",
         F.from_json(F.col("raw"), schema, {"mode": "PERMISSIVE"}),
@@ -89,8 +92,12 @@ def read_ndjson(
     # as records; here a non-object line routes to the error channel instead
     # of becoming an all-null row silently marked clean — the object check
     # is what keeps 'malformed' meaning "not a usable record".
+    # first NON-WHITESPACE char must be '{' (trim() leaves tabs, and
+    # Jackson itself skips any leading JSON whitespace — a tab-indented
+    # object is a valid record, not a malformed row)
+    first_ch = F.regexp_extract(F.col("raw"), r"^\s*(\S)", 1)
     is_bad = (
-        ~F.trim(F.col("raw")).startswith("{")
+        (first_ch != "{")
         | F.get_json_object(F.col("raw"), "$").isNull()
     )
     cols = [F.col(f"rec.{f.name}").alias(f.name) for f in schema.fields]
@@ -160,20 +167,31 @@ def _read_csv_skipping(
     path). Quoted fields containing raw newlines do not survive the line
     split (same limitation as the reference's line-based csvParser).
     """
-    whole = spark.read.text(path, wholetext=True)
+    whole = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("_f"), "value")
     lines = (
         whole.select(
+            "_f",
             F.posexplode(F.split("value", "\r\n|\r|\n")).alias("_idx", "_line"))
         .filter(F.col("_idx") >= skip_lines)
         .filter(F.col("_line") != "")          # CSV readers skip empty lines
     )
-    data = lines.filter(F.col("_idx") > skip_lines) if header else lines
+    # the header is the first NON-BLANK line after the skip, PER FILE —
+    # assuming it sits literally at _idx == skip_lines breaks when a
+    # blank line follows the preamble (the probe would find nothing, or
+    # the real header would survive as a garbage data row)
+    hdr_idx = lines.groupBy("_f").agg(F.min("_idx").alias("_h"))
+    data = (
+        lines.join(hdr_idx, "_f").filter(F.col("_idx") > F.col("_h"))
+        if header else lines
+    )
     if schema is None:
         # all-strings schema; names from the (per-file) header line, else c0..cN
         import csv as _csv
         import io as _io
 
-        probe = lines.filter(F.col("_idx") == skip_lines).limit(1).collect()
+        probe = (lines.join(hdr_idx, "_f")
+                 .filter(F.col("_idx") == F.col("_h")).limit(1).collect())
         if not probe:
             raise ValueError(f"no lines left after skip_lines={skip_lines}")
         fields = next(_csv.reader(

@@ -36,8 +36,19 @@ def _occ_simple(col: Column, pat: str) -> Column:
     ).cast("int")
 
 
+def _padded_wide(text: Column) -> Column:
+    # space-DOUBLED padding: a non-overlapping replace-count of ' w '
+    # consumes the shared separator space, so runs of adjacent
+    # space-delimited hits ('of of of') undercount; doubling every space
+    # first gives each occurrence its own delimiters (substring n-gram
+    # patterns without internal spaces are unaffected)
+    return F.concat(F.lit(" "),
+                    F.replace(text, F.lit(" "), F.lit("  ")),
+                    F.lit(" "))
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    padded = _padded_wide(text)
     return {
         lang: sum(
             (_occ_simple(padded, p) for p in pats),
@@ -91,7 +102,7 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     scale-and-round).
     """
     text = F.col(text_col)
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    padded = _padded_wide(text)  # overlap-safe stopword runs (see helper)
     n_chars = F.length(text)
     n_tokens = F.size(F.split(text, " "))
     stop_hits = sum(

@@ -85,3 +85,26 @@ def test_hll_ignores_null_keys(spark):
     a = hll_distinct(clean, "k", ["g"]).collect()[0].hll_distinct
     b = hll_distinct(noisy, "k", ["g"]).collect()[0].hll_distinct
     assert a == b
+
+
+def test_percentiles_and_mad_ignore_null_values(spark):
+    """NULLs sort FIRST under Spark asc: unfiltered they occupy the lowest
+    ranks, shift every percentile/median, and can BE the selected element
+    (percentile_disc/median semantics ignore NULLs)."""
+    from logpipe_spark.operators.aggregate import (median_mad,
+                                                   percentiles_disc,
+                                                   weighted_median)
+
+    rows = ([("g", None)] * 5
+            + [("g", v) for v in (10, 20, 30, 40, 50)])
+    df = spark.createDataFrame(rows, "k string, v long")
+    p = percentiles_disc(df, "k", "v", ps=(0.5,)).collect()[0]
+    assert (p.p50, p.n) == (30, 5)           # was NULL / n=10 before
+
+    m = median_mad(df, "k", "v").collect()[0]
+    assert (m.median_value, m.n) == (30, 5)  # lower median of 5 reals
+
+    wrows = [("g", None, 4), ("g", 1, 1), ("g", 2, 1), ("g", 3, 1)]
+    wdf = spark.createDataFrame(wrows, "k string, v long, w long")
+    wm = weighted_median(wdf, "k", "v", "w").collect()[0]
+    assert (wm.median_value, wm.total_weight) == (2, 3)  # null weight out

@@ -210,3 +210,36 @@ def test_read_source_dispatch_orc(spark, tmp_path):
     df = read_source(spark, p, SCHEMA)      # no explicit fmt: sniffed
     rows = {(r.conv_id, r.turn_idx) for r in df.collect()}
     assert rows == {("c1", 0), ("c2", 1)}
+
+
+def test_ndjson_whitespace_semantics(spark, tmp_path):
+    """Tab-indented valid JSON is a clean record (Jackson skips leading
+    whitespace); whitespace-only lines are blank-skipped — F.trim only
+    strips ASCII spaces, so both used to misfire."""
+    from logpipe_spark.schemas import TRANSCRIPT_SCHEMA
+    from logpipe_spark.sources.readers import read_ndjson
+
+    f = tmp_path / "t.ndjson"
+    f.write_text('\t{"conv_id":"c1","turn_idx":1}\n'
+                 '\t\n   \n'
+                 '{"conv_id":"c2","turn_idx":2}\n'
+                 'nope\n')
+    rows = read_ndjson(spark, str(f), TRANSCRIPT_SCHEMA).collect()
+    assert len(rows) == 3
+    kinds = {r.conv_id: r.error_kind for r in rows}
+    assert kinds["c1"] is None and kinds["c2"] is None
+    assert sum(1 for r in rows if r.error_kind == "malformed") == 1
+
+
+def test_csv_skip_lines_blank_after_preamble(spark, tmp_path):
+    """A blank line between the skipped preamble and the header: the
+    header is the first NON-BLANK line after the skip, per file — the
+    old literal _idx == skip_lines probe raised or demoted the real
+    header to a data row."""
+    from logpipe_spark.sources.readers import read_csv
+
+    f = tmp_path / "x.csv"
+    f.write_text("junk1\njunk2\n\na,b\n1,2\n3,4\n")
+    out = read_csv(spark, str(f), schema=None, header=True, skip_lines=2)
+    assert out.columns == ["a", "b"]
+    assert sorted((r.a, r.b) for r in out.collect()) == [("1", "2"), ("3", "4")]

@@ -316,3 +316,16 @@ def test_ann_pq_small_corpus_clamps_codebook(spark):
     b = sorted(map(tuple, ann_pq_topk(
         emb, k=3, m=2, codebook=16, query_mod=5).collect()))
     assert a == b and len(a) > 0
+
+
+def test_quality_stopword_runs_count_fully(spark):
+    """Adjacent stopwords share a separator space: the replace-based
+    counter used to consume it and count only ceil(n/2) of a run — the
+    doubled-space padding gives each occurrence its own delimiters."""
+    from logpipe_spark.trainprep.textqual import quality_score
+
+    df = spark.createDataFrame(
+        [(1, "of of of"), (2, "the a of and in")], "doc_id long, text string")
+    out = {r.doc_id: r for r in quality_score(df).collect()}
+    assert out[1].stop_hits == 3      # was 2
+    assert out[2].stop_hits == 5
