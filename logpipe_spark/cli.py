@@ -97,17 +97,36 @@ def apply_transforms(df: DataFrame, args) -> DataFrame:
              else F.col(field).cast("string") == F.lit(value))
         pred = c if pred is None else (pred & c)
     if pred is not None:
-        df = df.filter(~pred if args.exclude_matches else pred)
+        # three-valued logic: a NULL field makes the predicate NULL, and
+        # ~NULL is still NULL — filter() would drop NON-matching rows
+        # from --exclude-matches. Coalesce to False first (router.py's
+        # rule predicates do the same).
+        matched = F.coalesce(pred, F.lit(False))
+        df = df.filter(~matched if args.exclude_matches else matched)
 
     if args.select:
         fields = [f.strip() for f in args.select.split(",") if f.strip()]
-        cols = []
-        for f_ in fields:  # nested dot-path rebuild (mapTransformer.js:88-109)
-            if "." in f_:
-                top, rest = f_.split(".", 1)
-                cols.append(F.struct(F.col(f_).alias(rest)).alias(top))
+        # nested dot-path rebuild (mapTransformer.js:88-109): paths that
+        # share a top-level field MERGE into one struct — two separate
+        # single-field structs would collide on the column name (parquet
+        # rejects duplicates). A bare top-level selection of the same
+        # field wins over its sub-paths.
+        tops: dict[str, list[str] | None] = {}
+        for f_ in fields:
+            if "." not in f_:
+                tops[f_] = None                  # whole column wins
             else:
-                cols.append(F.col(f_))
+                top, rest = f_.split(".", 1)
+                if tops.get(top, []) is not None:
+                    tops.setdefault(top, []).append(rest)
+        cols = []
+        for top, rests in tops.items():
+            if rests is None:
+                cols.append(F.col(top))
+            else:
+                cols.append(F.struct(
+                    *[F.col(f"{top}.{r}").alias(r) for r in rests]
+                ).alias(top))
         df = df.select(*cols)
 
     if args.hash_field:
@@ -131,7 +150,10 @@ def apply_transforms(df: DataFrame, args) -> DataFrame:
 def _warn_malformed(obs) -> None:
     """Print the read-side malformed count after the sink action (metrics
     reflect rows the action actually scanned — a console `show(limit)`
-    reports the scanned prefix only)."""
+    reports the scanned prefix only). Callers pass obs=None for sinks
+    that consume the frame via RDD jobs (http foreachPartition, pretty
+    toJSON) — those bypass SQLExecution, the backing listener never
+    fires, and ``obs.get`` would BLOCK FOREVER."""
     if obs is None:
         return
     m = obs.get
@@ -148,10 +170,15 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = build_session(app_name="logpipe-cli", cpus=args.parallel)
     try:
+        from logpipe_spark.sources import sniff_format
+
         fmt = args.format or ("parquet" if args.input.endswith(".parquet")
                               else None)
         csv_opts = {}
-        if (args.format or "").lower() == "csv" or args.input.endswith(".csv"):
+        # gate on the SAME dispatch the reader uses (sniff_format peels
+        # .gz): an endswith('.csv') check silently dropped every CSV
+        # option for data.csv.gz while the reader still parsed it as CSV
+        if sniff_format(args.input, args.format) == "csv":
             csv_opts = {"separator": args.csv_separator,
                         "header": args.csv_header,
                         "quote": args.csv_quote,
@@ -193,6 +220,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"sent {stats['records_sent']} records in "
                   f"{stats['batches_sent']} batches "
                   f"({stats['retries']} retries)")
+            obs = None    # RDD sink: Observation never completes (see _warn_malformed)
         elif args.output:
             out.write.mode("overwrite").format(args.output_format) \
                .save(args.output)
@@ -202,6 +230,7 @@ def main(argv: list[str] | None = None) -> int:
                 import json as _json
                 for line in out.toJSON().take(args.limit):
                     print(_json.dumps(_json.loads(line), indent=2))
+                obs = None    # RDD sink (toJSON().take): obs.get would hang
             else:
                 out.show(args.limit, truncate=False)
         _warn_malformed(obs)

@@ -73,11 +73,17 @@ def with_partition_metrics(spark: SparkSession, df: DataFrame):
         pid = TaskContext.get().partitionId()
         t0 = time.perf_counter()
         rows = batches = 0
-        for pdf in it:
-            rows += len(pdf)
-            batches += 1
-            yield pdf
-        acc.add({pid: (rows, batches, time.perf_counter() - t0)})
+        # finally: a limit/take/show consumer CLOSES the generator mid-
+        # stream (GeneratorExit at the yield) — without it the partition
+        # that streamed the rows would record NOTHING and skew_report
+        # would silently total a partial partition set
+        try:
+            for pdf in it:
+                rows += len(pdf)
+                batches += 1
+                yield pdf
+        finally:
+            acc.add({pid: (rows, batches, time.perf_counter() - t0)})
 
     return df.mapInPandas(passthrough, schema=schema), acc
 

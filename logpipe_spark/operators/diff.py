@@ -41,8 +41,10 @@ def snapshot_diff(
     cmp_cols = list(compare_cols) if compare_cols is not None else [
         c for c in old.columns if c not in keys
     ]
-    o = old.select(*keys, *[F.col(c).alias(f"old_{c}") for c in cmp_cols])
-    n = new.select(*keys, *[F.col(c).alias(f"new_{c}") for c in cmp_cols])
+    o = old.select(*keys, F.lit(True).alias("_present"),
+                   *[F.col(c).alias(f"old_{c}") for c in cmp_cols])
+    n = new.select(*keys, F.lit(True).alias("_present"),
+                   *[F.col(c).alias(f"new_{c}") for c in cmp_cols])
     # join on the key equality expression so BOTH sides' key columns
     # survive (full outer + USING would null-coalesce them anyway, but the
     # presence test below wants them explicit)
@@ -51,14 +53,13 @@ def snapshot_diff(
         [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys],
         "full_outer",
     )
-    # presence is decided by the KEY side, not a value column (values may
-    # be legitimately NULL): any key column non-null marks presence, and
-    # an all-NULL key row can only come from the other side's outer pad.
-    present_old = F.lit(False)
-    present_new = F.lit(False)
-    for k in keys:
-        present_old = present_old | F.col(f"o.{k}").isNotNull()
-        present_new = present_new | F.col(f"n.{k}").isNotNull()
+    # presence = an explicit per-side marker column, NOT key.isNotNull():
+    # the join is NULL-SAFE, so a row whose key is legitimately NULL in
+    # BOTH snapshots matches — and a key-based test would misclassify the
+    # matched pair as 'added'. The literal marker survives the outer pad
+    # as NULL exactly when the side was absent.
+    present_old = F.col("o._present").isNotNull()
+    present_new = F.col("n._present").isNotNull()
     same = F.lit(True)
     for c in cmp_cols:
         same = same & F.col(f"o.old_{c}").eqNullSafe(F.col(f"n.new_{c}"))

@@ -127,7 +127,7 @@ def run_pipeline_fanout(
     exploded = route_single_pass(enriched, rules)
     write_fanout_single_pass(exploded, sink_base_dir)
     sink_aggs = (
-        route_single_pass(enriched, rules)
+        exploded
         .groupBy("sink")
         .agg(
             F.count(F.lit(1)).alias("turn_count"),
@@ -171,5 +171,5 @@ def flagship_summary(spark: SparkSession, transcripts: DataFrame,
             F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
             n_convs.alias("n_convs"),
         )
-        .orderBy("role", "tool")
+        .orderBy("role", "tool", "team")
     )

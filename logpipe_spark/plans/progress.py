@@ -82,6 +82,11 @@ class ProgressReporter:
                 self._printer(f"[{sample['t_s']:8.1f}s] {parts}")
 
     def __enter__(self) -> "ProgressReporter":
+        # re-enterable: clear the stop flag and stale samples from a
+        # previous use (a set flag would make the poller exit instantly
+        # and the second job would appear to have had no activity)
+        self._stop.clear()
+        self._samples = []
         self._t0 = time.perf_counter()
         self._thread = threading.Thread(target=self._poll, daemon=True)
         self._thread.start()

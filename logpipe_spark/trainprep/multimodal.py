@@ -202,11 +202,15 @@ def audio_chunk_plan(meta: DataFrame, chunk_ms: int = CHUNK_MS) -> DataFrame:
     """Fixed-window chunking plan (doc_id, chunk_idx, start_ms, end_ms) —
     the resample/transcribe stage consumes one chunk per row; planning is
     pure integer sequence arithmetic, no decode."""
+    # n chunks derives from the chunk_ms actually requested — the stored
+    # n_chunks column was computed at decode time with the DEFAULT window,
+    # so any other chunk_ms would silently under/over-cover the audio
+    n = F.ceil(F.col("duration_ms") / F.lit(int(chunk_ms))).cast("int")
     return meta.select(
         "doc_id",
         "duration_ms",
         F.explode(
-            F.expr("sequence(0, n_chunks - 1)")
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
         ).alias("chunk_idx"),
     ).select(
         "doc_id",

@@ -108,3 +108,61 @@ def test_percentiles_and_mad_ignore_null_values(spark):
     wdf = spark.createDataFrame(wrows, "k string, v long, w long")
     wm = weighted_median(wdf, "k", "v", "w").collect()[0]
     assert (wm.median_value, wm.total_weight) == (2, 3)  # null weight out
+
+
+def test_snapshot_diff_null_key_in_both_is_not_added(spark):
+    """The key join is NULL-SAFE, so a NULL-key row present in BOTH
+    snapshots matches — presence must come from an explicit side marker,
+    not key.isNotNull() (which misclassified the matched pair as
+    'added')."""
+    from logpipe_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([(None, 1), (1, 2)], "k long, v long")
+    new = spark.createDataFrame([(None, 1), (2, 9)], "k long, v long")
+    out = {r.k: r.change_type for r in snapshot_diff(
+        old, new, ["k"], include_unchanged=True).collect()}
+    assert out[None] == "unchanged"
+    assert out[1] == "removed" and out[2] == "added"
+
+
+def test_cli_exclude_matches_keeps_null_field_rows(spark):
+    """--exclude-matches with a NULL filter field: ~NULL is NULL and
+    filter() would drop the non-matching row — the predicate must
+    coalesce to False before negation."""
+    import argparse
+
+    from logpipe_spark.cli import apply_transforms, build_parser
+
+    args = build_parser().parse_args(
+        ["-i", "x", "--filter", "tool:bash", "--exclude-matches"])
+    df = spark.createDataFrame(
+        [("c1", "bash"), ("c2", None), ("c3", "editor")],
+        "conv_id string, tool string")
+    kept = {r.conv_id for r in apply_transforms(df, args).collect()}
+    assert kept == {"c2", "c3"}
+
+
+def test_cli_select_merges_shared_top_level(spark):
+    from logpipe_spark.cli import apply_transforms, build_parser
+
+    args = build_parser().parse_args(["-i", "x", "--select", "m.a,m.b,x"])
+    df = spark.createDataFrame(
+        [((1, 2), 9)], "m struct<a:int,b:int>, x int")
+    out = apply_transforms(df, args)
+    assert out.columns == ["m", "x"]       # ONE merged struct, no dupes
+    r = out.collect()[0]
+    assert (r.m.a, r.m.b, r.x) == (1, 2, 9)
+
+
+def test_audio_chunk_plan_honors_chunk_ms(spark):
+    """n chunks derives from the REQUESTED window — the stored n_chunks
+    column was computed with the default 30 s window, so chunk_ms=10000
+    used to cover only a third of the audio."""
+    from logpipe_spark.trainprep.multimodal import audio_chunk_plan
+
+    meta = spark.createDataFrame([(1, 60000, 2)],
+                                 "doc_id long, duration_ms int, n_chunks int")
+    out = sorted((r.chunk_idx, r.start_ms, r.end_ms) for r in
+                 audio_chunk_plan(meta, chunk_ms=10000).collect())
+    assert len(out) == 6
+    assert out[0] == (0, 0, 10000) and out[-1] == (5, 50000, 60000)
