@@ -551,7 +551,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.decontaminate(
         docs.filter(F.col("doc_id") % 50 != 0),
         docs.filter(F.col("doc_id") % 50 == 0),
-        k=3, min_overlap=2)
+        k=3, min_overlap=2, shared_id_space=True)
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:

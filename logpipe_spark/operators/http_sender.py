@@ -149,7 +149,13 @@ def send_http(
                 while pending:
                     reap(*pending.popleft())
         finally:
-            acc.add(stats)  # partial stats still land on failure
+            # best-effort only: on task FAILURE the PySpark worker exits
+            # after writing the exception, before flushing accumulator
+            # updates — partial counts from failed tasks are discarded
+            # by Spark (stats reflect successful tasks; a failed send
+            # job reports the retries' totals, not the aborted
+            # attempt's)
+            acc.add(stats)
 
     if stats_interval_s is None:
         json_rows.foreachPartition(handle_partition)

@@ -138,9 +138,17 @@ def _single_pass_struct(df: DataFrame, text_col: str, grok: CompiledGrok) -> Dat
         return ext
 
     out = df.withColumn("_g", extract_all(F.col(text_col)))
+    # gate every field on the SAME Java-regex match flag the error_kind
+    # column uses — Python's str.extract has wider character classes
+    # (\d matches Unicode digits), so without the gate a Java-side miss
+    # could ship a 'malformed' row with populated fields, and the
+    # Python-extracted non-ASCII digits would make the ANSI int cast
+    # THROW. _cast_extracted applies the identical matched/empty/cast
+    # discipline as the per-field builtin path.
+    matched = F.col(text_col).rlike(grok.regex)
     for name, typ in zip(grok.fields, grok.types):
-        col = F.col(f"_g.{name}")
-        out = out.withColumn(name, col.cast(typ) if typ != "string" else col)
+        out = out.withColumn(
+            name, _cast_extracted(F.col(f"_g.{name}"), matched, typ))
     return out.drop("_g")
 
 

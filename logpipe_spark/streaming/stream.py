@@ -82,25 +82,52 @@ def _session_fn_factory(gap_ms: int):
     """Build the per-conv state fold; emits the session when the watermark
     passes last event + gap (event-time timeout)."""
 
+    def _emit(n, first_us, last_us):
+        return pd.DataFrame({
+            "conv_id": None,  # filled by caller
+            "n_turns": [n],
+            "first_ts": [pd.Timestamp(first_us, unit="us")],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        })
+
     def _session_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
                     state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             n, first_us, last_us = state.get
             state.remove()
-            yield pd.DataFrame({
-                "conv_id": [key[0]],
-                "n_turns": [n],
-                "first_ts": [pd.Timestamp(first_us, unit="us")],
-                "last_ts": [pd.Timestamp(last_us, unit="us")],
-            })
+            out = _emit(n, first_us, last_us)
+            out["conv_id"] = key[0]
+            yield out
             return
         n, first_us, last_us = state.get if state.exists else (0, None, None)
+        gap_us = gap_ms * 1000
+        # IN-BATCH gap splitting: without it, session boundaries depend
+        # on micro-batch pacing — a single availableNow drain would fold
+        # two gap-separated sessions into one state and emit ONE merged
+        # session, while a paced run (watermark crossing the gap between
+        # triggers) emits two via the timeout. Walking the sorted batch
+        # timestamps and closing the open session whenever the gap is
+        # exceeded makes emission a pure function of the DATA. A late row
+        # older than the open session's last event folds in without a
+        # split (the watermark bounds that disorder; same contract as
+        # the timeout path).
+        closed = []
         for pdf in pdfs:
             ts = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
-            us = ts.astype("int64")
-            n += len(pdf)
-            first_us = us.min() if first_us is None else min(first_us, us.min())
-            last_us = us.max() if last_us is None else max(last_us, us.max())
+            for t in sorted(ts.astype("int64").tolist()):
+                if first_us is None:
+                    n, first_us, last_us = 1, t, t
+                elif t > last_us + gap_us:
+                    closed.append((n, first_us, last_us))
+                    n, first_us, last_us = 1, t, t
+                else:
+                    n += 1
+                    first_us = min(first_us, t)
+                    last_us = max(last_us, t)
+        for cn, cf, cl in closed:
+            out = _emit(cn, cf, cl)
+            out["conv_id"] = key[0]
+            yield out
         state.update((int(n), int(first_us), int(last_us)))
         # event-time timeout: fires when the WATERMARK (not the wall clock)
         # passes last event + gap — deterministic in the data. A late batch

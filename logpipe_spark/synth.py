@@ -84,6 +84,6 @@ def synth_transcripts(
     # written corpus exposes `partitions`-way read parallelism — AQE would
     # otherwise coalesce the window's shuffle into a handful of output files
     # and cap every downstream consumer's parallelism at that file count.
-    if partitions:
-        out = out.repartition(partitions, "conv_id")
+    out = out.repartition(
+        partitions or spark.sparkContext.defaultParallelism, "conv_id")
     return out

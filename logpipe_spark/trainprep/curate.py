@@ -99,6 +99,15 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    else:
+        # silent non-convergence ships WRONG components (a chain longer
+        # than max_iter leaves multiple labels inside one true cluster
+        # and dup_clusters under-deletes) — fail loud instead
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} "
+            "rounds — the graph has a component with diameter > "
+            "max_iter; raise max_iter or use algorithm='star' "
+            "(O(log n) rounds)")
     return labels
 
 
@@ -194,7 +203,8 @@ def _word_shingle_sets(df: DataFrame, text_col: str, id_col: str,
 
 def decontaminate(docs: DataFrame, bench: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 5, min_overlap: int = 1,
-                  max_df: int | None = None) -> DataFrame:
+                  max_df: int | None = None,
+                  shared_id_space: bool = False) -> DataFrame:
     """Flag training docs sharing ≥ ``min_overlap`` distinct word k-grams
     with any benchmark doc (the standard n-gram decontamination test, cf.
     GPT-3 appendix C / most open-data pipelines).
@@ -217,9 +227,15 @@ def decontaminate(docs: DataFrame, bench: DataFrame, text_col: str = "text",
         _word_shingle_sets(bench, text_col, id_col, k)
         .withColumnRenamed("doc_id", "bench_id")
     )
+    joined = doc_sh.join(F.broadcast(bench_sh), "shingle")
+    if shared_id_space:
+        # ONLY when bench is carved out of the same corpus (one id
+        # space) is doc_id == bench_id a self-pair to drop; with
+        # independently-keyed tables that filter would silently delete
+        # REAL contamination whenever the two id sequences collide
+        joined = joined.filter(F.col("doc_id") != F.col("bench_id"))
     return (
-        doc_sh.join(F.broadcast(bench_sh), "shingle")
-        .filter(F.col("doc_id") != F.col("bench_id"))
+        joined
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)

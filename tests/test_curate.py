@@ -256,3 +256,30 @@ def test_star_cc_round_count_on_chain(spark):
     out = connected_components_star(_pairs(spark, chain), max_iter=12)
     comp = {r.node: r.component for r in out.collect()}
     assert set(comp.values()) == {1} and len(comp) == 64
+
+
+def test_decontaminate_independent_id_spaces_keep_collisions(spark):
+    """docs and bench with independently-keyed ids: a colliding id must
+    NOT hide real contamination (the old unconditional doc_id != bench_id
+    filter silently deleted the pair); shared_id_space=True restores the
+    carve-out semantics the driver query uses."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    secret = "alpha beta gamma delta epsilon"
+    docs = mk([(7, f"x {secret} y")])
+    bench = mk([(7, f"q {secret} r")])       # SAME id, different table
+    assert decontaminate(docs, bench, k=5).count() == 1
+    assert decontaminate(docs, bench, k=5, shared_id_space=True).count() == 0
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest
+
+    from logpipe_spark.trainprep.curate import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(chain, max_iter=2)
+    # enough rounds: one component labeled 0
+    out = connected_components(chain, max_iter=10)
+    assert {r.component for r in out.collect()} == {0}

@@ -171,13 +171,21 @@ def test_flagship_approx_within_tolerance(spark, corpus):
     rel = (a.n_convs - e.n_convs).abs() / e.n_convs.clip(lower=1)
     assert (rel <= 0.1).all(), rel.max()
 
-    # exact countDistinct re-aggregates on (group, conv_id) first — one
-    # extra shuffle Exchange the HLL sketch plan does not have
+    # exact countDistinct needs extra (group ∪ conv_id)-keyed dedup
+    # aggregate levels the HLL sketch plan does not; assert THAT
+    # mechanism rather than total-exchange parity — the exchange count
+    # is LAYOUT-dependent (a corpus pre-partitioned on conv_id lets
+    # Catalyst elide the dedup exchange entirely, which synth's
+    # always-repartition-by-conv_id rule now produces)
     plan_exact = flagship_summary(spark, corpus)._jdf.queryExecution() \
         .executedPlan().toString()
     plan_approx = flagship_summary(spark, corpus, approx_distinct=True) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert plan_exact.count("Exchange") == plan_approx.count("Exchange") + 1
+    assert "count(distinct" in plan_exact
+    assert "approx_count_distinct" in plan_approx
+    assert (plan_exact.count("HashAggregate")
+            > plan_approx.count("HashAggregate"))
+    assert plan_approx.count("Exchange") <= plan_exact.count("Exchange")
 
 
 def test_selective_salting_hot_keys_only(spark, corpus):

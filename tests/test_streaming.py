@@ -460,3 +460,35 @@ def test_stream_cusum_matches_batch_scan(spark, stream_dir, tmp_path):
         got = {r.tool: (r.n, r.final_cusum, r.max_cusum, r.alert)
                for r in read_cusum(segs, threshold=500).collect()}
         assert got == want, f"mft={mft}"
+
+
+def test_sessions_split_in_batch_gaps(spark, tmp_path):
+    """A single-batch drain must still split gap-separated sessions: the
+    fold walks sorted in-batch timestamps and closes the open session
+    inline whenever the gap is exceeded (before this, the split only
+    happened via the event-time timeout — i.e. only when micro-batch
+    PACING let the watermark cross the gap, making output
+    pacing-dependent)."""
+    src = str(tmp_path / "src")
+    rows = [("c1", i, "user", "t", "none", f"2024-01-01 00:0{i}:00")
+            for i in range(3)]                       # session A: 3 turns
+    rows += [("c1", 10 + i, "user", "t", "none", f"2024-01-01 06:0{i}:00")
+             for i in range(2)]                      # session B after 6 h
+    (spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string")
+     .withColumn("ts", F.col("ts").cast("timestamp"))
+     .coalesce(1).write.mode("overwrite").parquet(src))
+
+    stream = stream_transcripts(spark, src)          # ONE batch, no flush
+    sessions = conversation_sessions(stream, gap_ms=3_600_000,
+                                     watermark="10 seconds")
+    q = (sessions.writeStream.format("memory").queryName("split_inline")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM split_inline").collect()
+    # session A closed INLINE by the in-batch gap; B stays open (no
+    # watermark past its end) — exactly one emitted session of 3 turns
+    assert len(got) == 1 and got[0].n_turns == 3
