@@ -124,8 +124,12 @@ def apply_transforms(df: DataFrame, args) -> DataFrame:
             if rests is None:
                 cols.append(F.col(top))
             else:
+                # a repeated sub-path ('props.a,props.a') would build a
+                # struct with duplicate field names, which the parquet
+                # writer rejects — dedupe preserving first-seen order
+                uniq = list(dict.fromkeys(rests))
                 cols.append(F.struct(
-                    *[F.col(f"{top}.{r}").alias(r) for r in rests]
+                    *[F.col(f"{top}.{r}").alias(r) for r in uniq]
                 ).alias(top))
         df = df.select(*cols)
 

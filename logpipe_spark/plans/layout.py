@@ -174,10 +174,38 @@ def compact_small_files(
     maintenance loop) can assert the effect.
     """
     import math
+    import os
     import shutil
     from pathlib import Path
 
+    def _swap_in(d: Path, tmp: str) -> None:
+        """Replace directory ``d`` with ``tmp`` without ever leaving the
+        live path permanently absent.
+
+        Two same-filesystem ``os.rename`` calls (old→bak, tmp→live); a
+        crash between them leaves the data intact in ``._compact_old``,
+        and the recovery step below restores it on the NEXT call before
+        doing anything else — so the failure mode is "one compaction
+        window where readers get ENOENT", never data loss, and it
+        self-heals. (POSIX has no two-directory atomic exchange short of
+        renameat2(RENAME_EXCHANGE); checkpoint.py's os.replace trick only
+        works for files/empty dirs.)
+        """
+        bak = str(d) + "._compact_old"
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)  # leftover from a completed-then-crashed run
+        os.rename(str(d), bak)
+        os.rename(tmp, str(d))
+        shutil.rmtree(bak)
+
+    def _recover(d: Path) -> None:
+        """Heal a crash that happened between _swap_in's two renames."""
+        bak = Path(str(d) + "._compact_old")
+        if bak.is_dir() and not d.exists():
+            os.rename(str(bak), str(d))
+
     def _compact_dir(d: Path) -> dict:
+        _recover(d)
         parts = [f for f in d.glob("*.parquet") if f.is_file()]
         bytes_total = sum(f.stat().st_size for f in parts)
         files_before = len(parts)
@@ -195,10 +223,7 @@ def compact_small_files(
             out = df.repartition(n_out)
         tmp = str(d) + "._compact_tmp"
         out.write.mode("overwrite").parquet(tmp)
-        bak = str(d) + "._compact_old"
-        shutil.move(str(d), bak)
-        shutil.move(tmp, str(d))
-        shutil.rmtree(bak)
+        _swap_in(d, tmp)
         files_after = len([f for f in d.glob("*.parquet") if f.is_file()])
         return {"files_before": files_before, "files_after": files_after,
                 "bytes_total": bytes_total}
@@ -213,8 +238,18 @@ def compact_small_files(
     # a bucketed table went 20 → 6 visible rows after flat compaction +
     # one merge_upsert). Each leaf is read/written in place, so dir
     # names — and with them the partition columns — survive.
+    # Heal any leaf left mid-swap by a crashed previous run FIRST, so
+    # ._compact_old dirs are restored (not mistaken for leaves) before
+    # discovery; then skip any in-flight-suffix dirs outright.
+    for bak in sorted(p.rglob("*._compact_old")):
+        _recover(Path(str(bak)[: -len("._compact_old")]))
+
+    def _in_flight(f: Path) -> bool:
+        return any(seg.endswith(("._compact_old", "._compact_tmp"))
+                   for seg in f.relative_to(p).parts)
+
     leaves = sorted({f.parent for f in p.rglob("*.parquet")
-                     if f.is_file() and f.parent != p})
+                     if f.is_file() and f.parent != p and not _in_flight(f)})
     partitioned = any("=" in seg for leaf in leaves
                       for seg in leaf.relative_to(p).parts)
     if partitioned:
@@ -226,6 +261,7 @@ def compact_small_files(
             "partitions_compacted": len(stats),
         }
     # flat layout (possibly nested non-hive dirs): compact the root
+    _recover(p)
     parts = [f for f in p.rglob("*.parquet") if f.is_file()]
     bytes_total = sum(f.stat().st_size for f in parts)
     files_before = len(parts)
@@ -238,10 +274,7 @@ def compact_small_files(
         out = df.repartition(n_out)
     tmp = str(p) + "._compact_tmp"
     out.write.mode("overwrite").parquet(tmp)
-    bak = str(p) + "._compact_old"
-    shutil.move(str(p), bak)
-    shutil.move(tmp, str(p))
-    shutil.rmtree(bak)
+    _swap_in(p, tmp)
     files_after = len([f for f in p.rglob("*.parquet") if f.is_file()])
     return {
         "files_before": files_before,

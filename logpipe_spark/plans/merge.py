@@ -60,22 +60,30 @@ def merge_upsert(
     never anti-join its stale row (every batch would append another).
     Violations raise, mirroring Iceberg's "multiple source rows matched"
     error rather than silently corrupting the table."""
-    bad = (
-        updates.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") > 1).limit(1).count()
+    # Materialize the updates lineage ONCE (it may be an expensive derived
+    # frame), then run BOTH source-discipline probes + the affected-bucket
+    # discovery + the row count as a single aggregate over the
+    # checkpointed batch — previously each probe was its own action and
+    # the lineage recomputed three times per upsert.
+    up = (
+        updates.withColumn("_bucket", _bucket(key, n_buckets))
+        .localCheckpoint(eager=True)
     )
-    if bad:
-        raise ValueError(
-            f"merge_upsert: updates contain duplicate '{key}' keys — "
-            "dedupe the batch (latest version per key) before upserting")
-    if updates.where(F.col(key).isNull()).limit(1).count():
+    probe = up.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(key).alias("n_keys"),
+        F.countDistinct(key).alias("n_distinct"),
+        F.collect_set("_bucket").alias("buckets"),  # ≤ n_buckets elements
+    ).collect()[0]
+    if probe["n_keys"] < probe["n_rows"]:
         raise ValueError(
             f"merge_upsert: updates contain NULL '{key}' keys — a NULL "
             "key can never match its target row")
-    up = updates.withColumn("_bucket", _bucket(key, n_buckets))
-    buckets = sorted(
-        r["_bucket"] for r in up.select("_bucket").distinct().collect()
-    )
+    if probe["n_distinct"] < probe["n_keys"]:
+        raise ValueError(
+            f"merge_upsert: updates contain duplicate '{key}' keys — "
+            "dedupe the batch (latest version per key) before upserting")
+    buckets = sorted(probe["buckets"])
     target = spark.read.parquet(path).filter(F.col("_bucket").isin(buckets))
     keep = target.join(up.select(key).distinct(), key, "left_anti")
     merged = keep.unionByName(up).localCheckpoint(eager=True)
@@ -90,4 +98,4 @@ def merge_upsert(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return {"touched_buckets": buckets, "n_upserts": up.count()}
+    return {"touched_buckets": buckets, "n_upserts": int(probe["n_rows"])}

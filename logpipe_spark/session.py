@@ -45,6 +45,11 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Console progress bars write \r-spam to STDOUT in local mode, which
+        # corrupts single-line JSON artifacts (BENCH_r02.json arrived
+        # unparseable because the driver's tail capture hit progress spew
+        # mid-line). Machine-readable stdout requires this off.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():

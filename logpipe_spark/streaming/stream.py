@@ -111,19 +111,31 @@ def _session_fn_factory(gap_ms: int):
         # older than the open session's last event folds in without a
         # split (the watermark bounds that disorder; same contract as
         # the timeout path).
-        closed = []
+        # Accumulate EVERY Arrow chunk's timestamps first, sort ONCE, then
+        # walk the gap-split. Sorting per chunk was still order-dependent:
+        # a group whose batch spans multiple Arrow batches
+        # (>maxRecordsPerBatch rows, or multi-file triggers read out of
+        # chronological order) could hand a later chunk containing OLDER
+        # timestamps to the walk, folding an old row into the open
+        # session or spuriously splitting. Memory bound is unchanged —
+        # the per-chunk variant already held the full batch implicitly
+        # via the closed-session list; the cusum state fn buffers the
+        # same way.
+        all_ts: list[int] = []
         for pdf in pdfs:
             ts = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
-            for t in sorted(ts.astype("int64").tolist()):
-                if first_us is None:
-                    n, first_us, last_us = 1, t, t
-                elif t > last_us + gap_us:
-                    closed.append((n, first_us, last_us))
-                    n, first_us, last_us = 1, t, t
-                else:
-                    n += 1
-                    first_us = min(first_us, t)
-                    last_us = max(last_us, t)
+            all_ts.extend(ts.astype("int64").tolist())
+        closed = []
+        for t in sorted(all_ts):
+            if first_us is None:
+                n, first_us, last_us = 1, t, t
+            elif t > last_us + gap_us:
+                closed.append((n, first_us, last_us))
+                n, first_us, last_us = 1, t, t
+            else:
+                n += 1
+                first_us = min(first_us, t)
+                last_us = max(last_us, t)
         for cn, cf, cl in closed:
             out = _emit(cn, cf, cl)
             out["conv_id"] = key[0]

@@ -25,11 +25,13 @@ Scale notes (100 TB corpus, 1000 executors):
   graphs are piles of tiny cliques (diameter ≤ 3-4 in practice), so the
   loop converges in a handful of rounds; ``max_iter`` guards the
   pathological chain. Each round ``localCheckpoint``s to truncate lineage
-  (an unbounded iterative plan re-executes from the scan). For graphs with
-  genuinely long chains use :func:`connected_components_star`
-  (alternating large-star / small-star, Kiveris et al.), which bounds
-  rounds by O(log n) with the same per-round join shape —
-  ``dup_clusters(algorithm='star')``.
+  (an unbounded iterative plan re-executes from the scan).
+  :func:`dup_clusters` DEFAULTS to :func:`connected_components_star`
+  (alternating large-star / small-star, Kiveris et al., O(log n) rounds
+  with the same per-round join shape) because at 100 TB component shape
+  is not known in advance and a chain-shaped component makes
+  diameter-bounded propagation arbitrarily slow; pass
+  ``algorithm='label'`` only when components are known tiny cliques.
 - ``decontaminate`` is the same inverted-index shingle join as
   ``dedup.ngram_jaccard_pairs`` — candidates come from an equality join on
   shingle, never a doc×bench cross join; the benchmark side is tiny and
@@ -113,7 +115,7 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
 
 def dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                  id_a: str = "doc_a", id_b: str = "doc_b",
-                 algorithm: str = "label") -> DataFrame:
+                 algorithm: str = "star") -> DataFrame:
     """Resolve near-dup PAIRS into per-document cluster assignments.
 
     Returns (doc_id, cluster_id, is_keeper) for every document: docs in no
@@ -121,11 +123,13 @@ def dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     keeper is the smallest doc_id (the deterministic canonical pick).
     ``docs.filter(is_keeper)`` is the deduplicated corpus.
 
-    ``algorithm``: 'label' (min-label propagation, rounds = diameter —
-    right for near-dup graphs, which are tiny cliques) or 'star'
-    (:func:`connected_components_star`, O(log n) rounds — right when
-    components can chain arbitrarily deep). Identical output either way
-    (asserted in tests).
+    ``algorithm``: 'star' (default — :func:`connected_components_star`,
+    large-star/small-star, O(log n) rounds regardless of component shape;
+    the only safe default at 100 TB where a near-dup graph can contain
+    chain-shaped components whose diameter exceeds any fixed round budget)
+    or 'label' (min-label propagation, rounds = diameter — marginally
+    cheaper per round when components are known to be tiny cliques).
+    Identical output either way (asserted in tests).
     """
     cc = connected_components if algorithm == "label" \
         else connected_components_star

@@ -124,3 +124,19 @@ def test_make_pyfiles(tmp_path):
     names = zipfile.ZipFile(z).namelist()
     assert "logpipe_spark/cli.py" in names
     assert "logpipe_spark/plans/pipeline.py" in names
+
+
+def test_select_duplicate_subpath_dedupes(spark, tmp_path):
+    """--select 'props.a,props.a' must not build a struct with duplicate
+    field names (the parquet writer rejects those) — duplicates dedupe
+    preserving order (round-2 ADVICE, cli.py:110)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        F.col("id"),
+        F.struct(F.col("id").alias("a"), (F.col("id") * 2).alias("b"))
+        .alias("props"))
+    args = _args(["-i", "x", "--select", "props.a,props.a,props.b,id"])
+    out = apply_transforms(df, args)
+    assert out.schema["props"].dataType.fieldNames() == ["a", "b"]
+    out.write.mode("overwrite").parquet(str(tmp_path / "o"))  # must not raise

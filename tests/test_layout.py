@@ -131,3 +131,44 @@ def test_compact_small_files(spark, tmp_path):
     for f in pathlib.Path(p).rglob("*.parquet"):
         ranges.extend(rowgroup_ranges(str(f), "k"))
     assert overlap_fraction(ranges) <= 0.02   # re-clustered on k
+
+
+def test_compact_recovers_from_mid_swap_crash(spark, tmp_path):
+    """A crash between compact's two renames leaves data only in the
+    ._compact_old sibling; the next compact call must restore it before
+    doing anything (round-2 ADVICE, layout.py:199)."""
+    import os
+
+    from logpipe_spark.plans.layout import compact_small_files
+
+    d = str(tmp_path / "ds")
+    t = synth_transcripts(spark, n_turns=2000, n_convs=20)
+    t.repartition(8).write.mode("overwrite").parquet(d)
+    n = spark.read.parquet(d).count()
+
+    # simulate the crash window: live path absent, data in ._compact_old
+    os.rename(d, d + "._compact_old")
+    stats = compact_small_files(spark, d, target_bytes=1 << 30)
+    assert stats["files_after"] >= 1
+    assert spark.read.parquet(d).count() == n
+
+
+def test_compact_recovers_partitioned_leaf(spark, tmp_path):
+    """Same crash window inside ONE leaf of a hive layout: the bak dir
+    must be restored (not compacted as if it were a leaf) and its rows
+    must survive."""
+    import os
+
+    from logpipe_spark.plans.layout import compact_small_files
+
+    d = str(tmp_path / "ds")
+    t = synth_transcripts(spark, n_turns=2000, n_convs=20)
+    (t.withColumn("part", F.pmod(F.hash("conv_id"), F.lit(2)))
+     .repartition(4).write.mode("overwrite").partitionBy("part").parquet(d))
+    n = spark.read.parquet(d).count()
+
+    leaf = d + "/part=0"
+    os.rename(leaf, leaf + "._compact_old")
+    stats = compact_small_files(spark, d, target_bytes=1 << 30)
+    assert stats.get("partitions_compacted") == 2
+    assert spark.read.parquet(d).count() == n

@@ -492,3 +492,54 @@ def test_sessions_split_in_batch_gaps(spark, tmp_path):
     # session A closed INLINE by the in-batch gap; B stays open (no
     # watermark past its end) — exactly one emitted session of 3 turns
     assert len(got) == 1 and got[0].n_turns == 3
+
+
+def test_sessions_split_across_arrow_chunks():
+    """Gap-splitting must be chunk-order independent: a group whose
+    micro-batch spans multiple Arrow chunks can receive a LATER chunk
+    containing OLDER timestamps (>maxRecordsPerBatch rows, or multi-file
+    triggers read out of chronological order). The per-chunk sort walked
+    the newer chunk first and silently folded the older session into the
+    open one — no split. The state fn now buffers all chunks and sorts
+    once (round-2 ADVICE, stream.py:115)."""
+    import pandas as pd
+
+    from logpipe_spark.streaming.stream import _session_fn_factory
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def __init__(self):
+            self.updated = None
+
+        @property
+        def get(self):
+            raise AssertionError("state.get on non-existent state")
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    fn = _session_fn_factory(gap_ms=3_600_000)
+    # chunk 1 = session B (hour 6, newest), chunk 2 = session A (hour 0):
+    # exactly the adversarial delivery order
+    chunk_b = pd.DataFrame({"ts": pd.to_datetime(
+        ["2024-01-01 06:00:00", "2024-01-01 06:01:00"])})
+    chunk_a = pd.DataFrame({"ts": pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:01:00",
+         "2024-01-01 00:02:00"])})
+    st = FakeState()
+    emitted = list(fn(("c1",), iter([chunk_b, chunk_a]), st))
+    # session A (3 turns) closed inline; session B (2 turns) left open in
+    # state awaiting the event-time timeout
+    assert len(emitted) == 1 and int(emitted[0]["n_turns"].iloc[0]) == 3
+    n, first_us, last_us = st.updated
+    assert n == 2
+    assert pd.Timestamp(first_us, unit="us") == pd.Timestamp(
+        "2024-01-01 06:00:00")
