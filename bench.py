@@ -154,6 +154,9 @@ HEADLINE = [
     "holt_smooth",
     "vocab_overlap",
     "seasonal_anomaly",
+    # round 3: segmented ordered folds (bounded-state monoid twins)
+    "ewma_merged",
+    "holt_merged",
 ]
 
 

@@ -865,6 +865,235 @@ def ewma_smooth(
     )
 
 
+def _segment_values(df: DataFrame, key: str, epoch: Column, value: Column,
+                    order_cols: Sequence[str]) -> DataFrame:
+    """(key, epoch, _xs): per-segment sorted value arrays — the shared
+    stage-1 of the segmented fold family. Each array is SEGMENT-sized
+    (a day/hour of one key), never key-sized: the bounded-state answer
+    to the ordered-fold caveat on :func:`ewma_smooth`."""
+    return (
+        df.where(value.isNotNull())
+        .groupBy(key, epoch.cast("bigint").alias("epoch"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(
+                    *[F.col(c).alias(f"_o{i}") for i, c in
+                      enumerate(order_cols)],
+                    value.cast("double").alias("_v"),
+                ))
+            ).alias("_arr"),
+        )
+        .select(key, "epoch", F.expr("transform(_arr, s -> s._v)")
+                .alias("_xs"))
+    )
+
+
+def ewma_partials(
+    df: DataFrame,
+    key: str,
+    epoch: Column,
+    value: Column,
+    order_cols: Sequence[str],
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per (key, epoch-segment) EWMA MONOID partials — the mergeable form
+    of :func:`ewma_smooth` for data arriving in time-contiguous segments
+    (date-partitioned parquet, daily batches), mirroring
+    ``drift.cusum_partials``. The fold ``e ← (1−α)e + αx`` is AFFINE in
+    the accumulator, so a segment's whole effect is two doubles:
+
+        a_pow  = (1−α)^n   (left-to-right product fold — kept as the
+                            literal op sequence, not pow(), so the merge
+                            oracle can replay it bitwise)
+        b_zero = fold over the segment seeded with 0.0
+
+    plus ``b_seed`` (the segment folded with ewma_smooth's own first-value
+    seeding — what the MIN-epoch segment contributes) and bookkeeping
+    (n, last_v). ``epoch`` must be monotone in event order (e.g.
+    floor(ts/86400)); segments must not interleave.
+
+    Returns (key, epoch, n, last_v, a_pow, b_zero, b_seed).
+    """
+    a = float(alpha)
+    m = 1.0 - a
+    seg = _segment_values(df, key, epoch, value, order_cols)
+    # one struct fold computes (a_pow, b_zero) together; the fields are
+    # independent, so per-field op order == two separate scalar folds —
+    # which is exactly how the DuckDB oracle replays them
+    combo = F.expr(
+        f"aggregate(_xs, named_struct('a', 1.0D, 'b', 0.0D), "
+        f"(acc, x) -> named_struct("
+        f"'a', acc.a * {m!r}D, "
+        f"'b', acc.b * {m!r}D + x * {a!r}D))"
+    )
+    seeded = F.expr(
+        f"aggregate(slice(_xs, 2, greatest(size(_xs) - 1, 0)), "
+        f"element_at(_xs, 1), "
+        f"(acc, x) -> acc * {m!r}D + x * {a!r}D)"
+    )
+    return seg.select(
+        key, "epoch",
+        F.size("_xs").cast("bigint").alias("n"),
+        F.element_at("_xs", -1).alias("last_v"),
+        combo.getField("a").alias("a_pow"),
+        combo.getField("b").alias("b_zero"),
+        seeded.alias("b_seed"),
+    )
+
+
+def ewma_merge(partials: DataFrame, key: str) -> DataFrame:
+    """Fold per-segment EWMA states (from :func:`ewma_partials`) in epoch
+    order into the per-key readout — same output contract as
+    :func:`ewma_smooth` (key, n, last_value, ewma). The fold is a SCALAR
+    accumulator over the key's epoch-count-sized state list (days, not
+    rows): ``e ← e·a_pow + b_zero``, seeded with the first segment's
+    ``b_seed``.
+
+    Exactness: the two-level computation is replayed operand-for-operand
+    by the DuckDB oracle (scalar list_reduce per segment + recursive CTE
+    over segments), so the driver gate hash-matches EXACTLY. Versus the
+    single-task :func:`ewma_smooth` scan the result is algebraically
+    identical but rounds differently (the affine composition reorders
+    float ops — unavoidable for any non-integer monoid; CUSUM merged
+    exactly only because its state is bigint); tests pin exact equality
+    for single-segment keys and dyadic-α small-int folds, and ≤1e-12
+    relative drift on random data.
+    """
+    collected = partials.groupBy(key).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(
+                "epoch", "a_pow", "b_zero", "b_seed", "last_v"))),
+            lambda s: F.struct(
+                s["a_pow"].alias("a_pow"), s["b_zero"].alias("b_zero"),
+                s["b_seed"].alias("b_seed"), s["last_v"].alias("last_v")),
+        ).alias("_st"),
+    )
+    st = F.col("_st")
+    return collected.select(
+        key, "n",
+        F.element_at(st, -1).getField("last_v").alias("last_value"),
+        F.aggregate(
+            F.slice(st, F.lit(2), F.greatest(F.size(st) - 1, F.lit(0))),
+            F.element_at(st, 1).getField("b_seed"),
+            lambda acc, s: acc * s["a_pow"] + s["b_zero"],
+        ).alias("ewma"),
+    )
+
+
+def holt_partials(
+    df: DataFrame,
+    key: str,
+    epoch: Column,
+    value: Column,
+    order_cols: Sequence[str],
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Per (key, epoch-segment) Holt MONOID partials — the mergeable form
+    of :func:`holt_smooth`. The level/trend recurrence is LINEAR in the
+    (l, b) state, so a segment's effect is a 2×2 matrix (M^n, computed as
+    an iterated column fold — the literal op sequence, replayable) plus
+    an offset vector (the zero-seeded fold), and segment composition is
+    ``state ← A·state + B``. Also carries the first-value-seeded fold
+    (what the min-epoch segment contributes). Same epoch-monotonicity
+    contract as :func:`ewma_partials`.
+
+    Returns (key, epoch, n, m11, m21, m12, m22, lb, tb, ls, ts).
+    """
+    a, b = float(alpha), float(beta)
+    ma, mb = 1.0 - a, 1.0 - b
+    seg = _segment_values(df, key, epoch, value, order_cols)
+    # matrix columns apply the x-free step (x's coefficient zeroed); the
+    # new-level subexpression appears twice with the SAME operand tree,
+    # exactly as holt_smooth's fold does
+    c1l = f"({ma!r}D * (acc.m11 + acc.m21))"
+    c2l = f"({ma!r}D * (acc.m12 + acc.m22))"
+    bl = f"({a!r}D * x + {ma!r}D * (acc.lb + acc.tb))"
+    combo = F.expr(
+        f"aggregate(_xs, named_struct("
+        f"'m11', 1.0D, 'm21', 0.0D, 'm12', 0.0D, 'm22', 1.0D, "
+        f"'lb', 0.0D, 'tb', 0.0D), "
+        f"(acc, x) -> named_struct("
+        f"'m11', {c1l}, "
+        f"'m21', {b!r}D * ({c1l} - acc.m11) + {mb!r}D * acc.m21, "
+        f"'m12', {c2l}, "
+        f"'m22', {b!r}D * ({c2l} - acc.m12) + {mb!r}D * acc.m22, "
+        f"'lb', {bl}, "
+        f"'tb', {b!r}D * ({bl} - acc.lb) + {mb!r}D * acc.tb))"
+    )
+    new_l = f"({a!r}D * x + {ma!r}D * (acc.l + acc.b))"
+    seeded = F.expr(
+        "aggregate(slice(_xs, 2, greatest(size(_xs) - 1, 0)), "
+        "named_struct('l', element_at(_xs, 1), 'b', 0.0D), "
+        f"(acc, x) -> named_struct("
+        f"'l', {new_l}, "
+        f"'b', {b!r}D * ({new_l} - acc.l) + {mb!r}D * acc.b))"
+    )
+    return seg.select(
+        key, "epoch",
+        F.size("_xs").cast("bigint").alias("n"),
+        combo.getField("m11").alias("m11"),
+        combo.getField("m21").alias("m21"),
+        combo.getField("m12").alias("m12"),
+        combo.getField("m22").alias("m22"),
+        combo.getField("lb").alias("lb"),
+        combo.getField("tb").alias("tb"),
+        seeded.getField("l").alias("ls"),
+        seeded.getField("b").alias("ts"),
+    )
+
+
+def holt_merge(partials: DataFrame, key: str) -> DataFrame:
+    """Fold per-segment Holt states (from :func:`holt_partials`) in epoch
+    order — same output contract as :func:`holt_smooth` (key, n, level,
+    trend, forecast). Per-key fold over the epoch-count-sized state
+    list: ``(l, tr) ← (m11·l + m12·tr + lb, m21·l + m22·tr + tb)``,
+    seeded with the first segment's (ls, ts). Spark's struct-lambda
+    fields all read the PRE-step accumulator, and the DuckDB oracle is a
+    recursive CTE with qualified r.col references (the list_reduce
+    struct-mutation hazard, CLAUDE.md batch 11) — both engines replay
+    the identical operand tree. Same exactness contract as
+    :func:`ewma_merge`.
+    """
+    collected = partials.groupBy(key).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(
+                "epoch", "m11", "m21", "m12", "m22",
+                "lb", "tb", "ls", "ts"))),
+            lambda s: F.struct(
+                s["m11"].alias("m11"), s["m21"].alias("m21"),
+                s["m12"].alias("m12"), s["m22"].alias("m22"),
+                s["lb"].alias("lb"), s["tb"].alias("tb"),
+                s["ls"].alias("ls"), s["ts"].alias("ts")),
+        ).alias("_st"),
+    )
+    st = F.col("_st")
+    merged = collected.select(
+        key, "n",
+        F.aggregate(
+            F.slice(st, F.lit(2), F.greatest(F.size(st) - 1, F.lit(0))),
+            F.struct(
+                F.element_at(st, 1).getField("ls").alias("l"),
+                F.element_at(st, 1).getField("ts").alias("b"),
+            ),
+            lambda acc, s: F.struct(
+                (s["m11"] * acc["l"] + s["m12"] * acc["b"] + s["lb"])
+                .alias("l"),
+                (s["m21"] * acc["l"] + s["m22"] * acc["b"] + s["tb"])
+                .alias("b"),
+            ),
+        ).alias("_f"),
+    )
+    return merged.select(
+        key, "n",
+        F.col("_f.l").alias("level"),
+        F.col("_f.b").alias("trend"),
+        (F.col("_f.l") + F.col("_f.b")).alias("forecast"),
+    )
+
+
 def winsorize(
     df: DataFrame,
     key: str,

@@ -408,3 +408,76 @@ def test_quantile_normalize_keeps_null_group_rows(spark):
     # pooled = [5,10,15,20]; both groups map rank 1->5, rank 2->15
     assert (out[3].norm_value, out[4].norm_value) == (5, 15)
     assert (out[1].norm_value, out[2].norm_value) == (5, 15)
+
+
+def test_ewma_merged_equals_scan(spark):
+    """Segment-parallel EWMA == the single-task scan: EXACT when every
+    key has one segment, exact again for dyadic α + small ints (every
+    intermediate a representable dyadic rational — zero rounding, so the
+    affine composition is bitwise associative), and ≤1e-12 relative on
+    multi-segment float folds (the composition reorders float ops)."""
+    from logpipe_spark.operators.aggregate import (ewma_merge,
+                                                   ewma_partials,
+                                                   ewma_smooth)
+
+    rows = [("k1", i, e, v) for i, (e, v) in enumerate(
+        [(0, 4), (0, 8), (1, 2), (1, 6), (2, 10)])]
+    rows += [("k2", i, 0, v) for i, v in enumerate([3, 9, 27])]
+    df = spark.createDataFrame(rows, "k string, i int, epoch int, v int")
+
+    plain = {r.k: r for r in ewma_smooth(
+        df, "k", F.col("v"), ["i"], alpha=0.5).collect()}
+    merged = {r.k: r for r in ewma_merge(
+        ewma_partials(df, "k", F.col("epoch"), F.col("v"), ["i"],
+                      alpha=0.5), "k").collect()}
+    assert set(plain) == set(merged)
+    for k in plain:
+        assert merged[k].n == plain[k].n
+        assert merged[k].last_value == plain[k].last_value
+        assert merged[k].ewma == plain[k].ewma, k  # dyadic → bit-exact
+
+    # non-dyadic α, adversarial values: tolerance bound
+    import random
+    rnd = random.Random(7)
+    rows2 = [("u%d" % (i % 5), i, i // 17, rnd.randint(1, 10**6))
+             for i in range(400)]
+    df2 = spark.createDataFrame(rows2, "k string, i int, epoch int, v int")
+    p2 = {r.k: r.ewma for r in ewma_smooth(
+        df2, "k", F.col("v"), ["i"], alpha=0.3).collect()}
+    m2 = {r.k: r.ewma for r in ewma_merge(
+        ewma_partials(df2, "k", F.col("epoch"), F.col("v"), ["i"],
+                      alpha=0.3), "k").collect()}
+    for k in p2:
+        assert abs(m2[k] - p2[k]) <= 1e-12 * max(1.0, abs(p2[k])), k
+
+
+def test_holt_merged_equals_scan(spark):
+    """Segment-parallel Holt == the single-task scan within float
+    tolerance; bit-exact when each key is a single segment."""
+    from logpipe_spark.operators.aggregate import (holt_merge,
+                                                   holt_partials,
+                                                   holt_smooth)
+    import random
+
+    rnd = random.Random(11)
+    rows = [("u%d" % (i % 4), i, i // 13, rnd.randint(1, 10**6))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "k string, i int, epoch int, v int")
+    plain = {r.k: r for r in holt_smooth(
+        df, "k", F.col("v"), ["i"], alpha=0.3, beta=0.1).collect()}
+
+    single = {r.k: r for r in holt_merge(
+        holt_partials(df, "k", F.lit(0), F.col("v"), ["i"],
+                      alpha=0.3, beta=0.1), "k").collect()}
+    for k in plain:  # one segment → identical op sequence → bit-exact
+        assert single[k].level == plain[k].level, k
+        assert single[k].trend == plain[k].trend, k
+
+    merged = {r.k: r for r in holt_merge(
+        holt_partials(df, "k", F.col("epoch"), F.col("v"), ["i"],
+                      alpha=0.3, beta=0.1), "k").collect()}
+    for k in plain:
+        assert merged[k].n == plain[k].n
+        for f in ("level", "trend", "forecast"):
+            p, m = getattr(plain[k], f), getattr(merged[k], f)
+            assert abs(m - p) <= 1e-9 * max(1.0, abs(p)), (k, f)
