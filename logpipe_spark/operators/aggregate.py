@@ -508,7 +508,7 @@ def weighted_median(df: DataFrame, key: str, value_col: str,
 
 
 def kmv_set_ops(df: DataFrame, set_col: str, key_col: str,
-                k: int = 64) -> DataFrame:
+                k: int = 64, max_sets: int | None = None) -> DataFrame:
     """Set algebra on KMV sketches: for every pair of set labels
     ``(set_a < set_b)``, estimate ``|A ∪ B|``, Jaccard and ``|A ∩ B|``
     from bottom-k signatures alone — the reason mergeable sketches beat
@@ -527,6 +527,15 @@ def kmv_set_ops(df: DataFrame, set_col: str, key_col: str,
     intersection estimate is integer ``shared * est_union div union_k``
     — all bit-identical cross-engine.
 
+    ``max_sets`` (the many-sources guard): the pair frame is quadratic in
+    the number of DISTINCT set labels — the semantic itself — so with
+    unbounded labels (e.g. per-user sets) the crossJoin explodes. When
+    set, only the ``max_sets`` labels with the LARGEST estimated
+    cardinality (their own KMV estimate — already computed, no extra
+    scan) enter the pair frame, deterministically tie-broken by label;
+    the pair count is then ≤ C(max_sets, 2). Same spill-safe cap
+    discipline as ``assoc.cooccurrence_lift(max_items=...)``.
+
     Returns (set_a, set_b, union_k, shared_k, est_union,
     est_intersection, jaccard_k).
     """
@@ -542,9 +551,28 @@ def kmv_set_ops(df: DataFrame, set_col: str, key_col: str,
     sk = (d.withColumn("rn", F.row_number().over(w))
           .filter(F.col("rn") <= k).drop("rn").persist())
 
+    labels = sk.select("s").distinct()
+    if max_sets is not None:
+        # rank sets by their own KMV distinct estimate (bigger sets make
+        # more informative pairs); the per-set frame is O(sets) rows
+        per_set = sk.groupBy("s").agg(
+            F.count(F.lit(1)).alias("_n"),
+            # sk holds each set's bottom-k hashes, so max(h) IS the k-th
+            F.conv(F.substring(F.max("h"), 1, 8), 16, 10)
+            .cast("bigint").alias("_vk"))
+        est = per_set.select(
+            "s",
+            F.when(F.col("_n") < k, F.col("_n"))
+            .otherwise(F.expr(
+                f"({k} - 1) * cast({m} AS bigint) div greatest(_vk, 1)"))
+            .alias("_est"))
+        # orderBy+limit → TakeOrderedAndProject: parallel partial top-N
+        # per partition, no single-task global window
+        labels = (est.orderBy(F.desc("_est"), F.asc("s"))
+                  .limit(int(max_sets)).select("s"))
     pairs = (
-        sk.select("s").distinct().alias("pa")
-        .crossJoin(sk.select(F.col("s").alias("s2")).distinct().alias("pb"))
+        labels.alias("pa")
+        .crossJoin(labels.select(F.col("s").alias("s2")).alias("pb"))
         .where(F.col("s") < F.col("s2"))
         .select(F.col("s").alias("set_a"), F.col("s2").alias("set_b"))
     )

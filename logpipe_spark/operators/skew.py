@@ -143,17 +143,29 @@ def salted_conv_spans(df: DataFrame, buckets: int = 16) -> DataFrame:
     )
 
 
-def _cms_bucket(seed_col: Column, key_str: Column, width: int) -> Column:
-    """Bucket = first 8 md5 hex digits of "seed:key" as int, mod width.
-    md5 + integer arithmetic only — identical in Spark and DuckDB, so CMS
-    estimates are cross-engine deterministic (same trick as kmv_distinct)."""
-    h = F.md5(F.concat_ws(":", seed_col.cast("string"), key_str))
-    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"),
-                  F.lit(width))
+def _cms_bucket(seed_col: Column, key_str: Column, width: int,
+                hash_fn: str = "xxhash64") -> Column:
+    """Bucket for "seed:key", mod width.
+
+    hash_fn='xxhash64' (default): one JVM-native hash per counter — the
+    100 TB path (~4× cheaper per row than md5, see bench/hashfn_scale.py).
+    hash_fn='md5': first 8 md5 hex digits as int — md5 + integer
+    arithmetic only, identical in Spark and DuckDB, so estimates are
+    CROSS-ENGINE deterministic (same trick as kmv_distinct); pass it when
+    an external oracle must replay the sketch bit-for-bit (the driver
+    queries do)."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(key_str, seed_col.cast("string")),
+                      F.lit(width))
+    if hash_fn == "md5":
+        h = F.md5(F.concat_ws(":", seed_col.cast("string"), key_str))
+        return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"),
+                      F.lit(width))
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
 def cms_sketch(df: DataFrame, key: str, depth: int = 3,
-               width: int = 1024) -> DataFrame:
+               width: int = 1024, hash_fn: str = "xxhash64") -> DataFrame:
     """Count-min sketch of key frequencies: ``depth × width`` counters.
 
     The scale path for heavy-key detection: :func:`heavy_keys` shuffles one
@@ -170,7 +182,8 @@ def cms_sketch(df: DataFrame, key: str, depth: int = 3,
         "seed", F.explode(F.array(*[F.lit(s) for s in range(depth)]))
     )
     return (
-        e.withColumn("bucket", _cms_bucket(F.col("seed"), F.col("_k"), width))
+        e.withColumn("bucket",
+                     _cms_bucket(F.col("seed"), F.col("_k"), width, hash_fn))
         .groupBy("seed", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -178,7 +191,8 @@ def cms_sketch(df: DataFrame, key: str, depth: int = 3,
 
 def cms_estimate(sketch: DataFrame, keys_df: DataFrame, key: str,
                  depth: int = 3, width: int = 1024,
-                 alias: str = "cms_count") -> DataFrame:
+                 alias: str = "cms_count",
+                 hash_fn: str = "xxhash64") -> DataFrame:
     """Point-query the sketch for each key in ``keys_df``: min over the
     depth counters the key hashes into (upper bound on the true count;
     equality when none of its buckets collide)."""
@@ -186,7 +200,8 @@ def cms_estimate(sketch: DataFrame, keys_df: DataFrame, key: str,
         "seed", F.explode(F.array(*[F.lit(s) for s in range(depth)]))
     )
     e = e.withColumn(
-        "bucket", _cms_bucket(F.col("seed"), F.col(key).cast("string"), width)
+        "bucket", _cms_bucket(F.col("seed"), F.col(key).cast("string"),
+                              width, hash_fn)
     )
     return (
         e.join(sketch, ["seed", "bucket"], "left")

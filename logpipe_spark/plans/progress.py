@@ -20,11 +20,50 @@ rows/sec — the reference's two instrumentation surfaces in one record.
 
 from __future__ import annotations
 
+import os
+import resource
 import threading
 import time
 from typing import Callable
 
 from pyspark.sql import SparkSession
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK")
+_PAGE_MB = resource.getpagesize() / (1024 * 1024)
+
+
+def _jvm_pid(spark: SparkSession) -> int | None:
+    """PID of the py4j-launched JVM (local mode: driver AND executors live
+    there, so that's the process whose CPU/RSS reflects the actual work —
+    sampling the Python driver would show an idle process). None when the
+    gateway was attached to an external JVM (spark-submit)."""
+    try:
+        proc = spark.sparkContext._gateway.proc  # Popen when we launched it
+        return proc.pid if proc is not None else None
+    except Exception:
+        return None
+
+
+def _proc_sample(pid: int | None) -> dict | None:
+    """One /proc CPU+RSS snapshot (cumulative utime/stime seconds, RSS MB).
+    The profiler.js analog (``src/utils/profiler.js:145-171``):
+    process.cpuUsage()/memoryUsage() sampled alongside throughput."""
+    if pid is None:
+        return None
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            # field 2 (comm) may contain spaces — split after the ')'
+            rest = f.read().rsplit(")", 1)[1].split()
+        # rest[0] is field 3 (state); utime/stime are fields 14/15
+        utime, stime = int(rest[11]), int(rest[12])
+        rss_pages = int(rest[21])
+        return {
+            "cpu_user_s": round(utime / _CLK_TCK, 2),
+            "cpu_sys_s": round(stime / _CLK_TCK, 2),
+            "rss_mb": round(rss_pages * _PAGE_MB, 1),
+        }
+    except Exception:
+        return None
 
 
 class ProgressReporter:
@@ -45,6 +84,7 @@ class ProgressReporter:
         self._interval = interval_s
         self._printer = printer
         self._max = max_samples
+        self._pid = _jvm_pid(spark)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._t0 = 0.0
@@ -73,6 +113,9 @@ class ProgressReporter:
                 continue
             sample = {"t_s": round(time.perf_counter() - self._t0, 3),
                       "stages": stages}
+            proc = _proc_sample(self._pid)
+            if proc is not None:
+                sample["proc"] = proc
             if len(self._samples) < self._max:
                 self._samples.append(sample)
             if self._printer:
@@ -88,6 +131,7 @@ class ProgressReporter:
         self._stop.clear()
         self._samples = []
         self._t0 = time.perf_counter()
+        self._proc0 = _proc_sample(self._pid)
         self._thread = threading.Thread(target=self._poll, daemon=True)
         self._thread.start()
         return self
@@ -96,12 +140,16 @@ class ProgressReporter:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=max(self._interval * 2, 1.0))
+        self._proc1 = _proc_sample(self._pid)
 
     def samples(self) -> list[dict]:
         return list(self._samples)
 
     def summary(self) -> dict:
-        """Per-stage rollup: last observed task counts + observation span."""
+        """Per-stage rollup: last observed task counts + observation span,
+        plus the JVM's CPU seconds and peak observed RSS over the block
+        (enter→exit /proc deltas, so short blocks between poll ticks still
+        get a reading)."""
         stages: dict[int, dict] = {}
         for sample in self._samples:
             for s in sample["stages"]:
@@ -110,5 +158,15 @@ class ProgressReporter:
                     "tasks_done": s["tasks_done"],
                     "last_seen_s": sample["t_s"],
                 }
-        return {"n_samples": len(self._samples),
-                "stages": {str(k): v for k, v in sorted(stages.items())}}
+        out = {"n_samples": len(self._samples),
+               "stages": {str(k): v for k, v in sorted(stages.items())}}
+        p0, p1 = getattr(self, "_proc0", None), getattr(self, "_proc1", None)
+        if p0 is not None and p1 is not None:
+            rss_seen = [p1["rss_mb"]] + [
+                s["proc"]["rss_mb"] for s in self._samples if "proc" in s]
+            out["proc"] = {
+                "cpu_user_s": round(p1["cpu_user_s"] - p0["cpu_user_s"], 2),
+                "cpu_sys_s": round(p1["cpu_sys_s"] - p0["cpu_sys_s"], 2),
+                "rss_peak_mb": max(rss_seen),
+            }
+        return out

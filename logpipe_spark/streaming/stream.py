@@ -461,6 +461,7 @@ def stream_asof_enrich(left: DataFrame, right: DataFrame,
 def stream_cms_incremental(spark: SparkSession, src: str, state_dir: str,
                            checkpoint_dir: str, key: str = "conv_id",
                            depth: int = 3, width: int = 1024,
+                           hash_fn: str = "xxhash64",
                            max_files_per_trigger: int | None = None):
     """Streaming count-min sketch: each micro-batch writes its own
     ``depth x width`` counter grid to ``{state_dir}/epoch=<id>`` (overwrite
@@ -474,7 +475,7 @@ def stream_cms_incremental(spark: SparkSession, src: str, state_dir: str,
                                 max_files_per_trigger=max_files_per_trigger)
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
-        (cms_sketch(df, key, depth=depth, width=width)
+        (cms_sketch(df, key, depth=depth, width=width, hash_fn=hash_fn)
          .coalesce(1).write.mode("overwrite")
          .parquet(f"{state_dir}/epoch={epoch_id}"))
 

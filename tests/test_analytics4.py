@@ -195,6 +195,26 @@ def test_kmv_set_ops_estimates_within_bound(spark):
     assert abs(r.jaccard_k - true_inter / true_union) < 0.15
 
 
+def test_kmv_set_ops_max_sets_caps_pair_frame(spark):
+    # many-sources regime: the pair frame is quadratic in set labels —
+    # max_sets keeps only the largest-estimate labels, so pairs shrink
+    # from C(6,2)=15 to C(3,2)=3, and surviving pairs' values are
+    # IDENTICAL to the uncapped run (the cap prunes labels, never skews
+    # estimates)
+    rows = [(f"S{j}", i) for j in range(6) for i in range(10 * (j + 1))]
+    df = spark.createDataFrame(rows, "s string, k long")
+    full = {(r.set_a, r.set_b): r for r in kmv_set_ops(df, "s", "k").collect()}
+    capped = {(r.set_a, r.set_b): r
+              for r in kmv_set_ops(df, "s", "k", max_sets=3).collect()}
+    assert len(full) == 15 and len(capped) == 3
+    # the 3 biggest sets are S3,S4,S5
+    assert set(capped) == {("S3", "S4"), ("S3", "S5"), ("S4", "S5")}
+    for key, r in capped.items():
+        f = full[key]
+        assert (r.est_union, r.est_intersection, r.jaccard_k) == \
+            (f.est_union, f.est_intersection, f.jaccard_k)
+
+
 # -------------------------------------------------------------- gini / MAD
 
 def test_gini_impurity_known_distributions(spark):

@@ -72,6 +72,10 @@ def test_progress_reporter_captures_running_stages(spark):
     summ = pr.summary()
     assert summ["n_samples"] == len(pr.samples()) and summ["stages"]
     assert lines and "stage" in lines[0]
+    # CPU/mem snapshot (≙ profiler.js 145-171): the JVM burned CPU and
+    # holds a real heap while the job ran
+    assert summ["proc"]["cpu_user_s"] + summ["proc"]["cpu_sys_s"] > 0
+    assert summ["proc"]["rss_peak_mb"] > 50
 
 
 def test_run_stages_manifest_carries_progress(spark, tmp_path):
@@ -86,6 +90,9 @@ def test_run_stages_manifest_carries_progress(spark, tmp_path):
     assert "progress" in m and m["progress"]["summary"]["n_samples"] >= 0
     # samples are JSON-clean (already round-tripped through the manifest)
     assert isinstance(m["progress"]["samples"], list)
+    # manifest carries the CPU/mem rollup (verdict item 10)
+    proc = m["progress"]["summary"]["proc"]
+    assert proc["rss_peak_mb"] > 0 and proc["cpu_user_s"] >= 0
 
 
 def test_observe_malformed_counter(spark, tmp_path):

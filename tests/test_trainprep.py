@@ -329,3 +329,42 @@ def test_quality_stopword_runs_count_fully(spark):
     out = {r.doc_id: r for r in quality_score(df).collect()}
     assert out[1].stop_hits == 3      # was 2
     assert out[2].stop_hits == 5
+
+
+def test_incremental_dedup_equals_batch(spark, tmp_path):
+    """Two-shard incremental run == whole-corpus batch pairs, and the
+    index append makes shard 2 see shard 1's docs (dedup.py:
+    write_band_index / dedup_incremental)."""
+    from logpipe_spark.trainprep.dedup import (dedup_incremental,
+                                               minhash_lsh_dedup,
+                                               write_band_index)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, base), (2, base.replace("lazy", "sleepy")),
+        (3, "completely different words with no overlap whatsoever here"),
+        (4, base.replace("quick", "rapid")),      # shard B vs corpus
+        (5, "unrelated content that matches nothing else in this corpus"),
+        (6, base.replace("quick", "rapid") + " indeed"),  # B-vs-B near-dup
+    ]
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    shard_a = full.where("doc_id <= 3")
+    shard_b1 = full.where("doc_id in (4, 5)")
+    shard_b2 = full.where("doc_id = 6")
+    idx = str(tmp_path / "band_index")
+
+    write_band_index(spark, shard_a, idx)
+    got = {(r.doc_a, r.doc_b)
+           for r in minhash_lsh_dedup(shard_a).collect()}
+    got |= {(r.doc_a, r.doc_b)
+            for r in dedup_incremental(spark, shard_b1, idx, shard_a,
+                                       update_index=True).collect()}
+    # shard 2 probes an index that now includes shard B1's signatures
+    corpus_so_far = shard_a.unionByName(shard_b1)
+    got |= {(r.doc_a, r.doc_b)
+            for r in dedup_incremental(spark, shard_b2, idx, corpus_so_far,
+                                       update_index=True).collect()}
+
+    want = {(r.doc_a, r.doc_b) for r in minhash_lsh_dedup(full).collect()}
+    assert got == want
+    assert (4, 6) in got  # cross-shard pair seen only via the index append
