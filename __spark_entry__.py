@@ -2953,6 +2953,41 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def q_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Versioned-table CDC read (plans/cdc.py): copy-on-write upsert →
+    # manifest-pruned changelog. v0 = orders %3<>0; the upsert batch is
+    # every %7==0 key — even keys get a bumped price ('changed'), odd
+    # keys are re-upserted with IDENTICAL values (their bucket moves but
+    # the row diff is 'unchanged' → dropped), %21==0 keys are new
+    # ('added'). read_changes diffs ONLY moved buckets; the oracle is
+    # the FULL-outer diff of the two complete snapshots — the exact
+    # match IS the manifest-pruning soundness proof (verdict item 9).
+    import shutil
+    import tempfile
+
+    from logpipe_spark.plans.cdc import (read_changes, upsert_versioned,
+                                         write_versioned)
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    v0 = orders.filter(F.col("o_orderkey") % 3 != 0)
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 2 == 0,
+               F.col("o_totalprice") + F.lit(1.0))
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    tmp = tempfile.mkdtemp(prefix="logpipe_cdc_")
+    try:
+        write_versioned(spark, v0, tmp, "o_orderkey", n_buckets=16)
+        upsert_versioned(spark, tmp, upd, "o_orderkey")
+        # materialize before the table tempdir disappears
+        return read_changes(spark, tmp, 0, 1).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Diurnal-baseline anomaly scores (aggregate.py:seasonal_anomaly):
     # each (event_type, day, hour) count z-scored against that hour's
@@ -2992,7 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_counts": q_route_counts,
         "hash_iterated": q_hash_iterated,
         "null_key_passthrough": q_null_key_passthrough,
-        "conv_digest": q_conv_digest,
+        "read_changes": q_read_changes,
         "dup_clusters": q_dup_clusters,
         "dedup_keep_list": q_dedup_keep_list,
         "asof_join": q_asof_join,
@@ -3033,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "snapshot_diff": q_snapshot_diff,
         "scd2_intervals": q_scd2_intervals,
+        "conv_digest": q_conv_digest,
         "filter_eq": q_filter_eq,
         "filter_anti": q_filter_anti,
         "project_transform": q_project_transform,
@@ -3937,6 +3973,37 @@ new AS (SELECT o_orderkey,
                     ELSE o_totalprice END AS o_totalprice,
                o_orderstatus
         FROM orders WHERE o_orderkey % 5 <> 0),
+j AS (SELECT o.o_orderkey AS ko, n.o_orderkey AS kn,
+             o.o_totalprice AS old_o_totalprice,
+             o.o_orderstatus AS old_o_orderstatus,
+             n.o_totalprice AS new_o_totalprice,
+             n.o_orderstatus AS new_o_orderstatus
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey),
+c AS (SELECT coalesce(ko, kn) AS o_orderkey,
+             CASE WHEN ko IS NULL THEN 'added'
+                  WHEN kn IS NULL THEN 'removed'
+                  WHEN old_o_totalprice IS NOT DISTINCT FROM new_o_totalprice
+                   AND old_o_orderstatus IS NOT DISTINCT FROM new_o_orderstatus
+                  THEN 'unchanged' ELSE 'changed' END AS change_type,
+             old_o_totalprice, old_o_orderstatus,
+             new_o_totalprice, new_o_orderstatus
+      FROM j)
+SELECT * FROM c WHERE change_type <> 'unchanged'""",
+        # the CDC changelog must equal the full-outer diff of the two
+        # COMPLETE snapshots (manifest pruning soundness): new = old
+        # overridden by the upsert batch, plus its previously-absent keys
+        "read_changes": """
+WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+             WHERE o_orderkey % 3 <> 0),
+upd AS (SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 7 = 0),
+new AS (SELECT * FROM upd
+        UNION ALL
+        SELECT * FROM old
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)),
 j AS (SELECT o.o_orderkey AS ko, n.o_orderkey AS kn,
              o.o_totalprice AS old_o_totalprice,
              o.o_orderstatus AS old_o_orderstatus,

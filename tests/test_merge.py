@@ -111,3 +111,91 @@ def test_compact_preserves_bucketed_layout_for_upsert(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 21
     assert got.where(F.col("k") == 3).collect()[0].v == "NEW"
+
+
+# --------------------------------------------------------- versioned CDC
+
+def _mk_dim(spark, rows):
+    return spark.createDataFrame(rows, "id long, val string, score long")
+
+
+def test_cdc_snapshot_time_travel(spark, tmp_path):
+    """Copy-on-write upsert: v0 stays readable byte-for-byte after two
+    upserts; latest snapshot reflects both."""
+    from logpipe_spark.plans.cdc import (read_snapshot, upsert_versioned,
+                                         write_versioned)
+
+    p = str(tmp_path / "dim")
+    v0_rows = [(i, f"v{i}", i * 10) for i in range(20)]
+    assert write_versioned(spark, _mk_dim(spark, v0_rows), p, "id",
+                           n_buckets=4) == 0
+    r1 = upsert_versioned(spark, p, _mk_dim(
+        spark, [(3, "v3b", 999), (20, "new", 1)]), "id")
+    assert r1["version"] == 1 and r1["n_upserts"] == 2
+    r2 = upsert_versioned(spark, p, _mk_dim(spark, [(3, "v3c", 0)]), "id")
+    assert r2["version"] == 2
+
+    got_v0 = {(r.id, r.val, r.score)
+              for r in read_snapshot(spark, p, 0).collect()}
+    assert got_v0 == set(v0_rows)
+    latest = {r.id: (r.val, r.score)
+              for r in read_snapshot(spark, p).collect()}
+    assert latest[3] == ("v3c", 0) and latest[20] == ("new", 1)
+    assert len(latest) == 21
+
+
+def test_cdc_read_changes_equals_full_diff(spark, tmp_path):
+    """The bucket-pruned changelog == snapshot_diff of the two COMPLETE
+    snapshots (the soundness contract for manifest pruning)."""
+    from logpipe_spark.operators.diff import snapshot_diff
+    from logpipe_spark.plans.cdc import (read_changes, read_snapshot,
+                                         upsert_versioned, write_versioned)
+
+    p = str(tmp_path / "dim")
+    write_versioned(
+        spark, _mk_dim(spark, [(i, f"v{i}", i) for i in range(50)]),
+        p, "id", n_buckets=8)
+    upsert_versioned(spark, p, _mk_dim(
+        spark, [(7, "x", 1), (8, "v8", 8), (99, "new", 0)]), "id")
+
+    cols = ["id", "val", "score"]
+    full = snapshot_diff(
+        read_snapshot(spark, p, 0).select(*cols),
+        read_snapshot(spark, p, 1).select(*cols), ["id"])
+    pruned = read_changes(spark, p, 0, 1)
+    assert sorted(map(tuple, pruned.collect())) == \
+        sorted(map(tuple, full.collect()))
+    # the no-op row (8 -> identical values) must NOT appear as changed
+    kinds = {r.id: r.change_type for r in pruned.collect()}
+    assert kinds.get(7) == "changed" and kinds.get(99) == "added"
+    assert 8 not in kinds
+
+
+def test_cdc_changes_feed_scd2(spark, tmp_path):
+    """Changelog rows append into scd2_intervals: the dimension-history
+    maintenance loop the module docstring promises."""
+    from logpipe_spark.operators.scd import scd2_intervals
+    from logpipe_spark.plans.cdc import (read_changes, upsert_versioned,
+                                         write_versioned)
+
+    p = str(tmp_path / "dim")
+    write_versioned(spark, _mk_dim(spark, [(1, "a", 0), (2, "b", 0)]),
+                    p, "id", n_buckets=2)
+    upsert_versioned(spark, p, _mk_dim(spark, [(1, "a2", 0)]), "id")
+    upsert_versioned(spark, p, _mk_dim(spark, [(1, "a3", 0)]), "id")
+
+    hist = []
+    for v in (1, 2):
+        ch = read_changes(spark, p, v - 1, v)
+        hist.append(ch.select("id", F.lit(v).alias("v"),
+                              F.col("new_val").alias("val")))
+    base = _mk_dim(spark, [(1, "a", 0), (2, "b", 0)]).select(
+        "id", F.lit(0).alias("v"), "val")
+    events = base.unionByName(hist[0]).unionByName(hist[1])
+    iv = scd2_intervals(events, "id", "v", "val", "v")
+    runs = {(r.id, r.state): (r.valid_from, r.is_current)
+            for r in iv.collect()}
+    assert runs[(1, "a")] == (0, 0)
+    assert runs[(1, "a2")] == (1, 0)
+    assert runs[(1, "a3")] == (2, 1)
+    assert runs[(2, "b")] == (0, 1)
