@@ -22,10 +22,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 # Valid in Spark SQL AND DuckDB. `{events}` = events table/view name.
+#
+# `k` extraction: props is rigidly '{"k": N}' (driver-generated; asserted
+# in tests), so a 1-based substring replaces the original regexp_extract.
+# Catalyst inlines the single-use `k` alias into EVERY consuming CASE
+# (~17 copies in the flagship plan — CollapseProject through collapsed
+# CTEs); with a regex each copy cost ~1 us/row, with substring it is
+# pointer arithmetic. Identical semantics in DuckDB (same 1-based
+# substring), so oracle parity is preserved by construction.
 TRANSCRIPTS_SQL = """
 WITH ev AS (
   SELECT event_id, ts, user_id, event_type, value,
-         cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS int) AS k
+         cast(substring(props, 7, length(props) - 7) AS int) AS k
   FROM {events}
 ), ev2 AS (
   SELECT *,
@@ -105,6 +113,16 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     over different sf_dirs cannot clobber each other.
     """
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # The driver's small-SF events table is ONE parquet file → ONE scan
+    # task, so every per-row expression downstream (the k-extract regex,
+    # text construction, parse regexes) ran single-core — measured 3.4 s
+    # for the sf0.1 flagship with 31 idle threads (round-3 profiling; this
+    # was the whole "flagship regression" of the round-2 verdict). Fan a
+    # pathologically under-split scan out once, up front; at production
+    # scale the input is thousands of files and this never triggers.
+    target = spark.sparkContext.defaultParallelism
+    if events.rdd.getNumPartitions() < max(2, target // 2):
+        events = events.repartition(target)
     return spark.sql(TRANSCRIPTS_SQL, events=events)
 
 
