@@ -2988,6 +2988,24 @@ def q_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Position-level exact-substring dedup coverage (trainprep/dedup.py:
+    # dup_spans — the Lee et al. 2022 repeated-substring rule at word-
+    # trigram granularity): per doc, the fraction of token positions
+    # covered by grams occurring >=2 times corpus-wide, computed as an
+    # interval union via one lead() window. Raw integer-operand division.
+    return dd.dup_spans(_docs(spark, sf_dir), k=3, min_count=2)
+
+
+def q_conv_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-turn redundancy per conversation (trainprep/textqual.py:
+    # conv_redundancy): fraction of word-bigram instances whose gram was
+    # introduced by an EARLIER turn of the same conversation — the
+    # conversation-level complement of repetition_score. One window on
+    # (conv, gram) + one groupBy; raw integer-operand division.
+    return tq.conv_redundancy(_t(spark, sf_dir))
+
+
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Diurnal-baseline anomaly scores (aggregate.py:seasonal_anomaly):
     # each (event_type, day, hour) count z-scored against that hour's
@@ -3173,6 +3191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_templates": q_log_templates,
         "holt_smooth": q_holt_smooth,
         "vocab_overlap": q_vocab_overlap,
+        "dup_spans": q_dup_spans,
+        "conv_redundancy": q_conv_redundancy,
     }
 
 
@@ -4020,6 +4040,54 @@ c AS (SELECT coalesce(ko, kn) AS o_orderkey,
              new_o_totalprice, new_o_orderstatus
       FROM j)
 SELECT * FROM c WHERE change_type <> 'unchanged'""",
+        # interval-union coverage of corpus-hot trigrams; division operands
+        # are exact integers on both sides
+        "dup_spans": '''
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> {'pos': i,
+                      'gram': w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]}))
+           AS u
+  FROM w),
+pge AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM pg),
+hot AS (SELECT gram FROM pge GROUP BY gram HAVING count(*) >= 2),
+d AS (SELECT p.doc_id, p.pos FROM pge p JOIN hot h USING (gram)),
+iv AS (SELECT doc_id, pos,
+              lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       FROM d),
+cov AS (SELECT doc_id,
+               sum(CASE WHEN nxt IS NULL OR nxt - pos >= 3 THEN 3
+                        ELSE nxt - pos END) AS covered
+        FROM iv GROUP BY doc_id),
+n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents)
+SELECT n.doc_id,
+       cast(n.n_tokens AS int) AS n_tokens,
+       cast(coalesce(c.covered, 0) AS int) AS covered_tokens,
+       cast(coalesce(c.covered, 0) AS double) / n.n_tokens AS dup_span_frac
+FROM n LEFT JOIN cov c ON n.doc_id = c.doc_id''',
+        "conv_redundancy": f'''{P},
+d AS (SELECT conv_id, turn_idx AS t, string_split(text, ' ') AS w
+      FROM transcripts),
+g AS (SELECT conv_id, t,
+        CASE WHEN len(w) >= 2 THEN
+          list_transform(generate_series(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i + 1])
+        ELSE [] END AS grams
+      FROM d),
+inst AS (SELECT conv_id, t, unnest(grams) AS gram FROM g),
+f AS (SELECT conv_id, t,
+             min(t) OVER (PARTITION BY conv_id, gram) AS first_t
+      FROM inst)
+SELECT conv_id,
+       cast(count(*) AS int) AS n_grams,
+       cast(sum(CASE WHEN t > first_t THEN 1 ELSE 0 END) AS int)
+         AS n_redundant,
+       cast(sum(CASE WHEN t > first_t THEN 1 ELSE 0 END) AS double)
+         / count(*) AS redundancy
+FROM f GROUP BY conv_id''',
         "bloom_prune": _bloom_oracle(),
         "hll_distinct": f"""{P},
 {_hll_oracle()}""",

@@ -644,3 +644,79 @@ def dedup_incremental(spark, new_docs: DataFrame, index_path: str,
             .parquet(index_path)
         )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Position-level exact substring dedup (dup spans)
+# ---------------------------------------------------------------------------
+
+
+def dup_spans(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", k: int = 3,
+              min_count: int = 2) -> DataFrame:
+    """Per-document duplicated-SPAN coverage: the fraction of a doc's
+    token positions covered by word k-grams that occur ≥ ``min_count``
+    times in the whole corpus (the practical Spark form of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    repeated substrings matter at POSITION granularity, not just
+    chunk/doc granularity like ``chunk_dup_frac``/``dedup_exact``).
+
+    Plan (3 shuffles, all key-partitioned, no self-join anywhere):
+      1. positional grams (doc_id, pos, gram) via posexplode — positions
+         kept, so overlapping hits merge as intervals, not counts;
+      2. corpus gram occurrence counts (one groupBy gram, map-side
+         combinable) filtered to hot grams;
+      3. membership join on gram + per-doc interval union via ONE lead()
+         window: a dup gram at pos covers [pos, pos+k-1]; overlapping
+         covers collapse because each position contributes
+         min(k, next_pos - pos).
+
+    dup_span_frac is the RAW double of two exact integers
+    (covered / n_tokens) — bit-identical cross-engine. Returns
+    (doc_id, n_tokens, covered_tokens, dup_span_frac) for EVERY doc
+    (zero coverage included).
+
+    Reference seam: the reference dedupes nothing; this is training-
+    pipeline capability beyond it (SURVEY.md training-data ops).
+    """
+    from pyspark.sql import Window
+
+    from logpipe_spark.trainprep.curate import with_word_grams
+
+    d = docs.withColumnRenamed(id_col, "doc_id")
+    g = with_word_grams(d, text_col, k, keep=["doc_id"])
+    # posexplode_outer + isNotNull: same InferFiltersFromGenerate dodge
+    # as _word_shingle_sets (an inner explode re-evaluates the gram
+    # transform inside an inferred pushed-down filter)
+    pg = (
+        g.select("doc_id", F.posexplode_outer("grams").alias("pos0", "gram"))
+        .filter(F.col("gram").isNotNull())
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    hot = (pg.groupBy("gram").agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") >= min_count).select("gram"))
+    dup_pos = pg.join(hot, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    iv = dup_pos.withColumn("nxt", F.lead("pos").over(w))
+    covered = (
+        iv.select(
+            "doc_id",
+            F.when(F.col("nxt").isNull() | (F.col("nxt") - F.col("pos") >= k),
+                   F.lit(k))
+            .otherwise(F.col("nxt") - F.col("pos")).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("covered"))
+    )
+    n = d.select("doc_id",
+                 F.size(F.split(F.col(text_col), " ")).alias("n_tokens"))
+    return (
+        n.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce(F.col("covered"), F.lit(0)).cast("int")
+            .alias("covered_tokens"),
+            (F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+             / F.col("n_tokens")).alias("dup_span_frac"),
+        )
+    )

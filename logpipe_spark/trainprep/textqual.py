@@ -426,3 +426,52 @@ def doc_rarity(docs: DataFrame, text_col: str = "text",
             "max_df",
         )
     )
+
+
+def conv_redundancy(turns: DataFrame, conv_col: str = "conv_id",
+                    order_col: str = "turn_idx", text_col: str = "text",
+                    k: int = 2) -> DataFrame:
+    """Cross-turn redundancy per conversation: the fraction of word
+    k-gram INSTANCES whose gram already appeared in an EARLIER turn of
+    the same conversation (assistants that repeat themselves, copied
+    tool output echoed across turns — the conversation-level analog of
+    :func:`repetition_score`, which only sees within one text).
+
+    An instance in turn t is redundant iff min(turn) over the
+    conversation's occurrences of that gram is < t — so the first turn
+    that introduces a phrase is never penalized, repeats within that
+    same first turn aren't either (those are repetition_score's job),
+    and every later echo is. One window shuffle on (conv, gram) + one
+    groupBy on conv; no self-join.
+
+    redundancy is the RAW double of two exact integer counts
+    (bit-identical cross-engine). Returns
+    (conv_id, n_grams, n_redundant, redundancy) for conversations with
+    ≥1 gram instance.
+    """
+    from pyspark.sql import Window
+
+    from logpipe_spark.trainprep.curate import with_word_grams
+
+    d = turns.select(F.col(conv_col).alias("conv_id"),
+                     F.col(order_col).alias("t"), F.col(text_col))
+    g = with_word_grams(d, text_col, k, keep=["conv_id", "t"])
+    inst = (
+        g.select("conv_id", "t", F.explode_outer("grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
+    w = Window.partitionBy("conv_id", "gram")
+    flagged = inst.withColumn("first_t", F.min("t").over(w))
+    return (
+        flagged.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.sum((F.col("t") > F.col("first_t")).cast("int"))
+            .cast("int").alias("n_redundant"),
+        )
+        .select(
+            "conv_id", "n_grams", "n_redundant",
+            (F.col("n_redundant").cast("double") / F.col("n_grams"))
+            .alias("redundancy"),
+        )
+    )

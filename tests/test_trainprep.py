@@ -368,3 +368,55 @@ def test_incremental_dedup_equals_batch(spark, tmp_path):
     want = {(r.doc_a, r.doc_b) for r in minhash_lsh_dedup(full).collect()}
     assert got == want
     assert (4, 6) in got  # cross-shard pair seen only via the index append
+
+
+def test_dup_spans_interval_union(spark):
+    """Overlapping hot trigrams must merge as intervals, not add up:
+    doc 1 and 2 share a 4-word run = two overlapping trigrams covering
+    exactly 4 positions; doc 3 shares nothing."""
+    from logpipe_spark.trainprep.dedup import dup_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d x y z"), (2, "q a b c d r s"),
+         (3, "u v w p m n o")], "doc_id long, text string")
+    out = {r.doc_id: r for r in dup_spans(docs, k=3).collect()}
+    assert out[1].n_tokens == 7
+    # grams 'a b c' and 'b c d' overlap -> 4 covered positions, not 6
+    assert out[1].covered_tokens == 4
+    assert out[1].dup_span_frac == 4 / 7
+    assert out[2].covered_tokens == 4
+    assert out[3].covered_tokens == 0 and out[3].dup_span_frac == 0.0
+
+
+def test_dup_spans_counts_within_doc_repeats(spark):
+    """min_count counts INSTANCES corpus-wide, so a doc repeating its own
+    phrase is covered even with no other doc involved."""
+    from logpipe_spark.trainprep.dedup import dup_spans
+
+    docs = spark.createDataFrame(
+        [(1, "x y z q q q x y z"), (2, "totally different words here")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dup_spans(docs, k=3).collect()}
+    # 'x y z' appears twice (pos 1 and 7): covers 1-3 and 7-9
+    assert out[1].covered_tokens == 6
+
+
+def test_conv_redundancy_first_turn_free(spark):
+    """First introduction is free (even if repeated within that turn);
+    later echoes count."""
+    from logpipe_spark.trainprep.textqual import conv_redundancy
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "run the tests run the tests"),
+         ("c1", 1, "run the tests now"),
+         ("c1", 2, "all green"),
+         ("c2", 0, "hello world")],
+        "conv_id string, turn_idx int, text string")
+    out = {r.conv_id: r for r in conv_redundancy(turns).collect()}
+    # c1 t0: 5 bigram instances (none redundant: all first seen at t0)
+    # c1 t1: 'run the','the tests' redundant; 'tests now' new -> 2 of 3
+    # c1 t2: 'all green' new
+    r = out["c1"]
+    assert r.n_grams == 5 + 3 + 1 and r.n_redundant == 2
+    assert r.redundancy == 2 / 9
+    assert out["c2"].n_redundant == 0
