@@ -92,17 +92,28 @@ def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16,
 
 def bloom_as_array(words: DataFrame, m_bits: int) -> DataFrame:
     """Densify the word table into ONE row holding array<bigint> of
-    length m_bits/32 (absent words = 0) — the broadcastable form."""
+    length m_bits/32 (absent words = 0) — the broadcastable form.
+
+    The fill happens DRIVER-SIDE: the word table is filter-sized
+    (m_bits/32 rows — 2k at m=2^16, 8M at the 1e9-key m=2^28, i.e. the
+    same bytes the broadcast itself ships), so collecting it is the
+    metadata-sized-collect pattern, not a data collect. The previous
+    pure-expression fill (`transform(sequence(...), i ->
+    element_at(map, i))`) was O(slots × words): Spark maps are
+    array-backed, so every element_at is a LINEAR probe, and the
+    interpreted lambda ran ~1e9 steps at m=2^20 — measured 60-70 s per
+    bloom_prune call, dwarfing the probe it was built for (round-3
+    profiling). The returned frame is a LocalRelation, so downstream
+    broadcasts ship it without re-running anything."""
     n_words = m_bits // _WORD_BITS
-    sparse = words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("word_idx", "word"))).alias("wm"))
-    return sparse.select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(F.element_at("wm", i), F.lit(0).cast("bigint")),
-        ).alias("bloom")
-    )
+    from pyspark.sql import types as T
+
+    dense = [0] * n_words
+    for r in words.collect():
+        dense[r["word_idx"]] = r["word"]
+    return words.sparkSession.createDataFrame(
+        [(dense,)],
+        T.StructType([T.StructField("bloom", T.ArrayType(T.LongType()))]))
 
 
 def bloom_might_contain(key: Column, bloom: Column, m_bits: int,
@@ -137,6 +148,9 @@ def bloom_prune(fact: DataFrame, dim: DataFrame | None, fact_key: str,
     rebuilding it per action re-scans the dim.
     """
     if prebuilt is None:
+        # bloom_as_array is eager (driver-side dense fill, see its
+        # docstring) and returns a LocalRelation — the probe's broadcast
+        # ships it directly, nothing re-runs per action
         arr = bloom_as_array(
             bloom_build(dim, dim_key, m_bits, k, hash_fn), m_bits)
     else:

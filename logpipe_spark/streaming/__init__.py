@@ -20,6 +20,8 @@ from logpipe_spark.streaming.stream import (  # noqa: F401
     read_drift,
     stream_cms_incremental,
     read_cms,
+    stream_dedup_incremental,
+    read_dedup_pairs,
     run_stream_once,
     stream_route_fanout,
     stream_transcripts,

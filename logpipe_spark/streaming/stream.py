@@ -665,3 +665,109 @@ def read_cusum(segments: DataFrame, threshold: int) -> DataFrame:
     from logpipe_spark.operators.drift import cusum_merge
 
     return cusum_merge(segments, "tool", threshold=threshold)
+
+
+def stream_dedup_incremental(spark: SparkSession, src: str, state_dir: str,
+                             checkpoint_dir: str, k: int = 2,
+                             n_hashes: int = 12, band_size: int = 3,
+                             threshold: float = 0.4, n_buckets: int = 64,
+                             max_files_per_trigger: int | None = None):
+    """Streaming ingest-time near-dup detection: the foreachBatch twin of
+    ``trainprep.dedup.dedup_incremental``. Each micro-batch of NEW
+    documents (schema ``doc_id long, text string``) probes the
+    accumulated band-signature index for near-dup pairs against
+    EVERYTHING ingested so far (plus within-batch pairs), then commits
+    its own docs + band rows as epoch-keyed state:
+
+        {state_dir}/pairs/epoch=<id>   near-dup pairs found this epoch
+        {state_dir}/bands/epoch=<id>/_bucket=<b>   signature index delta
+        {state_dir}/docs/epoch=<id>    raw docs (verify-side point reads)
+
+    Exactly-once by construction (same idempotent-epoch pattern as
+    ``stream_rollup_incremental``): every write is ``overwrite`` into the
+    epoch's own directory, and the probe EXCLUDES the current epoch's
+    partitions, so a replayed batch reproduces — not duplicates — its
+    pairs and index delta. Each unordered pair is emitted exactly once:
+    in the epoch that ingests its later member. ``read_dedup_pairs``
+    unions the epochs; batch parity (== whole-corpus
+    ``minhash_lsh_dedup``) is asserted in tests at two pacings.
+    """
+    from logpipe_spark.trainprep.dedup import (band_rows, jaccard_on_pairs,
+                                               minhash_signatures,
+                                               word_shingles)
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
+              .parquet(src))
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        docs = df.select("doc_id", "text").localCheckpoint(eager=True)
+        sh_new = word_shingles(docs, k=k).localCheckpoint(eager=True)
+        bands_new = band_rows(
+            minhash_signatures(sh_new, n_hashes=n_hashes),
+            n_hashes=n_hashes, band_size=band_size).localCheckpoint(eager=True)
+
+        a, b = bands_new.alias("a"), bands_new.alias("b")
+        within = (
+            a.join(b, ["band_idx", "band_hash"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+        )
+        cand = within
+        prior_docs = None
+        try:
+            # epoch + _bucket are partition dirs → the probe reads only
+            # prior epochs' matching buckets, never the whole index
+            index = (
+                spark.read.parquet(f"{state_dir}/bands")
+                .filter(F.col("epoch") != epoch_id)
+                .select("doc_id", "band_idx", "band_hash")
+            )
+            cross = (
+                bands_new.alias("n")
+                .join(index.alias("o"), ["band_idx", "band_hash"])
+                .select(F.least(F.col("n.doc_id"), F.col("o.doc_id"))
+                        .alias("doc_a"),
+                        F.greatest(F.col("n.doc_id"), F.col("o.doc_id"))
+                        .alias("doc_b"))
+            )
+            cand = cand.unionByName(cross)
+            prior_docs = (spark.read.parquet(f"{state_dir}/docs")
+                          .filter(F.col("epoch") != epoch_id)
+                          .select("doc_id", "text"))
+        except Exception:
+            pass  # first epoch: no state yet
+        cand = cand.distinct().localCheckpoint(eager=True)
+
+        sh_all = sh_new
+        if prior_docs is not None:
+            cand_ids = cand.select(F.col("doc_a").alias("doc_id")) \
+                .unionByName(cand.select(F.col("doc_b").alias("doc_id"))) \
+                .distinct()
+            hit = prior_docs.join(F.broadcast(cand_ids), "doc_id", "semi")
+            sh_all = sh_new.unionByName(word_shingles(hit, k=k))
+        sh_all = sh_all.localCheckpoint(eager=True)
+        pairs = jaccard_on_pairs(cand, sh_all).where(
+            F.col("jaccard") >= threshold)
+
+        (pairs.coalesce(1).write.mode("overwrite")
+         .parquet(f"{state_dir}/pairs/epoch={epoch_id}"))
+        (bands_new.withColumn(
+            "_bucket", F.pmod(F.hash(F.col("band_hash")), F.lit(n_buckets)))
+         .repartition(min(n_buckets, 8), "_bucket")
+         .write.partitionBy("_bucket").mode("overwrite")
+         .parquet(f"{state_dir}/bands/epoch={epoch_id}"))
+        (docs.coalesce(1).write.mode("overwrite")
+         .parquet(f"{state_dir}/docs/epoch={epoch_id}"))
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir))
+
+
+def read_dedup_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Union every epoch's near-dup pairs (each unordered pair appears in
+    exactly one epoch — the one that ingested its later member)."""
+    return (spark.read.parquet(f"{state_dir}/pairs")
+            .select("doc_a", "doc_b", "jaccard"))

@@ -543,3 +543,40 @@ def test_sessions_split_across_arrow_chunks():
     assert n == 2
     assert pd.Timestamp(first_us, unit="us") == pd.Timestamp(
         "2024-01-01 06:00:00")
+
+
+def test_stream_dedup_incremental_equals_batch(spark, tmp_path):
+    """Ingest-time near-dup detection == whole-corpus batch MinHash dedup,
+    at two pacings (1 file/trigger and one-shot drain), and a pair is
+    emitted exactly once — in the epoch that ingested its later member."""
+    from logpipe_spark.streaming import (read_dedup_pairs,
+                                         stream_dedup_incremental)
+    from logpipe_spark.trainprep.dedup import minhash_lsh_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base), (2, base.replace("lazy", "sleepy")),
+        (3, "completely different words with no overlap whatsoever here"),
+        (4, base.replace("quick", "rapid")),
+        (5, "unrelated content that matches nothing else in this corpus"),
+        (6, base.replace("quick", "rapid") + " indeed"),
+    ]
+    src = str(tmp_path / "docs_src")
+    for i, row in enumerate(rows):  # one file per doc -> 6 epochs at mft=1
+        spark.createDataFrame([row], "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in minhash_lsh_dedup(full).collect()}
+    assert want  # the planted corpus has near-dups
+
+    for mft, tag in ((1, "paced"), (None, "oneshot")):
+        state = str(tmp_path / f"state_{tag}")
+        writer = stream_dedup_incremental(
+            spark, src, state, str(tmp_path / f"ck_{tag}"),
+            max_files_per_trigger=mft)
+        run_stream_once(writer)
+        got_rows = read_dedup_pairs(spark, state).collect()
+        got = {(r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in got_rows}
+        assert got == want, tag
+        assert len(got_rows) == len(got), "pair emitted twice"
