@@ -484,6 +484,27 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_ivf_topk(_emb(spark, sf_dir))
 
 
+def q_ann_index_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Persisted incremental IVF index (similarity.py:write_ivf_index /
+    # append_ivf_index / ann_query_index): the corpus loads in two halves
+    # — initial write on even vec_ids, delta append of odd ones — then
+    # the query probes the stored lists (label= partition pruning). The
+    # min-id medoid rep is a monoid, so the merged index == a batch
+    # rebuild structurally; the oracle is ann_ivf_topk's batch SQL
+    # VERBATIM, proving incremental == batch at value level.
+    import shutil
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="logpipe_ivf_")
+    try:
+        sim.write_ivf_index(spark, emb.where(F.col("vec_id") % 2 == 0), tmp)
+        sim.append_ivf_index(spark, emb.where(F.col("vec_id") % 2 == 1), tmp)
+        return sim.ann_query_index(spark, tmp).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tq.lang_id(_docs(spark, sf_dir))
 
@@ -3193,6 +3214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_overlap": q_vocab_overlap,
         "dup_spans": q_dup_spans,
         "conv_redundancy": q_conv_redundancy,
+        "ann_index_incr": q_ann_index_incr,
     }
 
 
@@ -5102,4 +5124,8 @@ def _add_segmented_aliases(oracles: dict[str, str]) -> dict[str, str]:
     # incremental (index-probe) dedup of the second half must equal the
     # whole-corpus batch pairs: the batch SQL verbatim IS the proof
     oracles["dedup_incremental"] = oracles["dedup_minhash"]
+    # incremental (persisted, two-phase-loaded) IVF index query must equal
+    # the batch IVF: min-id medoid reps are a monoid, the shared oracle
+    # verbatim IS the merge==rebuild proof
+    oracles["ann_index_incr"] = oracles["ann_ivf_topk"]
     return oracles

@@ -575,3 +575,111 @@ def quantize_int8(
         F.aggregate(q, zero, lambda acc, v: acc + v * v).alias("q_sq_sum"),
         F.size(q).alias("n_dims"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted incremental IVF index (delta append + pruned query)
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_index(spark, emb: DataFrame, path: str) -> None:
+    """Initial load of a PERSISTED IVF index: unit-normed assignments
+    laid out as ``label=<l>/`` partition dirs (a probe reads ONLY its
+    probed lists — partition pruning, the on-disk form of the IVF
+    fan-in), plus a tiny ``_reps`` table (per-list representative =
+    min-vec_id medoid, the same deterministic choice as
+    :func:`ann_ivf_topk`).
+
+    The min-id medoid makes the index MERGEABLE: min is a monoid, so
+    :func:`append_ivf_index` can fold a delta's per-list minima into the
+    stored reps and the result is EXACTLY the index a batch rebuild
+    would produce — the incremental==batch equality is structural, and
+    the driver query's oracle (the batch IVF SQL verbatim) proves it at
+    value level.
+    """
+    n = with_unit_norm(emb)
+    labeled = n.join(emb.select("vec_id", "label"), "vec_id")
+    (labeled.write.partitionBy("label").mode("overwrite")
+     .parquet(f"{path}/lists"))
+    # _reps carries the rep VECTORS (label, rep_id, re, rn): queries
+    # broadcast it directly instead of scanning the corpus for rep rows
+    (_rep_rows(labeled).coalesce(1).write.mode("overwrite")
+     .parquet(f"{path}/_reps"))
+
+
+def _rep_rows(labeled: DataFrame) -> DataFrame:
+    """Per-list representative row WITH its vector: the min-vec_id member
+    selected via a min-by struct (single groupBy, monoid-mergeable)."""
+    picked = labeled.groupBy("label").agg(
+        F.min(F.struct("vec_id", "e", "nrm")).alias("m"))
+    return picked.select(
+        "label", F.col("m.vec_id").alias("rep_id"),
+        F.col("m.e").alias("re"), F.col("m.nrm").alias("rn"))
+
+
+def append_ivf_index(spark, new_emb: DataFrame, path: str) -> None:
+    """Append a delta: new assignments land in their label partitions
+    (append — delta-sized write), and the rep table refreshes by folding
+    the delta's per-list minima into the stored ones (rep-sized, not
+    corpus-sized). Vectors keep their own list label (IVF lists are
+    fixed between retrains); contract: delta vec_ids are fresh."""
+    n = with_unit_norm(new_emb)
+    labeled = n.join(new_emb.select("vec_id", "label"), "vec_id")
+    labeled = labeled.localCheckpoint(eager=True)
+    (labeled.write.partitionBy("label").mode("append")
+     .parquet(f"{path}/lists"))
+    old = spark.read.parquet(f"{path}/_reps")
+    merged = (
+        old.unionByName(_rep_rows(labeled))
+        .groupBy("label")
+        .agg(F.min(F.struct("rep_id",
+                            F.col("re"), F.col("rn"))).alias("m"))
+        .select("label", F.col("m.rep_id").alias("rep_id"),
+                F.col("m.re").alias("re"), F.col("m.rn").alias("rn"))
+        .localCheckpoint(eager=True)  # materialize before overwriting input
+    )
+    (merged.coalesce(1).write.mode("overwrite").parquet(f"{path}/_reps"))
+
+
+def ann_query_index(spark, path: str, k: int = 5, query_mod: int = 25,
+                    probes: int = 1) -> DataFrame:
+    """Query the persisted index: assign each query to its top-``probes``
+    lists via the (broadcast) rep table, then scan ONLY those lists'
+    partition dirs. Queries here are the same deterministic corpus
+    subset as :func:`ann_ivf_topk` (vec_id % query_mod == 0) so the
+    driver oracle is shared verbatim; production passes its own query
+    frame through the identical plan.
+
+    The probed-label set is list-count-bounded (≤ n_clusters) —
+    collected driver-side so the lists scan carries a LITERAL partition
+    filter (a join would not prune partitions).
+    """
+    reps = spark.read.parquet(f"{path}/_reps")
+    lists = spark.read.parquet(f"{path}/lists")
+    q = lists.where((F.col("vec_id") % query_mod) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"), F.col("nrm").alias("qn"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("rep_cos"), F.asc("label"))
+    probed = (
+        q.join(F.broadcast(reps))
+        .select("query_id", "qe", "qn", "label",
+                (_dot("qe", "re") / (F.col("qn") * F.col("rn")))
+                .alias("rep_cos"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= probes)
+        .select("query_id", "qe", "qn", "label")
+    ).localCheckpoint(eager=True)
+    labels = sorted(r["label"] for r in
+                    probed.select("label").distinct().collect())
+    cand = (lists.filter(F.col("label").isin(labels))
+            .select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("e").alias("ce"), F.col("nrm").alias("cn"),
+                    "label"))
+    scored = (
+        cand.join(F.broadcast(probed), "label")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                (_dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cos"))
+    )
+    return _rank_topk(scored, k)

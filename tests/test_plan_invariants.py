@@ -30,7 +30,7 @@ FORBIDDEN = [
 # call and delete it before returning, so the returned frame is an
 # ExistingRDD scan by construction. Their REAL (lazy) plans are held to
 # the same invariants in test_materialized_queries_lazy_plans below.
-MATERIALIZED = {"dedup_incremental", "read_changes"}
+MATERIALIZED = {"dedup_incremental", "read_changes", "ann_index_incr"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES.keys()))

@@ -420,3 +420,29 @@ def test_conv_redundancy_first_turn_free(spark):
     assert r.n_grams == 5 + 3 + 1 and r.n_redundant == 2
     assert r.redundancy == 2 / 9
     assert out["c2"].n_redundant == 0
+
+
+def test_ivf_index_append_equals_batch(spark, tmp_path):
+    """Two-phase load (write + append) of the persisted IVF index returns
+    exactly the batch ann_ivf_topk — including when the APPEND carries a
+    new per-list min vec_id (the rep-switch case the monoid fold must
+    handle)."""
+    from logpipe_spark.trainprep.similarity import (ann_ivf_topk,
+                                                    ann_query_index,
+                                                    append_ivf_index,
+                                                    write_ivf_index)
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(6)],
+             i % 3) for i in range(40)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    want = sorted(map(tuple, ann_ivf_topk(emb, k=3, query_mod=5).collect()))
+
+    idx = str(tmp_path / "ivf")
+    # initial load EXCLUDES the global min ids (0,1,2) so every list's
+    # rep must switch when the delta arrives
+    write_ivf_index(spark, emb.where("vec_id >= 6"), idx)
+    append_ivf_index(spark, emb.where("vec_id < 6"), idx)
+    got = sorted(map(tuple,
+                     ann_query_index(spark, idx, k=3, query_mod=5).collect()))
+    assert got == want and len(got) > 0
