@@ -26,6 +26,7 @@ from logpipe_spark.operators.aggregate import (
     time_rollup,
     weighted_median,
 )
+from logpipe_spark.operators import aggregate as agg2
 from logpipe_spark.operators import skew as skw
 from logpipe_spark.operators.asof import asof_join
 from logpipe_spark.operators.assoc import cooccurrence_lift
@@ -3027,6 +3028,31 @@ def q_conv_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tq.conv_redundancy(_t(spark, sf_dir))
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic mergeable quantile sketch (operators/aggregate.py:
+    # quantile_sketch): bottom-k-by-md5(id) uniform sample per
+    # event_type + rank-based quantiles OF THE SAMPLE — the
+    # bit-reproducible alternative to t-digest (approx_percentile is
+    # engine-private; this sketch an external engine can replay).
+    ev = _events(spark, sf_dir)
+    sk = agg2.quantile_sketch(ev, "event_type", "value", "event_id", k=64)
+    return agg2.quantile_sketch_estimate(sk, "event_type")
+
+
+def q_quantile_sketch_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Merge==scan proof: sketch the corpus in two halves, fold with
+    # quantile_sketch_merge, estimate — must hash-match the full-scan
+    # sketch (bottom-k by unique hash is a monoid). Oracle is
+    # q_quantile_sketch's SQL VERBATIM.
+    ev = _events(spark, sf_dir)
+    a = agg2.quantile_sketch(ev.where(F.col("event_id") % 2 == 0),
+                             "event_type", "value", "event_id", k=64)
+    b = agg2.quantile_sketch(ev.where(F.col("event_id") % 2 == 1),
+                             "event_type", "value", "event_id", k=64)
+    merged = agg2.quantile_sketch_merge(a.unionByName(b), "event_type", k=64)
+    return agg2.quantile_sketch_estimate(merged, "event_type")
+
+
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Diurnal-baseline anomaly scores (aggregate.py:seasonal_anomaly):
     # each (event_type, day, hour) count z-scored against that hour's
@@ -3215,6 +3241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "conv_redundancy": q_conv_redundancy,
         "ann_index_incr": q_ann_index_incr,
+        "quantile_sketch": q_quantile_sketch,
+        "quantile_sketch_merged": q_quantile_sketch_merged,
     }
 
 
@@ -4110,6 +4138,25 @@ SELECT conv_id,
        cast(sum(CASE WHEN t > first_t THEN 1 ELSE 0 END) AS double)
          / count(*) AS redundancy
 FROM f GROUP BY conv_id''',
+        "quantile_sketch": """
+WITH s AS (
+  SELECT event_type, md5(cast(event_id AS string)) AS h, value AS v
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+bk AS (SELECT event_type, h, v FROM (
+    SELECT event_type, h, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM s) WHERE rn <= 64),
+r AS (SELECT event_type, v, h,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY v ASC, h ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM bk)
+SELECT event_type,
+       max(CASE WHEN rn = cast(ceil(0.5 * n) AS bigint) THEN v END) AS p50,
+       max(CASE WHEN rn = cast(ceil(0.9 * n) AS bigint) THEN v END) AS p90,
+       max(CASE WHEN rn = cast(ceil(0.99 * n) AS bigint) THEN v END) AS p99,
+       cast(max(n) AS bigint) AS n_sample
+FROM r GROUP BY event_type""",
         "bloom_prune": _bloom_oracle(),
         "hll_distinct": f"""{P},
 {_hll_oracle()}""",
@@ -5128,4 +5175,7 @@ def _add_segmented_aliases(oracles: dict[str, str]) -> dict[str, str]:
     # the batch IVF: min-id medoid reps are a monoid, the shared oracle
     # verbatim IS the merge==rebuild proof
     oracles["ann_index_incr"] = oracles["ann_ivf_topk"]
+    # two-half merged sketch must equal the full-scan sketch (bottom-k
+    # by unique hash is a monoid) — shared verbatim
+    oracles["quantile_sketch_merged"] = oracles["quantile_sketch"]
     return oracles

@@ -1421,3 +1421,71 @@ def seasonal_anomaly(
     )
     return scored.select(key, "period", "slot", "n", "n_periods",
                          "mean", "std", "z")
+
+
+def quantile_sketch(df: DataFrame, key: str, value: str, id_col: str,
+                    k: int = 128) -> DataFrame:
+    """Fixed-size DETERMINISTIC quantile sketch per group: the ``k``
+    rows with the lowest md5(id) form a uniform-without-replacement
+    sample (the hash is a fixed random permutation of the id space —
+    same trick as ``kmv_distinct``, applied to row SELECTION instead of
+    counting). Returns (key, h, v) sample rows.
+
+    Mergeability is the point: bottom-k by hash is a monoid (bottom-k
+    of a union = bottom-k of the two bottom-k's — :func:`quantile_sketch_merge`),
+    so per-partition/per-day/per-epoch sketches fold into the corpus
+    sketch without re-scanning raw data, the property t-digest offers
+    but with a bit-reproducible result an external engine can replay
+    (``approx_percentile``'s digest is engine-private). State per group
+    is k rows regardless of group size. Estimation error is the usual
+    sampling error (±O(1/sqrt(k)) quantile deviation w.h.p.).
+
+    NULL values are excluded (not elements of the distribution); NULL
+    ids would all hash identically, so they are excluded too —
+    contract: ``id_col`` is a unique non-null row id.
+    """
+    from pyspark.sql import Window
+
+    s = df.where(F.col(value).isNotNull() & F.col(id_col).isNotNull()) \
+        .select(F.col(key),
+                F.md5(F.col(id_col).cast("string")).alias("h"),
+                F.col(value).alias("v"))
+    w = Window.partitionBy(key).orderBy("h")
+    return (s.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k).drop("_rn"))
+
+
+def quantile_sketch_merge(sketches: DataFrame, key: str,
+                          k: int = 128) -> DataFrame:
+    """Fold any union of per-segment sketches back to one bottom-k
+    sample per key (associative + commutative + idempotent: re-merging
+    a sketch with itself is a no-op because ids — and so hashes — are
+    unique)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy("h")
+    return (sketches.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k).drop("_rn"))
+
+
+def quantile_sketch_estimate(sketch: DataFrame, key: str,
+                             ps=(0.5, 0.9, 0.99)) -> DataFrame:
+    """Discrete quantiles OF THE SAMPLE (rank-based — an actual sample
+    element, bit-identical cross-engine; same selection rule as
+    :func:`percentiles_disc` with the hash as tiebreak)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col("v").asc(), F.col("h").asc())
+    wn = Window.partitionBy(key)
+    ranked = sketch.select(
+        key, F.col("v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"))
+    aggs = []
+    for p in ps:
+        tag = f"p{int(round(p * 100))}"
+        target = F.ceil(F.lit(p) * F.col("_n")).cast("bigint")
+        aggs.append(F.max(F.when(F.col("_rn") == target, F.col("v")))
+                    .alias(tag))
+    aggs.append(F.max("_n").cast("bigint").alias("n_sample"))
+    return ranked.groupBy(key).agg(*aggs)

@@ -22,6 +22,8 @@ from logpipe_spark.streaming.stream import (  # noqa: F401
     read_cms,
     stream_dedup_incremental,
     read_dedup_pairs,
+    stream_quantile_incremental,
+    read_quantiles,
     run_stream_once,
     stream_route_fanout,
     stream_transcripts,

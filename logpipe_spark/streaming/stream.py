@@ -771,3 +771,45 @@ def read_dedup_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     exactly one epoch — the one that ingested its later member)."""
     return (spark.read.parquet(f"{state_dir}/pairs")
             .select("doc_a", "doc_b", "jaccard"))
+
+
+def stream_quantile_incremental(spark: SparkSession, src: str,
+                                state_dir: str, checkpoint_dir: str,
+                                key: str = "tool", value_expr: str = None,
+                                k: int = 128,
+                                max_files_per_trigger: int | None = None):
+    """Streaming quantile monitoring: each micro-batch writes its own
+    bottom-k-by-md5 sample sketch (``aggregate.quantile_sketch``) to
+    ``{state_dir}/epoch=<id>`` (overwrite → idempotent on replay);
+    :func:`read_quantiles` re-merges the epochs (bottom-k is a monoid —
+    and idempotent, so replayed rows collapse) and estimates. The
+    streaming state per epoch is k rows per group, and the readout is
+    IDENTICAL to the batch sketch of everything ingested — asserted in
+    tests, the same epoch-partials pattern as CMS/rollup/drift."""
+    from logpipe_spark.functions.textfn import token_count
+    from logpipe_spark.operators.aggregate import quantile_sketch
+
+    stream = stream_transcripts(spark, src,
+                                max_files_per_trigger=max_files_per_trigger)
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        v = df.withColumn("_v", F.expr(value_expr) if value_expr
+                          else token_count(F.col("text")).cast("double"))
+        v = v.withColumn("_id", F.concat_ws(":", "conv_id", "turn_idx"))
+        sk = quantile_sketch(v, key, "_v", "_id", k=k)
+        (sk.coalesce(1).write.mode("overwrite")
+         .parquet(f"{state_dir}/epoch={epoch_id}"))
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir))
+
+
+def read_quantiles(spark: SparkSession, state_dir: str, key: str = "tool",
+                   k: int = 128, ps=(0.5, 0.9, 0.99)) -> DataFrame:
+    """Merge every epoch's sketch and estimate quantiles of the sample."""
+    from logpipe_spark.operators.aggregate import (quantile_sketch_estimate,
+                                                   quantile_sketch_merge)
+
+    merged = quantile_sketch_merge(
+        spark.read.parquet(state_dir).select(key, "h", "v"), key, k=k)
+    return quantile_sketch_estimate(merged, key, ps=ps)

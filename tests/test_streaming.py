@@ -580,3 +580,30 @@ def test_stream_dedup_incremental_equals_batch(spark, tmp_path):
         got = {(r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in got_rows}
         assert got == want, tag
         assert len(got_rows) == len(got), "pair emitted twice"
+
+
+def test_stream_quantiles_equal_batch_sketch(spark, stream_dir, tmp_path):
+    """Bottom-k sample monoid: per-epoch sketches merged across the stream
+    == the batch sketch of the whole corpus, so sampled quantiles match
+    exactly (same selection hash, same rank rule)."""
+    from logpipe_spark.functions.textfn import token_count
+    from logpipe_spark.operators.aggregate import (quantile_sketch,
+                                                   quantile_sketch_estimate)
+    from logpipe_spark.streaming import (read_quantiles,
+                                         stream_quantile_incremental)
+
+    state = str(tmp_path / "q_state")
+    writer = stream_quantile_incremental(
+        spark, stream_dir, state, str(tmp_path / "ckq"),
+        k=32, max_files_per_trigger=1)
+    run_stream_once(writer)
+
+    got = {r.tool: (r.p50, r.p90, r.p99, r.n_sample)
+           for r in read_quantiles(spark, state, k=32).collect()}
+    batch = (spark.read.parquet(stream_dir)
+             .withColumn("_v", token_count(F.col("text")).cast("double"))
+             .withColumn("_id", F.concat_ws(":", "conv_id", "turn_idx")))
+    want_sk = quantile_sketch(batch, "tool", "_v", "_id", k=32)
+    want = {r.tool: (r.p50, r.p90, r.p99, r.n_sample)
+            for r in quantile_sketch_estimate(want_sk, "tool").collect()}
+    assert got == want and len(got) > 0
