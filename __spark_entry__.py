@@ -3053,6 +3053,16 @@ def q_quantile_sketch_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg2.quantile_sketch_estimate(merged, "event_type")
 
 
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SRE multi-window burn-rate alert (operators/aggregate.py:slo_burn):
+    # trailing 5m/60m error rates over integer RANGE frames on the
+    # minute-grain pre-aggregate; burns are raw doubles of exact integer
+    # counts, alert fires only when BOTH windows confirm.
+    p = _parsed(spark, sf_dir)
+    clean = p.where(F.col("error_kind").isNull())
+    return agg2.slo_burn(clean, "ts", "status")
+
+
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Diurnal-baseline anomaly scores (aggregate.py:seasonal_anomaly):
     # each (event_type, day, hour) count z-scored against that hour's
@@ -3243,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_incr": q_ann_index_incr,
         "quantile_sketch": q_quantile_sketch,
         "quantile_sketch_merged": q_quantile_sketch_merged,
+        "slo_burn": q_slo_burn,
     }
 
 
@@ -4157,6 +4168,41 @@ SELECT event_type,
        max(CASE WHEN rn = cast(ceil(0.99 * n) AS bigint) THEN v END) AS p99,
        cast(max(n) AS bigint) AS n_sample
 FROM r GROUP BY event_type""",
+        "slo_burn": f"""{P},
+clean AS (SELECT * FROM parsed WHERE error_kind IS NULL),
+pm AS (
+  SELECT (epoch_us(cast(ts AS timestamp)) // 1000000 // 60) * 60
+           AS bucket_epoch,
+         count(*) AS n,
+         sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END) AS err
+  FROM clean GROUP BY 1),
+win AS (
+  SELECT bucket_epoch, n, err,
+         sum(err) OVER (ORDER BY bucket_epoch
+                        RANGE BETWEEN 240 PRECEDING AND CURRENT ROW)
+           AS err_fast,
+         sum(n) OVER (ORDER BY bucket_epoch
+                      RANGE BETWEEN 240 PRECEDING AND CURRENT ROW)
+           AS n_fast,
+         sum(err) OVER (ORDER BY bucket_epoch
+                        RANGE BETWEEN 3540 PRECEDING AND CURRENT ROW)
+           AS err_slow,
+         sum(n) OVER (ORDER BY bucket_epoch
+                      RANGE BETWEEN 3540 PRECEDING AND CURRENT ROW)
+           AS n_slow
+  FROM pm)
+SELECT bucket_epoch,
+       cast(n AS bigint) AS n, cast(err AS bigint) AS err,
+       cast(err_fast AS bigint) AS err_fast,
+       cast(n_fast AS bigint) AS n_fast,
+       cast(err_slow AS bigint) AS err_slow,
+       cast(n_slow AS bigint) AS n_slow,
+       (cast(err_fast AS double) / n_fast) / 0.05 AS burn_fast,
+       (cast(err_slow AS double) / n_slow) / 0.05 AS burn_slow,
+       CASE WHEN (cast(err_fast AS double) / n_fast) / 0.05 > 2.0
+             AND (cast(err_slow AS double) / n_slow) / 0.05 > 2.0
+            THEN 1 ELSE 0 END AS alert
+FROM win""",
         "bloom_prune": _bloom_oracle(),
         "hll_distinct": f"""{P},
 {_hll_oracle()}""",

@@ -1489,3 +1489,54 @@ def quantile_sketch_estimate(sketch: DataFrame, key: str,
                     .alias(tag))
     aggs.append(F.max("_n").cast("bigint").alias("n_sample"))
     return ranked.groupBy(key).agg(*aggs)
+
+
+def slo_burn(df: DataFrame, ts: str, status: str,
+             error_budget: float = 0.05,
+             fast_s: int = 300, slow_s: int = 3600,
+             burn_threshold: float = 2.0) -> DataFrame:
+    """Multi-window error-budget burn rate (the SRE alerting rule:
+    Beyer et al., "Site Reliability Workbook" ch. 5 — alert only when a
+    FAST window confirms the burn a SLOW window reports, so a brief
+    spike neither pages nor hides a sustained burn).
+
+    Per minute bucket: trailing error-rate over ``fast_s`` and
+    ``slow_s`` RANGE frames (integer epoch-second keyed — integer
+    counts, so the in-frame sums are exact cross-engine), burn =
+    rate / error_budget as raw doubles of exact integers, and
+    ``alert = both burns > burn_threshold``. Input is one row per
+    request/turn with an HTTP-ish ``status``; errors are status >= 500.
+
+    Scale: one minute-grain pre-aggregate (map-side combinable) then
+    windows over the TINY bucket series — raw rows are touched once.
+    """
+    from pyspark.sql import Window
+
+    bkt = (F.col(ts).cast("timestamp").cast("long") / 60).cast("long") * 60
+    per_min = (
+        df.select(bkt.alias("bucket_epoch"),
+                  (F.col(status) >= 500).cast("int").alias("_e"))
+        .groupBy("bucket_epoch")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_e").alias("err"))
+    )
+    out = per_min
+    for tag, span in (("fast", fast_s), ("slow", slow_s)):
+        w = (Window.orderBy("bucket_epoch")
+             .rangeBetween(-(span - 60), Window.currentRow))
+        out = (out.withColumn(f"err_{tag}", F.sum("err").over(w))
+               .withColumn(f"n_{tag}", F.sum("n").over(w)))
+    burn_fast = (F.col("err_fast") / F.col("n_fast")) / F.lit(error_budget)
+    burn_slow = (F.col("err_slow") / F.col("n_slow")) / F.lit(error_budget)
+    return out.select(
+        "bucket_epoch",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("err").cast("bigint").alias("err"),
+        F.col("err_fast").cast("bigint").alias("err_fast"),
+        F.col("n_fast").cast("bigint").alias("n_fast"),
+        F.col("err_slow").cast("bigint").alias("err_slow"),
+        F.col("n_slow").cast("bigint").alias("n_slow"),
+        burn_fast.alias("burn_fast"),
+        burn_slow.alias("burn_slow"),
+        ((burn_fast > burn_threshold) & (burn_slow > burn_threshold))
+        .cast("int").alias("alert"),
+    )

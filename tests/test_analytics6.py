@@ -481,3 +481,33 @@ def test_holt_merged_equals_scan(spark):
         for f in ("level", "trend", "forecast"):
             p, m = getattr(plain[k], f), getattr(merged[k], f)
             assert abs(m - p) <= 1e-9 * max(1.0, abs(p)), (k, f)
+
+
+def test_slo_burn_multiwindow_gate(spark):
+    """A one-minute spike must NOT alert (slow window dilutes it); a
+    sustained burn must (both windows over threshold)."""
+    from logpipe_spark.operators.aggregate import slo_burn
+
+    rows = []
+    # 120 quiet minutes: 10 requests/min, 0 errors
+    for m in range(120):
+        rows += [(m * 60, 200)] * 10
+    # minute 120: spike 50% errors for ONE minute
+    rows += [(120 * 60, 500)] * 7 + [(120 * 60, 200)] * 3
+    # minutes 121-180 quiet again
+    for m in range(121, 181):
+        rows += [(m * 60, 200)] * 10
+    # minutes 200-280: sustained 60% errors
+    for m in range(200, 281):
+        rows += [(m * 60, 500)] * 6 + [(m * 60, 200)] * 4
+    df = spark.createDataFrame(
+        [(float(e), s) for e, s in rows], "epoch double, status int"
+    ).select(F.col("epoch").cast("timestamp").alias("ts"), "status")
+
+    out = {r.bucket_epoch: r for r in slo_burn(df, "ts", "status").collect()}
+    spike = out[120 * 60]
+    assert spike.burn_fast > 2.0          # fast window sees the spike
+    assert spike.alert == 0               # slow window (60m) dilutes it
+    late = out[280 * 60]
+    assert late.alert == 1                # sustained burn: both confirm
+    assert out[60 * 60].alert == 0 and out[60 * 60].burn_fast == 0.0
