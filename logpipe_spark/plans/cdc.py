@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from logpipe_spark.operators.diff import snapshot_diff
 
 __all__ = ["write_versioned", "upsert_versioned", "read_snapshot",
-           "read_changes", "current_version"]
+           "read_changes", "current_version", "expire_snapshots"]
 
 
 def _bucket(key: str, n_buckets: int):
@@ -234,3 +234,51 @@ def read_changes(spark: SparkSession, path: str, v_from: int, v_to: int,
            else schema_src.select(*cols).limit(0))
     new = schema_src.select(*cols)
     return snapshot_diff(old, new, [key], compare_cols)
+
+
+def expire_snapshots(path: str, keep_last: int = 2) -> dict:
+    """Iceberg expire-snapshots analog: drop manifests older than the
+    newest ``keep_last`` and delete every bucket-version dir no kept
+    manifest references. Pure metadata walk + directory deletes — no
+    Spark job. Time travel and ``read_changes`` remain valid for kept
+    versions only.
+
+    Safe ordering: manifests are deleted FIRST (a reader can no longer
+    resolve an expiring snapshot), then the orphaned data dirs — a crash
+    in between leaves unreferenced dirs that the next expire sweeps.
+    Returns {"kept_versions": [...], "deleted_manifests": n,
+    "deleted_dirs": n}.
+    """
+    import shutil
+
+    mdir = os.path.join(path, "_manifests")
+    existing = sorted(int(f[1:-5]) for f in os.listdir(mdir)
+                      if f.startswith("v") and f.endswith(".json"))
+    keep = existing[-keep_last:]
+    live: set[tuple[int, int]] = set()
+    for v in keep:
+        m = _read_manifest(path, v)
+        live |= {(int(b), ver) for b, ver in m["buckets"].items() if ver >= 0}
+
+    deleted_manifests = 0
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json") \
+                and int(f[1:-5]) not in keep:
+            os.remove(os.path.join(mdir, f))
+            deleted_manifests += 1
+
+    deleted_dirs = 0
+    data = os.path.join(path, "data")
+    for bdir in os.listdir(data):
+        if not bdir.startswith("b="):
+            continue
+        b = int(bdir.split("=", 1)[1])
+        for vdir in os.listdir(os.path.join(data, bdir)):
+            if not vdir.startswith("v="):
+                continue
+            ver = int(vdir.split("=", 1)[1])
+            if (b, ver) not in live:
+                shutil.rmtree(os.path.join(data, bdir, vdir))
+                deleted_dirs += 1
+    return {"kept_versions": keep, "deleted_manifests": deleted_manifests,
+            "deleted_dirs": deleted_dirs}

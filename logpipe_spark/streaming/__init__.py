@@ -24,6 +24,8 @@ from logpipe_spark.streaming.stream import (  # noqa: F401
     read_dedup_pairs,
     stream_quantile_incremental,
     read_quantiles,
+    stream_slo_incremental,
+    read_slo_burn,
     run_stream_once,
     stream_route_fanout,
     stream_transcripts,

@@ -813,3 +813,68 @@ def read_quantiles(spark: SparkSession, state_dir: str, key: str = "tool",
     merged = quantile_sketch_merge(
         spark.read.parquet(state_dir).select(key, "h", "v"), key, k=k)
     return quantile_sketch_estimate(merged, key, ps=ps)
+
+
+def stream_slo_incremental(spark: SparkSession, src: str, state_dir: str,
+                           checkpoint_dir: str,
+                           max_files_per_trigger: int | None = None):
+    """Streaming burn-rate state: each micro-batch writes its minute-grain
+    (bucket_epoch, n, err) partials — parsed clean rows, errors =
+    status >= 500 — to ``{state_dir}/epoch=<id>`` (overwrite →
+    idempotent). Counts are mergeable, so :func:`read_slo_burn` re-sums
+    epochs and applies the same RANGE-frame burn windows as the batch
+    operator; readout == ``aggregate.slo_burn`` over everything ingested
+    (parity test at two pacings)."""
+    from logpipe_spark.operators.parse import parse_grok
+
+    stream = stream_transcripts(spark, src,
+                                max_files_per_trigger=max_files_per_trigger)
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        p = parse_grok(df)
+        clean = p.where(F.col("error_kind").isNull())
+        bkt = (F.col("ts").cast("timestamp").cast("long") / 60) \
+            .cast("long") * 60
+        pm = (clean.select(bkt.alias("bucket_epoch"),
+                           (F.col("status") >= 500).cast("int").alias("_e"))
+              .groupBy("bucket_epoch")
+              .agg(F.count(F.lit(1)).alias("n"), F.sum("_e").alias("err")))
+        (pm.coalesce(1).write.mode("overwrite")
+         .parquet(f"{state_dir}/epoch={epoch_id}"))
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir))
+
+
+def read_slo_burn(spark: SparkSession, state_dir: str,
+                  error_budget: float = 0.05, fast_s: int = 300,
+                  slow_s: int = 3600,
+                  burn_threshold: float = 2.0) -> DataFrame:
+    """Merge epoch partials and score: identical output schema and
+    values to the batch ``slo_burn`` over the full ingested stream."""
+    from pyspark.sql import Window
+
+    pm = (spark.read.parquet(state_dir)
+          .groupBy("bucket_epoch")
+          .agg(F.sum("n").alias("n"), F.sum("err").alias("err")))
+    out = pm
+    for tag, span in (("fast", fast_s), ("slow", slow_s)):
+        w = (Window.orderBy("bucket_epoch")
+             .rangeBetween(-(span - 60), Window.currentRow))
+        out = (out.withColumn(f"err_{tag}", F.sum("err").over(w))
+               .withColumn(f"n_{tag}", F.sum("n").over(w)))
+    burn_fast = (F.col("err_fast") / F.col("n_fast")) / F.lit(error_budget)
+    burn_slow = (F.col("err_slow") / F.col("n_slow")) / F.lit(error_budget)
+    return out.select(
+        "bucket_epoch",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("err").cast("bigint").alias("err"),
+        F.col("err_fast").cast("bigint").alias("err_fast"),
+        F.col("n_fast").cast("bigint").alias("n_fast"),
+        F.col("err_slow").cast("bigint").alias("err_slow"),
+        F.col("n_slow").cast("bigint").alias("n_slow"),
+        burn_fast.alias("burn_fast"),
+        burn_slow.alias("burn_slow"),
+        ((burn_fast > burn_threshold) & (burn_slow > burn_threshold))
+        .cast("int").alias("alert"),
+    )

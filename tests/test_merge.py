@@ -199,3 +199,34 @@ def test_cdc_changes_feed_scd2(spark, tmp_path):
     assert runs[(1, "a2")] == (1, 0)
     assert runs[(1, "a3")] == (2, 1)
     assert runs[(2, "b")] == (0, 1)
+
+
+def test_cdc_expire_snapshots(spark, tmp_path):
+    """Expire keeps the newest snapshots readable and frees unreferenced
+    version dirs; a second expire after another upsert keeps working
+    (version numbering has gaps in the manifest dir afterwards)."""
+    import os
+
+    from logpipe_spark.plans.cdc import (expire_snapshots, read_snapshot,
+                                         upsert_versioned, write_versioned)
+
+    p = str(tmp_path / "dim")
+    write_versioned(spark, _mk_dim(spark, [(i, f"v{i}", i) for i in range(8)]),
+                    p, "id", n_buckets=2)
+    for step in range(3):
+        upsert_versioned(spark, p, _mk_dim(spark, [(0, f"s{step}", step)]),
+                         "id")
+    r = expire_snapshots(p, keep_last=2)
+    assert r["kept_versions"] == [2, 3]
+    assert r["deleted_manifests"] == 2 and r["deleted_dirs"] >= 1
+    # kept snapshots still read correctly
+    assert {x.id: x.val for x in read_snapshot(spark, p, 3).collect()}[0] \
+        == "s2"
+    assert {x.id: x.val for x in read_snapshot(spark, p, 2).collect()}[0] \
+        == "s1"
+    # a further upsert + expire handles the gapped manifest dir
+    upsert_versioned(spark, p, _mk_dim(spark, [(1, "z", 9)]), "id")
+    r2 = expire_snapshots(p, keep_last=1)
+    assert r2["kept_versions"] == [4]
+    assert {x.id: x.val for x in read_snapshot(spark, p).collect()}[1] == "z"
+    assert not os.path.exists(os.path.join(p, "_manifests", "v2.json"))

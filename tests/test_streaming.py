@@ -607,3 +607,23 @@ def test_stream_quantiles_equal_batch_sketch(spark, stream_dir, tmp_path):
     want = {r.tool: (r.p50, r.p90, r.p99, r.n_sample)
             for r in quantile_sketch_estimate(want_sk, "tool").collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_slo_burn_equals_batch(spark, stream_dir, tmp_path):
+    """Minute-count partials merged across epochs == batch slo_burn over
+    the full stream (counts are mergeable; windows applied at read)."""
+    from logpipe_spark.operators.aggregate import slo_burn
+    from logpipe_spark.operators.parse import parse_grok
+    from logpipe_spark.streaming import read_slo_burn, stream_slo_incremental
+
+    state = str(tmp_path / "slo_state")
+    writer = stream_slo_incremental(
+        spark, stream_dir, state, str(tmp_path / "cks"),
+        max_files_per_trigger=1)
+    run_stream_once(writer)
+
+    got = sorted(map(tuple, read_slo_burn(spark, state).collect()))
+    batch = parse_grok(spark.read.parquet(stream_dir)) \
+        .where(F.col("error_kind").isNull())
+    want = sorted(map(tuple, slo_burn(batch, "ts", "status").collect()))
+    assert got == want and len(got) > 0
