@@ -3063,6 +3063,53 @@ def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg2.slo_burn(clean, "ts", "status")
 
 
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17 shape (correlated scalar subquery -> Catalyst
+    # decorrelation): revenue from lineitems below 20% of their part's
+    # average quantity, for a brand/size slice. The per-part avg is a
+    # RAW double of exact integers (quantities are integer-valued);
+    # revenue sums integer CENTS (exact cross-engine) and divides by
+    # 7.0 once at the end. Per-part output (not the single global row)
+    # so the check has rows to hash.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10))
+    qty_sum = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("_qs"),
+        F.count(F.lit(1)).alias("_qn"))
+    avg_q = qty_sum.select(
+        "l_partkey",
+        (F.col("_qs").cast("double") / F.col("_qn")).alias("avg_qty"))
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))         .cast("bigint")
+    j = (li.join(F.broadcast(part.select("p_partkey")),
+                 li.l_partkey == F.col("p_partkey"))
+         .join(avg_q, "l_partkey")
+         .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")))
+    return (j.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_small"),
+                 (F.sum(cents).cast("double") / F.lit(700.0))
+                 .alias("avg_yearly"))
+            .orderBy("l_partkey"))
+
+
+def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18 shape (HAVING-filtered aggregate driving a semi join):
+    # customers whose single order carries > 320 total quantity, with
+    # order details. Integer quantity sums -> exact.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+           .where(F.col("sum_qty") > 320))
+    return (orders.join(big, orders.o_orderkey == big.l_orderkey)
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_name", "o_custkey", "o_orderkey",
+                    F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                    "o_totalprice", "sum_qty")
+            .orderBy(F.desc("sum_qty"), "o_orderkey"))
+
+
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Diurnal-baseline anomaly scores (aggregate.py:seasonal_anomaly):
     # each (event_type, day, hour) count z-scored against that hour's
@@ -3254,6 +3301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "quantile_sketch_merged": q_quantile_sketch_merged,
         "slo_burn": q_slo_burn,
+        "small_qty_revenue": q_small_qty_revenue,
+        "big_order_customers": q_big_order_customers,
     }
 
 
@@ -4203,6 +4252,34 @@ SELECT bucket_epoch,
              AND (cast(err_slow AS double) / n_slow) / 0.05 > 2.0
             THEN 1 ELSE 0 END AS alert
 FROM win""",
+        "small_qty_revenue": """
+WITH avg_q AS (
+  SELECT l_partkey,
+         cast(sum(cast(l_quantity AS bigint)) AS double) / count(*)
+           AS avg_qty
+  FROM lineitem GROUP BY l_partkey),
+sel AS (SELECT p_partkey FROM part
+        WHERE p_brand = 'Brand#1' AND p_size <= 10)
+SELECT l.l_partkey,
+       cast(count(*) AS bigint) AS n_small,
+       cast(sum(cast(floor(l.l_extendedprice * 100 + 0.5) AS bigint))
+            AS double) / 700.0 AS avg_yearly
+FROM lineitem l
+JOIN sel ON l.l_partkey = sel.p_partkey
+JOIN avg_q a ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity < 0.2 * a.avg_qty
+GROUP BY l.l_partkey
+ORDER BY l.l_partkey""",
+        "big_order_customers": """
+WITH big AS (
+  SELECT l_orderkey, sum(cast(l_quantity AS bigint)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 320)
+SELECT c.c_name, o.o_custkey, o.o_orderkey,
+       cast(o.o_orderdate AS string) AS o_orderdate,
+       o.o_totalprice, cast(b.sum_qty AS bigint) AS sum_qty
+FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY sum_qty DESC, o.o_orderkey""",
         "bloom_prune": _bloom_oracle(),
         "hll_distinct": f"""{P},
 {_hll_oracle()}""",
