@@ -3110,6 +3110,16 @@ def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("sum_qty"), "o_orderkey"))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RAG/embedding-prep chunking (trainprep/curate.py:chunk_documents):
+    # 32-word windows at stride 24 (8-word overlap), trailing chunks
+    # clamped — pure codegen, zero shuffle; chunk_idx derivable from
+    # start_word so both engines agree structurally.
+    from logpipe_spark.trainprep.curate import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir))
+
+
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Diurnal-baseline anomaly scores (aggregate.py:seasonal_anomaly):
     # each (event_type, day, hour) count z-scored against that hour's
@@ -3303,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slo_burn": q_slo_burn,
         "small_qty_revenue": q_small_qty_revenue,
         "big_order_customers": q_big_order_customers,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -4280,6 +4291,21 @@ SELECT c.c_name, o.o_custkey, o.o_orderkey,
 FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 ORDER BY sum_qty DESC, o.o_orderkey""",
+        "chunk_documents": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (SELECT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(w), 1), 24),
+          s -> {'start_word': s,
+                'chunk_text': array_to_string(
+                    list_slice(w, s, least(s + 31, len(w))), ' '),
+                'n': least(s + 31, len(w)) - s + 1})) AS u
+      FROM w)
+SELECT doc_id,
+       cast((u.start_word - 1) // 24 AS int) AS chunk_idx,
+       u.chunk_text AS chunk_text,
+       cast(u.n AS int) AS n_chunk_words,
+       cast(u.start_word AS int) AS start_word
+FROM c""",
         "bloom_prune": _bloom_oracle(),
         "hll_distinct": f"""{P},
 {_hll_oracle()}""",

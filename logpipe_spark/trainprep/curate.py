@@ -661,3 +661,41 @@ def vocab_overlap(
          / (F.col("n_a") + F.col("n_b") - F.col("n_ab")).cast("double"))
         .alias("jaccard"),
     )
+
+
+def chunk_documents(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_words: int = 32,
+                    stride: int = 24) -> DataFrame:
+    """Split documents into overlapping word-window chunks — the
+    RAG/embedding-prep companion to :func:`pack_sequences` (packing
+    fills a budget with whole docs; chunking cuts one long doc into
+    model-window pieces with ``chunk_words - stride`` words of overlap
+    so no boundary context is lost).
+
+    Chunk starts are 1, 1+stride, 1+2·stride … while ≤ n_words; each
+    chunk is ``words[start : start+chunk_words-1]`` clamped to the doc
+    end (trailing chunks are shorter — deterministic rule, mirrored in
+    the oracle). Pure codegen: split once (materialized words column —
+    CollapseProject discipline), sequence/transform/slice, one
+    posexplode; zero shuffle; chunk_id = (doc_id, chunk_idx) is stable
+    so downstream dedup/embedding runs are incremental per shard.
+
+    Returns (doc_id, chunk_idx, chunk_text, n_chunk_words, start_word).
+    """
+    if stride <= 0 or chunk_words <= 0:
+        raise ValueError("chunk_words and stride must be positive")
+    w = docs.select(F.col(id_col).alias("doc_id"),
+                    F.split(F.col(text_col), " ").alias("_w"))
+    chunks = F.expr(
+        f"transform(sequence(1, greatest(size(_w), 1), {stride}), "
+        f"s -> struct(s AS start_word, "
+        f"concat_ws(' ', slice(_w, s, {chunk_words})) AS chunk_text, "
+        f"size(slice(_w, s, {chunk_words})) AS n_chunk_words))")
+    e = (w.select("doc_id", F.posexplode_outer(chunks)
+                  .alias("chunk_idx", "c"))
+         .filter(F.col("c").isNotNull()))
+    return e.select(
+        "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_chunk_words").cast("int").alias("n_chunk_words"),
+        F.col("c.start_word").cast("int").alias("start_word"))

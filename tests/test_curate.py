@@ -283,3 +283,25 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # enough rounds: one component labeled 0
     out = connected_components(chain, max_iter=10)
     assert {r.component for r in out.collect()} == {0}
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from logpipe_spark.trainprep.curate import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(1, 41))  # 40 words
+    docs = spark.createDataFrame([(1, words), (2, "short doc")],
+                                 "doc_id long, text string")
+    out = [r for r in chunk_documents(docs, chunk_words=16, stride=8)
+           .orderBy("doc_id", "chunk_idx").collect()]
+    d1 = [r for r in out if r.doc_id == 1]
+    # starts 1,9,17,25,33 -> 5 chunks; last is the clamped tail (8 words)
+    assert [r.start_word for r in d1] == [1, 9, 17, 25, 33]
+    assert [r.n_chunk_words for r in d1] == [16, 16, 16, 16, 8]
+    # 8-word overlap: chunk 1 ends at w16, chunk 2 starts at w9
+    assert d1[0].chunk_text.split()[-1] == "w16"
+    assert d1[1].chunk_text.split()[0] == "w9"
+    # every word appears in at least one chunk
+    covered = {w for r in d1 for w in r.chunk_text.split()}
+    assert covered == {f"w{i}" for i in range(1, 41)}
+    d2 = [r for r in out if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_text == "short doc"
