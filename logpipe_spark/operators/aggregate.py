@@ -1508,7 +1508,8 @@ def slo_burn(df: DataFrame, ts: str, status: str,
     request/turn with an HTTP-ish ``status``; errors are status >= 500.
 
     Scale: one minute-grain pre-aggregate (map-side combinable) then
-    windows over the TINY bucket series — raw rows are touched once.
+    DAY-partitioned windows with a previous-``slow_s`` context replay —
+    raw rows are touched once and no global single-task sort exists.
     """
     from pyspark.sql import Window
 
@@ -1519,12 +1520,25 @@ def slo_burn(df: DataFrame, ts: str, status: str,
         .groupBy("bucket_epoch")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("_e").alias("err"))
     )
-    out = per_min
+    # Day-partitioned windows with a context replay, NOT one global
+    # no-partition window (which funnels every bucket through one task —
+    # measured 8 s at 2M buckets, bench/round3_scale.py): the trailing
+    # frames look back at most slow_s, so each UTC day can be scored
+    # independently once it also sees the previous day's last slow_s of
+    # buckets. Those context rows are flagged and dropped after the
+    # windows — identical values, parallelism ∝ days.
+    day = (F.col("bucket_epoch") / 86400).cast("long")
+    own = per_min.select("*", day.alias("_day"), F.lit(0).alias("_ctx"))
+    ctx = (per_min
+           .where(F.col("bucket_epoch") % 86400 >= 86400 - slow_s)
+           .select("*", (day + 1).alias("_day"), F.lit(1).alias("_ctx")))
+    out = own.unionByName(ctx)
     for tag, span in (("fast", fast_s), ("slow", slow_s)):
-        w = (Window.orderBy("bucket_epoch")
+        w = (Window.partitionBy("_day").orderBy("bucket_epoch")
              .rangeBetween(-(span - 60), Window.currentRow))
         out = (out.withColumn(f"err_{tag}", F.sum("err").over(w))
                .withColumn(f"n_{tag}", F.sum("n").over(w)))
+    out = out.where(F.col("_ctx") == 0)
     burn_fast = (F.col("err_fast") / F.col("n_fast")) / F.lit(error_budget)
     burn_slow = (F.col("err_slow") / F.col("n_slow")) / F.lit(error_budget)
     return out.select(

@@ -857,12 +857,18 @@ def read_slo_burn(spark: SparkSession, state_dir: str,
     pm = (spark.read.parquet(state_dir)
           .groupBy("bucket_epoch")
           .agg(F.sum("n").alias("n"), F.sum("err").alias("err")))
-    out = pm
+    # same day-partitioned context-replay windows as the batch operator
+    day = (F.col("bucket_epoch") / 86400).cast("long")
+    own = pm.select("*", day.alias("_day"), F.lit(0).alias("_ctx"))
+    ctx = (pm.where(F.col("bucket_epoch") % 86400 >= 86400 - slow_s)
+           .select("*", (day + 1).alias("_day"), F.lit(1).alias("_ctx")))
+    out = own.unionByName(ctx)
     for tag, span in (("fast", fast_s), ("slow", slow_s)):
-        w = (Window.orderBy("bucket_epoch")
+        w = (Window.partitionBy("_day").orderBy("bucket_epoch")
              .rangeBetween(-(span - 60), Window.currentRow))
         out = (out.withColumn(f"err_{tag}", F.sum("err").over(w))
                .withColumn(f"n_{tag}", F.sum("n").over(w)))
+    out = out.where(F.col("_ctx") == 0)
     burn_fast = (F.col("err_fast") / F.col("n_fast")) / F.lit(error_budget)
     burn_slow = (F.col("err_slow") / F.col("n_slow")) / F.lit(error_budget)
     return out.select(
