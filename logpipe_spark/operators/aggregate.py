@@ -1458,13 +1458,15 @@ def quantile_sketch(df: DataFrame, key: str, value: str, id_col: str,
 def quantile_sketch_merge(sketches: DataFrame, key: str,
                           k: int = 128) -> DataFrame:
     """Fold any union of per-segment sketches back to one bottom-k
-    sample per key (associative + commutative + idempotent: re-merging
-    a sketch with itself is a no-op because ids — and so hashes — are
-    unique)."""
+    sample per key (associative + commutative + idempotent). The
+    distinct() IS the idempotency: ids — and so hashes — are unique
+    across segments, but a RE-merged copy of the same sketch would
+    otherwise occupy bottom-k slots twice and skew every estimate."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(key).orderBy("h")
-    return (sketches.withColumn("_rn", F.row_number().over(w))
+    return (sketches.select(key, "h", "v").distinct()
+            .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k).drop("_rn"))
 
 
@@ -1513,6 +1515,10 @@ def slo_burn(df: DataFrame, ts: str, status: str,
     """
     from pyspark.sql import Window
 
+    if slow_s > 86400 or fast_s > slow_s:
+        # the context replay copies the previous day's last slow_s of
+        # buckets; a span beyond one day would silently truncate frames
+        raise ValueError("slo_burn requires fast_s <= slow_s <= 86400")
     bkt = (F.col(ts).cast("timestamp").cast("long") / 60).cast("long") * 60
     per_min = (
         df.select(bkt.alias("bucket_epoch"),

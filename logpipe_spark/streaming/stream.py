@@ -717,7 +717,12 @@ def stream_dedup_incremental(spark: SparkSession, src: str, state_dir: str,
         )
         cand = within
         prior_docs = None
-        try:
+        # ONLY the first epoch legitimately lacks state: gate on the
+        # directory existing rather than catching exceptions — a broad
+        # except here would silently degrade a corrupt-state read into
+        # within-batch-only dedup (missing pairs, no error)
+        import os as _os
+        if _os.path.isdir(f"{state_dir}/bands"):
             # epoch + _bucket are partition dirs → the probe reads only
             # prior epochs' matching buckets, never the whole index
             index = (
@@ -737,8 +742,6 @@ def stream_dedup_incremental(spark: SparkSession, src: str, state_dir: str,
             prior_docs = (spark.read.parquet(f"{state_dir}/docs")
                           .filter(F.col("epoch") != epoch_id)
                           .select("doc_id", "text"))
-        except Exception:
-            pass  # first epoch: no state yet
         cand = cand.distinct().localCheckpoint(eager=True)
 
         sh_all = sh_new
@@ -854,6 +857,8 @@ def read_slo_burn(spark: SparkSession, state_dir: str,
     values to the batch ``slo_burn`` over the full ingested stream."""
     from pyspark.sql import Window
 
+    if slow_s > 86400 or fast_s > slow_s:
+        raise ValueError("read_slo_burn requires fast_s <= slow_s <= 86400")
     pm = (spark.read.parquet(state_dir)
           .groupBy("bucket_epoch")
           .agg(F.sum("n").alias("n"), F.sum("err").alias("err")))

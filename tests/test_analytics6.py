@@ -511,3 +511,26 @@ def test_slo_burn_multiwindow_gate(spark):
     late = out[280 * 60]
     assert late.alert == 1                # sustained burn: both confirm
     assert out[60 * 60].alert == 0 and out[60 * 60].burn_fast == 0.0
+
+
+def test_quantile_sketch_merge_idempotent(spark):
+    """Re-merging a sketch with itself must be a no-op (the replay /
+    double-read case) — and the merged two-half sketch equals the
+    full-scan sketch."""
+    from logpipe_spark.operators.aggregate import (quantile_sketch,
+                                                   quantile_sketch_estimate,
+                                                   quantile_sketch_merge)
+
+    rows = [(i, "g", float(i * 37 % 1000)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    full = quantile_sketch(df, "g", "v", "id", k=32)
+    est = lambda s: sorted(map(tuple,  # noqa: E731
+                               quantile_sketch_estimate(s, "g").collect()))
+    doubled = quantile_sketch_merge(full.unionByName(full), "g", k=32)
+    assert est(doubled) == est(full)
+    halves = quantile_sketch_merge(
+        quantile_sketch(df.where("id % 2 = 0"), "g", "v", "id", k=32)
+        .unionByName(
+            quantile_sketch(df.where("id % 2 = 1"), "g", "v", "id", k=32)),
+        "g", k=32)
+    assert est(halves) == est(full)
