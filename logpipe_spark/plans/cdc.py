@@ -176,6 +176,10 @@ def upsert_versioned(spark: SparkSession, path: str, updates: DataFrame,
         F.countDistinct(key).alias("n_distinct"),
         F.collect_set("_bucket").alias("buckets"),
     ).collect()[0]
+    if probe["n_rows"] == 0:
+        # empty batch: no new snapshot (repartition(0) would throw, and
+        # an empty version would be pure manifest noise)
+        return {"version": v_cur, "touched_buckets": [], "n_upserts": 0}
     if probe["n_keys"] < probe["n_rows"]:
         raise ValueError("upsert_versioned: NULL keys in updates")
     if probe["n_distinct"] < probe["n_keys"]:
