@@ -2069,6 +2069,14 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority") == "1-URGENT"
     )
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # the sf lineitem file scans as ~3 partitions, so the md5-dense probe
+    # ran on 3 cores (4.4 s of a 4.7 s wall — round-3 profiling); fan an
+    # under-split scan out ONCE like derive_transcripts does. Production
+    # inputs have thousands of files and skip this branch — the probe
+    # itself still never shuffles on the KEY.
+    target = spark.sparkContext.defaultParallelism
+    if li.rdd.getNumPartitions() < max(2, target // 2):
+        li = li.repartition(target)
     pruned = bloom_prune(li, orders, "l_orderkey", "o_orderkey",
                          m_bits=1 << 16, k=3, hash_fn="md5")
     return pruned.groupBy("l_orderkey").agg(
