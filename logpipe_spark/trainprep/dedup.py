@@ -567,7 +567,10 @@ def dedup_incremental(spark, new_docs: DataFrame, index_path: str,
     commit as the shard itself on Iceberg). ``max_df`` capping is NOT
     applied here: a delta-local document frequency diverges from the
     corpus-wide one (keep a persisted global df table if capping is
-    needed at scale).
+    needed at scale). Every delta appends one file per touched bucket,
+    so the index fragments over time — ``plans.layout.compact_small_files``
+    on the index path is the maintenance op (partition-aware; results
+    unchanged, asserted in tests).
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
 

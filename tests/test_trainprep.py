@@ -446,3 +446,39 @@ def test_ivf_index_append_equals_batch(spark, tmp_path):
     got = sorted(map(tuple,
                      ann_query_index(spark, idx, k=3, query_mod=5).collect()))
     assert got == want and len(got) > 0
+
+
+def test_band_index_compaction_preserves_results(spark, tmp_path):
+    """Per-delta appends fragment the band index (one file per touched
+    bucket per delta); compact_small_files must merge them without
+    changing any subsequent incremental result."""
+    import glob
+
+    from logpipe_spark.plans.layout import compact_small_files
+    from logpipe_spark.trainprep.dedup import (dedup_incremental,
+                                               write_band_index)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(1, base), (2, base.replace("lazy", "sleepy")),
+            (3, base.replace("quick", "rapid")),
+            (4, "nothing in common with anything else at all here")]
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    write_band_index(spark, full.where("doc_id = 1"), idx)
+    for d in (2, 3):  # two appends -> multiple files per hot bucket
+        dedup_incremental(spark, full.where(f"doc_id = {d}"), idx,
+                          full.where(f"doc_id < {d}"),
+                          update_index=True).collect()
+
+    probe = full.where("doc_id = 4")
+    corpus = full.where("doc_id < 4")
+    before = sorted(map(tuple, dedup_incremental(
+        spark, probe, idx, corpus, update_index=False).collect()))
+    n_files_before = len(glob.glob(f"{idx}/_bucket=*/*.parquet"))
+    r = compact_small_files(spark, idx)
+    n_files_after = len(glob.glob(f"{idx}/_bucket=*/*.parquet"))
+    assert n_files_after < n_files_before
+    after = sorted(map(tuple, dedup_incremental(
+        spark, probe, idx, corpus, update_index=False).collect()))
+    assert after == before
+    assert r["files_after"] <= r["files_before"]
