@@ -3128,6 +3128,14 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir))
 
 
+def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The APPLY step to dup_spans (trainprep/dedup.py:strip_dup_spans):
+    # rewrite each doc with corpus-duplicated trigram spans removed —
+    # interval explode + one anti-join + deterministic positional
+    # reassembly (sort_array(collect_list) == string_agg ORDER BY pos).
+    return dd.strip_dup_spans(_docs(spark, sf_dir), k=3, min_count=2)
+
+
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Diurnal-baseline anomaly scores (aggregate.py:seasonal_anomaly):
     # each (event_type, day, hour) count z-scored against that hour's
@@ -3322,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "big_order_customers": q_big_order_customers,
         "chunk_documents": q_chunk_documents,
+        "strip_dup_spans": q_strip_dup_spans,
     }
 
 
@@ -4314,6 +4323,45 @@ SELECT doc_id,
        cast(u.n AS int) AS n_chunk_words,
        cast(u.start_word AS int) AS start_word
 FROM c""",
+        "strip_dup_spans": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> {'pos': i,
+                      'gram': w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]}))
+           AS u
+  FROM w),
+pge AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM pg),
+hot AS (SELECT gram FROM pge GROUP BY gram HAVING count(*) >= 2),
+d AS (SELECT p.doc_id, p.pos FROM pge p JOIN hot h USING (gram)),
+iv AS (SELECT doc_id, pos,
+              CASE WHEN lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        IS NULL
+                     OR lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        - pos >= 3 THEN 3
+                   ELSE lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        - pos END AS c
+       FROM d),
+cov AS (SELECT doc_id, unnest(generate_series(pos, pos + c - 1)) AS pos
+        FROM iv),
+wp AS (SELECT doc_id, u.pos AS pos, u.word AS word FROM (
+   SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(w)),
+                 i -> {'pos': i, 'word': w[i]})) AS u
+   FROM w)),
+kept AS (SELECT k.doc_id, k.pos, k.word FROM wp k
+         WHERE NOT EXISTS (SELECT 1 FROM cov c
+                           WHERE c.doc_id = k.doc_id AND c.pos = k.pos)),
+reb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+n AS (SELECT doc_id, len(w) AS n_tokens FROM w)
+SELECT n.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       cast(n.n_tokens AS int) AS n_tokens,
+       cast(n.n_tokens - coalesce(r.n_kept, 0) AS int) AS n_removed
+FROM n LEFT JOIN reb r ON n.doc_id = r.doc_id""",
         "bloom_prune": _bloom_oracle(),
         "hll_distinct": f"""{P},
 {_hll_oracle()}""",

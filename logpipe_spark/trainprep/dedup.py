@@ -723,3 +723,68 @@ def dup_spans(docs: DataFrame, text_col: str = "text",
              / F.col("n_tokens")).alias("dup_span_frac"),
         )
     )
+
+
+def strip_dup_spans(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3,
+                    min_count: int = 2) -> DataFrame:
+    """The ACTION step to :func:`dup_spans`'s metric: rewrite each doc
+    with its corpus-duplicated spans REMOVED (Lee et al. 2022 apply
+    repeated-substring deletion before training; dup_spans only scores
+    it). A position is removed iff some hot gram (≥ ``min_count``
+    occurrences corpus-wide) covers it — the same interval semantics,
+    realized as an explode of each dup gram's covered range + one
+    anti-join against the positional words.
+
+    Row-preserving: every input doc comes back (a fully-duplicated doc
+    yields ``clean_text = ''``). Reassembly is
+    sort_array(collect_list(struct(pos, word))) — deterministic, and
+    mirrored by the oracle's ``string_agg(... ORDER BY pos)``.
+    Returns (doc_id, clean_text, n_tokens, n_removed).
+    """
+    from pyspark.sql import Window
+
+    from logpipe_spark.trainprep.curate import with_word_grams
+
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    g = with_word_grams(d, text_col, k, keep=["doc_id"])
+    pg = (
+        g.select("doc_id", F.posexplode_outer("grams").alias("pos0", "gram"))
+        .filter(F.col("gram").isNotNull())
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    hot = (pg.groupBy("gram").agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") >= min_count).select("gram"))
+    dup_pos = pg.join(hot, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    iv = dup_pos.withColumn("nxt", F.lead("pos").over(w)).select(
+        "doc_id", "pos",
+        F.when(F.col("nxt").isNull() | (F.col("nxt") - F.col("pos") >= k),
+               F.lit(k)).otherwise(F.col("nxt") - F.col("pos")).alias("c"))
+    covered = iv.select(
+        "doc_id",
+        F.explode(F.expr("sequence(pos, pos + c - 1)")).alias("pos"))
+    words = (
+        d.select("doc_id", F.split(F.col(text_col), " ").alias("_w"))
+        .select("doc_id", F.posexplode_outer("_w").alias("pos0", "word"))
+        .filter(F.col("word").isNotNull())
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    )
+    kept = words.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(" ", F.expr(
+            "transform(sort_array(collect_list(struct(pos, word))), "
+            "x -> x.word)")).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"))
+    n = d.select("doc_id",
+                 F.size(F.split(F.col(text_col), " ")).alias("n_tokens"))
+    return (
+        n.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("int").alias("n_removed"),
+        )
+    )

@@ -482,3 +482,21 @@ def test_band_index_compaction_preserves_results(spark, tmp_path):
         spark, probe, idx, corpus, update_index=False).collect()))
     assert after == before
     assert r["files_after"] <= r["files_before"]
+
+
+def test_strip_dup_spans_removes_exact_interval(spark):
+    """Spans removed = the interval union dup_spans scores; untouched
+    docs come back verbatim; consistency: n_removed == covered_tokens."""
+    from logpipe_spark.trainprep.dedup import dup_spans, strip_dup_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d x y z"), (2, "q a b c d r s"),
+         (3, "u v w p m n o")], "doc_id long, text string")
+    out = {r.doc_id: r for r in strip_dup_spans(docs, k=3).collect()}
+    # docs 1/2 share 'a b c d' (positions merge as ONE 4-token interval)
+    assert out[1].clean_text == "x y z" and out[1].n_removed == 4
+    assert out[2].clean_text == "q r s" and out[2].n_removed == 4
+    assert out[3].clean_text == "u v w p m n o" and out[3].n_removed == 0
+    cov = {r.doc_id: r.covered_tokens
+           for r in dup_spans(docs, k=3).collect()}
+    assert all(out[i].n_removed == cov[i] for i in cov)
