@@ -3136,6 +3136,14 @@ def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.strip_dup_spans(_docs(spark, sf_dir), k=3, min_count=2)
 
 
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ingest-order novelty (trainprep/textqual.py:doc_novelty): fraction
+    # of each doc's distinct bigrams no lower doc_id contains — one
+    # first-owner groupBy on gram + one per-doc aggregate; raw
+    # integer-operand division.
+    return tq.doc_novelty(_docs(spark, sf_dir))
+
+
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Diurnal-baseline anomaly scores (aggregate.py:seasonal_anomaly):
     # each (event_type, day, hour) count z-scored against that hour's
@@ -3331,6 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_order_customers": q_big_order_customers,
         "chunk_documents": q_chunk_documents,
         "strip_dup_spans": q_strip_dup_spans,
+        "doc_novelty": q_doc_novelty,
     }
 
 
@@ -4362,6 +4371,21 @@ SELECT n.doc_id,
        cast(n.n_tokens AS int) AS n_tokens,
        cast(n.n_tokens - coalesce(r.n_kept, 0) AS int) AS n_removed
 FROM n LEFT JOIN reb r ON n.doc_id = r.doc_id""",
+        "doc_novelty": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i + 1]))) AS shingle
+       FROM w),
+f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+SELECT s.doc_id,
+       cast(count(*) AS int) AS n_distinct_grams,
+       cast(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END) AS int)
+         AS n_novel,
+       cast(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+            AS double) / count(*) AS novelty
+FROM sh s JOIN f USING (shingle)
+GROUP BY s.doc_id""",
         "bloom_prune": _bloom_oracle(),
         "hll_distinct": f"""{P},
 {_hll_oracle()}""",

@@ -475,3 +475,36 @@ def conv_redundancy(turns: DataFrame, conv_col: str = "conv_id",
             .alias("redundancy"),
         )
     )
+
+
+def doc_novelty(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", k: int = 2) -> DataFrame:
+    """Corpus-order novelty per document: the fraction of its DISTINCT
+    word k-grams that no lower-``doc_id`` document contains — the
+    ingest-order novelty signal curation pipelines use to down-rank
+    late near-boilerplate arrivals (the corpus-level cousin of
+    :func:`conv_redundancy`, which orders by turn within one
+    conversation).
+
+    A gram is "introduced" by the smallest doc_id containing it (one
+    groupBy on gram — the same first-owner aggregate as min-label
+    propagation), so novelty(doc) = |grams first owned by doc| /
+    |distinct grams of doc|, a RAW double of two exact integers.
+    Returns (doc_id, n_distinct_grams, n_novel, novelty) for docs with
+    ≥1 gram.
+    """
+    from logpipe_spark.trainprep.curate import _word_shingle_sets
+
+    sh = _word_shingle_sets(docs.withColumnRenamed(id_col, "doc_id"),
+                            text_col, "doc_id", k)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("_first"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_distinct_grams"),
+             F.sum((F.col("doc_id") == F.col("_first")).cast("int"))
+             .cast("int").alias("n_novel"))
+        .select("doc_id", "n_distinct_grams", "n_novel",
+                (F.col("n_novel").cast("double")
+                 / F.col("n_distinct_grams")).alias("novelty"))
+    )

@@ -500,3 +500,16 @@ def test_strip_dup_spans_removes_exact_interval(spark):
     cov = {r.doc_id: r.covered_tokens
            for r in dup_spans(docs, k=3).collect()}
     assert all(out[i].n_removed == cov[i] for i in cov)
+
+
+def test_doc_novelty_order_semantics(spark):
+    from logpipe_spark.trainprep.textqual import doc_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "a b c d")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in doc_novelty(docs).collect()}
+    assert out[1].novelty == 1.0                 # introduces everything
+    # doc 2: grams {a b, b x, x y}; 'a b' owned by doc 1 -> 2/3 novel
+    assert out[2].n_distinct_grams == 3 and out[2].n_novel == 2
+    assert out[3].novelty == 0.0                 # exact late duplicate
