@@ -157,6 +157,18 @@ HEADLINE = [
     # round 3: segmented ordered folds (bounded-state monoid twins)
     "ewma_merged",
     "holt_merged",
+    # round 3: incremental/CDC/curation/monitoring additions
+    "read_changes",
+    "dup_spans",
+    "strip_dup_spans",
+    "conv_redundancy",
+    "chunk_documents",
+    "doc_novelty",
+    "quantile_sketch",
+    "quantile_sketch_merged",
+    "slo_burn",
+    "small_qty_revenue",
+    "big_order_customers",
 ]
 
 
