@@ -3144,6 +3144,32 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tq.doc_novelty(_docs(spark, sf_dir))
 
 
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Estimator-quality audit for the banded MinHash candidate
+    # generator: ground truth = jaccard_prefix_pairs (PPJoin — LOSSLESS
+    # vs the plain inverted index, same k=2 shingles, same threshold),
+    # found = minhash_lsh_dedup. Both sides exact-verify Jaccard, so
+    # precision is 1 by construction and the interesting number is
+    # RECALL (banding misses pairs whose signatures never agree on a
+    # full band). Single row (n_true, n_found, n_hit, recall); recall
+    # is a raw double of two exact integers.
+    docs = _docs(spark, sf_dir)
+    truth = dd.jaccard_prefix_pairs(docs, k=2, threshold=0.4) \
+        .select("doc_a", "doc_b")
+    found = dd.minhash_lsh_dedup(docs).select("doc_a", "doc_b")
+    n_t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    n_f = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+    n_h = found.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    return (
+        n_t.crossJoin(n_f).crossJoin(n_h)
+        .select("n_true", "n_found", "n_hit",
+                F.when(F.col("n_true") > 0,
+                       F.col("n_hit").cast("double") / F.col("n_true"))
+                .alias("recall"))
+    )
+
+
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Diurnal-baseline anomaly scores (aggregate.py:seasonal_anomaly):
     # each (event_type, day, hour) count z-scored against that hour's
@@ -3340,6 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "strip_dup_spans": q_strip_dup_spans,
         "doc_novelty": q_doc_novelty,
+        "minhash_recall": q_minhash_recall,
     }
 
 
@@ -5407,4 +5434,24 @@ def _add_segmented_aliases(oracles: dict[str, str]) -> dict[str, str]:
     # two-half merged sketch must equal the full-scan sketch (bottom-k
     # by unique hash is a monoid) — shared verbatim
     oracles["quantile_sketch_merged"] = oracles["quantile_sketch"]
+    # recall audit: ground truth = the COMPLETE inverted-index jaccard
+    # join (k=2, same threshold), found = the banded-minhash oracle
+    # nested verbatim — so the audit's own numbers are cross-checked
+    truth = (
+        "WITH " + _shingles_cte(2) + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),"""
+        + _JACCARD_TAIL.format(thr=0.4))
+    oracles["minhash_recall"] = f"""
+WITH tr AS ({truth}),
+fo AS ({oracles['dedup_minhash']}),
+t AS (SELECT cast(count(*) AS bigint) AS n_true FROM tr),
+f AS (SELECT cast(count(*) AS bigint) AS n_found FROM fo),
+h AS (SELECT cast(count(*) AS bigint) AS n_hit
+      FROM fo JOIN tr USING (doc_a, doc_b))
+SELECT n_true, n_found, n_hit,
+       CASE WHEN n_true > 0 THEN cast(n_hit AS double) / n_true
+            END AS recall
+FROM t, f, h"""
     return oracles
