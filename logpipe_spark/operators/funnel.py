@@ -123,8 +123,9 @@ def top_paths(
     sorts the per-user array and slices the first n — no window pass, so
     there is no full-history ordering shuffle separate from the grouping
     one. The path-frequency count then combines map-side, and the final
-    ranking windows a frame bounded by |event types|^n_events distinct
-    paths, not by users. Ties on ts are broken by ``tiebreak_col`` so
+    top-k runs as TakeOrderedAndProject (per-partition partial top-k), so
+    the distinct-path frame never crosses one global window task. Ties on
+    ts are broken by ``tiebreak_col`` so
     every user's path — and the ranking, which ties on path text — is
     deterministic cross-engine.
 
@@ -156,11 +157,16 @@ def top_paths(
     counts = per_user.groupBy("path").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+    # Distributed top-k: orderBy().limit() compiles to TakeOrderedAndProject
+    # (per-partition partial top-k + k-row merge) — the distinct-path count
+    # frame (combinatorial in |event types|^n_events) never crosses one
+    # global rank window. The window below ranks only the k survivors.
+    topk = counts.orderBy(F.col("n_users").desc(), F.col("path")).limit(k)
+    # this window sees only the k limit survivors (WindowExec's
+    # single-partition warning is a false alarm at k rows; the plan-shape
+    # test asserts the window sits ABOVE the TakeOrderedAndProject)
     w = Window.orderBy(F.col("n_users").desc(), F.col("path"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-    )
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 def event_transitions(

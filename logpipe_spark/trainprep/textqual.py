@@ -251,10 +251,11 @@ def top_ngrams(docs: DataFrame, text_col: str = "text", k: int = 2,
     """Corpus-level most-frequent word k-grams (the counting pass a BPE /
     vocabulary-induction step runs over the corpus).
 
-    Plan: explode grams -> map-side-combining count -> rank window over a
-    frame already reduced to one row per distinct gram. At 100 TB the
+    Plan: explode grams -> map-side-combining count -> distributed top-k
+    (TakeOrderedAndProject) -> rank over the k survivors. At 100 TB the
     explode is the dominant cost but stays narrow; the count shuffles
-    n_distinct_grams rows (corpus-vocabulary-sized, not corpus-sized).
+    n_distinct_grams rows (corpus-vocabulary-sized, not corpus-sized), and
+    the top-k never funnels that vocabulary through one task.
     Ties broken lexically so the top-k is deterministic cross-engine.
     """
     from logpipe_spark.trainprep.curate import with_word_grams
@@ -268,14 +269,17 @@ def top_ngrams(docs: DataFrame, text_col: str = "text", k: int = 2,
         .agg(F.count(F.lit(1)).alias("n"))
     )
     from pyspark.sql import Window
+    # Distributed top-k: orderBy().limit() compiles to TakeOrderedAndProject
+    # (per-partition partial top-k, then a k-row merge on one task) — the
+    # vocabulary-sized count frame never funnels through a global rank
+    # window. The rank window below sees only the k survivors.
+    topk = counts.orderBy(F.col("n").desc(), F.col("ngram")).limit(top)
+    # this window sees only the k limit survivors (WindowExec's
+    # single-partition warning is a false alarm at k rows; the plan-shape
+    # test asserts the window sits ABOVE the TakeOrderedAndProject)
     w = Window.orderBy(F.col("n").desc(), F.col("ngram"))
-    # The global rank window funnels ONE ROW PER DISTINCT GRAM (not per
-    # occurrence) through a single task — vocabulary-sized, bounded; for
-    # huge vocabularies switch to a per-partition top-k pre-prune first
-    # (similarity.py's ann pattern).
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("ngram", "n", F.col("rank").cast("int").alias("rank"))
     )
 

@@ -47,6 +47,26 @@ def test_plan_invariants(name, spark):
         f"{name}: no parquet scan in plan (driver-side materialization?)")
 
 
+@pytest.mark.parametrize("name", ["top_ngrams", "top_paths"])
+def test_global_topk_is_take_ordered(name, spark):
+    """The corpus-cardinality top-k queries must compile to a distributed
+    TakeOrderedAndProject (per-partition partial top-k), NOT an
+    unpartitioned rank window over the full count frame: the only Window
+    allowed is the k-row ranking ABOVE the TakeOrderedAndProject."""
+    df = QUERIES[name](spark, SF_TINY)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, (
+        f"{name}: global top-k did not compile to TakeOrderedAndProject")
+    take_at = plan.index("TakeOrderedAndProject")
+    # plans print top-down: every Window node must appear ABOVE (before)
+    # the take — i.e. it ranks the k survivors, not the full count frame
+    win_at = plan.find("Window")
+    assert win_at == -1 or win_at < take_at, (
+        f"{name}: Window below TakeOrderedAndProject — full-frame rank")
+    assert "Window" not in plan[take_at:], (
+        f"{name}: Window over the pre-limit count frame")
+
+
 def test_materialized_queries_lazy_plans(spark, tmp_path):
     """The pre-checkpoint plans of the MATERIALIZED queries, built
     against a live (not-yet-deleted) side table, satisfy the same
