@@ -103,12 +103,14 @@ def q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_flagship_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 100 TB default plan: approx_count_distinct (single-pass HLL++, no
-    # Expand + second exchange). KNOWN hash divergence: Spark and DuckDB
-    # HLL sketches estimate differently (153 vs 151 at sf0.01), so the
-    # value-hash check cannot pass by construction — rows+schema are the
-    # driver signal here; |approx-exact|<=rsd is asserted in pytest
-    # (test_pipeline_e2e.test_flagship_approx_within_tolerance).
+    # 100 TB default plan: the distinct-count shuffle is capped at 2**p
+    # register rows per group (exact countDistinct would Expand + shuffle
+    # one row per distinct conversation). Since round 4 the estimator is
+    # the deterministic md5-register HLL (operators/hll.py), which
+    # reproduces bit-for-bit in DuckDB — this approximate aggregate passes
+    # the EXACT value-hash gate (the former approx_count_distinct HLL++
+    # sketch was engine-private and diverged by design); |approx-exact|
+    # tolerance is still asserted in pytest.
     return flagship_summary(spark, _t(spark, sf_dir), approx_distinct=True)
 
 
@@ -976,32 +978,38 @@ def _hexpoly8(col: str, start: int = 1) -> str:
     )
 
 
-def _hll_oracle(p: int = 9) -> str:
+def _hll_oracle(p: int = 9, source: str = "transcripts",
+                groups: tuple[str, ...] = ("tool",), key: str = "conv_id",
+                alias: str = "hll_distinct") -> str:
     """DuckDB twin of operators/hll.py — same md5 registers, same exact
     dyadic harmonic sum, same floor(x+0.5) integer estimate (ln differs by
     1 ulp between engines on 39/512 inputs; the rounded bigint absorbs it).
+    ``source`` may carry a WHERE clause; ``groups`` parameterize the
+    sketch's group-by columns.
     """
     from logpipe_spark.operators.hll import _alpha
 
     m = 1 << p
     a = repr(_alpha(m))
+    g = ", ".join(groups)
+    gn = ", ".join(str(i + 1) for i in range(len(groups)))
     raw = f"((cast({a} AS double) * {m}) * {m}) / z"
-    return f"""hh AS (SELECT tool, md5(cast(conv_id AS varchar)) AS m
-       FROM transcripts),
-r AS (SELECT tool,
+    return f"""hh AS (SELECT {g}, md5(cast({key} AS varchar)) AS m
+       FROM {source}),
+r AS (SELECT {g},
              cast(({_hexpoly8('m')}) % {m} AS int) AS reg,
              cast(33 - length(bin(cast(({_hexpoly8('m', 9)}) AS bigint)))
                   AS int) AS rho
       FROM hh),
-s AS (SELECT tool, reg, max(rho) AS rho FROM r GROUP BY 1, 2),
-e AS (SELECT tool,
+s AS (SELECT {g}, reg, max(rho) AS rho FROM r GROUP BY {gn}, {len(groups) + 1}),
+e AS (SELECT {g},
              cast({m} - count(*) AS bigint) AS v,
              ({m} - count(*)) + sum(pow(2.0, -cast(rho AS double))) AS z
-      FROM s GROUP BY 1)
-SELECT tool,
+      FROM s GROUP BY {gn})
+SELECT {g},
        cast(CASE WHEN {raw} <= {2.5 * m!r} AND v > 0
                  THEN floor({float(m)!r} * ln({float(m)!r} / cast(v AS double)) + 0.5)
-                 ELSE floor({raw} + 0.5) END AS bigint) AS hll_distinct
+                 ELSE floor({raw} + 0.5) END AS bigint) AS {alias}
 FROM e"""
 
 
@@ -3398,17 +3406,22 @@ SELECT role, tool, team,
        count(DISTINCT conv_id) AS n_convs
 FROM enriched WHERE error_kind IS NULL
 GROUP BY role, tool, team""",
-        # NOTE: n_convs is an HLL estimate in both engines; the sketches
-        # differ by design, so hash_match=false is EXPECTED for this entry
-        # (rows+schema are the checkable signal; pytest asserts tolerance)
+        # n_convs is the deterministic md5-register HLL (operators/hll.py)
+        # in BOTH engines — an approximate aggregate that hash-matches
+        # exactly (the sketch reproduces bit-for-bit cross-engine)
         "flagship_approx": f"""{PE}
-SELECT role, tool, team,
-       count(*) AS turn_count,
-       round(cast(sum(n_tokens) AS double), 2) AS sum_tokens,
-       round(avg(n_tokens), 4) AS avg_tokens,
-       approx_count_distinct(conv_id) AS n_convs
-FROM enriched WHERE error_kind IS NULL
-GROUP BY role, tool, team""",
+SELECT s.role, s.tool, s.team, s.turn_count, s.sum_tokens, s.avg_tokens,
+       coalesce(h.n_convs, 0) AS n_convs
+FROM (SELECT role, tool, team,
+             count(*) AS turn_count,
+             round(cast(sum(n_tokens) AS double), 2) AS sum_tokens,
+             round(avg(n_tokens), 4) AS avg_tokens
+      FROM enriched WHERE error_kind IS NULL
+      GROUP BY role, tool, team) s
+LEFT JOIN (WITH {_hll_oracle(groups=('role', 'tool', 'team'),
+                             source='enriched WHERE error_kind IS NULL',
+                             alias='n_convs')}) h
+USING (role, tool, team)""",
         "filter_eq": f"""{P}
 SELECT conv_id, turn_idx, role, tool, text FROM parsed
 WHERE role = 'tool' AND tool = 'bash'""",

@@ -302,9 +302,10 @@ def kmv_distinct(df: DataFrame, group_col: str, key_col: str,
     """KMV (k-minimum-values / bottom-k) distinct-count sketch with
     CROSS-ENGINE-DETERMINISTIC estimates.
 
-    HLL (`approx_count_distinct`) estimates differ between engines by
-    construction, so the flagship_approx oracle can only check rows+schema.
-    KMV closes that gap: hash keys with md5 (identical in Spark and
+    Engine-private HLL (`approx_count_distinct`) estimates differ between
+    engines by construction (flagship_approx dropped it for the md5-register
+    HLL in round 4 for exactly this reason).
+    KMV closes that gap too: hash keys with md5 (identical in Spark and
     DuckDB), keep the k smallest distinct hashes per group, and estimate
 
         n ≈ (k - 1) * M / v_k

@@ -2,8 +2,9 @@
 
 Why another HLL when `approx_count_distinct` exists: Spark's built-in HLL++
 sketch is engine-private — its estimates can't be reproduced by any other
-system (the flagship_approx oracle documents the divergence), and the
-binary sketch can't be stored/merged outside Spark. This implementation
+system (flagship_approx used it through round 3 and carried a permanent
+hash_match=false for it; it now uses this sketch and passes exactly), and
+the binary sketch can't be stored/merged outside Spark. This implementation
 derives every register from md5 (identical in Spark, DuckDB, Postgres,
 anything), so
 

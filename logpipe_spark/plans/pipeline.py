@@ -153,23 +153,32 @@ def flagship_summary(spark: SparkSession, transcripts: DataFrame,
 
     ``approx_distinct=True`` is the 100 TB default: ``countDistinct`` plans
     an Expand + second exchange (every row duplicated per aggregate), while
-    ``approx_count_distinct`` is a single-pass HLL++ sketch merged map-side
-    — the distinct count stays within rsd with no extra shuffle. Exact mode
-    remains the oracle-contract default (cross-engine HLL sketches differ,
-    so approx values cannot hash-match DuckDB; tolerance is asserted in
-    pytest instead)."""
+    the md5-register HLL (operators/hll.py) caps the distinct-count shuffle
+    at 2**p rows per group regardless of conversation cardinality — and,
+    unlike the engine-private ``approx_count_distinct`` HLL++, the estimate
+    reproduces bit-for-bit in DuckDB, so the approximate flagship passes
+    the EXACT value-hash gate (the estimate's join back onto the stats
+    frame is group-cardinality-sized)."""
     parsed = parse_stage(transcripts)
     enriched = enrich_stage(spark, parsed)
     clean = enriched.filter(F.col("error_kind").isNull())
-    n_convs = (F.approx_count_distinct("conv_id") if approx_distinct
-               else F.countDistinct("conv_id"))
-    return (
-        clean.groupBy("role", "tool", "team")
-        .agg(
+    stats = clean.groupBy("role", "tool", "team").agg(
+        F.count(F.lit(1)).alias("turn_count"),
+        F.round(F.sum("n_tokens").cast("double"), 2).alias("sum_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+    if approx_distinct:
+        from logpipe_spark.operators.hll import hll_distinct
+        est = hll_distinct(clean, "conv_id", ["role", "tool", "team"],
+                           p=9, alias="n_convs")
+        out = stats.join(est, ["role", "tool", "team"], "left").select(
+            "role", "tool", "team", "turn_count", "sum_tokens",
+            "avg_tokens", F.coalesce("n_convs", F.lit(0)).alias("n_convs"))
+    else:
+        out = clean.groupBy("role", "tool", "team").agg(
             F.count(F.lit(1)).alias("turn_count"),
             F.round(F.sum("n_tokens").cast("double"), 2).alias("sum_tokens"),
             F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-            n_convs.alias("n_convs"),
+            F.countDistinct("conv_id").alias("n_convs"),
         )
-        .orderBy("role", "tool", "team")
-    )
+    return out.orderBy("role", "tool", "team")

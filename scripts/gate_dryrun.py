@@ -21,8 +21,10 @@ import pandas as pd  # noqa: E402
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
-# queries whose oracle is rows+schema only (documented value divergence)
-VALUE_EXEMPT = {"flagship_approx"}
+# queries whose oracle is rows+schema only (documented value divergence).
+# EMPTY since round 4: flagship_approx switched to the deterministic
+# md5-register HLL, so every query is held to the exact value hash.
+VALUE_EXEMPT: set[str] = set()
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:

@@ -15,13 +15,11 @@ from tests.conftest import SF_TINY
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
-# Columns that are ESTIMATES in both engines (HLL sketches differ by
-# design): compared within relative tolerance instead of exactly. The
-# driver's hash check is expected to record a mismatch for these — the
-# oracle entry documents it.
-APPROX_COLS: dict[str, dict[str, float]] = {
-    "flagship_approx": {"n_convs": 0.1},   # rsd 0.05 each engine → 0.1 rel
-}
+# Columns that are ESTIMATES in both engines compared within relative
+# tolerance instead of exactly. EMPTY since round 4: flagship_approx now
+# uses the deterministic md5-register HLL (operators/hll.py), so even the
+# approximate aggregate hash-matches exactly.
+APPROX_COLS: dict[str, dict[str, float]] = {}
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:

@@ -159,8 +159,9 @@ def test_salted_aggregates_match_unsalted(spark, corpus):
 
 
 def test_flagship_approx_within_tolerance(spark, corpus):
-    """approx_count_distinct stays within HLL rsd of the exact count, and
-    its plan drops the Expand + second exchange countDistinct needs."""
+    """The md5-register HLL estimate stays within rsd of the exact count,
+    and its plan drops the per-distinct-key dedup aggregate countDistinct
+    needs (the register table caps at 2**p rows per group)."""
     from logpipe_spark.plans.pipeline import flagship_summary
 
     exact = flagship_summary(spark, corpus).toPandas()
@@ -172,20 +173,21 @@ def test_flagship_approx_within_tolerance(spark, corpus):
     assert (rel <= 0.1).all(), rel.max()
 
     # exact countDistinct needs extra (group ∪ conv_id)-keyed dedup
-    # aggregate levels the HLL sketch plan does not; assert THAT
-    # mechanism rather than total-exchange parity — the exchange count
-    # is LAYOUT-dependent (a corpus pre-partitioned on conv_id lets
-    # Catalyst elide the dedup exchange entirely, which synth's
-    # always-repartition-by-conv_id rule now produces)
+    # aggregate levels the HLL register plan does not (its sketch
+    # aggregates at (group, reg) granularity — ≤ 2**p rows per group)
     plan_exact = flagship_summary(spark, corpus)._jdf.queryExecution() \
         .executedPlan().toString()
     plan_approx = flagship_summary(spark, corpus, approx_distinct=True) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "count(distinct" in plan_exact
-    assert "approx_count_distinct" in plan_approx
-    assert (plan_exact.count("HashAggregate")
-            > plan_approx.count("HashAggregate"))
-    assert plan_approx.count("Exchange") <= plan_exact.count("Exchange")
+    assert "count(distinct" not in plan_approx
+    assert "approx_count_distinct" not in plan_approx  # engine-private HLL++
+    assert "md5" in plan_approx  # deterministic register sketch
+    # exact mode's dedup aggregate Expands every row per distinct key;
+    # the register plan has MORE aggregate nodes (sketch + estimate +
+    # stats + join) but each shuffles ≤ 2**p rows per group — the win is
+    # shuffle WIDTH, not node count, so assert the Expand is gone
+    assert "Expand" not in plan_approx
 
 
 def test_selective_salting_hot_keys_only(spark, corpus):
