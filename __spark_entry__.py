@@ -508,6 +508,30 @@ def q_ann_index_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_ann_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF list maintenance (similarity.py:rebalance_ivf_index): skewed
+    # two-phase load leaves every list as ONE slot-0 physical partition;
+    # the forced rebalance (max_list_size=16 vs ~50-row lists) splits them
+    # by the two-pole rule, then the query runs over the rebalanced
+    # layout. Probe routing stays at the parent-label reps, so the result
+    # is IDENTICAL to the batch IVF — the oracle is ann_ivf_topk's SQL
+    # VERBATIM across a forced rebalance, proving maintenance never moves
+    # answers.
+    import shutil
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="logpipe_ivf_rb_")
+    try:
+        sim.write_ivf_index(spark, emb.where(F.col("vec_id") % 2 == 0), tmp)
+        sim.append_ivf_index(spark, emb.where(F.col("vec_id") % 2 == 1), tmp)
+        stats = sim.rebalance_ivf_index(spark, tmp, max_list_size=16)
+        assert stats["splits"] > 0 and stats["max_list_rows"] <= 16, stats
+        return sim.ann_query_index(spark, tmp).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tq.lang_id(_docs(spark, sf_dir))
 
@@ -3366,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "conv_redundancy": q_conv_redundancy,
         "ann_index_incr": q_ann_index_incr,
+        "ann_rebalanced": q_ann_rebalanced,
         "quantile_sketch": q_quantile_sketch,
         "quantile_sketch_merged": q_quantile_sketch_merged,
         "slo_burn": q_slo_burn,
@@ -5444,6 +5469,10 @@ def _add_segmented_aliases(oracles: dict[str, str]) -> dict[str, str]:
     # the batch IVF: min-id medoid reps are a monoid, the shared oracle
     # verbatim IS the merge==rebuild proof
     oracles["ann_index_incr"] = oracles["ann_ivf_topk"]
+    # list maintenance must never move answers: the query after a FORCED
+    # rebalance (every list split by the two-pole rule) shares the batch
+    # IVF oracle verbatim — probe routing stays at the parent-label reps
+    oracles["ann_rebalanced"] = oracles["ann_ivf_topk"]
     # two-half merged sketch must equal the full-scan sketch (bottom-k
     # by unique hash is a monoid) — shared verbatim
     oracles["quantile_sketch_merged"] = oracles["quantile_sketch"]

@@ -584,11 +584,15 @@ def quantize_int8(
 
 def write_ivf_index(spark, emb: DataFrame, path: str) -> None:
     """Initial load of a PERSISTED IVF index: unit-normed assignments
-    laid out as ``label=<l>/`` partition dirs (a probe reads ONLY its
-    probed lists — partition pruning, the on-disk form of the IVF
-    fan-in), plus a tiny ``_reps`` table (per-list representative =
-    min-vec_id medoid, the same deterministic choice as
-    :func:`ann_ivf_topk`).
+    laid out as ``label=<l>/slot=<s>/`` partition dirs (a probe reads
+    ONLY its probed lists — partition pruning, the on-disk form of the
+    IVF fan-in; ``slot`` is a PHYSICAL sub-partition within a list that
+    :func:`rebalance_ivf_index` keeps size-bounded under skewed appends
+    — probe routing never sees it), plus a tiny ``reps/`` sidecar
+    (per-list representative = min-vec_id medoid, the same deterministic
+    choice as :func:`ann_ivf_topk`; a plain sibling dir, NOT
+    underscore-prefixed — Spark hides ``_*`` paths from directory
+    listings and warns on every read).
 
     The min-id medoid makes the index MERGEABLE: min is a monoid, so
     :func:`append_ivf_index` can fold a delta's per-list minima into the
@@ -598,13 +602,14 @@ def write_ivf_index(spark, emb: DataFrame, path: str) -> None:
     value level.
     """
     n = with_unit_norm(emb)
-    labeled = n.join(emb.select("vec_id", "label"), "vec_id")
-    (labeled.write.partitionBy("label").mode("overwrite")
+    labeled = (n.join(emb.select("vec_id", "label"), "vec_id")
+               .withColumn("slot", F.lit(0)))
+    (labeled.write.partitionBy("label", "slot").mode("overwrite")
      .parquet(f"{path}/lists"))
-    # _reps carries the rep VECTORS (label, rep_id, re, rn): queries
+    # reps/ carries the rep VECTORS (label, rep_id, re, rn): queries
     # broadcast it directly instead of scanning the corpus for rep rows
     (_rep_rows(labeled).coalesce(1).write.mode("overwrite")
-     .parquet(f"{path}/_reps"))
+     .parquet(f"{path}/reps"))
 
 
 def _rep_rows(labeled: DataFrame) -> DataFrame:
@@ -624,11 +629,12 @@ def append_ivf_index(spark, new_emb: DataFrame, path: str) -> None:
     corpus-sized). Vectors keep their own list label (IVF lists are
     fixed between retrains); contract: delta vec_ids are fresh."""
     n = with_unit_norm(new_emb)
-    labeled = n.join(new_emb.select("vec_id", "label"), "vec_id")
+    labeled = (n.join(new_emb.select("vec_id", "label"), "vec_id")
+               .withColumn("slot", F.lit(0)))
     labeled = labeled.localCheckpoint(eager=True)
-    (labeled.write.partitionBy("label").mode("append")
+    (labeled.write.partitionBy("label", "slot").mode("append")
      .parquet(f"{path}/lists"))
-    old = spark.read.parquet(f"{path}/_reps")
+    old = spark.read.parquet(f"{path}/reps")
     merged = (
         old.unionByName(_rep_rows(labeled))
         .groupBy("label")
@@ -638,7 +644,96 @@ def append_ivf_index(spark, new_emb: DataFrame, path: str) -> None:
                 F.col("m.re").alias("re"), F.col("m.rn").alias("rn"))
         .localCheckpoint(eager=True)  # materialize before overwriting input
     )
-    (merged.coalesce(1).write.mode("overwrite").parquet(f"{path}/_reps"))
+    (merged.coalesce(1).write.mode("overwrite").parquet(f"{path}/reps"))
+
+
+def rebalance_ivf_index(spark, path: str, max_list_size: int,
+                        max_rounds: int = 32) -> dict:
+    """Bound the PHYSICAL list partitions of a persisted IVF index:
+    every ``(label, slot)`` dir whose row count exceeds
+    ``max_list_size`` is split into two slots by the two-pole rule —
+    pole A = the list's min-vec_id member (the monoid medoid), pole B =
+    the member FARTHEST from A (min cosine, vec_id tie-break); members
+    are ordered by relative affinity ``cos_b - cos_a`` (nearest-to-A
+    first, vec_id tie-break) and the first half keeps the slot, the
+    rest move to a fresh slot. The balanced cut guarantees halving (so
+    splitting is O(log n) rounds even for degenerate all-identical
+    lists, where a pure nearest-pole assignment would never progress)
+    while preserving the poles' geometry: each child is coherent around
+    its pole, ready to be PROMOTED to a probe-level list by a future
+    retrain.
+
+    Probe routing is untouched — ``reps/`` still carries one parent-level
+    rep per label, so query results are IDENTICAL before and after a
+    rebalance (the driver query shares ann_ivf_topk's batch oracle
+    verbatim across a forced rebalance). What changes is physical:
+    appends always land in slot 0, so a hot list would otherwise grow
+    one unbounded partition; after rebalance its scan parallelism and
+    per-task memory stay bounded by ``max_list_size``. The ANN analog of
+    plans/layout.py's compact_small_files, in the splitting direction.
+
+    Only oversized groups are rewritten (dynamic partition overwrite);
+    the rewrite frame is localCheckpoint'd first because it reads the
+    same files it replaces. Returns ``{"rounds", "splits",
+    "max_list_rows"}`` (post-rebalance).
+    """
+    from functools import reduce
+    from operator import or_
+
+    lists_path = f"{path}/lists"
+    rounds = 0
+    splits = 0
+    while True:
+        lists = spark.read.parquet(lists_path)
+        sizes = {(r["label"], r["slot"]): r["n"]
+                 for r in lists.groupBy("label", "slot")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+        over = sorted((ls for ls, n_ in sizes.items()
+                       if n_ > max_list_size))
+        if not over or rounds >= max_rounds:
+            return {"rounds": rounds, "splits": splits,
+                    "max_list_rows": max(sizes.values())}
+        # fresh slot ids per label, assigned driver-side (the size map is
+        # list-count bounded metadata, same discipline as ann_query_index's
+        # probed-label collect)
+        next_slot = {lbl: max(s for (l2, s) in sizes if l2 == lbl) + 1
+                     for lbl in {l for l, _ in over}}
+        plan_rows = []
+        for lbl, slot in over:
+            plan_rows.append((lbl, slot, sizes[(lbl, slot)],
+                              next_slot[lbl]))
+            next_slot[lbl] += 1
+        split_plan = F.broadcast(spark.createDataFrame(
+            plan_rows, "label int, slot int, n bigint, new_slot int"))
+        cond = reduce(or_, ((F.col("label") == l) & (F.col("slot") == s)
+                            for l, s in over))
+        members = lists.where(cond)  # (label, slot) partition pruning
+        a = members.groupBy("label", "slot").agg(
+            F.min(F.struct("vec_id", "e", "nrm")).alias("a"))
+        m1 = (members.join(a, ["label", "slot"])
+              .withColumn("cos_a", _dot("e", "a.e")
+                          / (F.col("nrm") * F.col("a.nrm"))))
+        b = m1.groupBy("label", "slot").agg(
+            F.min(F.struct(F.col("cos_a").alias("c"), "vec_id",
+                           "e", "nrm")).alias("b"))
+        m2 = (m1.join(b, ["label", "slot"])
+              .withColumn("cos_b", _dot("e", "b.e")
+                          / (F.col("nrm") * F.col("b.nrm"))))
+        w = Window.partitionBy("label", "slot").orderBy(
+            (F.col("cos_b") - F.col("cos_a")).asc(), F.col("vec_id"))
+        ranked = (m2.withColumn("rn", F.row_number().over(w))
+                  .join(split_plan, ["label", "slot"]))
+        out_slot = (F.when(F.col("rn") * 2 <= F.col("n") + 1,
+                           F.col("slot"))
+                    .otherwise(F.col("new_slot")).alias("slot"))
+        data_cols = [c for c in lists.columns if c not in ("label", "slot")]
+        rewritten = (ranked.select(*data_cols, "label", out_slot)
+                     .localCheckpoint(eager=True))
+        (rewritten.write.partitionBy("label", "slot").mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(lists_path))
+        rounds += 1
+        splits += len(over)
 
 
 def ann_query_index(spark, path: str, k: int = 5, query_mod: int = 25,
@@ -654,7 +749,7 @@ def ann_query_index(spark, path: str, k: int = 5, query_mod: int = 25,
     collected driver-side so the lists scan carries a LITERAL partition
     filter (a join would not prune partitions).
     """
-    reps = spark.read.parquet(f"{path}/_reps")
+    reps = spark.read.parquet(f"{path}/reps")
     lists = spark.read.parquet(f"{path}/lists")
     q = lists.where((F.col("vec_id") % query_mod) == 0).select(
         F.col("vec_id").alias("query_id"),

@@ -30,7 +30,8 @@ FORBIDDEN = [
 # call and delete it before returning, so the returned frame is an
 # ExistingRDD scan by construction. Their REAL (lazy) plans are held to
 # the same invariants in test_materialized_queries_lazy_plans below.
-MATERIALIZED = {"dedup_incremental", "read_changes", "ann_index_incr"}
+MATERIALIZED = {"dedup_incremental", "read_changes", "ann_index_incr",
+                "ann_rebalanced"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES.keys()))
@@ -95,10 +96,27 @@ def test_materialized_queries_lazy_plans(spark, tmp_path):
         "o_orderkey")
     changes = cdc.read_changes(spark, tbl, 0, 1)
 
-    for name, df in (("dedup_incremental", incr), ("read_changes", changes)):
+    # the persisted IVF index (ann_index_incr / ann_rebalanced): hold the
+    # PRE-checkpoint ann_query_index plan, built against a live index, to
+    # the same gate as everything else
+    from logpipe_spark.trainprep import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    ivf = str(tmp_path / "ivf")
+    sim.write_ivf_index(spark, emb.where(F.col("vec_id") % 2 == 0), ivf)
+    sim.append_ivf_index(spark, emb.where(F.col("vec_id") % 2 == 1), ivf)
+    sim.rebalance_ivf_index(spark, ivf, max_list_size=16)
+    ivf_query = sim.ann_query_index(spark, ivf)
+
+    for name, df in (("dedup_incremental", incr), ("read_changes", changes),
+                     ("ann_query_index", ivf_query)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         for bad in FORBIDDEN:
             assert bad not in plan, f"{name}: forbidden {bad}"
+    # the IVF query's lazy plan scans the index parquet (lists pruned by
+    # the probed-label literal filter)
+    ivf_plan = ivf_query._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in ivf_plan or "FileScan parquet" in ivf_plan
     # read_changes' lazy plan scans the versioned parquet directly
     changes_plan = changes._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" in changes_plan or "FileScan parquet" in changes_plan

@@ -448,6 +448,41 @@ def test_ivf_index_append_equals_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_ivf_rebalance_bounds_lists_and_preserves_results(spark, tmp_path):
+    """rebalance_ivf_index splits oversized physical list partitions down
+    to the size bound (guaranteed progress even on degenerate
+    all-identical lists) without changing any query result — probe
+    routing stays at the parent-label reps."""
+    from logpipe_spark.trainprep.similarity import (ann_ivf_topk,
+                                                    ann_query_index,
+                                                    append_ivf_index,
+                                                    rebalance_ivf_index,
+                                                    write_ivf_index)
+
+    # label 0 is HOT (28 of 40 vectors), and 8 of its vectors are
+    # identical (the degenerate split case)
+    rows = [(i, [float(((i if i < 32 else 0) * 7 + j * 3) % 11 - 5)
+                 for j in range(6)],
+             0 if (i % 3 == 0 or i >= 20) else i % 3) for i in range(40)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    want = sorted(map(tuple, ann_ivf_topk(emb, k=3, query_mod=5).collect()))
+
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(spark, emb.where("vec_id % 2 = 0"), idx)
+    append_ivf_index(spark, emb.where("vec_id % 2 = 1"), idx)  # skewed growth
+    stats = rebalance_ivf_index(spark, idx, max_list_size=5)
+    assert stats["max_list_rows"] <= 5 and stats["splits"] >= 1
+    sizes = (spark.read.parquet(f"{idx}/lists")
+             .groupBy("label", "slot").count().collect())
+    assert max(r["count"] for r in sizes) <= 5
+    got = sorted(map(tuple,
+                     ann_query_index(spark, idx, k=3, query_mod=5).collect()))
+    assert got == want and len(got) > 0
+    # a second rebalance is a no-op (idempotent once bounded)
+    assert rebalance_ivf_index(spark, idx, max_list_size=5)["rounds"] == 0
+
+
 def test_band_index_compaction_preserves_results(spark, tmp_path):
     """Per-delta appends fragment the band index (one file per touched
     bucket per delta); compact_small_files must merge them without
