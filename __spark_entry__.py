@@ -3050,6 +3050,39 @@ def q_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_read_changes_evo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDC read ACROSS a schema-evolution boundary (plans/cdc.py): v0 has
+    # (o_orderkey, o_totalprice); the upsert batch ADDS o_orderstatus —
+    # untouched v0 bucket files never learn the column, the manifest's
+    # evolved schema null-fills it at read time. Every upserted key
+    # classifies 'changed' (even price-identical ones: their status went
+    # NULL -> value) or 'added'; the oracle is the full-outer diff of
+    # the two complete snapshots with the old side's status NULL.
+    import shutil
+    import tempfile
+
+    from logpipe_spark.plans.cdc import (read_changes, upsert_versioned,
+                                         write_versioned)
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v0 = (orders.filter(F.col("o_orderkey") % 3 != 0)
+          .select("o_orderkey", "o_totalprice"))
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 2 == 0,
+               F.col("o_totalprice") + F.lit(1.0))
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    tmp = tempfile.mkdtemp(prefix="logpipe_cdc_evo_")
+    try:
+        write_versioned(spark, v0, tmp, "o_orderkey", n_buckets=16)
+        upsert_versioned(spark, tmp, upd, "o_orderkey")
+        return read_changes(spark, tmp, 0, 1).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Position-level exact-substring dedup coverage (trainprep/dedup.py:
     # dup_spans — the Lee et al. 2022 repeated-substring rule at word-
@@ -3226,12 +3259,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Dict order is load-bearing: the round driver verifies the FIRST
-    # 50 entries against their oracles (CORRECTNESS_r{N}). The window
-    # is curated per the round-2 verdict: flagship + one query per
-    # reference operator family, then the operators that most need
-    # independent verification (round-2-continuation analytics, the
-    # round-3 dup_clusters star default, incremental dedup). Entries
-    # 51+ are covered by scripts/gate_dryrun.py over the full surface.
+    # 50 entries against their oracles (CORRECTNESS_r{N}). Rotated for
+    # round 4 per the r03 verdict: the 15 round-3/4 ops that had never
+    # been driver-verified (ann_index_incr, ann_rebalanced,
+    # quantile_sketch(+merged), slo_burn, dup_spans, strip_dup_spans,
+    # conv_redundancy, chunk_documents, doc_novelty, minhash_recall,
+    # small_qty_revenue, big_order_customers, read_changes_evo) moved
+    # into the window; 15 queries whose families already have r02/r03
+    # driver evidence (asof fwd/seg, sessionize_seg, cusum_alert,
+    # seasonal_anomaly, welch/anova/auc, weighted_median, mad/winsorize,
+    # assortativity, pareto, interval_overlap) moved below. Entries 51+
+    # are covered by scripts/gate_dryrun.py over the full surface.
         "pipeline_flagship": q_pipeline_flagship,
         "flagship_approx": q_flagship_approx,
         "filter_regex": q_filter_regex,
@@ -3242,38 +3280,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_iterated": q_hash_iterated,
         "null_key_passthrough": q_null_key_passthrough,
         "read_changes": q_read_changes,
+        "read_changes_evo": q_read_changes_evo,
         "dup_clusters": q_dup_clusters,
         "dedup_keep_list": q_dedup_keep_list,
         "asof_join": q_asof_join,
-        "asof_join_seg": q_asof_join_seg,
-        "asof_join_fwd": q_asof_join_fwd,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
         "sessionize": q_sessionize,
-        "sessionize_seg": q_sessionize_seg,
         "value_percentiles": q_value_percentiles,
         "cms_heavy_hitters": q_cms_heavy_hitters,
-        "cusum_alert": q_cusum_alert,
         "cusum_merged": q_cusum_merged,
         "ewma_merged": q_ewma_merged,
         "holt_merged": q_holt_merged,
-        "seasonal_anomaly": q_seasonal_anomaly,
         "ks_drift": q_ks_drift,
         "trend_slope": q_trend_slope,
         "chisq_assoc": q_chisq_assoc,
-        "welch_ttest": q_welch_ttest,
-        "anova_f": q_anova_f,
-        "auc_rank": q_auc_rank,
         "quantile_normalize": q_quantile_normalize,
-        "weighted_median": q_weighted_median,
-        "mad_stats": q_mad_stats,
-        "winsorize": q_winsorize,
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
-        "graph_assortativity": q_graph_assortativity,
         "cooccurrence_lift": q_cooccurrence_lift,
-        "pareto_front": q_pareto_front,
-        "interval_overlap": q_interval_overlap,
         "kmv_set_ops": q_kmv_set_ops,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_incremental": q_dedup_incremental,
@@ -3282,6 +3307,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "snapshot_diff": q_snapshot_diff,
         "scd2_intervals": q_scd2_intervals,
+        "ann_index_incr": q_ann_index_incr,
+        "ann_rebalanced": q_ann_rebalanced,
+        "quantile_sketch": q_quantile_sketch,
+        "quantile_sketch_merged": q_quantile_sketch_merged,
+        "slo_burn": q_slo_burn,
+        "dup_spans": q_dup_spans,
+        "strip_dup_spans": q_strip_dup_spans,
+        "conv_redundancy": q_conv_redundancy,
+        "chunk_documents": q_chunk_documents,
+        "doc_novelty": q_doc_novelty,
+        "minhash_recall": q_minhash_recall,
+        "small_qty_revenue": q_small_qty_revenue,
+        "big_order_customers": q_big_order_customers,
+        "asof_join_seg": q_asof_join_seg,
+        "asof_join_fwd": q_asof_join_fwd,
+        "sessionize_seg": q_sessionize_seg,
+        "cusum_alert": q_cusum_alert,
+        "seasonal_anomaly": q_seasonal_anomaly,
+        "welch_ttest": q_welch_ttest,
+        "anova_f": q_anova_f,
+        "auc_rank": q_auc_rank,
+        "weighted_median": q_weighted_median,
+        "mad_stats": q_mad_stats,
+        "winsorize": q_winsorize,
+        "graph_assortativity": q_graph_assortativity,
+        "pareto_front": q_pareto_front,
+        "interval_overlap": q_interval_overlap,
         "conv_digest": q_conv_digest,
         "filter_eq": q_filter_eq,
         "filter_anti": q_filter_anti,
@@ -3387,19 +3439,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_templates": q_log_templates,
         "holt_smooth": q_holt_smooth,
         "vocab_overlap": q_vocab_overlap,
-        "dup_spans": q_dup_spans,
-        "conv_redundancy": q_conv_redundancy,
-        "ann_index_incr": q_ann_index_incr,
-        "ann_rebalanced": q_ann_rebalanced,
-        "quantile_sketch": q_quantile_sketch,
-        "quantile_sketch_merged": q_quantile_sketch_merged,
-        "slo_burn": q_slo_burn,
-        "small_qty_revenue": q_small_qty_revenue,
-        "big_order_customers": q_big_order_customers,
-        "chunk_documents": q_chunk_documents,
-        "strip_dup_spans": q_strip_dup_spans,
-        "doc_novelty": q_doc_novelty,
-        "minhash_recall": q_minhash_recall,
     }
 
 
@@ -4227,6 +4266,39 @@ SELECT * FROM c WHERE change_type <> 'unchanged'""",
         "read_changes": """
 WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
              WHERE o_orderkey % 3 <> 0),
+upd AS (SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 7 = 0),
+new AS (SELECT * FROM upd
+        UNION ALL
+        SELECT * FROM old
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)),
+j AS (SELECT o.o_orderkey AS ko, n.o_orderkey AS kn,
+             o.o_totalprice AS old_o_totalprice,
+             o.o_orderstatus AS old_o_orderstatus,
+             n.o_totalprice AS new_o_totalprice,
+             n.o_orderstatus AS new_o_orderstatus
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey),
+c AS (SELECT coalesce(ko, kn) AS o_orderkey,
+             CASE WHEN ko IS NULL THEN 'added'
+                  WHEN kn IS NULL THEN 'removed'
+                  WHEN old_o_totalprice IS NOT DISTINCT FROM new_o_totalprice
+                   AND old_o_orderstatus IS NOT DISTINCT FROM new_o_orderstatus
+                  THEN 'unchanged' ELSE 'changed' END AS change_type,
+             old_o_totalprice, old_o_orderstatus,
+             new_o_totalprice, new_o_orderstatus
+      FROM j)
+SELECT * FROM c WHERE change_type <> 'unchanged'""",
+        # CDC across a schema-evolution boundary: v0 lacks o_orderstatus
+        # entirely, so the old side of the diff is the v0 snapshot with
+        # the added column NULL-filled (exactly what the manifest-schema
+        # alignment does at read time)
+        "read_changes_evo": """
+WITH old AS (SELECT o_orderkey, o_totalprice,
+                    CAST(NULL AS VARCHAR) AS o_orderstatus
+             FROM orders WHERE o_orderkey % 3 <> 0),
 upd AS (SELECT o_orderkey,
                CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1.0
                     ELSE o_totalprice END AS o_totalprice,

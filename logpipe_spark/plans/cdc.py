@@ -9,10 +9,17 @@ read; this module reproduces both on the sandbox's parquet fallback:
 
 - every bucket version is an immutable dir ``data/b=<i>/v=<n>/``
   (copy-on-write: an upsert writes NEW dirs for touched buckets only),
-- a snapshot is a tiny JSON manifest mapping bucket → current version,
-  committed atomically via tmp + ``os.replace`` (the same commit point
-  discipline as ``plans/checkpoint.py``); readers of version N never
-  see a half-written N+1,
+- a snapshot is a tiny JSON manifest mapping bucket → current version
+  plus the snapshot's column schema, committed atomically via tmp +
+  ``os.link`` (hard-link CAS: the link FAILS if the version was already
+  committed, so two concurrent upserts cannot both win v+1 — the loser
+  gets :class:`ConcurrentWriteError`, the Iceberg optimistic-commit
+  analog); readers of version N never see a half-written N+1,
+- schema evolution: an upsert batch may ADD nullable columns (Iceberg's
+  core promise). Untouched bucket dirs keep their old files; the
+  manifest records the evolved schema and readers null-fill missing
+  columns at scan time, so ``read_snapshot`` / ``read_changes`` across
+  an evolution boundary are well-typed without rewriting history,
 - ``read_changes(v_from, v_to)`` diffs ONLY the buckets whose manifest
   entry moved: keys are hash-assigned to buckets, so an untouched
   bucket provably holds identical rows in both snapshots. Changed data
@@ -41,7 +48,14 @@ from pyspark.sql import functions as F
 from logpipe_spark.operators.diff import snapshot_diff
 
 __all__ = ["write_versioned", "upsert_versioned", "read_snapshot",
-           "read_changes", "current_version", "expire_snapshots"]
+           "read_changes", "current_version", "expire_snapshots",
+           "ConcurrentWriteError"]
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer already committed this version (optimistic
+    concurrency lost the race). Re-read ``current_version`` and retry
+    the upsert against the new snapshot."""
 
 
 def _bucket(key: str, n_buckets: int):
@@ -53,15 +67,27 @@ def _manifest_path(path: str, version: int) -> str:
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
-    """Atomic commit: readers either see the complete manifest or none.
-    A crash mid-upsert leaves orphan ``v=<n>`` dirs (no manifest points
-    at them) — harmless, collectible by inspecting manifests."""
+    """Atomic CAS commit: readers either see the complete manifest or
+    none, and at most ONE writer commits a given version — ``os.link``
+    fails with EEXIST if the version file already exists (unlike
+    ``os.replace``, which would silently overwrite the first winner's
+    manifest and orphan its data dirs). A crash mid-upsert leaves orphan
+    ``v=<n>`` dirs (no manifest points at them) — harmless, collectible
+    by inspecting manifests."""
     d = os.path.join(path, "_manifests")
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     with os.fdopen(fd, "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, _manifest_path(path, manifest["version"]))
+    dst = _manifest_path(path, manifest["version"])
+    try:
+        os.link(tmp, dst)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"version {manifest['version']} was already committed at "
+            f"{dst}; re-read current_version and retry") from None
+    finally:
+        os.remove(tmp)
 
 
 def _read_manifest(path: str, version: int) -> dict:
@@ -82,6 +108,25 @@ def _bucket_dir(path: str, bucket: int, version: int) -> str:
     return os.path.join(path, "data", f"b={bucket}", f"v={version}")
 
 
+def _schema_list(df: DataFrame) -> list[list[str]]:
+    """JSON-serializable (name, ddl-type) pairs, in column order."""
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+def _align(df: DataFrame, schema: list[list[str]] | None) -> DataFrame:
+    """Project ``df`` onto the manifest schema: null-fill columns a
+    pre-evolution bucket file lacks, in the manifest's column order.
+    Pre-schema manifests (None) pass through unchanged."""
+    if schema is None:
+        return df
+    have = set(df.columns)
+    return df.select(*[
+        F.col(name) if name in have
+        else F.lit(None).cast(ddl).alias(name)
+        for name, ddl in schema
+    ])
+
+
 def write_versioned(spark: SparkSession, df: DataFrame, path: str,
                     key: str, n_buckets: int = 16) -> int:
     """Initial load → snapshot v0. Returns the committed version (0).
@@ -97,6 +142,7 @@ def write_versioned(spark: SparkSession, df: DataFrame, path: str,
         buckets.setdefault(str(b), -1)  # -1 = never written (empty)
     _write_manifest(path, {"version": 0, "parent": None,
                            "n_buckets": n_buckets, "key": key,
+                           "schema": _schema_list(data),
                            "touched": touched, "buckets": buckets})
     return 0
 
@@ -144,14 +190,18 @@ def read_snapshot(spark: SparkSession, path: str,
                   only_buckets: list[int] | None = None) -> DataFrame:
     """Time-travel read: the table exactly as committed at ``version``
     (default: latest). One multi-path parquet scan over the manifest's
-    bucket dirs — no version resolution at read time."""
+    bucket dirs — no version resolution at read time. Across a schema
+    evolution boundary, untouched bucket files predate the added
+    columns: ``mergeSchema`` unions the file schemas and ``_align``
+    null-fills + orders to the manifest's recorded schema."""
     if version is None:
         version = current_version(path)
     manifest = _read_manifest(path, version)
     paths = _snapshot_paths(path, manifest, only_buckets)
     if not paths:
         raise ValueError(f"snapshot v{version} is empty")
-    return spark.read.parquet(*paths)
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    return _align(df, manifest.get("schema"))
 
 
 def upsert_versioned(spark: SparkSession, path: str, updates: DataFrame,
@@ -160,13 +210,31 @@ def upsert_versioned(spark: SparkSession, path: str, updates: DataFrame,
     reads them at their current versions, replaces matching keys, writes
     ``v=<new>`` dirs, commits a manifest whose untouched entries still
     point at the old dirs. Source discipline (single row per key, no
-    NULL keys) enforced exactly like ``merge.merge_upsert``."""
+    NULL keys) enforced exactly like ``merge.merge_upsert``.
+
+    Schema evolution: ``updates`` may carry columns the table lacks —
+    they are ADDED (nullable) to the snapshot schema; existing rows read
+    them as NULL. ``updates`` may also omit existing columns (null-
+    filled on its rows). Changing an existing column's TYPE is rejected.
+    Concurrency: the commit is a hard-link CAS — if another writer
+    committed v+1 first, :class:`ConcurrentWriteError` is raised and no
+    manifest is overwritten (the staged dirs become harmless orphans)."""
     v_cur = current_version(path)
     manifest = _read_manifest(path, v_cur)
     n_buckets, v_new = manifest["n_buckets"], v_cur + 1
     if manifest["key"] != key:
         raise ValueError(
             f"table is keyed by {manifest['key']!r}, not {key!r}")
+    old_schema = manifest.get("schema")
+    if old_schema is not None:
+        old_types = dict(map(tuple, old_schema))
+        for f in updates.schema.fields:
+            if f.name in old_types \
+                    and old_types[f.name] != f.dataType.simpleString():
+                raise ValueError(
+                    f"column {f.name!r} type change "
+                    f"{old_types[f.name]} -> {f.dataType.simpleString()} "
+                    "is not supported (add a new column instead)")
 
     up = (updates.withColumn("_bucket", _bucket(key, n_buckets))
           .localCheckpoint(eager=True))
@@ -190,9 +258,21 @@ def upsert_versioned(spark: SparkSession, path: str, updates: DataFrame,
     if existing:
         target = read_snapshot(spark, path, v_cur, only_buckets=existing)
         keep = target.join(up.select(key).distinct(), key, "left_anti")
-        merged = keep.unionByName(up)
+        # allowMissingColumns = the schema-evolution merge: columns only
+        # one side has are null-filled on the other
+        merged = keep.unionByName(up, allowMissingColumns=True)
     else:
         merged = up
+    # evolved snapshot schema: the old columns in their recorded order,
+    # plus any columns the update batch added (appended, nullable)
+    if old_schema is not None:
+        old_names = {n for n, _ in old_schema}
+        schema = old_schema + [
+            [f.name, f.dataType.simpleString()]
+            for f in up.schema.fields if f.name not in old_names]
+        merged = _align(merged, schema)
+    else:
+        schema = _schema_list(merged)
     merged = merged.localCheckpoint(eager=True)
     written = _stage_buckets(
         path, merged.repartition(len(touched), "_bucket"), version=v_new)
@@ -202,6 +282,7 @@ def upsert_versioned(spark: SparkSession, path: str, updates: DataFrame,
         buckets[str(b)] = v_new
     _write_manifest(path, {"version": v_new, "parent": v_cur,
                            "n_buckets": n_buckets, "key": key,
+                           "schema": schema,
                            "touched": written, "buckets": buckets})
     return {"version": v_new, "touched_buckets": written,
             "n_upserts": int(probe["n_rows"])}
@@ -217,12 +298,18 @@ def read_changes(spark: SparkSession, path: str, v_from: int, v_to: int,
     untouched bucket's rows are byte-identical in both snapshots. The
     diff itself is ``snapshot_diff``'s single full-outer join, but over
     the touched sliver, not the table. Contract (driver-gated): equals
-    the full-outer diff of the two complete snapshots."""
+    the full-outer diff of the two complete snapshots.
+
+    Across a schema-evolution boundary BOTH sides align to the NEWER
+    snapshot's schema (schemas only grow): a column added in v_to reads
+    as NULL on the v_from side, so a re-upserted row whose new column
+    went NULL→value classifies as 'changed'."""
     if v_from >= v_to:
         raise ValueError("v_from must precede v_to")
     m_from = _read_manifest(path, v_from)
     m_to = _read_manifest(path, v_to)
     key = m_to["key"]
+    schema_to = m_to.get("schema")
     moved = [int(b) for b in m_to["buckets"]
              if m_to["buckets"][b] != m_from["buckets"][b]]
     if not moved:
@@ -230,13 +317,16 @@ def read_changes(spark: SparkSession, path: str, v_from: int, v_to: int,
         empty = read_snapshot(spark, path, v_to).limit(0)
         e = empty.select(*[c for c in empty.columns if c != "_bucket"])
         return snapshot_diff(e, e, [key], compare_cols)
+
+    def _read(paths):
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = _align(df, schema_to)
+        return df.select(*[c for c in df.columns if c != "_bucket"])
+
     old_paths = _snapshot_paths(path, m_from, only_buckets=moved)
     new_paths = _snapshot_paths(path, m_to, only_buckets=moved)
-    schema_src = spark.read.parquet(*new_paths)
-    cols = [c for c in schema_src.columns if c != "_bucket"]
-    old = (spark.read.parquet(*old_paths).select(*cols) if old_paths
-           else schema_src.select(*cols).limit(0))
-    new = schema_src.select(*cols)
+    new = _read(new_paths)
+    old = _read(old_paths) if old_paths else new.limit(0)
     return snapshot_diff(old, new, [key], compare_cols)
 
 

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import pathlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from logpipe_spark.plans.merge import merge_upsert, write_keyed
@@ -230,3 +231,84 @@ def test_cdc_expire_snapshots(spark, tmp_path):
     assert r2["kept_versions"] == [4]
     assert {x.id: x.val for x in read_snapshot(spark, p).collect()}[1] == "z"
     assert not os.path.exists(os.path.join(p, "_manifests", "v2.json"))
+
+
+def test_cdc_schema_evolution_add_column(spark, tmp_path):
+    """An upsert batch may ADD a nullable column (Iceberg's core schema
+    promise): untouched buckets keep their old files; read_snapshot and
+    read_changes null-fill across the boundary, and the pruned changelog
+    still equals the full-outer diff of the complete aligned snapshots."""
+    from logpipe_spark.operators.diff import snapshot_diff
+    from logpipe_spark.plans.cdc import (read_changes, read_snapshot,
+                                         upsert_versioned, write_versioned)
+
+    p = str(tmp_path / "dim")
+    write_versioned(
+        spark, _mk_dim(spark, [(i, f"v{i}", i) for i in range(40)]),
+        p, "id", n_buckets=8)
+    # v1 adds a 'tier' column; id=5 also changes val, id=6 is identical
+    # in old columns but gains a non-null tier -> 'changed'
+    up = spark.createDataFrame(
+        [(5, "x", 5, "gold"), (6, "v6", 6, "silver"), (99, "new", 0, None)],
+        "id long, val string, score long, tier string")
+    r = upsert_versioned(spark, p, up, "id")
+    assert r["version"] == 1
+
+    latest = read_snapshot(spark, p, 1)
+    assert "tier" in latest.columns
+    rows = {x.id: (x.val, x.tier) for x in latest.collect()}
+    assert rows[5] == ("x", "gold") and rows[6] == ("v6", "silver")
+    assert rows[7] == ("v7", None)          # untouched bucket null-fills
+    assert len(rows) == 41
+    # v0 time-travel still reads with its ORIGINAL schema
+    assert "tier" not in read_snapshot(spark, p, 0).columns
+
+    cols = ["id", "val", "score", "tier"]
+    full = snapshot_diff(
+        read_snapshot(spark, p, 0)
+        .withColumn("tier", F.lit(None).cast("string")).select(*cols),
+        read_snapshot(spark, p, 1).select(*cols), ["id"])
+    pruned = read_changes(spark, p, 0, 1)
+    assert sorted(map(tuple, pruned.collect())) == \
+        sorted(map(tuple, full.collect()))
+    kinds = {x.id: x.change_type for x in pruned.collect()}
+    assert kinds[5] == "changed" and kinds[6] == "changed" \
+        and kinds[99] == "added"
+
+    # a later upsert WITHOUT the new column keeps it (null-filled rows)
+    r2 = upsert_versioned(spark, p, _mk_dim(spark, [(5, "y", 50)]), "id")
+    v2 = {x.id: (x.val, x.tier)
+          for x in read_snapshot(spark, p, r2["version"]).collect()}
+    assert v2[5] == ("y", None) and v2[6] == ("v6", "silver")
+
+    # changing an existing column's TYPE is rejected
+    bad = spark.createDataFrame([(1, 2.5)], "id long, score double")
+    with pytest.raises(ValueError, match="type change"):
+        upsert_versioned(spark, p, bad, "id")
+
+
+def test_cdc_concurrent_commit_cas(spark, tmp_path):
+    """Two writers racing to the same version: the second commit fails
+    with ConcurrentWriteError instead of silently overwriting the first
+    winner's manifest (os.link CAS); the table still reads as the
+    winner's snapshot, and a retry against the refreshed version wins."""
+    from logpipe_spark.plans import cdc
+    from logpipe_spark.plans.cdc import (ConcurrentWriteError,
+                                         read_snapshot, upsert_versioned,
+                                         write_versioned)
+
+    p = str(tmp_path / "dim")
+    write_versioned(spark, _mk_dim(spark, [(i, f"v{i}", i) for i in range(8)]),
+                    p, "id", n_buckets=2)
+    # writer A commits v1 normally
+    upsert_versioned(spark, p, _mk_dim(spark, [(0, "A", 1)]), "id")
+    # writer B staged against v0 and now tries to commit v1 as well
+    m = cdc._read_manifest(p, 1)
+    with pytest.raises(ConcurrentWriteError):
+        cdc._write_manifest(p, {**m, "touched": [], "version": 1})
+    assert {x.id: x.val for x in read_snapshot(spark, p, 1).collect()}[0] \
+        == "A"
+    # B retries against the refreshed current version and succeeds
+    r = upsert_versioned(spark, p, _mk_dim(spark, [(0, "B", 2)]), "id")
+    assert r["version"] == 2
+    assert {x.id: x.val for x in read_snapshot(spark, p).collect()}[0] == "B"
