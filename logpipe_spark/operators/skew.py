@@ -176,6 +176,15 @@ def cms_sketch(df: DataFrame, key: str, depth: int = 3,
     per-partition, per-day, per-cluster — so one pass over 100 TB yields a
     few-KB summary whose point queries overestimate by at most
     ~e·N/width with probability 1−e^−depth (Cormode & Muthukrishnan 2005).
+
+    .. note:: the ``hash_fn`` DEFAULT changed in round 3 from ``'md5'``
+       to ``'xxhash64'`` (the 100 TB path). A sketch only answers
+       queries hashed the same way, so the output carries a ``hash_fn``
+       column and :func:`cms_estimate` / ``streaming.read_cms`` RAISE on
+       a mismatch instead of returning silently wrong counts — pass
+       ``hash_fn='md5'`` explicitly to read sketches persisted before
+       the flip (their frames lack the column; the check then skips
+       with the mismatch risk documented here).
     """
     rows = df.select(F.col(key).cast("string").alias("_k"))
     e = rows.withColumn(
@@ -186,6 +195,7 @@ def cms_sketch(df: DataFrame, key: str, depth: int = 3,
                      _cms_bucket(F.col("seed"), F.col("_k"), width, hash_fn))
         .groupBy("seed", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("hash_fn", F.lit(hash_fn))
     )
 
 
@@ -195,7 +205,24 @@ def cms_estimate(sketch: DataFrame, keys_df: DataFrame, key: str,
                  hash_fn: str = "xxhash64") -> DataFrame:
     """Point-query the sketch for each key in ``keys_df``: min over the
     depth counters the key hashes into (upper bound on the true count;
-    equality when none of its buckets collide)."""
+    equality when none of its buckets collide).
+
+    Raises ``ValueError`` when the sketch records a different
+    ``hash_fn`` than the one passed here — querying counters under the
+    wrong hash returns plausible-looking garbage, never an error, so the
+    mismatch must fail loudly (the default flipped md5→xxhash64 in
+    round 3). Sketches persisted before the column existed skip the
+    check."""
+    if "hash_fn" in sketch.columns:
+        # sketch frames are counter-grid-sized (≤ depth×width rows) by
+        # construction — a first() here is a metadata-sized action
+        built_with = sketch.select("hash_fn").first()
+        if built_with is not None and built_with[0] != hash_fn:
+            raise ValueError(
+                f"sketch was built with hash_fn={built_with[0]!r} but "
+                f"estimate was asked for {hash_fn!r}; counts would be "
+                "silently wrong — pass the matching hash_fn")
+        sketch = sketch.drop("hash_fn")
     e = keys_df.select(F.col(key)).withColumn(
         "seed", F.explode(F.array(*[F.lit(s) for s in range(depth)]))
     )

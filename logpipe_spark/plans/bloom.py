@@ -70,7 +70,13 @@ def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16,
     One explode(k)+groupBy(word_idx): shuffle volume is capped at
     m_bits/32 rows per task by map-side bit_or combine — independent of
     dim cardinality. Word tables from different partitions/days merge
-    with the same bit_or (sketch-mergeable, like cms_sketch).
+    with the same bit_or (sketch-mergeable, like cms_sketch) — keep the
+    ``params`` stamp through the merge (group by it too, or re-add it):
+    it records the (hash_fn, m_bits, k) the table was built with, and
+    probe time REFUSES a mismatched stamp. The ``hash_fn`` DEFAULT
+    changed in round 3 from ``'md5'`` to ``'xxhash64'`` — filters
+    persisted before the flip must be probed with ``hash_fn='md5'``
+    explicitly (pre-stamp tables skip the check).
     """
     assert m_bits % _WORD_BITS == 0
     key = F.col(key_col)
@@ -87,7 +93,12 @@ def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16,
         )
         .groupBy("word_idx")
         .agg(F.bit_or("m").alias("word"))
+        .withColumn("params", F.lit(_params_stamp(hash_fn, m_bits, k)))
     )
+
+
+def _params_stamp(hash_fn: str, m_bits: int, k: int) -> str:
+    return f"{hash_fn}:m={m_bits}:k={k}"
 
 
 def bloom_as_array(words: DataFrame, m_bits: int) -> DataFrame:
@@ -103,17 +114,35 @@ def bloom_as_array(words: DataFrame, m_bits: int) -> DataFrame:
     array-backed, so every element_at is a LINEAR probe, and the
     interpreted lambda ran ~1e9 steps at m=2^20 — measured 60-70 s per
     bloom_prune call, dwarfing the probe it was built for (round-3
-    profiling). The returned frame is a LocalRelation, so downstream
-    broadcasts ship it without re-running anything."""
+    profiling). The transfer goes through the ARROW path (`toPandas` →
+    numpy scatter), not `collect()`: at the 1e9-key m=2^28 sizing the
+    word table is 8M rows, and 8M PySpark Row objects cost GBs of Python
+    object overhead where the Arrow batch + int64 scatter stays within
+    ~2×8 bytes/word. The returned frame is a LocalRelation, so
+    downstream broadcasts ship it without re-running anything."""
     n_words = m_bits // _WORD_BITS
+    import numpy as np
     from pyspark.sql import types as T
 
-    dense = [0] * n_words
-    for r in words.collect():
-        dense[r["word_idx"]] = r["word"]
-    return words.sparkSession.createDataFrame(
-        [(dense,)],
-        T.StructType([T.StructField("bloom", T.ArrayType(T.LongType()))]))
+    pdf = words.toPandas()
+    stamp = None
+    if "params" in pdf.columns and len(pdf):
+        stamps = pdf["params"].unique()
+        if len(stamps) > 1:
+            raise ValueError(
+                f"bloom_as_array: word table mixes build params "
+                f"{sorted(stamps)} — a bit_or merge across different "
+                "hash_fn/m/k is meaningless")
+        stamp = stamps[0]
+    dense = np.zeros(n_words, dtype=np.int64)
+    dense[pdf["word_idx"].to_numpy(dtype=np.int64)] = \
+        pdf["word"].to_numpy(dtype=np.int64)
+    schema = T.StructType([
+        T.StructField("bloom", T.ArrayType(T.LongType())),
+        T.StructField("params", T.StringType()),
+    ])
+    return words.sparkSession.createDataFrame([(dense.tolist(), stamp)],
+                                              schema)
 
 
 def bloom_might_contain(key: Column, bloom: Column, m_bits: int,
@@ -145,7 +174,10 @@ def bloom_prune(fact: DataFrame, dim: DataFrame | None, fact_key: str,
     ``prebuilt``: a cached/persisted output of :func:`bloom_as_array` —
     at scale the filter is built ONCE per dim (or loaded from a parquet
     of merged daily word tables) and reused across every fact pass;
-    rebuilding it per action re-scans the dim.
+    rebuilding it per action re-scans the dim. A stamped prebuilt whose
+    (hash_fn, m_bits, k) differ from this call's raises ``ValueError``
+    — probing under the wrong hash yields arbitrary keep/drop decisions
+    (including FALSE NEGATIVES), never an error, so it must fail loudly.
     """
     if prebuilt is None:
         # bloom_as_array is eager (driver-side dense fill, see its
@@ -155,8 +187,17 @@ def bloom_prune(fact: DataFrame, dim: DataFrame | None, fact_key: str,
             bloom_build(dim, dim_key, m_bits, k, hash_fn), m_bits)
     else:
         arr = prebuilt
+        if "params" in arr.columns:
+            # one-row LocalRelation — first() is free
+            stamp = arr.select("params").first()[0]
+            want = _params_stamp(hash_fn, m_bits, k)
+            if stamp is not None and stamp != want:
+                raise ValueError(
+                    f"prebuilt bloom filter was built with {stamp!r} but "
+                    f"the probe asked for {want!r}; membership answers "
+                    "would be silently wrong — pass matching parameters")
     return (
-        fact.crossJoin(F.broadcast(arr))
+        fact.crossJoin(F.broadcast(arr.select("bloom")))
         .filter(bloom_might_contain(F.col(fact_key), F.col("bloom"),
                                     m_bits, k, hash_fn))
         .drop("bloom")

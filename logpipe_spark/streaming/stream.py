@@ -484,11 +484,29 @@ def stream_cms_incremental(spark: SparkSession, src: str, state_dir: str,
 
 
 def read_cms(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Merge all epochs' sketches: sum counters per (seed, bucket)."""
+    """Merge all epochs' sketches: sum counters per (seed, bucket).
+
+    Adding counters is only meaningful when every epoch hashed with the
+    SAME function, so the merge asserts the persisted ``hash_fn`` stamps
+    agree (execution-time error on a mixed state dir — e.g. epochs
+    written before and after a hash_fn change) and carries the stamp
+    through for :func:`~logpipe_spark.operators.skew.cms_estimate`'s
+    own mismatch check. Pre-stamp state dirs merge as before."""
+    df = spark.read.parquet(state_dir)
+    if "hash_fn" not in df.columns:
+        return df.groupBy("seed", "bucket").agg(F.sum("n").alias("n"))
     return (
-        spark.read.parquet(state_dir)
-        .groupBy("seed", "bucket")
-        .agg(F.sum("n").alias("n"))
+        df.groupBy("seed", "bucket")
+        .agg(F.sum("n").alias("n"),
+             F.collect_set("hash_fn").alias("_fns"))
+        .select(
+            "seed", "bucket", "n",
+            F.when(F.size("_fns") == 1, F.element_at("_fns", 1))
+            .otherwise(F.raise_error(F.concat(
+                F.lit("read_cms: state dir mixes hash_fns "),
+                F.to_json(F.col("_fns")),
+                F.lit(" — merged counters would be meaningless"))))
+            .alias("hash_fn"))
     )
 
 

@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 # Valid in Spark SQL AND DuckDB. `{events}` = events table/view name.
 #
 # `k` extraction: props is rigidly '{"k": N}' (driver-generated; asserted
-# in tests), so a 1-based substring replaces the original regexp_extract.
+# by tests/test_sources.py::test_props_rigid_shape over every sf dir, and
+# checkable on production inputs via `props_shape_violations` below —
+# format drift would make k silently NULL in BOTH engines, which the
+# value-hash gate cannot see), so a 1-based substring replaces the
+# original regexp_extract.
 # Catalyst inlines the single-use `k` alias into EVERY consuming CASE
 # (~17 copies in the flagship plan — CollapseProject through collapsed
 # CTEs); with a regex each copy cost ~1 us/row, with substring it is
@@ -129,3 +133,23 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def transcripts_cte(events_rel: str) -> str:
     """`transcripts AS (...)` CTE body for composing oracle SQL."""
     return TRANSCRIPTS_SQL.format(events=events_rel)
+
+
+# The rigid props shape TRANSCRIPTS_SQL's substring k-extract depends on.
+# Bracket classes, not backslash escapes: the pattern must survive
+# embedding in oracle SQL strings (Spark SQL eats backslashes).
+PROPS_SHAPE_PATTERN = '^[{]"k": [0-9]+[}]$'
+
+
+def props_shape_violations(events: DataFrame) -> DataFrame:
+    """DQ check for the substring fast path: rows whose ``props`` does
+    NOT match the rigid '{"k": N}' shape TRANSCRIPTS_SQL assumes. Run it
+    on any NEW events source before trusting derived transcripts — a
+    drifted format (no space, extra keys) makes ``k`` silently
+    NULL/garbage in engine AND oracle alike, invisible to the value-hash
+    gate. Empty result == safe."""
+    from pyspark.sql import functions as F
+
+    return events.filter(
+        F.col("props").isNull()
+        | ~F.col("props").rlike(PROPS_SHAPE_PATTERN))

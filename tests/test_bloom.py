@@ -49,7 +49,9 @@ def test_bloom_word_table_mergeable(spark):
     merged = (
         bloom_build(a, "o_orderkey", M_BITS).unionByName(
             bloom_build(b, "o_orderkey", M_BITS))
-        .groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+        # the params stamp survives the roll-up by grouping on it too
+        .groupBy("word_idx", "params").agg(F.bit_or("word").alias("word"))
+        .select("word_idx", "word", "params")
     )
     whole = bloom_build(dim, "o_orderkey", M_BITS)
     assert (sorted(map(tuple, merged.collect()))
@@ -80,3 +82,33 @@ def test_bloom_array_is_single_row(spark):
     rows = arr.collect()
     assert len(rows) == 1
     assert len(rows[0]["bloom"]) == M_BITS // 32
+
+
+def test_bloom_prebuilt_params_mismatch_raises(spark):
+    """A persisted filter probed under different hash_fn/m/k must FAIL
+    LOUDLY: wrong-hash probes return arbitrary keep/drop decisions
+    (including false negatives), never an error on their own. Guards the
+    round-3 default flip md5 -> xxhash64 for pre-flip artifacts."""
+    import pytest
+
+    from logpipe_spark.plans.bloom import bloom_prune
+
+    dim = spark.read.parquet(f"{SF_TINY}/orders.parquet").limit(50)
+    fact = spark.read.parquet(f"{SF_TINY}/orders.parquet")
+    arr = bloom_as_array(
+        bloom_build(dim, "o_orderkey", M_BITS, hash_fn="md5"), M_BITS)
+    with pytest.raises(ValueError, match="built with"):
+        bloom_prune(fact, None, "o_orderkey", m_bits=M_BITS,
+                    hash_fn="xxhash64", prebuilt=arr)
+    # matching params accepted; result equals an inline build
+    ok = bloom_prune(fact, None, "o_orderkey", m_bits=M_BITS,
+                     hash_fn="md5", prebuilt=arr)
+    inline = bloom_prune(fact, dim, "o_orderkey", "o_orderkey",
+                         m_bits=M_BITS, hash_fn="md5")
+    assert ok.count() == inline.count()
+    # mixed-stamp word tables refuse to densify
+    mixed = bloom_build(dim, "o_orderkey", M_BITS, hash_fn="md5") \
+        .unionByName(bloom_build(dim, "o_orderkey", M_BITS,
+                                 hash_fn="xxhash64"))
+    with pytest.raises(ValueError, match="mixes build params"):
+        bloom_as_array(mixed, M_BITS)

@@ -243,3 +243,29 @@ def test_csv_skip_lines_blank_after_preamble(spark, tmp_path):
     out = read_csv(spark, str(f), schema=None, header=True, skip_lines=2)
     assert out.columns == ["a", "b"]
     assert sorted((r.a, r.b) for r in out.collect()) == [("1", "2"), ("3", "4")]
+
+
+def test_props_rigid_shape(spark):
+    """The assertion TRANSCRIPTS_SQL's substring k-extract is built on
+    (promised in its header comment): every driver-generated props is
+    exactly '{"k": N}' at every scale factor. If this ever fails, the
+    substring fast path must fall back to regexp_extract — format drift
+    corrupts k identically in engine and oracle, so only this direct
+    shape check can catch it."""
+    import os
+
+    from logpipe_spark.transcripts import props_shape_violations
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/events.parquet"
+        if not os.path.exists(p):
+            continue
+        ev = spark.read.parquet(p)
+        bad = props_shape_violations(ev)
+        assert bad.limit(1).count() == 0, \
+            f"{sf}: props drifted from rigid shape: {bad.head(3)}"
+    # the check itself rejects drifted shapes (no-space, extra keys, null)
+    drifted = spark.createDataFrame(
+        [('{"k":3}',), ('{"k": 3, "j": 4}',), (None,), ('{"k": 12}',)],
+        "props string")
+    assert props_shape_violations(drifted).count() == 3

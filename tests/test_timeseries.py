@@ -404,3 +404,24 @@ def test_asof_tolerance_and_nearest_on_ntz_timestamps(spark):
     assert wide.asof_v == 1
     near = asof_join(left, right, ["k"], direction="nearest").collect()[0]
     assert near.asof_v == 2               # 60 s forward beats 600 s back
+
+
+def test_cms_hash_fn_mismatch_raises(spark):
+    """A sketch queried under a different hash_fn than it was built with
+    must raise, not return plausible garbage (guards the round-3 default
+    flip md5 -> xxhash64 for persisted sketches)."""
+    import pytest
+
+    from logpipe_spark.operators.skew import cms_estimate, cms_sketch
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sketch = cms_sketch(ev, "user_id", depth=2, width=64, hash_fn="md5")
+    keys = ev.select("user_id").distinct().limit(5)
+    with pytest.raises(ValueError, match="built with hash_fn"):
+        cms_estimate(sketch, keys, "user_id", depth=2, width=64,
+                     hash_fn="xxhash64")
+    # pre-stamp sketches (no hash_fn column) skip the check
+    legacy = sketch.drop("hash_fn")
+    est = cms_estimate(legacy, keys, "user_id", depth=2, width=64,
+                       hash_fn="md5")
+    assert est.count() == 5
