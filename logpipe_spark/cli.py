@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stage-checkpoint base dir (resume-capable)")
     p.add_argument("--parallel", type=int, default=None,
                    help="local core count (cluster: use spark-submit conf)")
+    p.add_argument("--profile", action="store_true",
+                   help="write a per-stage wall/CPU/RSS profiling report "
+                        "(reference -p/--profile, bin/logpipe.js:28)")
+    p.add_argument("--profile-dir", default="./profiling",
+                   help="directory for profile_<ts>.json reports")
+    p.add_argument("--profile-interval", type=float, default=5.0,
+                   help="seconds between profiling samples")
     p.add_argument("--limit", type=int, default=20,
                    help="console sink row limit")
     return p
@@ -173,6 +180,21 @@ def main(argv: list[str] | None = None) -> int:
     from logpipe_spark.sources import read_source
 
     spark = build_session(app_name="logpipe-cli", cpus=args.parallel)
+    from contextlib import nullcontext
+
+    prof = None
+    if args.profile:
+        from logpipe_spark.plans.progress import ProfileReport
+        prof = ProfileReport(spark, args.profile_dir,
+                             interval_s=args.profile_interval)
+
+    def pstage(name: str):
+        return prof.stage(name) if prof is not None else nullcontext()
+
+    def pwrite() -> None:
+        if prof is not None:
+            print(f"profile report: {prof.write()}", file=sys.stderr)
+
     try:
         from logpipe_spark.sources import sniff_format
 
@@ -188,8 +210,9 @@ def main(argv: list[str] | None = None) -> int:
                         "quote": args.csv_quote,
                         "escape": args.csv_escape,
                         "skip_lines": args.csv_skip_lines}
-        df = read_source(spark, args.input, TRANSCRIPT_SCHEMA, fmt=fmt,
-                         **csv_opts)
+        with pstage("read_plan"):
+            df = read_source(spark, args.input, TRANSCRIPT_SCHEMA, fmt=fmt,
+                             **csv_opts)
         # read-side malformed counter (≙ the reference's capped warn log,
         # ndjsonParser.js:24-25): rides the sink action, no extra pass
         obs = None
@@ -202,42 +225,50 @@ def main(argv: list[str] | None = None) -> int:
             from logpipe_spark.plans.pipeline import (enrich_stage,
                                                       parse_stage,
                                                       route_stage)
-            enriched = enrich_stage(spark, parse_stage(df))
-            paths = write_routed(route_stage(enriched), args.route_dir)
+            with pstage("pipeline_fanout"):
+                enriched = enrich_stage(spark, parse_stage(df))
+                paths = write_routed(route_stage(enriched), args.route_dir)
             for name, path in sorted(paths.items()):
                 print(f"sink {name}: {path}")
             _warn_malformed(obs)
+            pwrite()
             return 0
 
-        out = apply_transforms(df, args)
+        with pstage("transform_plan"):
+            out = apply_transforms(df, args)
         if args.http_endpoint:  # sink priority http > file > console (K6)
             import json as _json
 
             from logpipe_spark.operators.http_sender import send_http
-            stats = send_http(
-                out, args.http_endpoint, method=args.http_method,
-                batch_size=args.http_batch_size, retries=args.http_retries,
-                timeout=args.http_timeout,
-                max_in_flight=args.http_max_in_flight,
-                headers=_json.loads(args.http_headers)
-                if args.http_headers else None)
+            with pstage("sink_execute"):
+                stats = send_http(
+                    out, args.http_endpoint, method=args.http_method,
+                    batch_size=args.http_batch_size,
+                    retries=args.http_retries,
+                    timeout=args.http_timeout,
+                    max_in_flight=args.http_max_in_flight,
+                    headers=_json.loads(args.http_headers)
+                    if args.http_headers else None)
             print(f"sent {stats['records_sent']} records in "
                   f"{stats['batches_sent']} batches "
                   f"({stats['retries']} retries)")
             obs = None    # RDD sink: Observation never completes (see _warn_malformed)
         elif args.output:
-            out.write.mode("overwrite").format(args.output_format) \
-               .save(args.output)
+            with pstage("sink_execute"):
+                out.write.mode("overwrite").format(args.output_format) \
+                   .save(args.output)
             print(f"wrote {args.output}")
         else:  # console sender (senderFactory.js:48-72)
-            if args.pretty_output:
-                import json as _json
-                for line in out.toJSON().take(args.limit):
-                    print(_json.dumps(_json.loads(line), indent=2))
-                obs = None    # RDD sink (toJSON().take): obs.get would hang
-            else:
-                out.show(args.limit, truncate=False)
+            with pstage("sink_execute"):
+                if args.pretty_output:
+                    import json as _json
+                    for line in out.toJSON().take(args.limit):
+                        print(_json.dumps(_json.loads(line), indent=2))
+                    obs = None  # RDD sink (toJSON().take): obs.get hangs
+                else:
+                    out.show(args.limit, truncate=False)
         _warn_malformed(obs)
+        pwrite()
         return 0
     finally:
         spark.stop()

@@ -170,3 +170,84 @@ class ProgressReporter:
                 "rss_peak_mb": max(rss_seen),
             }
         return out
+
+
+class ProfileReport:
+    """The CLI ``--profile`` report surface — the reference profiler's
+    ``generateReport`` analog (``src/utils/profiler.js:194-226`` writes
+    ``profile_<ts>.json`` with duration, system info, and per-mark
+    stats; ``bin/logpipe.js:28,31-32`` wires the flags).
+
+    Each named stage wraps one CLI phase in a :class:`ProgressReporter`
+    (wall + JVM CPU/RSS deltas + Spark task-progress samples). In
+    Spark's lazy model the plan-building phases are near-zero wall and
+    the sink action carries the compute — the report makes that visible
+    instead of pretending the reference's eager per-operator timings
+    exist here.
+
+    Usage::
+
+        prof = ProfileReport(spark, out_dir, interval_s=5.0)
+        with prof.stage("transform_plan"):
+            out = apply_transforms(df, args)
+        with prof.stage("sink_execute"):
+            out.write.parquet(...)
+        path = prof.write()
+    """
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 interval_s: float = 5.0):
+        self._spark = spark
+        self._out_dir = out_dir
+        self._interval = interval_s
+        self._t0 = time.time()
+        self._stages: list[dict] = []
+
+    def stage(self, name: str):
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _run():
+            pr = ProgressReporter(self._spark, interval_s=self._interval)
+            w0 = time.perf_counter()
+            with pr:
+                yield
+            entry = {"name": name,
+                     "wall_s": round(time.perf_counter() - w0, 3)}
+            summary = pr.summary()
+            entry.update({k: v for k, v in summary.get("proc", {}).items()})
+            entry["n_samples"] = summary["n_samples"]
+            if summary["stages"]:
+                entry["spark_stages"] = summary["stages"]
+            self._stages.append(entry)
+
+        return _run()
+
+    def report(self) -> dict:
+        import platform
+
+        return {
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                       time.gmtime(self._t0)),
+            "duration_s": round(time.time() - self._t0, 3),
+            "system": {
+                "platform": platform.system().lower(),
+                "python_version": platform.python_version(),
+                "spark_version": self._spark.version,
+                "cpus": os.cpu_count(),
+                "parallelism": self._spark.sparkContext.defaultParallelism,
+            },
+            "stages": self._stages,
+        }
+
+    def write(self) -> str:
+        """Write ``profile_<unix_ms>.json`` under the output dir and
+        return its path (same naming scheme as profiler.js:272)."""
+        import json
+
+        os.makedirs(self._out_dir, exist_ok=True)
+        path = os.path.join(self._out_dir,
+                            f"profile_{int(self._t0 * 1000)}.json")
+        with open(path, "w") as f:
+            json.dump(self.report(), f, indent=2)
+        return path

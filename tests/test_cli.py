@@ -140,3 +140,43 @@ def test_select_duplicate_subpath_dedupes(spark, tmp_path):
     out = apply_transforms(df, args)
     assert out.schema["props"].dataType.fieldNames() == ["a", "b"]
     out.write.mode("overwrite").parquet(str(tmp_path / "o"))  # must not raise
+
+
+def test_cli_profile_report(tmp_path):
+    """--profile writes a profile_<ts>.json per-stage wall/CPU/RSS report
+    (reference -p/--profile-dir surface, bin/logpipe.js:28,31-32 /
+    src/utils/profiler.js:194-226): duration + system info + one entry
+    per CLI phase, the sink phase carrying the execution."""
+    src = tmp_path / "in.ndjson"
+    rows = [
+        {"conv_id": f"c{i}", "turn_idx": 0, "role": "user",
+         "text": "GET /api/x -> 200: ok", "tool": "none",
+         "ts": "2026-01-01T00:00:00Z"}
+        for i in range(50)
+    ]
+    src.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = tmp_path / "out"
+    pdir = tmp_path / "prof"
+    r = subprocess.run(
+        [sys.executable, "-m", "logpipe_spark.cli", "-i", str(src),
+         "--count-by", "role", "-o", str(out), "--parallel", "2",
+         "--profile", "--profile-dir", str(pdir),
+         "--profile-interval", "0.2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "profile report:" in r.stderr
+    reports = list(pdir.glob("profile_*.json"))
+    assert len(reports) == 1
+    rep = json.loads(reports[0].read_text())
+    assert rep["duration_s"] > 0
+    assert rep["system"]["cpus"] >= 1
+    assert rep["system"]["parallelism"] == 2
+    assert "spark_version" in rep["system"]
+    names = [s["name"] for s in rep["stages"]]
+    assert names == ["read_plan", "transform_plan", "sink_execute"]
+    by_name = {s["name"]: s for s in rep["stages"]}
+    sink = by_name["sink_execute"]
+    assert sink["wall_s"] >= 0
+    # JVM CPU/RSS deltas recorded for the executing phase (local mode
+    # launches the JVM via py4j, so the pid is always resolvable here)
+    assert "cpu_user_s" in sink and "rss_peak_mb" in sink
