@@ -381,7 +381,8 @@ def mix_budget_sample(docs: DataFrame, budget_tokens: int,
 
 def connected_components_star(pairs: DataFrame, id_a: str = "doc_a",
                               id_b: str = "doc_b",
-                              max_iter: int = 30) -> DataFrame:
+                              max_iter: int = 30,
+                              stats: dict | None = None) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14) — the scale path :func:`connected_components`'s docstring
@@ -394,6 +395,10 @@ def connected_components_star(pairs: DataFrame, id_a: str = "doc_a",
     round COUNT. Output matches :func:`connected_components`: (node,
     component) with component = min node id of the component (asserted
     equal on random graphs in tests/test_curate.py).
+
+    ``stats``: optional dict; on return ``stats['rounds']`` records how
+    many large/small-star rounds ran (scale benches assert the O(log n)
+    bound empirically — see bench/dedup_chain_scale.py).
     """
     # symmetric edge list, self-loops dropped
     e = (
@@ -410,7 +415,9 @@ def connected_components_star(pairs: DataFrame, id_a: str = "doc_a",
         return edges.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m"))
 
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # LARGE-STAR: for every u, link its LARGER neighbors to
         # m = min(N(u) ∪ {u}). Input must be symmetric; output is the new
         # undirected edge set (emitted directed, re-symmetrized below).
@@ -449,6 +456,8 @@ def connected_components_star(pairs: DataFrame, id_a: str = "doc_a",
             e = new_e
             break
         e = new_e
+    if stats is not None:
+        stats["rounds"] = rounds
     # star forest -> labels: each non-root points at its component min;
     # roots are the mins themselves (appear only as v / as the min side)
     comp = (
