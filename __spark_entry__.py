@@ -3083,6 +3083,48 @@ def q_read_changes_evo(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental materialized-view maintenance (plans/mv.py): build the
+    # per-status (cnt, sum_cents) aggregate on snapshot v0, apply the
+    # bucket-pruned CDC changelog of one upsert batch — retract old
+    # images, insert new ones, null-safe group join — and the refreshed
+    # MV must equal a FULL re-aggregation of snapshot v1 (the oracle).
+    # Values are integer cents (decimal-cast before scaling), so
+    # incremental and full partial-sum orders agree exactly. The upsert
+    # moves %14==0 keys to status 'X' (group movement: -1 one group,
+    # +1 another) and bumps even keys' price (+100 cents in place).
+    import shutil
+    import tempfile
+
+    from logpipe_spark.plans.cdc import (read_changes, read_snapshot,
+                                         upsert_versioned, write_versioned)
+    from logpipe_spark.plans.mv import mv_apply_changes, mv_build
+
+    cents = F.expr(
+        "cast(cast(o_totalprice AS decimal(12,2)) * 100 AS bigint)")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", cents.alias("cents"))
+    v0 = orders.filter(F.col("o_orderkey") % 3 != 0)
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 14 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("cents") + 100)
+        .otherwise(F.col("cents")).alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="logpipe_mv_")
+    try:
+        write_versioned(spark, v0, tmp, "o_orderkey", n_buckets=16)
+        upsert_versioned(spark, tmp, upd, "o_orderkey")
+        mv0 = mv_build(read_snapshot(spark, tmp, 0).drop("_bucket"),
+                       ["o_orderstatus"], "cents")
+        ch = read_changes(spark, tmp, 0, 1)
+        out = mv_apply_changes(mv0, ch, ["o_orderstatus"], "cents")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Position-level exact-substring dedup coverage (trainprep/dedup.py:
     # dup_spans — the Lee et al. 2022 repeated-substring rule at word-
@@ -3281,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_key_passthrough": q_null_key_passthrough,
         "read_changes": q_read_changes,
         "read_changes_evo": q_read_changes_evo,
+        "mv_incremental": q_mv_incremental,
         "dup_clusters": q_dup_clusters,
         "dedup_keep_list": q_dedup_keep_list,
         "asof_join": q_asof_join,
@@ -3299,7 +3342,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
         "cooccurrence_lift": q_cooccurrence_lift,
-        "kmv_set_ops": q_kmv_set_ops,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_incremental": q_dedup_incremental,
         "bloom_prune": q_bloom_prune,
@@ -3320,6 +3362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall": q_minhash_recall,
         "small_qty_revenue": q_small_qty_revenue,
         "big_order_customers": q_big_order_customers,
+        "kmv_set_ops": q_kmv_set_ops,
         "asof_join_seg": q_asof_join_seg,
         "asof_join_fwd": q_asof_join_fwd,
         "sessionize_seg": q_sessionize_seg,
@@ -4324,6 +4367,27 @@ c AS (SELECT coalesce(ko, kn) AS o_orderkey,
              new_o_totalprice, new_o_orderstatus
       FROM j)
 SELECT * FROM c WHERE change_type <> 'unchanged'""",
+        # incremental MV refresh == full re-aggregation of the new
+        # snapshot (integer cents, so partial-sum order is irrelevant)
+        "mv_incremental": """
+WITH base AS (SELECT o_orderkey, o_orderstatus,
+                     CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                          AS BIGINT) AS cents
+              FROM orders),
+old AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+upd AS (SELECT o_orderkey,
+               CASE WHEN o_orderkey % 14 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 2 = 0 THEN cents + 100
+                    ELSE cents END AS cents
+        FROM base WHERE o_orderkey % 7 = 0),
+new AS (SELECT * FROM upd
+        UNION ALL
+        SELECT * FROM old
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+SELECT o_orderstatus, count(*) AS cnt,
+       CAST(sum(cents) AS BIGINT) AS sum_val
+FROM new GROUP BY o_orderstatus""",
         # interval-union coverage of corpus-hot trigrams; division operands
         # are exact integers on both sides
         "dup_spans": '''

@@ -30,8 +30,8 @@ FORBIDDEN = [
 # call and delete it before returning, so the returned frame is an
 # ExistingRDD scan by construction. Their REAL (lazy) plans are held to
 # the same invariants in test_materialized_queries_lazy_plans below.
-MATERIALIZED = {"dedup_incremental", "read_changes", "ann_index_incr",
-                "ann_rebalanced"}
+MATERIALIZED = {"dedup_incremental", "read_changes", "read_changes_evo",
+                "mv_incremental", "ann_index_incr", "ann_rebalanced"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES.keys()))
@@ -108,7 +108,17 @@ def test_materialized_queries_lazy_plans(spark, tmp_path):
     sim.rebalance_ivf_index(spark, ivf, max_list_size=16)
     ivf_query = sim.ann_query_index(spark, ivf)
 
+    # incremental MV refresh over that same changelog: the lazy refreshed
+    # frame (null-safe full-outer delta join) gets the FORBIDDEN gate too
+    from logpipe_spark.plans.mv import mv_apply_changes, mv_build
+
+    mv0 = mv_build(cdc.read_snapshot(spark, tbl, 0).drop("_bucket"),
+                   ["o_orderstatus"], "o_totalprice")
+    mv1 = mv_apply_changes(mv0, changes, ["o_orderstatus"],
+                           "o_totalprice")
+
     for name, df in (("dedup_incremental", incr), ("read_changes", changes),
+                     ("mv_incremental", mv1),
                      ("ann_query_index", ivf_query)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         for bad in FORBIDDEN:
