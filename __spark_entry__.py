@@ -3288,6 +3288,29 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_anomaly(_events(spark, sf_dir), "event_type", "ts")
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Privacy audit before a corpus ships (trainprep/curate.py:
+    # k_anonymity — Sweeney k-anonymity + distinct-l-diversity in one
+    # grouped pass): equivalence classes on the quasi-identifiers
+    # (event_type, hour), class size, distinct sensitive user_ids, and
+    # the at-risk flag (class_size < k). One map-side-combining shuffle.
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).alias("hr"),
+        "user_id")
+    return cur.k_anonymity(ev, ["event_type", "hr"], k=50,
+                           sensitive_col="user_id")
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrival-process dispersion per tool (operators/aggregate.py:
+    # dispersion_index): Fano factor of per-hour turn counts from exact
+    # integer sufficient stats (n, sum c, sum c^2), cast to double
+    # BEFORE the cross products (overflow discipline) in the same order
+    # as the oracle, so the raw ratio is bit-identical.
+    return agg2.dispersion_index(_t(spark, sf_dir), "tool", "ts", "hour")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3324,6 +3347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_changes": q_read_changes,
         "read_changes_evo": q_read_changes_evo,
         "mv_incremental": q_mv_incremental,
+        "k_anonymity": q_k_anonymity,
+        "burstiness": q_burstiness,
         "dup_clusters": q_dup_clusters,
         "dedup_keep_list": q_dedup_keep_list,
         "asof_join": q_asof_join,
@@ -3341,10 +3366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
-        "cooccurrence_lift": q_cooccurrence_lift,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_incremental": q_dedup_incremental,
-        "bloom_prune": q_bloom_prune,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
         "snapshot_diff": q_snapshot_diff,
@@ -3363,6 +3386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "big_order_customers": q_big_order_customers,
         "kmv_set_ops": q_kmv_set_ops,
+        "cooccurrence_lift": q_cooccurrence_lift,
+        "bloom_prune": q_bloom_prune,
         "asof_join_seg": q_asof_join_seg,
         "asof_join_fwd": q_asof_join_fwd,
         "sessionize_seg": q_sessionize_seg,
@@ -4388,6 +4413,27 @@ new AS (SELECT * FROM upd
 SELECT o_orderstatus, count(*) AS cnt,
        CAST(sum(cents) AS BIGINT) AS sum_val
 FROM new GROUP BY o_orderstatus""",
+        # k-anonymity equivalence classes + distinct-l-diversity: one
+        # GROUP BY on the quasi-identifiers, integer counts only
+        "k_anonymity": """
+SELECT event_type, hour(ts) AS hr, count(*) AS class_size,
+       count(DISTINCT user_id) AS n_sensitive,
+       count(*) < 50 AS at_risk
+FROM events GROUP BY event_type, hour(ts)""",
+        # Fano factor from integer sufficient stats; casts to double
+        # BEFORE the cross products, same order as the Spark expression
+        "burstiness": f"""{_oracle_prefix()}
+, pw AS (SELECT tool, date_trunc('hour', ts) AS w, count(*) AS c
+         FROM transcripts GROUP BY tool, date_trunc('hour', ts)),
+s AS (SELECT tool, count(*) AS n_windows,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM pw GROUP BY tool)
+SELECT tool, n_windows, s1 AS n_events,
+       (CAST(n_windows AS DOUBLE) * CAST(s2 AS DOUBLE)
+        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+       / (CAST(n_windows AS DOUBLE) * CAST(s1 AS DOUBLE)) AS fano
+FROM s""",
         # interval-union coverage of corpus-hot trigrams; division operands
         # are exact integers on both sides
         "dup_spans": '''

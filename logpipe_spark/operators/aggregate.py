@@ -1561,3 +1561,41 @@ def slo_burn(df: DataFrame, ts: str, status: str,
         ((burn_fast > burn_threshold) & (burn_slow > burn_threshold))
         .cast("int").alias("alert"),
     )
+
+
+def dispersion_index(df: DataFrame, key: str, ts_col: str,
+                     bucket: str = "hour") -> DataFrame:
+    """Burstiness per key: the Fano factor (index of dispersion) of
+    per-window event counts — variance/mean of counts over
+    ``date_trunc(bucket, ts)`` windows. 1 ≈ Poisson arrivals; ≫ 1 means
+    bursts (one incident floods a window), ≪ 1 means pacing — the
+    statistic SRE capacity models key on (arrival-process dispersion).
+
+    Two hash aggregates (key×window counts, then per-key sufficient
+    stats n, Σc, Σc²) — both partial-aggregate map-side, so the second
+    shuffle is key-cardinality-sized. Only windows with ≥1 event exist
+    (empty windows contribute nothing in either engine, so the measure
+    is "dispersion over ACTIVE windows" — documented, deterministic).
+    fano = (n·Σc² − (Σc)²) / (n·Σc): the exact integer sums cast to
+    double BEFORE the cross products (n·Σc² overflows int64 long before
+    the sums do — the round-2 overflow discipline), same order as the
+    oracle SQL so the raw doubles are bit-identical.
+    """
+    per_win = (
+        df.groupBy(F.col(key),
+                   F.date_trunc(bucket, F.col(ts_col)).alias("_win"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    s = per_win.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("_c").alias("_s1"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_s2"),
+    )
+    n = F.col("n_windows").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    return s.select(
+        key, "n_windows",
+        F.col("_s1").alias("n_events"),
+        ((n * s2 - s1 * s1) / (n * s1)).alias("fano"),
+    )

@@ -344,6 +344,37 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     )
 
 
+def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5,
+                sensitive_col: str | None = None) -> DataFrame:
+    """Re-identification audit (Sweeney, IJUFKS 2002): group rows into
+    equivalence classes on the quasi-identifier columns; a class smaller
+    than ``k`` means its members are re-identifiable by joining those
+    columns against an external dataset. The complement to
+    :func:`pii_scrub` — scrubbing removes DIRECT identifiers, this
+    measures what the remaining quasi-identifiers still leak before a
+    corpus ships.
+
+    Returns (quasi_cols..., class_size, at_risk) — plus
+    ``n_sensitive`` = distinct sensitive values per class when
+    ``sensitive_col`` is given (distinct-l-diversity: a k-anonymous
+    class where everyone shares one sensitive value still discloses it;
+    Machanavajjhala et al., TKDD 2007).
+
+    One hash-aggregate shuffle on the quasi key — class counts and the
+    distinct-sensitive count both partial-aggregate map-side, so the
+    audit is a single pass regardless of corpus size. NULL is a
+    quasi-value like any other (groupBy keeps NULL groups).
+    """
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(sensitive_col).alias("n_sensitive"))
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(*aggs)
+        .withColumn("at_risk", F.col("class_size") < k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Data-mixture sampling (token-budget per source)
 # ---------------------------------------------------------------------------

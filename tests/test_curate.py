@@ -305,3 +305,22 @@ def test_chunk_documents_overlap_and_tail(spark):
     assert covered == {f"w{i}" for i in range(1, 41)}
     d2 = [r for r in out if r.doc_id == 2]
     assert len(d2) == 1 and d2[0].chunk_text == "short doc"
+
+
+def test_k_anonymity_classes(spark):
+    from logpipe_spark.trainprep.curate import k_anonymity
+
+    df = spark.createDataFrame(
+        [("a", 1, "u1"), ("a", 1, "u2"), ("a", 1, "u1"),
+         ("b", 2, "u3"), (None, 1, "u4"), (None, 1, "u4")],
+        "q1 string, q2 int, uid string")
+    out = {(r.q1, r.q2): (r.class_size, r.n_sensitive, r.at_risk)
+           for r in k_anonymity(df, ["q1", "q2"], k=3,
+                                sensitive_col="uid").collect()}
+    assert out[("a", 1)] == (3, 2, False)
+    assert out[("b", 2)] == (1, 1, True)      # singleton: re-identifiable
+    assert out[(None, 1)] == (2, 1, True)     # NULL is a quasi-value
+    # without a sensitive column the diversity column is absent
+    from logpipe_spark.trainprep.curate import k_anonymity as ka
+    cols = ka(df, ["q1"], k=2).columns
+    assert cols == ["q1", "class_size", "at_risk"]

@@ -425,3 +425,26 @@ def test_cms_hash_fn_mismatch_raises(spark):
     est = cms_estimate(legacy, keys, "user_id", depth=2, width=64,
                        hash_fn="md5")
     assert est.count() == 5
+
+
+def test_dispersion_index_fano(spark):
+    """Hand-computed Fano factor: counts [3, 1] over two hour windows
+    -> mean 2, population var 1, fano 0.5; a uniform key -> fano 0."""
+    from logpipe_spark.operators.aggregate import dispersion_index
+
+    rows = (
+        # key 'bursty': 3 events in hour 0, 1 event in hour 1
+        [("bursty", f"2026-01-01 00:0{m}:00") for m in (1, 2, 3)]
+        + [("bursty", "2026-01-01 01:05:00")]
+        # key 'steady': 2 events in each of two hours -> var 0
+        + [("steady", "2026-01-01 00:01:00"),
+           ("steady", "2026-01-01 00:02:00"),
+           ("steady", "2026-01-01 01:01:00"),
+           ("steady", "2026-01-01 01:02:00")]
+    )
+    df = spark.createDataFrame(rows, "k string, ts string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r.k: (r.n_windows, r.n_events, r.fano)
+           for r in dispersion_index(df, "k", "ts").collect()}
+    assert out["bursty"] == (2, 4, 0.5)
+    assert out["steady"] == (2, 4, 0.0)
