@@ -3288,6 +3288,47 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_anomaly(_events(spark, sf_dir), "event_type", "ts")
 
 
+def q_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q21 shape adapted to the reduced schema (no receipt/commit
+    # dates -> 'late' becomes l_returnflag='R'): suppliers who were the
+    # SOLE returned-line supplier in a multi-supplier finalized order.
+    # The interesting plan: one fact scanned three ways — base, a
+    # LEFT SEMI (some OTHER supplier exists in the order) and a
+    # LEFT ANTI (no OTHER supplier had a return) — all equi-joins on
+    # l_orderkey; Catalyst plans both as shuffled semi/anti hash joins
+    # with the base, never a correlated per-row subquery. Top-100 via
+    # orderBy+limit = TakeOrderedAndProject; total order (numwait DESC,
+    # s_name) makes the limit deterministic cross-engine.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_returnflag")
+    orders_f = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                .where(F.col("o_orderstatus") == "F")
+                .select("o_orderkey"))
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name")
+    l1 = (li.where(F.col("l_returnflag") == "R")
+          .join(orders_f, li["l_orderkey"] == orders_f["o_orderkey"])
+          .select("l_orderkey", "l_suppkey"))
+    l2 = li.select(F.col("l_orderkey").alias("k2"),
+                   F.col("l_suppkey").alias("s2"))
+    l3 = (li.where(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("k3"),
+                  F.col("l_suppkey").alias("s3")))
+    base = (
+        l1.join(l2, (F.col("l_orderkey") == F.col("k2"))
+                & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("k3"))
+              & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+    )
+    return (
+        base.join(supp, base["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Privacy audit before a corpus ships (trainprep/curate.py:
     # k_anonymity — Sweeney k-anonymity + distinct-l-diversity in one
@@ -3349,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_incremental": q_mv_incremental,
         "k_anonymity": q_k_anonymity,
         "burstiness": q_burstiness,
+        "blame_suppliers": q_blame_suppliers,
         "dup_clusters": q_dup_clusters,
         "dedup_keep_list": q_dedup_keep_list,
         "asof_join": q_asof_join,
@@ -3370,7 +3412,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
-        "snapshot_diff": q_snapshot_diff,
         "scd2_intervals": q_scd2_intervals,
         "ann_index_incr": q_ann_index_incr,
         "ann_rebalanced": q_ann_rebalanced,
@@ -3388,6 +3429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_ops": q_kmv_set_ops,
         "cooccurrence_lift": q_cooccurrence_lift,
         "bloom_prune": q_bloom_prune,
+        "snapshot_diff": q_snapshot_diff,
         "asof_join_seg": q_asof_join_seg,
         "asof_join_fwd": q_asof_join_fwd,
         "sessionize_seg": q_sessionize_seg,
@@ -4413,6 +4455,25 @@ new AS (SELECT * FROM upd
 SELECT o_orderstatus, count(*) AS cnt,
        CAST(sum(cents) AS BIGINT) AS sum_val
 FROM new GROUP BY o_orderstatus""",
+        # Q21 shape: EXISTS -> semi, NOT EXISTS -> anti, top-100 with a
+        # total order so LIMIT is deterministic
+        "blame_suppliers": """
+WITH l1 AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R' AND o.o_orderstatus = 'F'
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l.l_orderkey
+                  AND l2.l_suppkey <> l.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l.l_orderkey
+                      AND l3.l_suppkey <> l.l_suppkey
+                      AND l3.l_returnflag = 'R'))
+SELECT s.s_name, count(*) AS numwait
+FROM l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100""",
         # k-anonymity equivalence classes + distinct-l-diversity: one
         # GROUP BY on the quasi-identifiers, integer counts only
         "k_anonymity": """

@@ -48,7 +48,8 @@ def test_plan_invariants(name, spark):
         f"{name}: no parquet scan in plan (driver-side materialization?)")
 
 
-@pytest.mark.parametrize("name", ["top_ngrams", "top_paths"])
+@pytest.mark.parametrize("name", ["top_ngrams", "top_paths",
+                                  "blame_suppliers"])
 def test_global_topk_is_take_ordered(name, spark):
     """The corpus-cardinality top-k queries must compile to a distributed
     TakeOrderedAndProject (per-partition partial top-k), NOT an
