@@ -3329,6 +3329,18 @@ def q_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Best single changepoint per tool (operators/drift.py:
+    # changepoint_binseg — binary segmentation depth 1): prefix sums of
+    # the per-hour turn-count series give every split's SSE reduction in
+    # one pass; argmax per key, ties to the earlier split. Integer
+    # sufficient stats, fixed cast order -> bit-identical gains.
+    from logpipe_spark.operators.drift import changepoint_binseg
+
+    return changepoint_binseg(_t(spark, sf_dir), "tool", "ts",
+                              bucket="hour")
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Privacy audit before a corpus ships (trainprep/curate.py:
     # k_anonymity — Sweeney k-anonymity + distinct-l-diversity in one
@@ -3391,6 +3403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "burstiness": q_burstiness,
         "blame_suppliers": q_blame_suppliers,
+        "changepoint_binseg": q_changepoint,
         "dup_clusters": q_dup_clusters,
         "dedup_keep_list": q_dedup_keep_list,
         "asof_join": q_asof_join,
@@ -3412,7 +3425,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
-        "scd2_intervals": q_scd2_intervals,
         "ann_index_incr": q_ann_index_incr,
         "ann_rebalanced": q_ann_rebalanced,
         "quantile_sketch": q_quantile_sketch,
@@ -3430,6 +3442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_lift": q_cooccurrence_lift,
         "bloom_prune": q_bloom_prune,
         "snapshot_diff": q_snapshot_diff,
+        "scd2_intervals": q_scd2_intervals,
         "asof_join_seg": q_asof_join_seg,
         "asof_join_fwd": q_asof_join_fwd,
         "sessionize_seg": q_sessionize_seg,
@@ -4474,6 +4487,32 @@ FROM l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
 GROUP BY s.s_name
 ORDER BY numwait DESC, s.s_name
 LIMIT 100""",
+        # depth-1 binseg: windowed prefix sums -> per-split gain ->
+        # per-key argmax; every double from integer operands, fixed order
+        "changepoint_binseg": f"""{_oracle_prefix()}
+, per AS (SELECT tool, date_trunc('hour', ts) AS w, count(*) AS v
+          FROM transcripts GROUP BY tool, date_trunc('hour', ts)),
+s AS (SELECT tool, w,
+             row_number() OVER (PARTITION BY tool ORDER BY w) AS t,
+             CAST(sum(v) OVER (PARTITION BY tool ORDER BY w) AS BIGINT) AS sv,
+             count(*) OVER (PARTITION BY tool) AS n,
+             CAST(sum(v) OVER (PARTITION BY tool) AS BIGINT) AS tot
+      FROM per),
+f AS (SELECT *,
+             CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(t AS DOUBLE)
+             + (CAST(tot AS DOUBLE) - CAST(sv AS DOUBLE))
+               * (CAST(tot AS DOUBLE) - CAST(sv AS DOUBLE))
+               / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))
+             - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)
+             AS gain
+      FROM s WHERE t < n),
+r AS (SELECT *, row_number() OVER (PARTITION BY tool
+                                   ORDER BY gain DESC, t) AS rk
+      FROM f)
+SELECT tool, n AS n_buckets, t AS split_t, w AS split_ts, gain,
+       CAST(sv AS DOUBLE) / CAST(t AS DOUBLE) AS mean_left,
+       CAST(tot - sv AS DOUBLE) / CAST(n - t AS DOUBLE) AS mean_right
+FROM r WHERE rk = 1""",
         # k-anonymity equivalence classes + distinct-l-diversity: one
         # GROUP BY on the quasi-identifiers, integer counts only
         "k_anonymity": """

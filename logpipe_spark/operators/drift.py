@@ -40,6 +40,7 @@ __all__ = [
     "welch_ttest",
     "cusum_scan",
     "auc_rank",
+    "changepoint_binseg",
 ]
 
 
@@ -450,3 +451,71 @@ def cusum_merge(
         F.greatest(F.col("_st.big_m"), F.col("_st.g"))
         .cast("bigint").alias("max_cusum"),
     ).withColumn("alert", F.col("max_cusum") >= F.lit(int(threshold)))
+
+
+def changepoint_binseg(df: DataFrame, key: str, ts_col: str,
+                       value_col: str | None = None,
+                       bucket: str = "hour") -> DataFrame:
+    """Best single changepoint per key (binary segmentation, depth 1 —
+    Scott & Knott 1974's split step): over the per-``bucket`` series of
+    counts (or sums of ``value_col``), the split t that maximizes the
+    SSE reduction of a two-segment piecewise-constant fit. Via prefix
+    sums the gain needs no per-split re-aggregation:
+
+        gain(t) = S_t²/t + (S_n−S_t)²/(n−t) − S_n²/n
+
+    (the between-segment term of the variance decomposition — SSE drop
+    without ever computing squares of the values).
+
+    Scale shape: ONE corpus aggregate to per-(key, bucket) integer
+    sums (map-side combine), then per-key windows over the
+    BUCKET-CARDINALITY series (hours of history — bounded; never the
+    corpus). All sufficient stats are exact integers; every double is
+    derived from them with a fixed cast/op order, so the argmax agrees
+    bit-for-bit with the oracle (ties broken by smaller t). Keys whose
+    series has a single bucket have no valid split and are absent.
+
+    Returns (key, n_buckets, split_t, split_ts, gain, mean_left,
+    mean_right): split_t = series index of the LAST point of the left
+    segment, split_ts its bucket timestamp.
+    """
+    v = F.count(F.lit(1)).cast("bigint") if value_col is None \
+        else F.sum(F.col(value_col).cast("bigint"))
+    per = (
+        df.groupBy(F.col(key),
+                   F.date_trunc(bucket, F.col(ts_col)).alias("_win"))
+        .agg(v.alias("_v"))
+    )
+    w = Window.partitionBy(key).orderBy("_win")
+    wall = Window.partitionBy(key)
+    s = per.select(
+        key, "_win",
+        F.row_number().over(w).alias("_t"),
+        F.sum("_v").over(w).alias("_s"),          # inclusive prefix sum
+        F.count(F.lit(1)).over(wall).alias("_n"),
+        F.sum("_v").over(wall).alias("_tot"),
+    ).where(F.col("_t") < F.col("_n"))
+    st = F.col("_s").cast("double")
+    t = F.col("_t").cast("double")
+    sn = F.col("_tot").cast("double")
+    n = F.col("_n").cast("double")
+    g = (st * st / t + (sn - st) * (sn - st) / (n - t)
+         - sn * sn / n)
+    gained = s.select(
+        key, "_win", "_t", "_n", "_s", "_tot", g.alias("gain"))
+    ranked = gained.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(key)
+            .orderBy(F.col("gain").desc(), "_t")))
+    return ranked.where(F.col("_rk") == 1).select(
+        key,
+        F.col("_n").alias("n_buckets"),
+        F.col("_t").alias("split_t"),
+        F.col("_win").alias("split_ts"),
+        "gain",
+        (F.col("_s").cast("double") / F.col("_t").cast("double"))
+        .alias("mean_left"),
+        ((F.col("_tot") - F.col("_s")).cast("double")
+         / (F.col("_n") - F.col("_t")).cast("double")).alias("mean_right"),
+    )

@@ -448,3 +448,33 @@ def test_dispersion_index_fano(spark):
            for r in dispersion_index(df, "k", "ts").collect()}
     assert out["bursty"] == (2, 4, 0.5)
     assert out["steady"] == (2, 4, 0.0)
+
+
+def test_changepoint_binseg_finds_level_shift(spark):
+    """A series that jumps from level 2 to level 10 at hour 6 must split
+    exactly there; a flat series has gain 0 at every split (argmax falls
+    to the earliest t by the tie rule)."""
+    from logpipe_spark.operators.drift import changepoint_binseg
+
+    rows = []
+    for h in range(12):
+        level = 2 if h < 6 else 10
+        for m in range(level):
+            rows.append(("step", f"2026-01-01 {h:02d}:{m:02d}:00"))
+    for h in range(8):
+        for m in range(3):
+            rows.append(("flat", f"2026-01-01 {h:02d}:{m:02d}:00"))
+    df = spark.createDataFrame(rows, "k string, ts string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r.k: r for r in changepoint_binseg(df, "k", "ts").collect()}
+    st = out["step"]
+    assert (st.split_t, st.n_buckets) == (6, 12)
+    assert (st.mean_left, st.mean_right) == (2.0, 10.0)
+    assert st.gain > 0
+    fl = out["flat"]
+    assert fl.gain == 0.0 and fl.split_t == 1
+    # single-bucket series have no valid split and are absent
+    one = spark.createDataFrame(
+        [("solo", "2026-01-01 00:00:00")], "k string, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    assert changepoint_binseg(one, "k", "ts").count() == 0
