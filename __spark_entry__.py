@@ -1613,6 +1613,51 @@ SELECT r.node AS doc_id, r.rank AS rank_micro, d.deg AS degree
 FROM r{iterations} r JOIN deg d ON r.node = d.src"""
 
 
+def _bfs_hops_oracle(max_hops: int = 3, source_mod: int = 17) -> str:
+    # Unrolled growing reachable-set CTEs: r_i = nodes within i hops.
+    # hop(v) = first i with v in r_i (the sets are monotone), recovered
+    # via LEFT JOINs — identical semantics to the Spark frontier BFS.
+    parts = [f"""r0 AS (SELECT DISTINCT src AS node FROM e
+      WHERE src % {source_mod} = 0)"""]
+    for i in range(1, max_hops + 1):
+        parts.append(f"""n{i} AS (SELECT DISTINCT e.dst AS node
+  FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node),
+r{i} AS (SELECT node FROM r{i - 1} UNION SELECT node FROM n{i})""")
+    chain = ",\n".join(parts)
+    case = " ".join(
+        f"WHEN h{i}.node IS NOT NULL THEN {i}" for i in range(max_hops))
+    joins = "\n".join(
+        f"LEFT JOIN r{i} h{i} ON r{max_hops}.node = h{i}.node"
+        for i in range(max_hops))
+    return f"""WITH pairs AS ({_simhash_pairs_oracle()}),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+{chain}
+SELECT r{max_hops}.node AS doc_id,
+       cast(CASE {case} ELSE {max_hops} END AS int) AS hop
+FROM r{max_hops}
+{joins}"""
+
+
+def _k_core_oracle(k: int = 2, rounds: int = 3) -> str:
+    # Unrolled peel rounds: degrees over the surviving edge set, keep
+    # nodes with deg >= k, keep edges with both endpoints kept.
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(f"""d{i} AS (SELECT src, count(*) AS c
+  FROM e{i - 1} GROUP BY src),
+k{i} AS (SELECT src FROM d{i} WHERE c >= {k}),
+e{i} AS (SELECT e.src, e.dst FROM e{i - 1} e
+  JOIN k{i} a ON e.src = a.src JOIN k{i} b ON e.dst = b.src)""")
+    chain = ",\n".join(parts)
+    return f"""WITH pairs AS ({_simhash_pairs_oracle()}),
+e0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+{chain}
+SELECT src AS doc_id, cast(count(*) AS bigint) AS core_degree
+FROM e{rounds} GROUP BY src"""
+
+
 def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Audio branch of the multimodal plumbing (trainprep/multimodal.py:
     # audio_meta): binary payload → typed header via Arrow-batched
@@ -2764,6 +2809,38 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-source BFS over the simhash near-dup graph (operators/
+    # graph.py:bfs_hops): "which documents sit within 3 near-dup hops of
+    # a seed set" — the contamination-blast-radius query. Each round is
+    # one frontier⋈edges hash join + distinct + anti join vs visited
+    # (the Pregel superstep as DataFrame ops); hop = first round that
+    # reaches the node, so a fixed max_hops is exact and the oracle
+    # unrolls the same rounds as growing reachable-set CTEs.
+    from logpipe_spark.operators.graph import bfs_hops
+
+    pairs = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = (pairs.select(F.col("doc_a").alias("n"))
+             .union(pairs.select(F.col("doc_b").alias("n"))).distinct())
+    sources = nodes.where(F.col("n") % 17 == 0)
+    return bfs_hops(pairs, sources, max_hops=3).select(
+        F.col("node").alias("doc_id"), "hop")
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounded k-core peel of the near-dup graph (operators/graph.py:
+    # k_core_peel): 3 rounds of (degree groupBy + two left-semi joins)
+    # strip weakly-attached documents, leaving the dense dup cores the
+    # curation pipeline should inspect first. Fixed round count keeps
+    # the iterative peel deterministic; the oracle unrolls the identical
+    # rounds.
+    from logpipe_spark.operators.graph import k_core_peel
+
+    pairs = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return k_core_peel(pairs, k=2, rounds=3).select(
+        F.col("node").alias("doc_id"), "core_degree")
+
+
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TimescaleDB time_weight('LOCF') semantics (operators/gapfill.py:
     # time_weighted_avg): per-user average weighted by holding duration —
@@ -3420,6 +3497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chisq_assoc": q_chisq_assoc,
         "quantile_normalize": q_quantile_normalize,
         "pagerank": q_pagerank,
+        "bfs_hops": q_bfs_hops,
+        "k_core": q_k_core,
         "triangle_count": q_triangle_count,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_incremental": q_dedup_incremental,
@@ -4845,6 +4924,8 @@ WITH c AS (
 SELECT user_id, event_type AS mode_event_type, cast(n AS bigint) AS mode_n
 FROM r WHERE rn = 1""",
         "pagerank": _pagerank_oracle(),
+        "bfs_hops": _bfs_hops_oracle(),
+        "k_core": _k_core_oracle(),
         # PQ/ADC: codebooks = md5-smallest corpus rows; sub-space L2² via
         # three list_dot_products in the same literal order as the Spark
         # folds; lookup entries floored to integer micros so the ADC sum

@@ -169,6 +169,14 @@ HEADLINE = [
     "slo_burn",
     "small_qty_revenue",
     "big_order_customers",
+    # round 4: CDC evolution, incremental MV, privacy, burstiness,
+    # Q21 shape, changepoint
+    "read_changes_evo",
+    "mv_incremental",
+    "k_anonymity",
+    "burstiness",
+    "blame_suppliers",
+    "changepoint_binseg",
 ]
 
 

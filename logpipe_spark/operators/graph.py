@@ -78,3 +78,95 @@ def pagerank_int(
         .select("node", F.col("rank").alias("rank_micro"),
                 F.col("deg").alias("degree"))
     )
+
+
+def bfs_hops(
+    pairs: DataFrame,
+    sources: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS hop distance over an UNDIRECTED pair set.
+
+    ``sources`` is a one-column frame of seed node ids (hop 0). Each
+    round expands the frontier by one hash join (frontier ⋈ edges on the
+    source endpoint) followed by a distinct and an anti join against the
+    visited set — exactly the Pregel/GraphX BFS superstep expressed as
+    DataFrame ops, so Catalyst plans shuffled hash joins that pre-bucketed
+    edge tables elide at web scale. State between rounds is one row per
+    REACHED node (monotone, ≤ |V|); the frontier is typically far smaller
+    and broadcastable in early rounds. Hop counts are set-membership facts
+    (min-hop by construction: a node enters `visited` in the first round
+    that reaches it), so a fixed ``max_hops`` reproduces bit-identically in
+    any engine — the DuckDB oracle unrolls the same rounds as growing
+    reachable-set CTEs.
+
+    Returns (node, hop) for every node within ``max_hops`` of any source.
+    """
+    from pyspark import StorageLevel
+
+    e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")).union(
+        pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    visited = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("int"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frontier = visited.select("node")
+    for i in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hop", F.lit(i).cast("int"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        visited = visited.unionByName(nxt).persist(
+            StorageLevel.MEMORY_AND_DISK)
+        frontier = nxt.select("node")
+    return visited
+
+
+def k_core_peel(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Bounded k-core peel: ``rounds`` rounds of dropping sub-``k`` nodes.
+
+    Each round recomputes degrees over the surviving edge set (one
+    map-side-combining groupBy) and keeps only edges whose BOTH endpoints
+    still have degree ≥ k (two left-semi hash joins against the vertex-
+    sized keep list). A fixed round count is the scale-honest contract:
+    full k-core needs a data-dependent number of rounds, but each round
+    strictly shrinks the edge set and in practice the peel converges in a
+    handful of rounds (the classic distributed k-core scheme); the bounded
+    form is deterministic, so the DuckDB oracle unrolls the identical
+    rounds and the driver's exact gate applies.
+
+    Returns (node, core_degree): surviving nodes with their degree in the
+    round-``rounds`` edge set.
+    """
+    from pyspark import StorageLevel
+
+    e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")).union(
+        pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("src")
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    ).select(F.col("src").alias("node"), "core_degree")

@@ -273,3 +273,51 @@ def test_pagerank_partitioning_invariant(spark):
     a = sorted(pagerank_int(pairs, iterations=3).collect())
     b = sorted(pagerank_int(pairs.repartition(7), iterations=3).collect())
     assert a == b  # integer fixed point: bit-identical under any plan
+
+
+# ----------------------------------------------------- bfs_hops / k_core
+
+def test_bfs_hops_path_graph(spark):
+    # path 0-1-2-3-4-5, source {0}: hop(i) = i, cut off at max_hops=3.
+    from logpipe_spark.operators.graph import bfs_hops
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a int, doc_b int")
+    src = spark.createDataFrame([(0,)], "n int")
+    got = {r.node: r.hop for r in bfs_hops(pairs, src, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_hops_multi_source_min(spark):
+    # sources {0, 4} on the 0-1-2-3-4 path: node 2 is 2 hops from both,
+    # node 3 is 1 hop from source 4 (NOT 3 from source 0).
+    from logpipe_spark.operators.graph import bfs_hops
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "doc_a int, doc_b int")
+    src = spark.createDataFrame([(0,), (4,)], "n int")
+    got = {r.node: r.hop for r in bfs_hops(pairs, src, max_hops=3).collect()}
+    assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_k_core_peel_strips_tail(spark):
+    # triangle 0-1-2 plus a pendant chain 2-3-4: one peel round drops 4
+    # (deg 1), the next drops 3; the triangle survives with degree 2.
+    from logpipe_spark.operators.graph import k_core_peel
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)], "doc_a int, doc_b int")
+    got = {r.node: r.core_degree
+           for r in k_core_peel(pairs, k=2, rounds=3).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_k_core_partitioning_invariant(spark):
+    from logpipe_spark.operators.graph import k_core_peel
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (1, 3)],
+        "doc_a int, doc_b int")
+    a = sorted(k_core_peel(pairs, k=2, rounds=3).collect())
+    b = sorted(k_core_peel(pairs.repartition(5), k=2, rounds=3).collect())
+    assert a == b
