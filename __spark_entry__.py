@@ -3302,6 +3302,57 @@ def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("sum_qty"), "o_orderkey"))
 
 
+def q_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q13 shape (outer-join count distribution): how many customers
+    # placed 0, 1, 2, ... non-urgent orders. The LEFT join keeps
+    # zero-order customers (count(o_orderkey) counts non-null matches);
+    # the second groupBy is over the tiny (max order count)-sized frame.
+    # The priority filter is pushed into the orders scan BEFORE the join.
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey")
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where(F.col("o_orderpriority") != "1-URGENT")
+              .select("o_custkey", "o_orderkey"))
+    counted = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+               .groupBy("c_custkey")
+               .agg(F.count("o_orderkey").cast("bigint").alias("c_count")))
+    return (counted.groupBy("c_count")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 shape (broadcast scalar threshold + anti join): customers
+    # in three segments with above-average positive balance and NO orders,
+    # grouped by nation. The average is never materialized as a double:
+    # the (cnt, sum) integer-cents pair broadcasts and the filter
+    # cross-multiplies (cents * cnt > sum) — exact in both engines, no
+    # boundary-row float hazard. The order check is one LEFT ANTI join
+    # against the urgent-order custkeys ("no urgent orders" — the
+    # synthetic corpus gives every customer SOME order, so Q22's literal
+    # no-orders predicate would be degenerate here).
+    cents = F.expr(
+        "cast(cast(c_acctbal AS decimal(12,2)) * 100 AS bigint)")
+    sel = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+           .where(F.col("c_mktsegment").isin(
+               "BUILDING", "AUTOMOBILE", "MACHINERY"))
+           .select("c_custkey", "c_nationkey", cents.alias("cents")))
+    stat = (sel.where(F.col("cents") > 0)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                 F.sum("cents").cast("bigint").alias("s")))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"))
+    idle = (sel.crossJoin(F.broadcast(stat))
+            .where(F.col("cents") * F.col("cnt") > F.col("s"))
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti"))
+    return (idle.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("numcust"),
+                 F.sum("cents").cast("bigint").alias("total_cents"))
+            .orderBy("c_nationkey"))
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # RAG/embedding-prep chunking (trainprep/curate.py:chunk_documents):
     # 32-word windows at stride 24 (8-word overlap), trailing chunks
@@ -3517,6 +3568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall": q_minhash_recall,
         "small_qty_revenue": q_small_qty_revenue,
         "big_order_customers": q_big_order_customers,
+        "cust_order_dist": q_cust_order_dist,
+        "idle_customers": q_idle_customers,
         "kmv_set_ops": q_kmv_set_ops,
         "cooccurrence_lift": q_cooccurrence_lift,
         "bloom_prune": q_bloom_prune,
@@ -4743,6 +4796,34 @@ SELECT c.c_name, o.o_custkey, o.o_orderkey,
 FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 ORDER BY sum_qty DESC, o.o_orderkey""",
+        "cust_order_dist": """
+WITH counted AS (
+  SELECT c.c_custkey, cast(count(o.o_orderkey) AS bigint) AS c_count
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+             WHERE o_orderpriority <> '1-URGENT') o
+    ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey)
+SELECT c_count, cast(count(*) AS bigint) AS custdist
+FROM counted GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC""",
+        "idle_customers": """
+WITH sel AS (
+  SELECT c_custkey, c_nationkey,
+         cast(cast(c_acctbal AS decimal(12,2)) * 100 AS bigint) AS cents
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')),
+stat AS (
+  SELECT cast(count(*) AS bigint) AS cnt, cast(sum(cents) AS bigint) AS s
+  FROM sel WHERE cents > 0)
+SELECT c_nationkey, cast(count(*) AS bigint) AS numcust,
+       cast(sum(cents) AS bigint) AS total_cents
+FROM sel, stat
+WHERE sel.cents * stat.cnt > stat.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = sel.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey""",
         "chunk_documents": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 c AS (SELECT doc_id,

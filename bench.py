@@ -177,6 +177,11 @@ HEADLINE = [
     "burstiness",
     "blame_suppliers",
     "changepoint_binseg",
+    # round 4 continuation: graph reach/peel, Q13/Q22 shapes
+    "bfs_hops",
+    "k_core",
+    "cust_order_dist",
+    "idle_customers",
 ]
 
 
