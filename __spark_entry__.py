@@ -1994,6 +1994,18 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_steps(_events(spark, sf_dir), ["view", "click", "purchase"])
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Latency between adjacent funnel completions under the same greedy
+    # chain (operators/funnel.py: funnel_latency): exact integer-micros
+    # diffs + discrete rank percentiles, so the stats hash-match the
+    # oracle's unrolled one-join-per-step SQL bit-for-bit.
+    from logpipe_spark.operators.funnel import funnel_latency
+
+    return funnel_latency(
+        _events(spark, sf_dir), ["view", "click", "purchase"]
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Markov transition counts (operators/funnel.py:event_transitions):
     # lead() over per-user ts order, ties broken by event_id for a
@@ -3656,6 +3668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "seq_gaps": q_seq_gaps,
         "funnel_steps": q_funnel_steps,
+        "funnel_latency": q_funnel_latency,
         "event_transitions": q_event_transitions,
         "profile_columns": q_profile_columns,
         "strip_boilerplate": q_strip_boilerplate,
@@ -4297,6 +4310,45 @@ l AS (SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM ids)
 SELECT cast(prev + 1 AS bigint) AS gap_start,
        cast(id - 1 AS bigint) AS gap_end
 FROM l WHERE prev IS NOT NULL AND id - prev > 1""",
+        # Same greedy chain as funnel_steps, then exact integer-micros
+        # latency per adjacent completion pair + discrete rank percentiles
+        # (epoch_us diff == Spark unix_micros diff; rank target mirrors
+        # value_percentiles' ceil(p*n) idiom).
+        "funnel_latency": """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+l AS (
+  SELECT cast(2 AS int) AS step_idx, s2.user_id,
+         epoch_us(s2.t2) - epoch_us(s1.t1) AS lat_us
+  FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+  UNION ALL
+  SELECT cast(3 AS int), s3.user_id, epoch_us(s3.t3) - epoch_us(s2.t2)
+  FROM s3 JOIN s2 ON s3.user_id = s2.user_id
+),
+r AS (
+  SELECT step_idx, lat_us,
+         row_number() OVER (PARTITION BY step_idx
+                            ORDER BY lat_us, user_id) AS rn,
+         count(*) OVER (PARTITION BY step_idx) AS n
+  FROM l
+)
+SELECT step_idx,
+       CASE step_idx WHEN 2 THEN 'view' ELSE 'click' END AS from_step,
+       CASE step_idx WHEN 2 THEN 'click' ELSE 'purchase' END AS to_step,
+       cast(max(n) AS bigint) AS n_users,
+       cast(min(lat_us) AS bigint) AS min_us,
+       max(CASE WHEN rn = cast(ceil(0.5 * n) AS bigint)
+                THEN lat_us END) AS p50_us,
+       max(CASE WHEN rn = cast(ceil(0.9 * n) AS bigint)
+                THEN lat_us END) AS p90_us,
+       cast(max(lat_us) AS bigint) AS max_us
+FROM r GROUP BY step_idx""",
         # Unrolled one-join-per-step funnel — the N-shuffle formulation the
         # Spark side's single-shuffle fold replaces (see operators/funnel.py).
         "funnel_steps": """

@@ -106,6 +106,138 @@ def funnel_steps(
     return long.select("r.step_idx", "r.step", "r.n_users")
 
 
+def funnel_latency(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-step-pair latency distribution of the strict-order funnel: for
+    each adjacent pair (step i -> step i+1), how long users who completed
+    both took between the two completions under the same greedy
+    earliest-completion chain as :func:`funnel_steps`.
+
+    Latencies are EXACT INTEGER MICROSECONDS (``unix_micros`` diff of the
+    completion timestamps) and the percentiles are DISCRETE (rank-based,
+    actual elements) — both bit-identical cross-engine, so the whole
+    statistics table passes the exact value-hash gate.
+
+    Returns one row per pair: (step_idx = destination step's 1-based
+    index, from_step, to_step, n_users, min_us, p50_us, p90_us, max_us).
+
+    Plan shape: the SAME single groupBy(user) + aggregate() fold as
+    funnel_steps (the fold additionally carries the per-step completion
+    timestamps — bounded state: n_steps entries), then an explode to one
+    row per (user, completed pair) — a user-count-sized frame, not an
+    event-count-sized one — and a rank window partitioned by step pair
+    for the discrete percentiles. One event-scale shuffle total; the
+    oracle runs the unrolled one-join-per-step SQL. At 100 TB swap the
+    rank window for percentile_approx (see percentiles_approx) — this is
+    the exact correctness reference.
+    """
+    steps = list(steps)
+    n = len(steps)
+    ev = events.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("etype"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ts"), F.col("etype")))
+        ).alias("h")
+    )
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    # Greedy fold as in funnel_steps, but the accumulator also collects
+    # the completion timestamp of each reached step (micros, exact ints).
+    fold = F.aggregate(
+        "h",
+        F.struct(
+            F.lit(0).cast("int").alias("i"),
+            F.lit(None).cast("timestamp").alias("t"),
+            F.array().cast("array<bigint>").alias("ts_us"),
+        ),
+        lambda acc, e: F.when(
+            (acc["i"] < F.lit(n))
+            & (e["etype"] == F.element_at(step_arr, acc["i"] + 1))
+            & (acc["t"].isNull() | (e["ts"] > acc["t"])),
+            F.struct(
+                (acc["i"] + 1).alias("i"),
+                e["ts"].alias("t"),
+                F.array_append(acc["ts_us"], F.unix_micros(e["ts"])).alias(
+                    "ts_us"
+                ),
+            ),
+        ).otherwise(acc),
+    )
+    chains = per_user.select("user_id", fold["ts_us"].alias("ts_us"))
+    # One row per completed adjacent pair: lat = t_{j+1} - t_j. The pair
+    # array is n_steps-1 entries of bounded compute; explode_outer is not
+    # needed (no generator-input filter to get re-inferred — the filter
+    # below is on the OUTPUT struct).
+    pairs = F.array(
+        *[
+            F.when(
+                F.size("ts_us") >= j + 2,
+                F.struct(
+                    F.lit(j + 2).cast("int").alias("step_idx"),
+                    (
+                        F.element_at("ts_us", j + 2)
+                        - F.element_at("ts_us", j + 1)
+                    ).alias("lat_us"),
+                ),
+            )
+            for j in range(n - 1)
+        ]
+    )
+    lat = (
+        chains.select("user_id", F.explode(pairs).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("user_id", "p.step_idx", "p.lat_us")
+    )
+    w = Window.partitionBy("step_idx").orderBy(
+        F.col("lat_us").asc(), F.col("user_id").asc()
+    )
+    wn = Window.partitionBy("step_idx")
+    ranked = lat.select(
+        "step_idx",
+        "lat_us",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    step_names = F.array(*[F.lit(s) for s in steps])
+    out = ranked.groupBy("step_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.min("lat_us").cast("bigint").alias("min_us"),
+        F.max(
+            F.when(
+                F.col("_rn")
+                == F.ceil(F.lit(0.5) * F.col("_n")).cast("bigint"),
+                F.col("lat_us"),
+            )
+        ).alias("p50_us"),
+        F.max(
+            F.when(
+                F.col("_rn")
+                == F.ceil(F.lit(0.9) * F.col("_n")).cast("bigint"),
+                F.col("lat_us"),
+            )
+        ).alias("p90_us"),
+        F.max("lat_us").cast("bigint").alias("max_us"),
+    )
+    return out.select(
+        "step_idx",
+        F.element_at(step_names, F.col("step_idx") - 1).alias("from_step"),
+        F.element_at(step_names, F.col("step_idx")).alias("to_step"),
+        "n_users",
+        "min_us",
+        "p50_us",
+        "p90_us",
+        "max_us",
+    )
+
+
 def top_paths(
     events: DataFrame,
     n_events: int = 5,

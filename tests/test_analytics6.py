@@ -534,3 +534,46 @@ def test_quantile_sketch_merge_idempotent(spark):
             quantile_sketch(df.where("id % 2 = 1"), "g", "v", "id", k=32)),
         "g", k=32)
     assert est(halves) == est(full)
+
+
+# --------------------------------------------------------- funnel_latency
+
+def test_funnel_latency_hand_case(spark):
+    import datetime as dt
+    from logpipe_spark.operators.funnel import funnel_latency
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # u1 completes all three: view@0, click@10, purchase@70
+        (1, "view", ts(0)), (1, "click", ts(10)), (1, "purchase", ts(70)),
+        # u2 completes view->click only (purchase BEFORE click: strict order)
+        (2, "view", ts(0)), (2, "purchase", ts(5)), (2, "click", ts(30)),
+        # u3 never views: contributes nothing
+        (3, "click", ts(0)), (3, "purchase", ts(1)),
+        # u4 all three, equal-ts click is NOT strictly after view
+        (4, "view", ts(0)), (4, "click", ts(0)), (4, "click", ts(40)),
+        (4, "purchase", ts(100)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {
+        r.step_idx: r
+        for r in funnel_latency(
+            df, ["view", "click", "purchase"]
+        ).collect()
+    }
+    # view->click latencies: u1=10s, u2=30s, u4=40s (micros)
+    s2 = out[2]
+    assert (s2.from_step, s2.to_step) == ("view", "click")
+    assert s2.n_users == 3
+    assert s2.min_us == 10_000_000 and s2.max_us == 40_000_000
+    # discrete p50 = rank ceil(0.5*3)=2 -> 30s; p90 = rank 3 -> 40s
+    assert s2.p50_us == 30_000_000 and s2.p90_us == 40_000_000
+    # click->purchase: u1=60s, u4=60s (u2 has no qualifying purchase)
+    s3 = out[3]
+    assert s3.n_users == 2
+    assert (s3.min_us, s3.p50_us, s3.p90_us, s3.max_us) == (
+        60_000_000,) * 4
