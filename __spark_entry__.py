@@ -1867,6 +1867,18 @@ def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-user RFM segmentation (operators/segment.py:rfm_scores):
+    # recency/frequency/monetary quintiles from exact integer metrics.
+    # The Spark side computes ntile CLOSED-FORM from bucketed-prefix-scan
+    # global ranks (no single-task global window); the oracle runs the
+    # plain ntile() window — two independent ntile implementations must
+    # agree on every user.
+    from logpipe_spark.operators.segment import rfm_scores
+
+    return rfm_scores(_events(spark, sf_dir))
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Count-min-sketch heavy hitters (operators/skew.py:cms_sketch): the
     # fixed-size mergeable alternative to exact per-key counts for hot-key
@@ -3649,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "pivot_counts": q_pivot_counts,
         "ntile_buckets": q_ntile_buckets,
+        "rfm_scores": q_rfm_scores,
         "latest_by_key": q_latest_by_key,
         "len_histogram": q_len_histogram,
         "revenue_by_nation": q_revenue_by_nation,
@@ -4125,6 +4138,29 @@ SELECT role,
        cast(sum(CASE WHEN tool = 'browser' THEN 1 ELSE 0 END) AS bigint) AS n_browser,
        cast(sum(CASE WHEN tool = 'none' THEN 1 ELSE 0 END) AS bigint) AS n_none
 FROM transcripts GROUP BY role""",
+        # Plain ntile() windows — the single-task formulation the Spark
+        # side's closed-form-from-bucketed-rank replaces (segment.py).
+        # last_s: floor(max micros / 1e6) == max(floor(...)) (monotone).
+        "rfm_scores": """
+WITH pu AS (
+  SELECT user_id,
+         cast(epoch_us(max(ts)) // 1000000 AS bigint) AS last_s,
+         cast(count(*) AS bigint) AS freq,
+         cast(sum(cast(floor(value * 100 + 0.5) AS bigint)) AS bigint)
+           AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+s AS (
+  SELECT user_id, last_s, freq, cents,
+         cast(ntile(5) OVER (ORDER BY last_s, user_id) AS int) AS r_score,
+         cast(ntile(5) OVER (ORDER BY freq, user_id) AS int) AS f_score,
+         cast(ntile(5) OVER (ORDER BY cents, user_id) AS int) AS m_score
+  FROM pu
+)
+SELECT user_id, last_s, freq, cents, r_score, f_score, m_score,
+       cast(r_score * 100 + f_score * 10 + m_score AS int) AS rfm
+FROM s""",
         "ntile_buckets": """
 WITH q AS (
   SELECT event_type, value,

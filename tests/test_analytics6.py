@@ -577,3 +577,42 @@ def test_funnel_latency_hand_case(spark):
     assert s3.n_users == 2
     assert (s3.min_us, s3.p50_us, s3.p90_us, s3.max_us) == (
         60_000_000,) * 4
+
+
+# ------------------------------------------------------------ rfm_scores
+
+def test_rfm_closed_form_matches_spark_ntile(spark):
+    """13 users / k=5 exercises the uneven split (q=2, r=3: tiles sized
+    3,3,3,2,2): the closed-form tile-from-rank must equal Spark's own
+    ntile() over the identical total order, for every metric."""
+    import datetime as dt
+    from pyspark.sql import Window
+    from logpipe_spark.operators.segment import rfm_scores
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(13):
+        # distinct recency/frequency/monetary profiles incl. freq ties
+        for i in range(1 + (u % 3)):
+            rows.append(
+                (u, t0 + dt.timedelta(hours=u * 7 + i), float(u) + 0.25)
+            )
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = rfm_scores(df).orderBy("user_id")
+
+    per_user = got.select("user_id", "last_s", "freq", "cents")
+    ref = per_user.select(
+        "user_id",
+        F.ntile(5).over(
+            Window.orderBy("last_s", "user_id")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("freq", "user_id")).alias("f_score"),
+        F.ntile(5).over(
+            Window.orderBy("cents", "user_id")).alias("m_score"),
+    )
+    g = {r.user_id: (r.r_score, r.f_score, r.m_score) for r in got.collect()}
+    e = {r.user_id: (r.r_score, r.f_score, r.m_score) for r in ref.collect()}
+    assert g == e
+    # tile sizes: 3,3,3,2,2 over 13 users for each metric
+    from collections import Counter
+    sizes = Counter(v[0] for v in g.values())
+    assert sorted(sizes.values(), reverse=True) == [3, 3, 3, 2, 2]
