@@ -1867,6 +1867,16 @@ def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_peak_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-user peak 1-minute event rate + first instant attaining it
+    # (operators/sweep.py:peak_rate): value-based RANGE frame over epoch
+    # micros, so within-instant order can't matter; peak/argmin are
+    # integer aggregates — exact cross-engine.
+    from logpipe_spark.operators.sweep import peak_rate
+
+    return peak_rate(_events(spark, sf_dir), window_seconds=60)
+
+
 def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-user RFM segmentation (operators/segment.py:rfm_scores):
     # recency/frequency/monetary quintiles from exact integer metrics.
@@ -3662,6 +3672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": q_pivot_counts,
         "ntile_buckets": q_ntile_buckets,
         "rfm_scores": q_rfm_scores,
+        "peak_rate": q_peak_rate,
         "latest_by_key": q_latest_by_key,
         "len_histogram": q_len_histogram,
         "revenue_by_nation": q_revenue_by_nation,
@@ -4138,6 +4149,27 @@ SELECT role,
        cast(sum(CASE WHEN tool = 'browser' THEN 1 ELSE 0 END) AS bigint) AS n_browser,
        cast(sum(CASE WHEN tool = 'none' THEN 1 ELSE 0 END) AS bigint) AS n_none
 FROM transcripts GROUP BY role""",
+        # Same RANGE-frame sweep; the argmin runs as a peak-equality join
+        # where the Spark side uses a min-struct aggregate.
+        "peak_rate": """
+WITH b AS (
+  SELECT user_id AS key, epoch_us(ts) AS us
+  FROM events WHERE ts IS NOT NULL
+),
+c AS (
+  SELECT key, us,
+         count(*) OVER (PARTITION BY key ORDER BY us
+           RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW) AS in_w
+  FROM b
+),
+p AS (SELECT key, count(*) AS n_events, max(in_w) AS peak_n
+      FROM c GROUP BY key)
+SELECT c.key AS user_id,
+       cast(max(p.n_events) AS bigint) AS n_events,
+       cast(max(p.peak_n) AS bigint) AS peak_n,
+       cast(min(c.us) AS bigint) AS peak_at_us
+FROM c JOIN p ON c.key = p.key AND c.in_w = p.peak_n
+GROUP BY c.key""",
         # Plain ntile() windows — the single-task formulation the Spark
         # side's closed-form-from-bucketed-rank replaces (segment.py).
         # last_s: floor(max micros / 1e6) == max(floor(...)) (monotone).

@@ -81,3 +81,55 @@ def interval_concurrency(
         "delta",
         (F.col("_cum") + F.col("_off")).cast("bigint").alias("concurrent"),
     )
+
+
+def peak_rate(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_seconds: int = 60,
+) -> DataFrame:
+    """Per-key peak sliding-window event rate: the maximum number of
+    events inside ANY ``window_seconds`` window (inclusive value-based
+    frame ``[t - W, t]`` anchored at each event), plus the earliest
+    instant attaining it — the rate-limit / burst-abuse audit ("did this
+    user ever exceed N requests per minute, and when first?").
+
+    Exact integers end to end: the frame is a RANGE window over epoch
+    MICROSECONDS, so within-tie ordering cannot matter (all peers of an
+    instant share one frame — deterministic cross-engine without a
+    tiebreak), and peak/first-instant are min/max aggregates of bigints.
+
+    Plan: one shuffle on the key; the RANGE window is per-key (a bot key
+    with 10^8 events lands in one partition — AQE skew-split or the
+    sessionize_segmented-style decomposition applies if that matters;
+    normal keys dominate this audit). Returns
+    (key, n_events, peak_n, peak_at_us).
+    """
+    us = F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+    base = events.where(F.col(ts_col).isNotNull()).select(
+        F.col(key_col).alias("key"), us.alias("us"))
+    w = (
+        Window.partitionBy("key").orderBy("us")
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    counted = base.select(
+        "key", "us", F.count(F.lit(1)).over(w).alias("_in_w"))
+    peaks = counted.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("_in_w").cast("bigint").alias("peak_n"),
+    )
+    # earliest instant attaining the peak: min-struct argmin over
+    # (-count, us) — one aggregate, no second window pass
+    arg = counted.groupBy("key").agg(
+        F.min(F.struct((-F.col("_in_w")).alias("_neg"),
+                       F.col("us").alias("us"))).alias("_a"))
+    return (
+        peaks.join(arg, "key")
+        .select(
+            F.col("key").alias(key_col),
+            "n_events",
+            "peak_n",
+            F.col("_a.us").cast("bigint").alias("peak_at_us"),
+        )
+    )

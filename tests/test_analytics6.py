@@ -616,3 +616,37 @@ def test_rfm_closed_form_matches_spark_ntile(spark):
     from collections import Counter
     sizes = Counter(v[0] for v in g.values())
     assert sorted(sizes.values(), reverse=True) == [3, 3, 3, 2, 2]
+
+
+# -------------------------------------------------------------- peak_rate
+
+def test_peak_rate_hand_case(spark):
+    import datetime as dt
+    from logpipe_spark.operators.sweep import peak_rate
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # u1: burst of 3 within [100, 160] (inclusive 60s frame), then quiet
+        (1, ts(0)), (1, ts(100)), (1, ts(130)), (1, ts(160)), (1, ts(400)),
+        # u2: two events exactly 60s apart -> inclusive frame counts both
+        (2, ts(0)), (2, ts(60)),
+        # u3: duplicate instants — RANGE peers all share one frame
+        (3, ts(10)), (3, ts(10)), (3, ts(10)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r.user_id: r for r in peak_rate(df, window_seconds=60).collect()}
+    us = lambda sec: int(
+        (t0 + dt.timedelta(seconds=sec) - dt.datetime(1970, 1, 1))
+        .total_seconds() * 1_000_000)
+    # u1 peak: events at 100,130,160 all within [100,160] -> 3, first at 160
+    assert (out[1].n_events, out[1].peak_n, out[1].peak_at_us) == (
+        5, 3, us(160))
+    # u2: frame [0,60] inclusive -> 2 at t=60
+    assert (out[2].peak_n, out[2].peak_at_us) == (2, us(60))
+    # u3: three peers of one instant each see count 3 at t=10
+    assert (out[3].n_events, out[3].peak_n, out[3].peak_at_us) == (
+        3, 3, us(10))
