@@ -1867,6 +1867,27 @@ def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust per-event-type trend: Theil–Sen median of pairwise slopes
+    # over the DAILY cents series (aggregate.py:theil_sen) — the
+    # outlier-proof companion to trend_slope's OLS. Daily pre-aggregation
+    # bounds the O(p²) pair set (31 points → 465 pairs/key); each slope
+    # is one double division of identical integer operands and the median
+    # is discrete, so the result hash-matches exactly.
+    from logpipe_spark.operators.aggregate import theil_sen
+
+    ev = _events(spark, sf_dir).where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .alias("yc"))
+    return theil_sen(daily, "event_type", F.col("d"), F.col("yc"))
+
+
 def q_peak_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-user peak 1-minute event rate + first instant attaining it
     # (operators/sweep.py:peak_rate): value-based RANGE frame over epoch
@@ -3673,6 +3694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_buckets": q_ntile_buckets,
         "rfm_scores": q_rfm_scores,
         "peak_rate": q_peak_rate,
+        "theil_sen": q_theil_sen,
         "latest_by_key": q_latest_by_key,
         "len_histogram": q_len_histogram,
         "revenue_by_nation": q_revenue_by_nation,
@@ -4149,6 +4171,35 @@ SELECT role,
        cast(sum(CASE WHEN tool = 'browser' THEN 1 ELSE 0 END) AS bigint) AS n_browser,
        cast(sum(CASE WHEN tool = 'none' THEN 1 ELSE 0 END) AS bigint) AS n_none
 FROM transcripts GROUP BY role""",
+        # Identical pair construction + discrete median; slopes divide the
+        # same integer operands cast to double, so they match bitwise.
+        "theil_sen": """
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS d,
+         sum(cast(floor(value * 100 + 0.5) AS bigint)) AS yc
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, d
+),
+p AS (
+  SELECT a.event_type, a.d AS x1, b.d AS x2,
+         cast(b.yc - a.yc AS double) / cast(b.d - a.d AS double) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+r AS (
+  SELECT event_type, s,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY s, x1, x2) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS np
+  FROM p
+),
+n AS (SELECT event_type, cast(count(*) AS bigint) AS n_points
+      FROM daily GROUP BY event_type)
+SELECT r.event_type, n.n_points, cast(r.np AS bigint) AS n_pairs,
+       r.s AS slope
+FROM r JOIN n ON r.event_type = n.event_type
+WHERE rn = cast(ceil(np / 2) AS bigint) AND n.n_points >= 2""",
         # Same RANGE-frame sweep; the argmin runs as a peak-equality join
         # where the Spark side uses a min-struct aggregate.
         "peak_rate": """

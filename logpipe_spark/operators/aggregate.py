@@ -1599,3 +1599,69 @@ def dispersion_index(df: DataFrame, key: str, ts_col: str,
         F.col("_s1").alias("n_events"),
         ((n * s2 - s1 * s1) / (n * s1)).alias("fano"),
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    key: str,
+    x: Column,
+    y: Column,
+    min_n: int = 2,
+) -> DataFrame:
+    """Per-group Theil–Sen robust trend: the MEDIAN of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i), x_i < x_j — the outlier-resistant
+    companion to :func:`ols_trend` (one wild day skews least squares;
+    the median slope shrugs it off; breakdown point 29%).
+
+    Callers MUST pre-aggregate to one row per (key, x) at a coarse grain
+    (e.g. daily sums): the estimator is inherently O(p²) pairs per
+    series, so the series length has to be calendar-bounded (31 daily
+    points → 465 pairs — trivially; 10^6 raw events → never). The
+    equi-join on ``key`` with x_i < x_j builds exactly those pairs —
+    shuffled on the key, no cartesian.
+
+    Exactness: x and y are cast to bigint; each slope is ONE double
+    division of identical integer operands (bit-identical cross-engine);
+    the median is DISCRETE (rank ceil(n/2) over slope with (x_i, x_j)
+    tiebreak — an actual element, no interpolated mean, so the value
+    hash-matches). Returns (key, n_points, n_pairs, slope).
+    """
+    from pyspark.sql import Window
+
+    xi = x.cast("bigint")
+    yi = y.cast("bigint")
+    pts = df.select(F.col(key).alias("_k"), xi.alias("_x"), yi.alias("_y"))
+    # one row per (key, x): duplicate x would make a slope undefined
+    # (zero dx) — fail loudly rather than silently divide by zero
+    a = pts.select(F.col("_k"), F.col("_x").alias("_x1"),
+                   F.col("_y").alias("_y1"))
+    b = pts.select(F.col("_k").alias("_k2"), F.col("_x").alias("_x2"),
+                   F.col("_y").alias("_y2"))
+    pairs = a.join(
+        b, (F.col("_k").eqNullSafe(F.col("_k2")))
+        & (F.col("_x1") < F.col("_x2"))).select(
+        "_k", "_x1", "_x2",
+        ((F.col("_y2") - F.col("_y1")).cast("double")
+         / (F.col("_x2") - F.col("_x1")).cast("double")).alias("_s"),
+    )
+    w = Window.partitionBy("_k").orderBy("_s", "_x1", "_x2")
+    wn = Window.partitionBy("_k")
+    ranked = pairs.select(
+        "_k", "_s",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_np"),
+    )
+    med = ranked.where(
+        F.col("_rn") == F.ceil(F.col("_np") / 2).cast("bigint"))
+    npts = pts.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    return (
+        med.join(npts, "_k")
+        .where(F.col("n_points") >= min_n)
+        .select(
+            F.col("_k").alias(key),
+            "n_points",
+            F.col("_np").cast("bigint").alias("n_pairs"),
+            F.col("_s").alias("slope"),
+        )
+    )

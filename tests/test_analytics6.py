@@ -650,3 +650,29 @@ def test_peak_rate_hand_case(spark):
     # u3: three peers of one instant each see count 3 at t=10
     assert (out[3].n_events, out[3].peak_n, out[3].peak_at_us) == (
         3, 3, us(10))
+
+
+# -------------------------------------------------------------- theil_sen
+
+def test_theil_sen_resists_outlier_where_ols_breaks(spark):
+    from logpipe_spark.operators.aggregate import ols_trend, theil_sen
+
+    # perfect slope-2 line with ONE wild outlier at x=5
+    rows = [("a", x, 2 * x if x != 5 else 1000) for x in range(9)]
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    ts = theil_sen(df, "k", F.col("x"), F.col("y")).collect()[0]
+    assert ts.slope == 2.0 and ts.n_points == 9 and ts.n_pairs == 36
+    ols = ols_trend(df, "k", F.col("x"), F.col("y")).collect()[0]
+    assert abs(ols.slope - 2.0) > 5  # least squares is dragged away
+
+
+def test_theil_sen_median_is_discrete_even_n_pairs(spark):
+    from logpipe_spark.operators.aggregate import theil_sen
+
+    # 3 points -> 3 pairs: slopes {1.0, 2.0, 3.0}? build x,y giving
+    # distinct pairwise slopes; median = rank ceil(3/2)=2 -> middle one
+    df = spark.createDataFrame(
+        [("a", 0, 0), ("a", 1, 3), ("a", 3, 3)], ["k", "x", "y"])
+    # slopes: (0,1)=3.0, (0,3)=1.0, (1,3)=0.0 -> sorted 0,1,3 -> median 1.0
+    out = theil_sen(df, "k", F.col("x"), F.col("y")).collect()[0]
+    assert out.slope == 1.0 and out.n_pairs == 3
