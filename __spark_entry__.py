@@ -3310,6 +3310,103 @@ def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg2.slo_burn(clean, "ts", "status")
 
 
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q19 shape: lineitem x part under an OR-of-ANDs predicate
+    # (brand/size/quantity bands). The equi-key (partkey) still drives a
+    # broadcast hash join; the disjunction stays a post-join filter the
+    # optimizer can't turn into a cartesian. Revenue is EXACT integer
+    # cents x (100 - discount-hundredths) — no float sum drift.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    j = li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+                li.l_partkey == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & q.between(20, 30))
+    )
+    return (
+        j.where(clause)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(pc * (F.lit(100) - dc)).cast("bigint").alias("revenue_c"),
+        )
+    )
+
+
+def q_supplier_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q16 shape: distinct-supplier count per part attribute cell,
+    # minus "complaint" suppliers (negative balance stands in for the
+    # comment scan — this corpus has no s_comment), with lineitem as the
+    # part-supplier link (no partsupp table). Anti join excludes, the
+    # distinct pre-shuffle dedups the link pairs before the dimension
+    # join, and the count(DISTINCT) runs on pre-deduped input.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    bad = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    sel = part.where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    j = (
+        pairs.join(F.broadcast(bad),
+                   pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(sel), pairs.l_partkey == sel.p_partkey)
+    )
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint")
+             .alias("supplier_cnt"))
+    )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q2 shape: per part, the cheapest REGIONAL supplier (min
+    # within group + join back), tie broken by smallest suppkey — done
+    # as ONE min-struct argmin aggregate instead of the classic
+    # correlated-subquery re-join. The supplier->nation->region chain is
+    # a broadcast dim; prices compare as exact integer cents.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    rs = (
+        supp.join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    lr = li.select("l_partkey", "l_suppkey", pc.alias("pc")).join(
+        F.broadcast(rs.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey")).drop("s_suppkey")
+    arg = lr.groupBy("l_partkey").agg(
+        F.min(F.struct(F.col("pc"), F.col("l_suppkey"))).alias("_m"))
+    sel = part.where(F.col("p_size") == 15).select("p_partkey")
+    return (
+        arg.join(F.broadcast(sel), arg.l_partkey == sel.p_partkey)
+        .join(F.broadcast(rs), F.col("_m.l_suppkey") == rs.s_suppkey)
+        .select(
+            F.col("p_partkey"),
+            F.col("_m.pc").alias("min_price_c"),
+            F.col("_m.l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+        )
+    )
+
+
 def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q17 shape (correlated scalar subquery -> Catalyst
     # decorrelation): revenue from lineitems below 20% of their part's
@@ -3622,6 +3719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty": q_doc_novelty,
         "minhash_recall": q_minhash_recall,
         "small_qty_revenue": q_small_qty_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "supplier_types": q_supplier_types,
+        "min_cost_supplier": q_min_cost_supplier,
         "big_order_customers": q_big_order_customers,
         "cust_order_dist": q_cust_order_dist,
         "idle_customers": q_idle_customers,
@@ -4939,6 +5039,58 @@ SELECT bucket_epoch,
              AND (cast(err_slow AS double) / n_slow) / 0.05 > 2.0
             THEN 1 ELSE 0 END AS alert
 FROM win""",
+        # Q19 shape: same OR-of-ANDs, integer-cents revenue.
+        "disjunctive_revenue": """
+SELECT p.p_brand,
+       cast(count(*) AS bigint) AS n_items,
+       cast(sum(cast(floor(l.l_extendedprice * 100 + 0.5) AS bigint)
+                * (100 - cast(floor(l.l_discount * 100 + 0.5) AS bigint)))
+            AS bigint) AS revenue_c
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+GROUP BY p.p_brand""",
+        # Q16 shape: lineitem as the part-supplier link, negative balance
+        # as the complaint stand-in, NOT IN == the engine's anti join.
+        "supplier_types": """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ok AS (SELECT l_partkey, l_suppkey FROM pairs
+       WHERE l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)),
+sel AS (SELECT p_partkey, p_brand, p_type, p_size FROM part
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29))
+SELECT s.p_brand, s.p_type, s.p_size,
+       cast(count(DISTINCT o.l_suppkey) AS bigint) AS supplier_cnt
+FROM ok o JOIN sel s ON o.l_partkey = s.p_partkey
+GROUP BY s.p_brand, s.p_type, s.p_size""",
+        # Q2 shape: cheapest regional supplier per part — min + smallest
+        # suppkey tie-break == the Spark side's min-struct argmin.
+        "min_cost_supplier": """
+WITH rs AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+l AS (
+  SELECT l_partkey, l_suppkey,
+         cast(floor(l_extendedprice * 100 + 0.5) AS bigint) AS pc
+  FROM lineitem JOIN rs ON l_suppkey = rs.s_suppkey),
+m AS (SELECT l_partkey, min(pc) AS min_pc FROM l GROUP BY l_partkey),
+c AS (SELECT l.l_partkey, l.pc, min(l.l_suppkey) AS sk
+      FROM l JOIN m ON l.l_partkey = m.l_partkey AND l.pc = m.min_pc
+      GROUP BY l.l_partkey, l.pc)
+SELECT p.p_partkey, c.pc AS min_price_c, c.sk AS s_suppkey,
+       rs.s_name, rs.n_name
+FROM part p
+JOIN c ON p.p_partkey = c.l_partkey
+JOIN rs ON c.sk = rs.s_suppkey
+WHERE p.p_size = 15""",
         "small_qty_revenue": """
 WITH avg_q AS (
   SELECT l_partkey,
