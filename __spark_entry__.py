@@ -264,6 +264,20 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_context_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Context-window overflow audit (operators/spans.py:context_growth):
+    # running token totals per conversation + the first turn past a
+    # 256-token budget. Expanding frame (the O(n) direction) + min-struct
+    # argmin; cum is monotone (tokens >= 0) so the oracle's two plain
+    # min(CASE) aggregates select the same turn.
+    from logpipe_spark.functions.textfn import token_count
+    from logpipe_spark.operators.spans import context_growth
+
+    t = _t(spark, sf_dir).withColumn(
+        "n_tokens", token_count(F.col("text"), "[^ ]+"))
+    return context_growth(t, budget=256)
+
+
 def q_hash_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
     # T7 single-round (builtin sha2); iterated variant is non-SQL (pandas UDF)
     return (
@@ -3755,6 +3769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_spans": q_conv_spans,
         "turn_latency": q_turn_latency,
         "token_stats": q_token_stats,
+        "context_growth": q_context_growth,
         "hash_sha256": q_hash_sha256,
         "window_rownum": q_window_rownum,
         "topk_convs": q_topk_convs,
@@ -3953,6 +3968,26 @@ SELECT conv_id, turn_idx,
        (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx))) / 1e6
          AS latency_seconds
 FROM transcripts""",
+        # Same cumulative frame; monotone cum makes min(CASE) == the
+        # Spark side's min-struct first-overflow argmin.
+        "context_growth": f"""{P},
+tok AS (
+  SELECT conv_id, turn_idx,
+         cast(len(regexp_extract_all(text, '[^ ]+')) AS bigint) AS tok
+  FROM transcripts),
+c AS (
+  SELECT conv_id, turn_idx,
+         sum(tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tok)
+SELECT conv_id,
+       cast(count(*) AS bigint) AS n_turns,
+       cast(max(cum) AS bigint) AS total_tokens,
+       cast(min(CASE WHEN cum > 256 THEN turn_idx END) AS int)
+         AS overflow_turn,
+       cast(min(CASE WHEN cum > 256 THEN cum END) AS bigint)
+         AS tokens_at_overflow
+FROM c GROUP BY conv_id""",
         "token_stats": f"""{P},
 tok AS (
   SELECT tool, cast(len(regexp_extract_all(text, '[^ ]+')) AS int) AS n_tokens

@@ -182,6 +182,16 @@ HEADLINE = [
     "k_core",
     "cust_order_dist",
     "idle_customers",
+    # round 4 continuation: funnel latency, segmentation, rate audit,
+    # robust trend, Q19/Q16/Q2 shapes
+    "funnel_latency",
+    "rfm_scores",
+    "peak_rate",
+    "theil_sen",
+    "disjunctive_revenue",
+    "supplier_types",
+    "min_cost_supplier",
+    "context_growth",
 ]
 
 

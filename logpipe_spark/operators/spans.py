@@ -251,3 +251,55 @@ def value_streaks(
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
         F.sum("_len").cast("bigint").alias("n_rows"),
     )
+
+
+def context_growth(
+    df: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Context-window overflow audit: per conversation, the running token
+    total in turn order and the FIRST turn whose cumulative count exceeds
+    ``budget`` — "which conversations outgrow an N-token context, and
+    when?", the planning input for truncation / packing policies
+    (trainprep/curate.py:pack_sequences consumes exactly this budget).
+
+    Returns one row per conversation: (conv, n_turns, total_tokens,
+    overflow_turn, tokens_at_overflow); the last two are NULL for
+    conversations that never exceed the budget.
+
+    Plan: ONE shuffle on the conversation key — the expanding-frame
+    cumulative sum is the incremental O(n) direction (never UNBOUNDED
+    FOLLOWING, see BENCH.md), and the first-overflow argmin is a
+    min-struct aggregate over the same frame, not a second window pass.
+    All values are exact integers.
+    """
+    w = (
+        Window.partitionBy(conv_col).orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(order_col).alias("turn"),
+        F.col(tokens_col).cast("bigint").alias("tok"),
+        F.sum(F.col(tokens_col).cast("bigint")).over(w).alias("cum"),
+    )
+    return cum.groupBy("conv").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.max("cum").cast("bigint").alias("total_tokens"),
+        F.min(
+            F.when(
+                F.col("cum") > budget,
+                F.struct(F.col("turn").alias("turn"),
+                         F.col("cum").alias("cum")),
+            )
+        ).alias("_o"),
+    ).select(
+        F.col("conv").alias(conv_col),
+        "n_turns",
+        "total_tokens",
+        F.col("_o.turn").cast("int").alias("overflow_turn"),
+        F.col("_o.cum").cast("bigint").alias("tokens_at_overflow"),
+    )

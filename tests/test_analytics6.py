@@ -676,3 +676,27 @@ def test_theil_sen_median_is_discrete_even_n_pairs(spark):
     # slopes: (0,1)=3.0, (0,3)=1.0, (1,3)=0.0 -> sorted 0,1,3 -> median 1.0
     out = theil_sen(df, "k", F.col("x"), F.col("y")).collect()[0]
     assert out.slope == 1.0 and out.n_pairs == 3
+
+
+# --------------------------------------------------------- context_growth
+
+def test_context_growth_first_overflow_and_null_when_under(spark):
+    from logpipe_spark.operators.spans import context_growth
+
+    rows = [
+        # conv A: tokens 100,100,100 -> cum 100,200,300; budget 250 ->
+        # overflow at turn 2 with cum 300
+        ("A", 0, 100), ("A", 1, 100), ("A", 2, 100),
+        # conv B: never exceeds
+        ("B", 0, 10), ("B", 1, 20),
+        # conv C: zero-token turns don't advance cum; overflow exactly
+        # when cum strictly exceeds (cum == budget is NOT overflow)
+        ("C", 0, 250), ("C", 1, 0), ("C", 2, 1),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "n_tokens"])
+    out = {r.conv_id: r for r in context_growth(df, budget=250).collect()}
+    assert (out["A"].overflow_turn, out["A"].tokens_at_overflow) == (2, 300)
+    assert out["A"].total_tokens == 300 and out["A"].n_turns == 3
+    assert out["B"].overflow_turn is None
+    assert out["B"].tokens_at_overflow is None
+    assert (out["C"].overflow_turn, out["C"].tokens_at_overflow) == (2, 251)
