@@ -3571,6 +3571,28 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Estimator-quality audit for the IVF index (the ANN analog of
+    # minhash_recall): ground truth = brute-force cosine top-5
+    # (ann_topk), found = single-probe IVF top-5 (ann_ivf_topk) over the
+    # SAME queries. Both sides are independently exact-oracled, so the
+    # audit's own numbers are cross-checked; recall is a raw double of
+    # two exact integers. Single row (n_true, n_found, n_hit, recall).
+    truth = q_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    found = q_ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    n_t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    n_f = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+    n_h = found.join(truth, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    return (
+        n_t.crossJoin(n_f).crossJoin(n_h)
+        .select("n_true", "n_found", "n_hit",
+                F.when(F.col("n_true") > 0,
+                       F.col("n_hit").cast("double") / F.col("n_true"))
+                .alias("recall"))
+    )
+
+
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Diurnal-baseline anomaly scores (aggregate.py:seasonal_anomaly):
     # each (event_type, day, hour) count z-scored against that hour's
@@ -3732,6 +3754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "doc_novelty": q_doc_novelty,
         "minhash_recall": q_minhash_recall,
+        "ann_recall": q_ann_recall,
         "small_qty_revenue": q_small_qty_revenue,
         "disjunctive_revenue": q_disjunctive_revenue,
         "supplier_types": q_supplier_types,
@@ -6294,6 +6317,20 @@ t AS (SELECT cast(count(*) AS bigint) AS n_true FROM tr),
 f AS (SELECT cast(count(*) AS bigint) AS n_found FROM fo),
 h AS (SELECT cast(count(*) AS bigint) AS n_hit
       FROM fo JOIN tr USING (doc_a, doc_b))
+SELECT n_true, n_found, n_hit,
+       CASE WHEN n_true > 0 THEN cast(n_hit AS double) / n_true
+            END AS recall
+FROM t, f, h"""
+    # IVF recall audit: truth = the brute-force oracle, found = the IVF
+    # oracle, both nested verbatim — the audit cross-checks two
+    # independently-gated queries against each other
+    oracles["ann_recall"] = f"""
+WITH tr AS ({oracles['ann_topk']}),
+fo AS ({oracles['ann_ivf_topk']}),
+t AS (SELECT cast(count(*) AS bigint) AS n_true FROM tr),
+f AS (SELECT cast(count(*) AS bigint) AS n_found FROM fo),
+h AS (SELECT cast(count(*) AS bigint) AS n_hit
+      FROM fo JOIN tr USING (query_id, neighbor_id))
 SELECT n_true, n_found, n_hit,
        CASE WHEN n_true > 0 THEN cast(n_hit AS double) / n_true
             END AS recall

@@ -193,6 +193,7 @@ HEADLINE = [
     "min_cost_supplier",
     "context_growth",
 ]
+# note: ann_recall joins the bench set automatically via the ann_* tag rule
 
 
 def materialize(df) -> None:
