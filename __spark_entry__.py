@@ -3421,6 +3421,63 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q10 shape: top-20 customers by revenue on RETURNED items in a
+    # quarter — fact filter -> groupBy custkey -> broadcast dim joins ->
+    # distributed top-k (orderBy+limit == TakeOrderedAndProject; the
+    # customer-cardinality revenue frame never crosses one rank window,
+    # same pattern as top_ngrams/bm25). Revenue is exact integer
+    # cents x (100 - discount-hundredths).
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    o_sel = orders.where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    ).select("o_orderkey", "o_custkey")
+    rev = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", (pc * (F.lit(100) - dc)).alias("_rc"))
+        .join(o_sel, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("_rc").cast("bigint").alias("revenue_c"))
+    )
+    j = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return (
+        j.select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue_c")
+        .orderBy(F.col("revenue_c").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4 shape: order counts per priority where EXISTS a lineitem
+    # shipped after the order date (lateness stand-in — this corpus has
+    # no commit/receipt dates) in one quarter. The EXISTS runs as a
+    # LEFT SEMI hash join on the fact (never a correlated re-scan), then
+    # a tiny priority rollup.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o_sel = orders.where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01"))
+    late = li.join(
+        o_sel.select("o_orderkey", "o_orderdate"),
+        (li.l_orderkey == F.col("o_orderkey"))
+        & (li.l_shipdate > F.col("o_orderdate")),
+        "left_semi",
+    ).select("l_orderkey").distinct()
+    return (
+        o_sel.join(late, o_sel.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
 def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q17 shape (correlated scalar subquery -> Catalyst
     # decorrelation): revenue from lineitems below 20% of their part's
@@ -3759,6 +3816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "supplier_types": q_supplier_types,
         "min_cost_supplier": q_min_cost_supplier,
+        "returned_revenue": q_returned_revenue,
+        "priority_lateness": q_priority_lateness,
         "big_order_customers": q_big_order_customers,
         "cust_order_dist": q_cust_order_dist,
         "idle_customers": q_idle_customers,
@@ -5149,6 +5208,40 @@ FROM part p
 JOIN c ON p.p_partkey = c.l_partkey
 JOIN rs ON c.sk = rs.s_suppkey
 WHERE p.p_size = 15""",
+        # Q10 shape: same quarter filter + returned-only revenue; ORDER BY
+        # + LIMIT mirrors the TakeOrderedAndProject top-k (custkey ties).
+        "returned_revenue": """
+WITH o_sel AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1997-01-01'
+    AND o_orderdate < DATE '1997-04-01'),
+rev AS (
+  SELECT o.o_custkey,
+         cast(sum(cast(floor(l.l_extendedprice * 100 + 0.5) AS bigint)
+                  * (100 - cast(floor(l.l_discount * 100 + 0.5) AS bigint)))
+              AS bigint) AS revenue_c
+  FROM lineitem l JOIN o_sel o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY o.o_custkey)
+SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal, r.revenue_c
+FROM rev r
+JOIN customer c ON r.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY r.revenue_c DESC, c.c_custkey
+LIMIT 20""",
+        # Q4 shape: EXISTS == semi join on the late-lineitem fact.
+        "priority_lateness": """
+WITH o_sel AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
+  WHERE o_orderdate >= DATE '1997-01-01'
+    AND o_orderdate < DATE '1997-04-01')
+SELECT o.o_orderpriority,
+       cast(count(*) AS bigint) AS order_count
+FROM o_sel o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority""",
         "small_qty_revenue": """
 WITH avg_q AS (
   SELECT l_partkey,

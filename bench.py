@@ -192,6 +192,8 @@ HEADLINE = [
     "supplier_types",
     "min_cost_supplier",
     "context_growth",
+    "returned_revenue",
+    "priority_lateness",
 ]
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 
