@@ -3421,6 +3421,19 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pareto concentration (operators/segment.py:concentration_share):
+    # what share of order value do the top 20% of customers hold? The
+    # membership cut reuses the bucketed-prefix global rank (no global
+    # sort window); the oracle runs the plain rank window. All counts
+    # and sums are exact bigints; share divides two of them once.
+    from logpipe_spark.operators.segment import concentration_share
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return concentration_share(orders, "o_custkey", cents)
+
+
 def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q10 shape: top-20 customers by revenue on RETURNED items in a
     # quarter — fact filter -> groupBy custkey -> broadcast dim joins ->
@@ -3818,6 +3831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "returned_revenue": q_returned_revenue,
         "priority_lateness": q_priority_lateness,
+        "revenue_concentration": q_revenue_concentration,
         "big_order_customers": q_big_order_customers,
         "cust_order_dist": q_cust_order_dist,
         "idle_customers": q_idle_customers,
@@ -5208,6 +5222,28 @@ FROM part p
 JOIN c ON p.p_partkey = c.l_partkey
 JOIN rs ON c.sk = rs.s_suppkey
 WHERE p.p_size = 15""",
+        # Plain rank window == the bucketed-rank cut; ceil via the
+        # positive-operand (n*num + den - 1) // den both engines agree on.
+        "revenue_concentration": """
+WITH pk AS (
+  SELECT o_custkey AS k,
+         sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS amt
+  FROM orders GROUP BY o_custkey),
+r AS (
+  SELECT k, amt,
+         row_number() OVER (ORDER BY amt DESC, k) AS rnk,
+         count(*) OVER () AS n,
+         sum(amt) OVER () AS total
+  FROM pk)
+SELECT cast(max(n) AS bigint) AS n_keys,
+       cast((max(n) * 1 + 5 - 1) // 5 AS bigint) AS k_top,
+       cast(sum(CASE WHEN rnk <= (n * 1 + 5 - 1) // 5
+                     THEN amt ELSE 0 END) AS bigint) AS amount_top,
+       cast(max(total) AS bigint) AS amount_total,
+       cast(sum(CASE WHEN rnk <= (n * 1 + 5 - 1) // 5
+                     THEN amt ELSE 0 END) AS double)
+         / cast(max(total) AS double) AS share
+FROM r""",
         # Q10 shape: same quarter filter + returned-only revenue; ORDER BY
         # + LIMIT mirrors the TakeOrderedAndProject top-k (custkey ties).
         "returned_revenue": """

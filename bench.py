@@ -194,6 +194,7 @@ HEADLINE = [
     "context_growth",
     "returned_revenue",
     "priority_lateness",
+    "revenue_concentration",
 ]
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 

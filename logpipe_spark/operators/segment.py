@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rfm_scores"]
+__all__ = ["rfm_scores", "concentration_share"]
 
 
 def _global_rank(df: DataFrame, value: str, tiebreak: str,
@@ -122,4 +122,53 @@ def rfm_scores(
         "rfm",
         (F.col("r_score") * 100 + F.col("f_score") * 10
          + F.col("m_score")).cast("int"),
+    )
+
+
+def concentration_share(
+    df: DataFrame,
+    key: str,
+    amount,  # Column, exact integer units (cents)
+    top_frac_num: int = 1,
+    top_frac_den: int = 5,
+) -> DataFrame:
+    """Pareto concentration ("do 20% of the keys carry 80% of the
+    volume?"): the share of total amount held by the top
+    ``top_frac_num/top_frac_den`` of keys ranked by amount descending.
+
+    Single-row output (n_keys, k_top, amount_top, amount_total, share):
+    k_top = ceil(n * num / den) computed in INTEGER arithmetic; the
+    membership cut uses the same bucketed-prefix global rank as
+    :func:`rfm_scores` (never a global sort/window); share is one double
+    division of two exact bigints.
+    """
+    per_key = df.groupBy(F.col(key).alias("_k")).agg(
+        F.sum(amount).cast("bigint").alias("_amt"))
+    # rank DESC == rank ASC of the negated amount (keeps _global_rank's
+    # ascending prefix-scan orientation); tiebreak on the key
+    ranked = _global_rank(
+        per_key.withColumn("_neg", -F.col("_amt")),
+        "_neg", "_k", "_rnk", 4096,
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("_amt").cast("bigint").alias("amount_total"),
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    # ceil(n*num/den) = (n*num + den - 1) div den — POSITIVE operands
+    # only (Spark's div truncates toward zero, DuckDB's // floors; they
+    # agree only on non-negative numerators)
+    k_top = F.expr(
+        f"cast((n_keys * {top_frac_num} + {top_frac_den} - 1)"
+        f" div {top_frac_den} as bigint)")
+    top = j.where(F.col("_rnk") <= k_top).agg(
+        F.max(k_top).alias("k_top"),
+        F.sum("_amt").cast("bigint").alias("amount_top"),
+        F.max("n_keys").alias("n_keys"),
+        F.max("amount_total").alias("amount_total"),
+    )
+    return top.select(
+        "n_keys", "k_top", "amount_top", "amount_total",
+        (F.col("amount_top").cast("double")
+         / F.col("amount_total").cast("double")).alias("share"),
     )

@@ -700,3 +700,23 @@ def test_context_growth_first_overflow_and_null_when_under(spark):
     assert out["B"].overflow_turn is None
     assert out["B"].tokens_at_overflow is None
     assert (out["C"].overflow_turn, out["C"].tokens_at_overflow) == (2, 251)
+
+
+# --------------------------------------------------- concentration_share
+
+def test_concentration_share_hand_case(spark):
+    from logpipe_spark.operators.segment import concentration_share
+
+    # 5 keys, amounts 100,50,25,15,10 (total 200); top 20% = ceil(1) = 1
+    # key -> 100/200 = 0.5
+    rows = [(k, a) for k, a in
+            [("a", 100), ("b", 50), ("c", 25), ("d", 15), ("e", 10)]]
+    df = spark.createDataFrame(rows, ["k", "amt"])
+    out = concentration_share(df, "k", F.col("amt"), 1, 5).collect()[0]
+    assert (out.n_keys, out.k_top, out.amount_top, out.amount_total) == (
+        5, 1, 100, 200)
+    assert out.share == 0.5
+    # 50% cut: ceil(5/2)=3 keys -> 175/200
+    out2 = concentration_share(df, "k", F.col("amt"), 1, 2).collect()[0]
+    assert (out2.k_top, out2.amount_top) == (3, 175)
+    assert out2.share == 0.875
