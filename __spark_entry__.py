@@ -1485,6 +1485,39 @@ def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anomaly_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The on-call's next question after rate_anomaly fires: WHO drove the
+    # spike? Flagged (type, hour) cells (|z| >= 1.5 — safe to threshold:
+    # the z doubles are bit-identical cross-engine, see rate_anomaly)
+    # join back to per-user cell counts; the top contributor is ONE
+    # min-struct argmax, share divides two exact ints. The anomaly frame
+    # is alert-sized, so the join prunes the per-user frame hard.
+    anom = q_rate_anomaly(spark, sf_dir).where(
+        F.abs(F.col("zscore")) >= 1.5)
+    per_user = _events(spark, sf_dir).groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp"))
+        .alias("bucket_ts"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+    j = per_user.join(
+        anom.select("event_type", "bucket_ts", "n", "zscore"),
+        ["event_type", "bucket_ts"])
+    arg = j.groupBy("event_type", "bucket_ts").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("zscore").alias("zscore"),
+        F.min(F.struct((-F.col("_cnt")).alias("_neg"),
+                       F.col("user_id").alias("u"))).alias("_a"),
+    )
+    return arg.select(
+        "event_type", "bucket_ts", "n", "zscore",
+        F.col("_a.u").alias("top_user"),
+        (-F.col("_a._neg")).cast("bigint").alias("top_n"),
+        ((-F.col("_a._neg")).cast("double")
+         / F.col("n").cast("double")).alias("top_share"),
+    )
+
+
 def q_conv_digest_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale path of conv_digest (the order-sensitive fold): a 10^6-turn
     # conversation makes collect_list + concat a single giant string in one
@@ -3916,6 +3949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_estimate": q_minhash_estimate,
         "conv_digest_merkle": q_conv_digest_merkle,
         "rate_anomaly": q_rate_anomaly,
+        "anomaly_contributors": q_anomaly_contributors,
         "hrw_shards": q_hrw_shards,
         "share_of_total": q_share_of_total,
         "dedup_within_horizon": q_dedup_within_horizon,
@@ -6450,6 +6484,25 @@ SELECT n_true, n_found, n_hit,
        CASE WHEN n_true > 0 THEN cast(n_hit AS double) / n_true
             END AS recall
 FROM t, f, h"""
+    # anomaly triage: the rate_anomaly oracle nested verbatim, flagged
+    # cells joined back to per-user counts; argmax via rank-1 window
+    oracles["anomaly_contributors"] = f"""
+WITH a AS ({oracles['rate_anomaly']}),
+pu AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, user_id,
+         cast(count(*) AS bigint) AS cnt
+  FROM events GROUP BY 1, 2, 3),
+j AS (
+  SELECT p.event_type, p.bucket_ts, a.n, a.zscore, p.user_id, p.cnt,
+         row_number() OVER (PARTITION BY p.event_type, p.bucket_ts
+                            ORDER BY p.cnt DESC, p.user_id) AS rk
+  FROM pu p JOIN a ON p.event_type = a.event_type
+                  AND p.bucket_ts = a.bucket_ts
+  WHERE abs(a.zscore) >= 1.5)
+SELECT event_type, bucket_ts, cast(n AS bigint) AS n, zscore,
+       user_id AS top_user, cast(cnt AS bigint) AS top_n,
+       cast(cnt AS double) / cast(n AS double) AS top_share
+FROM j WHERE rk = 1"""
     # IVF recall audit: truth = the brute-force oracle, found = the IVF
     # oracle, both nested verbatim — the audit cross-checks two
     # independently-gated queries against each other

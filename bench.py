@@ -195,6 +195,7 @@ HEADLINE = [
     "returned_revenue",
     "priority_lateness",
     "revenue_concentration",
+    "anomaly_contributors",
 ]
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 
