@@ -2226,6 +2226,33 @@ def q_build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_postings(_docs(spark, sf_dir), max_postings=10)
 
 
+def q_postings_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Persisted incremental inverted index (trainprep/index.py:
+    # write_postings_index / append_postings_index / read_postings): the
+    # corpus loads in two halves — initial build on even doc_ids, merge
+    # of odd ones — then reads back. df adds across disjoint shards and
+    # the capped ascending postings list is a monoid (k smallest of a
+    # union live in the union of each side's k smallest), so the merged
+    # index == a batch rebuild at value level: the oracle is
+    # build_postings' batch SQL VERBATIM.
+    import shutil
+    import tempfile
+
+    from logpipe_spark.trainprep.index import (
+        append_postings_index, read_postings, write_postings_index)
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="logpipe_postings_")
+    try:
+        write_postings_index(
+            spark, docs.where(F.col("doc_id") % 2 == 0), tmp)
+        append_postings_index(
+            spark, docs.where(F.col("doc_id") % 2 == 1), tmp)
+        return read_postings(spark, tmp).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_dup_chunk_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cross-document duplicated-chunk fraction (trainprep/dedup.py:
     # chunk_dup_stats): 8-word non-overlapping chunks hashed with md5,
@@ -3969,6 +3996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_checks": q_dq_checks,
         "top_paths": q_top_paths,
         "build_postings": q_build_postings,
+        "postings_incremental": q_postings_incremental,
         "dup_chunk_frac": q_dup_chunk_frac,
         "period_over_period": q_period_over_period,
         "hll_distinct": q_hll_distinct,
@@ -6484,6 +6512,10 @@ SELECT n_true, n_found, n_hit,
        CASE WHEN n_true > 0 THEN cast(n_hit AS double) / n_true
             END AS recall
 FROM t, f, h"""
+    # incremental (persisted, two-phase-merged) postings index must equal
+    # the batch build: df adds across disjoint shards and the capped
+    # ascending list is a monoid — shared verbatim (merge==rebuild proof)
+    oracles["postings_incremental"] = oracles["build_postings"]
     # anomaly triage: the rate_anomaly oracle nested verbatim, flagged
     # cells joined back to per-user counts; argmax via rank-1 window
     oracles["anomaly_contributors"] = f"""

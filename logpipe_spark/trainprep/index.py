@@ -196,3 +196,128 @@ def rrf_fuse(rankings, c: int = 60,
         .agg(F.sum("_contrib").alias("rrf"),
              F.count(F.lit(1)).cast("bigint").alias("n_rankers"))
     )
+
+
+# --- persisted incremental postings index -----------------------------------
+#
+# The production retrieval shape at 10^12 turns: the corpus is indexed
+# once, and every new shard MERGES into the persisted index instead of
+# re-tokenizing the whole corpus. Correctness rests on two monoids:
+#   df:       shards have disjoint doc_ids, so per-word distinct-doc
+#             counts ADD across shards;
+#   postings: the capped list keeps the ``max_postings`` SMALLEST doc
+#             ids, and the k smallest of a union are always contained in
+#             (k smallest of A) ∪ (k smallest of B) — so merging two
+#             capped lists and re-capping equals capping the union.
+# The driver query (``postings_incremental``) loads the corpus in two
+# halves and must match build_postings' batch SQL VERBATIM.
+
+
+def _postings_partial(docs: DataFrame, text_col: str, id_col: str,
+                      max_postings: int) -> DataFrame:
+    """One shard's mergeable state: (word, df, post_ids) with post_ids =
+    the shard's ``max_postings`` smallest doc ids, ascending."""
+    words = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(F.split(F.col(text_col), " ")).alias("word"),
+        )
+        .filter(F.col("word").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("word").orderBy("doc_id")
+    ranked = words.select(
+        "word", "doc_id",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("word")).alias("_df"),
+    )
+    return (
+        ranked.filter(F.col("_rn") <= max_postings)
+        .groupBy("word")
+        .agg(
+            F.max("_df").cast("bigint").alias("df"),
+            F.sort_array(
+                F.collect_list(F.col("doc_id").cast("bigint"))
+            ).alias("post_ids"),
+        )
+    )
+
+
+def write_postings_index(spark, docs: DataFrame, path: str,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         max_postings: int = 10,
+                         n_buckets: int = 16) -> None:
+    """Initial load: vocabulary rows laid out as
+    ``_bucket = pmod(hash(word), n_buckets)`` partition dirs so a merge
+    can rewrite buckets, not the whole index."""
+    part = _postings_partial(docs, text_col, id_col, max_postings)
+    (
+        part.withColumn(
+            "_bucket", F.pmod(F.hash(F.col("word")), F.lit(n_buckets)))
+        # explicit partition count: AQE sizes exchanges by BYTES and
+        # would coalesce the small vocab frame under n_buckets tasks
+        .repartition(n_buckets, "_bucket")
+        .write.partitionBy("_bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def append_postings_index(spark, new_docs: DataFrame, path: str,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          max_postings: int = 10,
+                          n_buckets: int = 16) -> None:
+    """Merge one shard into the persisted index. Cost is
+    delta-tokenize + vocabulary-of-touched-buckets merge — the corpus
+    text is NEVER re-read (that is the whole point; a natural-language
+    delta touches most buckets, so the rewrite is vocab-sized, not
+    corpus-sized). Contract: delta doc_ids are fresh (Iceberg-append
+    discipline, same as dedup_incremental).
+    """
+    delta = _postings_partial(
+        new_docs, text_col, id_col, max_postings
+    ).withColumn(
+        "_bucket", F.pmod(F.hash(F.col("word")), F.lit(n_buckets))
+    ).localCheckpoint(eager=True)
+    touched = sorted(
+        r["_bucket"] for r in delta.select("_bucket").distinct().collect())
+    old = (
+        spark.read.parquet(path)
+        .filter(F.col("_bucket").isin(touched))
+        .select("word", "df", "post_ids", "_bucket")
+    )
+    merged = (
+        old.unionByName(delta.select("word", "df", "post_ids", "_bucket"))
+        .groupBy("word")
+        .agg(
+            F.sum("df").cast("bigint").alias("df"),
+            # k-smallest of the union == re-capped merge of capped lists
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("post_ids"))),
+                1, max_postings,
+            ).alias("post_ids"),
+            F.max("_bucket").alias("_bucket"),
+        )
+        .localCheckpoint(eager=True)  # materialize before overwriting input
+    )
+    (
+        merged.repartition(len(touched), "_bucket")
+        .write.partitionBy("_bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_postings(spark, path: str) -> DataFrame:
+    """Load the persisted index in build_postings' output contract:
+    (word, df, postings comma-joined ascending)."""
+    idx = spark.read.parquet(path)
+    return idx.select(
+        "word",
+        F.col("df").cast("bigint").alias("df"),
+        F.array_join(
+            F.transform(F.col("post_ids"), lambda x: x.cast("string")),
+            ",",
+        ).alias("postings"),
+    )

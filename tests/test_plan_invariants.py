@@ -31,7 +31,8 @@ FORBIDDEN = [
 # ExistingRDD scan by construction. Their REAL (lazy) plans are held to
 # the same invariants in test_materialized_queries_lazy_plans below.
 MATERIALIZED = {"dedup_incremental", "read_changes", "read_changes_evo",
-                "mv_incremental", "ann_index_incr", "ann_rebalanced"}
+                "mv_incremental", "ann_index_incr", "ann_rebalanced",
+                "postings_incremental"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES.keys()))
@@ -118,9 +119,21 @@ def test_materialized_queries_lazy_plans(spark, tmp_path):
     mv1 = mv_apply_changes(mv0, changes, ["o_orderstatus"],
                            "o_totalprice")
 
+    # the persisted postings index: hold the PRE-checkpoint read_postings
+    # plan, built against a live merged index, to the same gate
+    from logpipe_spark.trainprep.index import (
+        append_postings_index, read_postings, write_postings_index)
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    pidx = str(tmp_path / "postings")
+    write_postings_index(spark, docs.where(F.col("doc_id") % 2 == 0), pidx)
+    append_postings_index(spark, docs.where(F.col("doc_id") % 2 == 1), pidx)
+    postings_query = read_postings(spark, pidx)
+
     for name, df in (("dedup_incremental", incr), ("read_changes", changes),
                      ("mv_incremental", mv1),
-                     ("ann_query_index", ivf_query)):
+                     ("ann_query_index", ivf_query),
+                     ("read_postings", postings_query)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         for bad in FORBIDDEN:
             assert bad not in plan, f"{name}: forbidden {bad}"

@@ -548,3 +548,30 @@ def test_doc_novelty_order_semantics(spark):
     # doc 2: grams {a b, b x, x y}; 'a b' owned by doc 1 -> 2/3 novel
     assert out[2].n_distinct_grams == 3 and out[2].n_novel == 2
     assert out[3].novelty == 0.0                 # exact late duplicate
+
+
+# ------------------------------------------- incremental postings index
+
+def test_postings_incremental_equals_batch(spark, tmp_path):
+    """Merge==rebuild at value level, including the cap monoid: shards
+    split so some words' capped lists must interleave across shards."""
+    from logpipe_spark.trainprep.index import (
+        append_postings_index, build_postings, read_postings,
+        write_postings_index)
+
+    rows = [(i, "alpha beta w%d" % (i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "pidx")
+    # odd/even split: 'alpha' appears in every doc, so each shard's
+    # capped list holds its own 4 smallest ids and the merged cap must
+    # interleave them (0,1,2,3), not concatenate (0,2,4,6,1,3,5,7)
+    write_postings_index(spark, df.where(F.col("doc_id") % 2 == 0),
+                         path, max_postings=4)
+    append_postings_index(spark, df.where(F.col("doc_id") % 2 == 1),
+                          path, max_postings=4)
+    got = {r.word: (r.df, r.postings)
+           for r in read_postings(spark, path).collect()}
+    exp = {r.word: (r.df, r.postings)
+           for r in build_postings(df, max_postings=4).collect()}
+    assert got == exp
+    assert got["alpha"] == (30, "0,1,2,3")
