@@ -3824,16 +3824,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Dict order is load-bearing: the round driver verifies the FIRST
     # 50 entries against their oracles (CORRECTNESS_r{N}). Rotated for
-    # round 4 per the r03 verdict: the 15 round-3/4 ops that had never
-    # been driver-verified (ann_index_incr, ann_rebalanced,
-    # quantile_sketch(+merged), slo_burn, dup_spans, strip_dup_spans,
-    # conv_redundancy, chunk_documents, doc_novelty, minhash_recall,
-    # small_qty_revenue, big_order_customers, read_changes_evo) moved
-    # into the window; 15 queries whose families already have r02/r03
-    # driver evidence (asof fwd/seg, sessionize_seg, cusum_alert,
-    # seasonal_anomaly, welch/anova/auc, weighted_median, mad/winsorize,
-    # assortativity, pareto, interval_overlap) moved below. Entries 51+
-    # are covered by scripts/gate_dryrun.py over the full surface.
+    # round 4 per the r03 verdict (never-driver-verified ops in, queries
+    # with existing r02/r03 driver evidence out), then re-rotated in the
+    # round-4 continuation: the 14 new ops (funnel_latency, rfm_scores,
+    # peak_rate, theil_sen, context_growth, anomaly_contributors,
+    # postings_incremental, ann_recall, and the Q19/Q16/Q2/Q10/Q4/Pareto
+    # shapes) replaced 14 queries verified green in CORRECTNESS_r03
+    # (asof_join, range_join, time_rollup, sessionize, value_percentiles,
+    # cms_heavy_hitters, cusum/ewma/holt_merged, ks_drift, trend_slope,
+    # chisq_assoc, quantile_normalize, pagerank — all moved just below).
+    # Entries 51+ are covered by scripts/gate_dryrun.py over the full
+    # surface every session.
         "pipeline_flagship": q_pipeline_flagship,
         "flagship_approx": q_flagship_approx,
         "filter_regex": q_filter_regex,
@@ -3852,20 +3853,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint_binseg": q_changepoint,
         "dup_clusters": q_dup_clusters,
         "dedup_keep_list": q_dedup_keep_list,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "time_rollup": q_time_rollup,
-        "sessionize": q_sessionize,
-        "value_percentiles": q_value_percentiles,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "cusum_merged": q_cusum_merged,
-        "ewma_merged": q_ewma_merged,
-        "holt_merged": q_holt_merged,
-        "ks_drift": q_ks_drift,
-        "trend_slope": q_trend_slope,
-        "chisq_assoc": q_chisq_assoc,
-        "quantile_normalize": q_quantile_normalize,
-        "pagerank": q_pagerank,
+        "funnel_latency": q_funnel_latency,
+        "rfm_scores": q_rfm_scores,
+        "peak_rate": q_peak_rate,
+        "theil_sen": q_theil_sen,
+        "context_growth": q_context_growth,
+        "anomaly_contributors": q_anomaly_contributors,
+        "postings_incremental": q_postings_incremental,
+        "ann_recall": q_ann_recall,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "supplier_types": q_supplier_types,
+        "min_cost_supplier": q_min_cost_supplier,
+        "returned_revenue": q_returned_revenue,
+        "priority_lateness": q_priority_lateness,
+        "revenue_concentration": q_revenue_concentration,
         "bfs_hops": q_bfs_hops,
         "k_core": q_k_core,
         "triangle_count": q_triangle_count,
@@ -3884,14 +3885,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "doc_novelty": q_doc_novelty,
         "minhash_recall": q_minhash_recall,
-        "ann_recall": q_ann_recall,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
+        "sessionize": q_sessionize,
+        "value_percentiles": q_value_percentiles,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "cusum_merged": q_cusum_merged,
+        "ewma_merged": q_ewma_merged,
+        "holt_merged": q_holt_merged,
+        "ks_drift": q_ks_drift,
+        "trend_slope": q_trend_slope,
+        "chisq_assoc": q_chisq_assoc,
+        "quantile_normalize": q_quantile_normalize,
+        "pagerank": q_pagerank,
         "small_qty_revenue": q_small_qty_revenue,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "supplier_types": q_supplier_types,
-        "min_cost_supplier": q_min_cost_supplier,
-        "returned_revenue": q_returned_revenue,
-        "priority_lateness": q_priority_lateness,
-        "revenue_concentration": q_revenue_concentration,
         "big_order_customers": q_big_order_customers,
         "cust_order_dist": q_cust_order_dist,
         "idle_customers": q_idle_customers,
@@ -3925,7 +3933,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_spans": q_conv_spans,
         "turn_latency": q_turn_latency,
         "token_stats": q_token_stats,
-        "context_growth": q_context_growth,
         "hash_sha256": q_hash_sha256,
         "window_rownum": q_window_rownum,
         "topk_convs": q_topk_convs,
@@ -3963,9 +3970,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "pivot_counts": q_pivot_counts,
         "ntile_buckets": q_ntile_buckets,
-        "rfm_scores": q_rfm_scores,
-        "peak_rate": q_peak_rate,
-        "theil_sen": q_theil_sen,
         "latest_by_key": q_latest_by_key,
         "len_histogram": q_len_histogram,
         "revenue_by_nation": q_revenue_by_nation,
@@ -3976,7 +3980,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_estimate": q_minhash_estimate,
         "conv_digest_merkle": q_conv_digest_merkle,
         "rate_anomaly": q_rate_anomaly,
-        "anomaly_contributors": q_anomaly_contributors,
         "hrw_shards": q_hrw_shards,
         "share_of_total": q_share_of_total,
         "dedup_within_horizon": q_dedup_within_horizon,
@@ -3986,7 +3989,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "seq_gaps": q_seq_gaps,
         "funnel_steps": q_funnel_steps,
-        "funnel_latency": q_funnel_latency,
         "event_transitions": q_event_transitions,
         "profile_columns": q_profile_columns,
         "strip_boilerplate": q_strip_boilerplate,
@@ -3996,7 +3998,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_checks": q_dq_checks,
         "top_paths": q_top_paths,
         "build_postings": q_build_postings,
-        "postings_incremental": q_postings_incremental,
         "dup_chunk_frac": q_dup_chunk_frac,
         "period_over_period": q_period_over_period,
         "hll_distinct": q_hll_distinct,
