@@ -907,3 +907,93 @@ def read_slo_burn(spark: SparkSession, state_dir: str,
         ((burn_fast > burn_threshold) & (burn_slow > burn_threshold))
         .cast("int").alias("alert"),
     )
+
+
+# --- streaming context-overflow audit ---------------------------------------
+
+CONTEXT_OVERFLOW_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("n_turns", LongType()),
+    StructField("total_tokens", LongType()),
+    StructField("overflow_turn", IntegerType()),
+    StructField("tokens_at_overflow", LongType()),
+])
+
+_CONTEXT_STATE = StructType([
+    StructField("t", ArrayType(LongType())),
+    StructField("v", ArrayType(LongType())),
+])
+
+
+def _context_fn_factory(budget: int):
+    """Per-conversation buffered (turn_idx, tokens) state; emits the
+    batch context_growth row once the watermark passes the conv's last
+    activity (bounded by one conversation — the sessionize discipline)."""
+    import numpy as np
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            t, v = state.get
+            state.remove()
+            order = np.argsort(np.asarray(t, dtype=np.int64), kind="stable")
+            tt = np.asarray(t, dtype=np.int64)[order]
+            cum = np.cumsum(np.asarray(v, dtype=np.int64)[order])
+            over = np.nonzero(cum > budget)[0]
+            yield pd.DataFrame({
+                "conv_id": [key[0]],
+                "n_turns": [len(tt)],
+                "total_tokens": [int(cum[-1]) if len(cum) else 0],
+                "overflow_turn": [
+                    int(tt[over[0]]) if len(over) else None],
+                "tokens_at_overflow": [
+                    int(cum[over[0]]) if len(over) else None],
+            })
+            return
+        t, v = state.get if state.exists else ([], [])
+        t, v = list(t), list(v)
+        for pdf in pdfs:
+            t.extend(pdf["turn_idx"].astype("int64").tolist())
+            v.extend(pdf["v"].astype("int64").tolist())
+        state.update((t, v))
+        # close the conversation as soon as the watermark moves past it
+        state.setTimeoutTimestamp(int(state.getCurrentWatermarkMs()) + 1)
+        return
+        yield  # pragma: no cover - generator form
+
+    return fn
+
+
+def stream_context_overflow(stream: DataFrame, budget: int = 256,
+                            watermark: str = "10 seconds") -> DataFrame:
+    """Streaming twin of ``operators.spans.context_growth``: per-conv
+    running token totals + first turn past ``budget``, emitted when the
+    event-time watermark passes the conversation's last activity.
+
+    Exactness contract: identical to the batch op on a drained stream —
+    the buffered fold sorts by turn_idx at emit time, so micro-batch
+    pacing cannot reorder it (two-pacing parity asserted in
+    test_streaming). The filters below never drop watermark-advancing
+    flush rows (they carry real conv_ids/text — see the
+    filter-pushed-below-EventTimeWatermark gotcha on
+    stream_cusum_monitor).
+    """
+    from logpipe_spark.functions.textfn import token_count
+
+    base = (
+        stream.withWatermark("ts", watermark)
+        .where(F.col("conv_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "conv_id", "ts",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            token_count(F.col("text"), "[^ ]+").cast("long").alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+    )
+    return base.groupBy("conv_id").applyInPandasWithState(
+        _context_fn_factory(int(budget)),
+        outputStructType=CONTEXT_OVERFLOW_SCHEMA,
+        stateStructType=_CONTEXT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

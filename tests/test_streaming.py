@@ -627,3 +627,60 @@ def test_stream_slo_burn_equals_batch(spark, stream_dir, tmp_path):
         .where(F.col("error_kind").isNull())
     want = sorted(map(tuple, slo_burn(batch, "ts", "status").collect()))
     assert got == want and len(got) > 0
+
+
+def _run_context(spark, src, ck, name, mft, budget):
+    from logpipe_spark.streaming.stream import stream_context_overflow
+
+    stream = stream_transcripts(spark, src, max_files_per_trigger=mft)
+    out = stream_context_overflow(stream, budget=budget,
+                                  watermark="10 seconds")
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    return spark.sql(
+        f"SELECT conv_id, n_turns, total_tokens, overflow_turn,"
+        f" tokens_at_overflow FROM {name}")
+
+
+def test_stream_context_overflow_matches_batch(spark, stream_dir, tmp_path):
+    """Streaming per-conv context audit == batch context_growth on the
+    drained stream, at two micro-batch pacings. A far-future flush row
+    advances the watermark so every real conversation times out and
+    emits (same sentinel discipline as the cusum test)."""
+    import shutil
+    import time
+
+    from logpipe_spark.functions.textfn import token_count
+    from logpipe_spark.operators.spans import context_growth
+
+    src = str(tmp_path / "src")
+    shutil.copytree(stream_dir, src)
+    time.sleep(0.05)
+    (spark.createDataFrame(
+        [("zz-flush", 0, "user", "flush", "none", "2025-06-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string")
+     .withColumn("ts", F.col("ts").cast("timestamp"))
+     .coalesce(1).write.mode("append").parquet(src))
+
+    batch = spark.read.parquet(src).where(F.col("conv_id") != "zz-flush")
+    want = {r.conv_id: (r.n_turns, r.total_tokens, r.overflow_turn,
+                        r.tokens_at_overflow)
+            for r in context_growth(
+                batch.withColumn(
+                    "n_tokens", token_count(F.col("text"), "[^ ]+")),
+                budget=64).collect()}
+    assert len(want) > 0
+    assert any(v[2] is not None for v in want.values()), \
+        "fixture too small: no conversation overflows the budget"
+
+    for i, mft in enumerate((1, 3)):
+        got_df = _run_context(spark, src, str(tmp_path / f"cck{i}"),
+                              f"ctx{i}", mft, budget=64)
+        got = {r.conv_id: (r.n_turns, r.total_tokens, r.overflow_turn,
+                           r.tokens_at_overflow)
+               for r in got_df.collect() if r.conv_id != "zz-flush"}
+        assert got == want, f"mft={mft}"
