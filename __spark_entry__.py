@@ -3384,6 +3384,70 @@ def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg2.slo_burn(clean, "ts", "status")
 
 
+def q_topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The standard reporting rollup: top-N categories by volume plus ONE
+    # "(other)" row absorbing the tail — the distributed form: top-N via
+    # orderBy+limit (TakeOrderedAndProject over the category-count
+    # frame), tail via a broadcast anti join back onto the SAME count
+    # frame (never re-scanning the fact), then a single-row aggregate.
+    # Ranks are assigned over the N survivors only.
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy(F.col("user_id").alias("cat")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    counts = counts.persist()  # category-sized; feeds top AND the tail
+    top = counts.orderBy(F.col("n").desc(), F.col("cat")).limit(10)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("n").desc(), F.col("cat"))
+    top_ranked = top.select(
+        F.col("cat").cast("string").alias("category"), "n",
+        F.row_number().over(w).cast("int").alias("rank"))
+    other = (
+        counts.join(F.broadcast(top), "cat", "left_anti")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n"))
+        .select(F.lit("(other)").alias("category"), "n",
+                F.lit(0).cast("int").alias("rank"))
+    )
+    return top_ranked.unionByName(other)
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5 shape: revenue per nation where the CUSTOMER and the
+    # SUPPLIER share the nation (the classic 6-table snowflake join).
+    # Dimension chain broadcasts; the two fact-side joins shuffle on
+    # their natural keys; revenue is exact integer cents x (100 - disc).
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    sn = (
+        supp.join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    o_sel = orders.where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01"))
+    j = (
+        li.select("l_orderkey", "l_suppkey",
+                  (pc * (F.lit(100) - dc)).alias("_rc"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o_sel.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+    )
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("_rc").cast("bigint").alias("revenue_c"))
+
+
 def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q19 shape: lineitem x part under an OR-of-ANDs predicate
     # (brand/size/quantity bands). The equi-key (partkey) still drives a
@@ -3867,10 +3931,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_revenue": q_returned_revenue,
         "priority_lateness": q_priority_lateness,
         "revenue_concentration": q_revenue_concentration,
+        "topn_with_other": q_topn_with_other,
+        "local_supplier_volume": q_local_supplier_volume,
         "bfs_hops": q_bfs_hops,
         "k_core": q_k_core,
-        "triangle_count": q_triangle_count,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_incremental": q_dedup_incremental,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
@@ -3885,6 +3949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "doc_novelty": q_doc_novelty,
         "minhash_recall": q_minhash_recall,
+        "triangle_count": q_triangle_count,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
@@ -5233,6 +5299,45 @@ SELECT bucket_epoch,
              AND (cast(err_slow AS double) / n_slow) / 0.05 > 2.0
             THEN 1 ELSE 0 END AS alert
 FROM win""",
+        # Top-N + "(other)" rollup: NOT IN == the engine's anti join
+        # (user_id is never NULL in this feed); rank window evaluates
+        # before LIMIT over the same total order.
+        "topn_with_other": """
+WITH counts AS (
+  SELECT user_id AS cat, cast(count(*) AS bigint) AS n
+  FROM events GROUP BY user_id),
+top AS (
+  SELECT cat, n, row_number() OVER (ORDER BY n DESC, cat) AS rank
+  FROM counts ORDER BY n DESC, cat LIMIT 10)
+SELECT cast(cat AS string) AS category, n, cast(rank AS int) AS rank
+FROM top
+UNION ALL
+SELECT '(other)' AS category,
+       cast(coalesce(sum(n), 0) AS bigint) AS n, cast(0 AS int) AS rank
+FROM counts WHERE cat NOT IN (SELECT cat FROM top)""",
+        # Q5 shape: identical snowflake chain + same-nation predicate.
+        "local_supplier_volume": """
+WITH sn AS (
+  SELECT s_suppkey, s_nationkey, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'),
+o_sel AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1997-01-01'
+    AND o_orderdate < DATE '1998-01-01')
+SELECT sn.n_name,
+       cast(count(*) AS bigint) AS n_items,
+       cast(sum(cast(floor(l.l_extendedprice * 100 + 0.5) AS bigint)
+                * (100 - cast(floor(l.l_discount * 100 + 0.5) AS bigint)))
+            AS bigint) AS revenue_c
+FROM lineitem l
+JOIN sn ON l.l_suppkey = sn.s_suppkey
+JOIN o_sel o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_nationkey = sn.s_nationkey
+GROUP BY sn.n_name""",
         # Q19 shape: same OR-of-ANDs, integer-cents revenue.
         "disjunctive_revenue": """
 SELECT p.p_brand,

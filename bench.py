@@ -196,6 +196,9 @@ HEADLINE = [
     "priority_lateness",
     "revenue_concentration",
     "anomaly_contributors",
+    "postings_incremental",
+    "topn_with_other",
+    "local_supplier_volume",
 ]
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 
