@@ -282,3 +282,27 @@ def test_quantile_normalize_invariants(spark, rows):
         srt = sorted(rs, key=lambda r: r.rank_in_group)
         assert all(a.norm_value <= b.norm_value
                    for a, b in zip(srt, srt[1:]))
+
+
+# ----------------------------------------------- ntile closed form (pure)
+
+@given(st.integers(1, 400), st.integers(1, 12))
+def test_ntile_closed_form_matches_definition(n, k):
+    """The closed form rfm_scores/segment.py evaluates in Spark SQL:
+    with q = n div k, r = n mod k, the first r tiles hold q+1 rows.
+    Cross-checked here against the constructive definition for every
+    rank; the Spark-vs-DuckDB agreement is the driver gate's job."""
+    q, r = divmod(n, k)
+
+    def closed(x: int) -> int:
+        big = r * (q + 1)
+        if x <= big:
+            return (x + q) // (q + 1)
+        return r + (x - big + q - 1) // max(q, 1)
+
+    # constructive: lay out tile sizes, assign ranks in order
+    sizes = [q + 1] * r + [q] * (k - r)
+    want = []
+    for tile, sz in enumerate(sizes, start=1):
+        want.extend([tile] * sz)
+    assert [closed(x) for x in range(1, n + 1)] == want
