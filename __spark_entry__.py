@@ -3436,10 +3436,12 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         li.select("l_orderkey", "l_suppkey",
                   (pc * (F.lit(100) - dc)).alias("_rc"))
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        # sn/cust scale with the corpus — no broadcast hints; only the
+        # nation/region dims inside the sn chain are hinted (25/5 rows)
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o_sel.select("o_orderkey", "o_custkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        .join(cust.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
     )
@@ -3458,7 +3460,9 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
     dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
-    j = li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+    # part scales with SF — no broadcast hint; AQE auto-broadcasts when
+    # the filtered dim is actually small
+    j = li.join(part.select("p_partkey", "p_brand", "p_size"),
                 li.l_partkey == F.col("p_partkey"))
     q = F.col("l_quantity")
     clause = (
@@ -3495,10 +3499,10 @@ def q_supplier_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") != "Brand#1")
         & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
+    # bad/sel scale with SF — no broadcast hints (AQE decides)
     j = (
-        pairs.join(F.broadcast(bad),
-                   pairs.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(sel), pairs.l_partkey == sel.p_partkey)
+        pairs.join(bad, pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(sel, pairs.l_partkey == sel.p_partkey)
     )
     return (
         j.groupBy("p_brand", "p_type", "p_size")
@@ -3526,15 +3530,16 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
     )
     pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    # rs scales with SF (suppliers-in-region) — no broadcast hint
     lr = li.select("l_partkey", "l_suppkey", pc.alias("pc")).join(
-        F.broadcast(rs.select("s_suppkey")),
+        rs.select("s_suppkey"),
         F.col("l_suppkey") == F.col("s_suppkey")).drop("s_suppkey")
     arg = lr.groupBy("l_partkey").agg(
         F.min(F.struct(F.col("pc"), F.col("l_suppkey"))).alias("_m"))
     sel = part.where(F.col("p_size") == 15).select("p_partkey")
     return (
-        arg.join(F.broadcast(sel), arg.l_partkey == sel.p_partkey)
-        .join(F.broadcast(rs), F.col("_m.l_suppkey") == rs.s_suppkey)
+        arg.join(sel, arg.l_partkey == sel.p_partkey)
+        .join(rs, F.col("_m.l_suppkey") == rs.s_suppkey)
         .select(
             F.col("p_partkey"),
             F.col("_m.pc").alias("min_price_c"),
@@ -3582,7 +3587,9 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("_rc").cast("bigint").alias("revenue_c"))
     )
-    j = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey).join(
+    # nation is hint-broadcast (25 rows at any SF); customer is NOT —
+    # it scales with the corpus, so the planner/AQE picks the strategy
+    j = rev.join(cust, rev.o_custkey == cust.c_custkey).join(
         F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     return (
         j.select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue_c")
