@@ -3384,6 +3384,31 @@ def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg2.slo_burn(clean, "ts", "status")
 
 
+def q_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The pre-join skew diagnosis every 100 TB join plan needs: per join
+    # key, |left| x |right| is the row count the join will EMIT for that
+    # key — the top offenders tell you whether to salt, and how much.
+    # Two map-side-combinable counts + an inner join of the (key-sized)
+    # count frames + distributed top-k (TakeOrderedAndProject). Counts
+    # cast to bigint BEFORE the product (the corpus-scale overflow
+    # discipline). Rank over the 20 survivors only.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lc = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_left"))
+    rc = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_right"))
+    prod = lc.join(rc, "k").select(
+        "k", "n_left", "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("fanout"))
+    top = prod.orderBy(F.col("fanout").desc(), F.col("k")).limit(20)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("fanout").desc(), F.col("k"))
+    return top.select(
+        F.col("k").alias("join_key"), "n_left", "n_right", "fanout",
+        F.row_number().over(w).cast("int").alias("rank"))
+
+
 def q_topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The standard reporting rollup: top-N categories by volume plus ONE
     # "(other)" row absorbing the tail — the distributed form: top-N via
@@ -3939,10 +3964,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_lateness": q_priority_lateness,
         "revenue_concentration": q_revenue_concentration,
         "topn_with_other": q_topn_with_other,
+        "join_fanout_audit": q_join_fanout_audit,
         "local_supplier_volume": q_local_supplier_volume,
         "bfs_hops": q_bfs_hops,
         "k_core": q_k_core,
-        "dedup_incremental": q_dedup_incremental,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
         "ann_index_incr": q_ann_index_incr,
@@ -3956,6 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "doc_novelty": q_doc_novelty,
         "minhash_recall": q_minhash_recall,
+        "dedup_incremental": q_dedup_incremental,
         "triangle_count": q_triangle_count,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "asof_join": q_asof_join,
@@ -5306,6 +5332,19 @@ SELECT bucket_epoch,
              AND (cast(err_slow AS double) / n_slow) / 0.05 > 2.0
             THEN 1 ELSE 0 END AS alert
 FROM win""",
+        # Same two counts + product + top-20; rank window before LIMIT
+        # over the identical total order.
+        "join_fanout_audit": """
+WITH lc AS (SELECT l_orderkey AS k, cast(count(*) AS bigint) AS n_left
+            FROM lineitem GROUP BY l_orderkey),
+rc AS (SELECT o_orderkey AS k, cast(count(*) AS bigint) AS n_right
+       FROM orders GROUP BY o_orderkey),
+p AS (SELECT lc.k, lc.n_left, rc.n_right,
+             cast(lc.n_left * rc.n_right AS bigint) AS fanout
+      FROM lc JOIN rc ON lc.k = rc.k)
+SELECT k AS join_key, n_left, n_right, fanout,
+       cast(row_number() OVER (ORDER BY fanout DESC, k) AS int) AS rank
+FROM p ORDER BY fanout DESC, k LIMIT 20""",
         # Top-N + "(other)" rollup: NOT IN == the engine's anti join
         # (user_id is never NULL in this feed); rank window evaluates
         # before LIMIT over the same total order.

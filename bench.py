@@ -199,6 +199,7 @@ HEADLINE = [
     "postings_incremental",
     "topn_with_other",
     "local_supplier_volume",
+    "join_fanout_audit",
 ]
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 
