@@ -3384,6 +3384,34 @@ def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg2.slo_burn(clean, "ts", "status")
 
 
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14 shape: PROMO parts' share of revenue per ship month —
+    # conditional-sum ratio. Both sums are exact integer cents x
+    # (100 - disc); the share is ONE double division of two bigints, so
+    # it hash-matches (engine round()/avg() never would). part is
+    # SF-scaling: no broadcast hint, AQE decides.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    j = li.select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        (pc * (F.lit(100) - dc)).alias("_rc"),
+    ).join(part.select("p_partkey", "p_type"),
+           F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.groupBy("ship_month").agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("_rc"))
+              .otherwise(F.lit(0))).cast("bigint").alias("promo_c"),
+        F.sum("_rc").cast("bigint").alias("total_c"),
+    )
+    return agg.select(
+        "ship_month", "promo_c", "total_c",
+        (F.col("promo_c").cast("double")
+         / F.col("total_c").cast("double")).alias("promo_share"),
+    )
+
+
 def q_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The pre-join skew diagnosis every 100 TB join plan needs: per join
     # key, |left| x |right| is the row count the join will EMIT for that
@@ -3965,10 +3993,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_concentration": q_revenue_concentration,
         "topn_with_other": q_topn_with_other,
         "join_fanout_audit": q_join_fanout_audit,
+        "promo_share": q_promo_share,
         "local_supplier_volume": q_local_supplier_volume,
         "bfs_hops": q_bfs_hops,
         "k_core": q_k_core,
-        "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
         "ann_index_incr": q_ann_index_incr,
         "ann_rebalanced": q_ann_rebalanced,
@@ -3981,6 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "doc_novelty": q_doc_novelty,
         "minhash_recall": q_minhash_recall,
+        "bm25_search": q_bm25_search,
         "dedup_incremental": q_dedup_incremental,
         "triangle_count": q_triangle_count,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
@@ -5332,6 +5361,21 @@ SELECT bucket_epoch,
              AND (cast(err_slow AS double) / n_slow) / 0.05 > 2.0
             THEN 1 ELSE 0 END AS alert
 FROM win""",
+        # Q14 shape: strftime month == date_format month; identical
+        # integer-cents conditional sums, one double division.
+        "promo_share": """
+WITH j AS (
+  SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month, p.p_type,
+         cast(floor(l.l_extendedprice * 100 + 0.5) AS bigint)
+           * (100 - cast(floor(l.l_discount * 100 + 0.5) AS bigint)) AS rc
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+SELECT ship_month,
+       cast(sum(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END) AS bigint)
+         AS promo_c,
+       cast(sum(rc) AS bigint) AS total_c,
+       cast(sum(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END) AS double)
+         / cast(sum(rc) AS double) AS promo_share
+FROM j GROUP BY ship_month""",
         # Same two counts + product + top-20; rank window before LIMIT
         # over the identical total order.
         "join_fanout_audit": """

@@ -200,6 +200,7 @@ HEADLINE = [
     "topn_with_other",
     "local_supplier_volume",
     "join_fanout_audit",
+    "promo_share",
 ]
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 
