@@ -22,6 +22,9 @@ from logpipe_spark.streaming.stream import (  # noqa: F401
     read_cms,
     stream_dedup_incremental,
     read_dedup_pairs,
+    stream_postings_incremental,
+    read_stream_postings,
+    stream_context_overflow,
     stream_quantile_incremental,
     read_quantiles,
     stream_slo_incremental,

@@ -997,3 +997,59 @@ def stream_context_overflow(stream: DataFrame, budget: int = 256,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- streaming incremental postings ------------------------------------------
+
+def stream_postings_incremental(spark: SparkSession, src: str,
+                                state_dir: str, checkpoint_dir: str,
+                                max_postings: int = 10,
+                                max_files_per_trigger: int | None = None):
+    """Streaming ingest-time inverted-index maintenance: the foreachBatch
+    twin of ``trainprep.index.append_postings_index``. Each micro-batch
+    of NEW documents (schema ``doc_id long, text string``) writes its
+    own mergeable partial — (word, df, capped ascending post_ids) — into
+    ``{state_dir}/epoch=<id>``; :func:`read_stream_postings` folds all
+    epochs with the same monoid (df adds across disjoint shards; the k
+    smallest of a union live in the union of each side's k smallest).
+
+    Exactly-once by construction: each epoch overwrites its OWN
+    directory, so a replayed batch reproduces — not double-counts — its
+    partial (the stream_rollup_incremental idempotent-epoch pattern).
+    Batch parity (== whole-corpus ``build_postings``) is asserted in
+    tests at two pacings.
+    """
+    from logpipe_spark.trainprep.index import _postings_partial
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
+              .parquet(src))
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        part = _postings_partial(df, "text", "doc_id", max_postings)
+        (part.coalesce(1).write.mode("overwrite")
+         .parquet(f"{state_dir}/epoch={epoch_id}"))
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir))
+
+
+def read_stream_postings(spark: SparkSession, state_dir: str,
+                         max_postings: int = 10) -> DataFrame:
+    """Fold all epochs' postings partials into build_postings' output
+    contract (word, df, postings) — vocab-sized merge, the corpus text
+    is never re-read."""
+    parts = spark.read.parquet(state_dir)
+    merged = parts.groupBy("word").agg(
+        F.sum("df").cast("bigint").alias("df"),
+        F.slice(F.array_sort(F.flatten(F.collect_list("post_ids"))),
+                1, max_postings).alias("post_ids"),
+    )
+    return merged.select(
+        "word", "df",
+        F.array_join(
+            F.transform(F.col("post_ids"), lambda x: x.cast("string")),
+            ",",
+        ).alias("postings"),
+    )

@@ -684,3 +684,35 @@ def test_stream_context_overflow_matches_batch(spark, stream_dir, tmp_path):
                            r.tokens_at_overflow)
                for r in got_df.collect() if r.conv_id != "zz-flush"}
         assert got == want, f"mft={mft}"
+
+
+def test_stream_postings_equals_batch_build(spark, tmp_path):
+    """Per-epoch postings partials folded by the capped-list monoid ==
+    whole-corpus build_postings, at two pacings; an interleaved-id split
+    forces the merged caps to interleave across epochs."""
+    from logpipe_spark.streaming.stream import (read_stream_postings,
+                                                stream_postings_incremental)
+    from logpipe_spark.trainprep.index import build_postings
+
+    rows = [(i, "alpha beta w%d" % (i % 3)) for i in range(18)]
+    src = str(tmp_path / "docs_src")
+    # 3 files with interleaved ids -> the 'alpha' cap must merge-sort
+    for lo in range(3):
+        spark.createDataFrame(
+            [r for r in rows if r[0] % 3 == lo],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {(r.word, r.df, r.postings)
+            for r in build_postings(full, max_postings=4).collect()}
+
+    for mft, tag in ((1, "paced"), (None, "oneshot")):
+        state = str(tmp_path / f"pstate_{tag}")
+        writer = stream_postings_incremental(
+            spark, src, state, str(tmp_path / f"pck_{tag}"),
+            max_postings=4, max_files_per_trigger=mft)
+        run_stream_once(writer)
+        got = {(r.word, r.df, r.postings)
+               for r in read_stream_postings(spark, state,
+                                             max_postings=4).collect()}
+        assert got == want, tag
