@@ -452,6 +452,17 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-label mean embedding (similarity.py:embed_centroids — the
+    # k-means M-step): float sums replay ONE fold order on both sides
+    # (sort by vec_id; DuckDB list_reduce starts at element 1, Spark
+    # seeds aggregate() with it), so every component double is
+    # bit-identical. Exploded to scalar rows for value hashing.
+    from logpipe_spark.trainprep.similarity import embed_centroids
+
+    return embed_centroids(_emb(spark, sf_dir))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup_groups(_docs(spark, sf_dir))
 
@@ -3994,10 +4005,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_with_other": q_topn_with_other,
         "join_fanout_audit": q_join_fanout_audit,
         "promo_share": q_promo_share,
+        "embed_centroids": q_embed_centroids,
         "local_supplier_volume": q_local_supplier_volume,
         "bfs_hops": q_bfs_hops,
         "k_core": q_k_core,
-        "hybrid_search": q_hybrid_search,
         "ann_index_incr": q_ann_index_incr,
         "ann_rebalanced": q_ann_rebalanced,
         "quantile_sketch": q_quantile_sketch,
@@ -4009,6 +4020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "doc_novelty": q_doc_novelty,
         "minhash_recall": q_minhash_recall,
+        "hybrid_search": q_hybrid_search,
         "bm25_search": q_bm25_search,
         "dedup_incremental": q_dedup_incremental,
         "triangle_count": q_triangle_count,
@@ -5361,6 +5373,24 @@ SELECT bucket_epoch,
              AND (cast(err_slow AS double) / n_slow) / 0.05 > 2.0
             THEN 1 ELSE 0 END AS alert
 FROM win""",
+        # Same sorted left-to-right fold: list_reduce starts from the
+        # first vector, exactly the order the Spark aggregate() replays.
+        "embed_centroids": """
+WITH g AS (
+  SELECT label,
+         list(embedding::DOUBLE[] ORDER BY vec_id) AS h,
+         cast(count(*) AS bigint) AS n
+  FROM embeddings GROUP BY label),
+s AS (
+  SELECT label, n,
+         list_reduce(h, (acc, x) ->
+           list_transform(list_zip(acc, x), p -> p[1] + p[2])) AS sv
+  FROM g),
+e AS (
+  SELECT label, n, generate_subscripts(sv, 1) AS dim,
+         unnest(list_transform(sv, v -> v / n)) AS c
+  FROM s)
+SELECT label, n, cast(dim AS int) AS dim, c FROM e""",
         # Q14 shape: strftime month == date_format month; identical
         # integer-cents conditional sums, one double division.
         "promo_share": """

@@ -201,6 +201,7 @@ HEADLINE = [
     "local_supplier_volume",
     "join_fanout_audit",
     "promo_share",
+    "embed_centroids",
 ]
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 

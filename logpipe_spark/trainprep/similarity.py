@@ -778,3 +778,50 @@ def ann_query_index(spark, path: str, k: int = 5, query_mod: int = 25,
                 (_dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cos"))
     )
     return _rank_topk(scored, k)
+
+
+def embed_centroids(emb: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Per-label elementwise-mean centroid — the k-means M-step / IVF
+    retrain building block — with CROSS-ENGINE-EXACT doubles.
+
+    Float addition is not associative, so a plain per-dimension sum
+    (shuffle-order-dependent partials) can differ in the last ulp
+    between engines or even between runs. Here the sum REPLAYS one
+    fixed order on both sides: vectors sort by ``id_col`` and fold
+    LEFT-TO-RIGHT starting FROM THE FIRST VECTOR (DuckDB's
+    ``list_reduce`` has no init value, so the Spark ``aggregate()``
+    seeds with element 1 and folds the tail — same operand sequence,
+    bit-identical IEEE results). The mean divides each component by
+    the same bigint count once.
+
+    Output is EXPLODED to (label, n, dim, c) scalar rows (1-based dim)
+    so downstream exact comparison hashes doubles, not array-to-string
+    formatting. Per-label state is the label's vector list — bounded by
+    list size like every collect_list fold here; at 10^9-vector labels
+    use a two-level segment fold (the ewma_merged pattern) instead.
+    """
+    g = emb.groupBy(F.col(label_col).alias("label")).agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col(id_col).cast("bigint").alias("i"),
+            F.col(vec_col).cast("array<double>").alias("e"),
+        ))).alias("h"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    init = F.element_at(F.col("h"), 1)["e"]
+    tail = F.expr("slice(h, 2, greatest(size(h) - 1, 0))")
+    fold = F.aggregate(
+        tail, init,
+        lambda acc, s: F.zip_with(acc, s["e"], lambda a, b: a + b))
+    cent = g.select(
+        "label", "n",
+        F.transform(fold, lambda x: x / F.col("n")).alias("c"))
+    return cent.select(
+        "label", "n",
+        F.posexplode("c").alias("dim0", "c"),
+    ).select(
+        "label", "n",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        "c",
+    )
