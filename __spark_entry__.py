@@ -452,6 +452,16 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two Lloyd iterations, k=8, exact at every step (similarity.py:
+    # kmeans_lloyd): E-step d² folds + (d², cluster) min-struct argmin,
+    # M-step replayed sorted centroid folds — the oracle unrolls both
+    # rounds in SQL and the round-2 centroids hash-match bit-for-bit.
+    from logpipe_spark.trainprep.similarity import kmeans_lloyd
+
+    return kmeans_lloyd(_emb(spark, sf_dir), k=8, n_iter=2)
+
+
 def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-label mean embedding (similarity.py:embed_centroids — the
     # k-means M-step): float sums replay ONE fold order on both sides
@@ -3986,7 +3996,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness": q_burstiness,
         "blame_suppliers": q_blame_suppliers,
         "changepoint_binseg": q_changepoint,
-        "dup_clusters": q_dup_clusters,
         "dedup_keep_list": q_dedup_keep_list,
         "funnel_latency": q_funnel_latency,
         "rfm_scores": q_rfm_scores,
@@ -4006,6 +4015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_fanout_audit": q_join_fanout_audit,
         "promo_share": q_promo_share,
         "embed_centroids": q_embed_centroids,
+        "kmeans_lloyd": q_kmeans_lloyd,
         "local_supplier_volume": q_local_supplier_volume,
         "bfs_hops": q_bfs_hops,
         "k_core": q_k_core,
@@ -4020,6 +4030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "doc_novelty": q_doc_novelty,
         "minhash_recall": q_minhash_recall,
+        "dup_clusters": q_dup_clusters,
         "hybrid_search": q_hybrid_search,
         "bm25_search": q_bm25_search,
         "dedup_incremental": q_dedup_incremental,
@@ -5373,6 +5384,55 @@ SELECT bucket_epoch,
              AND (cast(err_slow AS double) / n_slow) / 0.05 > 2.0
             THEN 1 ELSE 0 END AS alert
 FROM win""",
+        # Both Lloyd rounds unrolled; every double comes from the same
+        # operand sequence (diff-list dot folds, rank-1 argmin, sorted
+        # list_reduce centroid folds).
+        "kmeans_lloyd": """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+c0 AS (SELECT vec_id AS cluster, e AS c FROM v WHERE vec_id < 8),
+d1 AS (
+  SELECT v.vec_id, v.e, c0.cluster,
+         list_dot_product(
+           list_transform(list_zip(v.e, c0.c), p -> p[1] - p[2]),
+           list_transform(list_zip(v.e, c0.c), p -> p[1] - p[2])) AS d2
+  FROM v, c0),
+a1 AS (SELECT vec_id, e, cluster FROM (
+         SELECT vec_id, e, cluster,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cluster) AS rn
+         FROM d1) WHERE rn = 1),
+m1 AS (SELECT cluster, list(e ORDER BY vec_id) AS h,
+              cast(count(*) AS bigint) AS n
+       FROM a1 GROUP BY cluster),
+c1 AS (SELECT cluster, n,
+              list_transform(
+                list_reduce(h, (acc, x) ->
+                  list_transform(list_zip(acc, x), p -> p[1] + p[2])),
+                s -> s / n) AS c
+       FROM m1),
+d2s AS (
+  SELECT v.vec_id, v.e, c1.cluster,
+         list_dot_product(
+           list_transform(list_zip(v.e, c1.c), p -> p[1] - p[2]),
+           list_transform(list_zip(v.e, c1.c), p -> p[1] - p[2])) AS d2
+  FROM v, c1),
+a2 AS (SELECT vec_id, e, cluster FROM (
+         SELECT vec_id, e, cluster,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cluster) AS rn
+         FROM d2s) WHERE rn = 1),
+m2 AS (SELECT cluster, list(e ORDER BY vec_id) AS h,
+              cast(count(*) AS bigint) AS n
+       FROM a2 GROUP BY cluster),
+c2 AS (SELECT cluster, n,
+              list_transform(
+                list_reduce(h, (acc, x) ->
+                  list_transform(list_zip(acc, x), p -> p[1] + p[2])),
+                s -> s / n) AS c
+       FROM m2)
+SELECT cluster, n, cast(generate_subscripts(c, 1) AS int) AS dim,
+       unnest(c) AS c
+FROM c2""",
         # Same sorted left-to-right fold: list_reduce starts from the
         # first vector, exactly the order the Spark aggregate() replays.
         "embed_centroids": """

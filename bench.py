@@ -202,6 +202,7 @@ HEADLINE = [
     "join_fanout_audit",
     "promo_share",
     "embed_centroids",
+    "kmeans_lloyd",
 ]
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 

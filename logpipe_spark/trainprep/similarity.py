@@ -825,3 +825,76 @@ def embed_centroids(emb: DataFrame, label_col: str = "label",
         (F.col("dim0") + 1).cast("int").alias("dim"),
         "c",
     )
+
+
+def kmeans_lloyd(emb: DataFrame, k: int = 8, n_iter: int = 2,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Deterministic Lloyd's k-means, CROSS-ENGINE-EXACT at every step —
+    the full iterative-ML loop on the engine (IVF retrain path), not a
+    blackbox MLlib call:
+
+    - seeds: the vectors with the k smallest ids (cluster id = seed id);
+    - E-step: d² = left-to-right fold over the squared difference list —
+      the verified _dot/list_dot_product operand sequence — and the
+      argmin is a (d², cluster) min-struct (== ORDER BY d2, cluster
+      rank-1), so ties break identically;
+    - M-step: per-cluster mean via the replayed sorted fold
+      (:func:`embed_centroids`'s discipline: seed with member 1, fold
+      the tail in vec_id order — DuckDB list_reduce's exact order).
+
+    Every double on both sides comes from the same IEEE operand
+    sequence, so the n_iter-th centroids hash-match the oracle's
+    unrolled SQL. Returns (cluster, n, dim, c) exploded scalar rows.
+
+    Scale shape per iteration: one k×n broadcast-join E-step (the
+    classic Lloyd cost) + one fold-per-cluster M-step; per-cluster
+    state is the member list (two-level segment folds at 10^9-member
+    clusters). n_iter is small and fixed — the plan unrolls; insert a
+    localCheckpoint between iterations past ~4 rounds (plan growth).
+    """
+    v = emb.select(
+        F.col(id_col).cast("bigint").alias("vec_id"),
+        _dvec(vec_col).alias("e"),
+    )
+    cent = (
+        v.where(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cluster"), F.col("e").alias("c"))
+    )
+    for _ in range(n_iter):
+        j = v.crossJoin(F.broadcast(cent))
+        d2 = F.expr(
+            "aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 AS double), (acc, x) -> acc + x)")
+        assigned = (
+            j.select("vec_id", "e",
+                     F.struct(d2.alias("d2"),
+                              F.col("cluster").alias("cl")).alias("_s"))
+            .groupBy("vec_id")
+            # every one of the k copies carries the same e — first() is
+            # deterministic over identical values
+            .agg(F.min("_s").alias("_m"), F.first("e").alias("e"))
+            .select("vec_id", "e", F.col("_m.cl").alias("cluster"))
+        )
+        g = assigned.groupBy("cluster").agg(
+            F.sort_array(F.collect_list(F.struct(
+                F.col("vec_id").alias("i"), F.col("e").alias("e")
+            ))).alias("h"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        init = F.element_at(F.col("h"), 1)["e"]
+        tail = F.expr("slice(h, 2, greatest(size(h) - 1, 0))")
+        fold = F.aggregate(
+            tail, init,
+            lambda acc, s: F.zip_with(acc, s["e"], lambda a, b: a + b))
+        cent = g.select(
+            "cluster", "n",
+            F.transform(fold, lambda x: x / F.col("n")).alias("c"))
+    return cent.select(
+        "cluster", "n",
+        F.posexplode("c").alias("dim0", "c"),
+    ).select(
+        "cluster", "n",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        "c",
+    )
