@@ -249,15 +249,14 @@ def main() -> None:
     # warmed-worker-per-level harness, too heavy to rerun per-round here);
     # these are the recorded measurements — full methodology in BENCH.md.
     scaling = {
-        "efficiency_2_to_8_cores": 0.852,
-        "efficiency_note": "best interleaved matched round, latest rerun "
-                           "(independent confirmations: 0.984 best-of-5 "
-                           "round 1, 0.852/0.839/0.836/0.833 matched "
-                           "rounds across round-2 sessions; rejected "
-                           "trials show hypervisor steal windows where "
-                           "local[8] cannot realize 8 cores - see BENCH.md)",
-        "turns_per_sec_local2": 85727,
-        "turns_per_sec_local8": 252366,
+        "efficiency_2_to_8_cores": 0.833,
+        "efficiency_note": "round-4 clean matched round (best-of-walls "
+                           "0.839); independent confirmations 0.984/0.852/"
+                           "0.839/0.836/0.833 across rounds 1-3; rejected "
+                           "trials show hypervisor steal windows (both "
+                           "sub-0.5 and superlinear rounds) - see BENCH.md",
+        "turns_per_sec_local2": 69073,
+        "turns_per_sec_local8": 231884,
         "peak_turns_per_sec_local32": 532769,
         "source": "bench/scaling.py @ 4M synth turns; see BENCH.md",
     }
