@@ -1966,6 +1966,61 @@ def q_peak_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peak_rate(_events(spark, sf_dir), window_seconds=60)
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Step-to-step conversion rates over the greedy funnel: the report
+    # layer on funnel_steps' counts. Rates are single divisions of the
+    # exact step counts (conv_from_prev = n_i / n_{i-1}, cumulative =
+    # n_i / n_1), so they hash-match; step 1 rates are 1.0 by definition.
+    from logpipe_spark.operators.funnel import funnel_steps
+    from pyspark.sql import Window
+
+    steps = funnel_steps(_events(spark, sf_dir),
+                         ["view", "click", "purchase"])
+    w = Window.orderBy("step_idx")  # 3-row frame: the window is trivial
+    prev = F.lag("n_users").over(w)
+    first = F.first("n_users").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return steps.select(
+        "step_idx", "step", "n_users",
+        F.when(prev.isNull(), F.lit(1.0))
+        .otherwise(F.col("n_users").cast("double") / prev.cast("double"))
+        .alias("conv_from_prev"),
+        (F.col("n_users").cast("double") / first.cast("double"))
+        .alias("conv_from_first"),
+    )
+
+
+def q_error_burst_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Conversations with a tool-error BURST: >= 3 error-status turns
+    # inside any 5-turn window (RANGE frame over turn_idx — value-based,
+    # so sparse turn numbering still means "within 5 turns of dialogue").
+    # The triage list for "which agent sessions went off the rails".
+    # Exact integers; per-conv partitions (bounded by conversation).
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    err = F.when(
+        F.col("text").rlike("-> 5[0-9][0-9]: "), 1).otherwise(0)
+    w = (
+        Window.partitionBy("conv_id").orderBy("turn_idx")
+        .rangeBetween(-4, 0)
+    )
+    flagged = t.select(
+        "conv_id", "turn_idx",
+        F.sum(err).over(w).alias("_e_in_5"),
+    )
+    return (
+        flagged.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.max("_e_in_5").cast("bigint").alias("max_errs_in_5"),
+            F.min(F.when(F.col("_e_in_5") >= 3, F.col("turn_idx")))
+            .cast("int").alias("first_burst_turn"),
+        )
+        .where(F.col("max_errs_in_5") >= 3)
+    )
+
+
 def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-user RFM segmentation (operators/segment.py:rfm_scores):
     # recency/frequency/monetary quintiles from exact integer metrics.
@@ -3989,15 +4044,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_counts": q_route_counts,
         "hash_iterated": q_hash_iterated,
         "null_key_passthrough": q_null_key_passthrough,
-        "read_changes": q_read_changes,
         "read_changes_evo": q_read_changes_evo,
         "mv_incremental": q_mv_incremental,
         "k_anonymity": q_k_anonymity,
         "burstiness": q_burstiness,
         "blame_suppliers": q_blame_suppliers,
         "changepoint_binseg": q_changepoint,
-        "dedup_keep_list": q_dedup_keep_list,
         "funnel_latency": q_funnel_latency,
+        "funnel_conversion": q_funnel_conversion,
+        "error_burst_convs": q_error_burst_convs,
         "rfm_scores": q_rfm_scores,
         "peak_rate": q_peak_rate,
         "theil_sen": q_theil_sen,
@@ -4030,6 +4085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "doc_novelty": q_doc_novelty,
         "minhash_recall": q_minhash_recall,
+        "read_changes": q_read_changes,
+        "dedup_keep_list": q_dedup_keep_list,
         "dup_clusters": q_dup_clusters,
         "hybrid_search": q_hybrid_search,
         "bm25_search": q_bm25_search,
@@ -4278,6 +4335,20 @@ SELECT conv_id, turn_idx,
        (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx))) / 1e6
          AS latency_seconds
 FROM transcripts""",
+        # Same RANGE frame over turn_idx; identical regex both engines.
+        "error_burst_convs": f"""{P},
+f AS (
+  SELECT conv_id, turn_idx,
+         sum(CASE WHEN regexp_matches(text, '-> 5[0-9][0-9]: ')
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS e5
+  FROM transcripts)
+SELECT conv_id, cast(count(*) AS bigint) AS n_turns,
+       cast(max(e5) AS bigint) AS max_errs_in_5,
+       cast(min(CASE WHEN e5 >= 3 THEN turn_idx END) AS int)
+         AS first_burst_turn
+FROM f GROUP BY conv_id HAVING max(e5) >= 3""",
         # Same cumulative frame; monotone cum makes min(CASE) == the
         # Spark side's min-struct first-overflow argmin.
         "context_growth": f"""{P},
@@ -4874,6 +4945,37 @@ l AS (SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM ids)
 SELECT cast(prev + 1 AS bigint) AS gap_start,
        cast(id - 1 AS bigint) AS gap_end
 FROM l WHERE prev IS NOT NULL AND id - prev > 1""",
+        # funnel_steps' unrolled CTEs + lag/first_value over the 3-row
+        # step frame; rates divide the same exact bigints.
+        "funnel_conversion": """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+steps AS (
+  SELECT cast(1 AS int) AS step_idx, 'view' AS step,
+         (SELECT cast(count(*) AS bigint) FROM s1) AS n_users
+  UNION ALL
+  SELECT cast(2 AS int), 'click', (SELECT cast(count(*) AS bigint) FROM s2)
+  UNION ALL
+  SELECT cast(3 AS int), 'purchase',
+         (SELECT cast(count(*) AS bigint) FROM s3)),
+o AS (
+  SELECT step_idx, step, n_users,
+         lag(n_users) OVER (ORDER BY step_idx) AS prev,
+         first_value(n_users) OVER (ORDER BY step_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fst
+  FROM steps)
+SELECT step_idx, step, n_users,
+       CASE WHEN prev IS NULL THEN cast(1.0 AS double)
+            ELSE cast(n_users AS double) / cast(prev AS double)
+       END AS conv_from_prev,
+       cast(n_users AS double) / cast(fst AS double) AS conv_from_first
+FROM o""",
         # Same greedy chain as funnel_steps, then exact integer-micros
         # latency per adjacent completion pair + discrete rank percentiles
         # (epoch_us diff == Spark unix_micros diff; rank target mirrors

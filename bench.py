@@ -203,6 +203,8 @@ HEADLINE = [
     "promo_share",
     "embed_centroids",
     "kmeans_lloyd",
+    "funnel_conversion",
+    "error_burst_convs",
 ]
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 
