@@ -1935,6 +1935,17 @@ def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-event-type 10/90 trimmed mean of value-cents
+    # (aggregate.py:trimmed_stats): rank-cut tails DROPPED (vs
+    # winsorize's clip), integer cut ranks, one double division.
+    from logpipe_spark.operators.aggregate import trimmed_stats
+
+    ev = _events(spark, sf_dir).withColumn(
+        "_cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+    return trimmed_stats(ev, "event_type", "_cents", "event_id")
+
+
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Robust per-event-type trend: Theil–Sen median of pairwise slopes
     # over the DAILY cents series (aggregate.py:theil_sen) — the
@@ -4043,7 +4054,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chained_agg": q_chained_agg,
         "route_counts": q_route_counts,
         "hash_iterated": q_hash_iterated,
-        "null_key_passthrough": q_null_key_passthrough,
         "read_changes_evo": q_read_changes_evo,
         "mv_incremental": q_mv_incremental,
         "k_anonymity": q_k_anonymity,
@@ -4056,6 +4066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_scores": q_rfm_scores,
         "peak_rate": q_peak_rate,
         "theil_sen": q_theil_sen,
+        "trimmed_stats": q_trimmed_stats,
         "context_growth": q_context_growth,
         "anomaly_contributors": q_anomaly_contributors,
         "postings_incremental": q_postings_incremental,
@@ -4085,6 +4096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "doc_novelty": q_doc_novelty,
         "minhash_recall": q_minhash_recall,
+        "null_key_passthrough": q_null_key_passthrough,
         "read_changes": q_read_changes,
         "dedup_keep_list": q_dedup_keep_list,
         "dup_clusters": q_dup_clusters,
@@ -4687,6 +4699,27 @@ SELECT role,
        cast(sum(CASE WHEN tool = 'browser' THEN 1 ELSE 0 END) AS bigint) AS n_browser,
        cast(sum(CASE WHEN tool = 'none' THEN 1 ELSE 0 END) AS bigint) AS n_none
 FROM transcripts GROUP BY role""",
+        # Same rank cuts (positive-operand ceil div) and one division.
+        "trimmed_stats": """
+WITH b AS (
+  SELECT event_type AS k,
+         cast(floor(value * 100 + 0.5) AS bigint) AS v, event_id AS tb
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT k, v,
+         row_number() OVER (PARTITION BY k ORDER BY v, tb) AS rn,
+         count(*) OVER (PARTITION BY k) AS n
+  FROM b),
+kept AS (
+  SELECT k, v, n FROM r
+  WHERE rn >= (n * 1 + 10 - 1) // 10 AND rn <= (n * 9 + 10 - 1) // 10)
+SELECT k AS event_type,
+       cast(count(*) AS bigint) AS n_kept,
+       cast(max(n) AS bigint) AS n_total,
+       cast(min(v) AS bigint) AS t_min,
+       cast(max(v) AS bigint) AS t_max,
+       cast(sum(v) AS double) / count(*) AS trimmed_mean
+FROM kept GROUP BY k""",
         # Identical pair construction + discrete median; slopes divide the
         # same integer operands cast to double, so they match bitwise.
         "theil_sen": """

@@ -205,6 +205,7 @@ HEADLINE = [
     "kmeans_lloyd",
     "funnel_conversion",
     "error_burst_convs",
+    "trimmed_stats",
 ]
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 

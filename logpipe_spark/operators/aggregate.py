@@ -1665,3 +1665,53 @@ def theil_sen(
             F.col("_s").alias("slope"),
         )
     )
+
+
+def trimmed_stats(
+    df: DataFrame,
+    key: str,
+    value: str,
+    tiebreak: str,
+    lo_num: int = 1, lo_den: int = 10,
+    hi_num: int = 9, hi_den: int = 10,
+) -> DataFrame:
+    """Per-group TRIMMED mean/min/max: drop each tail by RANK (keep ranks
+    in [ceil(lo·n), ceil(hi·n)]) and aggregate the integer-valued middle
+    — the robust companion to stats_by when wild tails poison the mean
+    (winsorize CLIPS the tails; this drops them, the usual "trimmed
+    mean" of robust statistics).
+
+    Rank-based and integer-exact: the cut ranks are integer ceils
+    (positive-operand (a·num + den - 1) div den), the kept values sum as
+    bigints, and the mean is ONE double division — all bit-identical
+    cross-engine. Ties are totally ordered by ``tiebreak``, so the kept
+    SET is deterministic even when equal values straddle a cut.
+
+    One shuffle (the per-key rank sort — same cost class as any
+    percentile); the aggregate reuses its partitioning.
+    """
+    from pyspark.sql import Window
+
+    vi = F.col(value).cast("bigint")
+    base = df.where(vi.isNotNull()).select(
+        F.col(key).alias("_k"), vi.alias("_v"),
+        F.col(tiebreak).alias("_tb"))
+    w = Window.partitionBy("_k").orderBy("_v", "_tb")
+    wn = Window.partitionBy("_k")
+    ranked = base.select(
+        "_k", "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    lo = F.expr(f"(_n * {lo_num} + {lo_den} - 1) div {lo_den}")
+    hi = F.expr(f"(_n * {hi_num} + {hi_den} - 1) div {hi_den}")
+    kept = ranked.where((F.col("_rn") >= lo) & (F.col("_rn") <= hi))
+    return kept.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max("_n").cast("bigint").alias("n_total"),
+        F.min("_v").cast("bigint").alias("t_min"),
+        F.max("_v").cast("bigint").alias("t_max"),
+        (F.sum("_v").cast("double") / F.count(F.lit(1)))
+        .alias("trimmed_mean"),
+    ).select(F.col("_k").alias(key), "n_kept", "n_total",
+             "t_min", "t_max", "trimmed_mean")
