@@ -3550,6 +3550,47 @@ def q_topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ranked.unionByName(other)
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q8 shape: one nation's share of a region's supplier revenue
+    # per quarter — conditional-sum ratio through the snowflake chain.
+    # Numerator and denominator are the same exact integer cents; one
+    # double division per quarter. Supplier chain is SF-scaling → no
+    # broadcast hints beyond the fixed nation/region dims.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    sn = (
+        supp.join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "n_name")
+    )
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    j = (
+        li.select("l_orderkey", "l_suppkey",
+                  (pc * (F.lit(100) - dc)).alias("_rc"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey",
+                            F.date_trunc("quarter", "o_orderdate")
+                            .cast("date").alias("qtr")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    agg = j.groupBy("qtr").agg(
+        F.sum(F.when(F.col("n_name") == "NATION_2", F.col("_rc"))
+              .otherwise(F.lit(0))).cast("bigint").alias("nation_c"),
+        F.sum("_rc").cast("bigint").alias("region_c"),
+    )
+    return agg.select(
+        "qtr", "nation_c", "region_c",
+        (F.col("nation_c").cast("double")
+         / F.col("region_c").cast("double")).alias("mkt_share"),
+    )
+
+
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q5 shape: revenue per nation where the CUSTOMER and the
     # SUPPLIER share the nation (the classic 6-table snowflake join).
@@ -4051,7 +4092,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_regex": q_filter_regex,
         "parse_grok": q_parse_grok,
         "enrich_lookup": q_enrich_lookup,
-        "chained_agg": q_chained_agg,
         "route_counts": q_route_counts,
         "hash_iterated": q_hash_iterated,
         "read_changes_evo": q_read_changes_evo,
@@ -4083,6 +4123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_centroids": q_embed_centroids,
         "kmeans_lloyd": q_kmeans_lloyd,
         "local_supplier_volume": q_local_supplier_volume,
+        "market_share": q_market_share,
         "bfs_hops": q_bfs_hops,
         "k_core": q_k_core,
         "ann_index_incr": q_ann_index_incr,
@@ -4096,6 +4137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "doc_novelty": q_doc_novelty,
         "minhash_recall": q_minhash_recall,
+        "chained_agg": q_chained_agg,
         "null_key_passthrough": q_null_key_passthrough,
         "read_changes": q_read_changes,
         "dedup_keep_list": q_dedup_keep_list,
@@ -5630,6 +5672,30 @@ UNION ALL
 SELECT '(other)' AS category,
        cast(coalesce(sum(n), 0) AS bigint) AS n, cast(0 AS int) AS rank
 FROM counts WHERE cat NOT IN (SELECT cat FROM top)""",
+        # Q8 shape: date_trunc quarter == DuckDB date_trunc; identical
+        # conditional cents sums, one division per quarter.
+        "market_share": """
+WITH sn AS (
+  SELECT s_suppkey, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'),
+j AS (
+  SELECT cast(date_trunc('quarter', o.o_orderdate) AS date) AS qtr,
+         sn.n_name,
+         cast(floor(l.l_extendedprice * 100 + 0.5) AS bigint)
+           * (100 - cast(floor(l.l_discount * 100 + 0.5) AS bigint)) AS rc
+  FROM lineitem l
+  JOIN sn ON l.l_suppkey = sn.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT qtr,
+       cast(sum(CASE WHEN n_name = 'NATION_2' THEN rc ELSE 0 END)
+            AS bigint) AS nation_c,
+       cast(sum(rc) AS bigint) AS region_c,
+       cast(sum(CASE WHEN n_name = 'NATION_2' THEN rc ELSE 0 END)
+            AS double) / cast(sum(rc) AS double) AS mkt_share
+FROM j GROUP BY qtr""",
         # Q5 shape: identical snowflake chain + same-nation predicate.
         "local_supplier_volume": """
 WITH sn AS (

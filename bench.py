@@ -206,6 +206,7 @@ HEADLINE = [
     "funnel_conversion",
     "error_burst_convs",
     "trimmed_stats",
+    "market_share",
 ]
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 
