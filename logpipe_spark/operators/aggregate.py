@@ -1655,8 +1655,11 @@ def theil_sen(
         F.col("_rn") == F.ceil(F.col("_np") / 2).cast("bigint"))
     npts = pts.groupBy("_k").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    # NULL-SAFE: a NULL group key is a real series here (the window
+    # partitions just ranked it) — plain equi-join would drop it
+    npts = npts.select(F.col("_k").alias("_nk"), "n_points")
     return (
-        med.join(npts, "_k")
+        med.join(npts, F.col("_k").eqNullSafe(F.col("_nk")))
         .where(F.col("n_points") >= min_n)
         .select(
             F.col("_k").alias(key),

@@ -124,8 +124,11 @@ def peak_rate(
     arg = counted.groupBy("key").agg(
         F.min(F.struct((-F.col("_in_w")).alias("_neg"),
                        F.col("us").alias("us"))).alias("_a"))
+    # NULL-SAFE join: groupBy kept a NULL key as a real group — a plain
+    # equi-join would silently drop it (the recurring defect class)
+    arg = arg.select(F.col("key").alias("_ak"), "_a")
     return (
-        peaks.join(arg, "key")
+        peaks.join(arg, F.col("key").eqNullSafe(F.col("_ak")))
         .select(
             F.col("key").alias(key_col),
             "n_events",

@@ -166,3 +166,28 @@ def test_audio_chunk_plan_honors_chunk_ms(spark):
                  audio_chunk_plan(meta, chunk_ms=10000).collect())
     assert len(out) == 6
     assert out[0] == (0, 0, 10000) and out[-1] == (5, 50000, 60000)
+
+
+def test_peak_rate_null_key_is_a_group(spark):
+    import datetime as dt
+    from logpipe_spark.operators.sweep import peak_rate
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(None, t0), (None, t0 + dt.timedelta(seconds=30)),
+            (1, t0)]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {r.user_id: r.peak_n
+           for r in peak_rate(df, window_seconds=60).collect()}
+    assert out == {None: 2, 1: 1}
+
+
+def test_theil_sen_null_key_is_a_series(spark):
+    from pyspark.sql import functions as F
+    from logpipe_spark.operators.aggregate import theil_sen
+
+    rows = [(None, 0, 0), (None, 1, 2), (None, 2, 4), ("a", 0, 0),
+            ("a", 1, 1)]
+    df = spark.createDataFrame(rows, "k string, x int, y int")
+    out = {r.k: r.slope for r in
+           theil_sen(df, "k", F.col("x"), F.col("y")).collect()}
+    assert out == {None: 2.0, "a": 1.0}
