@@ -1521,9 +1521,14 @@ def q_anomaly_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket_ts"),
         "user_id",
     ).agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+    # NULL-SAFE cell join: a NULL event_type forms a real cell in both
+    # frames (groupBy keeps it) — the oracle mirrors with
+    # IS NOT DISTINCT FROM
+    a = anom.select(F.col("event_type").alias("_et"),
+                    F.col("bucket_ts").alias("_bt"), "n", "zscore")
     j = per_user.join(
-        anom.select("event_type", "bucket_ts", "n", "zscore"),
-        ["event_type", "bucket_ts"])
+        a, F.col("event_type").eqNullSafe(F.col("_et"))
+        & F.col("bucket_ts").eqNullSafe(F.col("_bt")))
     arg = j.groupBy("event_type", "bucket_ts").agg(
         F.max("n").cast("bigint").alias("n"),
         F.max("zscore").alias("zscore"),
@@ -7015,8 +7020,8 @@ j AS (
   SELECT p.event_type, p.bucket_ts, a.n, a.zscore, p.user_id, p.cnt,
          row_number() OVER (PARTITION BY p.event_type, p.bucket_ts
                             ORDER BY p.cnt DESC, p.user_id) AS rk
-  FROM pu p JOIN a ON p.event_type = a.event_type
-                  AND p.bucket_ts = a.bucket_ts
+  FROM pu p JOIN a ON p.event_type IS NOT DISTINCT FROM a.event_type
+                  AND p.bucket_ts IS NOT DISTINCT FROM a.bucket_ts
   WHERE abs(a.zscore) >= 1.5)
 SELECT event_type, bucket_ts, cast(n AS bigint) AS n, zscore,
        user_id AS top_user, cast(cnt AS bigint) AS top_n,
