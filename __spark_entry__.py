@@ -2006,6 +2006,33 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_tool_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-conversation tool mix: distinct tools used, the dominant tool
+    # (argmax via min-struct on (-count, tool) — ties to the lexically
+    # first) and its share — "is this agent session single-tool or
+    # exploratory?". Two map-side-combinable aggregates; share divides
+    # two exact bigints.
+    t = _t(spark, sf_dir)
+    percell = t.groupBy("conv_id", "tool").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c"))
+    return (
+        percell.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tools"),
+            F.sum("_c").cast("bigint").alias("n_turns"),
+            F.min(F.struct((-F.col("_c")).alias("_neg"),
+                           F.col("tool").alias("t"))).alias("_a"),
+        )
+        .select(
+            "conv_id", "n_tools", "n_turns",
+            F.col("_a.t").alias("top_tool"),
+            (-F.col("_a._neg")).cast("bigint").alias("top_n"),
+            ((-F.col("_a._neg")).cast("double")
+             / F.col("n_turns").cast("double")).alias("top_share"),
+        )
+    )
+
+
 def q_error_burst_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Conversations with a tool-error BURST: >= 3 error-status turns
     # inside any 5-turn window (RANGE frame over turn_idx — value-based,
@@ -4094,7 +4121,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # surface every session.
         "pipeline_flagship": q_pipeline_flagship,
         "flagship_approx": q_flagship_approx,
-        "filter_regex": q_filter_regex,
         "parse_grok": q_parse_grok,
         "enrich_lookup": q_enrich_lookup,
         "route_counts": q_route_counts,
@@ -4108,6 +4134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": q_funnel_latency,
         "funnel_conversion": q_funnel_conversion,
         "error_burst_convs": q_error_burst_convs,
+        "conv_tool_diversity": q_conv_tool_diversity,
         "rfm_scores": q_rfm_scores,
         "peak_rate": q_peak_rate,
         "theil_sen": q_theil_sen,
@@ -4142,6 +4169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "doc_novelty": q_doc_novelty,
         "minhash_recall": q_minhash_recall,
+        "filter_regex": q_filter_regex,
         "chained_agg": q_chained_agg,
         "null_key_passthrough": q_null_key_passthrough,
         "read_changes": q_read_changes,
@@ -4394,6 +4422,24 @@ SELECT conv_id, turn_idx,
        (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx))) / 1e6
          AS latency_seconds
 FROM transcripts""",
+        # Argmax == rank-1 over (count DESC, tool): same tie rule as the
+        # engine's (-count, tool) min-struct.
+        "conv_tool_diversity": f"""{P},
+pc AS (
+  SELECT conv_id, tool, cast(count(*) AS bigint) AS c
+  FROM transcripts GROUP BY conv_id, tool),
+r AS (
+  SELECT conv_id, tool, c,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY c DESC, tool) AS rk,
+         count(*) OVER (PARTITION BY conv_id) AS n_tools,
+         sum(c) OVER (PARTITION BY conv_id) AS n_turns
+  FROM pc)
+SELECT conv_id, cast(n_tools AS bigint) AS n_tools,
+       cast(n_turns AS bigint) AS n_turns,
+       tool AS top_tool, cast(c AS bigint) AS top_n,
+       cast(c AS double) / cast(n_turns AS double) AS top_share
+FROM r WHERE rk = 1""",
         # Same RANGE frame over turn_idx; identical regex both engines.
         "error_burst_convs": f"""{P},
 f AS (

@@ -207,6 +207,7 @@ HEADLINE = [
     "error_burst_convs",
     "trimmed_stats",
     "market_share",
+    "conv_tool_diversity",
 ]
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 
