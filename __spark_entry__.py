@@ -4094,6 +4094,285 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg2.dispersion_index(_t(spark, sf_dir), "tool", "ts", "hour")
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6 shape: the canonical pushdown benchmark — one selective
+    # scan (year + discount band + quantity cap), no joins, ONE global
+    # sum. All three predicates reach the parquet reader (PushedFilters);
+    # revenue is the exact integer product cents x discount-cents so the
+    # single output row hash-matches. The final dollars value is one
+    # double division of a bigint by a literal (deterministic).
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    sel = li.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_quantity") < 24)
+    ).select((pc * dc).alias("_rc"), dc.alias("_dc"))
+    sel = sel.where((F.col("_dc") >= 2) & (F.col("_dc") <= 4))
+    return sel.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("_rc").cast("bigint").alias("revenue_c"),
+        (F.sum("_rc").cast("double") / F.lit(10000.0)).alias("revenue"),
+    )
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q7 shape: bilateral shipping volume — revenue between every
+    # ORDERED (supplier nation -> customer nation) pair per ship year,
+    # cross-border only. Two fact-side shuffles (lineitem x orders on
+    # orderkey, then x customer on custkey); the 25-row nation dim is
+    # broadcast on BOTH legs. supplier/customer scale with SF — no hint,
+    # AQE decides. Revenue is exact integer cents x (100 - disc).
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    sn = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cn = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    j = (
+        li.where(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1997-01-01"))
+        .select(
+            "l_orderkey", "l_suppkey",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            (pc * (F.lit(100) - dc)).alias("_rc"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cn, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("_rc").cast("bigint").alias("revenue_c"))
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q9 shape adapted to the reduced schema (no partsupp /
+    # ps_supplycost — p_retailprice stands in as the unit cost): profit
+    # per supplier nation per ORDER year on parts whose name contains
+    # 'widget'. amount = extprice*(1-disc) - retailprice*qty, computed
+    # entirely in dollars x 10^4 integers (cents x percent on the revenue
+    # leg, cents x qty x 100 on the cost leg) so the signed sum is exact.
+    # Part is filtered BEFORE the join (selectivity reaches the scan).
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint")
+    cost_c = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("bigint")
+    psel = part.where(F.col("p_name").contains("widget")).select(
+        "p_partkey", cost_c.alias("_cost_c"))
+    sn = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    j = (
+        li.select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            (pc * (F.lit(100) - dc)).alias("_rev4"), qty.alias("_qty"))
+        .join(psel, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select(
+            "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "nation", "o_year",
+            (F.col("_rev4") - F.col("_cost_c") * F.col("_qty") * F.lit(100)
+             ).alias("_amount4"))
+    )
+    return j.groupBy("nation", "o_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("_amount4").cast("bigint").alias("profit_c4"),
+        (F.sum("_amount4").cast("double") / F.lit(10000.0)).alias("profit"))
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q15 shape (view + scalar-max subquery): revenue per supplier
+    # over one quarter, returning every supplier that achieves the MAX
+    # (tie-safe by construction, unlike LIMIT 1). The max is a one-row
+    # aggregate crossJoined back (broadcast scalar — the Q22 pattern);
+    # no global window, no single-task funnel. Exact integer cents.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01"))
+        .select("l_suppkey", (pc * (F.lit(100) - dc)).alias("_rc"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("_rc").cast("bigint").alias("total_c"))
+    )
+    mx = rev.agg(F.max("total_c").alias("_max_c"))
+    top = rev.join(F.broadcast(mx)).where(F.col("total_c") == F.col("_max_c"))
+    return top.join(
+        supp.select("s_suppkey", "s_name"),
+        top.l_suppkey == F.col("s_suppkey"),
+    ).select("s_suppkey", "s_name", "total_c")
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spearman rank correlation between event value and the props k field
+    # per event_type — the robust (monotone-invariant) complement to the
+    # Pearson corr_stats query. Tie handling is the standard average
+    # rank, kept INTEGER as 2*avgrank = 2*rank_min + tie_count - 1; the
+    # Pearson formula then runs on exact bigint sufficient stats, cast to
+    # double BEFORE every cross product (overflow discipline) in the same
+    # order as the oracle, so rho hash-matches bitwise. Windows are
+    # partitioned by event_type — no global sort, no single-task funnel.
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value",
+        F.substring(
+            F.col("props"), 7, F.length("props") - 7).cast("int").alias("k"),
+    ).where(F.col("value").isNotNull() & F.col("k").isNotNull())
+    wv = Window.partitionBy("event_type").orderBy("value")
+    wk = Window.partitionBy("event_type").orderBy("k")
+    cv = Window.partitionBy("event_type", "value")
+    ck = Window.partitionBy("event_type", "k")
+    ranked = ev.select(
+        "event_type",
+        (F.lit(2) * F.rank().over(wv).cast("bigint")
+         + F.count(F.lit(1)).over(cv).cast("bigint") - 1).alias("x2"),
+        (F.lit(2) * F.rank().over(wk).cast("bigint")
+         + F.count(F.lit(1)).over(ck).cast("bigint") - 1).alias("y2"),
+    )
+    s = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x2").cast("bigint").alias("sx"),
+        F.sum("y2").cast("bigint").alias("sy"),
+        F.sum(F.col("x2") * F.col("y2")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - (
+        F.col("sx").cast("double") * F.col("sy").cast("double"))
+    dx = nd * F.col("sxx").cast("double") - (
+        F.col("sx").cast("double") * F.col("sx").cast("double"))
+    dy = nd * F.col("syy").cast("double") - (
+        F.col("sy").cast("double") * F.col("sy").cast("double"))
+    return s.select(
+        "event_type", "n",
+        F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy))
+         .alias("spearman_rho"))
+
+
+def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Link prediction on the simhash near-dup graph: for every
+    # NON-adjacent document pair, the number of shared neighbors —
+    # the classic common-neighbors score (Liben-Nowell & Kleinberg,
+    # CIKM'03), integer-exact by construction. Wedges come from one
+    # self-join of the symmetrized edge list on the center vertex with
+    # a < c canonicalization (each wedge counted once); existing edges
+    # drop out via a broadcast-able anti join; the top-k funnel is
+    # orderBy().limit() (TakeOrderedAndProject — distributed partial
+    # top-k), with the rank window over the 20 survivors only.
+    e = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    adj = e.unionAll(
+        e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+    a1 = adj.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    a2 = adj.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    wedges = (
+        a1.join(a2, F.col("b") == F.col("b2"))
+        .where(F.col("a") < F.col("c"))
+        .select("a", "c")
+    )
+    cn = wedges.groupBy("a", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    non_adj = cn.join(
+        e, (cn.a == e.doc_a) & (cn.c == e.doc_b), "left_anti")
+    top = non_adj.orderBy(
+        F.col("n_common").desc(), F.col("a"), F.col("c")).limit(20)
+    w = Window.orderBy(F.col("n_common").desc(), F.col("a"), F.col("c"))
+    return top.select(
+        F.col("a").alias("doc_a"), F.col("c").alias("doc_b"), "n_common",
+        F.row_number().over(w).cast("int").alias("rank"))
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The first BPE merge iteration (Sennrich et al. 2016): corpus-wide
+    # counts of ADJACENT CHARACTER PAIRS inside whitespace words — the
+    # statistic a tokenizer trainer computes before every merge. The
+    # word column is materialized by explode (not a collapsible alias,
+    # so the split runs once — the 25x CollapseProject lesson); pair
+    # extraction is pure substring codegen; the top-k funnel is
+    # orderBy().limit() with the rank window over the 30 survivors.
+    # Words shorter than 2 chars are filtered BEFORE the position
+    # explode (Spark's sequence(1, 0) would yield a DESCENDING [1,0]).
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(F.length("word") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        "word",
+    ).select(F.substring(F.col("word"), F.col("i"), F.lit(2)).alias("pair"))
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("pair")).limit(30)
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return top.select(
+        "pair", "n", F.row_number().over(w).cast("int").alias("rank"))
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sample autocorrelation of the per-minute event arrival series at
+    # lags 1..3 — the rate-seasonality diagnostic. Contract: Pearson r
+    # over PAIRWISE-PRESENT buckets (both t and t+lag observed); absent
+    # buckets are not zero-filled, so no dense time spine is ever
+    # materialized (a 100 TB corpus' spine would be a single-task
+    # explode). One map-side-combinable groupBy builds the bucket
+    # counts; each lag is a narrow self-join on the shifted integer
+    # minute; sufficient stats are exact bigints cast to double BEFORE
+    # the cross products, mirroring the oracle's order bit-for-bit.
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    es = F.col("ts").cast("timestamp").cast("long")
+    counts = (
+        ev.select(F.floor(es / F.lit(60.0)).cast("bigint").alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    left = counts.crossJoin(F.broadcast(lags))
+    right = counts.select(
+        F.col("m").alias("m2"), F.col("c").alias("c2"))
+    paired = left.join(
+        right, F.col("m") + F.col("lag") == F.col("m2"))
+    s = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum("c2").cast("bigint").alias("sy"),
+        F.sum(F.col("c") * F.col("c2")).cast("bigint").alias("sxy"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sxx"),
+        F.sum(F.col("c2") * F.col("c2")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    num = nd * F.col("sxy").cast("double") - (
+        F.col("sx").cast("double") * F.col("sy").cast("double"))
+    dx = nd * F.col("sxx").cast("double") - (
+        F.col("sx").cast("double") * F.col("sx").cast("double"))
+    dy = nd * F.col("syy").cast("double") - (
+        F.col("sy").cast("double") * F.col("sy").cast("double"))
+    return s.select(
+        "lag", "n_pairs",
+        F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy))
+         .alias("autocorr_r"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4117,14 +4396,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (asof_join, range_join, time_rollup, sessionize, value_percentiles,
     # cms_heavy_hitters, cusum/ewma/holt_merged, ks_drift, trend_slope,
     # chisq_assoc, quantile_normalize, pagerank — all moved just below).
+    # Late-round-4 rotation: spearman_corr, common_neighbors,
+    # bpe_pair_counts, autocorr, nation_trade_volume (all new, never
+    # driver-verified) replaced pipeline_flagship, parse_grok,
+    # enrich_lookup, route_counts, hash_iterated (r03 green rows);
+    # flagship_approx STAYS to driver-prove the now-exact md5 HLL.
     # Entries 51+ are covered by scripts/gate_dryrun.py over the full
     # surface every session.
-        "pipeline_flagship": q_pipeline_flagship,
         "flagship_approx": q_flagship_approx,
-        "parse_grok": q_parse_grok,
-        "enrich_lookup": q_enrich_lookup,
-        "route_counts": q_route_counts,
-        "hash_iterated": q_hash_iterated,
+        "spearman_corr": q_spearman_corr,
+        "common_neighbors": q_common_neighbors,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "autocorr": q_autocorr,
+        "nation_trade_volume": q_nation_trade_volume,
         "read_changes_evo": q_read_changes_evo,
         "mv_incremental": q_mv_incremental,
         "k_anonymity": q_k_anonymity,
@@ -4169,6 +4453,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "doc_novelty": q_doc_novelty,
         "minhash_recall": q_minhash_recall,
+        "pipeline_flagship": q_pipeline_flagship,
+        "parse_grok": q_parse_grok,
+        "enrich_lookup": q_enrich_lookup,
+        "route_counts": q_route_counts,
+        "hash_iterated": q_hash_iterated,
+        "forecast_revenue": q_forecast_revenue,
+        "product_profit": q_product_profit,
+        "top_supplier": q_top_supplier,
         "filter_regex": q_filter_regex,
         "chained_agg": q_chained_agg,
         "null_key_passthrough": q_null_key_passthrough,
@@ -7004,6 +7296,188 @@ SELECT event_type, period, slot, n, n_periods, mean, std,
        CASE WHEN n_periods > 1 AND std > 0
             THEN (cast(n AS double) - mean) / std END AS z
 FROM sc""",
+        # Q6 shape: same cent/discount-cent rounding, same predicate set;
+        # one global integer sum, one double division by a literal.
+        "forecast_revenue": """
+WITH s AS (
+  SELECT cast(floor(l_extendedprice * 100 + 0.5) AS bigint) AS pc,
+         cast(floor(l_discount * 100 + 0.5) AS bigint) AS dc
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    AND l_quantity < 24)
+SELECT cast(count(*) AS bigint) AS n_items,
+       cast(sum(pc * dc) AS bigint) AS revenue_c,
+       cast(sum(pc * dc) AS double) / 10000.0 AS revenue
+FROM s WHERE dc >= 2 AND dc <= 4""",
+        # Q7 shape: identical snowflake chain, cross-border predicate,
+        # integer-cents revenue; year() == Spark year on timestamps.
+        "nation_trade_volume": """
+WITH sn AS (SELECT s_suppkey, n_name AS supp_nation
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+cn AS (SELECT c_custkey, n_name AS cust_nation
+       FROM customer JOIN nation ON c_nationkey = n_nationkey),
+j AS (
+  SELECT sn.supp_nation, cn.cust_nation,
+         cast(year(l.l_shipdate) AS int) AS l_year,
+         cast(floor(l.l_extendedprice * 100 + 0.5) AS bigint)
+           * (100 - cast(floor(l.l_discount * 100 + 0.5) AS bigint)) AS rc
+  FROM lineitem l
+  JOIN sn ON l.l_suppkey = sn.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN cn ON o.o_custkey = cn.c_custkey
+  WHERE l.l_shipdate >= DATE '1995-01-01'
+    AND l.l_shipdate < DATE '1997-01-01'
+    AND sn.supp_nation <> cn.cust_nation)
+SELECT supp_nation, cust_nation, l_year,
+       cast(count(*) AS bigint) AS n_items,
+       cast(sum(rc) AS bigint) AS revenue_c
+FROM j GROUP BY supp_nation, cust_nation, l_year""",
+        # Q9 shape (retailprice cost stand-in): signed dollars x 10^4
+        # integers on both legs; LIKE filter before the join.
+        "product_profit": """
+WITH p AS (
+  SELECT p_partkey,
+         cast(floor(p_retailprice * 100 + 0.5) AS bigint) AS cost_c
+  FROM part WHERE p_name LIKE '%widget%'),
+sn AS (SELECT s_suppkey, n_name AS nation
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+j AS (
+  SELECT sn.nation, cast(year(o.o_orderdate) AS int) AS o_year,
+         cast(floor(l.l_extendedprice * 100 + 0.5) AS bigint)
+           * (100 - cast(floor(l.l_discount * 100 + 0.5) AS bigint))
+           - p.cost_c * cast(floor(l.l_quantity + 0.5) AS bigint) * 100
+           AS amount4
+  FROM lineitem l
+  JOIN p ON l.l_partkey = p.p_partkey
+  JOIN sn ON l.l_suppkey = sn.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT nation, o_year, cast(count(*) AS bigint) AS n_items,
+       cast(sum(amount4) AS bigint) AS profit_c4,
+       cast(sum(amount4) AS double) / 10000.0 AS profit
+FROM j GROUP BY nation, o_year""",
+        # Q15 shape: scalar-max subquery == the engine's broadcast
+        # crossJoin scalar; tie-safe by construction.
+        "top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         cast(sum(cast(floor(l_extendedprice * 100 + 0.5) AS bigint)
+                  * (100 - cast(floor(l_discount * 100 + 0.5) AS bigint)))
+              AS bigint) AS total_c
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_c
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_c = (SELECT max(total_c) FROM rev)""",
+        # Average ranks kept integer as 2*rank_min + tie_count - 1 in
+        # BOTH engines; every cross product runs on doubles cast from
+        # the same exact bigints in the same order, so rho is
+        # bit-identical (sqrt is IEEE correctly rounded in both).
+        "spearman_corr": """
+WITH ev AS (
+  SELECT event_type, value,
+         cast(substring(props, 7, length(props) - 7) AS int) AS k
+  FROM events),
+ev2 AS (SELECT * FROM ev WHERE value IS NOT NULL AND k IS NOT NULL),
+r AS (
+  SELECT event_type,
+         2 * cast(rank() OVER (PARTITION BY event_type ORDER BY value)
+                  AS bigint)
+           + cast(count(*) OVER (PARTITION BY event_type, value)
+                  AS bigint) - 1 AS x2,
+         2 * cast(rank() OVER (PARTITION BY event_type ORDER BY k)
+                  AS bigint)
+           + cast(count(*) OVER (PARTITION BY event_type, k)
+                  AS bigint) - 1 AS y2
+  FROM ev2),
+s AS (
+  SELECT event_type, cast(count(*) AS bigint) AS n,
+         cast(sum(x2) AS bigint) AS sx, cast(sum(y2) AS bigint) AS sy,
+         cast(sum(x2 * y2) AS bigint) AS sxy,
+         cast(sum(x2 * x2) AS bigint) AS sxx,
+         cast(sum(y2 * y2) AS bigint) AS syy
+  FROM r GROUP BY event_type),
+f AS (
+  SELECT event_type, n,
+         cast(n AS double) * cast(sxy AS double)
+           - cast(sx AS double) * cast(sy AS double) AS num,
+         cast(n AS double) * cast(sxx AS double)
+           - cast(sx AS double) * cast(sx AS double) AS dx,
+         cast(n AS double) * cast(syy AS double)
+           - cast(sy AS double) * cast(sy AS double) AS dy
+  FROM s)
+SELECT event_type, n,
+       CASE WHEN dx > 0 AND dy > 0 THEN num / sqrt(dx * dy) END
+         AS spearman_rho
+FROM f""",
+        # Same symmetrized wedge join + NOT EXISTS == the engine's
+        # left_anti; identical top-20 total order, rank over survivors.
+        "common_neighbors": f"""
+WITH pairs AS ({_simhash_pairs_oracle()}),
+e AS (SELECT doc_a, doc_b FROM pairs),
+adj AS (SELECT doc_a AS a, doc_b AS b FROM e
+        UNION ALL SELECT doc_b, doc_a FROM e),
+w AS (SELECT a1.a AS a, a2.b AS c
+      FROM adj a1 JOIN adj a2 ON a1.b = a2.a WHERE a1.a < a2.b),
+cn AS (SELECT a, c, cast(count(*) AS bigint) AS n_common
+       FROM w GROUP BY a, c),
+na AS (SELECT * FROM cn WHERE NOT EXISTS (
+         SELECT 1 FROM e WHERE e.doc_a = cn.a AND e.doc_b = cn.c)),
+top AS (SELECT * FROM na ORDER BY n_common DESC, a, c LIMIT 20)
+SELECT a AS doc_a, c AS doc_b, n_common,
+       cast(row_number() OVER (ORDER BY n_common DESC, a, c) AS int)
+         AS rank
+FROM top""",
+        # string_split == F.split (verified); generate_series(1, n-1)
+        # matches the engine's sequence AFTER the length >= 2 filter;
+        # 1-based substring in both engines.
+        "bpe_pair_counts": """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+w2 AS (SELECT word FROM w WHERE length(word) >= 2),
+pos AS (SELECT word,
+               unnest(generate_series(1, cast(length(word) AS int) - 1))
+                 AS i
+        FROM w2),
+p AS (SELECT substring(word, i, 2) AS pair FROM pos),
+c AS (SELECT pair, cast(count(*) AS bigint) AS n FROM p GROUP BY pair),
+top AS (SELECT * FROM c ORDER BY n DESC, pair LIMIT 30)
+SELECT pair, n,
+       cast(row_number() OVER (ORDER BY n DESC, pair) AS int) AS rank
+FROM top""",
+        # Pairwise-present lag correlation: integer minute buckets
+        # (epoch_us // 1e6 floor == Spark's timestamp->long truncation
+        # on positive epochs), exact bigint sufficient stats, doubles
+        # cast before every cross product in the engine's order.
+        "autocorr": """
+WITH c AS (
+  SELECT cast(floor((epoch_us(ts) // 1000000) / 60) AS bigint) AS m,
+         cast(count(*) AS bigint) AS c
+  FROM events GROUP BY m),
+paired AS (
+  SELECT lags.lag, a.c AS x, b.c AS y
+  FROM c a
+  JOIN (SELECT unnest([1, 2, 3]) AS lag) lags ON true
+  JOIN c b ON a.m + lags.lag = b.m),
+s AS (
+  SELECT lag, cast(count(*) AS bigint) AS n_pairs,
+         cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+         cast(sum(x * y) AS bigint) AS sxy,
+         cast(sum(x * x) AS bigint) AS sxx,
+         cast(sum(y * y) AS bigint) AS syy
+  FROM paired GROUP BY lag),
+f AS (
+  SELECT lag, n_pairs,
+         cast(n_pairs AS double) * cast(sxy AS double)
+           - cast(sx AS double) * cast(sy AS double) AS num,
+         cast(n_pairs AS double) * cast(sxx AS double)
+           - cast(sx AS double) * cast(sx AS double) AS dx,
+         cast(n_pairs AS double) * cast(syy AS double)
+           - cast(sy AS double) * cast(sy AS double) AS dy
+  FROM s)
+SELECT cast(lag AS int) AS lag, n_pairs,
+       CASE WHEN dx > 0 AND dy > 0 THEN num / sqrt(dx * dy) END
+         AS autocorr_r
+FROM f""",
     }
 
 
