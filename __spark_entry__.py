@@ -4373,6 +4373,62 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("autocorr_r"))
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Positional-postings phrase match (trainprep/index.py:phrase_search):
+    # tokenize with positions, keep only the 3 phrase words, chain two
+    # (doc, pos+offset) equi-joins, top-20 docs by match count via
+    # TakeOrderedAndProject. The IR plan BM25 can't express (bm25_search
+    # is bag-of-words; phrases need adjacency).
+    from logpipe_spark.trainprep.index import phrase_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return phrase_search(docs, "big order scan", k=20)
+
+
+def q_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DBSCAN core/noise primitive (operators/spatial.py): exact
+    # eps-neighbor counts over the (value, props-k) feature plane via the
+    # 3x3 grid-cell join — each candidate pair generated exactly once
+    # (build side sits in its true cell, probe side fans out), distance
+    # math on raw parquet doubles so counts are integer-exact.
+    from logpipe_spark.operators.spatial import density_neighbor_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id"),
+        F.col("value").alias("x"),
+        F.substring(F.col("props"), 7, F.length("props") - 7)
+         .cast("int").cast("double").alias("y"),
+    )
+    return density_neighbor_counts(
+        ev, eps=2.0, min_pts=3, x_col="x", y_col="y", id_col="event_id")
+
+
+def q_conv_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-CONVERSATION similarity: each conv's turns concatenate in
+    # turn order (the conv_digest ordered fold) into one document, then
+    # the trigram-shingle inverted-index Jaccard join (dedup.py:
+    # ngram_jaccard_pairs) scores pairs and TakeOrderedAndProject keeps
+    # the global top-20. The low 0.03 floor reflects this corpus
+    # (random template turns — no true conv near-dups); real transcript
+    # corpora run the same plan with a dedup-grade threshold.
+    t = _t(spark, sf_dir)
+    ordered = F.expr(
+        "array_join(transform(array_sort(collect_list(struct(turn_idx, "
+        "text))), s -> s.text), ' ')")
+    convs = (
+        t.groupBy("conv_id").agg(ordered.alias("text"))
+        .select(F.col("conv_id").alias("doc_id"), "text")
+    )
+    pairs = dd.ngram_jaccard_pairs(convs, k=3, threshold=0.03)
+    top = pairs.orderBy(
+        F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b")).limit(20)
+    w = Window.orderBy(F.col("jaccard").desc(), F.col("doc_a"),
+                       F.col("doc_b"))
+    return top.select(
+        F.col("doc_a").alias("conv_a"), F.col("doc_b").alias("conv_b"),
+        "jaccard", F.row_number().over(w).cast("int").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4461,6 +4517,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": q_forecast_revenue,
         "product_profit": q_product_profit,
         "top_supplier": q_top_supplier,
+        "phrase_search": q_phrase_search,
+        "density_outliers": q_density_outliers,
+        "conv_similar_pairs": q_conv_similar_pairs,
         "filter_regex": q_filter_regex,
         "chained_agg": q_chained_agg,
         "null_key_passthrough": q_null_key_passthrough,
@@ -7478,6 +7537,84 @@ SELECT cast(lag AS int) AS lag, n_pairs,
        CASE WHEN dx > 0 AND dy > 0 THEN num / sqrt(dx * dy) END
          AS autocorr_r
 FROM f""",
+        # Positional unnest == posexplode (the dup_spans struct-unnest
+        # pattern); the two (doc, pos+offset) joins mirror the engine's
+        # chained adjacency joins; identical top-20 total order.
+        "phrase_search": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w)),
+                      i -> {'pos': i, 'word': w[i]})) AS u
+        FROM w),
+t AS (SELECT doc_id, u.pos AS pos, u.word AS word FROM tok),
+m AS (SELECT t0.doc_id, t0.pos
+      FROM t t0
+      JOIN t t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+               AND t1.word = 'order'
+      JOIN t t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+               AND t2.word = 'scan'
+      WHERE t0.word = 'big'),
+c AS (SELECT doc_id, cast(count(*) AS bigint) AS n_matches
+      FROM m GROUP BY doc_id),
+top AS (SELECT * FROM c ORDER BY n_matches DESC, doc_id LIMIT 20)
+SELECT doc_id, n_matches,
+       cast(row_number() OVER (ORDER BY n_matches DESC, doc_id) AS int)
+         AS rank
+FROM top""",
+        # Same 3x3 cell join, same fixed-order squared-distance math on
+        # the raw parquet doubles; LEFT JOIN keeps zero-neighbor points.
+        "density_outliers": """
+WITH p0 AS (
+  SELECT event_id AS pid, cast(value AS double) AS x,
+         cast(cast(substring(props, 7, length(props) - 7) AS int)
+              AS double) AS y
+  FROM events),
+p AS (SELECT pid, x, y,
+             cast(floor(x / 2.0) AS bigint) AS cx,
+             cast(floor(y / 2.0) AS bigint) AS cy
+      FROM p0 WHERE x IS NOT NULL AND y IS NOT NULL),
+o AS (SELECT unnest([-1, 0, 1]) AS dx),
+o2 AS (SELECT a.dx AS dx, b.dx AS dy FROM o a, o b),
+probe AS (SELECT pid, x, y, cx + dx AS cx, cy + dy AS cy FROM p, o2),
+cand AS (SELECT a.pid, a.x, a.y, b.pid AS pid2, b.x AS x2, b.y AS y2
+         FROM probe a JOIN p b ON a.cx = b.cx AND a.cy = b.cy),
+nb AS (SELECT pid FROM cand
+       WHERE pid <> pid2
+         AND (x - x2) * (x - x2) + (y - y2) * (y - y2) <= 4.0),
+c AS (SELECT pid, cast(count(*) AS bigint) AS n_neighbors
+      FROM nb GROUP BY pid)
+SELECT p.pid AS event_id,
+       cast(coalesce(c.n_neighbors, 0) AS bigint) AS n_neighbors,
+       coalesce(c.n_neighbors, 0) < 3 AS is_outlier
+FROM p LEFT JOIN c ON p.pid = c.pid""",
+        # string_agg(ORDER BY turn_idx) == the engine's array_sort
+        # collect_list fold (conv_digest precedent); the shingle/jaccard
+        # CTEs mirror dedup_ngram_jaccard's verbatim semantics on the
+        # conv-level frame; identical top-20 total order.
+        "conv_similar_pairs": f"""{_oracle_prefix()},
+conv AS (SELECT conv_id AS doc_id,
+                string_agg(text, ' ' ORDER BY turn_idx) AS text
+         FROM transcripts GROUP BY conv_id),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM conv),
+sh AS (SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])))
+           AS shingle
+       FROM w),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+                             AND a.doc_id < b.doc_id
+          GROUP BY doc_a, doc_b),
+j AS (SELECT doc_a, doc_b, i * 1.0 / (x.sz + y.sz - i) AS jaccard
+      FROM inter JOIN sz x ON doc_a = x.doc_id
+                 JOIN sz y ON doc_b = y.doc_id),
+top AS (SELECT * FROM j WHERE jaccard >= 0.03
+        ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20)
+SELECT doc_a AS conv_a, doc_b AS conv_b, jaccard,
+       cast(row_number() OVER (ORDER BY jaccard DESC, doc_a, doc_b)
+            AS int) AS rank
+FROM top""",
     }
 
 

@@ -1,0 +1,89 @@
+"""Grid-bucketed density analysis: exact epsilon-neighbor counts in 2D.
+
+The DBSCAN core/outlier primitive (Ester et al., KDD'96) re-expressed as
+a cell join: bucket every point into an eps-sized grid cell, probe the
+3x3 cell neighborhood, and keep candidate pairs within exact Euclidean
+distance eps. Each candidate pair is generated EXACTLY once — the build
+side sits in its one true cell and only the probe side fans out to the 9
+neighbors — so no dedup pass is needed (the same first-shared-bucket
+discipline as operators/rangejoin.py's interval_overlap).
+
+Scale design: the fan-out is a constant 9x on the probe side; the join
+shuffles on the cell key, so density skew maps directly to cell-key skew
+(salt or shrink eps if one cell holds a hot cluster). Distance math is
+pure codegen on the raw input doubles — identical operands in engine and
+oracle, so counts are integer-exact.
+
+Reference seam: the reference (vellascogabriel/logpipe) has no spatial
+operators; this is training-pipeline capability beyond it (outlier
+triage over scalar feature pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["density_neighbor_counts"]
+
+
+def density_neighbor_counts(
+    pts: DataFrame,
+    eps: float,
+    min_pts: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    id_col: str = "pid",
+) -> DataFrame:
+    """Per-point count of OTHER points within Euclidean distance ``eps``.
+
+    Returns (id, n_neighbors, is_outlier) for EVERY input point with
+    non-null coordinates; ``is_outlier`` marks points with fewer than
+    ``min_pts`` neighbors (DBSCAN noise under the core-point rule).
+
+    The squared-distance comparison runs on the raw doubles in the fixed
+    order (x-x2)*(x-x2) + (y-y2)*(y-y2) <= eps*eps, bit-identical to the
+    oracle's SQL on the same parquet values.
+    """
+    spark = pts.sparkSession
+    p = pts.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    p = p.select(
+        "pid", "x", "y",
+        F.floor(F.col("x") / F.lit(eps)).cast("bigint").alias("cx"),
+        F.floor(F.col("y") / F.lit(eps)).cast("bigint").alias("cy"),
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx int, dy int",
+    )
+    probe = p.crossJoin(F.broadcast(offsets)).select(
+        "pid", "x", "y",
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+    )
+    build = p.select(
+        F.col("pid").alias("pid2"), F.col("x").alias("x2"),
+        F.col("y").alias("y2"), "cx", "cy",
+    )
+    d2 = (
+        (F.col("x") - F.col("x2")) * (F.col("x") - F.col("x2"))
+        + (F.col("y") - F.col("y2")) * (F.col("y") - F.col("y2"))
+    )
+    nb = (
+        probe.join(build, ["cx", "cy"])
+        .where((F.col("pid") != F.col("pid2")) & (d2 <= F.lit(eps * eps)))
+    )
+    counts = nb.groupBy("pid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neighbors"))
+    out = p.join(counts, "pid", "left").select(
+        F.col("pid").alias(id_col),
+        F.coalesce(F.col("n_neighbors"), F.lit(0)).cast("bigint")
+         .alias("n_neighbors"),
+        (F.coalesce(F.col("n_neighbors"), F.lit(0)) < min_pts)
+         .alias("is_outlier"),
+    )
+    return out

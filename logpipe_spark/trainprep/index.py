@@ -161,6 +161,49 @@ def bm25_topk(
     )
 
 
+def phrase_search(docs: DataFrame, phrase: str,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 20) -> DataFrame:
+    """Exact phrase match via positional postings adjacency: per document,
+    the number of token positions where the whole whitespace ``phrase``
+    occurs, top-``k`` by match count.
+
+    The standard IR positional-index plan: tokenize WITH positions, keep
+    only the phrase's words (a selective filter that reaches each scan),
+    then chain equi-joins on (doc, pos + offset) — one join per extra
+    phrase word, each on a well-distributed composite key. No window
+    touches more than the ``k`` survivors (TakeOrderedAndProject funnel).
+
+    posexplode_outer + isNotNull dodges InferFiltersFromGenerate
+    re-evaluating the split inside a pushed-down filter (the 12x lesson,
+    see trainprep/dedup.py).
+    """
+    from pyspark.sql import Window
+
+    words = phrase.split(" ")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(F.split(F.col(text_col), " "))
+         .alias("pos0", "word"),
+    ).where(F.col("word").isNotNull())
+    base = toks.where(F.col("word") == words[0]).select(
+        "doc_id", F.col("pos0").alias("pos"))
+    for i, wd in enumerate(words[1:], 1):
+        nxt = toks.where(F.col("word") == wd).select(
+            F.col("doc_id").alias("_d"), (F.col("pos0") - i).alias("_p"))
+        base = base.join(
+            nxt,
+            (F.col("doc_id") == F.col("_d")) & (F.col("pos") == F.col("_p")),
+        ).select("doc_id", "pos")
+    m = base.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+    top = m.orderBy(F.col("n_matches").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("n_matches").desc(), F.col("doc_id"))
+    return top.select(
+        "doc_id", "n_matches",
+        F.row_number().over(w).cast("int").alias("rank"))
+
+
 def rrf_fuse(rankings, c: int = 60,
              query_col: str = "query_id", doc_col: str = "doc_id",
              rank_col: str = "rank") -> DataFrame:

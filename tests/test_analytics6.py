@@ -720,3 +720,70 @@ def test_concentration_share_hand_case(spark):
     out2 = concentration_share(df, "k", F.col("amt"), 1, 2).collect()[0]
     assert (out2.k_top, out2.amount_top) == (3, 175)
     assert out2.share == 0.875
+
+
+# --------------------------------------------------------- phrase_search
+
+def test_phrase_search_hand_case(spark):
+    from logpipe_spark.trainprep.index import phrase_search
+
+    rows = [
+        (1, "a b c a b c a b"),   # "a b c" at pos 0 and 3 -> 2 matches
+        (2, "a b x a b"),         # phrase broken by x -> 0 matches
+        (3, "c a b c"),           # one match at pos 1
+        (4, None),                # null text -> no tokens, no crash
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in phrase_search(df, "a b c", k=10).collect()}
+    assert out[1].n_matches == 2 and out[1].rank == 1
+    assert out[3].n_matches == 1 and out[3].rank == 2
+    assert 2 not in out and 4 not in out
+
+
+def test_phrase_search_single_word(spark):
+    from logpipe_spark.trainprep.index import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "x y x"), (2, "y y")], ["doc_id", "text"])
+    out = {r.doc_id: r.n_matches for r in
+           phrase_search(df, "x", k=10).collect()}
+    assert out == {1: 2}
+
+
+# ------------------------------------------------------ density_outliers
+
+def test_density_neighbor_counts_hand_case(spark):
+    from logpipe_spark.operators.spatial import density_neighbor_counts
+
+    # cluster of 3 points within eps=1 of each other; one far point;
+    # one pair at EXACTLY eps (boundary counts as neighbor: d2 <= eps^2)
+    rows = [
+        (1, 0.0, 0.0), (2, 0.5, 0.0), (3, 0.0, 0.5),
+        (4, 100.0, 100.0),
+        (5, 10.0, 0.0), (6, 11.0, 0.0),   # exactly eps apart
+        (7, None, 1.0),                   # null coordinate dropped
+    ]
+    df = spark.createDataFrame(rows, "pid long, x double, y double")
+    out = {r.pid: r for r in density_neighbor_counts(
+        df, eps=1.0, min_pts=2, x_col="x", y_col="y", id_col="pid"
+    ).collect()}
+    assert len(out) == 6 and 7 not in out
+    assert out[1].n_neighbors == 2 and not out[1].is_outlier
+    assert out[2].n_neighbors == 2 and out[3].n_neighbors == 2
+    assert out[4].n_neighbors == 0 and out[4].is_outlier
+    # boundary pair: exactly eps apart -> neighbors, but 1 < min_pts
+    assert out[5].n_neighbors == 1 and out[5].is_outlier
+    assert out[6].n_neighbors == 1
+
+
+def test_density_cross_cell_neighbors(spark):
+    from logpipe_spark.operators.spatial import density_neighbor_counts
+
+    # points in DIFFERENT grid cells but within eps: the 3x3 probe
+    # must find them (cells are floor(v/eps))
+    df = spark.createDataFrame(
+        [(1, 1.9, 0.0), (2, 2.1, 0.0)], "pid long, x double, y double")
+    out = {r.pid: r.n_neighbors for r in density_neighbor_counts(
+        df, eps=2.0, min_pts=1, x_col="x", y_col="y", id_col="pid"
+    ).collect()}
+    assert out == {1: 1, 2: 1}

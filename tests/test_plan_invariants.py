@@ -52,7 +52,8 @@ def test_plan_invariants(name, spark):
 @pytest.mark.parametrize("name", ["top_ngrams", "top_paths",
                                   "blame_suppliers", "returned_revenue",
                                   "topn_with_other", "join_fanout_audit",
-                                  "common_neighbors", "bpe_pair_counts"])
+                                  "common_neighbors", "bpe_pair_counts",
+                                  "phrase_search", "conv_similar_pairs"])
 def test_global_topk_is_take_ordered(name, spark):
     """The corpus-cardinality top-k queries must compile to a distributed
     TakeOrderedAndProject (per-partition partial top-k), NOT an
