@@ -121,6 +121,9 @@ def main() -> None:
                     help="matched trial rounds (one trial per level each)")
     ap.add_argument("--cores", type=int, nargs=2, default=[2, 8])
     ap.add_argument("--keep-input", action="store_true")
+    ap.add_argument("--warm-trials", type=int, default=2,
+                    help="full-size untimed trials per worker before the "
+                         "measured rounds (tiered-JIT steady state)")
     args = ap.parse_args()
 
     sys.path.insert(0, str(REPO))
@@ -141,6 +144,15 @@ def main() -> None:
     w_lo, w_hi = Worker(lo, src), Worker(hi, src)
     rounds = []
     try:
+        # FULL-SIZE untimed warm trials: the in-worker limit(5000) warmup
+        # compiles different AQE plan shapes than the real input (tiered
+        # JIT of the full-size shuffle/codegen paths takes 2-3 full
+        # trials — measured 201 -> 34.6 -> 18.2 s on the 8-core leg), so
+        # without these the first measured rounds are compilation, not
+        # throughput.
+        for _ in range(args.warm_trials):
+            w_lo.trial()
+            w_hi.trial()
         for _ in range(args.rounds):
             r_lo = w_lo.trial()
             r_hi = w_hi.trial()
