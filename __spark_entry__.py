@@ -4339,38 +4339,10 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts; each lag is a narrow self-join on the shifted integer
     # minute; sufficient stats are exact bigints cast to double BEFORE
     # the cross products, mirroring the oracle's order bit-for-bit.
+    # Shared with the streaming twin (stream_rate_incremental): minute
+    # counts are the mergeable partial, this is its batch readout.
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    es = F.col("ts").cast("timestamp").cast("long")
-    counts = (
-        ev.select(F.floor(es / F.lit(60.0)).cast("bigint").alias("m"))
-        .groupBy("m")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
-    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
-    left = counts.crossJoin(F.broadcast(lags))
-    right = counts.select(
-        F.col("m").alias("m2"), F.col("c").alias("c2"))
-    paired = left.join(
-        right, F.col("m") + F.col("lag") == F.col("m2"))
-    s = paired.groupBy("lag").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum("c").cast("bigint").alias("sx"),
-        F.sum("c2").cast("bigint").alias("sy"),
-        F.sum(F.col("c") * F.col("c2")).cast("bigint").alias("sxy"),
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sxx"),
-        F.sum(F.col("c2") * F.col("c2")).cast("bigint").alias("syy"),
-    )
-    nd = F.col("n_pairs").cast("double")
-    num = nd * F.col("sxy").cast("double") - (
-        F.col("sx").cast("double") * F.col("sy").cast("double"))
-    dx = nd * F.col("sxx").cast("double") - (
-        F.col("sx").cast("double") * F.col("sx").cast("double"))
-    dy = nd * F.col("syy").cast("double") - (
-        F.col("sy").cast("double") * F.col("sy").cast("double"))
-    return s.select(
-        "lag", "n_pairs",
-        F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy))
-         .alias("autocorr_r"))
+    return agg2.autocorr_from_counts(agg2.rate_counts(ev), lags=(1, 2, 3))
 
 
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:

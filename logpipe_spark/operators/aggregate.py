@@ -1718,3 +1718,59 @@ def trimmed_stats(
         .alias("trimmed_mean"),
     ).select(F.col("_k").alias(key), "n_kept", "n_total",
              "t_min", "t_max", "trimmed_mean")
+
+
+def rate_counts(df: DataFrame, ts_col: str = "ts",
+                bucket_seconds: int = 60) -> DataFrame:
+    """Per-time-bucket arrival counts (m, c): the canonical mergeable
+    monoid (SUM of partial counts == count of the union), shared by the
+    batch ``autocorr`` query and the streaming epoch-partial twin.
+
+    Bucket id = floor(epoch_seconds / bucket) on the truncated-seconds
+    long (TIMESTAMP_NTZ cast first — session tz UTC), matching the
+    DuckDB oracle's epoch_us // 1e6 floor on positive epochs.
+    """
+    es = F.col(ts_col).cast("timestamp").cast("long")
+    return (
+        df.select(F.floor(es / F.lit(float(bucket_seconds)))
+                  .cast("bigint").alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def autocorr_from_counts(counts: DataFrame,
+                         lags: Sequence[int] = (1, 2, 3)) -> DataFrame:
+    """Sample autocorrelation of a (m, c) bucket-count series at the
+    given lags, over PAIRWISE-PRESENT buckets only (absent buckets are
+    not zero-filled — a dense spine would be a single-task explode at
+    corpus scale). Each lag is a narrow self-join on the shifted bucket
+    id; sufficient stats are exact bigints cast to double BEFORE every
+    cross product (overflow discipline), so the ratio is bit-identical
+    to the oracle's. Zero-variance series yield NULL (ANSI: double
+    division by zero THROWS, it does not give inf).
+    """
+    spark = counts.sparkSession
+    lagdf = spark.createDataFrame([(int(lg),) for lg in lags], "lag int")
+    left = counts.crossJoin(F.broadcast(lagdf))
+    right = counts.select(F.col("m").alias("m2"), F.col("c").alias("c2"))
+    paired = left.join(right, F.col("m") + F.col("lag") == F.col("m2"))
+    s = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum("c2").cast("bigint").alias("sy"),
+        F.sum(F.col("c") * F.col("c2")).cast("bigint").alias("sxy"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sxx"),
+        F.sum(F.col("c2") * F.col("c2")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    num = nd * F.col("sxy").cast("double") - (
+        F.col("sx").cast("double") * F.col("sy").cast("double"))
+    dx = nd * F.col("sxx").cast("double") - (
+        F.col("sx").cast("double") * F.col("sx").cast("double"))
+    dy = nd * F.col("syy").cast("double") - (
+        F.col("sy").cast("double") * F.col("sy").cast("double"))
+    return s.select(
+        "lag", "n_pairs",
+        F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy))
+         .alias("autocorr_r"))

@@ -27,6 +27,8 @@ from logpipe_spark.streaming.stream import (  # noqa: F401
     stream_context_overflow,
     stream_quantile_incremental,
     read_quantiles,
+    stream_rate_incremental,
+    read_rate_autocorr,
     stream_slo_incremental,
     read_slo_burn,
     run_stream_once,

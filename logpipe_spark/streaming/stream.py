@@ -1053,3 +1053,40 @@ def read_stream_postings(spark: SparkSession, state_dir: str,
             ",",
         ).alias("postings"),
     )
+
+
+def stream_rate_incremental(spark: SparkSession, src: str, state_dir: str,
+                            checkpoint_dir: str,
+                            bucket_seconds: int = 60,
+                            max_files_per_trigger: int | None = None):
+    """Streaming arrival-rate partials: each micro-batch writes ITS OWN
+    per-bucket turn counts (``aggregate.rate_counts``) to
+    ``{state_dir}/epoch=<id>`` (overwrite → idempotent on replay).
+    Bucket counts are the canonical mergeable monoid — SUM of the epoch
+    partials == the count of everything ingested — so
+    :func:`read_rate_autocorr`'s readout is IDENTICAL to the batch
+    ``autocorr`` query over the full corpus (asserted at two pacings in
+    tests, the same epoch-partials pattern as CMS/rollup/drift/SLO)."""
+    from logpipe_spark.operators.aggregate import rate_counts
+
+    stream = stream_transcripts(spark, src,
+                                max_files_per_trigger=max_files_per_trigger)
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        c = rate_counts(df, ts_col="ts", bucket_seconds=bucket_seconds)
+        (c.coalesce(1).write.mode("overwrite")
+         .parquet(f"{state_dir}/epoch={epoch_id}"))
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir))
+
+
+def read_rate_autocorr(spark: SparkSession, state_dir: str,
+                       lags=(1, 2, 3)) -> DataFrame:
+    """Merge every epoch's bucket counts (SUM — the monoid op) and run
+    the lag-correlation readout on the merged series."""
+    from logpipe_spark.operators.aggregate import autocorr_from_counts
+
+    merged = (spark.read.parquet(state_dir)
+              .groupBy("m").agg(F.sum("c").cast("bigint").alias("c")))
+    return autocorr_from_counts(merged, lags=lags)

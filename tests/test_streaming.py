@@ -716,3 +716,29 @@ def test_stream_postings_equals_batch_build(spark, tmp_path):
                for r in read_stream_postings(spark, state,
                                              max_postings=4).collect()}
         assert got == want, tag
+
+
+def test_stream_rate_autocorr_equals_batch(spark, stream_dir, tmp_path):
+    """Bucket-count monoid: per-epoch minute counts summed across the
+    stream == batch rate_counts of the whole corpus, so the lag
+    correlation readout matches the batch autocorr EXACTLY (same
+    integer sufficient stats) at both pacings."""
+    from logpipe_spark.operators.aggregate import (autocorr_from_counts,
+                                                   rate_counts)
+    from logpipe_spark.streaming import (read_rate_autocorr,
+                                         stream_rate_incremental)
+
+    batch = spark.read.parquet(stream_dir)
+    want = sorted(map(tuple, autocorr_from_counts(
+        rate_counts(batch, bucket_seconds=60), lags=(1, 2)).collect()))
+    assert len(want) == 2
+
+    for mft, tag in ((1, "paced"), (None, "oneshot")):
+        state = str(tmp_path / f"rate_state_{tag}")
+        writer = stream_rate_incremental(
+            spark, stream_dir, state, str(tmp_path / f"ckr_{tag}"),
+            bucket_seconds=60, max_files_per_trigger=mft)
+        run_stream_once(writer)
+        got = sorted(map(tuple, read_rate_autocorr(
+            spark, state, lags=(1, 2)).collect()))
+        assert got == want, tag
