@@ -4401,6 +4401,97 @@ def q_conv_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard", F.row_number().over(w).cast("int").alias("rank"))
 
 
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Model-eval lift table (operators/segment.py:decile_lift): deciles
+    # of the value score via the closed-form ntile over bucketed-prefix
+    # global ranks (never a corpus-wide ntile window), positives =
+    # error events, cumulative lift vs the base rate. The oracle runs
+    # the PLAIN ntile() window, value-proving the decomposition.
+    from logpipe_spark.operators.segment import decile_lift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value",
+        (F.col("event_type") == "error").cast("int").alias("_pos"))
+    return decile_lift(ev, score_col="value", label_col="_pos",
+                       id_col="event_id", k=10)
+
+
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Herfindahl-Hirschman revenue concentration per customer nation:
+    # HHI = sum(share_i^2) over customers, emitted as the raw double
+    # ratio ssq / s^2 of EXACT integers. Revenue-cents squares overflow
+    # int64 at corpus scale, so the squares accumulate in DECIMAL(38,0)
+    # (exact, order-independent — unlike double partial sums) and cast
+    # to double only at the final ratio; DuckDB mirrors with HUGEINT-
+    # backed DECIMAL. Two map-side-combinable aggregates, no window.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rc = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        + F.lit(0.5)).cast("bigint")
+    per_cust = (
+        li.select("l_orderkey", rc.alias("_rc"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_custkey"))
+        .agg(F.sum("_rc").cast("bigint").alias("_rev"))
+    )
+    d = F.col("_rev").cast("decimal(19,0)")
+    agg = per_cust.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("_rev").cast("bigint").alias("rev_c"),
+        F.sum(d * d).cast("decimal(38,0)").alias("_ssq"),
+    )
+    s = F.col("rev_c").cast("double")
+    return agg.select(
+        "nation", "n_customers", "rev_c",
+        F.when(F.col("rev_c") > 0,
+               F.col("_ssq").cast("double") / (s * s)).alias("hhi"),
+    )
+
+
+def q_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-tool MALFORMED-rate A/B z-test vs the REST of the corpus: the
+    # pooled two-proportion z statistic from exact integer counts (the
+    # alerting companion to welch_ttest / chisq_assoc), over the parse
+    # error channel (error_kind != NULL == grok parse failed). The
+    # corpus totals are one broadcast scalar; every division/sqrt runs
+    # on doubles cast from the same bigints in the same order as the
+    # oracle. Degenerate pools (p = 0 or 1, empty rest) yield NULL.
+    p = _parsed(spark, sf_dir)
+    per_tool = p.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum(F.col("error_kind").isNotNull().cast("bigint"))
+         .cast("bigint").alias("err1"),
+    )
+    tot = per_tool.agg(F.sum("n1").cast("bigint").alias("_tn"),
+                       F.sum("err1").cast("bigint").alias("_te"))
+    j = per_tool.crossJoin(F.broadcast(tot)).select(
+        "tool", "n1", "err1",
+        (F.col("_tn") - F.col("n1")).cast("bigint").alias("n2"),
+        (F.col("_te") - F.col("err1")).cast("bigint").alias("err2"),
+        "_tn", "_te",
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    p1 = F.col("err1").cast("double") / n1d
+    p2 = F.col("err2").cast("double") / n2d
+    pp = F.col("_te").cast("double") / F.col("_tn").cast("double")
+    se = F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1d
+                                          + F.lit(1.0) / n2d))
+    return j.select(
+        "tool", "n1", "err1", "n2", "err2",
+        F.when((F.col("n1") > 0) & (F.col("n2") > 0)
+               & (F.col("_te") > 0) & (F.col("_te") < F.col("_tn")),
+               (p1 - p2) / se).alias("z"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4492,6 +4583,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "density_outliers": q_density_outliers,
         "conv_similar_pairs": q_conv_similar_pairs,
+        "decile_lift": q_decile_lift,
+        "hhi_concentration": q_hhi_concentration,
+        "two_proportion_z": q_two_proportion_z,
         "filter_regex": q_filter_regex,
         "chained_agg": q_chained_agg,
         "null_key_passthrough": q_null_key_passthrough,
@@ -7587,6 +7681,75 @@ SELECT doc_a AS conv_a, doc_b AS conv_b, jaccard,
        cast(row_number() OVER (ORDER BY jaccard DESC, doc_a, doc_b)
             AS int) AS rank
 FROM top""",
+        # The oracle runs the PLAIN ntile window; the engine's bucketed-
+        # prefix closed form must reproduce it value-exactly (the rfm
+        # cross-validation discipline). Desc rank == (sc DESC, id ASC).
+        "decile_lift": """
+WITH base AS (
+  SELECT event_id, cast(floor(value * 100 + 0.5) AS bigint) AS sc,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS pos
+  FROM events WHERE value IS NOT NULL),
+t AS (SELECT pos, ntile(10) OVER (ORDER BY sc DESC, event_id) AS decile
+      FROM base),
+g AS (SELECT decile, cast(count(*) AS bigint) AS n,
+             cast(sum(pos) AS bigint) AS n_pos
+      FROM t GROUP BY decile),
+c AS (SELECT decile, n, n_pos,
+             cast(sum(n) OVER (ORDER BY decile) AS bigint) AS cn,
+             cast(sum(n_pos) OVER (ORDER BY decile) AS bigint) AS cp,
+             cast(sum(n) OVER () AS bigint) AS tn,
+             cast(sum(n_pos) OVER () AS bigint) AS tp
+      FROM g)
+SELECT cast(decile AS int) AS decile, n, n_pos,
+       CASE WHEN tp > 0 THEN
+         (cast(cp AS double) / cast(cn AS double))
+         / (cast(tp AS double) / cast(tn AS double)) END AS cum_lift
+FROM c""",
+        # Exact DECIMAL(38,0) squared-revenue sums in both engines
+        # (order-independent, unlike double partials); one double ratio
+        # at the end.
+        "hhi_concentration": """
+WITH pc AS (
+  SELECT n.n_name AS nation, c.c_custkey,
+         cast(sum(cast(floor(l.l_extendedprice * (1 - l.l_discount)
+                             * 100 + 0.5) AS bigint)) AS bigint) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY nation, c.c_custkey),
+a AS (SELECT nation, cast(count(*) AS bigint) AS n_customers,
+             cast(sum(rev) AS bigint) AS rev_c,
+             sum(cast(rev AS DECIMAL(19,0)) * cast(rev AS DECIMAL(19,0)))
+               AS ssq
+      FROM pc GROUP BY nation)
+SELECT nation, n_customers, rev_c,
+       CASE WHEN rev_c > 0 THEN cast(ssq AS double)
+            / (cast(rev_c AS double) * cast(rev_c AS double)) END AS hhi
+FROM a""",
+        # Pooled two-proportion z from exact integer counts over the
+        # parse error channel; identical expression order (p1 - p2) /
+        # sqrt(pp * (1 - pp) * (1/n1 + 1/n2)).
+        "two_proportion_z": f"""{P},
+pt AS (SELECT tool, cast(count(*) AS bigint) AS n1,
+              cast(sum(CASE WHEN error_kind IS NOT NULL THEN 1 ELSE 0 END)
+                   AS bigint) AS err1
+       FROM parsed GROUP BY tool),
+tt AS (SELECT cast(sum(n1) AS bigint) AS tn,
+              cast(sum(err1) AS bigint) AS te FROM pt),
+j AS (SELECT tool, n1, err1,
+             cast(tn - n1 AS bigint) AS n2,
+             cast(te - err1 AS bigint) AS err2, tn, te
+      FROM pt, tt)
+SELECT tool, n1, err1, n2, err2,
+       CASE WHEN n1 > 0 AND n2 > 0 AND te > 0 AND te < tn THEN
+         (cast(err1 AS double) / cast(n1 AS double)
+          - cast(err2 AS double) / cast(n2 AS double))
+         / sqrt((cast(te AS double) / cast(tn AS double))
+                * (1.0 - cast(te AS double) / cast(tn AS double))
+                * (1.0 / cast(n1 AS double) + 1.0 / cast(n2 AS double)))
+       END AS z
+FROM j""",
     }
 
 

@@ -208,6 +208,21 @@ HEADLINE = [
     "trimmed_stats",
     "market_share",
     "conv_tool_diversity",
+    # late round 4: TPC-H finishers, rank stats, retrieval, spatial
+    "forecast_revenue",
+    "nation_trade_volume",
+    "product_profit",
+    "top_supplier",
+    "spearman_corr",
+    "common_neighbors",
+    "bpe_pair_counts",
+    "autocorr",
+    "phrase_search",
+    "density_outliers",
+    "conv_similar_pairs",
+    "decile_lift",
+    "hhi_concentration",
+    "two_proportion_z",
 ]
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 
@@ -229,8 +244,16 @@ def main() -> None:
 
     # Warmup pass (excluded): JIT/codegen-compile every plan shape once so
     # the timed pass measures steady-state throughput, not JVM cold start.
+    # clearCache between queries: CacheManager matches persisted frames by
+    # LOGICAL PLAN, so without it every dedup/ann query's persist survives
+    # into all later queries — the accumulated cache + GC pressure was
+    # measured to slow the whole suite ~2.5x once the surface passed ~200
+    # queries (asof_join 0.7 s standalone vs 5.2 s late in a polluted
+    # session). Clearing per query keeps the measurement composable: each
+    # query still reuses ITS OWN pass-1 cache (the steady-state regime).
     for name in names:
         materialize(queries[name](spark, SF_DIR))
+        spark.catalog.clearCache()
 
     n_turns = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
@@ -246,6 +269,7 @@ def main() -> None:
             materialize(queries[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     wall_2x = round(time.perf_counter() - t_all0, 3)
 

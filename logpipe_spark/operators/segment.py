@@ -172,3 +172,71 @@ def concentration_share(
         (F.col("amount_top").cast("double")
          / F.col("amount_total").cast("double")).alias("share"),
     )
+
+
+def decile_lift(
+    df: DataFrame,
+    score_col: str = "value",
+    label_col: str = "_pos",
+    id_col: str = "event_id",
+    k: int = 10,
+) -> DataFrame:
+    """Model-evaluation lift table: rank rows by score DESC, cut into
+    ``k`` SQL-standard ntiles, and report per tile the size, positive
+    count, and CUMULATIVE lift vs the base rate.
+
+    No global ntile window: the ascending global rank comes from the
+    bucketed prefix scan (:func:`_global_rank`, tie-broken by the
+    NEGATED id so that the descending rank ``n + 1 - rank_asc`` equals
+    ``row_number() OVER (ORDER BY score DESC, id ASC)`` — the oracle's
+    plain ntile order), then the ntile-from-rank closed form assigns
+    tiles. Only the k-row tile summary ever enters a window.
+
+    ``label_col`` must be an integer 0/1 column. Lift is a ratio of two
+    double divisions of exact bigints, mirrored order in the oracle.
+    Returns (decile, n, n_pos, cum_lift).
+    """
+    cents = F.floor(F.col(score_col) * 100 + F.lit(0.5)).cast("bigint")
+    base = df.where(F.col(score_col).isNotNull()).select(
+        cents.alias("_sc"),
+        (-F.col(id_col)).cast("bigint").alias("_tb"),
+        F.col(label_col).cast("bigint").alias("_pos"),
+    )
+    ranked = _global_rank(base, "_sc", "_tb", "_ra", 1024)
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    ranked = (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("_rd", (F.col("_n") + 1 - F.col("_ra")).cast("bigint"))
+        .withColumn("_q", F.expr(f"_n div {k}").cast("bigint"))
+        .withColumn("_r", (F.col("_n") - F.col("_q") * k).cast("bigint"))
+        .withColumn("_big", F.col("_r") * (F.col("_q") + 1))
+    )
+    tile = F.when(
+        F.col("_rd") <= F.col("_big"),
+        F.expr("(_rd + _q) div (_q + 1)"),
+    ).otherwise(
+        F.col("_r") + F.expr("(_rd - _big + _q - 1) div greatest(_q, 1)"),
+    ).cast("int")
+    g = ranked.select(tile.alias("decile"), "_pos").groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_pos").cast("bigint").alias("n_pos"),
+    )
+    # k-row frame: the cumulative window scans k rows, never the corpus
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    tot = g.agg(F.sum("n").cast("bigint").alias("_tn"),
+                F.sum("n_pos").cast("bigint").alias("_tp"))
+    c = g.crossJoin(F.broadcast(tot)).select(
+        "decile", "n", "n_pos",
+        F.sum("n").over(w_cum).cast("bigint").alias("_cn"),
+        F.sum("n_pos").over(w_cum).cast("bigint").alias("_cp"),
+        "_tn", "_tp",
+    )
+    return c.select(
+        "decile", "n", "n_pos",
+        F.when(
+            F.col("_tp") > 0,
+            (F.col("_cp").cast("double") / F.col("_cn").cast("double"))
+            / (F.col("_tp").cast("double") / F.col("_tn").cast("double")),
+        ).alias("cum_lift"),
+    )

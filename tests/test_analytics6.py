@@ -787,3 +787,34 @@ def test_density_cross_cell_neighbors(spark):
         df, eps=2.0, min_pts=1, x_col="x", y_col="y", id_col="pid"
     ).collect()}
     assert out == {1: 1, 2: 1}
+
+
+# ------------------------------------------------------------ decile_lift
+
+def test_decile_lift_hand_case(spark):
+    from logpipe_spark.operators.segment import decile_lift
+
+    # 20 rows, scores 20..1 (ids 1..20), positives = the top-4 scores
+    # -> k=4 quintiles of 5 rows; tile 1 holds scores 20..16 (4 pos),
+    # base rate 4/20 -> cum_lift tile1 = (4/5)/(4/20) = 4.0
+    rows = [(i, float(21 - i), 1 if 21 - i >= 17 else 0)
+            for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "event_id long, value double, pos int")
+    out = {r.decile: r for r in decile_lift(
+        df, score_col="value", label_col="pos", id_col="event_id", k=4
+    ).collect()}
+    assert [out[t].n for t in (1, 2, 3, 4)] == [5, 5, 5, 5]
+    assert out[1].n_pos == 4 and out[2].n_pos == 0
+    assert out[1].cum_lift == 4.0
+    assert out[4].cum_lift == 1.0   # full corpus -> lift 1 by definition
+
+
+def test_decile_lift_all_negative_labels_null_lift(spark):
+    from logpipe_spark.operators.segment import decile_lift
+
+    df = spark.createDataFrame(
+        [(i, float(i), 0) for i in range(1, 9)],
+        "event_id long, value double, pos int")
+    out = decile_lift(df, score_col="value", label_col="pos",
+                      id_col="event_id", k=2).collect()
+    assert all(r.cum_lift is None for r in out)
