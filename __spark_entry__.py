@@ -4233,6 +4233,10 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double BEFORE every cross product (overflow discipline) in the same
     # order as the oracle, so rho hash-matches bitwise. Windows are
     # partitioned by event_type — no global sort, no single-task funnel.
+    # Exactness bound: sum(x2^2) <= 4n^3 stays in int64 up to n ~ 1.3e6
+    # rows per group; beyond that, swap the bigint sums for DECIMAL(38,0)
+    # (the hhi_concentration pattern) — ANSI mode fails loudly, never
+    # silently wraps.
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_type", "value",
         F.substring(
@@ -4280,6 +4284,10 @@ def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop out via a broadcast-able anti join; the top-k funnel is
     # orderBy().limit() (TakeOrderedAndProject — distributed partial
     # top-k), with the rank window over the 20 survivors only.
+    # Hub caveat: wedge count is sum(deg(b)^2) — on a power-law graph cap
+    # the center degree first (the cap_shingles / max_df discipline); the
+    # simhash near-dup graph here is sparse by construction, so the
+    # uncapped join IS the oracle-parity plan.
     e = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     adj = e.unionAll(
         e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
