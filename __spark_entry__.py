@@ -4500,6 +4500,32 @@ def q_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # kNN majority-vote classification over the embedding corpus: the
+    # exact top-10 neighbor frame (ann_bruteforce_topk — broadcast
+    # queries, per-partition top-k pre-prune) joins neighbor labels;
+    # the per-query majority is a window over <= 10 vote rows with the
+    # deterministic tie-break (votes DESC, label ASC). The true label
+    # joins back for a per-query correctness flag — the eval loop a
+    # labeling pipeline runs at corpus scale.
+    emb = _emb(spark, sf_dir)
+    top = sim.ann_bruteforce_topk(emb, k=10)
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("label").alias("nl"))
+    votes = top.join(lab, "neighbor_id").groupBy("query_id", "nl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("votes"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nl"))
+    top1 = votes.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1)
+    qlab = emb.select(F.col("vec_id").alias("query_id"),
+                      F.col("label").alias("true_label"))
+    return top1.join(qlab, "query_id").select(
+        "query_id", F.col("nl").cast("int").alias("predicted"), "votes",
+        F.col("true_label").cast("int").alias("true_label"),
+        (F.col("nl") == F.col("true_label")).alias("correct"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4594,6 +4620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decile_lift": q_decile_lift,
         "hhi_concentration": q_hhi_concentration,
         "two_proportion_z": q_two_proportion_z,
+        "knn_classify": q_knn_classify,
         "filter_regex": q_filter_regex,
         "chained_agg": q_chained_agg,
         "null_key_passthrough": q_null_key_passthrough,
@@ -7758,6 +7785,24 @@ SELECT tool, n1, err1, n2, err2,
                 * (1.0 / cast(n1 AS double) + 1.0 / cast(n2 AS double)))
        END AS z
 FROM j""",
+        # The ANN oracle (shared with ann_topk, exact cosine) feeds the
+        # same majority vote with the same (votes DESC, label ASC)
+        # tie-break.
+        "knn_classify": f"""
+WITH ann AS ({_ann_oracle(k=10, bucketed=False, bits=6)}),
+votes AS (SELECT a.query_id, e.label AS nl,
+                 cast(count(*) AS bigint) AS votes
+          FROM ann a JOIN embeddings e ON a.neighbor_id = e.vec_id
+          GROUP BY a.query_id, e.label),
+r AS (SELECT query_id, nl, votes,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, nl) AS rn
+      FROM votes)
+SELECT r.query_id, cast(r.nl AS int) AS predicted, r.votes,
+       cast(e.label AS int) AS true_label,
+       r.nl = e.label AS correct
+FROM r JOIN embeddings e ON r.query_id = e.vec_id
+WHERE rn = 1""",
     }
 
 

@@ -223,6 +223,7 @@ HEADLINE = [
     "decile_lift",
     "hhi_concentration",
     "two_proportion_z",
+    "knn_classify",
 ]
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 

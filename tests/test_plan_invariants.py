@@ -64,13 +64,19 @@ def test_global_topk_is_take_ordered(name, spark):
     assert "TakeOrderedAndProject" in plan, (
         f"{name}: global top-k did not compile to TakeOrderedAndProject")
     take_at = plan.index("TakeOrderedAndProject")
-    # plans print top-down: every Window node must appear ABOVE (before)
-    # the take — i.e. it ranks the k survivors, not the full count frame
-    win_at = plan.find("Window")
-    assert win_at == -1 or win_at < take_at, (
-        f"{name}: Window below TakeOrderedAndProject — full-frame rank")
-    assert "Window" not in plan[take_at:], (
-        f"{name}: Window over the pre-limit count frame")
+    # plans print top-down: the only UNPARTITIONED Window allowed is the
+    # k-row rank ABOVE the take. Below the take, partitioned windows are
+    # fine (e.g. derive_transcripts' per-user sequencing) — what must
+    # never appear is a global (no-partition) rank over the full count
+    # frame, which WindowExec funnels into ONE task. A partitioned
+    # Window line prints THREE bracket groups (defs, partition cols,
+    # order cols); an unpartitioned one prints two.
+    for line in plan[take_at:].splitlines():
+        if "Window [" not in line:
+            continue
+        assert line.count("], [") >= 2, (
+            f"{name}: unpartitioned Window below TakeOrderedAndProject "
+            f"(global rank over the pre-limit count frame): {line.strip()}")
 
 
 def test_materialized_queries_lazy_plans(spark, tmp_path):
