@@ -4526,6 +4526,190 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nl") == F.col("true_label")).alias("correct"))
 
 
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q21 shape (suppliers who kept orders waiting): late lineitems
+    # of finished orders (shipdate > orderdate + 60 days — this corpus
+    # has no commit/receipt dates) where ANOTHER supplier shipped a line
+    # of the same order (multi-supplier order) but NO other supplier was
+    # late — the sole-blame attribution. EXISTS / NOT EXISTS run as
+    # LEFT SEMI / LEFT ANTI hash joins keyed on l_orderkey (never a
+    # correlated re-scan); all three probe frames shuffle on the same
+    # key so AQE reuses the exchange. Output is supplier-cardinality.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    late = (
+        li.join(orders.where(F.col("o_orderstatus") == "F")
+                .select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .where(F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(F.col("l_orderkey").alias("_ok2"),
+                       F.col("l_suppkey").alias("_sk2"))
+    late_others = late.select(F.col("l_orderkey").alias("_ok3"),
+                              F.col("l_suppkey").alias("_sk3"))
+    cand = (
+        late.join(others, (late.l_orderkey == F.col("_ok2"))
+                  & (late.l_suppkey != F.col("_sk2")), "left_semi")
+        .join(late_others, (late.l_orderkey == F.col("_ok3"))
+              & (late.l_suppkey != F.col("_sk3")), "left_anti")
+    )
+    return (
+        cand.join(supp.select("s_suppkey", "s_name"),
+                  cand.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+
+
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 shape (global sales opportunity): customers whose
+    # account balance beats the mean POSITIVE balance but who placed no
+    # recent order, rolled up per nation. The mean comparison is exact
+    # cross-multiplied integer cents (bal_c * n > sum_c — never a
+    # double-summed avg, whose partial-sum order differs per engine);
+    # the threshold aggregate is one broadcast row, the recency check a
+    # LEFT ANTI join on custkey. bal_c*n stays in int64 to ~1e9
+    # customers x 1e6 cents; beyond that the hhi DECIMAL(38,0) pattern
+    # applies.
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bal_c = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    pos = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_c).cast("bigint").alias("_s"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"))
+    recent = (orders.where(F.col("o_orderdate") >= "1999-01-01")
+              .select(F.col("o_custkey").alias("_rck")))
+    eligible = (
+        cust.select("c_custkey", "c_nationkey", bal_c.alias("_bc"))
+        .crossJoin(F.broadcast(pos))
+        .where(F.col("_bc") * F.col("_n") > F.col("_s"))
+    )
+    return (
+        eligible.join(recent, eligible.c_custkey == F.col("_rck"),
+                      "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numcust"),
+             F.sum("_bc").cast("bigint").alias("totacctbal_c"))
+    )
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mann-Whitney U (Wilcoxon rank-sum) of each event type's value
+    # distribution vs the REST of the corpus — the nonparametric
+    # companion to welch_ttest for skewed metrics. NO global rank
+    # window: tie-averaged ranks are per-DISTINCT-VALUE quantities, so
+    # the exclusive cumulative count runs on the distinct-cents frame
+    # via the bucketed prefix scan (drift.py:bucketed_cumsum), and
+    # doubled avg-ranks 2*rbar = 2*start + t + 1 stay exact integers.
+    # Rank sums accumulate in DECIMAL(38,0) (exact, order-independent;
+    # per-row products cast to decimal BEFORE multiplying — the int64
+    # overflow discipline); z composes in doubles from the same exact
+    # operands in the same order both engines, with the tie-corrected
+    # variance  Var(2U) = n1*n2/3 * ((n+1) - T/(n(n-1))),
+    # T = sum(t^3 - t).
+    from logpipe_spark.operators.drift import bucketed_cumsum
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull()
+                 & F.col("event_type").isNotNull())
+          .select("event_type",
+                  F.floor(F.col("value") * 100 + F.lit(0.5))
+                  .cast("bigint").alias("vc")))
+    per_tv = ev.groupBy("event_type", "vc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_tv"))
+    per_v = per_tv.groupBy("vc").agg(
+        F.sum("cnt_tv").cast("bigint").alias("t"))
+    starts = bucketed_cumsum(
+        per_v.withColumn("_all", F.lit(1)), "_all", ["t"],
+        value_col="vc", bucket_width=256,
+    ).select("vc", (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1)
+             .alias("r2"))
+    d = "decimal(38,0)"
+    s = (per_tv.join(starts, "vc")
+         .groupBy("event_type")
+         .agg(F.sum("cnt_tv").cast("bigint").alias("n1"),
+              F.sum(F.col("cnt_tv").cast(d) * F.col("r2").cast(d))
+              .cast(d).alias("_r1x")))
+    g = per_v.agg(
+        F.sum("t").cast("bigint").alias("_n"),
+        F.sum(F.col("t").cast(d) * F.col("t").cast(d) * F.col("t").cast(d)
+              - F.col("t").cast(d)).cast(d).alias("_tt"))
+    j = s.crossJoin(F.broadcast(g))
+    n1d = F.col("n1").cast("double")
+    n2d = (F.col("_n") - F.col("n1")).cast("double")
+    nd = F.col("_n").cast("double")
+    td = F.col("_tt").cast("double")
+    u2x = F.col("_r1x").cast("double") - n1d * (n1d + F.lit(1.0))
+    var2x = (n1d * n2d / F.lit(3.0)
+             * ((nd + F.lit(1.0)) - td / (nd * (nd - F.lit(1.0)))))
+    return j.select(
+        "event_type", "n1",
+        (F.col("_n") - F.col("n1")).cast("bigint").alias("n2"),
+        u2x.alias("u2x"),
+        F.when(var2x > 0, (u2x - n1d * n2d) / F.sqrt(var2x)).alias("z"))
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cramér's V effect size over the lang x source contingency — the
+    # scalar the chisq_assoc cells deliberately stopped short of (a
+    # float SUM's partial order differs per engine). Here the cell
+    # frame is metadata-sized (r*c rows), so the chi2 scalar folds the
+    # contribs LEFT-TO-RIGHT over the (lang, source)-sorted array — the
+    # verified aggregate()==list_reduce replay — making the double
+    # bit-identical cross-engine. V = sqrt(chi2 / (n * min(r-1, c-1))).
+    from logpipe_spark.operators.aggregate import chisq_contingency
+
+    cells = chisq_contingency(_docs(spark, sf_dir), "lang", "source")
+    agg = cells.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(lang, source, contrib))), s -> s.contrib), "
+            "cast(0.0 as double), (a, x) -> a + x)").alias("chi2"),
+        F.countDistinct("lang").cast("bigint").alias("_r"),
+        F.countDistinct("source").cast("bigint").alias("_c"),
+        F.max("n_total").alias("n"))
+    mindim = F.least(F.col("_r") - 1, F.col("_c") - 1)
+    return agg.select(
+        "chi2", "n",
+        ((F.col("_r") - 1) * (F.col("_c") - 1)).cast("bigint").alias("dof"),
+        F.sqrt(F.col("chi2")
+               / (F.col("n").cast("double") * mindim.cast("double")))
+        .alias("cramers_v"))
+
+
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling z-score anomaly flagging: each event's value-cents against
+    # the trailing 20-row mean/sd within its event type — the
+    # per-metric online anomaly screen. The ROWS frame is incremental
+    # (never re-aggregated per row), partitioned by event_type so no
+    # single-task funnel; sums/sumsq stay exact int64 (cents<=1e4 x 20
+    # rows) and z composes in doubles from identical operands both
+    # engines: z = (x*n - sx)/n / sqrt((n*sxx - sx^2)/(n*(n-1))),
+    # NULL for warmup rows (n<2) and zero-variance frames (ANSI double
+    # division by zero THROWS — guard, don't rely on inf).
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select("event_id", "event_type", "ts",
+                  F.floor(F.col("value") * 100 + F.lit(0.5))
+                  .cast("bigint").alias("vc")))
+    w = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+         .rowsBetween(-19, 0))
+    ev = (ev.withColumn("n", F.count(F.lit(1)).over(w).cast("bigint"))
+          .withColumn("sx", F.sum("vc").over(w).cast("bigint"))
+          .withColumn("sxx", F.sum(F.col("vc") * F.col("vc")).over(w)
+                      .cast("bigint")))
+    var_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    nd = F.col("n").cast("double")
+    z = ((F.col("vc") * F.col("n") - F.col("sx")).cast("double") / nd
+         / F.sqrt(var_num.cast("double") / (nd * (nd - F.lit(1.0)))))
+    return ev.select(
+        "event_id", "event_type", "vc", "n", "sx",
+        F.when((F.col("n") > 1) & (var_num > 0), z).alias("z"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4621,6 +4805,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hhi_concentration": q_hhi_concentration,
         "two_proportion_z": q_two_proportion_z,
         "knn_classify": q_knn_classify,
+        "waiting_suppliers": q_waiting_suppliers,
+        "sales_opportunity": q_sales_opportunity,
+        "mann_whitney": q_mann_whitney,
+        "cramers_v": q_cramers_v,
+        "rolling_zscore": q_rolling_zscore,
         "filter_regex": q_filter_regex,
         "chained_agg": q_chained_agg,
         "null_key_passthrough": q_null_key_passthrough,
@@ -7803,6 +7992,130 @@ SELECT r.query_id, cast(r.nl AS int) AS predicted, r.votes,
        r.nl = e.label AS correct
 FROM r JOIN embeddings e ON r.query_id = e.vec_id
 WHERE rn = 1""",
+        # EXISTS / NOT EXISTS mirror the engine's semi/anti joins; the
+        # 60-day lateness stand-in matches (no commit/receipt dates).
+        "waiting_suppliers": """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+SELECT s.s_suppkey, s.s_name, cast(count(*) AS bigint) AS numwait
+FROM late l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_suppkey, s.s_name""",
+        # Exact cross-multiplied integer mean comparison (never a
+        # double-summed avg), NOT EXISTS == the engine's anti join.
+        "sales_opportunity": """
+WITH pos AS (
+  SELECT cast(sum(cast(floor(c_acctbal * 100 + 0.5) AS bigint))
+              AS bigint) AS s,
+         cast(count(*) AS bigint) AS n
+  FROM customer WHERE c_acctbal > 0),
+el AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         cast(floor(c.c_acctbal * 100 + 0.5) AS bigint) AS bc
+  FROM customer c, pos
+  WHERE cast(floor(c.c_acctbal * 100 + 0.5) AS bigint) * pos.n > pos.s
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= DATE '1999-01-01'))
+SELECT c_nationkey, cast(count(*) AS bigint) AS numcust,
+       cast(sum(bc) AS bigint) AS totacctbal_c
+FROM el GROUP BY c_nationkey""",
+        # The oracle uses the plain global rank window (single-node
+        # DuckDB can); tie-averaged doubled ranks 2*rank_min + t - 1
+        # equal the engine's 2*start + t + 1 per distinct value. Rank
+        # sums in DECIMAL(38,0), z from the same double op tree.
+        "mann_whitney": """
+WITH ev AS (
+  SELECT event_type, cast(floor(value * 100 + 0.5) AS bigint) AS vc
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+r AS (
+  SELECT event_type,
+         2 * cast(rank() OVER (ORDER BY vc) AS bigint)
+           + cast(count(*) OVER (PARTITION BY vc) AS bigint) - 1 AS r2
+  FROM ev),
+s AS (
+  SELECT event_type, cast(count(*) AS bigint) AS n1,
+         cast(sum(cast(r2 AS decimal(38,0))) AS decimal(38,0)) AS r1x
+  FROM r GROUP BY event_type),
+g AS (
+  SELECT cast(sum(t) AS bigint) AS n,
+         cast(sum(cast(t AS decimal(38,0)) * cast(t AS decimal(38,0))
+                  * cast(t AS decimal(38,0))
+                  - cast(t AS decimal(38,0))) AS decimal(38,0)) AS tt
+  FROM (SELECT cast(count(*) AS bigint) AS t FROM ev GROUP BY vc)),
+f AS (
+  SELECT s.event_type, s.n1, g.n - s.n1 AS n2,
+         cast(s.r1x AS double)
+           - cast(s.n1 AS double) * (cast(s.n1 AS double) + 1.0) AS u2x,
+         cast(s.n1 AS double) * cast(g.n - s.n1 AS double) / 3.0
+           * ((cast(g.n AS double) + 1.0)
+              - cast(g.tt AS double)
+                / (cast(g.n AS double) * (cast(g.n AS double) - 1.0)))
+           AS var2x,
+         cast(s.n1 AS double) * cast(g.n - s.n1 AS double) AS mu2x
+  FROM s CROSS JOIN g)
+SELECT event_type, n1, cast(n2 AS bigint) AS n2, u2x,
+       CASE WHEN var2x > 0 THEN (u2x - mu2x) / sqrt(var2x) END AS z
+FROM f""",
+        # chi2 folds the (lang, source)-sorted contribs left-to-right:
+        # DuckDB list_reduce seeds from element 1, Spark aggregate()
+        # seeds 0.0 — identical since 0.0 + x1 == x1.
+        "cramers_v": """
+WITH cells AS (SELECT lang, source, cast(count(*) AS bigint) AS n_obs
+               FROM documents
+               WHERE lang IS NOT NULL AND source IS NOT NULL
+               GROUP BY lang, source),
+r AS (SELECT lang, cast(sum(n_obs) AS bigint) AS n_row
+      FROM cells GROUP BY lang),
+c AS (SELECT source, cast(sum(n_obs) AS bigint) AS n_col
+      FROM cells GROUP BY source),
+g AS (SELECT cast(sum(n_obs) AS bigint) AS n_total FROM cells),
+con AS (
+  SELECT cells.lang, cells.source,
+         (n_obs - cast(n_row AS double) * n_col / n_total)
+           * (n_obs - cast(n_row AS double) * n_col / n_total)
+           / (cast(n_row AS double) * n_col / n_total) AS contrib
+  FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN g),
+l AS (
+  SELECT list_reduce(list(contrib ORDER BY lang, source),
+                     (a, x) -> a + x) AS chi2,
+         cast(count(DISTINCT lang) AS bigint) AS r,
+         cast(count(DISTINCT source) AS bigint) AS c,
+         (SELECT n_total FROM g) AS n
+  FROM con)
+SELECT chi2, n, cast((r - 1) * (c - 1) AS bigint) AS dof,
+       sqrt(chi2 / (cast(n AS double)
+                    * cast(least(r - 1, c - 1) AS double))) AS cramers_v
+FROM l""",
+        # Same ROWS frame, same integer sums, same double op tree.
+        "rolling_zscore": """
+WITH ev AS (
+  SELECT event_id, event_type, ts,
+         cast(floor(value * 100 + 0.5) AS bigint) AS vc
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+w AS (
+  SELECT event_id, event_type, vc,
+         cast(count(*) OVER fr AS bigint) AS n,
+         cast(sum(vc) OVER fr AS bigint) AS sx,
+         cast(sum(vc * vc) OVER fr AS bigint) AS sxx
+  FROM ev
+  WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT event_id, event_type, vc, n, sx,
+       CASE WHEN n > 1 AND n * sxx - sx * sx > 0 THEN
+         cast(vc * n - sx AS double) / cast(n AS double)
+           / sqrt(cast(n * sxx - sx * sx AS double)
+                  / (cast(n AS double) * (cast(n AS double) - 1.0)))
+       END AS z
+FROM w""",
     }
 
 

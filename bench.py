@@ -224,6 +224,11 @@ HEADLINE = [
     "hhi_concentration",
     "two_proportion_z",
     "knn_classify",
+    "waiting_suppliers",
+    "sales_opportunity",
+    "mann_whitney",
+    "cramers_v",
+    "rolling_zscore",
 ]
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 
