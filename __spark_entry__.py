@@ -4710,6 +4710,47 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("n") > 1) & (var_num > 0), z).alias("z"))
 
 
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Item-item collaborative-filtering neighborhood (assoc.py:
+    # item_similarity): cosine/Jaccard/Dice/overlap between TOOLS by
+    # conversation co-membership — "which tools travel together". One
+    # basket-keyed shuffle (collect_set + narrow array pairs, no
+    # self-join); every measure a single-division raw double of exact
+    # integers, casts before cross products.
+    from logpipe_spark.operators.assoc import item_similarity
+
+    return item_similarity(_t(spark, sf_dir), "conv_id", "tool")
+
+
+def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mean-reciprocal-rank retrieval eval, per query: the rank of the
+    # FIRST label-matching neighbor in the exact cosine top-10 (the
+    # retrieval-quality companion to ann_recall / knn_classify). rr is
+    # the single exact division 1/rank (rank an int <= 10) — queries
+    # whose top-10 contains no label match emit rr = 0.0 via the
+    # null-safe left join (never silently dropped). The scalar MRR is a
+    # float SUM whose partial order differs per engine — consumers fold
+    # the per-query rows, which is what an eval report shows anyway.
+    emb = _emb(spark, sf_dir)
+    top = sim.ann_bruteforce_topk(emb, k=10)
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("label").alias("_nl"))
+    qlab = emb.select(F.col("vec_id").alias("query_id"),
+                      F.col("label").cast("int").alias("true_label"))
+    first = (
+        top.join(lab, "neighbor_id").join(qlab, "query_id")
+        .where(F.col("_nl") == F.col("true_label"))
+        .groupBy("query_id")
+        .agg(F.min("rank").cast("int").alias("first_rank"))
+    )
+    qs = top.select("query_id").distinct().join(qlab, "query_id")
+    return qs.join(first, "query_id", "left").select(
+        "query_id", "true_label", "first_rank",
+        F.when(F.col("first_rank").isNotNull(),
+               F.lit(1.0) / F.col("first_rank"))
+        .otherwise(F.lit(0.0)).alias("rr"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4810,6 +4851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "cramers_v": q_cramers_v,
         "rolling_zscore": q_rolling_zscore,
+        "item_similarity": q_item_similarity,
+        "mrr_eval": q_mrr_eval,
         "filter_regex": q_filter_regex,
         "chained_agg": q_chained_agg,
         "null_key_passthrough": q_null_key_passthrough,
@@ -8116,6 +8159,47 @@ SELECT event_id, event_type, vc, n, sx,
                   / (cast(n AS double) * (cast(n AS double) - 1.0)))
        END AS z
 FROM w""",
+        # Same distinct-basket counts as cooccurrence_lift, over
+        # (conv_id, tool) baskets; one division per measure.
+        "item_similarity": f"""{_oracle_prefix()},
+b AS (
+  SELECT DISTINCT conv_id AS basket, tool AS item FROM transcripts
+  WHERE conv_id IS NOT NULL AND tool IS NOT NULL),
+ic AS (SELECT item, cast(count(*) AS bigint) AS n_i FROM b GROUP BY item),
+pc AS (
+  SELECT a.item AS item_a, c.item AS item_b,
+         cast(count(*) AS bigint) AS n_ab
+  FROM b a JOIN b c ON a.basket = c.basket AND a.item < c.item
+  GROUP BY a.item, c.item)
+SELECT pc.item_a, pc.item_b, ia.n_i AS n_a, ib.n_i AS n_b, pc.n_ab,
+       cast(pc.n_ab AS double)
+         / sqrt(cast(ia.n_i AS double) * cast(ib.n_i AS double)) AS cosine,
+       cast(pc.n_ab AS double)
+         / (cast(ia.n_i AS double) + cast(ib.n_i AS double)
+            - cast(pc.n_ab AS double)) AS jaccard,
+       2.0 * cast(pc.n_ab AS double)
+         / (cast(ia.n_i AS double) + cast(ib.n_i AS double)) AS dice,
+       cast(pc.n_ab AS double)
+         / least(cast(ia.n_i AS double), cast(ib.n_i AS double)) AS overlap
+FROM pc
+JOIN ic ia ON ia.item = pc.item_a
+JOIN ic ib ON ib.item = pc.item_b""",
+        # The ANN oracle (exact cosine, shared tiebreak) feeds the same
+        # first-label-match min-rank; rr = 1/rank, 0.0 when no match.
+        "mrr_eval": f"""
+WITH ann AS ({_ann_oracle(k=10, bucketed=False, bits=6)}),
+m AS (SELECT a.query_id, cast(min(a.rank) AS int) AS first_rank
+      FROM ann a
+      JOIN embeddings nb ON a.neighbor_id = nb.vec_id
+      JOIN embeddings q ON a.query_id = q.vec_id
+      WHERE nb.label = q.label
+      GROUP BY a.query_id),
+qs AS (SELECT DISTINCT ann.query_id, cast(e.label AS int) AS true_label
+       FROM ann JOIN embeddings e ON ann.query_id = e.vec_id)
+SELECT qs.query_id, qs.true_label, m.first_rank,
+       CASE WHEN m.first_rank IS NOT NULL THEN 1.0 / m.first_rank
+            ELSE 0.0 END AS rr
+FROM qs LEFT JOIN m ON qs.query_id = m.query_id""",
     }
 
 

@@ -229,6 +229,8 @@ HEADLINE = [
     "mann_whitney",
     "cramers_v",
     "rolling_zscore",
+    "item_similarity",
+    "mrr_eval",
 ]
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cooccurrence_lift"]
+__all__ = ["cooccurrence_lift", "item_similarity"]
 
 
 def cooccurrence_lift(
@@ -132,4 +132,47 @@ def cooccurrence_lift(
             (F.col("n_ab") / F.col("n_baskets")).alias("support"),
             (num / den).alias("lift"),
         )
+    )
+
+
+def item_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_items: int | None = None,
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """Item-item set-similarity suite over distinct-basket co-occurrence
+    — the neighborhood builder of item-item collaborative filtering
+    (Sarwar et al., WWW'01) and the "which tools travel together"
+    diagnostic run over routed conversation streams.
+
+    Counts come from :func:`cooccurrence_lift` (ONE basket-keyed shuffle
+    via collect_set + narrow in-array pair explode — never a self-join;
+    the same ``max_items`` bounded-state cap applies). Each measure is a
+    raw double from exact integer operands through one division —
+    bit-identical cross-engine, never rounded:
+
+    - ``cosine  = n_ab / sqrt(n_a * n_b)``
+    - ``jaccard = n_ab / (n_a + n_b - n_ab)``
+    - ``dice    = 2 * n_ab / (n_a + n_b)``
+    - ``overlap = n_ab / min(n_a, n_b)``
+
+    Integer counts cast to double BEFORE any cross product (``n_a * n_b``
+    overflows int64 once both reach ~3e9 — the corpus-scale overflow
+    discipline). Denominators are never zero: ``n_ab >= 1`` forces every
+    marginal ``>= 1`` and ``n_a + n_b - n_ab >= n_ab``.
+    """
+    co = cooccurrence_lift(df, basket_col, item_col,
+                           max_items=max_items,
+                           min_pair_count=min_pair_count)
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    nab = F.col("n_ab").cast("double")
+    return co.select(
+        "item_a", "item_b", "n_a", "n_b", "n_ab",
+        (nab / F.sqrt(nad * nbd)).alias("cosine"),
+        (nab / (nad + nbd - nab)).alias("jaccard"),
+        (F.lit(2.0) * nab / (nad + nbd)).alias("dice"),
+        (nab / F.least(nad, nbd)).alias("overlap"),
     )
