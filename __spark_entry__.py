@@ -4598,58 +4598,18 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mann-Whitney U (Wilcoxon rank-sum) of each event type's value
-    # distribution vs the REST of the corpus — the nonparametric
-    # companion to welch_ttest for skewed metrics. NO global rank
-    # window: tie-averaged ranks are per-DISTINCT-VALUE quantities, so
-    # the exclusive cumulative count runs on the distinct-cents frame
-    # via the bucketed prefix scan (drift.py:bucketed_cumsum), and
-    # doubled avg-ranks 2*rbar = 2*start + t + 1 stay exact integers.
-    # Rank sums accumulate in DECIMAL(38,0) (exact, order-independent;
-    # per-row products cast to decimal BEFORE multiplying — the int64
-    # overflow discipline); z composes in doubles from the same exact
-    # operands in the same order both engines, with the tie-corrected
-    # variance  Var(2U) = n1*n2/3 * ((n+1) - T/(n(n-1))),
-    # T = sum(t^3 - t).
-    from logpipe_spark.operators.drift import bucketed_cumsum
+    # distribution vs the REST of the corpus (drift.py:mann_whitney_u)
+    # — the nonparametric companion to welch_ttest for skewed metrics.
+    # NO global rank window: tie-averaged ranks come from the bucketed
+    # prefix scan over the distinct-cents frame; rank sums accumulate
+    # in DECIMAL(38,0); tie-corrected z from identical double operands
+    # both engines.
+    from logpipe_spark.operators.drift import mann_whitney_u
 
-    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
-          .where(F.col("value").isNotNull()
-                 & F.col("event_type").isNotNull())
-          .select("event_type",
-                  F.floor(F.col("value") * 100 + F.lit(0.5))
-                  .cast("bigint").alias("vc")))
-    per_tv = ev.groupBy("event_type", "vc").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt_tv"))
-    per_v = per_tv.groupBy("vc").agg(
-        F.sum("cnt_tv").cast("bigint").alias("t"))
-    starts = bucketed_cumsum(
-        per_v.withColumn("_all", F.lit(1)), "_all", ["t"],
-        value_col="vc", bucket_width=256,
-    ).select("vc", (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1)
-             .alias("r2"))
-    d = "decimal(38,0)"
-    s = (per_tv.join(starts, "vc")
-         .groupBy("event_type")
-         .agg(F.sum("cnt_tv").cast("bigint").alias("n1"),
-              F.sum(F.col("cnt_tv").cast(d) * F.col("r2").cast(d))
-              .cast(d).alias("_r1x")))
-    g = per_v.agg(
-        F.sum("t").cast("bigint").alias("_n"),
-        F.sum(F.col("t").cast(d) * F.col("t").cast(d) * F.col("t").cast(d)
-              - F.col("t").cast(d)).cast(d).alias("_tt"))
-    j = s.crossJoin(F.broadcast(g))
-    n1d = F.col("n1").cast("double")
-    n2d = (F.col("_n") - F.col("n1")).cast("double")
-    nd = F.col("_n").cast("double")
-    td = F.col("_tt").cast("double")
-    u2x = F.col("_r1x").cast("double") - n1d * (n1d + F.lit(1.0))
-    var2x = (n1d * n2d / F.lit(3.0)
-             * ((nd + F.lit(1.0)) - td / (nd * (nd - F.lit(1.0)))))
-    return j.select(
-        "event_type", "n1",
-        (F.col("_n") - F.col("n1")).cast("bigint").alias("n2"),
-        u2x.alias("u2x"),
-        F.when(var2x > 0, (u2x - n1d * n2d) / F.sqrt(var2x)).alias("z"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mann_whitney_u(
+        ev, "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)))
 
 
 def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4749,6 +4709,41 @@ def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("first_rank").isNotNull(),
                F.lit(1.0) / F.col("first_rank"))
         .otherwise(F.lit(0.0)).alias("rr"))
+
+
+def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Forecast-eval scorecard per event type: MASE of the naive
+    # one-step forecast against the seasonal-naive (lag-7) scale over
+    # the daily value series. Absolute errors are INTEGER cents, so
+    # both error sums are exact int64 aggregates (order-free) and MASE
+    # is the single double ratio (s1/n1)/(s7/n7) from identical
+    # operands — never a float error sum. Daily rollup is one
+    # map-side-combinable shuffle; the lag windows partition by
+    # event_type (day-cardinality frames, no single-task funnel).
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select("event_type",
+                  F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5))
+                  .cast("bigint").alias("vc")))
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("vc").cast("bigint").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = (daily
+         .withColumn("e1", F.abs(F.col("v") - F.lag("v", 1).over(w)))
+         .withColumn("e7", F.abs(F.col("v") - F.lag("v", 7).over(w))))
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.count("e1").cast("bigint").alias("n1"),
+        F.sum("e1").cast("bigint").alias("s1_c"),
+        F.count("e7").cast("bigint").alias("n7"),
+        F.sum("e7").cast("bigint").alias("s7_c"))
+    mase = ((F.col("s1_c").cast("double") / F.col("n1").cast("double"))
+            / (F.col("s7_c").cast("double") / F.col("n7").cast("double")))
+    return agg.select(
+        "event_type", "n_days", "n1", "s1_c", "n7", "s7_c",
+        F.when((F.col("n1") > 0) & (F.col("n7") > 0)
+               & (F.col("s7_c") > 0), mase).alias("mase"))
 
 
 # ---------------------------------------------------------------------------
@@ -4853,6 +4848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_zscore": q_rolling_zscore,
         "item_similarity": q_item_similarity,
         "mrr_eval": q_mrr_eval,
+        "forecast_accuracy": q_forecast_accuracy,
         "filter_regex": q_filter_regex,
         "chained_agg": q_chained_agg,
         "null_key_passthrough": q_null_key_passthrough,
@@ -8200,6 +8196,34 @@ SELECT qs.query_id, qs.true_label, m.first_rank,
        CASE WHEN m.first_rank IS NOT NULL THEN 1.0 / m.first_rank
             ELSE 0.0 END AS rr
 FROM qs LEFT JOIN m ON qs.query_id = m.query_id""",
+        # Same daily integer-cents rollup, same lag windows, same single
+        # double ratio.
+        "forecast_accuracy": """
+WITH daily AS (
+  SELECT event_type, cast(ts AS date) AS day,
+         cast(sum(cast(floor(value * 100 + 0.5) AS bigint))
+              AS bigint) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY event_type, cast(ts AS date)),
+d AS (
+  SELECT event_type,
+         abs(v - lag(v, 1) OVER w) AS e1,
+         abs(v - lag(v, 7) OVER w) AS e7
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+a AS (
+  SELECT event_type, cast(count(*) AS bigint) AS n_days,
+         cast(count(e1) AS bigint) AS n1,
+         cast(sum(e1) AS bigint) AS s1_c,
+         cast(count(e7) AS bigint) AS n7,
+         cast(sum(e7) AS bigint) AS s7_c
+  FROM d GROUP BY event_type)
+SELECT event_type, n_days, n1, s1_c, n7, s7_c,
+       CASE WHEN n1 > 0 AND n7 > 0 AND s7_c > 0 THEN
+         (cast(s1_c AS double) / cast(n1 AS double))
+           / (cast(s7_c AS double) / cast(n7 AS double))
+       END AS mase
+FROM a""",
     }
 
 

@@ -26,6 +26,7 @@ from logpipe_spark.operators.drift import (  # noqa: E402
     cusum_merge,
     cusum_partials,
     cusum_scan,
+    mann_whitney_u,
     welch_ttest,
 )
 from logpipe_spark.operators.profile import hist2d  # noqa: E402
@@ -89,6 +90,10 @@ def run_suite(spark, path):
         # one combinable aggregate of six integer sums
         "welch_ttest": lambda: noop(welch_ttest(
             ev, "item", F.col("cents"), first_half)),
+        # distinct-value frame (100k cents) through the bucketed prefix
+        # scan; per-group DECIMAL rank sums — no global rank window
+        "mann_whitney": lambda: noop(mann_whitney_u(
+            ev, "item", F.col("cents"), bucket_width=1024)),
         # one aggregate + an 8-element ordered fold
         "anova_f": lambda: noop(anova_f(ev, "item", F.col("cents"))),
         # bucketed CDF prefix scan over 100k distinct values x 8 items

@@ -38,6 +38,7 @@ __all__ = [
     "ks_from_counts",
     "bucketed_cumsum",
     "welch_ttest",
+    "mann_whitney_u",
     "cusum_scan",
     "auc_rank",
     "changepoint_binseg",
@@ -239,6 +240,69 @@ def welch_ttest(
          / (sea * sea / (nad - 1) + seb * seb / (nbd - 1)))
         .alias("df_welch"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    bucket_width: int = 256,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) of each ``key`` group's value
+    distribution vs the REST of the corpus — the nonparametric companion
+    to :func:`welch_ttest` for skewed/heavy-tailed metrics.
+
+    Pass an INTEGER-valued ``value`` (cents / rebased units). NO global
+    rank window: tie-averaged ranks are per-DISTINCT-VALUE quantities,
+    so the exclusive cumulative count runs on the distinct-value frame
+    via :func:`bucketed_cumsum` and the doubled average rank
+    ``2*rbar = 2*start + t + 1`` stays an exact integer. Per-group rank
+    sums accumulate in DECIMAL(38,0) (exact, order-independent; per-row
+    products cast to decimal BEFORE multiplying — the int64 overflow
+    discipline). z composes in doubles from the same exact operands in
+    the same order as the DuckDB oracle, with the tie-corrected normal
+    approximation ``Var(2U) = n1*n2/3 * ((n+1) - T/(n(n-1)))`` where
+    ``T = sum(t^3 - t)`` over tie groups.
+
+    Returns ``(key, n1, n2, u2x, z)`` with ``u2x = 2*U1`` (doubled to
+    stay integral under tie-averaged ranks) and ``z`` NULL when the
+    variance degenerates (all values tied).
+    """
+    vi = value.cast("bigint")
+    base = (df.where(vi.isNotNull() & F.col(key).isNotNull())
+            .select(F.col(key).alias("_k"), vi.alias("_v")))
+    per_tv = base.groupBy("_k", "_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_tv"))
+    per_v = per_tv.groupBy("_v").agg(
+        F.sum("cnt_tv").cast("bigint").alias("t"))
+    starts = bucketed_cumsum(
+        per_v.withColumn("_all", F.lit(1)), "_all", ["t"],
+        value_col="_v", bucket_width=bucket_width,
+    ).select("_v", (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1)
+             .alias("r2"))
+    d = "decimal(38,0)"
+    s = (per_tv.join(starts, "_v")
+         .groupBy("_k")
+         .agg(F.sum("cnt_tv").cast("bigint").alias("n1"),
+              F.sum(F.col("cnt_tv").cast(d) * F.col("r2").cast(d))
+              .cast(d).alias("_r1x")))
+    g = per_v.agg(
+        F.sum("t").cast("bigint").alias("_n"),
+        F.sum(F.col("t").cast(d) * F.col("t").cast(d) * F.col("t").cast(d)
+              - F.col("t").cast(d)).cast(d).alias("_tt"))
+    j = s.crossJoin(F.broadcast(g))
+    n1d = F.col("n1").cast("double")
+    n2d = (F.col("_n") - F.col("n1")).cast("double")
+    nd = F.col("_n").cast("double")
+    td = F.col("_tt").cast("double")
+    u2x = F.col("_r1x").cast("double") - n1d * (n1d + F.lit(1.0))
+    var2x = (n1d * n2d / F.lit(3.0)
+             * ((nd + F.lit(1.0)) - td / (nd * (nd - F.lit(1.0)))))
+    return j.select(
+        F.col("_k").alias(key), "n1",
+        (F.col("_n") - F.col("n1")).cast("bigint").alias("n2"),
+        u2x.alias("u2x"),
+        F.when(var2x > 0, (u2x - n1d * n2d) / F.sqrt(var2x)).alias("z"))
 
 
 def cusum_scan(
