@@ -4746,6 +4746,107 @@ def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("s7_c") > 0), mase).alias("mase"))
 
 
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q11 shape (important stock identification; reference has no
+    # partsupp table so supplied lineitems proxy availability, like Q2):
+    # per-part inventory value held by one region's suppliers, keeping
+    # parts whose value exceeds a fixed fraction of the regional total.
+    # The classic correlated HAVING subquery is a broadcast crossJoin of
+    # the ONE-row global sum (the Q15 lesson — never a global window).
+    # Value is the exact integer product cents x units per row (1e8
+    # cents x 50 units x 1e10 rows < 2^63 at 100 TB), summed map-side;
+    # share is one double division of identical bigints both engines.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    rs = (
+        supp.join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    qn = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint")
+    lv = (li.select("l_partkey", "l_suppkey", (pc * qn).alias("_vc"))
+          .join(rs, F.col("l_suppkey") == rs.s_suppkey).drop("s_suppkey"))
+    per_part = lv.groupBy("l_partkey").agg(
+        F.sum("_vc").cast("bigint").alias("value_c"))
+    tot = per_part.agg(F.sum("value_c").cast("bigint").alias("_tot"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .where(F.col("value_c").cast("double")
+               > F.lit(0.001) * F.col("_tot").cast("double"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_c",
+                (F.col("value_c").cast("double")
+                 / F.col("_tot").cast("double")).alias("share"))
+    )
+
+
+def q_late_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q12 shape adapted to this schema (no l_shipmode /
+    # l_commitdate): per return-flag class, how many LATE 1997
+    # shipments (shipped > 60 days after the order date) carried
+    # high- vs low-priority orders. The year filter sits on lineitem
+    # BEFORE the big orderkey shuffle join (pushed to the parquet
+    # scan); the priority split is a map-side-combinable sum of 0/1
+    # flags; day deltas are exact integer date arithmetic both engines.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sel = (li.where((F.col("l_shipdate") >= "1997-01-01")
+                    & (F.col("l_shipdate") < "1998-01-01"))
+           .select("l_orderkey", "l_returnflag",
+                   F.col("l_shipdate").cast("date").alias("_sd")))
+    j = sel.join(orders.select("o_orderkey", "o_orderdate",
+                               "o_orderpriority"),
+                 sel.l_orderkey == F.col("o_orderkey"))
+    late = j.where(
+        F.datediff(F.col("_sd"), F.col("o_orderdate").cast("date")) > 60)
+    hi = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                F.lit(1)).otherwise(F.lit(0))
+    return late.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_late"),
+        F.sum(hi).cast("bigint").alias("high_line_count"),
+        F.sum(F.lit(1) - hi).cast("bigint").alias("low_line_count"))
+
+
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q20 shape (potential part promotion): EUROPE suppliers who
+    # DOMINATE a part's 1997 supply — shipped more than half that
+    # part's total. The correlated "availqty > 0.5 * sum(qty)"
+    # subquery becomes one (part,supp) rollup, a per-part total reusing
+    # that rollup (tiny second shuffle), and an INTEGER 2*q > t compare
+    # (no doubles, no 0.5 rounding hazard). Supplier->nation->region is
+    # a broadcast dim chain applied BEFORE the rollup so non-regional
+    # rows never shuffle.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    qn = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint")
+    sel = (li.where((F.col("l_shipdate") >= "1997-01-01")
+                    & (F.col("l_shipdate") < "1998-01-01"))
+           .select("l_partkey", "l_suppkey", qn.alias("_q")))
+    qs = sel.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("_q").cast("bigint").alias("q"))
+    tot = qs.groupBy("l_partkey").agg(
+        F.sum("q").cast("bigint").alias("t"))
+    dom = (qs.join(tot, "l_partkey")
+           .where(F.lit(2) * F.col("q") > F.col("t")))
+    rs = (
+        supp.join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (dom.join(rs, dom.l_suppkey == rs.s_suppkey)
+            .groupBy("s_suppkey", "s_name")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+                 F.sum("q").cast("bigint").alias("dom_qty")))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4849,6 +4950,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_similarity": q_item_similarity,
         "mrr_eval": q_mrr_eval,
         "forecast_accuracy": q_forecast_accuracy,
+        "important_stock": q_important_stock,
+        "late_priority_split": q_late_priority_split,
+        "excess_suppliers": q_excess_suppliers,
         "filter_regex": q_filter_regex,
         "chained_agg": q_chained_agg,
         "null_key_passthrough": q_null_key_passthrough,
@@ -8224,6 +8328,73 @@ SELECT event_type, n_days, n1, s1_c, n7, s7_c,
            / (cast(s7_c AS double) / cast(n7 AS double))
        END AS mase
 FROM a""",
+        # Q11: same regional dim chain, same exact integer cents x
+        # units products, same one-row total cross join and double
+        # threshold compare from identical bigints.
+        "important_stock": """
+WITH rs AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'),
+lv AS (
+  SELECT l_partkey,
+         cast(floor(l_extendedprice * 100 + 0.5) AS bigint)
+           * cast(floor(l_quantity + 0.5) AS bigint) AS vc
+  FROM lineitem JOIN rs ON l_suppkey = rs.s_suppkey),
+pp AS (
+  SELECT l_partkey, cast(sum(vc) AS bigint) AS value_c
+  FROM lv GROUP BY l_partkey),
+t AS (SELECT cast(sum(value_c) AS bigint) AS tot FROM pp)
+SELECT pp.l_partkey AS p_partkey, pp.value_c,
+       cast(pp.value_c AS double) / cast(t.tot AS double) AS share
+FROM pp CROSS JOIN t
+WHERE cast(pp.value_c AS double) > 0.001 * cast(t.tot AS double)""",
+        # Q12: date subtraction yields integer days in DuckDB ==
+        # Spark datediff; counts are exact integer sums of 0/1 flags.
+        "late_priority_split": """
+WITH sel AS (
+  SELECT l_orderkey, l_returnflag, cast(l_shipdate AS date) AS sd
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'),
+late AS (
+  SELECT l_returnflag,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS hi
+  FROM sel JOIN orders ON l_orderkey = o_orderkey
+  WHERE sd - cast(o_orderdate AS date) > 60)
+SELECT l_returnflag, cast(count(*) AS bigint) AS n_late,
+       cast(sum(hi) AS bigint) AS high_line_count,
+       cast(sum(1 - hi) AS bigint) AS low_line_count
+FROM late GROUP BY l_returnflag""",
+        # Q20: same (part,supp) rollup, same INTEGER 2*q > t dominance
+        # compare, same regional supplier chain.
+        "excess_suppliers": """
+WITH sel AS (
+  SELECT l_partkey, l_suppkey,
+         cast(floor(l_quantity + 0.5) AS bigint) AS q
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'),
+qs AS (
+  SELECT l_partkey, l_suppkey, cast(sum(q) AS bigint) AS q
+  FROM sel GROUP BY l_partkey, l_suppkey),
+tot AS (
+  SELECT l_partkey, cast(sum(q) AS bigint) AS t
+  FROM qs GROUP BY l_partkey),
+dom AS (
+  SELECT qs.l_suppkey, qs.q
+  FROM qs JOIN tot ON qs.l_partkey = tot.l_partkey
+  WHERE 2 * qs.q > tot.t),
+rs AS (
+  SELECT s_suppkey, s_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE')
+SELECT rs.s_suppkey, rs.s_name,
+       cast(count(*) AS bigint) AS n_parts,
+       cast(sum(dom.q) AS bigint) AS dom_qty
+FROM dom JOIN rs ON dom.l_suppkey = rs.s_suppkey
+GROUP BY rs.s_suppkey, rs.s_name""",
     }
 
 
