@@ -4746,6 +4746,72 @@ def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("s7_c") > 0), mase).alias("mase"))
 
 
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kruskal-Wallis H across event types (drift.py:kruskal_wallis):
+    # "does ANY type's value distribution differ?" — the k-group rank
+    # companion to anova_f/mann_whitney. Global tie-averaged ranks via
+    # the bucketed prefix scan (no global rank window); the k-sized
+    # cross-group Σ R²/n folds left-to-right over sorted keys ==
+    # DuckDB list_reduce.
+    from logpipe_spark.operators.drift import kruskal_wallis
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kruskal_wallis(
+        ev, "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)))
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mann-Kendall monotonic-trend test per event type over the DAILY
+    # value series (drift.py:mann_kendall) — the rank companion to
+    # trend_slope. The pair join runs on the day-cardinality rollup
+    # (30 days -> 435 pairs/key), never on raw events; S and the tie
+    # term are exact integers, tau-b one double composition.
+    from logpipe_spark.operators.drift import mann_kendall
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select("event_type",
+                  F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5))
+                  .cast("bigint").alias("vc")))
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("vc").cast("bigint").alias("v"))
+    return mann_kendall(daily, "event_type", F.col("v"), F.col("day"))
+
+
+def q_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mean-average-precision retrieval eval per query over the exact
+    # cosine top-10 (companion to mrr_eval/ann_recall): AP =
+    # (1/R) Σ_{hit at rank r} hits_so_far/r. Every P@r term is made
+    # INTEGRAL by scaling with 2520 = lcm(1..10) — hit contributions
+    # are hits_so_far * (2520 div r) bigints — so ap is ONE double
+    # division ap_num/(2520*R), never a float sum over ranks.
+    emb = _emb(spark, sf_dir)
+    top = sim.ann_bruteforce_topk(emb, k=10)
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("label").alias("_nl"))
+    qlab = emb.select(F.col("vec_id").alias("query_id"),
+                      F.col("label").cast("int").alias("true_label"))
+    j = (top.join(lab, "neighbor_id").join(qlab, "query_id")
+         .select("query_id", "true_label", "rank",
+                 F.when(F.col("_nl") == F.col("true_label"), F.lit(1))
+                 .otherwise(F.lit(0)).cast("bigint").alias("hit")))
+    w = Window.partitionBy("query_id").orderBy("rank")
+    h = j.withColumn("hsf", F.sum("hit").over(w).cast("bigint"))
+    ap = h.groupBy("query_id", "true_label").agg(
+        F.sum(F.when(F.col("hit") == 1,
+                     F.col("hsf") * F.expr("2520 div rank"))
+              .otherwise(F.lit(0))).cast("bigint").alias("ap_num"),
+        F.sum("hit").cast("bigint").alias("n_rel"))
+    return ap.select(
+        "query_id", "true_label", "n_rel",
+        F.when(F.col("n_rel") > 0,
+               F.col("ap_num").cast("double")
+               / (F.lit(2520.0) * F.col("n_rel").cast("double")))
+        .otherwise(F.lit(0.0)).alias("ap"))
+
+
 def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q11 shape (important stock identification; reference has no
     # partsupp table so supplied lineitems proxy availability, like Q2):
@@ -4950,6 +5016,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_similarity": q_item_similarity,
         "mrr_eval": q_mrr_eval,
         "forecast_accuracy": q_forecast_accuracy,
+        "kruskal_wallis": q_kruskal_wallis,
+        "mann_kendall": q_mann_kendall,
+        "map_eval": q_map_eval,
         "important_stock": q_important_stock,
         "late_priority_split": q_late_priority_split,
         "excess_suppliers": q_excess_suppliers,
@@ -8328,6 +8397,107 @@ SELECT event_type, n_days, n1, s1_c, n7, s7_c,
            / (cast(s7_c AS double) / cast(n7 AS double))
        END AS mase
 FROM a""",
+        # Global tie-averaged doubled ranks via rank()/count() windows
+        # (exact integers, == the engine's bucketed prefix scan); the
+        # k-sized term list folds in event_type order like anova_f.
+        "kruskal_wallis": """
+WITH ev AS (
+  SELECT event_type, cast(floor(value * 100 + 0.5) AS bigint) AS v
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+r AS (
+  SELECT event_type,
+         2 * cast(rank() OVER (ORDER BY v) AS bigint)
+           + cast(count(*) OVER (PARTITION BY v) AS bigint) - 1 AS r2
+  FROM ev),
+s AS (
+  SELECT event_type, cast(count(*) AS bigint) AS nj,
+         cast(sum(r2) AS hugeint) AS r2x
+  FROM r GROUP BY event_type),
+terms AS (
+  SELECT event_type, nj,
+         (cast(r2x AS double) * cast(r2x AS double))
+           / (4.0 * cast(nj AS double)) AS t
+  FROM s),
+fold AS (
+  SELECT cast(count(*) AS bigint) AS k,
+         list_reduce(
+           list_prepend(cast(0.0 AS double),
+             list(t ORDER BY event_type)),
+           (acc, x) -> acc + x) AS tsum
+  FROM terms),
+g AS (
+  SELECT cast(sum(t) AS bigint) AS n,
+         cast(sum(cast(t AS hugeint) * t * t - t) AS hugeint) AS tt
+  FROM (SELECT cast(count(*) AS bigint) AS t FROM ev GROUP BY v)),
+one AS (SELECT * FROM fold CROSS JOIN g WHERE k >= 2 AND n > k),
+staged AS (
+  SELECT n, k, cast(tt AS double) AS tie_t,
+         12.0 / (cast(n AS double) * (cast(n AS double) + 1.0)) * tsum
+           - 3.0 * (cast(n AS double) + 1.0) AS h_raw,
+         1.0 - cast(tt AS double)
+           / (cast(n AS double) * cast(n AS double) * cast(n AS double)
+              - cast(n AS double)) AS corr
+  FROM one)
+SELECT n, k, tie_t, h_raw, h_raw / corr AS h
+FROM staged WHERE corr > 0""",
+        # Same daily rollup, same pair join on (key, day<day), exact
+        # integer S and tie terms, identical tau-b double composition.
+        "mann_kendall": """
+WITH ev AS (
+  SELECT event_type, cast(ts AS date) AS day,
+         cast(floor(value * 100 + 0.5) AS bigint) AS vc
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+daily AS (
+  SELECT event_type, day, cast(sum(vc) AS bigint) AS v
+  FROM ev WHERE event_type IS NOT NULL GROUP BY event_type, day),
+pairs AS (
+  SELECT a.event_type, cast(sign(b.v - a.v) AS bigint) AS sg
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day),
+s AS (SELECT event_type, cast(sum(sg) AS bigint) AS s_stat
+      FROM pairs GROUP BY event_type),
+nobs AS (SELECT event_type, cast(count(*) AS bigint) AS n_obs
+         FROM daily GROUP BY event_type),
+ties AS (
+  SELECT event_type, cast(sum(t * (t - 1)) AS bigint) AS tie2x
+  FROM (SELECT event_type, v, cast(count(*) AS bigint) AS t
+        FROM daily GROUP BY event_type, v)
+  GROUP BY event_type),
+j AS (
+  SELECT n.event_type, n.n_obs, s.s_stat, t.tie2x,
+         sqrt((cast(n.n_obs * (n.n_obs - 1) AS double)
+               - cast(t.tie2x AS double))
+              * cast(n.n_obs * (n.n_obs - 1) AS double)) AS denom
+  FROM nobs n JOIN s ON n.event_type = s.event_type
+  JOIN ties t ON n.event_type = t.event_type)
+SELECT event_type, n_obs, s_stat,
+       cast(tie2x / 2 AS bigint) AS tie_t,
+       CASE WHEN denom > 0
+            THEN 2.0 * cast(s_stat AS double) / denom END AS tau_b
+FROM j""",
+        # The shared exact-cosine ANN oracle feeds the same integral
+        # 2520-scaled precision terms; ap is one double division.
+        "map_eval": f"""
+WITH ann AS ({_ann_oracle(k=10, bucketed=False, bits=6)}),
+j AS (SELECT a.query_id, cast(q.label AS int) AS true_label, a.rank,
+             CASE WHEN nb.label = q.label THEN 1 ELSE 0 END AS hit
+      FROM ann a JOIN embeddings nb ON a.neighbor_id = nb.vec_id
+      JOIN embeddings q ON a.query_id = q.vec_id),
+h AS (SELECT query_id, true_label, rank, hit,
+             cast(sum(hit) OVER (PARTITION BY query_id ORDER BY rank)
+                  AS bigint) AS hsf
+      FROM j),
+a2 AS (SELECT query_id, true_label,
+              cast(sum(CASE WHEN hit = 1
+                            THEN hsf * (2520 // rank) ELSE 0 END)
+                   AS bigint) AS ap_num,
+              cast(sum(hit) AS bigint) AS n_rel
+       FROM h GROUP BY query_id, true_label)
+SELECT query_id, true_label, n_rel,
+       CASE WHEN n_rel > 0
+            THEN cast(ap_num AS double) / (2520.0 * cast(n_rel AS double))
+            ELSE 0.0 END AS ap
+FROM a2""",
         # Q11: same regional dim chain, same exact integer cents x
         # units products, same one-row total cross join and double
         # threshold compare from identical bigints.

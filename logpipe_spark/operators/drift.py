@@ -39,6 +39,8 @@ __all__ = [
     "bucketed_cumsum",
     "welch_ttest",
     "mann_whitney_u",
+    "kruskal_wallis",
+    "mann_kendall",
     "cusum_scan",
     "auc_rank",
     "changepoint_binseg",
@@ -303,6 +305,136 @@ def mann_whitney_u(
         (F.col("_n") - F.col("n1")).cast("bigint").alias("n2"),
         u2x.alias("u2x"),
         F.when(var2x > 0, (u2x - n1d * n2d) / F.sqrt(var2x)).alias("z"))
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    bucket_width: int = 256,
+) -> DataFrame:
+    """Kruskal–Wallis H: the k-group generalization of
+    :func:`mann_whitney_u` ("does ANY group's value distribution
+    differ?"), the rank-based companion to ``aggregate.anova_f`` for
+    skewed metrics.
+
+    Pass an INTEGER-valued ``value``. Global tie-averaged ranks come
+    from the same distinct-value bucketed prefix scan as
+    :func:`mann_whitney_u` (doubled ranks ``r2 = 2*start + t + 1`` stay
+    exact integers; per-group rank sums accumulate in DECIMAL(38,0)).
+    The cross-group sum Σ_j R_j²/n_j mixes non-integer doubles, so —
+    like ``anova_f`` — the group-cardinality-sized terms fold
+    LEFT-TO-RIGHT over the group-key sort order via ``aggregate()``,
+    the ordered-fold pattern DuckDB's ``list_reduce`` replays exactly.
+    Tie-corrected: ``H = H_raw / (1 - T/(n³-n))``, ``T = Σ(t³-t)``.
+    Exactness needs the doubled rank sums < 2^53 (n ≲ 6.7e7 rows —
+    beyond that the double cast rounds; the stat is still valid, the
+    cross-engine hash guarantee is not).
+
+    Returns ONE row ``(n, k, tie_t, h_raw, h)``; empty when every value
+    is tied (the correction degenerates) or k < 2.
+    """
+    vi = value.cast("bigint")
+    base = (df.where(vi.isNotNull() & F.col(key).isNotNull())
+            .select(F.col(key).alias("_k"), vi.alias("_v")))
+    per_tv = base.groupBy("_k", "_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_tv"))
+    per_v = per_tv.groupBy("_v").agg(
+        F.sum("cnt_tv").cast("bigint").alias("t"))
+    starts = bucketed_cumsum(
+        per_v.withColumn("_all", F.lit(1)), "_all", ["t"],
+        value_col="_v", bucket_width=bucket_width,
+    ).select("_v", (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1)
+             .alias("r2"))
+    d = "decimal(38,0)"
+    s = (per_tv.join(starts, "_v")
+         .groupBy("_k")
+         .agg(F.sum("cnt_tv").cast("bigint").alias("_nj"),
+              F.sum(F.col("cnt_tv").cast(d) * F.col("r2").cast(d))
+              .cast(d).alias("_r2x")))
+    # per-group term (R2_j)²/(4 n_j) = R_j²/n_j, folded in key order
+    terms = s.select(
+        "_k", "_nj",
+        ((F.col("_r2x").cast("double") * F.col("_r2x").cast("double"))
+         / (F.lit(4.0) * F.col("_nj").cast("double"))).alias("_t"))
+    fold = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_k", "_t"))),
+                lambda x: x["_t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_tsum"))
+    g = per_v.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("t").cast(d) * F.col("t").cast(d) * F.col("t").cast(d)
+              - F.col("t").cast(d)).cast(d).alias("_tt"))
+    one = fold.crossJoin(F.broadcast(g)).where(
+        (F.col("k") >= 2) & (F.col("n") > F.col("k")))
+    nd = F.col("n").cast("double")
+    h_raw = (F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("_tsum")
+             - F.lit(3.0) * (nd + F.lit(1.0)))
+    corr = F.lit(1.0) - F.col("_tt").cast("double") / (nd * nd * nd - nd)
+    staged = one.select(
+        "n", "k", F.col("_tt").cast("double").alias("tie_t"),
+        h_raw.alias("h_raw"), corr.alias("_corr"))
+    return (staged.where(F.col("_corr") > 0)
+            .select("n", "k", "tie_t", "h_raw",
+                    (F.col("h_raw") / F.col("_corr")).alias("h")))
+
+
+def mann_kendall(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    order_col: Column,
+) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per ``key``: S = Σ_{i<j}
+    sign(v_j − v_i) over ``order_col``-ordered pairs — the rank-based
+    companion to the OLS ``trend_slope`` (is the series going UP,
+    without assuming linearity?). Pass INTEGER-valued ``value`` and a
+    duplicate-free ``order_col`` within each key (e.g. a daily rollup).
+
+    Pairs are generated by an equi self-join on the key with an
+    ``order`` inequality — intended for per-key series of bounded
+    length (days, not raw events; n_days² pairs per key). S and the
+    tie term T_v = Σ t(t−1)/2 are exact integers; tau-b is one double
+    composition sqrt((n0 − T)·n0) from identical operands both engines.
+
+    Returns ``(key, n_obs, s_stat, tie_t, tau_b)``; tau_b NULL when the
+    denominator degenerates (all values tied or n < 2).
+    """
+    vi = value.cast("bigint")
+    base = (df.where(vi.isNotNull() & F.col(key).isNotNull()
+                     & order_col.isNotNull())
+            .select(F.col(key).alias("_k"), order_col.alias("_o"),
+                    vi.alias("_v")))
+    a = base.select("_k", F.col("_o").alias("_oa"), F.col("_v").alias("_va"))
+    b = base.select(F.col("_k").alias("_kb"), F.col("_o").alias("_ob"),
+                    F.col("_v").alias("_vb"))
+    pairs = a.join(b, (F.col("_k") == F.col("_kb"))
+                   & (F.col("_oa") < F.col("_ob")))
+    s = pairs.groupBy("_k").agg(
+        F.sum(F.signum(F.col("_vb") - F.col("_va")).cast("bigint"))
+        .cast("bigint").alias("s_stat"))
+    nobs = base.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    ties = (base.groupBy("_k", "_v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_t"))
+            .groupBy("_k")
+            .agg(F.sum(F.col("_t") * (F.col("_t") - 1))
+                 .cast("bigint").alias("_tie2x")))
+    j = (nobs.join(s, "_k").join(ties, "_k"))
+    n0x2 = (F.col("n_obs") * (F.col("n_obs") - 1)).cast("double")
+    denom = F.sqrt((n0x2 - F.col("_tie2x").cast("double")) * n0x2)
+    return j.select(
+        F.col("_k").alias(key), "n_obs", "s_stat",
+        (F.col("_tie2x") / F.lit(2)).cast("bigint").alias("tie_t"),
+        F.when(denom > 0,
+               F.lit(2.0) * F.col("s_stat").cast("double") / denom)
+        .alias("tau_b"))
 
 
 def cusum_scan(
