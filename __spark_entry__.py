@@ -4746,6 +4746,86 @@ def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("s7_c") > 0), mase).alias("mase"))
 
 
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Seasonality strength per event type: eta² of hour-of-day — the
+    # fraction of value variance explained by the diurnal cycle
+    # (companion to seasonal_anomaly's per-cell z-scores: ONE number
+    # per type saying "is this metric diurnal at all?"). Per-(type,
+    # hour) integer sufficient stats in one map-side-combinable
+    # shuffle; the 24 non-integer S_h²/n_h terms fold LEFT-TO-RIGHT
+    # over the hour sort per type (anova_f's ordered-fold pattern,
+    # keyed) so eta² is bit-identical cross-engine.
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull() & F.col("ts").isNotNull()
+                 & F.col("event_type").isNotNull())
+          .select("event_type",
+                  F.hour(F.col("ts").cast("timestamp")).alias("h"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5))
+                  .cast("bigint").alias("vc")))
+    cells = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("vc").cast("bigint").alias("_s"),
+        F.sum(F.col("vc") * F.col("vc")).cast("bigint").alias("_q"))
+    terms = cells.select(
+        "event_type", "h", "_n", "_s", "_q",
+        (F.col("_s").cast("double") * F.col("_s") / F.col("_n"))
+        .alias("_t"))
+    one = terms.groupBy("event_type").agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("_s").cast("bigint").alias("_ss"),
+        F.sum("_q").cast("bigint").alias("_sq"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("h", "_t"))),
+                lambda x: x["_t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_tsum"))
+    ssb = (F.col("_tsum")
+           - F.col("_ss").cast("double") * F.col("_ss")
+           / F.col("n").cast("double"))
+    sst = (F.col("_sq").cast("double")
+           - F.col("_ss").cast("double") * F.col("_ss")
+           / F.col("n").cast("double"))
+    staged = (one.where((F.col("n_hours") >= 2)
+                        & (F.col("n") > F.col("n_hours")))
+              .select("event_type", "n", "n_hours",
+                      ssb.alias("ss_between"), sst.alias("ss_total")))
+    return (staged.where(F.col("ss_total") > 0)
+            .select("event_type", "n", "n_hours", "ss_between", "ss_total",
+                    (F.col("ss_between") / F.col("ss_total"))
+                    .alias("strength")))
+
+
+def q_partition_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-day partition health scorecard — the ops "did yesterday's
+    # partition land, complete and sane?" report: row volume, null
+    # rates on the two nullable columns, exact distinct users, value
+    # range/total. ONE groupBy(day) pass (countDistinct expands to a
+    # two-level exact aggregate); all outputs exact integers so the
+    # report hash-matches. At 100 TB day is the physical partition key,
+    # so the scan prunes to recent days and the aggregate is map-side
+    # combinable within each partition.
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull())
+          .select(F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+                  "user_id", "value",
+                  F.floor(F.col("value") * 100 + F.lit(0.5))
+                  .cast("bigint").alias("vc")))
+    return ev.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_null_value"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_null_user"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.min("vc").cast("bigint").alias("min_vc"),
+        F.max("vc").cast("bigint").alias("max_vc"),
+        F.sum("vc").cast("bigint").alias("sum_vc"))
+
+
 def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Kruskal-Wallis H across event types (drift.py:kruskal_wallis):
     # "does ANY type's value distribution differ?" — the k-group rank
@@ -5016,6 +5096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_similarity": q_item_similarity,
         "mrr_eval": q_mrr_eval,
         "forecast_accuracy": q_forecast_accuracy,
+        "seasonal_strength": q_seasonal_strength,
+        "partition_health": q_partition_health,
         "kruskal_wallis": q_kruskal_wallis,
         "mann_kendall": q_mann_kendall,
         "map_eval": q_map_eval,
@@ -8397,6 +8479,60 @@ SELECT event_type, n_days, n1, s1_c, n7, s7_c,
            / (cast(s7_c AS double) / cast(n7 AS double))
        END AS mase
 FROM a""",
+        # Same per-(type,hour) integer sufficient stats; the 24-term
+        # S²/n list folds in hour order per type == the keyed Spark
+        # ordered fold.
+        "seasonal_strength": """
+WITH ev AS (
+  SELECT event_type,
+         cast(extract(hour FROM ts) AS int) AS h,
+         cast(floor(value * 100 + 0.5) AS bigint) AS vc
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL),
+cells AS (
+  SELECT event_type, h,
+         cast(count(*) AS bigint) AS gn,
+         cast(sum(vc) AS bigint) AS gs,
+         cast(sum(vc * vc) AS bigint) AS gq
+  FROM ev GROUP BY event_type, h),
+one AS (
+  SELECT event_type,
+         cast(sum(gn) AS bigint) AS n,
+         cast(count(*) AS bigint) AS n_hours,
+         cast(sum(gs) AS bigint) AS ss,
+         cast(sum(gq) AS bigint) AS sq,
+         list_reduce(
+           list_prepend(cast(0.0 AS double),
+             list(cast(gs AS double) * gs / gn ORDER BY h)),
+           (acc, x) -> acc + x) AS tsum
+  FROM cells GROUP BY event_type),
+staged AS (
+  SELECT event_type, n, n_hours,
+         tsum - cast(ss AS double) * ss / cast(n AS double) AS ss_between,
+         cast(sq AS double)
+           - cast(ss AS double) * ss / cast(n AS double) AS ss_total
+  FROM one WHERE n_hours >= 2 AND n > n_hours)
+SELECT event_type, n, n_hours, ss_between, ss_total,
+       ss_between / ss_total AS strength
+FROM staged WHERE ss_total > 0""",
+        # One groupBy(day) pass, all exact integers.
+        "partition_health": """
+SELECT cast(ts AS date) AS day,
+       cast(count(*) AS bigint) AS n_rows,
+       cast(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+            AS bigint) AS n_null_value,
+       cast(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+            AS bigint) AS n_null_user,
+       cast(count(DISTINCT user_id) AS bigint) AS n_users,
+       cast(min(cast(floor(value * 100 + 0.5) AS bigint))
+            AS bigint) AS min_vc,
+       cast(max(cast(floor(value * 100 + 0.5) AS bigint))
+            AS bigint) AS max_vc,
+       cast(sum(cast(floor(value * 100 + 0.5) AS bigint))
+            AS bigint) AS sum_vc
+FROM events WHERE ts IS NOT NULL
+GROUP BY cast(ts AS date)""",
         # Global tie-averaged doubled ranks via rank()/count() windows
         # (exact integers, == the engine's bucketed prefix scan); the
         # k-sized term list folds in event_type order like anova_f.

@@ -231,6 +231,17 @@ HEADLINE = [
     "rolling_zscore",
     "item_similarity",
     "mrr_eval",
+    # round 4 continuation: TPC-H 22/22 finishers, forecast eval,
+    # k-group rank stats, trend test, MAP retrieval eval
+    "forecast_accuracy",
+    "important_stock",
+    "late_priority_split",
+    "excess_suppliers",
+    "kruskal_wallis",
+    "mann_kendall",
+    "map_eval",
+    "seasonal_strength",
+    "partition_health",
 ]
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 
