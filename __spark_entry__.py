@@ -4746,6 +4746,54 @@ def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("s7_c") > 0), mase).alias("mase"))
 
 
+def q_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Survival analysis: discrete-time hazard of signup->purchase
+    # conversion with right-censoring at the corpus horizon — per
+    # day-offset d, the users still at risk, first qualifying
+    # purchases, censorings, and the exact hazard n_events/n_risk
+    # (the Kaplan-Meier ingredient; the cumulative product is a
+    # consumer-side fold, order-free per row here). Per-user firsts
+    # are min-aggregates; the at-risk suffix count is total minus the
+    # exclusive prefix via the bucketed prefix scan (day-cardinality
+    # frame, never a single-task global window); the horizon is a
+    # broadcast one-row cross join. day offsets use div on
+    # non-negative operands (== DuckDB // there).
+    from logpipe_spark.operators.drift import bucketed_cumsum
+
+    tsec = F.col("ts").cast("timestamp").cast("long")
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+          .select("user_id", "event_type", tsec.alias("t")))
+    su = (ev.where(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("t").alias("t0")))
+    pu = (ev.where(F.col("event_type") == "purchase")
+          .select("user_id", F.col("t").alias("_tp")))
+    conv = (pu.join(su, "user_id").where(F.col("_tp") >= F.col("t0"))
+            .groupBy("user_id").agg(F.min("_tp").alias("tp")))
+    tmax = ev.agg(F.max("t").cast("bigint").alias("_tmax"))
+    users = (su.join(conv, "user_id", "left")
+             .crossJoin(F.broadcast(tmax)))
+    day = (F.when(F.col("tp").isNotNull(), F.expr("(tp - t0) div 86400"))
+           .otherwise(F.expr("(_tmax - t0) div 86400")))
+    base = users.select(
+        day.cast("bigint").alias("day_off"),
+        F.when(F.col("tp").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        .alias("evf"))
+    counts = (base.groupBy("day_off").agg(
+        F.sum("evf").cast("bigint").alias("n_events"),
+        F.sum(F.lit(1) - F.col("evf")).cast("bigint").alias("n_censored"))
+        .withColumn("w", F.col("n_events") + F.col("n_censored")))
+    cum = bucketed_cumsum(counts.withColumn("_all", F.lit(1)), "_all",
+                          ["w"], value_col="day_off", bucket_width=32)
+    tot = counts.agg(F.sum("w").cast("bigint").alias("_tot"))
+    j = cum.crossJoin(F.broadcast(tot))
+    n_risk = (F.col("_tot") - (F.col("cum_w") - F.col("w"))).cast("bigint")
+    return j.select(
+        "day_off", n_risk.alias("n_risk"), "n_events", "n_censored",
+        (F.col("n_events").cast("double") / n_risk.cast("double"))
+        .alias("hazard"))
+
+
 def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Seasonality strength per event type: eta² of hour-of-day — the
     # fraction of value variance explained by the diurnal cycle
@@ -5096,6 +5144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_similarity": q_item_similarity,
         "mrr_eval": q_mrr_eval,
         "forecast_accuracy": q_forecast_accuracy,
+        "hazard_curve": q_hazard_curve,
         "seasonal_strength": q_seasonal_strength,
         "partition_health": q_partition_health,
         "kruskal_wallis": q_kruskal_wallis,
@@ -8479,6 +8528,46 @@ SELECT event_type, n_days, n1, s1_c, n7, s7_c,
            / (cast(s7_c AS double) / cast(n7 AS double))
        END AS mase
 FROM a""",
+        # Same per-user firsts, same day offsets (// on non-negative
+        # operands == Spark div), window cumsums replay the bucketed
+        # prefix scan exactly.
+        "hazard_curve": """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS t
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+su AS (SELECT user_id, cast(min(t) AS bigint) AS t0 FROM ev
+       WHERE event_type = 'signup' GROUP BY user_id),
+conv AS (
+  SELECT p.user_id, cast(min(p.t) AS bigint) AS tp
+  FROM ev p JOIN su ON p.user_id = su.user_id
+  WHERE p.event_type = 'purchase' AND p.t >= su.t0
+  GROUP BY p.user_id),
+tm AS (SELECT cast(max(t) AS bigint) AS tmax FROM ev),
+users AS (
+  SELECT su.user_id, su.t0, conv.tp, tm.tmax
+  FROM su LEFT JOIN conv ON su.user_id = conv.user_id CROSS JOIN tm),
+base AS (
+  SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400
+              ELSE (tmax - t0) // 86400 END AS day_off,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS evf
+  FROM users),
+counts AS (
+  SELECT cast(day_off AS bigint) AS day_off,
+         cast(sum(evf) AS bigint) AS n_events,
+         cast(sum(1 - evf) AS bigint) AS n_censored
+  FROM base GROUP BY day_off),
+c2 AS (SELECT day_off, n_events, n_censored,
+              n_events + n_censored AS w
+       FROM counts),
+c3 AS (SELECT day_off, n_events, n_censored, w,
+              cast(sum(w) OVER (ORDER BY day_off) AS bigint) AS cum_w,
+              cast(sum(w) OVER () AS bigint) AS tot
+       FROM c2)
+SELECT day_off, cast(tot - (cum_w - w) AS bigint) AS n_risk,
+       n_events, n_censored,
+       cast(n_events AS double)
+         / cast(tot - (cum_w - w) AS double) AS hazard
+FROM c3""",
         # Same per-(type,hour) integer sufficient stats; the 24-term
         # S²/n list folds in hour order per type == the keyed Spark
         # ordered fold.

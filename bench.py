@@ -242,6 +242,7 @@ HEADLINE = [
     "map_eval",
     "seasonal_strength",
     "partition_health",
+    "hazard_curve",
 ]
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 

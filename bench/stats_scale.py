@@ -26,6 +26,7 @@ from logpipe_spark.operators.drift import (  # noqa: E402
     cusum_merge,
     cusum_partials,
     cusum_scan,
+    kruskal_wallis,
     mann_whitney_u,
     welch_ttest,
 )
@@ -93,6 +94,10 @@ def run_suite(spark, path):
         # distinct-value frame (100k cents) through the bucketed prefix
         # scan; per-group DECIMAL rank sums — no global rank window
         "mann_whitney": lambda: noop(mann_whitney_u(
+            ev, "item", F.col("cents"), bucket_width=1024)),
+        # same distinct-value rank scan, k-group H with the 8-element
+        # ordered term fold
+        "kruskal_wallis": lambda: noop(kruskal_wallis(
             ev, "item", F.col("cents"), bucket_width=1024)),
         # one aggregate + an 8-element ordered fold
         "anova_f": lambda: noop(anova_f(ev, "item", F.col("cents"))),
