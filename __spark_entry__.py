@@ -908,6 +908,32 @@ cand AS (
 {_JACCARD_TAIL.format(thr=threshold)}"""
 
 
+def _minhash_cand_oracle(n_hashes: int = 12, band_size: int = 3) -> str:
+    """The banded-minhash CANDIDATE set (band collisions BEFORE the
+    exact-Jaccard verify) — _minhash_oracle without the jaccard tail."""
+    mins = ", ".join(
+        f"min(md5(shingle || '#{s}')) AS h{s}" for s in range(n_hashes))
+    n_bands = n_hashes // band_size
+    whens = " ".join(
+        "WHEN {b} THEN {concat}".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"h{b * band_size + j}" for j in range(band_size)),
+        )
+        for b in range(n_bands))
+    band_vals = ", ".join(f"({b})" for b in range(n_bands))
+    return f"""WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, bd.band_idx,
+         md5(CASE bd.band_idx {whens} END) AS band_hash
+  FROM sigs, (VALUES {band_vals}) bd(band_idx))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id"""
+
+
 def _simhash_oracle() -> str:
     return """WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -4746,6 +4772,64 @@ def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("s7_c") > 0), mase).alias("mase"))
 
 
+def q_dedup_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Candidate-precision audit for the banded MinHash generator — the
+    # COST side of minhash_recall's quality audit: of the raw band-
+    # collision pairs (BEFORE the exact-Jaccard verify), how many are
+    # true near-dups (jaccard >= 0.4 on the same k=2 shingles)?
+    # 1 - precision is the wasted-verify fraction, the number that
+    # prices the (n_hashes, band_size) choice at 100 TB where every
+    # false candidate costs a shingle-join probe. Truth = the lossless
+    # PPJoin pair set. Single row, exact integers + one double.
+    docs = _docs(spark, sf_dir)
+    sh = dd.word_shingles(docs, k=2)
+    sigs = dd.minhash_signatures(sh, n_hashes=12)
+    cand = dd.lsh_candidate_pairs(sigs, n_hashes=12, band_size=3)
+    truth = dd.jaccard_prefix_pairs(docs, k=2, threshold=0.4) \
+        .select("doc_a", "doc_b")
+    n_c = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    n_h = cand.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_cand"))
+    return n_c.crossJoin(n_h).select(
+        "n_cand", "n_true_cand",
+        F.when(F.col("n_cand") > 0,
+               F.col("n_true_cand").cast("double") / F.col("n_cand"))
+        .alias("precision"))
+
+
+def q_sketch_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Estimator-quality audit for the deterministic quantile sketch
+    # (the quantile analog of minhash_recall/ann_recall): per event
+    # type, sketch-sample percentiles vs the EXACT discrete percentiles
+    # of the full column, plus signed errors. Both sides are
+    # independently exact-oracled queries; discrete percentiles are
+    # actual data elements (no interpolation), so every error is a
+    # difference of two identical doubles and the audit hash-matches.
+    # NULL-safe final join (NULL event_type is a real group).
+    ev = _events(spark, sf_dir)
+    sk = agg2.quantile_sketch(ev, "event_type", "value", "event_id", k=64)
+    est = agg2.quantile_sketch_estimate(sk, "event_type")
+    ex = percentiles_disc(ev, "event_type", "value", (0.5, 0.9, 0.99),
+                          tiebreak="event_id")
+    e = est.select(F.col("event_type").alias("_ket"), "n_sample",
+                   F.col("p50").alias("est_p50"),
+                   F.col("p90").alias("est_p90"),
+                   F.col("p99").alias("est_p99"))
+    x = ex.select(F.col("event_type").alias("_kex"),
+                  F.col("p50").alias("exact_p50"),
+                  F.col("p90").alias("exact_p90"),
+                  F.col("p99").alias("exact_p99"))
+    j = e.join(x, F.col("_ket").eqNullSafe(F.col("_kex")))
+    return j.select(
+        F.col("_ket").alias("event_type"), "n_sample",
+        "est_p50", "exact_p50",
+        (F.col("est_p50") - F.col("exact_p50")).alias("err_p50"),
+        "est_p90", "exact_p90",
+        (F.col("est_p90") - F.col("exact_p90")).alias("err_p90"),
+        "est_p99", "exact_p99",
+        (F.col("est_p99") - F.col("exact_p99")).alias("err_p99"))
+
+
 def q_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Survival analysis: discrete-time hazard of signup->purchase
     # conversion with right-censoring at the corpus horizon — per
@@ -5144,6 +5228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_similarity": q_item_similarity,
         "mrr_eval": q_mrr_eval,
         "forecast_accuracy": q_forecast_accuracy,
+        "dedup_precision": q_dedup_precision,
+        "sketch_error_eval": q_sketch_error_eval,
         "hazard_curve": q_hazard_curve,
         "seasonal_strength": q_seasonal_strength,
         "partition_health": q_partition_health,
@@ -8836,6 +8922,33 @@ SELECT n_true, n_found, n_hit,
        CASE WHEN n_true > 0 THEN cast(n_hit AS double) / n_true
             END AS recall
 FROM t, f, h"""
+    # candidate-precision audit: found = the RAW band-collision set
+    # (the minhash oracle minus its jaccard tail), truth = the same
+    # complete inverted-index jaccard join as minhash_recall
+    oracles["dedup_precision"] = f"""
+WITH ca AS ({_minhash_cand_oracle()}),
+tr AS ({truth}),
+c AS (SELECT cast(count(*) AS bigint) AS n_cand FROM ca),
+h AS (SELECT cast(count(*) AS bigint) AS n_true_cand
+      FROM ca JOIN tr USING (doc_a, doc_b))
+SELECT n_cand, n_true_cand,
+       CASE WHEN n_cand > 0 THEN cast(n_true_cand AS double) / n_cand
+            END AS precision
+FROM c, h"""
+    # sketch-error audit: estimate oracle and exact-percentile oracle
+    # nested verbatim, NULL-safe joined; errors are differences of two
+    # actual data elements
+    oracles["sketch_error_eval"] = f"""
+WITH est AS ({oracles['quantile_sketch']}),
+ex AS ({oracles['value_percentiles']})
+SELECT est.event_type, est.n_sample,
+       est.p50 AS est_p50, ex.p50 AS exact_p50,
+       est.p50 - ex.p50 AS err_p50,
+       est.p90 AS est_p90, ex.p90 AS exact_p90,
+       est.p90 - ex.p90 AS err_p90,
+       est.p99 AS est_p99, ex.p99 AS exact_p99,
+       est.p99 - ex.p99 AS err_p99
+FROM est JOIN ex ON est.event_type IS NOT DISTINCT FROM ex.event_type"""
     # incremental (persisted, two-phase-merged) postings index must equal
     # the batch build: df adds across disjoint shards and the capped
     # ascending list is a monoid — shared verbatim (merge==rebuild proof)

@@ -243,7 +243,9 @@ HEADLINE = [
     "seasonal_strength",
     "partition_health",
     "hazard_curve",
+    "sketch_error_eval",
 ]
+# dedup_precision joins automatically via the dedup_* tag rule
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 
 
