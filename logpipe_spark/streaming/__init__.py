@@ -29,6 +29,10 @@ from logpipe_spark.streaming.stream import (  # noqa: F401
     read_quantiles,
     stream_rate_incremental,
     read_rate_autocorr,
+    health_partials,
+    health_report,
+    stream_partition_health,
+    read_partition_health,
     stream_slo_incremental,
     read_slo_burn,
     run_stream_once,

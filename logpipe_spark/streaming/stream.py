@@ -1090,3 +1090,70 @@ def read_rate_autocorr(spark: SparkSession, state_dir: str,
     merged = (spark.read.parquet(state_dir)
               .groupBy("m").agg(F.sum("c").cast("bigint").alias("c")))
     return autocorr_from_counts(merged, lags=lags)
+
+
+def health_partials(df: DataFrame) -> DataFrame:
+    """Per-(day, conv) health partials — the mergeable grain shared by
+    the streaming monitor and the batch report: row/null counts and
+    char sums are SUM-monoids; exact distinct conversations need the
+    (day, conv) key kept until the readout (the same exact two-phase
+    distinct as sliding_distinct). Rows with NULL ts carry no event
+    time and are excluded (mirrors the batch partition_health query)."""
+    return (
+        df.where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("tool").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_null_tool"),
+            F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_null_text"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0)))
+            .cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+def health_report(partials: DataFrame) -> DataFrame:
+    """Fold (day, conv) partials to the per-day scorecard (the monoid
+    merge): counts SUM, conversations exact-distinct on the kept key."""
+    return partials.groupBy("day").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("n_null_tool").cast("bigint").alias("n_null_tool"),
+        F.sum("n_null_text").cast("bigint").alias("n_null_text"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+def stream_partition_health(spark: SparkSession, src: str, state_dir: str,
+                            checkpoint_dir: str,
+                            max_files_per_trigger: int | None = None):
+    """Streaming feed-health monitor: each micro-batch writes ITS OWN
+    (day, conv) health partials to ``{state_dir}/epoch=<id>`` (overwrite
+    → idempotent on replay). All counts are SUM-monoids and the distinct
+    key survives to the readout, so :func:`read_partition_health` is
+    IDENTICAL to the batch ``health_report(health_partials(corpus))``
+    (asserted at two pacings in tests — the same epoch-partials pattern
+    as CMS/rollup/drift/rate/SLO)."""
+    stream = stream_transcripts(spark, src,
+                                max_files_per_trigger=max_files_per_trigger)
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        (health_partials(df).coalesce(1).write.mode("overwrite")
+         .parquet(f"{state_dir}/epoch={epoch_id}"))
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir))
+
+
+def read_partition_health(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merge every epoch's (day, conv) partials (SUM within the key —
+    the monoid op) and fold to the per-day scorecard."""
+    merged = (spark.read.parquet(state_dir)
+              .groupBy("day", "conv_id")
+              .agg(F.sum("n_rows").cast("bigint").alias("n_rows"),
+                   F.sum("n_null_tool").cast("bigint").alias("n_null_tool"),
+                   F.sum("n_null_text").cast("bigint").alias("n_null_text"),
+                   F.sum("n_chars").cast("bigint").alias("n_chars")))
+    return health_report(merged)

@@ -742,3 +742,29 @@ def test_stream_rate_autocorr_equals_batch(spark, stream_dir, tmp_path):
         got = sorted(map(tuple, read_rate_autocorr(
             spark, state, lags=(1, 2)).collect()))
         assert got == want, tag
+
+
+def test_stream_partition_health_equals_batch(spark, stream_dir, tmp_path):
+    """Feed-health monoid: per-epoch (day, conv) partials merged across
+    the stream == the batch health report over the whole corpus —
+    counts are SUM-monoids, distinct conversations stay exact because
+    the (day, conv) key survives to the readout. Both pacings."""
+    from logpipe_spark.streaming import (health_partials, health_report,
+                                         read_partition_health,
+                                         stream_partition_health)
+
+    batch = spark.read.parquet(stream_dir)
+    want = sorted(map(tuple,
+                      health_report(health_partials(batch)).collect()))
+    assert len(want) >= 1
+    assert all(r[1] > 0 for r in want)  # n_rows
+
+    for mft, tag in ((1, "paced"), (None, "oneshot")):
+        state = str(tmp_path / f"health_state_{tag}")
+        writer = stream_partition_health(
+            spark, stream_dir, state, str(tmp_path / f"ckh_{tag}"),
+            max_files_per_trigger=mft)
+        run_stream_once(writer)
+        got = sorted(map(tuple,
+                         read_partition_health(spark, state).collect()))
+        assert got == want, tag
