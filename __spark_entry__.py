@@ -4772,6 +4772,106 @@ def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("s7_c") > 0), mase).alias("mase"))
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohort lifetime-value curve (the revenue companion to
+    # cohort_retention): per (first-seen week, weeks-since) the cohort's
+    # period revenue, its running cumulative, and LTV-per-user. Revenue
+    # and cumulative stay exact integer cents; the running sum windows
+    # PER COHORT (bounded week-count frames); cohort sizes join back as
+    # an aggregate-sized frame; ltv is one double division.
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull()))
+    wk = F.weekofyear(F.col("ts")).cast("int")
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    size = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size"))
+    rev = (ev.where(F.col("value").isNotNull())
+           .select("user_id", wk.alias("_aw"),
+                   F.floor(F.col("value") * 100 + F.lit(0.5))
+                   .cast("bigint").alias("vc"))
+           .join(first, "user_id")
+           .groupBy("cohort_week",
+                    (F.col("_aw") - F.col("cohort_week")).alias("age_weeks"))
+           .agg(F.sum("vc").cast("bigint").alias("rev_c")))
+    w = (Window.partitionBy("cohort_week").orderBy("age_weeks")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (rev.withColumn("cum_c", F.sum("rev_c").over(w).cast("bigint"))
+            .join(size, "cohort_week")
+            .select("cohort_week", "age_weeks", "rev_c", "cum_c",
+                    "cohort_size",
+                    (F.col("cum_c").cast("double")
+                     / F.col("cohort_size").cast("double")).alias("ltv")))
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MDM survivorship ("golden record") per user: lifetime aggregates
+    # plus the field-level LATEST NON-NULL value — the argmax runs as
+    # ONE min/max-struct aggregate over (ts, event_id, cents) (event_id
+    # makes the order total; never a per-user sort window), left-joined
+    # null-safely so value-less users keep their lifetime row. All
+    # emitted values exact integers.
+    t = F.col("ts").cast("timestamp").cast("long")
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+          .select("user_id", "event_type", "event_id", "value",
+                  t.alias("_t"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5))
+                  .cast("bigint").alias("_vc")))
+    life = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("_t").cast("bigint").alias("first_seen_s"),
+        F.max("_t").cast("bigint").alias("last_seen_s"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"))
+    latest = (ev.where(F.col("value").isNotNull())
+              .groupBy("user_id")
+              .agg(F.max(F.struct(F.col("_t"), F.col("event_id"),
+                                  F.col("_vc"))).alias("_m")))
+    return (life.join(latest, "user_id", "left")
+            .select("user_id", "n_events", "first_seen_s", "last_seen_s",
+                    "n_types",
+                    F.col("_m._vc").alias("latest_vc"),
+                    F.col("_m._t").alias("latest_vc_ts_s")))
+
+
+def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Label-error candidates: each embedding's squared distance to its
+    # OWN label centroid, top-5 farthest per label — the mislabel-
+    # detection pass a training pipeline runs after clustering. The
+    # centroid replays embed_centroids' exact fold (sort by vec_id,
+    # seed from element 1); per-point d² folds dimension-wise
+    # left-to-right from 0.0 — both == DuckDB list_reduce — and the
+    # top-k is a label-partitioned rank (bounded frames).
+    emb = _emb(spark, sf_dir)
+    g = emb.groupBy("label").agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("vec_id").cast("bigint").alias("i"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        ))).alias("h"),
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    init = F.element_at(F.col("h"), 1)["e"]
+    tail = F.expr("slice(h, 2, greatest(size(h) - 1, 0))")
+    fold = F.aggregate(
+        tail, init,
+        lambda acc, s: F.zip_with(acc, s["e"], lambda a, b: a + b))
+    cent = g.select(
+        F.col("label").alias("_cl"),
+        F.transform(fold, lambda x: x / F.col("n")).alias("c"))
+    pts = emb.select("vec_id", "label",
+                     F.col("embedding").cast("array<double>").alias("e"))
+    j = pts.join(cent, pts.label == F.col("_cl"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("e"), F.col("c"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    sc = j.select("label", "vec_id", d2.alias("d2"))
+    w = Window.partitionBy("label").orderBy(F.col("d2").desc(),
+                                            F.col("vec_id").asc())
+    return (sc.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 5)
+            .select("label", F.col("rk").cast("int").alias("rk"),
+                    "vec_id", "d2"))
+
+
 def q_dedup_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Candidate-precision audit for the banded MinHash generator — the
     # COST side of minhash_recall's quality audit: of the raw band-
@@ -5228,6 +5328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_similarity": q_item_similarity,
         "mrr_eval": q_mrr_eval,
         "forecast_accuracy": q_forecast_accuracy,
+        "cohort_ltv": q_cohort_ltv,
+        "golden_record": q_golden_record,
+        "label_outliers": q_label_outliers,
         "dedup_precision": q_dedup_precision,
         "sketch_error_eval": q_sketch_error_eval,
         "hazard_curve": q_hazard_curve,
@@ -8614,6 +8717,81 @@ SELECT event_type, n_days, n1, s1_c, n7, s7_c,
            / (cast(s7_c AS double) / cast(n7 AS double))
        END AS mase
 FROM a""",
+        # Same weekofyear cohorts, same integer-cents running sum per
+        # cohort, one double division by the cohort size.
+        "cohort_ltv": """
+WITH ev AS (
+  SELECT user_id, cast(weekofyear(ts) AS int) AS wk, value
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+f AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id),
+sz AS (SELECT cohort_week, cast(count(*) AS bigint) AS cohort_size
+       FROM f GROUP BY cohort_week),
+rev AS (
+  SELECT f.cohort_week, ev.wk - f.cohort_week AS age_weeks,
+         cast(sum(cast(floor(ev.value * 100 + 0.5) AS bigint))
+              AS bigint) AS rev_c
+  FROM ev JOIN f ON ev.user_id = f.user_id
+  WHERE ev.value IS NOT NULL
+  GROUP BY f.cohort_week, ev.wk - f.cohort_week),
+c AS (
+  SELECT cohort_week, age_weeks, rev_c,
+         cast(sum(rev_c) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS bigint) AS cum_c
+  FROM rev)
+SELECT c.cohort_week, c.age_weeks, c.rev_c, c.cum_c, sz.cohort_size,
+       cast(c.cum_c AS double) / cast(sz.cohort_size AS double) AS ltv
+FROM c JOIN sz ON c.cohort_week = sz.cohort_week""",
+        # Same lifetime aggregates; the latest-non-null argmax is the
+        # rank-1 row over (t DESC, event_id DESC) — identical to the
+        # max-struct total order since event_id is unique.
+        "golden_record": """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, value,
+         epoch_us(ts) // 1000000 AS t,
+         cast(floor(value * 100 + 0.5) AS bigint) AS vc
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+life AS (
+  SELECT user_id, cast(count(*) AS bigint) AS n_events,
+         cast(min(t) AS bigint) AS first_seen_s,
+         cast(max(t) AS bigint) AS last_seen_s,
+         cast(count(DISTINCT event_type) AS bigint) AS n_types
+  FROM ev GROUP BY user_id),
+v AS (
+  SELECT user_id, vc, t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY t DESC, event_id DESC) AS rn
+  FROM ev WHERE value IS NOT NULL)
+SELECT life.user_id, life.n_events, life.first_seen_s, life.last_seen_s,
+       life.n_types,
+       v.vc AS latest_vc, cast(v.t AS bigint) AS latest_vc_ts_s
+FROM life LEFT JOIN v ON life.user_id = v.user_id AND v.rn = 1""",
+        # Centroids replay the embed_centroids fold verbatim; per-point
+        # d² folds the same (e-c)² list from 0.0; same rank tiebreak.
+        "label_outliers": """
+WITH g AS (
+  SELECT label, list(embedding::DOUBLE[] ORDER BY vec_id) AS h,
+         cast(count(*) AS bigint) AS n
+  FROM embeddings GROUP BY label),
+s AS (
+  SELECT label, n,
+         list_reduce(h, (acc, x) ->
+           list_transform(list_zip(acc, x), p -> p[1] + p[2])) AS sv
+  FROM g),
+cent AS (SELECT label, list_transform(sv, v -> v / n) AS c FROM s),
+sc AS (
+  SELECT e.vec_id, e.label,
+         list_reduce(list_prepend(cast(0.0 AS double),
+           list_transform(list_zip(e.embedding::DOUBLE[], cent.c),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (acc, x) -> acc + x) AS d2
+  FROM embeddings e JOIN cent ON e.label = cent.label),
+r AS (
+  SELECT label, vec_id, d2,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY d2 DESC, vec_id) AS rk
+  FROM sc)
+SELECT label, cast(rk AS int) AS rk, vec_id, d2 FROM r WHERE rk <= 5""",
         # Same per-user firsts, same day offsets (// on non-negative
         # operands == Spark div), window cumsums replay the bucketed
         # prefix scan exactly.

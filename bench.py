@@ -244,6 +244,9 @@ HEADLINE = [
     "partition_health",
     "hazard_curve",
     "sketch_error_eval",
+    "cohort_ltv",
+    "golden_record",
+    "label_outliers",
 ]
 # dedup_precision joins automatically via the dedup_* tag rule
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
