@@ -4772,6 +4772,65 @@ def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("s7_c") > 0), mase).alias("mase"))
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Classifier-eval confusion matrix for the n-gram lang_id heuristic
+    # against upstream labels: per (true lang, predicted lang) cell —
+    # count, row/column totals, and the exact cell ratios (on the
+    # diagonal these ARE per-class recall and precision). Three
+    # metadata-sized aggregates over the oracled lang_id projection;
+    # every ratio is a division of exact integers.
+    # NULL-SAFE joins: (a) a NULL label/prediction is a real cell that
+    # a plain equi-join would silently drop; (b) the inner join would
+    # infer IsNotNull(pred_lang) and push the WHOLE lang-score CASE
+    # into the scan filter — the Catalyst re-evaluation trap (the
+    # 17-substring projection would run twice per doc).
+    pred = tq.lang_id(_docs(spark, sf_dir))
+    cells = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    rows_t = cells.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_true")) \
+        .withColumnRenamed("lang", "_rl")
+    cols_t = cells.groupBy("pred_lang").agg(
+        F.sum("n").cast("bigint").alias("n_pred")) \
+        .withColumnRenamed("pred_lang", "_cp")
+    return (cells
+            .join(rows_t, F.col("lang").eqNullSafe(F.col("_rl")))
+            .join(cols_t, F.col("pred_lang").eqNullSafe(F.col("_cp")))
+            .select("lang", "pred_lang", "n", "n_true", "n_pred",
+                    (F.col("n").cast("double") / F.col("n_true")
+                     .cast("double")).alias("cell_recall"),
+                    (F.col("n").cast("double") / F.col("n_pred")
+                     .cast("double")).alias("cell_precision")))
+
+
+def q_ann_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH operating curve: recall of the sign-bucket ANN vs brute force
+    # at bits=4 and bits=6 (coarser buckets -> more candidates -> higher
+    # recall at linear candidate cost) — the parameter-pricing companion
+    # to ann_recall. One row per setting; both arms and the truth are
+    # independently exact-oracled query shapes.
+    emb = _emb(spark, sf_dir)
+    truth = sim.ann_bruteforce_topk(emb, k=5) \
+        .select("query_id", "neighbor_id")
+    n_t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    parts = []
+    for bits in (4, 6):
+        found = sim.ann_lsh_topk(emb, k=5, bits=bits, probes=1) \
+            .select("query_id", "neighbor_id")
+        n_f = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+        n_h = found.join(truth, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+        parts.append(n_f.crossJoin(n_h)
+                     .select(F.lit(bits).cast("int").alias("bits"),
+                             "n_found", "n_hit"))
+    u = parts[0].unionByName(parts[1])
+    return u.crossJoin(F.broadcast(n_t)).select(
+        "bits", "n_true", "n_found", "n_hit",
+        F.when(F.col("n_true") > 0,
+               F.col("n_hit").cast("double") / F.col("n_true"))
+        .alias("recall"))
+
+
 def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cohort lifetime-value curve (the revenue companion to
     # cohort_retention): per (first-seen week, weeks-since) the cohort's
@@ -5328,6 +5387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_similarity": q_item_similarity,
         "mrr_eval": q_mrr_eval,
         "forecast_accuracy": q_forecast_accuracy,
+        "langid_confusion": q_langid_confusion,
+        "ann_bits_sweep": q_ann_bits_sweep,
         "cohort_ltv": q_cohort_ltv,
         "golden_record": q_golden_record,
         "label_outliers": q_label_outliers,
@@ -8717,6 +8778,42 @@ SELECT event_type, n_days, n1, s1_c, n7, s7_c,
            / (cast(s7_c AS double) / cast(n7 AS double))
        END AS mase
 FROM a""",
+        # The oracled lang_id projection nested verbatim; cell/row/
+        # column counts and exact ratios.
+        "langid_confusion": f"""
+WITH p AS ({_lang_oracle()}),
+cells AS (
+  SELECT lang, pred_lang, cast(count(*) AS bigint) AS n
+  FROM p GROUP BY lang, pred_lang),
+rt AS (SELECT lang, cast(sum(n) AS bigint) AS n_true
+       FROM cells GROUP BY lang),
+ct AS (SELECT pred_lang, cast(sum(n) AS bigint) AS n_pred
+       FROM cells GROUP BY pred_lang)
+SELECT cells.lang, cells.pred_lang, cells.n, rt.n_true, ct.n_pred,
+       cast(cells.n AS double) / cast(rt.n_true AS double) AS cell_recall,
+       cast(cells.n AS double) / cast(ct.n_pred AS double) AS cell_precision
+FROM cells JOIN rt ON cells.lang IS NOT DISTINCT FROM rt.lang
+JOIN ct ON cells.pred_lang IS NOT DISTINCT FROM ct.pred_lang""",
+        # Truth and both LSH arms are the shared exact-cosine oracles
+        # (bucketed at 4 and 6 sign bits); one recall row per setting.
+        "ann_bits_sweep": f"""
+WITH tr AS ({_ann_oracle(k=5, bucketed=False, bits=6)}),
+f4 AS ({_ann_oracle(k=5, bucketed=True, bits=4)}),
+f6 AS ({_ann_oracle(k=5, bucketed=True, bits=6)}),
+t AS (SELECT cast(count(*) AS bigint) AS n_true FROM tr),
+a4 AS (SELECT cast(4 AS int) AS bits,
+              (SELECT cast(count(*) AS bigint) FROM f4) AS n_found,
+              (SELECT cast(count(*) AS bigint)
+               FROM f4 JOIN tr USING (query_id, neighbor_id)) AS n_hit),
+a6 AS (SELECT cast(6 AS int) AS bits,
+              (SELECT cast(count(*) AS bigint) FROM f6) AS n_found,
+              (SELECT cast(count(*) AS bigint)
+               FROM f6 JOIN tr USING (query_id, neighbor_id)) AS n_hit),
+u AS (SELECT * FROM a4 UNION ALL SELECT * FROM a6)
+SELECT u.bits, t.n_true, u.n_found, u.n_hit,
+       CASE WHEN t.n_true > 0
+            THEN cast(u.n_hit AS double) / t.n_true END AS recall
+FROM u CROSS JOIN t""",
         # Same weekofyear cohorts, same integer-cents running sum per
         # cohort, one double division by the cohort size.
         "cohort_ltv": """

@@ -247,7 +247,9 @@ HEADLINE = [
     "cohort_ltv",
     "golden_record",
     "label_outliers",
+    "langid_confusion",
 ]
+# ann_bits_sweep joins automatically via the ann_* tag rule
 # dedup_precision joins automatically via the dedup_* tag rule
 # note: ann_recall joins the bench set automatically via the ann_* tag rule
 
