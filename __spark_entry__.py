@@ -4772,6 +4772,61 @@ def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("s7_c") > 0), mase).alias("mase"))
 
 
+def _half_centroids(emb: DataFrame, parity: int, tag: str) -> DataFrame:
+    # one replayed-fold centroid per label over the vec_id parity half
+    # (embed_centroids' exact fold: sort by vec_id, seed from element 1)
+    g = (emb.where((F.col("vec_id") % 2) == parity)
+         .groupBy("label")
+         .agg(F.sort_array(F.collect_list(F.struct(
+                  F.col("vec_id").cast("bigint").alias("i"),
+                  F.col("embedding").cast("array<double>").alias("e"),
+              ))).alias("h"),
+              F.count(F.lit(1)).cast("bigint").alias(f"n_{tag}")))
+    init = F.element_at(F.col("h"), 1)["e"]
+    tail = F.expr("slice(h, 2, greatest(size(h) - 1, 0))")
+    fold = F.aggregate(
+        tail, init,
+        lambda acc, s: F.zip_with(acc, s["e"], lambda a, b: a + b))
+    return g.select(
+        F.col("label").alias(f"_l_{tag}"), f"n_{tag}",
+        F.transform(fold, lambda x: x / F.col(f"n_{tag}"))
+        .alias(f"c_{tag}"))
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Vector feature-drift monitor: per label, the squared distance
+    # between the centroid of the even-vec_id half and the odd half —
+    # the embedding analog of ks_drift (has the representation moved
+    # between two cohorts?). Both centroids replay embed_centroids'
+    # exact fold; the d² folds dimension-wise from 0.0 — every double
+    # bit-identical to DuckDB's list_reduce.
+    emb = _emb(spark, sf_dir)
+    a = _half_centroids(emb, 0, "a")
+    b = _half_centroids(emb, 1, "b")
+    j = a.join(b, F.col("_l_a") == F.col("_l_b"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("c_a"), F.col("c_b"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return j.select(F.col("_l_a").alias("label"), "n_a", "n_b",
+                    d2.alias("drift_d2"))
+
+
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Curation report: the near-dup cluster SIZE DISTRIBUTION — how
+    # much of the corpus sits in 1/2/3+-doc clusters (the number a
+    # dedup run reports up). Composes the oracled dup_clusters
+    # components; two metadata-sized aggregates, all exact integers.
+    docs = _docs(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(docs)
+    cl = cur.dup_clusters(docs, pairs)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"))
+
+
 def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Classifier-eval confusion matrix for the n-gram lang_id heuristic
     # against upstream labels: per (true lang, predicted lang) cell —
@@ -5387,6 +5442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_similarity": q_item_similarity,
         "mrr_eval": q_mrr_eval,
         "forecast_accuracy": q_forecast_accuracy,
+        "embedding_drift": q_embedding_drift,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
         "langid_confusion": q_langid_confusion,
         "ann_bits_sweep": q_ann_bits_sweep,
         "cohort_ltv": q_cohort_ltv,
@@ -8778,6 +8835,46 @@ SELECT event_type, n_days, n1, s1_c, n7, s7_c,
            / (cast(s7_c AS double) / cast(n7 AS double))
        END AS mase
 FROM a""",
+        # Two parity-half centroid folds (the embed_centroids oracle
+        # pattern), then the same (a-b)² fold from 0.0.
+        "embedding_drift": """
+WITH ga AS (
+  SELECT label, list(embedding::DOUBLE[] ORDER BY vec_id) AS h,
+         cast(count(*) AS bigint) AS n_a
+  FROM embeddings WHERE vec_id % 2 = 0 GROUP BY label),
+sa AS (
+  SELECT label, n_a,
+         list_transform(
+           list_reduce(h, (acc, x) ->
+             list_transform(list_zip(acc, x), p -> p[1] + p[2])),
+           v -> v / n_a) AS c_a
+  FROM ga),
+gb AS (
+  SELECT label, list(embedding::DOUBLE[] ORDER BY vec_id) AS h,
+         cast(count(*) AS bigint) AS n_b
+  FROM embeddings WHERE vec_id % 2 = 1 GROUP BY label),
+sb AS (
+  SELECT label, n_b,
+         list_transform(
+           list_reduce(h, (acc, x) ->
+             list_transform(list_zip(acc, x), p -> p[1] + p[2])),
+           v -> v / n_b) AS c_b
+  FROM gb)
+SELECT sa.label, sa.n_a, sb.n_b,
+       list_reduce(list_prepend(cast(0.0 AS double),
+         list_transform(list_zip(sa.c_a, sb.c_b),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))),
+         (acc, v) -> acc + v) AS drift_d2
+FROM sa JOIN sb ON sa.label = sb.label""",
+        # The dup_clusters components nested verbatim; two count
+        # rollups.
+        "dup_cluster_sizes": f"""
+WITH cl AS ({_dup_clusters_oracle()}),
+sz AS (SELECT cluster_id, cast(count(*) AS bigint) AS cluster_size
+       FROM cl GROUP BY cluster_id)
+SELECT cluster_size, cast(count(*) AS bigint) AS n_clusters,
+       cast(sum(cluster_size) AS bigint) AS n_docs
+FROM sz GROUP BY cluster_size""",
         # The oracled lang_id projection nested verbatim; cell/row/
         # column counts and exact ratios.
         "langid_confusion": f"""

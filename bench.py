@@ -248,6 +248,8 @@ HEADLINE = [
     "golden_record",
     "label_outliers",
     "langid_confusion",
+    "embedding_drift",
+    "dup_cluster_sizes",
 ]
 # ann_bits_sweep joins automatically via the ann_* tag rule
 # dedup_precision joins automatically via the dedup_* tag rule
