@@ -5393,19 +5393,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_contributors": q_anomaly_contributors,
         "postings_incremental": q_postings_incremental,
         "ann_recall": q_ann_recall,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "supplier_types": q_supplier_types,
-        "min_cost_supplier": q_min_cost_supplier,
-        "returned_revenue": q_returned_revenue,
-        "priority_lateness": q_priority_lateness,
+        "kruskal_wallis": q_kruskal_wallis,
+        "mann_kendall": q_mann_kendall,
+        "map_eval": q_map_eval,
+        "hazard_curve": q_hazard_curve,
+        "important_stock": q_important_stock,
         "revenue_concentration": q_revenue_concentration,
-        "topn_with_other": q_topn_with_other,
+        "dedup_precision": q_dedup_precision,
         "join_fanout_audit": q_join_fanout_audit,
-        "promo_share": q_promo_share,
+        "sketch_error_eval": q_sketch_error_eval,
         "embed_centroids": q_embed_centroids,
         "kmeans_lloyd": q_kmeans_lloyd,
-        "local_supplier_volume": q_local_supplier_volume,
-        "market_share": q_market_share,
+        "embedding_drift": q_embedding_drift,
+        "langid_confusion": q_langid_confusion,
         "bfs_hops": q_bfs_hops,
         "k_core": q_k_core,
         "ann_index_incr": q_ann_index_incr,
@@ -5442,22 +5442,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_similarity": q_item_similarity,
         "mrr_eval": q_mrr_eval,
         "forecast_accuracy": q_forecast_accuracy,
-        "embedding_drift": q_embedding_drift,
         "dup_cluster_sizes": q_dup_cluster_sizes,
-        "langid_confusion": q_langid_confusion,
         "ann_bits_sweep": q_ann_bits_sweep,
         "cohort_ltv": q_cohort_ltv,
         "golden_record": q_golden_record,
         "label_outliers": q_label_outliers,
-        "dedup_precision": q_dedup_precision,
-        "sketch_error_eval": q_sketch_error_eval,
-        "hazard_curve": q_hazard_curve,
+        "returned_revenue": q_returned_revenue,
+        "priority_lateness": q_priority_lateness,
+        "topn_with_other": q_topn_with_other,
+        "promo_share": q_promo_share,
+        "local_supplier_volume": q_local_supplier_volume,
+        "market_share": q_market_share,
         "seasonal_strength": q_seasonal_strength,
         "partition_health": q_partition_health,
-        "kruskal_wallis": q_kruskal_wallis,
-        "mann_kendall": q_mann_kendall,
-        "map_eval": q_map_eval,
-        "important_stock": q_important_stock,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "supplier_types": q_supplier_types,
+        "min_cost_supplier": q_min_cost_supplier,
         "late_priority_split": q_late_priority_split,
         "excess_suppliers": q_excess_suppliers,
         "filter_regex": q_filter_regex,
