@@ -5265,7 +5265,12 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
           .join(rs, F.col("l_suppkey") == rs.s_suppkey).drop("s_suppkey"))
     per_part = lv.groupBy("l_partkey").agg(
         F.sum("_vc").cast("bigint").alias("value_c"))
-    tot = per_part.agg(F.sum("value_c").cast("bigint").alias("_tot"))
+    # the CORPUS total is the one sum that outgrows int64 (~1.8e10
+    # lineitems x 5e8 cents-units) — the overflow discipline: exact
+    # DECIMAL(38,0) accumulation, double cast only at the compare
+    tot = per_part.agg(
+        F.sum(F.col("value_c").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("_tot"))
     return (
         per_part.crossJoin(F.broadcast(tot))
         .where(F.col("value_c").cast("double")
@@ -9198,7 +9203,8 @@ lv AS (
 pp AS (
   SELECT l_partkey, cast(sum(vc) AS bigint) AS value_c
   FROM lv GROUP BY l_partkey),
-t AS (SELECT cast(sum(value_c) AS bigint) AS tot FROM pp)
+t AS (SELECT cast(sum(cast(value_c AS hugeint)) AS hugeint) AS tot
+      FROM pp)
 SELECT pp.l_partkey AS p_partkey, pp.value_c,
        cast(pp.value_c AS double) / cast(t.tot AS double) AS share
 FROM pp CROSS JOIN t
