@@ -4772,6 +4772,89 @@ def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("s7_c") > 0), mase).alias("mase"))
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Temperature-sampling mixture weights (the alpha=0.5 source
+    # rebalancing every LLM data pipeline runs): per source w = sqrt(n)
+    # (IEEE sqrt is correctly rounded — exact cross-engine), share =
+    # w / Σw with the source-cardinality Σw folded LEFT-TO-RIGHT over
+    # the source sort (the anova_f ordered-fold pattern), and the
+    # integer token allocation floor(share * budget).
+    budget = 1_000_000
+    n = (_docs(spark, sf_dir)
+         .where(F.col("source").isNotNull())
+         .groupBy("source")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    t = n.select("source", "n_docs",
+                 F.sqrt(F.col("n_docs").cast("double")).alias("w"))
+    tot = t.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("source", "w"))),
+                lambda x: x["w"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_wsum"))
+    j = t.crossJoin(F.broadcast(tot))
+    share = F.col("w") / F.col("_wsum")
+    return j.select(
+        "source", "n_docs", "w", share.alias("share"),
+        F.floor(share * F.lit(float(budget))).cast("bigint")
+        .alias("alloc_tokens"))
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Classic telemetry: per day, active users split into NEW (first
+    # ever seen today) vs RETURNING. Two integer aggregates — first-seen
+    # via min over the distinct (user, day) frame, then one count pass —
+    # all exact, no windows.
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+          .select("user_id",
+                  F.to_date(F.col("ts").cast("timestamp")).alias("day")))
+    du = ev.distinct()
+    first = du.groupBy("user_id").agg(F.min("day").alias("_fd"))
+    j = du.join(first, "user_id")
+    return j.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("day") == F.col("_fd"), 1).otherwise(0))
+        .cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("day") == F.col("_fd"), 0).otherwise(1))
+        .cast("bigint").alias("n_returning"))
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Curation diagnostic: WHICH sources copy each other — near-dup
+    # pairs (the oracled trigram-Jaccard set) attributed to their
+    # unordered (source, source) cell, with per-source doc counts and
+    # the cross density n_pairs/(n_lo*n_hi) (counts cast to double
+    # BEFORE the product — the int64 discipline). Pair frames are
+    # candidate-sized; the source dim joins are broadcast-small.
+    docs = _docs(spark, sf_dir)
+    src = docs.select("doc_id", "source")
+    pairs = (dd.ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+             .join(src.select(F.col("doc_id").alias("doc_a"),
+                              F.col("source").alias("_sa")), "doc_a")
+             .join(src.select(F.col("doc_id").alias("doc_b"),
+                              F.col("source").alias("_sb")), "doc_b"))
+    cells = (pairs.select(F.least("_sa", "_sb").alias("src_lo"),
+                          F.greatest("_sa", "_sb").alias("src_hi"))
+             .groupBy("src_lo", "src_hi")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")))
+    n = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    out = (cells
+           .join(n.select(F.col("source").alias("src_lo"),
+                          F.col("n_docs").alias("n_docs_lo")), "src_lo")
+           .join(n.select(F.col("source").alias("src_hi"),
+                          F.col("n_docs").alias("n_docs_hi")), "src_hi"))
+    return out.select(
+        "src_lo", "src_hi", "n_pairs", "n_docs_lo", "n_docs_hi",
+        (F.col("n_pairs").cast("double")
+         / (F.col("n_docs_lo").cast("double")
+            * F.col("n_docs_hi").cast("double"))).alias("pair_rate"))
+
+
 def _half_centroids(emb: DataFrame, parity: int, tag: str) -> DataFrame:
     # one replayed-fold centroid per label over the vec_id parity half
     # (embed_centroids' exact fold: sort by vec_id, seed from element 1)
@@ -5449,6 +5532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_accuracy": q_forecast_accuracy,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "ann_bits_sweep": q_ann_bits_sweep,
+        "mixture_weights": q_mixture_weights,
+        "new_vs_returning": q_new_vs_returning,
+        "source_overlap_matrix": q_source_overlap_matrix,
         "cohort_ltv": q_cohort_ltv,
         "golden_record": q_golden_record,
         "label_outliers": q_label_outliers,
@@ -8840,6 +8926,34 @@ SELECT event_type, n_days, n1, s1_c, n7, s7_c,
            / (cast(s7_c AS double) / cast(n7 AS double))
        END AS mase
 FROM a""",
+        # Same sqrt weights (IEEE-correct both engines), same ordered
+        # source fold, same floor allocation.
+        "mixture_weights": """
+WITH n AS (
+  SELECT source, cast(count(*) AS bigint) AS n_docs
+  FROM documents WHERE source IS NOT NULL GROUP BY source),
+t AS (SELECT source, n_docs, sqrt(cast(n_docs AS double)) AS w FROM n),
+tot AS (
+  SELECT list_reduce(
+           list_prepend(cast(0.0 AS double), list(w ORDER BY source)),
+           (acc, x) -> acc + x) AS wsum
+  FROM t)
+SELECT t.source, t.n_docs, t.w, t.w / tot.wsum AS share,
+       cast(floor(t.w / tot.wsum * 1000000.0) AS bigint) AS alloc_tokens
+FROM t CROSS JOIN tot""",
+        # Same distinct (user, day) frame, min first-day, one count pass.
+        "new_vs_returning": """
+WITH du AS (
+  SELECT DISTINCT user_id, cast(ts AS date) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+f AS (SELECT user_id, min(day) AS fd FROM du GROUP BY user_id)
+SELECT du.day, cast(count(*) AS bigint) AS n_active,
+       cast(sum(CASE WHEN du.day = f.fd THEN 1 ELSE 0 END)
+            AS bigint) AS n_new,
+       cast(sum(CASE WHEN du.day = f.fd THEN 0 ELSE 1 END)
+            AS bigint) AS n_returning
+FROM du JOIN f ON du.user_id = f.user_id
+GROUP BY du.day""",
         # Two parity-half centroid folds (the embed_centroids oracle
         # pattern), then the same (a-b)² fold from 0.0.
         "embedding_drift": """
@@ -9300,6 +9414,28 @@ SELECT n_true, n_found, n_hit,
        CASE WHEN n_true > 0 THEN cast(n_hit AS double) / n_true
             END AS recall
 FROM t, f, h"""
+    # cross-source copy diagnostic: the trigram-Jaccard pair oracle
+    # nested verbatim, attributed to unordered source cells
+    oracles["source_overlap_matrix"] = f"""
+WITH p AS ({oracles['dedup_ngram_jaccard']}),
+sp AS (
+  SELECT least(sa.source, sb.source) AS src_lo,
+         greatest(sa.source, sb.source) AS src_hi
+  FROM p JOIN documents sa ON p.doc_a = sa.doc_id
+  JOIN documents sb ON p.doc_b = sb.doc_id),
+cells AS (
+  SELECT src_lo, src_hi, cast(count(*) AS bigint) AS n_pairs
+  FROM sp GROUP BY src_lo, src_hi),
+n AS (SELECT source, cast(count(*) AS bigint) AS n_docs
+      FROM documents GROUP BY source)
+SELECT c.src_lo, c.src_hi, c.n_pairs,
+       nl.n_docs AS n_docs_lo, nh.n_docs AS n_docs_hi,
+       cast(c.n_pairs AS double)
+         / (cast(nl.n_docs AS double) * cast(nh.n_docs AS double))
+         AS pair_rate
+FROM cells c
+JOIN n nl ON c.src_lo = nl.source
+JOIN n nh ON c.src_hi = nh.source"""
     # candidate-precision audit: found = the RAW band-collision set
     # (the minhash oracle minus its jaccard tail), truth = the same
     # complete inverted-index jaccard join as minhash_recall

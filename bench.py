@@ -250,6 +250,9 @@ HEADLINE = [
     "langid_confusion",
     "embedding_drift",
     "dup_cluster_sizes",
+    "mixture_weights",
+    "new_vs_returning",
+    "source_overlap_matrix",
 ]
 # ann_bits_sweep joins automatically via the ann_* tag rule
 # dedup_precision joins automatically via the dedup_* tag rule
