@@ -908,7 +908,8 @@ cand AS (
 {_JACCARD_TAIL.format(thr=threshold)}"""
 
 
-def _minhash_cand_oracle(n_hashes: int = 12, band_size: int = 3) -> str:
+def _minhash_cand_oracle(n_hashes: int = 12, band_size: int = 3,
+                         k: int = 2) -> str:
     """The banded-minhash CANDIDATE set (band collisions BEFORE the
     exact-Jaccard verify) — _minhash_oracle without the jaccard tail."""
     mins = ", ".join(
@@ -922,7 +923,7 @@ def _minhash_cand_oracle(n_hashes: int = 12, band_size: int = 3) -> str:
         )
         for b in range(n_bands))
     band_vals = ", ".join(f"({b})" for b in range(n_bands))
-    return f"""WITH {_SHINGLES_CTE},
+    return f"""WITH {_shingles_cte(k)},
 sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 buckets AS (
   SELECT doc_id, bd.band_idx,
@@ -4772,6 +4773,34 @@ def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("s7_c") > 0), mase).alias("mase"))
 
 
+def q_tool_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tool-reliability ranking with the Wilson score LOWER bound (the
+    # small-n-honest way to rank success rates: a 3/3 tool must not
+    # outrank a 97/100 one). n and n_ok are exact integers; the bound
+    # composes in doubles from the same operands in the same order both
+    # engines (IEEE sqrt correctly rounded), so it hash-matches like
+    # welch_ttest/rolling_zscore do.
+    p = _parsed(spark, sf_dir)
+    base = p.where(F.col("error_kind").isNull()
+                   & (F.col("tool") != "none")
+                   & F.col("status").isNotNull())
+    g = base.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("status") < 500, 1).otherwise(0))
+        .cast("bigint").alias("n_ok"))
+    nd = F.col("n").cast("double")
+    sd = F.col("n_ok").cast("double")
+    phat = sd / nd
+    z = F.lit(1.96)
+    z2 = z * z
+    num = (phat + z2 / (F.lit(2.0) * nd)
+           - z * F.sqrt(phat * (F.lit(1.0) - phat) / nd
+                        + z2 / (F.lit(4.0) * (nd * nd))))
+    den = F.lit(1.0) + z2 / nd
+    return g.select("tool", "n", "n_ok", phat.alias("ok_rate"),
+                    (num / den).alias("wilson_low"))
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Temperature-sampling mixture weights (the alpha=0.5 source
     # rebalancing every LLM data pipeline runs): per source w = sqrt(n)
@@ -5073,16 +5102,27 @@ def q_dedup_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Candidate-precision audit for the banded MinHash generator — the
     # COST side of minhash_recall's quality audit: of the raw band-
     # collision pairs (BEFORE the exact-Jaccard verify), how many are
-    # true near-dups (jaccard >= 0.4 on the same k=2 shingles)?
+    # true near-dups (jaccard >= 0.4 on the same k=3 shingles)?
     # 1 - precision is the wasted-verify fraction, the number that
     # prices the (n_hashes, band_size) choice at 100 TB where every
     # false candidate costs a shingle-join probe. Truth = the lossless
-    # PPJoin pair set. Single row, exact integers + one double.
+    # PPJoin pair set. TRIGRAM shingles both arms — the shingle-width
+    # density lesson: bigram PPJoin truth alone cost 47 s at sf0.1
+    # (every doc pair collides in this small-vocab corpus), trigrams
+    # ~3 s with the same near-dup semantics. Single row, exact
+    # integers + one double.
+    from pyspark.storagelevel import StorageLevel
+
     docs = _docs(spark, sf_dir)
-    sh = dd.word_shingles(docs, k=2)
-    sigs = dd.minhash_signatures(sh, n_hashes=12)
-    cand = dd.lsh_candidate_pairs(sigs, n_hashes=12, band_size=3)
-    truth = dd.jaccard_prefix_pairs(docs, k=2, threshold=0.4) \
+    sh = dd.word_shingles(docs, k=3)
+    # persist discipline (minhash_lsh_dedup's lesson): sigs feeds BOTH
+    # sides of the band self-join and cand feeds BOTH the count and
+    # the truth join
+    sigs = (dd.minhash_signatures(sh, n_hashes=12)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    cand = (dd.lsh_candidate_pairs(sigs, n_hashes=12, band_size=3)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    truth = dd.jaccard_prefix_pairs(docs, k=3, threshold=0.4) \
         .select("doc_a", "doc_b")
     n_c = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
     n_h = cand.join(truth, ["doc_a", "doc_b"]).agg(
@@ -5532,6 +5572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_accuracy": q_forecast_accuracy,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "ann_bits_sweep": q_ann_bits_sweep,
+        "tool_reliability": q_tool_reliability,
         "mixture_weights": q_mixture_weights,
         "new_vs_returning": q_new_vs_returning,
         "source_overlap_matrix": q_source_overlap_matrix,
@@ -8926,6 +8967,28 @@ SELECT event_type, n_days, n1, s1_c, n7, s7_c,
            / (cast(s7_c AS double) / cast(n7 AS double))
        END AS mase
 FROM a""",
+        # Same exact counts; the Wilson bound composes from identical
+        # doubles in identical order (sqrt correctly rounded).
+        "tool_reliability": f"""{P},
+base AS (
+  SELECT tool, status FROM parsed
+  WHERE error_kind IS NULL AND tool != 'none' AND status IS NOT NULL),
+g AS (
+  SELECT tool, cast(count(*) AS bigint) AS n,
+         cast(sum(CASE WHEN status < 500 THEN 1 ELSE 0 END)
+              AS bigint) AS n_ok
+  FROM base GROUP BY tool),
+w AS (
+  SELECT tool, n, n_ok,
+         cast(n_ok AS double) / cast(n AS double) AS phat,
+         cast(n AS double) AS nd
+  FROM g)
+SELECT tool, n, n_ok, phat AS ok_rate,
+       (phat + (1.96 * 1.96) / (2.0 * nd)
+          - 1.96 * sqrt(phat * (1.0 - phat) / nd
+                        + (1.96 * 1.96) / (4.0 * (nd * nd))))
+         / (1.0 + (1.96 * 1.96) / nd) AS wilson_low
+FROM w""",
         # Same sqrt weights (IEEE-correct both engines), same ordered
         # source fold, same floor allocation.
         "mixture_weights": """
@@ -9439,9 +9502,15 @@ JOIN n nh ON c.src_hi = nh.source"""
     # candidate-precision audit: found = the RAW band-collision set
     # (the minhash oracle minus its jaccard tail), truth = the same
     # complete inverted-index jaccard join as minhash_recall
+    truth3 = (
+        "WITH " + _shingles_cte(3) + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),"""
+        + _JACCARD_TAIL.format(thr=0.4))
     oracles["dedup_precision"] = f"""
-WITH ca AS ({_minhash_cand_oracle()}),
-tr AS ({truth}),
+WITH ca AS ({_minhash_cand_oracle(k=3)}),
+tr AS ({truth3}),
 c AS (SELECT cast(count(*) AS bigint) AS n_cand FROM ca),
 h AS (SELECT cast(count(*) AS bigint) AS n_true_cand
       FROM ca JOIN tr USING (doc_a, doc_b))

@@ -253,6 +253,7 @@ HEADLINE = [
     "mixture_weights",
     "new_vs_returning",
     "source_overlap_matrix",
+    "tool_reliability",
 ]
 # ann_bits_sweep joins automatically via the ann_* tag rule
 # dedup_precision joins automatically via the dedup_* tag rule

@@ -1,0 +1,84 @@
+"""Hand-computed cases for the round-4 continuation statistics ops —
+the parity suites prove engine==oracle; these prove both equal MATH.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from logpipe_spark.operators.drift import kruskal_wallis, mann_kendall
+
+
+def test_kruskal_wallis_hand_case(spark):
+    # A=[1,2], B=[3,4]: ranks 1..4, R_A=3, R_B=7,
+    # H = 12/(4*5) * (3²/2 + 7²/2) - 3*5 = 0.6*29 - 15 = 2.4, no ties.
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("b", 4)], "k string, v long")
+    row = kruskal_wallis(df, "k", F.col("v")).collect()[0]
+    assert row.n == 4 and row.k == 2 and row.tie_t == 0.0
+    assert abs(row.h_raw - 2.4) < 1e-12
+    assert abs(row.h - 2.4) < 1e-12
+
+
+def test_kruskal_wallis_ties_and_degenerate(spark):
+    # all values tied -> correction term 1 - T/(n³-n) = 0 -> empty
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5), ("b", 5)], "k string, v long")
+    assert kruskal_wallis(df, "k", F.col("v")).count() == 0
+    # ties across groups: A=[1,2], B=[2,3] -> doubled avg rank of the
+    # tied 2s is 2*2+2-1=5 (avg rank 2.5); T = 2³-2 = 6
+    df2 = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2), ("b", 3)], "k string, v long")
+    row = kruskal_wallis(df2, "k", F.col("v")).collect()[0]
+    # R_A = 1 + 2.5 = 3.5, R_B = 2.5 + 4 = 6.5
+    h_raw = 12.0 / 20.0 * (3.5**2 / 2 + 6.5**2 / 2) - 15.0
+    corr = 1.0 - 6.0 / 60.0
+    assert row.tie_t == 6.0
+    assert abs(row.h_raw - h_raw) < 1e-12
+    assert abs(row.h - h_raw / corr) < 1e-12
+
+
+def test_mann_kendall_hand_case(spark):
+    # series [1,2,2,3] over days 1..4: S = 5 (five rising pairs, one
+    # tie), tie2x = 2, tau_b = 2*5 / sqrt((12-2)*12)
+    df = spark.createDataFrame(
+        [("k", 1, 1), ("k", 2, 2), ("k", 3, 2), ("k", 4, 3)],
+        "g string, d long, v long")
+    row = mann_kendall(df, "g", F.col("v"), F.col("d")).collect()[0]
+    assert row.n_obs == 4 and row.s_stat == 5 and row.tie_t == 1
+    assert abs(row.tau_b - 10.0 / math.sqrt(120.0)) < 1e-12
+
+
+def test_mann_kendall_all_tied_is_null(spark):
+    df = spark.createDataFrame(
+        [("k", 1, 7), ("k", 2, 7), ("k", 3, 7)],
+        "g string, d long, v long")
+    row = mann_kendall(df, "g", F.col("v"), F.col("d")).collect()[0]
+    assert row.s_stat == 0
+    assert row.tau_b is None
+
+
+def test_mann_kendall_perfect_trend(spark):
+    # strictly increasing, no ties: S = n(n-1)/2, tau_b = 1.0 exactly
+    rows = [("k", i, i * 10) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "g string, d long, v long")
+    row = mann_kendall(df, "g", F.col("v"), F.col("d")).collect()[0]
+    assert row.s_stat == 15
+    assert row.tau_b == 1.0
+
+
+def test_wilson_lower_bound_ranks_small_n_below_large_n(spark, tmp_path):
+    # 3/3 must NOT outrank 97/100 under the Wilson lower bound
+    nd3, s3 = 3.0, 3.0
+    nd100, s100 = 100.0, 97.0
+
+    def wilson(s, n):
+        p = s / n
+        z2 = 1.96 * 1.96
+        num = (p + z2 / (2.0 * n)
+               - 1.96 * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)))
+        return num / (1.0 + z2 / n)
+
+    assert wilson(s3, nd3) < wilson(s100, nd100)
