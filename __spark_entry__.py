@@ -4773,6 +4773,28 @@ def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("s7_c") > 0), mase).alias("mase"))
 
 
+def q_ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fulfillment SLA: exact discrete percentiles of order->FIRST-ship
+    # latency (integer days) per order priority — the TPC-H-shaped SLA
+    # scorecard. First ship is one min-aggregate (map-side combinable);
+    # the rank windows run per priority over integer days with
+    # o_orderkey tiebreak (percentiles_disc' engine-portable rule).
+    # Honest data note: the driver's synthetic shipdates are drawn
+    # independently of their order's date, so latencies include
+    # negatives — the SHAPE (min-agg + datediff + disc percentiles)
+    # is what's under test, and both engines agree exactly.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fs = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("_fs"))
+    j = (orders.join(fs, orders.o_orderkey == fs.l_orderkey)
+         .select("o_orderpriority", "o_orderkey",
+                 F.datediff(F.col("_fs"), F.col("o_orderdate").cast("date"))
+                 .cast("bigint").alias("lat_days")))
+    return percentiles_disc(j, "o_orderpriority", "lat_days",
+                            (0.5, 0.9, 0.99), tiebreak="o_orderkey")
+
+
 def q_tool_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tool-reliability ranking with the Wilson score LOWER bound (the
     # small-n-honest way to rank success rates: a 3/3 tool must not
@@ -5572,6 +5594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_accuracy": q_forecast_accuracy,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "ann_bits_sweep": q_ann_bits_sweep,
+        "ship_latency_sla": q_ship_latency_sla,
         "tool_reliability": q_tool_reliability,
         "mixture_weights": q_mixture_weights,
         "new_vs_returning": q_new_vs_returning,
@@ -8967,6 +8990,31 @@ SELECT event_type, n_days, n1, s1_c, n7, s7_c,
            / (cast(s7_c AS double) / cast(n7 AS double))
        END AS mase
 FROM a""",
+        # Same first-ship min, same integer-day latencies, same
+        # discrete-percentile rank rule.
+        "ship_latency_sla": """
+WITH fs AS (
+  SELECT l_orderkey, min(cast(l_shipdate AS date)) AS fsd
+  FROM lineitem GROUP BY l_orderkey),
+j AS (
+  SELECT o.o_orderpriority, o.o_orderkey,
+         cast(fs.fsd - cast(o.o_orderdate AS date) AS bigint) AS lat_days
+  FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey),
+r AS (
+  SELECT o_orderpriority, lat_days,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY lat_days, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM j WHERE lat_days IS NOT NULL)
+SELECT o_orderpriority,
+       max(CASE WHEN rn = cast(ceil(0.5 * n) AS bigint)
+                THEN lat_days END) AS p50,
+       max(CASE WHEN rn = cast(ceil(0.9 * n) AS bigint)
+                THEN lat_days END) AS p90,
+       max(CASE WHEN rn = cast(ceil(0.99 * n) AS bigint)
+                THEN lat_days END) AS p99,
+       cast(max(n) AS bigint) AS n
+FROM r GROUP BY o_orderpriority""",
         # Same exact counts; the Wilson bound composes from identical
         # doubles in identical order (sqrt correctly rounded).
         "tool_reliability": f"""{P},

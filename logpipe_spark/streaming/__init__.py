@@ -33,6 +33,10 @@ from logpipe_spark.streaming.stream import (  # noqa: F401
     health_report,
     stream_partition_health,
     read_partition_health,
+    golden_partials,
+    golden_report,
+    stream_golden_record,
+    read_golden_record,
     stream_slo_incremental,
     read_slo_burn,
     run_stream_once,

@@ -1157,3 +1157,70 @@ def read_partition_health(spark: SparkSession, state_dir: str) -> DataFrame:
                    F.sum("n_null_text").cast("bigint").alias("n_null_text"),
                    F.sum("n_chars").cast("bigint").alias("n_chars")))
     return health_report(merged)
+
+
+def golden_partials(df: DataFrame) -> DataFrame:
+    """Per-(conv, role) survivorship partials — every field a monoid:
+    counts SUM, first/last ts MIN/MAX, and the LATEST NON-NULL tool as
+    a max-struct over (ts, turn_idx, tool) (argmax is a monoid: max of
+    per-segment maxes == global max; NULL-tool rows contribute a NULL
+    struct which max skips). Exact distinct roles keep the (conv, role)
+    key to the readout, like :func:`health_partials`."""
+    latest = F.max(F.when(F.col("tool").isNotNull(),
+                          F.struct(F.col("ts"), F.col("turn_idx"),
+                                   F.col("tool"))))
+    return (
+        df.where(F.col("ts").isNotNull())
+        .groupBy("conv_id", "role")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+             F.min("ts").alias("first_ts"),
+             F.max("ts").alias("last_ts"),
+             latest.alias("_lt"))
+    )
+
+
+def golden_report(partials: DataFrame) -> DataFrame:
+    """Fold (conv, role) partials to the per-conversation golden record
+    (the monoid merge)."""
+    g = partials.groupBy("conv_id").agg(
+        F.sum("n_turns").cast("bigint").alias("n_turns"),
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+        F.countDistinct("role").cast("bigint").alias("n_roles"),
+        F.max("_lt").alias("_lt"))
+    return g.select(
+        "conv_id", "n_turns", "first_ts", "last_ts", "n_roles",
+        F.col("_lt.tool").alias("latest_tool"),
+        F.col("_lt.ts").alias("latest_tool_ts"))
+
+
+def stream_golden_record(spark: SparkSession, src: str, state_dir: str,
+                         checkpoint_dir: str,
+                         max_files_per_trigger: int | None = None):
+    """Streaming MDM survivorship: each micro-batch writes ITS OWN
+    (conv, role) golden partials to ``{state_dir}/epoch=<id>``
+    (overwrite → idempotent on replay). Every field is a monoid, so
+    :func:`read_golden_record`'s readout is IDENTICAL to the batch
+    ``golden_report(golden_partials(corpus))`` (two-pacing parity in
+    tests — the same epoch-partials pattern as the other twins)."""
+    stream = stream_transcripts(spark, src,
+                                max_files_per_trigger=max_files_per_trigger)
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        (golden_partials(df).coalesce(1).write.mode("overwrite")
+         .parquet(f"{state_dir}/epoch={epoch_id}"))
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir))
+
+
+def read_golden_record(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merge epoch partials within the (conv, role) key (each field's
+    monoid op) and fold to the per-conversation record."""
+    merged = (spark.read.parquet(state_dir)
+              .groupBy("conv_id", "role")
+              .agg(F.sum("n_turns").cast("bigint").alias("n_turns"),
+                   F.min("first_ts").alias("first_ts"),
+                   F.max("last_ts").alias("last_ts"),
+                   F.max("_lt").alias("_lt")))
+    return golden_report(merged)

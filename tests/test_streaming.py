@@ -768,3 +768,28 @@ def test_stream_partition_health_equals_batch(spark, stream_dir, tmp_path):
         got = sorted(map(tuple,
                          read_partition_health(spark, state).collect()))
         assert got == want, tag
+
+
+def test_stream_golden_record_equals_batch(spark, stream_dir, tmp_path):
+    """Survivorship monoid: every per-conv field (counts, first/last,
+    latest-non-null-tool argmax struct, exact distinct roles) merges
+    across epochs to exactly the batch golden report. Both pacings."""
+    from logpipe_spark.streaming import (golden_partials, golden_report,
+                                         read_golden_record,
+                                         stream_golden_record)
+
+    batch = spark.read.parquet(stream_dir)
+    want = sorted(map(tuple,
+                      golden_report(golden_partials(batch)).collect()))
+    assert len(want) >= 10
+    assert any(r[5] is not None for r in want)  # some latest_tool set
+
+    for mft, tag in ((1, "paced"), (None, "oneshot")):
+        state = str(tmp_path / f"gr_state_{tag}")
+        writer = stream_golden_record(
+            spark, stream_dir, state, str(tmp_path / f"ckg_{tag}"),
+            max_files_per_trigger=mft)
+        run_stream_once(writer)
+        got = sorted(map(tuple,
+                         read_golden_record(spark, state).collect()))
+        assert got == want, tag
