@@ -4773,6 +4773,34 @@ def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("s7_c") > 0), mase).alias("mase"))
 
 
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Engagement stickiness per ISO week: avg daily actives / weekly
+    # actives (the DAU/WAU growth metric). Two exact distinct counts
+    # off the same (user, day) distinct frame — the daily one rolls up
+    # per day then sums per week (integer), the weekly one is a
+    # per-week exact distinct; stickiness is sum_dau/(n_days*wau) from
+    # identical integers.
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+          .select("user_id",
+                  F.to_date(F.col("ts").cast("timestamp")).alias("day")))
+    du = ev.distinct().withColumn(
+        "wk", F.weekofyear(F.col("day")).cast("int"))
+    daily = (du.groupBy("wk", "day")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("dau")))
+    per_wk = daily.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("sum_dau"))
+    wau = du.groupBy("wk").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau"))
+    j = per_wk.join(wau, "wk")
+    return j.select(
+        "wk", "n_days", "sum_dau", "wau",
+        (F.col("sum_dau").cast("double")
+         / (F.col("n_days").cast("double") * F.col("wau").cast("double")))
+        .alias("stickiness"))
+
+
 def q_ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fulfillment SLA: exact discrete percentiles of order->FIRST-ship
     # latency (integer days) per order priority — the TPC-H-shaped SLA
@@ -5594,6 +5622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_accuracy": q_forecast_accuracy,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "ann_bits_sweep": q_ann_bits_sweep,
+        "dau_wau_stickiness": q_dau_wau_stickiness,
         "ship_latency_sla": q_ship_latency_sla,
         "tool_reliability": q_tool_reliability,
         "mixture_weights": q_mixture_weights,
@@ -8990,6 +9019,28 @@ SELECT event_type, n_days, n1, s1_c, n7, s7_c,
            / (cast(s7_c AS double) / cast(n7 AS double))
        END AS mase
 FROM a""",
+        # Same distinct frame, same two exact distinct counts, one
+        # double ratio of identical integers.
+        "dau_wau_stickiness": """
+WITH du AS (
+  SELECT DISTINCT user_id, cast(ts AS date) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+d2 AS (SELECT user_id, day, cast(weekofyear(day) AS int) AS wk FROM du),
+daily AS (
+  SELECT wk, day, cast(count(*) AS bigint) AS dau
+  FROM d2 GROUP BY wk, day),
+pw AS (
+  SELECT wk, cast(count(*) AS bigint) AS n_days,
+         cast(sum(dau) AS bigint) AS sum_dau
+  FROM daily GROUP BY wk),
+wu AS (
+  SELECT wk, cast(count(DISTINCT user_id) AS bigint) AS wau
+  FROM d2 GROUP BY wk)
+SELECT pw.wk, pw.n_days, pw.sum_dau, wu.wau,
+       cast(pw.sum_dau AS double)
+         / (cast(pw.n_days AS double) * cast(wu.wau AS double))
+         AS stickiness
+FROM pw JOIN wu ON pw.wk = wu.wk""",
         # Same first-ship min, same integer-day latencies, same
         # discrete-percentile rank rule.
         "ship_latency_sla": """

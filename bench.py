@@ -254,6 +254,8 @@ HEADLINE = [
     "new_vs_returning",
     "source_overlap_matrix",
     "tool_reliability",
+    "ship_latency_sla",
+    "dau_wau_stickiness",
 ]
 # ann_bits_sweep joins automatically via the ann_* tag rule
 # dedup_precision joins automatically via the dedup_* tag rule
