@@ -4773,6 +4773,43 @@ def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("s7_c") > 0), mase).alias("mase"))
 
 
+def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inequality of user activity: the Gini coefficient of per-user
+    # event counts — "do 1% of users generate 90% of traffic?". Uses
+    # the tie-block identity 2·Σ_i i·x_(i) = Σ_v c·t·r2 where r2 is the
+    # DOUBLED average rank from the distinct-count-value bucketed
+    # prefix scan (mann_whitney's machinery) — so the classic
+    # sort-the-whole-population formula needs NO global sort: the
+    # scanned frame is count-value cardinality. Products accumulate in
+    # DECIMAL(38,0) (cast BEFORE multiplying); G composes in doubles
+    # from identical exact operands.
+    from logpipe_spark.operators.drift import bucketed_cumsum
+
+    uc = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("user_id").isNotNull())
+          .groupBy("user_id")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    pv = uc.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    r = bucketed_cumsum(
+        pv.withColumn("_all", F.lit(1)), "_all", ["t"],
+        value_col="c", bucket_width=64,
+    ).select("c", "t",
+             (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1)
+             .alias("r2"))
+    d = "decimal(38,0)"
+    a = r.agg(
+        F.sum("t").cast("bigint").alias("n_users"),
+        F.sum(F.col("c").cast(d) * F.col("t").cast(d)).cast(d).alias("_s"),
+        F.sum(F.col("c").cast(d) * F.col("t").cast(d) * F.col("r2").cast(d))
+        .cast(d).alias("_num"))
+    nd = F.col("n_users").cast("double")
+    gini = (F.col("_num").cast("double") / (nd * F.col("_s").cast("double"))
+            - (nd + F.lit(1.0)) / nd)
+    return (a.where(F.col("_s") > 0)
+            .select("n_users", F.col("_s").cast("bigint")
+                    .alias("total_events"), gini.alias("gini")))
+
+
 def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Engagement stickiness per ISO week: avg daily actives / weekly
     # actives (the DAU/WAU growth metric). Two exact distinct counts
@@ -5622,6 +5659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_accuracy": q_forecast_accuracy,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "ann_bits_sweep": q_ann_bits_sweep,
+        "activity_gini": q_activity_gini,
         "dau_wau_stickiness": q_dau_wau_stickiness,
         "ship_latency_sla": q_ship_latency_sla,
         "tool_reliability": q_tool_reliability,
@@ -9019,6 +9057,28 @@ SELECT event_type, n_days, n1, s1_c, n7, s7_c,
            / (cast(s7_c AS double) / cast(n7 AS double))
        END AS mase
 FROM a""",
+        # Same doubled-rank identity over the distinct-count frame;
+        # hugeint products mirror the decimal casts.
+        "activity_gini": """
+WITH uc AS (
+  SELECT user_id, cast(count(*) AS bigint) AS c
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+pv AS (SELECT c, cast(count(*) AS bigint) AS t FROM uc GROUP BY c),
+r AS (
+  SELECT c, t,
+         2 * (cast(sum(t) OVER (ORDER BY c) AS bigint) - t) + t + 1 AS r2
+  FROM pv),
+a AS (
+  SELECT cast(sum(t) AS bigint) AS n_users,
+         cast(sum(cast(c AS hugeint) * t) AS hugeint) AS s,
+         cast(sum(cast(c AS hugeint) * t * r2) AS hugeint) AS num
+  FROM r)
+SELECT n_users, cast(s AS bigint) AS total_events,
+       cast(num AS double)
+         / (cast(n_users AS double) * cast(s AS double))
+         - (cast(n_users AS double) + 1.0) / cast(n_users AS double)
+         AS gini
+FROM a WHERE s > 0""",
         # Same distinct frame, same two exact distinct counts, one
         # double ratio of identical integers.
         "dau_wau_stickiness": """

@@ -256,6 +256,7 @@ HEADLINE = [
     "tool_reliability",
     "ship_latency_sla",
     "dau_wau_stickiness",
+    "activity_gini",
 ]
 # ann_bits_sweep joins automatically via the ann_* tag rule
 # dedup_precision joins automatically via the dedup_* tag rule
