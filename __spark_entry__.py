@@ -4773,6 +4773,42 @@ def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("s7_c") > 0), mase).alias("mase"))
 
 
+def q_experiment_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Experimentation-platform sizing: per entry event type, the
+    # cohort's heavy-buyer rate (>= 14 purchase events — every user in
+    # this corpus purchases at least once, so plain did-purchase is
+    # degenerate p=1; the above-average cut gives an interior rate)
+    # and the MINIMUM DETECTABLE EFFECT of a 50/50 A/B test on that
+    # cohort at alpha=0.05 / power=0.8 —
+    # mde = (z_a + z_b)·sqrt(2·p(1-p)/n_arm), z constants as literals.
+    # Cohorts and conversions are exact distinct counts; the mde
+    # composes in doubles from identical operands (IEEE sqrt).
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_type").isNotNull()))
+    cohort = ev.select("event_type", "user_id").distinct()
+    buyers = (ev.where(F.col("event_type") == "purchase")
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("_np"))
+              .where(F.col("_np") >= 14)
+              .select(F.col("user_id").alias("_bu")))
+    j = cohort.join(buyers, cohort.user_id == F.col("_bu"), "left")
+    g = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("_bu").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_converted"))
+    nd = F.col("n_users").cast("double")
+    p = F.col("n_converted").cast("double") / nd
+    n_arm = nd / F.lit(2.0)
+    mde = (F.lit(1.96) + F.lit(0.8416)) * F.sqrt(
+        F.lit(2.0) * p * (F.lit(1.0) - p) / n_arm)
+    return g.select(
+        "event_type", "n_users", "n_converted", p.alias("conv_rate"),
+        F.when((F.col("n_users") > 1) & (F.col("n_converted") > 0)
+               & (F.col("n_converted") < F.col("n_users")), mde)
+        .alias("mde_abs"))
+
+
 def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Inequality of user activity: the Gini coefficient of per-user
     # event counts — "do 1% of users generate 90% of traffic?". Uses
@@ -5659,6 +5695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_accuracy": q_forecast_accuracy,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "ann_bits_sweep": q_ann_bits_sweep,
+        "experiment_sizing": q_experiment_sizing,
         "activity_gini": q_activity_gini,
         "dau_wau_stickiness": q_dau_wau_stickiness,
         "ship_latency_sla": q_ship_latency_sla,
@@ -9057,6 +9094,34 @@ SELECT event_type, n_days, n1, s1_c, n7, s7_c,
            / (cast(s7_c AS double) / cast(n7 AS double))
        END AS mase
 FROM a""",
+        # Same exact distinct cohorts, same literal z constants, same
+        # double composition order.
+        "experiment_sizing": """
+WITH ev AS (
+  SELECT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+cohort AS (SELECT DISTINCT event_type, user_id FROM ev),
+buyers AS (SELECT user_id AS bu FROM ev
+           WHERE event_type = 'purchase'
+           GROUP BY user_id HAVING count(*) >= 14),
+g AS (
+  SELECT c.event_type,
+         cast(count(*) AS bigint) AS n_users,
+         cast(sum(CASE WHEN b.bu IS NOT NULL THEN 1 ELSE 0 END)
+              AS bigint) AS n_converted
+  FROM cohort c LEFT JOIN buyers b ON c.user_id = b.bu
+  GROUP BY c.event_type)
+SELECT event_type, n_users, n_converted,
+       cast(n_converted AS double) / cast(n_users AS double) AS conv_rate,
+       CASE WHEN n_users > 1 AND n_converted > 0
+                 AND n_converted < n_users THEN
+         (1.96 + 0.8416) * sqrt(
+           2.0 * (cast(n_converted AS double) / cast(n_users AS double))
+               * (1.0 - cast(n_converted AS double)
+                        / cast(n_users AS double))
+               / (cast(n_users AS double) / 2.0))
+       END AS mde_abs
+FROM g""",
         # Same doubled-rank identity over the distinct-count frame;
         # hugeint products mirror the decimal casts.
         "activity_gini": """

@@ -257,6 +257,7 @@ HEADLINE = [
     "ship_latency_sla",
     "dau_wau_stickiness",
     "activity_gini",
+    "experiment_sizing",
 ]
 # ann_bits_sweep joins automatically via the ann_* tag rule
 # dedup_precision joins automatically via the dedup_* tag rule
