@@ -5433,6 +5433,21 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100 + F.lit(0.5)))
 
 
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Brown-Forsythe variance-homogeneity test across event types
+    # (drift.py:levene_test): "is the SPREAD of value drifting between
+    # cohorts?" — the dispersion companion to anova_f (location).
+    # Median-centered deviations stay exact integers (lower median via
+    # per-key partitioned cumsum, never a global window); the F stat is
+    # anova_f on |v - med| verbatim, same ordered k-term fold.
+    from logpipe_spark.operators.drift import levene_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return levene_test(
+        ev, "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)))
+
+
 def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mann-Kendall monotonic-trend test per event type over the DAILY
     # value series (drift.py:mann_kendall) — the rank companion to
@@ -5645,6 +5660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_incremental": q_postings_incremental,
         "ann_recall": q_ann_recall,
         "kruskal_wallis": q_kruskal_wallis,
+        "levene_test": q_levene_test,
         "mann_kendall": q_mann_kendall,
         "map_eval": q_map_eval,
         "hazard_curve": q_hazard_curve,
@@ -8306,6 +8322,46 @@ stats AS (SELECT n, k,
 SELECT n, k, ss_between, ss_within,
        (ss_between / (cast(k AS double) - 1))
          / (ss_within / (cast(n AS double) - cast(k AS double))) AS f_stat
+FROM stats WHERE ss_within > 0""",
+        # Same construction: per-key lower median from cumulative
+        # distinct-value counts ((n+1)//2 == Spark's truncating div on
+        # positive operands), integer |v - med| deviations, then the
+        # anova_f decomposition + ordered k-term list_reduce fold.
+        "levene_test": """
+WITH ev AS (
+  SELECT event_type AS k, cast(floor(value * 100 + 0.5) AS bigint) AS v
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+cnt AS (SELECT k, v, cast(count(*) AS bigint) AS c FROM ev GROUP BY k, v),
+cum AS (SELECT k, v,
+               cast(sum(c) OVER (PARTITION BY k ORDER BY v) AS bigint)
+                 AS cumc,
+               cast(sum(c) OVER (PARTITION BY k) AS bigint) AS nj
+        FROM cnt),
+med AS (SELECT k, min(v) AS med FROM cum
+        WHERE cumc >= (nj + 1) // 2 GROUP BY k),
+z AS (SELECT ev.k, abs(ev.v - med.med) AS z
+      FROM ev JOIN med ON ev.k = med.k),
+g AS (SELECT k, cast(count(*) AS bigint) AS gn,
+             cast(sum(z) AS bigint) AS gs,
+             cast(sum(z * z) AS bigint) AS gq
+      FROM z GROUP BY k),
+one AS (SELECT cast(sum(gn) AS bigint) AS n,
+               cast(count(*) AS bigint) AS kk,
+               cast(sum(gs) AS bigint) AS ss,
+               cast(sum(gq) AS bigint) AS sq,
+               list_reduce(
+                 list_prepend(cast(0.0 AS double),
+                   list(cast(gs AS double) * gs / gn ORDER BY k)),
+                 (acc, x) -> acc + x) AS tsum
+        FROM g),
+stats AS (SELECT n, kk,
+                 tsum - cast(ss AS double) * ss / cast(n AS double)
+                   AS ss_between,
+                 cast(sq AS double) - tsum AS ss_within
+          FROM one WHERE kk >= 2 AND n > kk)
+SELECT n, kk AS k, ss_between, ss_within,
+       (ss_between / (cast(kk AS double) - 1))
+         / (ss_within / (cast(n AS double) - cast(kk AS double))) AS f_stat
 FROM stats WHERE ss_within > 0""",
         "auc_rank": """
 WITH b AS (SELECT source, cast(n_chars AS bigint) AS v,

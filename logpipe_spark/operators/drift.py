@@ -44,6 +44,7 @@ __all__ = [
     "cusum_scan",
     "auc_rank",
     "changepoint_binseg",
+    "levene_test",
 ]
 
 
@@ -715,3 +716,57 @@ def changepoint_binseg(df: DataFrame, key: str, ts_col: str,
         ((F.col("_tot") - F.col("_s")).cast("double")
          / (F.col("_n") - F.col("_t")).cast("double")).alias("mean_right"),
     )
+
+
+def levene_test(
+    df: DataFrame,
+    key: str,
+    value: Column,
+) -> DataFrame:
+    """Brown–Forsythe test of variance homogeneity across ``key`` groups
+    — "is the SPREAD (not the mean) of this metric drifting between
+    cohorts?", the robust companion to :func:`welch_ttest`/``anova_f``
+    which compare locations. Classic Levene centers on the mean; the
+    Brown–Forsythe variant centers on the MEDIAN, which keeps every
+    intermediate an exact integer and is the recommended form for
+    skewed data anyway (Brown & Forsythe 1974).
+
+    Pass an INTEGER-valued ``value`` (cents / rebased units). Per-group
+    LOWER medians come from per-key cumulative counts over the distinct
+    value frame — the window is PARTITIONED by key (never global), and
+    the lower median (element at 1-indexed position ``(n+1) div 2``)
+    is a corpus value, so the deviations ``z = |v - med|`` stay exact
+    integers. The F statistic on z is then literally
+    :func:`~logpipe_spark.operators.aggregate.anova_f` — same
+    sufficient-stats decomposition, same ordered k-term fold, same
+    cross-engine bit-exactness. ``div`` truncation vs DuckDB ``//``
+    floor agree here because both operands are positive.
+
+    Plan: one (key, v) count shuffle → partitioned cumsum on the
+    distinct-value frame → broadcast-sized median frame joined back →
+    anova_f's single map-side-combinable aggregate. Returns ONE row
+    ``(n, k, ss_between, ss_within, f_stat)``; large f ⇒ at least one
+    group's dispersion differs.
+    """
+    from .aggregate import anova_f
+
+    vi = value.cast("bigint")
+    base = (df.where(vi.isNotNull() & F.col(key).isNotNull())
+            .select(F.col(key).alias("_k"), vi.alias("_v")))
+    per_kv = base.groupBy("_k", "_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c"))
+    w_cum = (Window.partitionBy("_k").orderBy("_v")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy("_k")
+    cum = per_kv.select(
+        "_k", "_v",
+        F.sum("_c").over(w_cum).cast("bigint").alias("_cum"),
+        F.sum("_c").over(w_all).cast("bigint").alias("_nj"))
+    # lower-median 1-indexed position (n+1) div 2: the double quotient
+    # is exact below 2^52 and the bigint cast truncates == positive div
+    pos = ((F.col("_nj") + F.lit(1)) / F.lit(2)).cast("bigint")
+    med = (cum.where(F.col("_cum") >= pos)
+           .groupBy("_k").agg(F.min("_v").alias("_med")))
+    z = (base.join(F.broadcast(med), "_k")
+         .select("_k", F.abs(F.col("_v") - F.col("_med")).alias("_z")))
+    return anova_f(z, "_k", F.col("_z"))

@@ -82,3 +82,40 @@ def test_wilson_lower_bound_ranks_small_n_below_large_n(spark, tmp_path):
         return num / (1.0 + z2 / n)
 
     assert wilson(s3, nd3) < wilson(s100, nd100)
+
+
+def test_levene_hand_case(spark):
+    # group a: 1,3,5 (med 3, z = 2,0,2); group b: 10,10,10,10 (z all 0)
+    # Sz_a=4 Qz_a=8 n_a=3; Sz_b=0 n_b=4; N=7 k=2
+    # tsum = 16/3 + 0; ssb = 16/3 - 16/7; ssw = 8 - 16/3
+    from logpipe_spark.operators.drift import levene_test
+    rows = [("a", 1), ("a", 3), ("a", 5)] + [("b", 10)] * 4
+    df = spark.createDataFrame(rows, "g string, v long")
+    row = levene_test(df, "g", F.col("v")).collect()[0]
+    assert row.n == 7 and row.k == 2
+    assert abs(row.ss_between - (16.0 / 3 - 16.0 / 7)) < 1e-12
+    assert abs(row.ss_within - (8.0 - 16.0 / 3)) < 1e-12
+    f_exp = (row.ss_between / 1.0) / (row.ss_within / 5.0)
+    assert abs(row.f_stat - f_exp) < 1e-12
+
+
+def test_levene_even_group_uses_lower_median(spark):
+    # group a: 1,2,3,4 -> lower median 2 (position (4+1) div 2 = 2),
+    # z = 1,0,1,2; a constant group alone degenerates (ssw=0 filtered)
+    from logpipe_spark.operators.drift import levene_test
+    rows = [("a", 1), ("a", 2), ("a", 3), ("a", 4),
+            ("b", 5), ("b", 7)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    row = levene_test(df, "g", F.col("v")).collect()[0]
+    # z_a sums: S=4, Q=6; z_b: |5-5|,|7-5| -> S=2, Q=4
+    assert row.n == 6 and row.k == 2
+    tsum = 16.0 / 4 + 4.0 / 2
+    assert abs(row.ss_between - (tsum - 36.0 / 6)) < 1e-12
+    assert abs(row.ss_within - (10.0 - tsum)) < 1e-12
+
+
+def test_levene_all_constant_groups_empty(spark):
+    from logpipe_spark.operators.drift import levene_test
+    rows = [("a", 5)] * 3 + [("b", 9)] * 3
+    df = spark.createDataFrame(rows, "g string, v long")
+    assert levene_test(df, "g", F.col("v")).count() == 0
