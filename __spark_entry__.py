@@ -5093,6 +5093,16 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .cast("double")).alias("cell_precision")))
 
 
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Chance-corrected agreement between the n-gram lang_id heuristic
+    # and the upstream lang label (aggregate.cohens_kappa) — the
+    # one-number companion to langid_confusion's per-cell matrix.
+    # NULL predictions are a real category (null-safe diagonal); the
+    # marginal cross term accumulates in DECIMAL(38,0).
+    pred = tq.lang_id(_docs(spark, sf_dir))
+    return agg2.cohens_kappa(pred, "lang", "pred_lang")
+
+
 def q_ann_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH operating curve: recall of the sign-bucket ANN vs brute force
     # at bits=4 and bits=6 (coarser buckets -> more candidates -> higher
@@ -5673,6 +5683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_lloyd": q_kmeans_lloyd,
         "embedding_drift": q_embedding_drift,
         "langid_confusion": q_langid_confusion,
+        "cohens_kappa": q_cohens_kappa,
         "bfs_hops": q_bfs_hops,
         "k_core": q_k_core,
         "ann_index_incr": q_ann_index_incr,
@@ -9353,6 +9364,31 @@ SELECT cells.lang, cells.pred_lang, cells.n, rt.n_true, ct.n_pred,
        cast(cells.n AS double) / cast(ct.n_pred AS double) AS cell_precision
 FROM cells JOIN rt ON cells.lang IS NOT DISTINCT FROM rt.lang
 JOIN ct ON cells.pred_lang IS NOT DISTINCT FROM ct.pred_lang""",
+        # Same oracled lang_id projection; diagonal + marginals with
+        # IS NOT DISTINCT FROM (NULL is a category), cross term in
+        # hugeint, po/pe/kappa identical double compositions.
+        "cohens_kappa": f"""
+WITH p AS ({_lang_oracle()}),
+cells AS (
+  SELECT lang AS a, pred_lang AS b, cast(count(*) AS bigint) AS n
+  FROM p GROUP BY lang, pred_lang),
+rt AS (SELECT a, cast(sum(n) AS bigint) AS ra FROM cells GROUP BY a),
+ct AS (SELECT b, cast(sum(n) AS bigint) AS cb FROM cells GROUP BY b),
+x AS (SELECT cast(sum(cast(ra AS hugeint) * cb) AS hugeint) AS xx
+      FROM rt JOIN ct ON rt.a IS NOT DISTINCT FROM ct.b),
+tot AS (SELECT cast(sum(n) AS bigint) AS n,
+               cast(sum(CASE WHEN a IS NOT DISTINCT FROM b
+                             THEN n ELSE 0 END) AS bigint) AS n_agree
+        FROM cells),
+staged AS (
+  SELECT tot.n, tot.n_agree,
+         cast(tot.n_agree AS double) / cast(tot.n AS double) AS po,
+         coalesce(cast(x.xx AS double), 0.0)
+           / (cast(tot.n AS double) * cast(tot.n AS double)) AS pe
+  FROM tot CROSS JOIN x)
+SELECT n, n_agree, po, pe,
+       CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
+FROM staged""",
         # Truth and both LSH arms are the shared exact-cosine oracles
         # (bucketed at 4 and 6 sign bits); one recall row per setting.
         "ann_bits_sweep": f"""

@@ -1774,3 +1774,59 @@ def autocorr_from_counts(counts: DataFrame,
         "lag", "n_pairs",
         F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy))
          .alias("autocorr_r"))
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Cohen's kappa: chance-corrected agreement between two categorical
+    labelings of the same rows — "do the heuristic classifier and the
+    upstream label actually AGREE beyond what their marginal mixes would
+    produce by luck?" (Cohen 1960). Raw accuracy is misleading when one
+    category dominates; kappa subtracts the expected-by-chance agreement
+    ``pe = Σ_c p_a(c)·p_b(c)``.
+
+    NULL is a real category on both sides (a rater abstaining IS a
+    label): the diagonal and the marginal join use null-safe equality,
+    mirroring DuckDB ``IS NOT DISTINCT FROM``. Every emitted double is a
+    ratio of exact integers: the agreement count and both marginals are
+    bigints, and the cross term Σ_c row_c·col_c accumulates in
+    DECIMAL(38,0) with the cast-before-product discipline (marginal
+    products overflow int64 long before the counts do — corpus²-scale).
+
+    Plan: ONE map-side-combinable (a, b) cell shuffle; everything after
+    runs on the category²-sized cell frame (bounded — do not point this
+    at an unbounded label space). Returns ONE row
+    ``(n, n_agree, po, pe, kappa)``; kappa NULL when pe = 1 (both
+    raters constant — chance explains everything, the statistic
+    degenerates).
+    """
+    cells = (df.groupBy(F.col(rater_a).alias("_a"),
+                        F.col(rater_b).alias("_b"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_n")))
+    rows_t = cells.groupBy("_a").agg(
+        F.sum("_n").cast("bigint").alias("_ra"))
+    cols_t = cells.groupBy("_b").agg(
+        F.sum("_n").cast("bigint").alias("_cb"))
+    d = "decimal(38,0)"
+    cross = (rows_t.join(cols_t, F.col("_a").eqNullSafe(F.col("_b")))
+             .agg(F.sum(F.col("_ra").cast(d) * F.col("_cb").cast(d))
+                  .cast(d).alias("_x")))
+    tot = cells.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("_a").eqNullSafe(F.col("_b")), F.col("_n"))
+              .otherwise(F.lit(0))).cast("bigint").alias("n_agree"))
+    j = tot.crossJoin(F.broadcast(cross))
+    nd = F.col("n").cast("double")
+    po = F.col("n_agree").cast("double") / nd
+    # no shared category between the raters -> empty join -> NULL sum;
+    # chance agreement is genuinely zero then, not unknown
+    pe = F.coalesce(F.col("_x").cast("double"), F.lit(0.0)) / (nd * nd)
+    staged = j.select("n", "n_agree", po.alias("po"), pe.alias("pe"))
+    return staged.select(
+        "n", "n_agree", "po", "pe",
+        F.when(F.col("pe") < 1.0,
+               (F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe")))
+        .alias("kappa"))

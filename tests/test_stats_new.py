@@ -119,3 +119,45 @@ def test_levene_all_constant_groups_empty(spark):
     rows = [("a", 5)] * 3 + [("b", 9)] * 3
     df = spark.createDataFrame(rows, "g string, v long")
     assert levene_test(df, "g", F.col("v")).count() == 0
+
+
+def test_cohens_kappa_hand_case(spark):
+    # classic 2x2: a/a x20, b/b x15, a/b x10, b/a x5 -> n=50, agree=35
+    # po=0.7; marginals a:30/25, b:20/25 -> pe=(750+500)/2500=0.5
+    # kappa = 0.2/0.5 = 0.4
+    from logpipe_spark.operators.aggregate import cohens_kappa
+    rows = ([("a", "a")] * 20 + [("b", "b")] * 15
+            + [("a", "b")] * 10 + [("b", "a")] * 5)
+    df = spark.createDataFrame(rows, "r1 string, r2 string")
+    row = cohens_kappa(df, "r1", "r2").collect()[0]
+    assert row.n == 50 and row.n_agree == 35
+    assert abs(row.po - 0.7) < 1e-15 and abs(row.pe - 0.5) < 1e-15
+    assert abs(row.kappa - 0.4) < 1e-15
+
+
+def test_cohens_kappa_null_is_a_category(spark):
+    # both raters abstain on 2 rows -> those count as agreement
+    from logpipe_spark.operators.aggregate import cohens_kappa
+    rows = [("a", "a"), ("a", "a"), (None, None), (None, None),
+            ("a", None), (None, "a")]
+    df = spark.createDataFrame(rows, "r1 string, r2 string")
+    row = cohens_kappa(df, "r1", "r2").collect()[0]
+    assert row.n == 6 and row.n_agree == 4
+    # marginals: a: (3,3), NULL: (3,3) -> pe = (9+9)/36 = 0.5
+    assert abs(row.pe - 0.5) < 1e-15
+
+
+def test_cohens_kappa_constant_raters_degenerate(spark):
+    from logpipe_spark.operators.aggregate import cohens_kappa
+    df = spark.createDataFrame([("a", "a")] * 5, "r1 string, r2 string")
+    row = cohens_kappa(df, "r1", "r2").collect()[0]
+    assert row.pe == 1.0 and row.kappa is None
+
+
+def test_cohens_kappa_disjoint_categories(spark):
+    # raters never share a category: pe = 0, kappa = po = 0
+    from logpipe_spark.operators.aggregate import cohens_kappa
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "r1 string, r2 string")
+    row = cohens_kappa(df, "r1", "r2").collect()[0]
+    assert row.pe == 0.0 and row.kappa == 0.0
