@@ -3194,6 +3194,20 @@ def q_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars"), F.col("lang") == "en")
 
 
+def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Average precision per source (drift.py:pr_auc): the
+    # imbalanced-data companion to auc_rank on the SAME score/label
+    # frame — ROC AUC flatters rare-positive scores, AP does not.
+    # Thresholds quantized to width-64 score buckets so the ordered
+    # AP fold is k-term (value-range-bounded, never corpus-sized).
+    from logpipe_spark.operators.drift import pr_auc
+
+    docs = _docs(spark, sf_dir)
+    return pr_auc(
+        docs.where(F.col("lang").isNotNull()), "source",
+        F.col("n_chars"), F.col("lang") == "en")
+
+
 def q_gini_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gini gain of source → lang (operators/aggregate.py:gini_gain): the
     # log-free mutual-information analog — which sources are
@@ -5788,6 +5802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_ttest": q_welch_ttest,
         "anova_f": q_anova_f,
         "auc_rank": q_auc_rank,
+        "pr_auc": q_pr_auc,
         "weighted_median": q_weighted_median,
         "mad_stats": q_mad_stats,
         "winsorize": q_winsorize,
@@ -8374,6 +8389,40 @@ SELECT n, kk AS k, ss_between, ss_within,
        (ss_between / (cast(kk AS double) - 1))
          / (ss_within / (cast(n AS double) - cast(kk AS double))) AS f_stat
 FROM stats WHERE ss_within > 0""",
+        # Same score/label frame as auc_rank; width-64 threshold
+        # buckets (floor of double division), per-key descending
+        # cumulative tp/predicted-pos, AP as the descending-bucket
+        # ordered fold of np*tp/pp == Spark's reversed sorted fold.
+        "pr_auc": """
+WITH b AS (SELECT source, cast(n_chars AS bigint) AS v,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM documents
+           WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+pv AS (SELECT source, cast(floor(v / 64.0) AS bigint) AS bkt,
+              cast(sum(pos) AS bigint) AS np,
+              cast(sum(1 - pos) AS bigint) AS nn
+       FROM b GROUP BY source, cast(floor(v / 64.0) AS bigint)),
+c AS (SELECT source, bkt, np, nn,
+             cast(sum(np) OVER (PARTITION BY source ORDER BY bkt DESC)
+                  AS bigint) AS tp,
+             cast(sum(np + nn) OVER (PARTITION BY source ORDER BY bkt DESC)
+                  AS bigint) AS pp
+      FROM pv),
+t AS (SELECT source, bkt, np, nn,
+             cast(np AS double) * tp / pp AS term
+      FROM c),
+g AS (SELECT source,
+             cast(sum(np) AS bigint) AS n_pos,
+             cast(sum(nn) AS bigint) AS n_neg,
+             cast(count(*) AS bigint) AS n_thresholds,
+             list_reduce(
+               list_prepend(cast(0.0 AS double),
+                 list(term ORDER BY bkt DESC)),
+               (acc, x) -> acc + x) AS s
+      FROM t GROUP BY source)
+SELECT source, n_pos, n_neg, n_thresholds,
+       s / cast(n_pos AS double) AS ap
+FROM g WHERE n_pos >= 1""",
         "auc_rank": """
 WITH b AS (SELECT source, cast(n_chars AS bigint) AS v,
                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos

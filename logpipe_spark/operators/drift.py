@@ -45,6 +45,7 @@ __all__ = [
     "auc_rank",
     "changepoint_binseg",
     "levene_test",
+    "pr_auc",
 ]
 
 
@@ -770,3 +771,72 @@ def levene_test(
     z = (base.join(F.broadcast(med), "_k")
          .select("_k", F.abs(F.col("_v") - F.col("_med")).alias("_z")))
     return anova_f(z, "_k", F.col("_z"))
+
+
+def pr_auc(
+    df: DataFrame,
+    key: str,
+    score: Column,
+    label: Column,
+    score_bucket: int = 64,
+    min_pos: int = 1,
+) -> DataFrame:
+    """Per-group average precision (area under the precision–recall
+    curve, step-interpolated like sklearn's ``average_precision``) —
+    the imbalanced-data companion to :func:`auc_rank`: ROC AUC stays
+    optimistic when positives are rare, PR-AUC does not.
+
+    Thresholds are QUANTIZED to fixed-width score buckets
+    (``floor(score / score_bucket)`` via double division, which floors
+    identically for negative scores in both engines — integer div/``//``
+    would not). That bounds the threshold set by the score RANGE, not
+    the corpus, so (a) the per-key cumulative tp/predicted-positive
+    scan runs on a bounded partitioned frame and (b) the final sum is a
+    k-term ordered fold (descending threshold) exactly replayed by
+    DuckDB's ``list_reduce`` — with ``ΔR_t = np_t/Pos``:
+
+        AP = Σ_t np_t · tp_t/(tp_t+fp_t)  / Pos
+
+    Every term mixes the same exact integers into one double in both
+    engines; only the sum needs the ordered fold. Groups with fewer
+    than ``min_pos`` positives are dropped (AP undefined).
+
+    Returns ``(key, n_pos, n_neg, n_thresholds, ap)``.
+    """
+    vi = score.cast("bigint")
+    b = F.floor(vi / F.lit(float(score_bucket))).cast("bigint")
+    per_b = (
+        df.where(vi.isNotNull() & label.isNotNull())
+        .groupBy(key, b.alias("_b"))
+        .agg(
+            F.sum(F.when(label, 1).otherwise(0)).cast("bigint").alias("np"),
+            F.sum(F.when(label, 0).otherwise(1)).cast("bigint").alias("nn"),
+        )
+    )
+    w = (Window.partitionBy(key).orderBy(F.col("_b").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = per_b.select(
+        key, "_b", "np", "nn",
+        F.sum("np").over(w).cast("bigint").alias("_tp"),
+        F.sum(F.col("np") + F.col("nn")).over(w).cast("bigint").alias("_pp"))
+    t = c.select(
+        key, "_b", "np", "nn",
+        (F.col("np").cast("double") * F.col("_tp") / F.col("_pp"))
+        .alias("_term"))
+    g = t.groupBy(key).agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_thresholds"),
+        F.aggregate(
+            F.transform(
+                F.reverse(F.sort_array(F.collect_list(
+                    F.struct("_b", "_term")))),
+                lambda x: x["_term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_s"))
+    return (g.where(F.col("n_pos") >= min_pos)
+            .select(key, "n_pos", "n_neg", "n_thresholds",
+                    (F.col("_s") / F.col("n_pos").cast("double"))
+                    .alias("ap")))

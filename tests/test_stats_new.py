@@ -161,3 +161,36 @@ def test_cohens_kappa_disjoint_categories(spark):
         [("a", "x"), ("b", "y")], "r1 string, r2 string")
     row = cohens_kappa(df, "r1", "r2").collect()[0]
     assert row.pe == 0.0 and row.kappa == 0.0
+
+
+def test_pr_auc_perfect_and_inverted(spark):
+    from logpipe_spark.operators.drift import pr_auc
+    # perfect: the positive outranks the negative -> AP = 1
+    df = spark.createDataFrame(
+        [("k", 100, True), ("k", 10, False)], "g string, v long, y boolean")
+    row = pr_auc(df, "g", F.col("v"), F.col("y")).collect()[0]
+    assert row.n_pos == 1 and row.n_neg == 1 and row.ap == 1.0
+    # inverted: positive ranked below the negative -> AP = P@2 = 0.5
+    df2 = spark.createDataFrame(
+        [("k", 10, True), ("k", 100, False)], "g string, v long, y boolean")
+    row2 = pr_auc(df2, "g", F.col("v"), F.col("y")).collect()[0]
+    assert row2.ap == 0.5
+
+
+def test_pr_auc_hand_case_mixed(spark):
+    from logpipe_spark.operators.drift import pr_auc
+    # buckets (width 1): 300:pos, 200:neg, 100:pos
+    # desc: t1 np=1 tp=1 pp=1 -> 1.0; t2 np=0; t3 np=1 tp=2 pp=3 -> 2/3
+    # AP = (1 + 2/3)/2 = 5/6
+    rows = [("k", 300, True), ("k", 200, False), ("k", 100, True)]
+    df = spark.createDataFrame(rows, "g string, v long, y boolean")
+    row = pr_auc(df, "g", F.col("v"), F.col("y"), score_bucket=1).collect()[0]
+    assert row.n_thresholds == 3
+    assert abs(row.ap - (1.0 + 2.0 / 3.0) / 2.0) < 1e-15
+
+
+def test_pr_auc_no_positives_dropped(spark):
+    from logpipe_spark.operators.drift import pr_auc
+    df = spark.createDataFrame(
+        [("k", 1, False), ("k", 2, False)], "g string, v long, y boolean")
+    assert pr_auc(df, "g", F.col("v"), F.col("y")).count() == 0
