@@ -5472,6 +5472,28 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100 + F.lit(0.5)))
 
 
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 7-day trailing Pearson correlation between daily event count and
+    # daily spend per event type (aggregate.rolling_corr): "are volume
+    # and value still coupled?" — the windowed companion to corr_stats.
+    # Inclusive RANGE [-6, 0] over epoch-day integers on the daily
+    # rollup; cross products in DECIMAL(38,0).
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull() & F.col("ts").isNotNull()
+                 & F.col("event_type").isNotNull())
+          .select("event_type",
+                  F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5))
+                  .cast("bigint").alias("vc")))
+    daily = (ev.groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("x"),
+                  F.sum("vc").cast("bigint").alias("y"))
+             .select("event_type",
+                     F.datediff(F.col("day"), F.lit("1970-01-01"))
+                     .cast("bigint").alias("dnum"), "x", "y"))
+    return agg2.rolling_corr(daily, "event_type", "dnum", "x", "y")
+
+
 def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mann-Kendall monotonic-trend test per event type over the DAILY
     # value series (drift.py:mann_kendall) — the rank companion to
@@ -5685,6 +5707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "kruskal_wallis": q_kruskal_wallis,
         "levene_test": q_levene_test,
+        "rolling_corr": q_rolling_corr,
         "mann_kendall": q_mann_kendall,
         "map_eval": q_map_eval,
         "hazard_curve": q_hazard_curve,
@@ -8349,6 +8372,44 @@ SELECT n, k, ss_between, ss_within,
        (ss_between / (cast(k AS double) - 1))
          / (ss_within / (cast(n AS double) - cast(k AS double))) AS f_stat
 FROM stats WHERE ss_within > 0""",
+        # Same daily rollup; inclusive RANGE [-6,0] over epoch days,
+        # five integer sufficient sums (cross products in hugeint),
+        # identical double composition, flat windows NULL.
+        "rolling_corr": """
+WITH ev AS (
+  SELECT event_type, cast(ts AS date) AS day,
+         cast(floor(value * 100 + 0.5) AS bigint) AS vc
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+daily AS (
+  SELECT event_type,
+         cast(date_diff('day', DATE '1970-01-01', day) AS bigint) AS dnum,
+         cast(count(*) AS bigint) AS x, cast(sum(vc) AS bigint) AS y
+  FROM ev GROUP BY event_type, day),
+s AS (
+  SELECT event_type, dnum,
+         cast(count(*) OVER w AS bigint) AS n,
+         cast(sum(x) OVER w AS bigint) AS sx,
+         cast(sum(y) OVER w AS bigint) AS sy,
+         cast(sum(cast(x AS hugeint) * x) OVER w AS hugeint) AS sxx,
+         cast(sum(cast(y AS hugeint) * y) OVER w AS hugeint) AS syy,
+         cast(sum(cast(x AS hugeint) * y) OVER w AS hugeint) AS sxy
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY dnum
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT event_type, dnum, n AS n_window,
+       CASE WHEN cast(n AS double) * cast(sxx AS double)
+                   - cast(sx AS double) * cast(sx AS double) > 0
+             AND cast(n AS double) * cast(syy AS double)
+                   - cast(sy AS double) * cast(sy AS double) > 0
+            THEN (cast(n AS double) * cast(sxy AS double)
+                    - cast(sx AS double) * cast(sy AS double))
+                 / sqrt((cast(n AS double) * cast(sxx AS double)
+                           - cast(sx AS double) * cast(sx AS double))
+                        * (cast(n AS double) * cast(syy AS double)
+                           - cast(sy AS double) * cast(sy AS double)))
+       END AS r
+FROM s WHERE n >= 3""",
         # Same construction: per-key lower median from cumulative
         # distinct-value counts ((n+1)//2 == Spark's truncating div on
         # positive operands), integer |v - med| deviations, then the

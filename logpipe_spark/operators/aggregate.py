@@ -1830,3 +1830,59 @@ def cohens_kappa(
         F.when(F.col("pe") < 1.0,
                (F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe")))
         .alias("kappa"))
+
+
+def rolling_corr(
+    daily: DataFrame,
+    key: str,
+    ord_col: str,
+    x: str,
+    y: str,
+    window: int = 6,
+    min_points: int = 3,
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two INTEGER series
+    over a pre-aggregated one-row-per-(key, ord) frame — "are volume
+    and spend still moving together this week, per cohort?", the
+    windowed companion to the group-level ``corr_stats``.
+
+    ``ord_col`` must be an integer position (epoch days / hours); the
+    frame is an inclusive RANGE ``[ord-window, ord]``, so gaps in the
+    series shrink ``n`` rather than silently stretching the window —
+    rows, not time, never decide the frame. All five sufficient sums
+    accumulate inside the PARTITIONED window as exact integers (the
+    cross products x·y, x², y² in DECIMAL(38,0) — per-day products of
+    corpus-scale daily aggregates overflow int64, the usual
+    discipline); r composes in doubles cast from those sums in the
+    same order as the DuckDB oracle. Flat windows (either variance 0)
+    emit NULL r rather than ±inf — ANSI division guard.
+
+    Returns ``(key, ord_col, n_window, r)`` for frames with at least
+    ``min_points`` present rows.
+    """
+    from pyspark.sql import Window
+
+    d = "decimal(38,0)"
+    w = (Window.partitionBy(key).orderBy(F.col(ord_col))
+         .rangeBetween(-int(window), 0))
+    xs, ys = F.col(x).cast("bigint"), F.col(y).cast("bigint")
+    s = daily.select(
+        key, ord_col,
+        F.count(F.lit(1)).over(w).cast("bigint").alias("_n"),
+        F.sum(xs).over(w).cast("bigint").alias("_sx"),
+        F.sum(ys).over(w).cast("bigint").alias("_sy"),
+        F.sum(xs.cast(d) * xs.cast(d)).over(w).cast(d).alias("_sxx"),
+        F.sum(ys.cast(d) * ys.cast(d)).over(w).cast(d).alias("_syy"),
+        F.sum(xs.cast(d) * ys.cast(d)).over(w).cast(d).alias("_sxy"))
+    nd = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    varx = nd * sxx - sx * sx
+    vary = nd * syy - sy * sy
+    return (s.where(F.col("_n") >= min_points)
+            .select(key, ord_col,
+                    F.col("_n").alias("n_window"),
+                    F.when((varx > 0) & (vary > 0),
+                           (nd * sxy - sx * sy)
+                           / F.sqrt(varx * vary)).alias("r")))

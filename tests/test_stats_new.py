@@ -194,3 +194,28 @@ def test_pr_auc_no_positives_dropped(spark):
     df = spark.createDataFrame(
         [("k", 1, False), ("k", 2, False)], "g string, v long, y boolean")
     assert pr_auc(df, "g", F.col("v"), F.col("y")).count() == 0
+
+
+def test_rolling_corr_hand_case(spark):
+    from logpipe_spark.operators.aggregate import rolling_corr
+    # perfectly correlated series -> r = 1; anti-correlated -> r = -1
+    rows = [("k", d, d, 2 * d) for d in range(1, 5)]
+    rows += [("m", d, d, 10 - d) for d in range(1, 5)]
+    df = spark.createDataFrame(rows, "g string, dnum long, x long, y long")
+    out = {(r.g, r.dnum): r for r in
+           rolling_corr(df, "g", "dnum", "x", "y").collect()}
+    assert out[("k", 4)].n_window == 4 and out[("k", 4)].r == 1.0
+    assert out[("m", 4)].r == -1.0
+    # first two days lack min_points=3
+    assert ("k", 1) not in out and ("k", 2) not in out
+
+
+def test_rolling_corr_gap_shrinks_frame_and_flat_is_null(spark):
+    from logpipe_spark.operators.aggregate import rolling_corr
+    # days 1,2,3 then a jump to 20: the frame at 20 has only itself
+    rows = [("k", 1, 1, 5), ("k", 2, 2, 5), ("k", 3, 3, 5), ("k", 20, 4, 9)]
+    df = spark.createDataFrame(rows, "g string, dnum long, x long, y long")
+    out = {r.dnum: r for r in
+           rolling_corr(df, "g", "dnum", "x", "y", min_points=1).collect()}
+    assert out[20].n_window == 1 and out[20].r is None  # var 0 -> NULL
+    assert out[3].n_window == 3 and out[3].r is None    # y flat -> NULL
