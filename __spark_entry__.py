@@ -5314,20 +5314,13 @@ def q_sketch_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_p99") - F.col("exact_p99")).alias("err_p99"))
 
 
-def q_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Survival analysis: discrete-time hazard of signup->purchase
-    # conversion with right-censoring at the corpus horizon — per
-    # day-offset d, the users still at risk, first qualifying
-    # purchases, censorings, and the exact hazard n_events/n_risk
-    # (the Kaplan-Meier ingredient; the cumulative product is a
-    # consumer-side fold, order-free per row here). Per-user firsts
-    # are min-aggregates; the at-risk suffix count is total minus the
-    # exclusive prefix via the bucketed prefix scan (day-cardinality
-    # frame, never a single-task global window); the horizon is a
-    # broadcast one-row cross join. day offsets use div on
+def _conversion_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shared signup->purchase duration frame for the survival pair
+    # (q_hazard_curve, q_survival_km): per day-offset, the first
+    # qualifying purchases ("deaths") and right-censorings at the
+    # corpus horizon. Per-user firsts are min-aggregates; the horizon
+    # is a broadcast one-row cross join; day offsets use div on
     # non-negative operands (== DuckDB // there).
-    from logpipe_spark.operators.drift import bucketed_cumsum
-
     tsec = F.col("ts").cast("timestamp").cast("long")
     ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
           .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
@@ -5347,10 +5340,24 @@ def q_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         day.cast("bigint").alias("day_off"),
         F.when(F.col("tp").isNotNull(), F.lit(1)).otherwise(F.lit(0))
         .alias("evf"))
-    counts = (base.groupBy("day_off").agg(
+    return (base.groupBy("day_off").agg(
         F.sum("evf").cast("bigint").alias("n_events"),
         F.sum(F.lit(1) - F.col("evf")).cast("bigint").alias("n_censored"))
         .withColumn("w", F.col("n_events") + F.col("n_censored")))
+
+
+def q_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Survival analysis: discrete-time hazard of signup->purchase
+    # conversion with right-censoring at the corpus horizon — per
+    # day-offset d, the users still at risk, first qualifying
+    # purchases, censorings, and the exact hazard n_events/n_risk
+    # (the Kaplan-Meier ingredient; q_survival_km folds the product).
+    # The at-risk suffix count is total minus the exclusive prefix via
+    # the bucketed prefix scan (day-cardinality frame, never a
+    # single-task global window).
+    from logpipe_spark.operators.drift import bucketed_cumsum
+
+    counts = _conversion_counts(spark, sf_dir)
     cum = bucketed_cumsum(counts.withColumn("_all", F.lit(1)), "_all",
                           ["w"], value_col="day_off", bucket_width=32)
     tot = counts.agg(F.sum("w").cast("bigint").alias("_tot"))
@@ -5360,6 +5367,18 @@ def q_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_off", n_risk.alias("n_risk"), "n_events", "n_censored",
         (F.col("n_events").cast("double") / n_risk.cast("double"))
         .alias("hazard"))
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kaplan-Meier survivor curve over the same signup->purchase
+    # duration frame as q_hazard_curve (aggregate.kaplan_meier):
+    # S(t) = prod_{s<=t} (1 - d_s/n_s). The calendar-bounded counts
+    # frame collects into ONE sorted array; each survivor value is a
+    # prefix-slice SCALAR fold of the per-day factors (ascending t ==
+    # DuckDB list_reduce over list_slice — no struct accumulator).
+    from logpipe_spark.operators.aggregate import kaplan_meier
+
+    return kaplan_meier(_conversion_counts(spark, sf_dir))
 
 
 def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5711,6 +5730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "map_eval": q_map_eval,
         "hazard_curve": q_hazard_curve,
+        "survival_km": q_survival_km,
         "important_stock": q_important_stock,
         "revenue_concentration": q_revenue_concentration,
         "dedup_precision": q_dedup_precision,
@@ -9634,6 +9654,55 @@ SELECT day_off, cast(tot - (cum_w - w) AS bigint) AS n_risk,
        cast(n_events AS double)
          / cast(tot - (cum_w - w) AS double) AS hazard
 FROM c3""",
+        # The hazard construction verbatim, then the KM product: each
+        # survivor value is list_reduce over the rn-prefix slice of the
+        # day-ordered factor list, seed 1.0 — the same scalar
+        # ascending-t fold as Spark's prefix-slice aggregate().
+        "survival_km": """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS t
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+su AS (SELECT user_id, cast(min(t) AS bigint) AS t0 FROM ev
+       WHERE event_type = 'signup' GROUP BY user_id),
+conv AS (
+  SELECT p.user_id, cast(min(p.t) AS bigint) AS tp
+  FROM ev p JOIN su ON p.user_id = su.user_id
+  WHERE p.event_type = 'purchase' AND p.t >= su.t0
+  GROUP BY p.user_id),
+tm AS (SELECT cast(max(t) AS bigint) AS tmax FROM ev),
+users AS (
+  SELECT su.user_id, su.t0, conv.tp, tm.tmax
+  FROM su LEFT JOIN conv ON su.user_id = conv.user_id CROSS JOIN tm),
+base AS (
+  SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400
+              ELSE (tmax - t0) // 86400 END AS day_off,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS evf
+  FROM users),
+counts AS (
+  SELECT cast(day_off AS bigint) AS day_off,
+         cast(sum(evf) AS bigint) AS n_events,
+         cast(sum(1 - evf) AS bigint) AS n_censored
+  FROM base GROUP BY day_off),
+c2 AS (SELECT day_off, n_events, n_censored,
+              n_events + n_censored AS w
+       FROM counts),
+c3 AS (SELECT day_off, n_events, n_censored, w,
+              cast(sum(w) OVER (ORDER BY day_off) AS bigint) AS cum_w,
+              cast(sum(w) OVER () AS bigint) AS tot
+       FROM c2),
+c4 AS (SELECT day_off, cast(tot - (cum_w - w) AS bigint) AS n_risk,
+              n_events, n_censored,
+              1.0 - cast(n_events AS double)
+                    / cast(tot - (cum_w - w) AS double) AS term,
+              cast(row_number() OVER (ORDER BY day_off) AS int) AS rn
+       FROM c3),
+l AS (SELECT list(term ORDER BY day_off) AS terms FROM c4)
+SELECT c4.day_off, c4.n_risk, c4.n_events, c4.n_censored,
+       list_reduce(
+         list_prepend(cast(1.0 AS double),
+           list_slice(l.terms, 1, c4.rn)),
+         (acc, x) -> acc * x) AS survival
+FROM c4 CROSS JOIN l""",
         # Same per-(type,hour) integer sufficient stats; the 24-term
         # S²/n list folds in hour order per type == the keyed Spark
         # ordered fold.

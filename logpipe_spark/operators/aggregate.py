@@ -1886,3 +1886,64 @@ def rolling_corr(
                     F.when((varx > 0) & (vary > 0),
                            (nd * sxy - sx * sy)
                            / F.sqrt(varx * vary)).alias("r")))
+
+
+def kaplan_meier(
+    counts: DataFrame,
+    t_col: str = "day_off",
+    events_col: str = "n_events",
+    censored_col: str = "n_censored",
+) -> DataFrame:
+    """Kaplan–Meier survivor function from a per-time counts frame
+    ``(t, deaths, censored)`` — the cumulative-product completion of
+    the discrete hazard (``q_hazard_curve`` computes h_t = d_t/n_t and
+    leaves the product to the consumer; this IS that consumer):
+
+        S(t) = Π_{s ≤ t} (1 − d_s / n_s),   n_s = at-risk before s.
+
+    The input frame is TIME-cardinality (day offsets within the corpus
+    horizon — bounded by calendar, not corpus), so it collects into ONE
+    sorted array. At-risk counts come from exact integer prefix folds;
+    each survivor value is a PREFIX-SLICE fold of the per-t factors
+    with a SCALAR double accumulator seeded at 1.0, ascending t —
+    exactly DuckDB's ``list_reduce`` over ``list_slice``, sidestepping
+    the list_reduce struct-mutation hazard (CLAUDE.md batch 11) that a
+    (rem, s) pair accumulator would invite. O(T²) multiplies on a
+    calendar-sized T is noise; do NOT point this at an unbounded grid.
+
+    Returns ``(t_col, n_risk, events_col, censored_col, survival)``.
+    """
+    one = counts.agg(F.sort_array(F.collect_list(F.struct(
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(events_col).cast("bigint").alias("d"),
+        F.col(censored_col).cast("bigint").alias("c")))).alias("_arr"))
+    tot = F.aggregate(
+        F.col("_arr"), F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x["d"] + x["c"])
+    # per-element at-risk: total minus the exclusive integer prefix
+    withn = one.select(F.transform(
+        F.col("_arr"),
+        lambda x, i: F.struct(
+            x["t"].alias("t"),
+            (tot - F.aggregate(
+                F.slice(F.col("_arr"), F.lit(1), i),
+                F.lit(0).cast("bigint"),
+                lambda acc, y: acc + y["d"] + y["c"])).alias("n"),
+            x["d"].alias("d"), x["c"].alias("c"))).alias("_arr2"))
+    terms = withn.select(
+        F.col("_arr2"),
+        F.transform(
+            F.col("_arr2"),
+            lambda x: F.lit(1.0) - x["d"].cast("double")
+            / x["n"].cast("double")).alias("_terms"))
+    ex = terms.select(
+        "_terms", F.posexplode("_arr2").alias("_i", "_x"))
+    surv = F.aggregate(
+        F.slice(F.col("_terms"), F.lit(1), F.col("_i") + 1),
+        F.lit(1.0), lambda acc, x: acc * x)
+    return ex.select(
+        F.col("_x")["t"].alias(t_col),
+        F.col("_x")["n"].alias("n_risk"),
+        F.col("_x")["d"].alias(events_col),
+        F.col("_x")["c"].alias(censored_col),
+        surv.alias("survival"))

@@ -219,3 +219,29 @@ def test_rolling_corr_gap_shrinks_frame_and_flat_is_null(spark):
            rolling_corr(df, "g", "dnum", "x", "y", min_points=1).collect()}
     assert out[20].n_window == 1 and out[20].r is None  # var 0 -> NULL
     assert out[3].n_window == 3 and out[3].r is None    # y flat -> NULL
+
+
+def test_kaplan_meier_hand_case(spark):
+    # classic: t=1 d=1/n=4 -> S=3/4; t=2 c=1 (S unchanged, n drops to 2);
+    # t=3 d=1/n=2 -> S = 3/4 * 1/2 = 3/8
+    from logpipe_spark.operators.aggregate import kaplan_meier
+    rows = [(1, 1, 0), (2, 0, 1), (3, 1, 0), (4, 0, 1)]
+    df = spark.createDataFrame(
+        rows, "day_off long, n_events long, n_censored long")
+    out = {r.day_off: r for r in kaplan_meier(df).collect()}
+    assert out[1].n_risk == 4 and abs(out[1].survival - 0.75) < 1e-15
+    assert out[2].n_risk == 3 and abs(out[2].survival - 0.75) < 1e-15
+    assert out[3].n_risk == 2 and abs(out[3].survival - 0.375) < 1e-15
+    assert out[4].n_risk == 1 and abs(out[4].survival - 0.375) < 1e-15
+
+
+def test_kaplan_meier_no_censoring_matches_empirical(spark):
+    # without censoring S(t) is the empirical survivor function
+    from logpipe_spark.operators.aggregate import kaplan_meier
+    rows = [(1, 2, 0), (2, 3, 0), (5, 5, 0)]
+    df = spark.createDataFrame(
+        rows, "day_off long, n_events long, n_censored long")
+    out = {r.day_off: r for r in kaplan_meier(df).collect()}
+    assert abs(out[1].survival - 8.0 / 10) < 1e-15
+    assert abs(out[2].survival - 5.0 / 10) < 1e-15
+    assert abs(out[5].survival - 0.0) < 1e-15
