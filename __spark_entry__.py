@@ -5117,6 +5117,16 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg2.cohens_kappa(pred, "lang", "pred_lang")
 
 
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Broder containment |A∩B|/|A| over word trigrams
+    # (dedup.containment_pairs): the DIRECTIONAL near-dup metric —
+    # catches a doc swallowed whole by a longer one where Jaccard
+    # dilutes below threshold. Ordered-pair candidates from the
+    # inverted shingle index; top-20 by a total order via
+    # orderBy+limit (TakeOrderedAndProject, no global rank window).
+    return dd.containment_pairs(_docs(spark, sf_dir), k=3, top_k=20)
+
+
 def q_ann_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH operating curve: recall of the sign-bucket ANN vs brute force
     # at bits=4 and bits=6 (coarser buckets -> more candidates -> higher
@@ -5741,6 +5751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "langid_confusion": q_langid_confusion,
         "cohens_kappa": q_cohens_kappa,
+        "doc_containment": q_doc_containment,
         "bfs_hops": q_bfs_hops,
         "k_core": q_k_core,
         "ann_index_incr": q_ann_index_incr,
@@ -9494,6 +9505,26 @@ SELECT cells.lang, cells.pred_lang, cells.n, rt.n_true, ct.n_pred,
        cast(cells.n AS double) / cast(ct.n_pred AS double) AS cell_precision
 FROM cells JOIN rt ON cells.lang IS NOT DISTINCT FROM rt.lang
 JOIN ct ON cells.pred_lang IS NOT DISTINCT FROM ct.pred_lang""",
+        # Same trigram shingles; ordered-pair candidates from the
+        # inverted index, exact intersection + |A|, containment as one
+        # integer division, LIMIT under the same total order.
+        "doc_containment": f"""
+WITH {_shingles_cte(3)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id <> b.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, cast(count(*) AS bigint) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b, i.inter, cast(x.sz AS bigint) AS size_a,
+       cast(i.inter AS double) / cast(x.sz AS double) AS containment
+FROM inter i JOIN sz x ON i.doc_a = x.doc_id
+ORDER BY containment DESC, i.doc_a, i.doc_b
+LIMIT 20""",
         # Same oracled lang_id projection; diagonal + marginals with
         # IS NOT DISTINCT FROM (NULL is a category), cross term in
         # hugeint, po/pe/kappa identical double compositions.

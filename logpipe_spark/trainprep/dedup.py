@@ -788,3 +788,52 @@ def strip_dup_spans(docs: DataFrame, text_col: str = "text",
             .cast("int").alias("n_removed"),
         )
     )
+
+
+def containment_pairs(docs: DataFrame, k: int = 3,
+                      max_df: int | None = None, top_k: int = 20,
+                      reuse: str | None = "persist") -> DataFrame:
+    """Asymmetric near-dup detection: Broder containment
+    ``C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|`` — catches
+    a short doc swallowed WHOLE by a longer one (quote expansions,
+    concatenated dumps), where symmetric Jaccard dilutes below any
+    threshold as the container grows. The directional complement to
+    :func:`minhash_lsh_dedup` / :func:`jaccard_pairs`.
+
+    Candidates come from the (optionally df-capped, see
+    :func:`cap_shingles`) inverted shingle index as ORDERED pairs —
+    the metric is directional, so both orientations of an overlapping
+    pair are scored; the exact intersection and |A| run on FULL
+    shingle sets, candidates only. Top-k by
+    ``(containment DESC, doc_a, doc_b)`` — a total order, so the limit
+    is deterministic — via orderBy+limit: TakeOrderedAndProject,
+    distributed partial top-k, never a global rank window.
+
+    Returns ``(doc_a, doc_b, inter, size_a, containment)``: doc_a's
+    shingles are ``containment``-covered by doc_b's.
+    """
+    sh = word_shingles(docs, k=k)
+    if reuse == "persist":
+        from pyspark.storagelevel import StorageLevel
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    cand_src = cap_shingles(sh, max_df) if max_df is not None else sh
+    a = cand_src.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = cand_src.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (a.join(b, "shingle")
+            .where(F.col("doc_a") != F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    ea = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (cand.join(ea, "doc_a")
+             .join(eb, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("inter")))
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size_a"))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .select("doc_a", "doc_b", "inter", "size_a",
+                    (F.col("inter").cast("double")
+                     / F.col("size_a").cast("double")).alias("containment"))
+            .orderBy(F.col("containment").desc(), "doc_a", "doc_b")
+            .limit(int(top_k)))

@@ -575,3 +575,32 @@ def test_postings_incremental_equals_batch(spark, tmp_path):
            for r in build_postings(df, max_postings=4).collect()}
     assert got == exp
     assert got["alpha"] == (30, "0,1,2,3")
+
+
+def test_containment_pairs_asymmetric(spark):
+    # doc 2 is a strict substring of doc 1: containment(2->1) = 1.0
+    # while containment(1->2) < 1 and jaccard would be diluted
+    from logpipe_spark.trainprep.dedup import containment_pairs
+    long = "a b c d e f g h i j k l"
+    short = "c d e f g"
+    other = "x y z w q r"
+    df = spark.createDataFrame(
+        [(1, long), (2, short), (3, other)], "doc_id long, text string")
+    out = {(r.doc_a, r.doc_b): r
+           for r in containment_pairs(df, k=3, reuse=None).collect()}
+    assert out[(2, 1)].containment == 1.0
+    assert out[(2, 1)].inter == 3 and out[(2, 1)].size_a == 3
+    assert out[(1, 2)].containment == 3.0 / 10.0
+    assert (3, 1) not in out and (1, 3) not in out
+
+
+def test_containment_pairs_topk_total_order(spark):
+    from logpipe_spark.trainprep.dedup import containment_pairs
+    texts = [(i, "p q r s t u v") for i in range(1, 6)]  # 5 identical docs
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = containment_pairs(df, k=3, top_k=7, reuse=None).collect()
+    # 20 ordered pairs all at containment 1.0 -> limit keeps the 7
+    # smallest (doc_a, doc_b) under the tie-break
+    assert len(got) == 7
+    assert [(r.doc_a, r.doc_b) for r in got] == [
+        (1, 2), (1, 3), (1, 4), (1, 5), (2, 1), (2, 3), (2, 4)]
