@@ -5501,6 +5501,20 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100 + F.lit(0.5)))
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic Poisson bootstrap (aggregate.bootstrap_ci): 95% CI
+    # for the mean spend per event type from 40 md5-seeded resamples —
+    # the scalable bootstrap (per-row Poisson(1) weights, no global
+    # resample coordination). Weights from INTEGER CDF breakpoints
+    # shared with the oracle; CI bounds are discrete percentiles.
+    from logpipe_spark.operators.aggregate import bootstrap_ci
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return bootstrap_ci(
+        ev, "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)), "event_id")
+
+
 def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 7-day trailing Pearson correlation between daily event count and
     # daily spend per event type (aggregate.rolling_corr): "are volume
@@ -5737,6 +5751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_wallis": q_kruskal_wallis,
         "levene_test": q_levene_test,
         "rolling_corr": q_rolling_corr,
+        "bootstrap_ci": q_bootstrap_ci,
         "mann_kendall": q_mann_kendall,
         "map_eval": q_map_eval,
         "hazard_curve": q_hazard_curve,
@@ -8403,6 +8418,42 @@ SELECT n, k, ss_between, ss_within,
        (ss_between / (cast(k AS double) - 1))
          / (ss_within / (cast(n AS double) - cast(k AS double))) AS f_stat
 FROM stats WHERE ss_within > 0""",
+        # Same md5(id#b) draws against the SAME imported integer CDF
+        # breakpoints (agg2.POISSON1_CDF32), integer (Σw, Σw·x)
+        # partials, discrete-percentile CI bounds via the positive
+        # (a+b-1)//b ceil identity.
+        "bootstrap_ci": f"""
+WITH base AS (
+  SELECT event_type AS k, cast(event_id AS varchar) AS id,
+         cast(floor(value * 100 + 0.5) AS bigint) AS x
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+rs AS (SELECT k, id, x, b FROM base
+       CROSS JOIN (SELECT unnest(generate_series(1, 40)) AS b)),
+hh AS (SELECT k, b, x, md5(id || '#' || cast(b AS varchar)) AS m FROM rs),
+ww AS (SELECT k, b, x,
+              CASE WHEN ({_hexpoly8('m')}) < {agg2.POISSON1_CDF32[0]} THEN 0
+                   WHEN ({_hexpoly8('m')}) < {agg2.POISSON1_CDF32[1]} THEN 1
+                   WHEN ({_hexpoly8('m')}) < {agg2.POISSON1_CDF32[2]} THEN 2
+                   WHEN ({_hexpoly8('m')}) < {agg2.POISSON1_CDF32[3]} THEN 3
+                   WHEN ({_hexpoly8('m')}) < {agg2.POISSON1_CDF32[4]} THEN 4
+                   WHEN ({_hexpoly8('m')}) < {agg2.POISSON1_CDF32[5]} THEN 5
+                   ELSE 6 END AS w
+       FROM hh),
+per AS (SELECT k, b, cast(sum(w) AS bigint) AS sw,
+               cast(sum(w * x) AS bigint) AS swx
+        FROM ww GROUP BY k, b),
+means AS (SELECT k, cast(swx AS double) / cast(sw AS double) AS mb
+          FROM per WHERE sw > 0),
+ag AS (SELECT k, cast(count(*) AS bigint) AS m_n,
+              list(mb ORDER BY mb) AS arr
+       FROM means GROUP BY k),
+fl AS (SELECT k, cast(count(*) AS bigint) AS n,
+              cast(sum(x) AS double) / cast(count(*) AS double) AS mean
+       FROM base GROUP BY k)
+SELECT fl.k AS event_type, fl.n, fl.mean, ag.m_n AS n_resamples,
+       arr[cast(((25 * m_n) + 999) // 1000 AS int)] AS ci_lo,
+       arr[cast(((975 * m_n) + 999) // 1000 AS int)] AS ci_hi
+FROM fl JOIN ag ON fl.k = ag.k""",
         # Same daily rollup; inclusive RANGE [-6,0] over epoch days,
         # five integer sufficient sums (cross products in hugeint),
         # identical double composition, flat windows NULL.

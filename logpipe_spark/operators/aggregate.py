@@ -1947,3 +1947,82 @@ def kaplan_meier(
         F.col("_x")["d"].alias(events_col),
         F.col("_x")["c"].alias(censored_col),
         surv.alias("survival"))
+
+
+# Poisson(1) CDF breakpoints scaled to the 32-bit hash space:
+# P(X <= k) * 2^32 for k = 0..5 (weights beyond 6 are ~1e-7 and capped).
+# INTEGER literals so the weight assignment is an integer comparison in
+# both engines — no float-literal parsing in the hot path. The oracle
+# imports THIS tuple, so the two sides cannot drift.
+POISSON1_CDF32 = (1580030168, 3160060337, 3950075421,
+                  4213413783, 4279248373, 4292415291)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    id_col: str,
+    n_resamples: int = 40,
+    lo_permille: int = 25,
+    hi_permille: int = 975,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-group mean —
+    THE scalable bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012): instead of resampling n
+    rows with replacement (which needs global coordination), every row
+    draws an independent Poisson(1) replication weight per resample, a
+    pure map-side projection. Deterministic here: the weight comes
+    from md5(row id, resample index) against integer-scaled Poisson
+    CDF breakpoints (:data:`POISSON1_CDF32`), so both engines draw
+    bit-identical resamples — a reproducible bootstrap, which a seeded
+    RNG can never give cross-engine.
+
+    Plan: explode ``sequence(1, B)`` (projection-only fan-out in the
+    scan task — no extra input I/O), ONE map-side-combinable
+    (key, b) shuffle of integer (Σw, Σw·x), then everything runs on
+    the B×key-cardinality frame. CI bounds are DISCRETE percentiles of
+    the B resample means — rank selection via ceil((p·m)/1000) with
+    the positive-operand (a+b−1) div b identity, picking an existing
+    double, never interpolating. Pass an INTEGER ``value`` (cents).
+
+    Returns ``(key, n, mean, n_resamples, ci_lo, ci_hi)``.
+    """
+    vi = value.cast("bigint")
+    base = (df.where(vi.isNotNull() & F.col(key).isNotNull())
+            .select(F.col(key).alias("_k"),
+                    F.col(id_col).cast("string").alias("_id"),
+                    vi.alias("_x")))
+    rs = base.select(
+        "_k", "_id", "_x",
+        F.explode(F.sequence(F.lit(1), F.lit(int(n_resamples))))
+        .alias("_b"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("_id"), F.lit("#"),
+                           F.col("_b").cast("string"))), 1, 8),
+        16, 10).cast("bigint")
+    w: Column = F.lit(6)
+    for k_, t in reversed(list(enumerate(POISSON1_CDF32))):
+        w = F.when(h < F.lit(t), F.lit(k_)).otherwise(w)
+    per = (rs.select("_k", "_b", "_x", w.alias("_w"))
+           .groupBy("_k", "_b")
+           .agg(F.sum("_w").cast("bigint").alias("_sw"),
+                F.sum(F.col("_w") * F.col("_x")).cast("bigint")
+                .alias("_swx")))
+    means = (per.where(F.col("_sw") > 0)
+             .select("_k", (F.col("_swx").cast("double")
+                            / F.col("_sw").cast("double")).alias("_mb")))
+    ag = means.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_resamples"),
+        F.sort_array(F.collect_list("_mb")).alias("_arr"))
+    full = base.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("_x").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("mean"))
+    lo_pos = F.expr(f"(({lo_permille} * n_resamples) + 999) div 1000")
+    hi_pos = F.expr(f"(({hi_permille} * n_resamples) + 999) div 1000")
+    return (full.join(ag, "_k")
+            .select(F.col("_k").alias(key), "n", "mean", "n_resamples",
+                    F.element_at("_arr", lo_pos.cast("int")).alias("ci_lo"),
+                    F.element_at("_arr", hi_pos.cast("int")).alias("ci_hi")))

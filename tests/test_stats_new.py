@@ -245,3 +245,27 @@ def test_kaplan_meier_no_censoring_matches_empirical(spark):
     assert abs(out[1].survival - 8.0 / 10) < 1e-15
     assert abs(out[2].survival - 5.0 / 10) < 1e-15
     assert abs(out[5].survival - 0.0) < 1e-15
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from logpipe_spark.operators.aggregate import bootstrap_ci
+    rows = [("k", i, 100 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    r1 = bootstrap_ci(df, "g", F.col("v"), "id").collect()[0]
+    r2 = bootstrap_ci(df, "g", F.col("v"), "id").collect()[0]
+    assert r1 == r2  # same hash draws -> bit-identical CI
+    assert r1.n == 200 and r1.n_resamples == 40
+    assert r1.ci_lo <= r1.mean <= r1.ci_hi
+    assert r1.ci_lo < r1.ci_hi  # non-degenerate on a varying metric
+    # CI width sane: well under the full value spread
+    assert r1.ci_hi - r1.ci_lo < 7
+
+
+def test_bootstrap_ci_positions_with_default_b(spark):
+    # m=40 resamples -> lo pos (25*40+999)//1000 = 1, hi = 39
+    from logpipe_spark.operators.aggregate import bootstrap_ci
+    rows = [("k", i, 50) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    r = bootstrap_ci(df, "g", F.col("v"), "id").collect()[0]
+    # constant metric: every resample mean is exactly 50
+    assert r.ci_lo == 50.0 and r.ci_hi == 50.0 and r.mean == 50.0
