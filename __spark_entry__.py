@@ -2593,6 +2593,17 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_lift(_events(spark, sf_dir), "user_id", "event_type")
 
 
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Frequent 3-itemsets over per-user event-type baskets
+    # (assoc.frequent_triples): the k=3 lattice level above
+    # cooccurrence_lift — triples emitted narrowly from each sorted
+    # basket array (no self-joins); lift3 vs full independence in
+    # doubles cast from exact counts.
+    from logpipe_spark.operators.assoc import frequent_triples
+
+    return frequent_triples(_events(spark, sf_dir), "user_id", "event_type")
+
+
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact weighted (lower) median per return flag: price cents weighted
     # by quantity (operators/aggregate.py:weighted_median — RANGE-frame
@@ -5860,6 +5871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_customers": q_idle_customers,
         "kmv_set_ops": q_kmv_set_ops,
         "cooccurrence_lift": q_cooccurrence_lift,
+        "frequent_triples": q_frequent_triples,
         "bloom_prune": q_bloom_prune,
         "snapshot_diff": q_snapshot_diff,
         "scd2_intervals": q_scd2_intervals,
@@ -7964,6 +7976,33 @@ SELECT pc.item_a, pc.item_b, ia.n_i AS n_a, ib.n_i AS n_b, pc.n_ab,
 FROM pc
 JOIN ic ia ON ia.item = pc.item_a
 JOIN ic ib ON ib.item = pc.item_b
+CROSS JOIN t""",
+        # Same distinct-membership baskets; the three-way join with
+        # strictly increasing items == the narrow in-array triple
+        # generation; lift3 composes left-to-right in doubles.
+        "frequent_triples": """
+WITH b AS (
+  SELECT DISTINCT user_id AS basket, event_type AS item FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+t AS (SELECT cast(count(DISTINCT basket) AS bigint) AS n_baskets FROM b),
+ic AS (SELECT item, cast(count(*) AS bigint) AS n_i FROM b GROUP BY item),
+tc AS (
+  SELECT x.item AS item_a, y.item AS item_b, z.item AS item_c,
+         cast(count(*) AS bigint) AS n_abc
+  FROM b x
+  JOIN b y ON x.basket = y.basket AND x.item < y.item
+  JOIN b z ON x.basket = z.basket AND y.item < z.item
+  GROUP BY x.item, y.item, z.item)
+SELECT tc.item_a, tc.item_b, tc.item_c,
+       ia.n_i AS n_a, ib.n_i AS n_b, ic2.n_i AS n_c,
+       tc.n_abc, t.n_baskets,
+       tc.n_abc / cast(t.n_baskets AS double) AS support,
+       (cast(tc.n_abc AS double) * t.n_baskets * t.n_baskets)
+         / (cast(ia.n_i AS double) * ib.n_i * ic2.n_i) AS lift3
+FROM tc
+JOIN ic ia ON ia.item = tc.item_a
+JOIN ic ib ON ib.item = tc.item_b
+JOIN ic ic2 ON ic2.item = tc.item_c
 CROSS JOIN t""",
         "weighted_median": """
 WITH b AS (

@@ -35,7 +35,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cooccurrence_lift", "item_similarity"]
+__all__ = ["cooccurrence_lift", "item_similarity", "frequent_triples"]
+
+
+def _basket_arrays(df: DataFrame, basket_col: str, item_col: str,
+                   max_items: int | None) -> DataFrame:
+    """Shared basket materialization for the itemset miners: one row
+    per basket with its sorted distinct-item array. Fast path is ONE
+    map-side-combinable collect_set shuffle; the ``max_items`` cap
+    path dedups via groupBy then caps with a spill-safe row_number
+    window over (md5(item), item) BEFORE any array forms — a
+    vocabulary-sized degenerate basket never builds an unbounded
+    aggregation buffer (see module docstring)."""
+    rows = (
+        df.select(F.col(basket_col).alias("basket"),
+                  F.col(item_col).alias("item"))
+        .where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+    )
+    if max_items is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("basket").orderBy(
+            F.md5(F.col("item").cast("string")), "item")
+        return (
+            rows.groupBy("basket", "item").agg(F.lit(1).alias("_one"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= int(max_items))
+            .groupBy("basket")
+            .agg(F.array_sort(F.collect_list("item")).alias("items"))
+        )
+    return (
+        rows.groupBy("basket")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+    )
 
 
 def cooccurrence_lift(
@@ -55,41 +87,7 @@ def cooccurrence_lift(
     association). All counts are over DISTINCT basket membership —
     repeat occurrences within a basket count once.
     """
-    rows = (
-        df.select(F.col(basket_col).alias("basket"),
-                  F.col(item_col).alias("item"))
-        .where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
-    )
-    if max_items is not None:
-        # BOUNDED-STATE cap path: the cap must run BEFORE any per-basket
-        # array materializes, or a vocabulary-sized basket blows the
-        # collect_set aggregation buffer (the exact case the cap exists
-        # for). Dedup via groupBy (map-side combinable), then a
-        # row_number window over (md5(item), item) — sort-based, spills
-        # to disk — keeps the max_items lowest-md5 items
-        # deterministically; only then does the ≤max_items array form.
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("basket").orderBy(
-            F.md5(F.col("item").cast("string")), "item")
-        deduped = (
-            rows.groupBy("basket", "item").agg(F.lit(1).alias("_one"))
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= int(max_items))
-            .groupBy("basket")
-            .agg(F.array_sort(F.collect_list("item")).alias("items"))
-        )
-    else:
-        # fast path: ONE hash shuffle total for both dedup and pair
-        # generation — collect_set is map-side combinable and the pairs
-        # are emitted NARROWLY from the array (no self-join). Array size
-        # is the basket's distinct-item count: acceptable only when the
-        # caller guarantees bounded baskets; pass max_items otherwise.
-        deduped = (
-            rows.groupBy("basket")
-            .agg(F.array_sort(F.collect_set("item")).alias("items"))
-        )
-    baskets = deduped.persist()
+    baskets = _basket_arrays(df, basket_col, item_col, max_items).persist()
 
     total = baskets.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
@@ -175,4 +173,74 @@ def item_similarity(
         (nab / (nad + nbd - nab)).alias("jaccard"),
         (F.lit(2.0) * nab / (nad + nbd)).alias("dice"),
         (nab / F.least(nad, nbd)).alias("overlap"),
+    )
+
+
+def frequent_triples(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_items: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Frequent 3-itemsets: per ordered triple ``item_a < item_b <
+    item_c``, the baskets containing all three, with support and the
+    three-way lift against full independence — one lattice level above
+    :func:`cooccurrence_lift` (Agrawal & Srikant's counting pass at
+    k=3; deeper levels are driver-sized once these counts exist).
+
+    Same scale shape as the pair miner: baskets via
+    :func:`_basket_arrays` (ONE shuffle, optional bounded-state cap),
+    triples emitted NARROWLY from each sorted array (no self-joins;
+    fan-out C(d,3) with d capped by ``max_items`` — cap aggressively,
+    the cube grows fast). ``lift3 = n_abc·N² / (n_a·n_b·n_c)``
+    composes in doubles cast from exact counts (two corpus-scale
+    factors overflow int64; same discipline as the pair lift).
+
+    Returns ``(item_a, item_b, item_c, n_a, n_b, n_c, n_abc,
+    n_baskets, support, lift3)``.
+    """
+    baskets = _basket_arrays(df, basket_col, item_col, max_items).persist()
+
+    total = baskets.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    item_counts = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("n_i"))
+    )
+    # triples from the sorted array: strictly increasing positions, so
+    # each unordered triple is emitted exactly once, narrowly
+    triples_expr = F.expr(
+        "flatten(transform(items, (x, i) -> "
+        "flatten(transform(slice(items, i + 2, size(items)), (y, j) -> "
+        "transform(slice(items, i + j + 3, size(items)), z -> "
+        "struct(x AS item_a, y AS item_b, z AS item_c))))))")
+    triple_counts = (
+        baskets.select(F.explode(triples_expr).alias("t"))
+        .select("t.item_a", "t.item_b", "t.item_c")
+        .groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_abc"))
+        .where(F.col("n_abc") >= int(min_count))
+    )
+    num = (F.col("n_abc").cast("double") * F.col("n_baskets")
+           * F.col("n_baskets"))
+    den = (F.col("n_a").cast("double") * F.col("n_b") * F.col("n_c"))
+    return (
+        triple_counts
+        .join(F.broadcast(item_counts.select(
+            F.col("item").alias("item_a"), F.col("n_i").alias("n_a"))),
+            "item_a")
+        .join(F.broadcast(item_counts.select(
+            F.col("item").alias("item_b"), F.col("n_i").alias("n_b"))),
+            "item_b")
+        .join(F.broadcast(item_counts.select(
+            F.col("item").alias("item_c"), F.col("n_i").alias("n_c"))),
+            "item_c")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item_a", "item_b", "item_c", "n_a", "n_b", "n_c",
+            "n_abc", "n_baskets",
+            (F.col("n_abc") / F.col("n_baskets")).alias("support"),
+            (num / den).alias("lift3"),
+        )
     )

@@ -269,3 +269,33 @@ def test_rrf_fuse_properties(spark):
     # the doc present in both rankers outranks same-rank singles
     order = sorted(got.values(), key=lambda r: (-r.rrf, r.doc_id))
     assert order[0].doc_id == 11
+
+
+def test_frequent_triples_hand_case(spark):
+    from logpipe_spark.operators.assoc import frequent_triples
+    out = {(r.item_a, r.item_b, r.item_c): r
+           for r in frequent_triples(
+               _baskets(spark), "basket", "item").collect()}
+    # only basket 2 = {a,b,c} holds a triple; N=4, n_a=4 n_b=2 n_c=2
+    assert set(out) == {("a", "b", "c")}
+    r = out[("a", "b", "c")]
+    assert (r.n_abc, r.n_a, r.n_b, r.n_c, r.n_baskets) == (1, 4, 2, 2, 4)
+    assert r.support == 1 / 4
+    assert r.lift3 == (1.0 * 4 * 4) / (4.0 * 2 * 2)
+
+
+def test_frequent_triples_emits_each_triple_once(spark):
+    from logpipe_spark.operators.assoc import frequent_triples
+    rows = [(1, x) for x in "abcd"]  # C(4,3) = 4 triples, each count 1
+    df = spark.createDataFrame(rows, "basket int, item string")
+    got = frequent_triples(df, "basket", "item").collect()
+    assert len(got) == 4 and all(r.n_abc == 1 for r in got)
+    assert all(r.item_a < r.item_b < r.item_c for r in got)
+
+
+def test_frequent_triples_cap_bounds_cube(spark):
+    from logpipe_spark.operators.assoc import frequent_triples
+    rows = [(1, f"w{i:02d}") for i in range(20)]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    capped = frequent_triples(df, "basket", "item", max_items=5)
+    assert capped.count() == 10  # C(5,3)
