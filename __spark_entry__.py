@@ -5128,6 +5128,14 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg2.cohens_kappa(pred, "lang", "pred_lang")
 
 
+def q_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lexical richness per source (textqual.lexical_stats): vocabulary,
+    # token count, hapax tail, and the TTR/hapax ratios — collapsed
+    # richness flags templated or synthetic sources. One (source,
+    # token) count shuffle; ratios are raw integer divisions.
+    return tq.lexical_stats(_docs(spark, sf_dir))
+
+
 def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Broder containment |A∩B|/|A| over word trigrams
     # (dedup.containment_pairs): the DIRECTIONAL near-dup metric —
@@ -5778,6 +5786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": q_langid_confusion,
         "cohens_kappa": q_cohens_kappa,
         "doc_containment": q_doc_containment,
+        "lexical_stats": q_lexical_stats,
         "bfs_hops": q_bfs_hops,
         "k_core": q_k_core,
         "ann_index_incr": q_ann_index_incr,
@@ -9595,6 +9604,24 @@ SELECT cells.lang, cells.pred_lang, cells.n, rt.n_true, ct.n_pred,
        cast(cells.n AS double) / cast(ct.n_pred AS double) AS cell_precision
 FROM cells JOIN rt ON cells.lang IS NOT DISTINCT FROM rt.lang
 JOIN ct ON cells.pred_lang IS NOT DISTINCT FROM ct.pred_lang""",
+        # Same whitespace split; (source, token) counts, hapax = c=1,
+        # ratios as single integer divisions.
+        "lexical_stats": """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+pt AS (SELECT source, tok, cast(count(*) AS bigint) AS c
+       FROM toks GROUP BY source, tok),
+g AS (SELECT source,
+             cast(count(*) AS bigint) AS vocab,
+             cast(sum(c) AS bigint) AS n_tokens,
+             cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS bigint)
+               AS hapax
+      FROM pt GROUP BY source)
+SELECT source, vocab, n_tokens, hapax,
+       cast(vocab AS double) / cast(n_tokens AS double) AS ttr,
+       cast(hapax AS double) / cast(vocab AS double) AS hapax_ratio
+FROM g""",
         # Same trigram shingles; ordered-pair candidates from the
         # inverted index, exact intersection + |A|, containment as one
         # integer division, LIMIT under the same total order.

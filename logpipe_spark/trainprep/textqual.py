@@ -512,3 +512,38 @@ def doc_novelty(docs: DataFrame, text_col: str = "text",
                 (F.col("n_novel").cast("double")
                  / F.col("n_distinct_grams")).alias("novelty"))
     )
+
+
+def lexical_stats(docs: DataFrame, key: str = "source",
+                  text_col: str = "text") -> DataFrame:
+    """Per-``key`` lexical richness profile: vocabulary size, token
+    count, hapax-legomenon count (tokens seen exactly once), and the
+    derived type-token and hapax ratios — the corpus-health companion
+    to ``vocab_overlap`` (a synthetic or template-heavy source shows a
+    collapsed TTR and a starved hapax tail long before eyeballing
+    finds it; Baayen, "Word Frequency Distributions").
+
+    ONE (key, token) count shuffle — map-side combinable — then a
+    key-cardinality reduction; both ratios are single divisions of
+    exact integers (raw doubles, never rounded). Tokenization is the
+    shared whitespace split (`F.split` == DuckDB ``string_split``).
+
+    Returns ``(key, vocab, n_tokens, hapax, ttr, hapax_ratio)``.
+    """
+    toks = (docs.where(F.col(text_col).isNotNull()
+                       & F.col(key).isNotNull())
+            .select(key, F.explode(F.split(F.col(text_col), " "))
+                    .alias("_tok")))
+    per_tok = toks.groupBy(key, "_tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c"))
+    g = per_tok.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("_c").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("hapax"))
+    return g.select(
+        key, "vocab", "n_tokens", "hapax",
+        (F.col("vocab").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("ttr"),
+        (F.col("hapax").cast("double") / F.col("vocab").cast("double"))
+        .alias("hapax_ratio"))

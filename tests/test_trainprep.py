@@ -550,6 +550,23 @@ def test_doc_novelty_order_semantics(spark):
     assert out[3].novelty == 0.0                 # exact late duplicate
 
 
+def test_lexical_stats_counts(spark):
+    from logpipe_spark.trainprep.textqual import lexical_stats
+
+    docs = spark.createDataFrame(
+        [("a", "x y x z"), ("a", "x w"), ("b", "q q q"),
+         ("b", None), (None, "dropped")],
+        "source string, text string")
+    out = {r.source: r for r in
+           lexical_stats(docs, key="source").collect()}
+    assert set(out) == {"a", "b"}
+    # a: tokens x,y,x,z,x,w -> vocab {x,y,z,w}, hapax {y,z,w}
+    assert (out["a"].vocab, out["a"].n_tokens, out["a"].hapax) == (4, 6, 3)
+    assert out["a"].ttr == 4 / 6 and out["a"].hapax_ratio == 3 / 4
+    # b: q q q -> vocab 1, no hapax; null text row ignored
+    assert (out["b"].vocab, out["b"].n_tokens, out["b"].hapax) == (1, 3, 0)
+
+
 # ------------------------------------------- incremental postings index
 
 def test_postings_incremental_equals_batch(spark, tmp_path):
