@@ -5718,6 +5718,115 @@ def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# NDCG@10 discount weights 1/log2(r+1) and their prefix sums (ideal DCG
+# for R relevant hits), computed ONCE in Python and embedded as literal
+# doubles on BOTH sides (the benford_digits pattern): shortest-repr
+# round-trip guarantees bit-identical doubles in Spark and DuckDB, so no
+# engine ever evaluates a log.
+import math as _math  # noqa: E402
+
+_NDCG_W = [1.0 / _math.log2(r + 1) for r in range(1, 11)]
+_NDCG_IDCG = []
+for _w in _NDCG_W:
+    _NDCG_IDCG.append((_NDCG_IDCG[-1] if _NDCG_IDCG else 0.0) + _w)
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NDCG@10 retrieval eval per query over the exact cosine top-10
+    # (the graded-rank companion to mrr_eval/map_eval): binary gains,
+    # DCG = Σ hit_r · w_r with w_r = 1/log2(r+1) LITERAL doubles (no
+    # engine evaluates a log — see _NDCG_W above), IDCG looked up from
+    # the literal prefix-sum table by n_rel. The ≤10-term double sum is
+    # an ordered fold (rank asc) exactly replayed by DuckDB list_reduce
+    # (the pr_auc pattern); ndcg is ONE double division dcg/idcg.
+    emb = _emb(spark, sf_dir)
+    top = sim.ann_bruteforce_topk(emb, k=10)
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("label").alias("_nl"))
+    qlab = emb.select(F.col("vec_id").alias("query_id"),
+                      F.col("label").cast("int").alias("true_label"))
+    warr = F.array(*[F.lit(w) for w in _NDCG_W])
+    iarr = F.array(*[F.lit(v) for v in _NDCG_IDCG])
+    h = (top.join(lab, "neighbor_id").join(qlab, "query_id")
+         .select("query_id", "true_label", "rank",
+                 F.when(F.col("_nl") == F.col("true_label"), F.lit(1))
+                 .otherwise(F.lit(0)).cast("bigint").alias("hit")))
+    t = h.select(
+        "query_id", "true_label", "rank", "hit",
+        F.when(F.col("hit") == 1, F.element_at(warr, F.col("rank")))
+        .otherwise(F.lit(0.0)).alias("_term"))
+    g = t.groupBy("query_id", "true_label").agg(
+        F.sum("hit").cast("bigint").alias("n_rel"),
+        F.aggregate(
+            F.transform(F.sort_array(F.collect_list(
+                F.struct("rank", "_term"))), lambda x: x["_term"]),
+            F.lit(0.0), lambda acc, x: acc + x).alias("_dcg"))
+    return g.select(
+        "query_id", "true_label", "n_rel",
+        F.when(F.col("n_rel") > 0,
+               F.col("_dcg")
+               / F.element_at(iarr, F.col("n_rel").cast("int")))
+        .otherwise(F.lit(0.0)).alias("ndcg"))
+
+
+def q_precision_recall_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Precision/recall/F1 @5 per query over the exact cosine top-5:
+    # recall's denominator is the CORPUS-WIDE relevant count (same-label
+    # vectors minus self), a 10-row broadcast dimension — every metric
+    # is a division of exact integers, and F1 combines the two identical
+    # doubles the same way in both engines (guarded: rel=0 or p+r=0
+    # emit 0.0, never an ANSI division crash).
+    emb = _emb(spark, sf_dir)
+    top = sim.ann_bruteforce_topk(emb, k=10).where(F.col("rank") <= 5)
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("label").alias("_nl"))
+    qlab = emb.select(F.col("vec_id").alias("query_id"),
+                      F.col("label").cast("int").alias("true_label"))
+    reltot = (emb.groupBy(F.col("label").cast("int").alias("true_label"))
+              .agg((F.count(F.lit(1)) - 1).cast("bigint").alias("n_rel_total")))
+    g = (top.join(lab, "neighbor_id").join(qlab, "query_id")
+         .groupBy("query_id", "true_label")
+         .agg(F.sum(F.when(F.col("_nl") == F.col("true_label"), 1)
+                    .otherwise(0)).cast("bigint").alias("hits_at_5")))
+    j = g.join(F.broadcast(reltot), "true_label")
+    p = F.col("hits_at_5").cast("double") / F.lit(5.0)
+    r = F.when(F.col("n_rel_total") > 0,
+               F.col("hits_at_5").cast("double") / F.col("n_rel_total"))\
+         .otherwise(F.lit(0.0))
+    j = j.select("query_id", "true_label", "hits_at_5", "n_rel_total",
+                 p.alias("p_at_5"), r.alias("r_at_5"))
+    return j.withColumn(
+        "f1_at_5",
+        F.when(F.col("p_at_5") + F.col("r_at_5") > 0,
+               F.lit(2.0) * F.col("p_at_5") * F.col("r_at_5")
+               / (F.col("p_at_5") + F.col("r_at_5")))
+        .otherwise(F.lit(0.0)))
+
+
+def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reliability diagram (model-calibration eval): bucket the value
+    # "score" into fixed $25 bins and compare mean predicted value vs
+    # the observed error rate per bin. One map-side-combinable shuffle
+    # to bin cardinality (~20 rows regardless of corpus size); means
+    # stay exact as INTEGER cent sums (never a float sum), each output
+    # double is one division of identical operands in both engines.
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull())
+          .select(F.floor(F.col("value") * 100 + F.lit(0.5))
+                  .cast("bigint").alias("cents"),
+                  F.when(F.col("event_type") == "error", 1)
+                  .otherwise(0).cast("bigint").alias("pos")))
+    g = (ev.groupBy(F.expr("cents div 2500").alias("_b"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("pos").cast("bigint").alias("n_pos"),
+              F.sum("cents").cast("bigint").alias("cents_sum")))
+    return g.select(
+        (F.col("_b").cast("double") * F.lit(25.0)).alias("bucket_lo"),
+        "n", "n_pos",
+        (F.col("cents_sum") / (F.lit(100.0) * F.col("n"))).alias("mean_pred"),
+        (F.col("n_pos").cast("double") / F.col("n")).alias("pos_rate"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_summary(spark, derive_transcripts(spark, "/root/testdata/sf0.001"))
@@ -5792,6 +5901,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_incr": q_ann_index_incr,
         "ann_rebalanced": q_ann_rebalanced,
         "quantile_sketch": q_quantile_sketch,
+        "ndcg_eval": q_ndcg_eval,
+        "precision_recall_k": q_precision_recall_k,
+        "calibration_curve": q_calibration_curve,
         "quantile_sketch_merged": q_quantile_sketch_merged,
         "slo_burn": q_slo_burn,
         "dup_spans": q_dup_spans,
@@ -10074,6 +10186,70 @@ SELECT rs.s_suppkey, rs.s_name,
        cast(sum(dom.q) AS bigint) AS dom_qty
 FROM dom JOIN rs ON dom.l_suppkey = rs.s_suppkey
 GROUP BY rs.s_suppkey, rs.s_name""",
+        # NDCG@10: discount weights / ideal-DCG prefix sums are the SAME
+        # shortest-repr literals Spark embeds (_NDCG_W / _NDCG_IDCG);
+        # the <=10-term double sum replays rank-ascending via list_reduce.
+        "ndcg_eval": f"""
+WITH ann AS ({_ann_oracle(k=10, bucketed=False, bits=6)}),
+h AS (SELECT a.query_id, cast(q.label AS int) AS true_label, a.rank,
+             CASE WHEN nb.label = q.label THEN 1 ELSE 0 END AS hit
+      FROM ann a
+      JOIN embeddings nb ON a.neighbor_id = nb.vec_id
+      JOIN embeddings q ON a.query_id = q.vec_id),
+t AS (SELECT query_id, true_label, rank, hit,
+             CASE WHEN hit = 1 THEN
+               list_extract([{', '.join(f'{w!r}e0' for w in _NDCG_W)}], rank)
+             ELSE 0.0 END AS term
+      FROM h),
+g AS (SELECT query_id, true_label,
+             cast(sum(hit) AS bigint) AS n_rel,
+             list_reduce(
+               list_prepend(cast(0.0 AS double),
+                 list(term ORDER BY rank)),
+               (acc, x) -> acc + x) AS dcg
+      FROM t GROUP BY query_id, true_label)
+SELECT query_id, true_label, n_rel,
+       CASE WHEN n_rel > 0 THEN
+         dcg / list_extract([{', '.join(f'{v!r}e0' for v in _NDCG_IDCG)}],
+                            cast(n_rel AS int))
+       ELSE 0.0 END AS ndcg
+FROM g""",
+        "precision_recall_k": f"""
+WITH ann AS ({_ann_oracle(k=10, bucketed=False, bits=6)}),
+rel AS (SELECT cast(label AS int) AS true_label,
+               cast(count(*) - 1 AS bigint) AS n_rel_total
+        FROM embeddings GROUP BY cast(label AS int)),
+g AS (SELECT a.query_id, cast(q.label AS int) AS true_label,
+             cast(sum(CASE WHEN nb.label = q.label THEN 1 ELSE 0 END)
+                  AS bigint) AS hits_at_5
+      FROM ann a
+      JOIN embeddings nb ON a.neighbor_id = nb.vec_id
+      JOIN embeddings q ON a.query_id = q.vec_id
+      WHERE a.rank <= 5
+      GROUP BY a.query_id, cast(q.label AS int)),
+m AS (SELECT g.query_id, g.true_label, g.hits_at_5, rel.n_rel_total,
+             cast(hits_at_5 AS double) / 5.0 AS p_at_5,
+             CASE WHEN n_rel_total > 0
+                  THEN cast(hits_at_5 AS double) / n_rel_total
+                  ELSE 0.0 END AS r_at_5
+      FROM g JOIN rel ON g.true_label = rel.true_label)
+SELECT query_id, true_label, hits_at_5, n_rel_total, p_at_5, r_at_5,
+       CASE WHEN p_at_5 + r_at_5 > 0
+            THEN 2.0 * p_at_5 * r_at_5 / (p_at_5 + r_at_5)
+            ELSE 0.0 END AS f1_at_5
+FROM m""",
+        "calibration_curve": """
+WITH b AS (SELECT cast(floor(value * 100 + 0.5) AS bigint) AS cents,
+                  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS pos
+           FROM events WHERE value IS NOT NULL),
+g AS (SELECT cents // 2500 AS b2, cast(count(*) AS bigint) AS n,
+             cast(sum(pos) AS bigint) AS n_pos,
+             cast(sum(cents) AS bigint) AS cents_sum
+      FROM b GROUP BY cents // 2500)
+SELECT cast(b2 AS double) * 25.0 AS bucket_lo, n, n_pos,
+       cents_sum / (100.0 * n) AS mean_pred,
+       cast(n_pos AS double) / n AS pos_rate
+FROM g""",
     }
 
 
