@@ -5827,6 +5827,57 @@ def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_pos").cast("double") / F.col("n")).alias("pos_rate"))
 
 
+def q_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Matched-pairs location test (drift.py:wilcoxon_signed): per
+    # signup-month cohort, did each user's purchase spend systematically
+    # exceed their click spend? One map-side-combinable shuffle builds
+    # the per-user pair frame (integer cents), the rank scan windows on
+    # the per-cohort distinct-|d| frame.
+    from logpipe_spark.operators.drift import wilcoxon_signed
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull())
+          .select("user_id", "event_type",
+                  F.col("ts").cast("timestamp").alias("ts"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5))
+                  .cast("bigint").alias("cents")))
+    per_user = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("month", F.min("ts"))).alias("cohort"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("cents")))
+        .cast("bigint").alias("pc"),
+        F.sum(F.when(F.col("event_type") == "click", F.col("cents")))
+        .cast("bigint").alias("cc"))
+    pairs = (per_user
+             .where(F.col("pc").isNotNull() & F.col("cc").isNotNull())
+             .select("cohort", (F.col("pc") - F.col("cc")).alias("d")))
+    return wilcoxon_signed(pairs, "cohort", F.col("d"))
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wald–Wolfowitz randomness audit (drift.py:runs_test): per event
+    # type, do above/below-median values cluster in time (regime
+    # persistence) or alternate? Sign threshold is the discrete lower
+    # median; ordering is the tie-free (ts, event_id).
+    from logpipe_spark.operators.drift import runs_test
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull())
+          .select("event_type",
+                  F.col("ts").cast("timestamp").alias("ts"), "event_id",
+                  F.floor(F.col("value") * 100 + F.lit(0.5))
+                  .cast("bigint").alias("cents")))
+    return runs_test(ev, "event_type", ["ts", "event_id"],
+                     F.col("cents"))
+
+
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ordinal effect size per source (drift.py:cliffs_delta): how much
+    # LONGER are English docs than non-English, on the robust
+    # P(x>y) - P(x<y) scale (ties counted in neither direction).
+    from logpipe_spark.operators.drift import cliffs_delta
+    docs = _docs(spark, sf_dir)
+    return cliffs_delta(docs, "source", F.col("n_chars"),
+                        F.col("lang") == "en")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_summary(spark, derive_transcripts(spark, "/root/testdata/sf0.001"))
@@ -5904,6 +5955,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": q_ndcg_eval,
         "precision_recall_k": q_precision_recall_k,
         "calibration_curve": q_calibration_curve,
+        "wilcoxon_signed": q_wilcoxon_signed,
+        "runs_test": q_runs_test,
+        "cliffs_delta": q_cliffs_delta,
         "quantile_sketch_merged": q_quantile_sketch_merged,
         "slo_burn": q_slo_burn,
         "dup_spans": q_dup_spans,
@@ -10250,6 +10304,122 @@ SELECT cast(b2 AS double) * 25.0 AS bucket_lo, n, n_pos,
        cents_sum / (100.0 * n) AS mean_pred,
        cast(n_pos AS double) / n AS pos_rate
 FROM g""",
+        # Wilcoxon signed-rank: doubled tie-averaged ranks stay integral,
+        # DECIMAL(38,0) rank sums, z composes the same doubles in the
+        # same order as drift.py:wilcoxon_signed.
+        "wilcoxon_signed": """
+WITH e AS (SELECT user_id, event_type, ts,
+                  cast(floor(value * 100 + 0.5) AS bigint) AS cents
+           FROM events WHERE value IS NOT NULL),
+u AS (SELECT user_id,
+             cast(date_trunc('month', min(ts)) AS date) AS cohort,
+             sum(CASE WHEN event_type = 'purchase' THEN cents END) AS pc,
+             sum(CASE WHEN event_type = 'click' THEN cents END) AS cc
+      FROM e GROUP BY user_id),
+p AS (SELECT cohort, cast(pc - cc AS bigint) AS dv
+      FROM u WHERE pc IS NOT NULL AND cc IS NOT NULL AND pc != cc),
+a AS (SELECT cohort, abs(dv) AS av, cast(count(*) AS bigint) AS t,
+             cast(sum(CASE WHEN dv > 0 THEN 1 ELSE 0 END) AS bigint) AS tp
+      FROM p GROUP BY cohort, abs(dv)),
+r AS (SELECT cohort, t, tp,
+             cast(2 * (sum(t) OVER (PARTITION BY cohort ORDER BY av) - t)
+                  + t + 1 AS bigint) AS r2
+      FROM a),
+g AS (SELECT cohort, cast(sum(t) AS bigint) AS n_pairs,
+             sum(cast(tp AS decimal(38,0)) * cast(r2 AS decimal(38,0)))
+               AS w2p,
+             sum(cast(t AS decimal(38,0)) * cast(t AS decimal(38,0))
+                 * cast(t AS decimal(38,0)) - cast(t AS decimal(38,0)))
+               AS tt
+      FROM r GROUP BY cohort)
+SELECT cohort, n_pairs,
+       cast(w2p AS double) AS w2_plus,
+       CASE WHEN cast(n_pairs AS double) * (cast(n_pairs AS double) + 1.0)
+                 * (2.0 * cast(n_pairs AS double) + 1.0) / 6.0
+                 - cast(tt AS double) / 12.0 > 0
+            THEN (cast(w2p AS double)
+                  - cast(n_pairs AS double)
+                    * (cast(n_pairs AS double) + 1.0) / 2.0)
+                 / sqrt(cast(n_pairs AS double)
+                        * (cast(n_pairs AS double) + 1.0)
+                        * (2.0 * cast(n_pairs AS double) + 1.0) / 6.0
+                        - cast(tt AS double) / 12.0)
+       END AS z
+FROM g""",
+        "runs_test": """
+WITH e AS (SELECT event_type, ts, event_id,
+                  cast(floor(value * 100 + 0.5) AS bigint) AS v
+           FROM events WHERE value IS NOT NULL),
+pv AS (SELECT event_type, v, cast(count(*) AS bigint) AS t
+       FROM e GROUP BY event_type, v),
+tot AS (SELECT event_type, cast(sum(t) AS bigint) AS n
+        FROM pv GROUP BY event_type),
+cum AS (SELECT pv.event_type, v,
+               sum(t) OVER (PARTITION BY pv.event_type ORDER BY v) AS c,
+               n
+        FROM pv JOIN tot ON pv.event_type = tot.event_type),
+med AS (SELECT event_type,
+               min(CASE WHEN c >= (n + 1) // 2 THEN v END) AS med
+        FROM cum GROUP BY event_type),
+s AS (SELECT e.event_type, ts, event_id, e.v > med AS sgn
+      FROM e JOIN med ON e.event_type = med.event_type
+      WHERE e.v != med),
+c2 AS (SELECT event_type, sgn,
+              CASE WHEN lag(sgn) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) IS NULL
+                   THEN 1
+                   WHEN sgn != lag(sgn) OVER (PARTITION BY event_type
+                                              ORDER BY ts, event_id)
+                   THEN 1 ELSE 0 END AS chg
+       FROM s),
+g AS (SELECT event_type,
+             cast(sum(CASE WHEN sgn THEN 1 ELSE 0 END) AS bigint) AS n_pos,
+             cast(sum(CASE WHEN sgn THEN 0 ELSE 1 END) AS bigint) AS n_neg,
+             cast(sum(chg) AS bigint) AS n_runs
+      FROM c2 GROUP BY event_type)
+SELECT event_type, n_pos, n_neg, n_runs,
+       CASE WHEN 2.0 * cast(n_pos AS double) * cast(n_neg AS double)
+                 * (2.0 * cast(n_pos AS double) * cast(n_neg AS double)
+                    - cast(n_pos + n_neg AS double)) > 0
+            THEN (cast(n_runs AS double)
+                  - (2.0 * cast(n_pos AS double) * cast(n_neg AS double)
+                     / cast(n_pos + n_neg AS double) + 1.0))
+                 / sqrt(2.0 * cast(n_pos AS double) * cast(n_neg AS double)
+                        * (2.0 * cast(n_pos AS double)
+                           * cast(n_neg AS double)
+                           - cast(n_pos + n_neg AS double))
+                        / (cast(n_pos + n_neg AS double)
+                           * cast(n_pos + n_neg AS double)
+                           * (cast(n_pos + n_neg AS double) - 1.0)))
+       END AS z
+FROM g WHERE n_pos > 0 AND n_neg > 0""",
+        "cliffs_delta": """
+WITH b AS (SELECT source, cast(n_chars AS bigint) AS v,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM documents
+           WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+                 AND source IS NOT NULL),
+pv AS (SELECT source, v, cast(sum(pos) AS bigint) AS np,
+              cast(sum(1 - pos) AS bigint) AS nn
+       FROM b GROUP BY source, v),
+c AS (SELECT source, np, nn,
+             cast(sum(nn) OVER (PARTITION BY source ORDER BY v)
+                  AS bigint) AS cumn
+      FROM pv),
+g AS (SELECT source,
+             cast(sum(np) AS bigint) AS n_pos,
+             cast(sum(nn) AS bigint) AS n_neg,
+             sum(cast(np AS decimal(38,0))
+                 * cast(cumn - nn AS decimal(38,0))) AS gt,
+             sum(cast(np AS decimal(38,0))
+                 * cast(nn AS decimal(38,0))) AS ties
+      FROM c GROUP BY source)
+SELECT source, n_pos, n_neg,
+       (cast(gt AS double)
+        - cast(cast(n_pos AS decimal(38,0)) * cast(n_neg AS decimal(38,0))
+               - gt - ties AS double))
+       / (cast(n_pos AS double) * cast(n_neg AS double)) AS delta
+FROM g WHERE n_pos > 0 AND n_neg > 0""",
     }
 
 

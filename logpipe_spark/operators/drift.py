@@ -46,6 +46,9 @@ __all__ = [
     "changepoint_binseg",
     "levene_test",
     "pr_auc",
+    "wilcoxon_signed",
+    "runs_test",
+    "cliffs_delta",
 ]
 
 
@@ -840,3 +843,187 @@ def pr_auc(
             .select(key, "n_pos", "n_neg", "n_thresholds",
                     (F.col("_s") / F.col("n_pos").cast("double"))
                     .alias("ap")))
+
+
+def wilcoxon_signed(
+    pairs: DataFrame,
+    key: str,
+    diff: Column,
+) -> DataFrame:
+    """Wilcoxon signed-rank test per ``key`` group over paired INTEGER
+    differences (cents / micros — the caller builds one row per pair).
+
+    The matched-pairs companion to :func:`mann_whitney_u`: "did metric A
+    systematically exceed metric B for the same subject?" without a
+    normality assumption. Zero differences are dropped (standard
+    practice); |d| ranks are tie-averaged and DOUBLED so they stay
+    integral (``2*rbar = 2*start + t + 1``), accumulated in
+    DECIMAL(38,0) per the int64-overflow discipline. The normal
+    approximation composes in doubles from the same exact operands in
+    the same order as the DuckDB oracle:
+
+        mu2  = n(n+1)/2                      (E[2W+])
+        var2 = n(n+1)(2n+1)/6 - T/12         (Var[2W+], T = sum(t^3 - t))
+        z    = (2W+ - mu2) / sqrt(var2)
+
+    The rank scan windows on the per-(key, |d|) DISTINCT-value frame —
+    corpus order vanishes in the first map-side-combinable shuffle, and
+    the window frame is value-cardinality-sized per group, never a
+    single-reducer corpus scan.
+
+    Returns ``(key, n_pairs, w2_plus, z)``; ``z`` is NULL when the
+    variance degenerates (fewer than 2 usable pairs).
+    """
+    d = "decimal(38,0)"
+    base = (pairs.where(diff.isNotNull() & (diff != 0)
+                        & F.col(key).isNotNull())
+            .select(F.col(key).alias("_k"),
+                    F.abs(diff).cast("bigint").alias("_a"),
+                    (diff > 0).alias("_pos")))
+    per_a = base.groupBy("_k", "_a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0))
+        .cast("bigint").alias("tp"))
+    w = (Window.partitionBy("_k").orderBy("_a")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r = per_a.select(
+        "_k", "t", "tp",
+        (2 * (F.sum("t").over(w) - F.col("t")) + F.col("t") + 1)
+        .cast("bigint").alias("r2"))
+    td = F.col("t").cast(d)
+    g = r.groupBy("_k").agg(
+        F.sum("t").cast("bigint").alias("n_pairs"),
+        F.sum(F.col("tp").cast(d) * F.col("r2").cast(d)).cast(d)
+        .alias("_w2p"),
+        F.sum(td * td * td - td).cast(d).alias("_tt"))
+    nd = F.col("n_pairs").cast("double")
+    mu2 = nd * (nd + F.lit(1.0)) / F.lit(2.0)
+    var2 = (nd * (nd + F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(1.0))
+            / F.lit(6.0) - F.col("_tt").cast("double") / F.lit(12.0))
+    w2p = F.col("_w2p").cast("double")
+    return g.select(
+        F.col("_k").alias(key), "n_pairs",
+        w2p.alias("w2_plus"),
+        F.when(var2 > 0, (w2p - mu2) / F.sqrt(var2)).alias("z"))
+
+
+def runs_test(
+    df: DataFrame,
+    key: str,
+    order: Sequence[str],
+    value: Column,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per ``key`` group: is the sequence of
+    above/below-median signs RANDOM in ``order``, or does it cluster
+    (regime persistence) / alternate (oscillation)?
+
+    The sign threshold is the group's DISCRETE lower median (smallest
+    value whose cumulative count reaches ``(n+1) div 2`` over the
+    per-distinct-value frame — integer-exact in both engines, the
+    percentiles_disc pattern); rows EQUAL to the median are dropped
+    (standard practice). The run count is ``1 + sum(sign != lag sign)``
+    via one lag window per group in deterministic ``order`` (callers
+    pass a tie-free ordering, e.g. ``(ts, event_id)``). The normal
+    approximation composes in doubles from exact integers, identically
+    ordered in the DuckDB oracle (``p = 2*n1*n2``):
+
+        mu  = p/n + 1
+        var = p*(p - n) / (n^2 * (n-1))
+        z   = (R - mu) / sqrt(var)
+
+    Returns ``(key, n_pos, n_neg, n_runs, z)``; ``z`` NULL when the
+    variance degenerates (p == n, i.e. a 1x1 split).
+    """
+    vi = value.cast("bigint")
+    base = (df.where(vi.isNotNull() & F.col(key).isNotNull())
+            .select(F.col(key).alias("_k"), *order, vi.alias("_v")))
+    per_v = base.groupBy("_k", "_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"))
+    tot = per_v.groupBy("_k").agg(F.sum("t").cast("bigint").alias("_n"))
+    wv = (Window.partitionBy("_k").orderBy("_v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = per_v.select("_k", "_v", F.sum("t").over(wv).alias("_cum"))
+    med = (cum.join(tot, "_k")
+           .groupBy("_k")
+           .agg(F.min(F.when(
+               F.col("_cum") >= F.expr("(_n + 1) div 2"),
+               F.col("_v"))).alias("_med")))
+    s = (base.join(med, "_k")
+         .where(F.col("_v") != F.col("_med"))
+         .select("_k", *order, (F.col("_v") > F.col("_med")).alias("_s")))
+    wo = Window.partitionBy("_k").orderBy(*order)
+    chg = s.select(
+        "_k", "_s",
+        F.when(F.lag("_s").over(wo).isNull(), 1)
+        .when(F.col("_s") != F.lag("_s").over(wo), 1)
+        .otherwise(0).cast("bigint").alias("_chg"))
+    g = chg.groupBy("_k").agg(
+        F.sum(F.when(F.col("_s"), 1).otherwise(0)).cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("_s"), 0).otherwise(1)).cast("bigint")
+        .alias("n_neg"),
+        F.sum("_chg").cast("bigint").alias("n_runs"))
+    nd = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    p = F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
+    mu = p / nd + F.lit(1.0)
+    var = p * (p - nd) / (nd * nd * (nd - F.lit(1.0)))
+    return (g.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+            .select(F.col("_k").alias(key), "n_pos", "n_neg", "n_runs",
+                    F.when(var > 0,
+                           (F.col("n_runs").cast("double") - mu)
+                           / F.sqrt(var)).alias("z")))
+
+
+def cliffs_delta(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    label: Column,
+) -> DataFrame:
+    """Cliff's delta effect size per ``key`` group: P(x > y) - P(x < y)
+    for positive-label x vs negative-label y — the ORDINAL effect-size
+    companion to :func:`auc_rank` (delta = 2*AUC - 1 under no ties, but
+    reported on its own [-1, 1] scale with ties counted in neither
+    direction, the published definition).
+
+    Same scan shape as auc_rank: per-(key, distinct value) pos/neg
+    counts, one cumulative window over the value-cardinality frame,
+    then gt/lt pair counts accumulate as DECIMAL(38,0) products (the
+    int64-overflow discipline — n1*n2 at corpus scale overflows long
+    before either count does). delta is ONE double division of the
+    exact pair counts.
+
+    Returns ``(key, n_pos, n_neg, delta)`` for groups with both labels.
+    """
+    d = "decimal(38,0)"
+    vi = value.cast("bigint")
+    base = (df.where(vi.isNotNull() & label.isNotNull()
+                     & F.col(key).isNotNull())
+            .select(F.col(key).alias("_k"), vi.alias("_v"),
+                    F.when(label, 1).otherwise(0).alias("_pos")))
+    pv = base.groupBy("_k", "_v").agg(
+        F.sum("_pos").cast("bigint").alias("np"),
+        F.sum(1 - F.col("_pos")).cast("bigint").alias("nn"))
+    w = (Window.partitionBy("_k").orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = pv.select(
+        "_k", "np", "nn",
+        F.sum("nn").over(w).cast("bigint").alias("_cumn"))
+    # pairs tied on value sit in NEITHER direction (the published
+    # definition), so lt = n1*n2 - gt - ties
+    j = c.groupBy("_k").agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+        F.sum(F.col("np").cast(d)
+              * (F.col("_cumn") - F.col("nn")).cast(d)).cast(d)
+        .alias("_gt"),
+        F.sum(F.col("np").cast(d) * F.col("nn").cast(d)).cast(d)
+        .alias("_ties"))
+    gtd = F.col("_gt").cast("double")
+    ltd = (F.col("n_pos").cast(d) * F.col("n_neg").cast(d)
+           - F.col("_gt") - F.col("_ties")).cast("double")
+    return (j.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+            .select(F.col("_k").alias(key), "n_pos", "n_neg",
+                    ((gtd - ltd)
+                     / (F.col("n_pos").cast("double")
+                        * F.col("n_neg").cast("double"))).alias("delta")))
