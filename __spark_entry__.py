@@ -5878,6 +5878,74 @@ def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("lang") == "en")
 
 
+def q_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Apdex SLO scorecard per tool: each turn's latency (integer micros
+    # between consecutive turns) is judged against ITS OWN (role, tool)
+    # SLA from the broadcast lookup dimension — satisfied <= T,
+    # tolerating <= 4T, apdex = (2·sat + tol) / (2·n), one division of
+    # exact integer counts. One conv-partitioned lag window + one
+    # map-side-combinable shuffle to tool cardinality.
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lat = (F.unix_micros(F.col("ts").cast("timestamp"))
+           - F.unix_micros(F.lag("ts").over(w).cast("timestamp")))
+    lk = lookup_df(spark).select("role", "tool", "sla_ms")
+    j = (t.withColumn("_lat", lat.cast("bigint"))
+         .where(F.col("_lat").isNotNull())
+         .join(F.broadcast(lk), ["role", "tool"]))
+    thr = F.col("sla_ms").cast("bigint") * 1000
+    g = j.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum(F.when(F.col("_lat") <= thr, 1).otherwise(0))
+        .cast("bigint").alias("n_satisfied"),
+        F.sum(F.when((F.col("_lat") > thr) & (F.col("_lat") <= 4 * thr), 1)
+              .otherwise(0)).cast("bigint").alias("n_tolerating"))
+    return g.select(
+        "tool", "n_turns", "n_satisfied", "n_tolerating",
+        ((2 * F.col("n_satisfied") + F.col("n_tolerating")).cast("double")
+         / (2 * F.col("n_turns")).cast("double")).alias("apdex"))
+
+
+def q_quality_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Curation pruning curve (textqual.quality_prune_curve): docs/tokens
+    # retained per quality threshold on the integer score grid.
+    return tq.quality_prune_curve(_docs(spark, sf_dir))
+
+
+def q_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Total-variation distance of each source's doc-length distribution
+    # vs the corpus (the log-free sibling of PSI/KL — those never pass
+    # an exact cross-engine gate): TVD = 0.5·Σ_b |p_b − q_b| over fixed
+    # width-64 buckets. Per-bucket terms are divisions of exact int64
+    # counts; the Σ over the bounded bucket set is an ordered fold
+    # (bucket asc) replayed by DuckDB list_reduce. Sources missing a
+    # corpus bucket still contribute q_b via the broadcast bucket grid.
+    docs = (_docs(spark, sf_dir)
+            .where(F.col("n_chars").isNotNull() & F.col("source").isNotNull())
+            .select("source",
+                    F.expr("cast(n_chars AS bigint) div 64").alias("_b")))
+    sb = docs.groupBy("source", "_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_m"))
+    tot_s = sb.groupBy("source").agg(
+        F.sum("_m").cast("bigint").alias("_n"))
+    cb = sb.groupBy("_b").agg(F.sum("_m").cast("bigint").alias("_mb"))
+    tot = cb.agg(F.sum("_mb").cast("bigint").alias("_nn"))
+    grid = (tot_s.crossJoin(F.broadcast(cb))
+            .join(sb, ["source", "_b"], "left")
+            .crossJoin(F.broadcast(tot)))
+    term = F.abs(
+        F.coalesce(F.col("_m"), F.lit(0)).cast("double") / F.col("_n")
+        - F.col("_mb").cast("double") / F.col("_nn"))
+    g = grid.select("source", "_n", "_b", term.alias("_term")).groupBy(
+        "source", F.col("_n").alias("n_docs")).agg(
+        F.aggregate(
+            F.transform(F.sort_array(F.collect_list(
+                F.struct("_b", "_term"))), lambda x: x["_term"]),
+            F.lit(0.0), lambda acc, x: acc + x).alias("_s"))
+    return g.select("source", "n_docs",
+                    (F.col("_s") / F.lit(2.0)).alias("tvd"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_summary(spark, derive_transcripts(spark, "/root/testdata/sf0.001"))
@@ -5958,6 +6026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilcoxon_signed": q_wilcoxon_signed,
         "runs_test": q_runs_test,
         "cliffs_delta": q_cliffs_delta,
+        "apdex_score": q_apdex_score,
+        "quality_prune_curve": q_quality_prune_curve,
+        "tv_drift": q_tv_drift,
         "quantile_sketch_merged": q_quantile_sketch_merged,
         "slo_burn": q_slo_burn,
         "dup_spans": q_dup_spans,
@@ -6184,6 +6255,9 @@ def _oracle_sql_base() -> dict[str, str]:
     PE = _oracle_prefix(with_enrich=True)
     benford_case = " ".join(
         f"WHEN {d} THEN {v!r}" for d, v in BENFORD_EXPECTED.items())
+    qp_stop = " + ".join(
+        _occ_sql("' ' || replace(text, ' ', '  ') || ' '", f" {w} ")
+        for w in tq.STOPWORDS)
     ewma_a, ewma_m = repr(0.3), repr(1.0 - 0.3)
     holt_a, holt_ma = repr(0.3), repr(1.0 - 0.3)
     holt_b, holt_mb = repr(0.1), repr(1.0 - 0.1)
@@ -10420,6 +10494,82 @@ SELECT source, n_pos, n_neg,
                - gt - ties AS double))
        / (cast(n_pos AS double) * cast(n_neg AS double)) AS delta
 FROM g WHERE n_pos > 0 AND n_neg > 0""",
+        "apdex_score": f"""{P},
+lat AS (
+  SELECT role, tool,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY conv_id
+                                               ORDER BY turn_idx)) AS l
+  FROM transcripts),
+j AS (
+  SELECT lat.tool, l, lookup.sla_ms
+  FROM lat JOIN {lookup_values_sql()}
+    ON lat.role = lookup.role AND lat.tool = lookup.tool
+  WHERE l IS NOT NULL),
+g AS (
+  SELECT tool, cast(count(*) AS bigint) AS n_turns,
+         cast(sum(CASE WHEN l <= sla_ms * 1000 THEN 1 ELSE 0 END)
+              AS bigint) AS n_satisfied,
+         cast(sum(CASE WHEN l > sla_ms * 1000
+                        AND l <= 4 * (sla_ms * 1000) THEN 1 ELSE 0 END)
+              AS bigint) AS n_tolerating
+  FROM j GROUP BY tool)
+SELECT tool, n_turns, n_satisfied, n_tolerating,
+       cast(2 * n_satisfied + n_tolerating AS double)
+         / cast(2 * n_turns AS double) AS apdex
+FROM g""",
+        "quality_prune_curve": f"""
+WITH q AS (
+  SELECT length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         {qp_stop} AS stop_hits
+  FROM documents),
+i AS (
+  SELECT cast(n_tokens AS bigint) AS nt,
+         cast(least(n_tokens, 100) * n_tokens
+              + 60 * least(stop_hits * 5, n_tokens)
+              + 40 * n_tokens * (CASE WHEN n_chars - n_tokens + 1
+                                      BETWEEN 3 * n_tokens AND 8 * n_tokens
+                                      THEN 1 ELSE 0 END) AS bigint) AS num
+  FROM q),
+b AS (
+  SELECT num // (10 * nt) AS bkt,
+         cast(count(*) AS bigint) AS docs,
+         cast(sum(nt) AS bigint) AS toks
+  FROM i GROUP BY num // (10 * nt)),
+c AS (
+  SELECT bkt,
+         cast(sum(docs) OVER (ORDER BY bkt DESC) AS bigint) AS docs_kept,
+         cast(sum(toks) OVER (ORDER BY bkt DESC) AS bigint) AS tokens_kept
+  FROM b),
+t AS (SELECT cast(sum(docs) AS bigint) AS td,
+             cast(sum(toks) AS bigint) AS tt FROM b)
+SELECT cast(bkt AS double) / 20.0 AS threshold, docs_kept, tokens_kept,
+       cast(docs_kept AS double) / cast(td AS double) AS doc_frac,
+       cast(tokens_kept AS double) / cast(tt AS double) AS token_frac
+FROM c CROSS JOIN t""",
+        "tv_drift": """
+WITH d AS (SELECT source, cast(n_chars AS bigint) // 64 AS b
+           FROM documents
+           WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+sb AS (SELECT source, b, cast(count(*) AS bigint) AS m
+       FROM d GROUP BY source, b),
+ts AS (SELECT source, cast(sum(m) AS bigint) AS n FROM sb GROUP BY source),
+cb AS (SELECT b, cast(sum(m) AS bigint) AS mb FROM sb GROUP BY b),
+tot AS (SELECT cast(sum(mb) AS bigint) AS nn FROM cb),
+grid AS (
+  SELECT ts.source, ts.n, cb.b, cb.mb, tot.nn,
+         abs(cast(coalesce(sb.m, 0) AS double) / ts.n
+             - cast(cb.mb AS double) / tot.nn) AS term
+  FROM ts CROSS JOIN cb
+  LEFT JOIN sb ON sb.source = ts.source AND sb.b = cb.b
+  CROSS JOIN tot),
+g AS (SELECT source, n AS n_docs,
+             list_reduce(
+               list_prepend(cast(0.0 AS double),
+                 list(term ORDER BY b)),
+               (acc, x) -> acc + x) AS s
+      FROM grid GROUP BY source, n)
+SELECT source, n_docs, s / 2.0 AS tvd FROM g""",
     }
 
 

@@ -547,3 +547,66 @@ def lexical_stats(docs: DataFrame, key: str = "source",
         .alias("ttr"),
         (F.col("hapax").cast("double") / F.col("vocab").cast("double"))
         .alias("hapax_ratio"))
+
+
+def quality_prune_curve(docs: DataFrame, text_col: str = "text",
+                        buckets: int = 20) -> DataFrame:
+    """Quality-threshold pruning curve: for each score threshold on the
+    ``quality_score`` grid, how many documents and tokens survive — the
+    curve a curation pipeline reads to pick its quality cutoff (keep 80%
+    of tokens vs keep only the top decile).
+
+    The score stays the INTEGER fraction ``num / (200·n_tokens)`` from
+    :func:`quality_score`, so the bucket is pure integer division
+    ``num div (n_tokens·200/buckets)`` (non-negative — Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree) and never
+    touches a float. One map-side-combinable shuffle collapses the
+    corpus to ≤ buckets+1 rows; the suffix-cumulative scan and the
+    totals broadcast both run on that bounded frame (the single-task
+    window is 21 rows, not a corpus scan). Every emitted fraction is
+    one double division of exact int64 sums.
+
+    Returns one row per occupied bucket: ``(threshold, docs_kept,
+    tokens_kept, doc_frac, token_frac)`` — "keeping docs with quality >=
+    threshold retains this many docs/tokens".
+    """
+    from pyspark.sql import Window
+
+    assert 200 % buckets == 0, "bucket grid must divide the score scale"
+    text = F.col(text_col)
+    padded = _padded_wide(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(F.split(text, " "))
+    stop_hits = sum(
+        (_occ_simple(padded, f" {w} ") for w in STOPWORDS), start=F.lit(0))
+    num2 = n_chars - n_tokens + 1
+    ind = F.when((num2 >= 3 * n_tokens) & (num2 <= 8 * n_tokens),
+                 F.lit(1)).otherwise(F.lit(0))
+    num = (
+        F.least(n_tokens, F.lit(100)) * n_tokens
+        + F.lit(60) * F.least(stop_hits * 5, n_tokens)
+        + F.lit(40) * n_tokens * ind
+    )
+    width = 200 // buckets
+    b = (docs.select(num.cast("bigint").alias("_num"),
+                     n_tokens.cast("bigint").alias("_nt"))
+         .select(F.expr(f"_num div ({width} * _nt)").alias("_b"), "_nt")
+         .groupBy("_b")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("_docs"),
+              F.sum("_nt").cast("bigint").alias("_toks")))
+    w = (Window.orderBy(F.col("_b").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = b.select(
+        "_b",
+        F.sum("_docs").over(w).cast("bigint").alias("docs_kept"),
+        F.sum("_toks").over(w).cast("bigint").alias("tokens_kept"))
+    tot = b.agg(F.sum("_docs").cast("bigint").alias("_td"),
+                F.sum("_toks").cast("bigint").alias("_tt"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        (F.col("_b").cast("double") / F.lit(float(buckets)))
+        .alias("threshold"),
+        "docs_kept", "tokens_kept",
+        (F.col("docs_kept").cast("double") / F.col("_td").cast("double"))
+        .alias("doc_frac"),
+        (F.col("tokens_kept").cast("double") / F.col("_tt").cast("double"))
+        .alias("token_frac"))
