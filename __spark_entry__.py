@@ -5946,6 +5946,45 @@ def q_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("_s") / F.lit(2.0)).alias("tvd"))
 
 
+def q_kuiper_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kuiper V = D+ + D- drift per event type (drift.py:kuiper_drift),
+    # first half-month vs the rest — the tail-sensitive sibling of
+    # ks_drift (same bucketed CDF prefix scan, signed maxima instead of
+    # the absolute one).
+    from logpipe_spark.operators.drift import kuiper_drift
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    return kuiper_drift(
+        ev, "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        F.dayofmonth("ts") <= 15)
+
+
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-node clustering coefficient on the simhash near-dup graph:
+    # c_v = 2·T_v / (d_v(d_v−1)) — "is this doc's duplicate
+    # neighborhood one clique or a hub of unrelated collisions?" (the
+    # node-local companion to triangle_count / graph_assortativity).
+    # Triangles reuse the degree-oriented wedge join (out-degree
+    # O(sqrt|E|), hub-safe); every edge endpoint appears in the output
+    # via the left join, coefficient is one division of exact integers.
+    raw = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (raw.select(F.col("doc_a").alias("doc_id"))
+           .unionAll(raw.select(F.col("doc_b").alias("doc_id")))
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("degree")))
+    tri = q_triangle_count(spark, sf_dir)
+    j = deg.join(tri, "doc_id", "left")
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint")
+    return j.select(
+        "doc_id", "degree", t.alias("n_triangles"),
+        F.when(F.col("degree") >= 2,
+               (2 * t).cast("double")
+               / (F.col("degree") * (F.col("degree") - 1)).cast("double"))
+        .otherwise(F.lit(0.0)).alias("clustering"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_summary(spark, derive_transcripts(spark, "/root/testdata/sf0.001"))
@@ -6029,6 +6068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apdex_score": q_apdex_score,
         "quality_prune_curve": q_quality_prune_curve,
         "tv_drift": q_tv_drift,
+        "kuiper_drift": q_kuiper_drift,
+        "local_clustering": q_local_clustering,
         "quantile_sketch_merged": q_quantile_sketch_merged,
         "slo_burn": q_slo_burn,
         "dup_spans": q_dup_spans,
@@ -10570,6 +10611,54 @@ g AS (SELECT source, n AS n_docs,
                (acc, x) -> acc + x) AS s
       FROM grid GROUP BY source, n)
 SELECT source, n_docs, s / 2.0 AS tvd FROM g""",
+        "kuiper_drift": """
+WITH base AS (SELECT event_type,
+                     cast(floor(value * 100 + 0.5) AS bigint) AS v,
+                     CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS ia
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+pv AS (SELECT event_type, v,
+              cast(sum(ia) AS bigint) AS ca,
+              cast(sum(1 - ia) AS bigint) AS cb
+       FROM base GROUP BY event_type, v),
+c AS (SELECT event_type, v,
+             cast(sum(ca) OVER (PARTITION BY event_type ORDER BY v)
+                  AS bigint) AS cuma,
+             cast(sum(cb) OVER (PARTITION BY event_type ORDER BY v)
+                  AS bigint) AS cumb
+      FROM pv),
+t AS (SELECT event_type, cast(sum(ca) AS bigint) AS n_a,
+             cast(sum(cb) AS bigint) AS n_b
+      FROM pv GROUP BY event_type),
+g AS (SELECT c.event_type, n_a, n_b,
+             max(cuma / n_a - cumb / n_b) AS d_plus,
+             max(cumb / n_b - cuma / n_a) AS d_minus
+      FROM c JOIN t USING (event_type)
+      WHERE n_a >= 1 AND n_b >= 1
+      GROUP BY c.event_type, n_a, n_b)
+SELECT event_type, n_a, n_b, d_plus, d_minus,
+       d_plus + d_minus AS kuiper
+FROM g""",
+        "local_clustering": f"""
+WITH pairs AS ({_simhash_pairs_oracle()}),
+e AS (SELECT doc_a, doc_b FROM pairs),
+deg AS (SELECT doc_id, cast(count(*) AS bigint) AS degree
+        FROM (SELECT doc_a AS doc_id FROM e
+              UNION ALL SELECT doc_b FROM e)
+        GROUP BY doc_id),
+tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+        JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+n AS (SELECT unnest([a, b, c]) AS doc_id FROM tri),
+tc AS (SELECT doc_id, cast(count(*) AS bigint) AS n_triangles
+       FROM n GROUP BY doc_id)
+SELECT deg.doc_id, deg.degree,
+       cast(coalesce(tc.n_triangles, 0) AS bigint) AS n_triangles,
+       CASE WHEN degree >= 2
+            THEN cast(2 * coalesce(tc.n_triangles, 0) AS double)
+                 / cast(degree * (degree - 1) AS double)
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN tc ON deg.doc_id = tc.doc_id""",
     }
 
 

@@ -49,6 +49,7 @@ __all__ = [
     "wilcoxon_signed",
     "runs_test",
     "cliffs_delta",
+    "kuiper_drift",
 ]
 
 
@@ -1027,3 +1028,53 @@ def cliffs_delta(
                     ((gtd - ltd)
                      / (F.col("n_pos").cast("double")
                         * F.col("n_neg").cast("double"))).alias("delta")))
+
+
+def kuiper_drift(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    sample_a: Column,
+    bucket_width: int = 1024,
+    min_n: int = 1,
+) -> DataFrame:
+    """Kuiper two-sample statistic per group: V = D+ + D- where D+ is
+    the max SIGNED CDF excess of sample A over B and D- the reverse.
+
+    The cyclic-sensitive sibling of :func:`ks_drift`: KS concentrates
+    power at the distribution median and goes blind near the tails,
+    Kuiper weighs shifts anywhere equally — the right gate for
+    diurnal/phase drift. Same per-(key, distinct value) collapse and
+    two-level bucketed prefix scan as KS; D+ and D- are maxima of
+    divisions of exact integer cumulatives (both >= 0 because the
+    pooled support's last value pins both CDFs to 1), and V is one
+    double add of those two maxima — bit-identical cross-engine.
+
+    Returns ``(key, n_a, n_b, d_plus, d_minus, kuiper)``.
+    """
+    vi = value.cast("bigint")
+    per_v = (
+        df.where(vi.isNotNull() & sample_a.isNotNull())
+        .groupBy(key, vi.alias("v"))
+        .agg(
+            F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint").alias("ca"),
+            F.sum(F.when(sample_a, 0).otherwise(1)).cast("bigint").alias("cb"),
+        )
+    )
+    cums = bucketed_cumsum(
+        per_v, key, ["ca", "cb"], bucket_width=bucket_width
+    ).select(key, "v",
+             F.col("cum_ca").alias("cuma"),
+             F.col("cum_cb").alias("cumb"))
+    totals = per_v.groupBy(key).agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"))
+    gaps = (cums.join(F.broadcast(totals), key)
+            .where((F.col("n_a") >= min_n) & (F.col("n_b") >= min_n)))
+    g = gaps.groupBy(key, "n_a", "n_b").agg(
+        F.max(F.col("cuma") / F.col("n_a") - F.col("cumb") / F.col("n_b"))
+        .alias("d_plus"),
+        F.max(F.col("cumb") / F.col("n_b") - F.col("cuma") / F.col("n_a"))
+        .alias("d_minus"))
+    return g.select(key, "n_a", "n_b", "d_plus", "d_minus",
+                    (F.col("d_plus") + F.col("d_minus")).alias("kuiper"))
