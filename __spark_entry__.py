@@ -5985,6 +5985,49 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0)).alias("clustering"))
 
 
+def q_risk_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Epidemiology-style 2x2 effect sizes per tool: odds ratio and
+    # relative risk of a 5xx outcome for THIS tool's turns vs all other
+    # turns. The contingency cells are one map-side-combinable shuffle +
+    # a broadcast one-row total; both ratios compose the SAME exact
+    # integer cells in the same operand order in both engines — counts
+    # are cast to double BEFORE the cross products (a·d at corpus scale
+    # overflows int64 long before any cell does). Degenerate margins
+    # (an empty cell in the denominator product) emit NULL, never an
+    # ANSI division crash.
+    p = (_parsed(spark, sf_dir)
+         .where(F.col("status").isNotNull())
+         .select("tool",
+                 F.when(F.col("status") >= 500, 1).otherwise(0)
+                 .cast("bigint").alias("err")))
+    g = p.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tool"),
+        F.sum("err").cast("bigint").alias("a"))
+    tot = p.agg(F.count(F.lit(1)).cast("bigint").alias("_n"),
+                F.sum("err").cast("bigint").alias("_e"))
+    j = g.crossJoin(F.broadcast(tot))
+    b = F.col("n_tool") - F.col("a")
+    c = F.col("_e") - F.col("a")
+    d = (F.col("_n") - F.col("n_tool")) - c
+    ad, dd = F.col("a").cast("double"), d.cast("double")
+    bd, cd = b.cast("double"), c.cast("double")
+    ntd = F.col("n_tool").cast("double")
+    nrd = (F.col("_n") - F.col("n_tool")).cast("double")
+    return j.select(
+        "tool", "n_tool", F.col("a").alias("n_err"),
+        (F.col("_e") - F.col("a")).alias("n_err_rest"),
+        (F.col("_n") - F.col("n_tool")).alias("n_rest"),
+        F.when(bd * cd > 0, (ad * dd) / (bd * cd)).alias("odds_ratio"),
+        F.when((cd > 0) & (nrd > 0) & (ntd > 0),
+               (ad / ntd) / (cd / nrd)).alias("risk_ratio"))
+
+
+def q_quality_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cronbach's alpha of the quality-rubric components per source
+    # (textqual.quality_alpha): is the composite score one construct?
+    return tq.quality_alpha(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_summary(spark, derive_transcripts(spark, "/root/testdata/sf0.001"))
@@ -6070,6 +6113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tv_drift": q_tv_drift,
         "kuiper_drift": q_kuiper_drift,
         "local_clustering": q_local_clustering,
+        "risk_ratios": q_risk_ratios,
+        "quality_alpha": q_quality_alpha,
         "quantile_sketch_merged": q_quantile_sketch_merged,
         "slo_burn": q_slo_burn,
         "dup_spans": q_dup_spans,
@@ -10659,6 +10704,67 @@ SELECT deg.doc_id, deg.degree,
                  / cast(degree * (degree - 1) AS double)
             ELSE 0.0 END AS clustering
 FROM deg LEFT JOIN tc ON deg.doc_id = tc.doc_id""",
+        "risk_ratios": f"""{P},
+s AS (SELECT tool, CASE WHEN status >= 500 THEN 1 ELSE 0 END AS err
+      FROM parsed WHERE status IS NOT NULL),
+g AS (SELECT tool, cast(count(*) AS bigint) AS n_tool,
+             cast(sum(err) AS bigint) AS a
+      FROM s GROUP BY tool),
+t AS (SELECT cast(count(*) AS bigint) AS n,
+             cast(sum(err) AS bigint) AS e
+      FROM s)
+SELECT tool, n_tool, a AS n_err,
+       cast(e - a AS bigint) AS n_err_rest,
+       cast(n - n_tool AS bigint) AS n_rest,
+       CASE WHEN cast(n_tool - a AS double) * cast(e - a AS double) > 0
+            THEN (cast(a AS double)
+                  * cast((n - n_tool) - (e - a) AS double))
+                 / (cast(n_tool - a AS double) * cast(e - a AS double))
+       END AS odds_ratio,
+       CASE WHEN cast(e - a AS double) > 0
+                 AND cast(n - n_tool AS double) > 0
+                 AND cast(n_tool AS double) > 0
+            THEN (cast(a AS double) / cast(n_tool AS double))
+                 / (cast(e - a AS double) / cast(n - n_tool AS double))
+       END AS risk_ratio
+FROM g CROSS JOIN t""",
+        "quality_alpha": f"""
+WITH q AS (
+  SELECT source, length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         {qp_stop} AS stop_hits
+  FROM documents),
+i AS (
+  SELECT source,
+         cast(least(n_tokens, 100) AS bigint) AS x1,
+         cast(least(stop_hits * 5, n_tokens) AS bigint) AS x2,
+         cast(40 * (CASE WHEN n_chars - n_tokens + 1
+                         BETWEEN 3 * n_tokens AND 8 * n_tokens
+                         THEN 1 ELSE 0 END) AS bigint) AS x3
+  FROM q),
+g AS (
+  SELECT source, cast(count(*) AS bigint) AS n_docs,
+         cast(sum(x1) AS decimal(38,0)) AS s1,
+         cast(sum(x2) AS decimal(38,0)) AS s2,
+         cast(sum(x3) AS decimal(38,0)) AS s3,
+         cast(sum(x1 + x2 + x3) AS decimal(38,0)) AS st,
+         sum(cast(x1 AS decimal(38,0)) * cast(x1 AS decimal(38,0))) AS q1,
+         sum(cast(x2 AS decimal(38,0)) * cast(x2 AS decimal(38,0))) AS q2,
+         sum(cast(x3 AS decimal(38,0)) * cast(x3 AS decimal(38,0))) AS q3,
+         sum(cast(x1 + x2 + x3 AS decimal(38,0))
+             * cast(x1 + x2 + x3 AS decimal(38,0))) AS qt
+  FROM i GROUP BY source)
+SELECT source, n_docs,
+       CASE WHEN cast(n_docs AS decimal(38,0)) * qt - st * st > 0
+            THEN 1.5 * (1.0 -
+              cast((cast(n_docs AS decimal(38,0)) * q1 - s1 * s1)
+                   + (cast(n_docs AS decimal(38,0)) * q2 - s2 * s2)
+                   + (cast(n_docs AS decimal(38,0)) * q3 - s3 * s3)
+                   AS double)
+              / cast(cast(n_docs AS decimal(38,0)) * qt - st * st
+                     AS double))
+       END AS alpha
+FROM g""",
     }
 
 

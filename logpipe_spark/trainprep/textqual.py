@@ -610,3 +610,62 @@ def quality_prune_curve(docs: DataFrame, text_col: str = "text",
         .alias("doc_frac"),
         (F.col("tokens_kept").cast("double") / F.col("_tt").cast("double"))
         .alias("token_frac"))
+
+
+def quality_alpha(docs: DataFrame, text_col: str = "text",
+                  key: str = "source") -> DataFrame:
+    """Cronbach's alpha of the three quality-rubric components per
+    ``key`` group — the internal-consistency audit of the curation
+    rubric itself: do the length, stopword and token-shape sub-scores
+    co-vary (one "quality" construct) or pull apart (the composite
+    score is mixing unrelated signals)?
+
+    Items are the INTEGER components of :func:`quality_score`
+    (x1 = min(n_tokens, 100), x2 = min(5·stop_hits, n_tokens),
+    x3 = 40·shape_flag). With population variances the n/(n-1) factors
+    cancel, so
+
+        alpha = k/(k-1) · (1 - Σ_i (n·Σx_i² - S_i²) / (n·ΣT² - S_T²))
+
+    where every numerator term is an exact DECIMAL(38,0) integer
+    (products of corpus-scale sums — the int64 overflow discipline)
+    and the ratio is ONE double division of identical operands in both
+    engines. One map-side-combinable shuffle to key cardinality.
+
+    Returns ``(key, n_docs, alpha)``; alpha NULL when the total
+    variance degenerates.
+    """
+    d = "decimal(38,0)"
+    text = F.col(text_col)
+    padded = _padded_wide(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(F.split(text, " "))
+    stop_hits = sum(
+        (_occ_simple(padded, f" {w} ") for w in STOPWORDS), start=F.lit(0))
+    num2 = n_chars - n_tokens + 1
+    ind = F.when((num2 >= 3 * n_tokens) & (num2 <= 8 * n_tokens),
+                 F.lit(1)).otherwise(F.lit(0))
+    x1 = F.least(n_tokens, F.lit(100)).cast("bigint")
+    x2 = F.least(stop_hits * 5, n_tokens).cast("bigint")
+    x3 = (F.lit(40) * ind).cast("bigint")
+    base = docs.select(F.col(key).alias("_k"), x1.alias("_x1"),
+                       x2.alias("_x2"), x3.alias("_x3"),
+                       (x1 + x2 + x3).alias("_t"))
+    g = base.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[F.sum(c).cast("bigint").alias(f"s{c[1:]}")
+          for c in ("_x1", "_x2", "_x3", "_t")],
+        *[F.sum(F.col(c).cast(d) * F.col(c).cast(d)).cast(d)
+          .alias(f"q{c[1:]}") for c in ("_x1", "_x2", "_x3", "_t")])
+    nD = F.col("n_docs").cast(d)
+    item_num = sum(
+        (nD * F.col(f"qx{i}") - F.col(f"sx{i}").cast(d)
+         * F.col(f"sx{i}").cast(d))
+        for i in (1, 2, 3))
+    tot_num = nD * F.col("qt") - F.col("st").cast(d) * F.col("st").cast(d)
+    return g.select(
+        F.col("_k").alias(key), "n_docs",
+        F.when(tot_num > 0,
+               F.lit(1.5) * (F.lit(1.0)
+                             - item_num.cast("double")
+                             / tot_num.cast("double"))).alias("alpha"))
