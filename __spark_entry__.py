@@ -6028,6 +6028,39 @@ def q_quality_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tq.quality_alpha(_docs(spark, sf_dir))
 
 
+def q_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairwise cosine between label centroids (similarity.py:
+    # centroid_separation): the class-geometry audit behind ann_recall /
+    # knn_classify — which label pairs sit close enough to confuse ANN.
+    from logpipe_spark.trainprep.similarity import centroid_separation
+
+    return centroid_separation(_emb(spark, sf_dir))
+
+
+def q_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Markov independence audit over the event_transitions chain: lift
+    # of each (from, to) pair vs the independence expectation
+    # n_ij·N / (n_i·n_j). Marginals are transition-cardinality frames
+    # broadcast back; every count casts to double BEFORE the cross
+    # products (two corpus-scale aggregates — the overflow discipline).
+    from logpipe_spark.operators.funnel import event_transitions
+
+    tr = event_transitions(_events(spark, sf_dir))
+    r = tr.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("n_from"))
+    c = tr.groupBy("to_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("n_to"))
+    tot = tr.agg(F.sum("n_transitions").cast("bigint").alias("_n"))
+    j = (tr.join(F.broadcast(r), "from_type")
+         .join(F.broadcast(c), "to_type")
+         .crossJoin(F.broadcast(tot)))
+    return j.select(
+        "from_type", "to_type", "n_transitions", "n_from", "n_to",
+        ((F.col("n_transitions").cast("double") * F.col("_n").cast("double"))
+         / (F.col("n_from").cast("double") * F.col("n_to").cast("double")))
+        .alias("lift"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_summary(spark, derive_transcripts(spark, "/root/testdata/sf0.001"))
@@ -6115,6 +6148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_clustering": q_local_clustering,
         "risk_ratios": q_risk_ratios,
         "quality_alpha": q_quality_alpha,
+        "centroid_separation": q_centroid_separation,
+        "transition_lift": q_transition_lift,
         "quantile_sketch_merged": q_quantile_sketch_merged,
         "slo_burn": q_slo_burn,
         "dup_spans": q_dup_spans,
@@ -10765,6 +10800,42 @@ SELECT source, n_docs,
                      AS double))
        END AS alpha
 FROM g""",
+        "centroid_separation": """
+WITH g AS (
+  SELECT label,
+         list(embedding::DOUBLE[] ORDER BY vec_id) AS h,
+         cast(count(*) AS bigint) AS n
+  FROM embeddings GROUP BY label),
+s AS (
+  SELECT label, n,
+         list_transform(
+           list_reduce(h, (acc, x) ->
+             list_transform(list_zip(acc, x), p -> p[1] + p[2])),
+           v -> v / n) AS c
+  FROM g)
+SELECT a.label AS label_a, b.label AS label_b,
+       a.n AS n_a, b.n AS n_b,
+       list_dot_product(a.c, b.c)
+         / (sqrt(list_dot_product(a.c, a.c))
+            * sqrt(list_dot_product(b.c, b.c))) AS cos
+FROM s a JOIN s b ON a.label < b.label""",
+        "transition_lift": """
+WITH o AS (SELECT event_type AS from_type,
+                  lead(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM events),
+tr AS (SELECT from_type, to_type,
+              cast(count(*) AS bigint) AS n_transitions
+       FROM o WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+r AS (SELECT from_type, cast(sum(n_transitions) AS bigint) AS n_from
+      FROM tr GROUP BY from_type),
+c AS (SELECT to_type, cast(sum(n_transitions) AS bigint) AS n_to
+      FROM tr GROUP BY to_type),
+t AS (SELECT cast(sum(n_transitions) AS bigint) AS n FROM tr)
+SELECT tr.from_type, tr.to_type, tr.n_transitions, r.n_from, c.n_to,
+       (cast(tr.n_transitions AS double) * cast(t.n AS double))
+         / (cast(r.n_from AS double) * cast(c.n_to AS double)) AS lift
+FROM tr JOIN r USING (from_type) JOIN c USING (to_type) CROSS JOIN t""",
     }
 
 

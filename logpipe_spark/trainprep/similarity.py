@@ -802,6 +802,22 @@ def embed_centroids(emb: DataFrame, label_col: str = "label",
     list size like every collect_list fold here; at 10^9-vector labels
     use a two-level segment fold (the ewma_merged pattern) instead.
     """
+    cent = _label_centroids(emb, label_col, vec_col, id_col)
+    return cent.select(
+        "label", "n",
+        F.posexplode("c").alias("dim0", "c"),
+    ).select(
+        "label", "n",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        "c",
+    )
+
+
+def _label_centroids(emb: DataFrame, label_col: str = "label",
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """(label, n, c) per-label mean vectors with the replayed fold order
+    (see :func:`embed_centroids` for the determinism contract)."""
     g = emb.groupBy(F.col(label_col).alias("label")).agg(
         F.sort_array(F.collect_list(F.struct(
             F.col(id_col).cast("bigint").alias("i"),
@@ -814,17 +830,44 @@ def embed_centroids(emb: DataFrame, label_col: str = "label",
     fold = F.aggregate(
         tail, init,
         lambda acc, s: F.zip_with(acc, s["e"], lambda a, b: a + b))
-    cent = g.select(
+    return g.select(
         "label", "n",
         F.transform(fold, lambda x: x / F.col("n")).alias("c"))
-    return cent.select(
-        "label", "n",
-        F.posexplode("c").alias("dim0", "c"),
-    ).select(
-        "label", "n",
-        (F.col("dim0") + 1).cast("int").alias("dim"),
-        "c",
-    )
+
+
+def centroid_separation(emb: DataFrame, label_col: str = "label",
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Pairwise cosine between label centroids — the class-geometry
+    audit behind ANN recall and k-NN label quality: labels whose
+    centroids sit near cos=1 are the ones brute-force/IVF confuse.
+
+    Centroids reuse the replayed-fold mean (:func:`embed_centroids`'s
+    determinism contract); each pairwise cosine is a LEFT-TO-RIGHT
+    ``aggregate()`` dot-product fold over the zipped component products
+    == DuckDB ``list_dot_product`` (verified bitwise, the ann oracle
+    pattern), and the norms go through IEEE-exact sqrt. k labels → a
+    broadcast self-join of k(k-1)/2 pairs; the corpus is touched once.
+
+    Returns ``(label_a, label_b, n_a, n_b, cos)``.
+    """
+    cent = _label_centroids(emb, label_col, vec_col, id_col)
+
+    def _dotf(x: str, y: str):
+        return F.aggregate(
+            F.zip_with(F.col(x), F.col(y), lambda a, b: a * b),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    a = cent.select(F.col("label").alias("label_a"),
+                    F.col("n").alias("n_a"), F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"),
+                    F.col("n").alias("n_b"), F.col("c").alias("cb"))
+    pairs = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+    return pairs.select(
+        "label_a", "label_b", "n_a", "n_b",
+        (_dotf("ca", "cb")
+         / (F.sqrt(_dotf("ca", "ca")) * F.sqrt(_dotf("cb", "cb"))))
+        .alias("cos"))
 
 
 def kmeans_lloyd(emb: DataFrame, k: int = 8, n_iter: int = 2,
