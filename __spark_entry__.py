@@ -6061,6 +6061,20 @@ def q_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lift"))
 
 
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Additive Holt-Winters per user (aggregate.py:holt_winters):
+    # level+trend+7-slot season, the seasonal completion of
+    # ewma/holt — struct+array fold replayed by a recursive-CTE oracle
+    # (the list_reduce struct-mutation hazard).
+    from logpipe_spark.operators.aggregate import holt_winters
+
+    ev = _events(spark, sf_dir)
+    return holt_winters(
+        ev, "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+        ["ts", "event_id"], alpha=0.3, beta=0.1, gamma=0.2, period=7)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_summary(spark, derive_transcripts(spark, "/root/testdata/sf0.001"))
@@ -6150,6 +6164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_alpha": q_quality_alpha,
         "centroid_separation": q_centroid_separation,
         "transition_lift": q_transition_lift,
+        "holt_winters": q_holt_winters,
         "quantile_sketch_merged": q_quantile_sketch_merged,
         "slo_burn": q_slo_burn,
         "dup_spans": q_dup_spans,
@@ -10836,6 +10851,40 @@ SELECT tr.from_type, tr.to_type, tr.n_transitions, r.n_from, c.n_to,
        (cast(tr.n_transitions AS double) * cast(t.n AS double))
          / (cast(r.n_from AS double) * cast(c.n_to AS double)) AS lift
 FROM tr JOIN r USING (from_type) JOIN c USING (to_type) CROSS JOIN t""",
+        # Holt-Winters: the new-level subexpression is textually
+        # duplicated into the trend and seasonal steps (same operand
+        # tree both engines); smoothing constants are e0-suffixed so
+        # they parse as DOUBLE, never DECIMAL.
+        "holt_winters": """
+WITH RECURSIVE b AS (
+  SELECT user_id, ts, event_id,
+         cast(cast(floor(value * 100 + 0.5) AS bigint) AS double) AS v
+  FROM events WHERE value IS NOT NULL),
+g AS (SELECT user_id, list(v ORDER BY ts, event_id) AS xs
+      FROM b GROUP BY user_id),
+r AS (
+  SELECT user_id, xs, 1 AS i, len(xs) AS n,
+         xs[1] AS l, cast(0.0 AS double) AS tr,
+         [0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0] AS s
+  FROM g
+  UNION ALL
+  SELECT user_id, xs, i + 1 AS i, n,
+         (0.3e0 * (xs[r.i + 1] - r.s[(r.i % 7) + 1])
+          + 0.7e0 * (r.l + r.tr)) AS l,
+         0.1e0 * ((0.3e0 * (xs[r.i + 1] - r.s[(r.i % 7) + 1])
+                   + 0.7e0 * (r.l + r.tr)) - r.l) + 0.9e0 * r.tr AS tr,
+         list_transform(range(1, 8), j ->
+           CASE WHEN j = (r.i % 7) + 1
+                THEN 0.2e0 * (xs[r.i + 1]
+                              - (0.3e0 * (xs[r.i + 1]
+                                          - r.s[(r.i % 7) + 1])
+                                 + 0.7e0 * (r.l + r.tr)))
+                     + 0.8e0 * r.s[(r.i % 7) + 1]
+                ELSE r.s[j] END) AS s
+  FROM r WHERE i < n)
+SELECT user_id, cast(n AS bigint) AS n, l AS level, tr AS trend,
+       l + tr + s[(n % 7) + 1] AS forecast
+FROM r WHERE i = n""",
     }
 
 

@@ -2026,3 +2026,83 @@ def bootstrap_ci(
             .select(F.col("_k").alias(key), "n", "mean", "n_resamples",
                     F.element_at("_arr", lo_pos.cast("int")).alias("ci_lo"),
                     F.element_at("_arr", hi_pos.cast("int")).alias("ci_hi")))
+
+
+def holt_winters(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    order_cols: Sequence[str],
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    period: int = 7,
+) -> DataFrame:
+    """Additive Holt–Winters triple-exponential smoothing per key — the
+    seasonal completion of the family (:func:`ewma_smooth` level,
+    :func:`holt_smooth` level+trend): a ``period``-slot seasonal state
+    rides along so the one-step forecast stops lagging weekly cycles.
+
+        l ← α(x − s_prev) + (1−α)(l + b)
+        b ← β(l − l_prev) + (1−β)b
+        s[slot] ← γ(x − l) + (1−γ)s_prev
+
+    seeded l₁ = x₁, b₁ = 0, s = 0⃗ (the deterministic cold-start
+    contract: no first-season averaging pass). The fold carries a
+    STRUCT (l, b, s double[period], i) accumulator, strictly
+    left-to-right; DuckDB list_reduce cannot replay struct folds (the
+    field-mutation hazard, see :func:`holt_smooth`), so the oracle is
+    a recursive CTE with qualified ``r.col`` references in which the
+    new-level subexpression is textually DUPLICATED into the trend and
+    seasonal steps — both engines evaluate the same operand tree, so
+    the doubles stay bit-identical. Bounded-state discipline as the
+    siblings: one value array per key in one task — session-sized keys
+    or pre-segment first.
+
+    Returns ``(key, n, level, trend, forecast)`` where forecast adds
+    the NEXT step's seasonal slot: ``l + b + s[(n mod period) + 1]``.
+    """
+    a, b, g = float(alpha), float(beta), float(gamma)
+    ma, mb, mg = 1.0 - a, 1.0 - b, 1.0 - g
+    p = int(period)
+    grouped = (
+        df.where(value.isNotNull())
+        .groupBy(key)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(
+                    *[F.col(c).alias(f"_o{i}") for i, c in
+                      enumerate(order_cols)],
+                    value.cast("double").alias("_v"),
+                ))
+            ).alias("_arr"),
+        )
+        .select(key, F.expr("transform(_arr, s -> s._v)").alias("_xs"))
+    )
+    slot = f"CAST(pmod(acc.i, {p}) + 1 AS INT)"
+    sprev = f"element_at(acc.s, {slot})"
+    new_l = f"({a!r}D * (x - {sprev}) + {ma!r}D * (acc.l + acc.b))"
+    fold = F.expr(
+        "aggregate(slice(_xs, 2, greatest(size(_xs) - 1, 0)), "
+        "named_struct('l', element_at(_xs, 1), 'b', 0.0D, "
+        f"'s', array_repeat(0.0D, {p}), 'i', CAST(1 AS BIGINT)), "
+        f"(acc, x) -> named_struct("
+        f"'l', {new_l}, "
+        f"'b', {b!r}D * ({new_l} - acc.l) + {mb!r}D * acc.b, "
+        f"'s', transform(sequence(1, {p}), "
+        f"j -> IF(j = {slot}, {g!r}D * (x - {new_l}) + {mg!r}D * {sprev}, "
+        f"element_at(acc.s, j))), "
+        f"'i', acc.i + CAST(1 AS BIGINT)))"
+    )
+    st = grouped.select(
+        key,
+        F.size("_xs").cast("bigint").alias("n"),
+        fold.alias("_st"),
+    )
+    nxt = F.expr(f"element_at(_st.s, CAST(pmod(n, {p}) + 1 AS INT))")
+    return st.select(
+        key, "n",
+        F.col("_st.l").alias("level"),
+        F.col("_st.b").alias("trend"),
+        (F.col("_st.l") + F.col("_st.b") + nxt).alias("forecast"),
+    )
