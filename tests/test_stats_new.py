@@ -269,3 +269,118 @@ def test_bootstrap_ci_positions_with_default_b(spark):
     r = bootstrap_ci(df, "g", F.col("v"), "id").collect()[0]
     # constant metric: every resample mean is exactly 50
     assert r.ci_lo == 50.0 and r.ci_hi == 50.0 and r.mean == 50.0
+
+
+def test_wilcoxon_signed_hand_case(spark):
+    # d = [1, -2, 3, 4] (no ties, plus a zero pair that must drop):
+    # |d| ranks 1..4, W+ = 1+3+4 = 8 -> w2_plus = 16; mu2 = 10,
+    # var2 = 4*5*9/6 = 30, z = 6/sqrt(30)
+    from logpipe_spark.operators.drift import wilcoxon_signed
+    df = spark.createDataFrame(
+        [("k", 1), ("k", -2), ("k", 3), ("k", 4), ("k", 0)],
+        "g string, d long")
+    row = wilcoxon_signed(df, "g", F.col("d")).collect()[0]
+    assert row.n_pairs == 4
+    assert row.w2_plus == 16.0
+    assert abs(row.z - 6.0 / math.sqrt(30.0)) < 1e-12
+
+
+def test_wilcoxon_signed_ties(spark):
+    # d = [1, -1, 2]: tied |d|=1 pair gets doubled avg rank 3 each;
+    # w2p = 3 (the positive 1) + 6 (the 2) = 9; mu2 = 6,
+    # var2 = 3*4*7/6 - (2^3-2)/12 = 14 - 0.5 = 13.5
+    from logpipe_spark.operators.drift import wilcoxon_signed
+    df = spark.createDataFrame(
+        [("k", 1), ("k", -1), ("k", 2)], "g string, d long")
+    row = wilcoxon_signed(df, "g", F.col("d")).collect()[0]
+    assert row.n_pairs == 3 and row.w2_plus == 9.0
+    assert abs(row.z - 3.0 / math.sqrt(13.5)) < 1e-12
+
+
+def test_runs_test_hand_case(spark):
+    # time order [1,5,2,6,3,7]: lower median = 3 (dropped), signs
+    # -,+,-,+,+ -> 4 runs, n1=3 (+), n2=2 (-);
+    # mu = 12/5 + 1 = 3.4, var = 12*(12-5)/(25*4) = 0.84
+    from logpipe_spark.operators.drift import runs_test
+    rows = [("k", t, v) for t, v in enumerate([1, 5, 2, 6, 3, 7])]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    row = runs_test(df, "g", ["t"], F.col("v")).collect()[0]
+    assert (row.n_pos, row.n_neg, row.n_runs) == (3, 2, 4)
+    assert abs(row.z - (4 - 3.4) / math.sqrt(0.84)) < 1e-12
+
+
+def test_runs_test_degenerate_split_z_null(spark):
+    # one row on each side of the median -> p == n -> var 0 -> z NULL
+    from logpipe_spark.operators.drift import runs_test
+    df = spark.createDataFrame(
+        [("k", 0, 1), ("k", 1, 2), ("k", 2, 3)], "g string, t long, v long")
+    row = runs_test(df, "g", ["t"], F.col("v")).collect()[0]
+    assert row.n_pos == 1 and row.n_neg == 1 and row.z is None
+
+
+def test_cliffs_delta_hand_case(spark):
+    # pos x = [3,4], neg y = [1,4]: gt=2 (3>1, 4>1), lt=1 (3<4),
+    # tie=1 (4,4) -> delta = (2-1)/4 = 0.25
+    from logpipe_spark.operators.drift import cliffs_delta
+    df = spark.createDataFrame(
+        [("k", 3, True), ("k", 4, True), ("k", 1, False), ("k", 4, False)],
+        "g string, v long, lab boolean")
+    row = cliffs_delta(df, "g", F.col("v"), F.col("lab")).collect()[0]
+    assert (row.n_pos, row.n_neg) == (2, 2)
+    assert abs(row.delta - 0.25) < 1e-15
+
+
+def test_cliffs_delta_equals_2auc_minus_1_without_ties(spark):
+    from logpipe_spark.operators.drift import auc_rank, cliffs_delta
+    rows = [("k", v, v % 3 == 0) for v in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, v long, lab boolean")
+    d = cliffs_delta(df, "g", F.col("v"), F.col("lab")).collect()[0].delta
+    a = auc_rank(df, "g", F.col("v"), F.col("lab")).collect()[0].auc
+    assert abs(d - (2 * a - 1)) < 1e-12
+
+
+def test_kuiper_hand_case_and_vs_ks(spark):
+    # A=[1,2] fully below B=[3,4]: D+ = 1, D- = 0, V = 1
+    from logpipe_spark.operators.drift import kuiper_drift
+    df = spark.createDataFrame(
+        [("k", 1, True), ("k", 2, True), ("k", 3, False), ("k", 4, False)],
+        "g string, v long, a boolean")
+    row = kuiper_drift(df, "g", F.col("v"), F.col("a")).collect()[0]
+    assert (row.d_plus, row.d_minus, row.kuiper) == (1.0, 0.0, 1.0)
+    # interleaved shift: kuiper >= ks always
+    from logpipe_spark.operators.drift import ks_drift
+    rows = [("k", v, v % 2 == 0) for v in range(1, 11)]
+    df2 = spark.createDataFrame(rows, "g string, v long, a boolean")
+    kd = kuiper_drift(df2, "g", F.col("v"), F.col("a")).collect()[0]
+    ks = ks_drift(df2, "g", F.col("v"), F.col("a")).collect()[0]
+    assert kd.kuiper >= ks.ks - 1e-15
+
+
+def test_holt_winters_matches_python_replay(spark):
+    # replay the exact fold in Python floats (same IEEE ops/order)
+    from logpipe_spark.operators.aggregate import holt_winters
+    xs = [10.0, 20.0, 15.0, 30.0, 25.0, 40.0]
+    a, b, g, p = 0.3, 0.1, 0.2, 2
+    l, tr, s = xs[0], 0.0, [0.0] * p
+    for i in range(1, len(xs)):
+        slot = (i % p)  # 0-based python == (acc.i mod p) with acc.i = i
+        sp = s[slot]
+        nl = a * (xs[i] - sp) + (1.0 - a) * (l + tr)
+        tr = b * (nl - l) + (1.0 - b) * tr
+        s[slot] = g * (xs[i] - nl) + (1.0 - g) * sp
+        l = nl
+    want = l + tr + s[len(xs) % p]
+    rows = [("k", t, int(v)) for t, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = holt_winters(df, "g", F.col("v"), ["t"],
+                       alpha=a, beta=b, gamma=g, period=p).collect()[0]
+    assert got.n == len(xs)
+    assert abs(got.level - l) < 1e-12 and abs(got.trend - tr) < 1e-12
+    assert abs(got.forecast - want) < 1e-12
+
+
+def test_holt_winters_single_point(spark):
+    from logpipe_spark.operators.aggregate import holt_winters
+    df = spark.createDataFrame([("k", 0, 7)], "g string, t long, v long")
+    row = holt_winters(df, "g", F.col("v"), ["t"]).collect()[0]
+    assert (row.n, row.level, row.trend, row.forecast) == (1, 7.0, 0.0, 7.0)
