@@ -50,6 +50,7 @@ __all__ = [
     "runs_test",
     "cliffs_delta",
     "kuiper_drift",
+    "kuiper_from_counts",
 ]
 
 
@@ -1061,6 +1062,21 @@ def kuiper_drift(
             F.sum(F.when(sample_a, 0).otherwise(1)).cast("bigint").alias("cb"),
         )
     )
+    return kuiper_from_counts(per_v, key, bucket_width=bucket_width,
+                              min_n=min_n)
+
+
+def kuiper_from_counts(
+    per_v: DataFrame,
+    key: str,
+    bucket_width: int = 1024,
+    min_n: int = 1,
+) -> DataFrame:
+    """Kuiper V from a pre-aggregated (key, v, ca, cb) count frame — the
+    mergeable-partial entry point, sharing the exact state shape of
+    :func:`ks_from_counts`: the SAME accumulated streaming/sharded
+    counts serve both statistics (the streaming drift monitor's
+    ``read_kuiper`` readout rides this)."""
     cums = bucketed_cumsum(
         per_v, key, ["ca", "cb"], bucket_width=bucket_width
     ).select(key, "v",

@@ -18,6 +18,7 @@ from logpipe_spark.streaming.stream import (  # noqa: F401
     read_rollup,
     stream_drift_monitor,
     read_drift,
+    read_kuiper,
     stream_cms_incremental,
     read_cms,
     stream_dedup_incremental,

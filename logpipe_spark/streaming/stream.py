@@ -572,6 +572,33 @@ def read_drift(spark: SparkSession, state_dir: str,
     return ks_from_counts(per_v, "tool", bucket_width=bucket_width)
 
 
+def read_kuiper(spark: SparkSession, state_dir: str,
+                reference: DataFrame, bucket_width: int = 1024) -> DataFrame:
+    """Kuiper V readout over the SAME accumulated drift state
+    :func:`stream_drift_monitor` writes — counts are statistic-agnostic
+    mergeable partials, so one state dir serves both KS and Kuiper
+    (the tail-sensitive gate) with zero extra stream passes. Returns
+    (tool, n_a, n_b, d_plus, d_minus, kuiper)."""
+    from logpipe_spark.operators.drift import kuiper_from_counts
+
+    stream_counts = (
+        spark.read.parquet(state_dir)
+        .groupBy("tool", "v")
+        .agg(F.sum("c").cast("bigint").alias("ca"))
+    )
+    ref_counts = reference.select(
+        "tool", "v", F.col("c").cast("bigint").alias("cb"))
+    per_v = (
+        stream_counts.join(ref_counts, ["tool", "v"], "full_outer")
+        .select(
+            "tool", "v",
+            F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
+        )
+    )
+    return kuiper_from_counts(per_v, "tool", bucket_width=bucket_width)
+
+
 CUSUM_SEGMENT_SCHEMA = StructType([
     StructField("tool", StringType()),
     StructField("epoch", LongType()),

@@ -394,6 +394,18 @@ def test_stream_drift_monitor_merges_and_scores(spark, stream_dir, tmp_path):
     far = read_drift(spark, state, shifted).collect()
     assert all(r.ks == 1.0 for r in far)
 
+    # the SAME state dir serves the Kuiper readout (statistic-agnostic
+    # count partials): self-score V = 0; against the shifted reference
+    # the stream CDF leads everywhere -> D+ = 1, D- = 0, V = 1
+    from logpipe_spark.streaming import read_kuiper
+
+    self_k = read_kuiper(spark, state, batch_counts).collect()
+    assert len(self_k) > 0
+    assert all(r.kuiper == 0.0 for r in self_k)
+    far_k = read_kuiper(spark, state, shifted).collect()
+    assert all(r.d_plus == 1.0 and r.d_minus == 0.0 and r.kuiper == 1.0
+               for r in far_k)
+
 
 def _run_cusum(spark, src, ck, name, mft):
     from logpipe_spark.streaming.stream import stream_cusum_monitor
