@@ -6075,6 +6075,45 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["ts", "event_id"], alpha=0.3, beta=0.1, gamma=0.2, period=7)
 
 
+def q_changepoint_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Piecewise trend around the detected break: per tool, the OLS
+    # slope of the hourly turn-count series BEFORE vs AFTER the binseg
+    # changepoint — did the trend direction actually change, or did the
+    # level just step? Composes changepoint_binseg (nested verbatim in
+    # the oracle, the rate_anomaly pattern) with ols_trend's integer
+    # sufficient stats; the series index is the regression x, so
+    # n·max(x)² stays tiny. The split frame is key-cardinality
+    # (broadcast); the series frame is bucket-cardinality.
+    from logpipe_spark.operators.drift import changepoint_binseg
+
+    t = _t(spark, sf_dir)
+    per = (t.groupBy("tool", F.date_trunc("hour", F.col("ts")).alias("_win"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("_v")))
+    w = Window.partitionBy("tool").orderBy("_win")
+    ser = per.select(
+        "tool", F.row_number().over(w).cast("bigint").alias("_t"), "_v")
+    cp = changepoint_binseg(t, "tool", "ts", bucket="hour").select(
+        "tool", "split_t", "split_ts")
+    j = ser.join(F.broadcast(cp), "tool")
+    side = F.when(F.col("_t") <= F.col("split_t"),
+                  F.lit("before")).otherwise(F.lit("after"))
+    g = j.groupBy("tool", side.alias("side"), "split_t", "split_ts").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_t").cast("bigint").alias("sx"),
+        F.sum("_v").cast("bigint").alias("sy"),
+        F.sum(F.col("_t") * F.col("_v")).cast("bigint").alias("sxy"),
+        F.sum(F.col("_t") * F.col("_t")).cast("bigint").alias("sxx"))
+    n, sx, sy = (F.col("n").cast("double"), F.col("sx").cast("double"),
+                 F.col("sy").cast("double"))
+    cov_n = n * F.col("sxy") - sx * sy
+    var_x = n * F.col("sxx") - sx * sx
+    slope = cov_n / var_x
+    return (g.where((F.col("n") >= 2) & (var_x > 0))
+            .select("tool", "side", "split_t", "split_ts", "n",
+                    slope.alias("slope"),
+                    ((sy - slope * sx) / n).alias("intercept")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_summary(spark, derive_transcripts(spark, "/root/testdata/sf0.001"))
@@ -6165,6 +6204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_separation": q_centroid_separation,
         "transition_lift": q_transition_lift,
         "holt_winters": q_holt_winters,
+        "changepoint_slopes": q_changepoint_slopes,
         "quantile_sketch_merged": q_quantile_sketch_merged,
         "slo_burn": q_slo_burn,
         "dup_spans": q_dup_spans,
@@ -10885,6 +10925,59 @@ r AS (
 SELECT user_id, cast(n AS bigint) AS n, l AS level, tr AS trend,
        l + tr + s[(n % 7) + 1] AS forecast
 FROM r WHERE i = n""",
+        # changepoint_binseg nested verbatim (cp), then the ols_trend
+        # double composition per (tool, side).
+        "changepoint_slopes": f"""{_oracle_prefix()}
+, per AS (SELECT tool, date_trunc('hour', ts) AS w, count(*) AS v
+          FROM transcripts GROUP BY tool, date_trunc('hour', ts)),
+ser AS (SELECT tool, w, cast(v AS bigint) AS v,
+               cast(row_number() OVER (PARTITION BY tool ORDER BY w)
+                    AS bigint) AS t
+        FROM per),
+s AS (SELECT tool, w, t,
+             CAST(sum(v) OVER (PARTITION BY tool ORDER BY w) AS BIGINT)
+               AS sv,
+             count(*) OVER (PARTITION BY tool) AS n,
+             CAST(sum(v) OVER (PARTITION BY tool) AS BIGINT) AS tot
+      FROM ser),
+f AS (SELECT *,
+             CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(t AS DOUBLE)
+             + (CAST(tot AS DOUBLE) - CAST(sv AS DOUBLE))
+               * (CAST(tot AS DOUBLE) - CAST(sv AS DOUBLE))
+               / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))
+             - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)
+             AS gain
+      FROM s WHERE t < n),
+r AS (SELECT *, row_number() OVER (PARTITION BY tool
+                                   ORDER BY gain DESC, t) AS rk
+      FROM f),
+cp AS (SELECT tool, t AS split_t, w AS split_ts FROM r WHERE rk = 1),
+sd AS (SELECT ser.tool,
+              CASE WHEN ser.t <= cp.split_t THEN 'before'
+                   ELSE 'after' END AS side,
+              cp.split_t, cp.split_ts, ser.t, ser.v
+       FROM ser JOIN cp ON ser.tool = cp.tool),
+g AS (SELECT tool, side, split_t, split_ts,
+             cast(count(*) AS bigint) AS n,
+             cast(sum(t) AS bigint) AS sx,
+             cast(sum(v) AS bigint) AS sy,
+             cast(sum(t * v) AS bigint) AS sxy,
+             cast(sum(t * t) AS bigint) AS sxx
+      FROM sd GROUP BY tool, side, split_t, split_ts)
+SELECT tool, side, split_t, split_ts, n,
+       (cast(n AS double) * sxy - cast(sx AS double) * cast(sy AS double))
+         / (cast(n AS double) * sxx - cast(sx AS double) * cast(sx AS double))
+         AS slope,
+       (cast(sy AS double)
+        - (cast(n AS double) * sxy
+           - cast(sx AS double) * cast(sy AS double))
+          / (cast(n AS double) * sxx
+             - cast(sx AS double) * cast(sx AS double))
+          * cast(sx AS double))
+       / cast(n AS double) AS intercept
+FROM g
+WHERE n >= 2
+  AND cast(n AS double) * sxx - cast(sx AS double) * cast(sx AS double) > 0""",
     }
 
 
