@@ -6114,6 +6114,43 @@ def q_changepoint_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((sy - slope * sx) / n).alias("intercept")))
 
 
+def q_dup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Newman modularity of the near-dup graph against the SOURCE
+    # partition: do duplicate edges concentrate within sources (content
+    # farms copying themselves) or cross them (syndication)? Per-source
+    # contribution e_ii/m − (d_i/2m)² from exact integer edge counts —
+    # the one-number-per-source companion to source_overlap_matrix.
+    # NULL-source groups survive via eqNullSafe (the adversarial-review
+    # defect class); m broadcasts as a one-row frame.
+    docs = _docs(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    lab = docs.select("doc_id", "source")
+    e = (pairs
+         .join(lab.select(F.col("doc_id").alias("doc_a"),
+                          F.col("source").alias("sa")), "doc_a")
+         .join(lab.select(F.col("doc_id").alias("doc_b"),
+                          F.col("source").alias("sb")), "doc_b"))
+    m = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    win = (e.where(F.col("sa").eqNullSafe(F.col("sb")))
+           .groupBy(F.col("sa").alias("source"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_within")))
+    deg = (e.select(F.col("sa").alias("source"))
+           .unionAll(e.select(F.col("sb").alias("source")))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("degree_sum")))
+    j = (deg.join(win, deg.source.eqNullSafe(win.source), "left")
+         .select(deg.source.alias("source"),
+                 F.coalesce(win.n_within, F.lit(0)).cast("bigint")
+                 .alias("n_within"),
+                 "degree_sum")
+         .crossJoin(F.broadcast(m)))
+    half = F.col("degree_sum").cast("double") / (F.lit(2.0) * F.col("n_edges"))
+    return j.select(
+        "source", "n_within", "degree_sum", "n_edges",
+        (F.col("n_within").cast("double") / F.col("n_edges")
+         - half * half).alias("contribution"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_summary(spark, derive_transcripts(spark, "/root/testdata/sf0.001"))
@@ -6205,6 +6242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_lift": q_transition_lift,
         "holt_winters": q_holt_winters,
         "changepoint_slopes": q_changepoint_slopes,
+        "dup_modularity": q_dup_modularity,
         "quantile_sketch_merged": q_quantile_sketch_merged,
         "slo_burn": q_slo_burn,
         "dup_spans": q_dup_spans,
@@ -10978,6 +11016,33 @@ SELECT tool, side, split_t, split_ts, n,
 FROM g
 WHERE n >= 2
   AND cast(n AS double) * sxx - cast(sx AS double) * cast(sx AS double) > 0""",
+        # near-dup pairs = the dedup_ngram_jaccard CTEs verbatim;
+        # modularity contributions per source community.
+        "dup_modularity": f"""WITH {_shingles_cte(3)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),{_JACCARD_CTES},
+pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.12),
+lab AS (SELECT doc_id, source FROM documents),
+e AS (SELECT p.doc_a, p.doc_b, la.source AS sa, lb.source AS sb
+      FROM pairs p JOIN lab la ON p.doc_a = la.doc_id
+                   JOIN lab lb ON p.doc_b = lb.doc_id),
+m AS (SELECT cast(count(*) AS bigint) AS n_edges FROM e),
+win AS (SELECT sa AS source, cast(count(*) AS bigint) AS n_within
+        FROM e WHERE sa IS NOT DISTINCT FROM sb GROUP BY sa),
+deg AS (SELECT source, cast(count(*) AS bigint) AS degree_sum FROM (
+          SELECT sa AS source FROM e
+          UNION ALL SELECT sb AS source FROM e)
+        GROUP BY source)
+SELECT deg.source,
+       cast(coalesce(win.n_within, 0) AS bigint) AS n_within,
+       deg.degree_sum, m.n_edges,
+       cast(coalesce(win.n_within, 0) AS double) / m.n_edges
+       - (cast(deg.degree_sum AS double) / (2.0 * m.n_edges))
+         * (cast(deg.degree_sum AS double) / (2.0 * m.n_edges))
+         AS contribution
+FROM deg LEFT JOIN win ON deg.source IS NOT DISTINCT FROM win.source
+CROSS JOIN m""",
     }
 
 
