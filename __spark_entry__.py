@@ -6151,6 +6151,63 @@ def q_dup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
          - half * half).alias("contribution"))
 
 
+def q_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q-Q plot points per event type vs the pooled corpus: discrete
+    # percentiles p = k/20 (k = 1..19) on BOTH axes — the distribution-
+    # shape eval staple that stays hash-exact because every quantile is
+    # an ACTUAL element (rank-based; cum >= ceil(k·n/20) rewritten as
+    # the pure-integer 20·cum >= k·n). Runs on the per-(type, distinct
+    # value) frame, never a row-level sort; the 19-row grid broadcasts.
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull())
+          .select("event_type",
+                  F.floor(F.col("value") * 100 + F.lit(0.5))
+                  .cast("bigint").alias("v")))
+    pv = ev.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    wt = (Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = pv.select(
+        "event_type", "v", F.sum("c").over(wt).cast("bigint").alias("cum"))
+    tot = pv.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n"))
+    grid = spark.range(1, 20).select(F.col("id").cast("bigint").alias("k"))
+    qg = (cum.join(F.broadcast(tot), "event_type")
+          .crossJoin(F.broadcast(grid))
+          .where(20 * F.col("cum") >= F.col("k") * F.col("n"))
+          .groupBy("event_type", "k")
+          .agg(F.min("v").alias("q_group")))
+    cv = pv.groupBy("v").agg(F.sum("c").cast("bigint").alias("c"))
+    wc = (Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ccum = cv.select("v", F.sum("c").over(wc).cast("bigint").alias("cum"))
+    ctot = cv.agg(F.sum("c").cast("bigint").alias("nn"))
+    qc = (ccum.crossJoin(F.broadcast(ctot))
+          .crossJoin(F.broadcast(grid))
+          .where(20 * F.col("cum") >= F.col("k") * F.col("nn"))
+          .groupBy("k")
+          .agg(F.min("v").alias("q_corpus")))
+    return (qg.join(F.broadcast(qc), "k")
+            .select("event_type",
+                    (F.col("k").cast("double") / F.lit(20.0)).alias("p"),
+                    "q_group", "q_corpus"))
+
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Degree distribution of the simhash near-dup graph in log2 buckets
+    # (the len_histogram floor-log2 idiom: length(bin(x)) - 1) — the
+    # hub-structure fingerprint behind triangle_count's degree
+    # orientation and graph_assortativity.
+    raw = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (raw.select(F.col("doc_a").alias("v"))
+           .unionAll(raw.select(F.col("doc_b").alias("v")))
+           .groupBy("v")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("deg")))
+    return (deg.groupBy((F.length(F.bin(F.col("deg"))) - 1)
+                        .cast("int").alias("log2_bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_summary(spark, derive_transcripts(spark, "/root/testdata/sf0.001"))
@@ -6243,6 +6300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters": q_holt_winters,
         "changepoint_slopes": q_changepoint_slopes,
         "dup_modularity": q_dup_modularity,
+        "qq_points": q_qq_points,
+        "degree_distribution": q_degree_distribution,
         "quantile_sketch_merged": q_quantile_sketch_merged,
         "slo_burn": q_slo_burn,
         "dup_spans": q_dup_spans,
@@ -11043,6 +11102,43 @@ SELECT deg.source,
          AS contribution
 FROM deg LEFT JOIN win ON deg.source IS NOT DISTINCT FROM win.source
 CROSS JOIN m""",
+        "qq_points": """
+WITH b AS (SELECT event_type,
+                  cast(floor(value * 100 + 0.5) AS bigint) AS v
+           FROM events WHERE value IS NOT NULL),
+pv AS (SELECT event_type, v, cast(count(*) AS bigint) AS c
+       FROM b GROUP BY event_type, v),
+cum AS (SELECT event_type, v,
+               cast(sum(c) OVER (PARTITION BY event_type ORDER BY v)
+                    AS bigint) AS cum
+        FROM pv),
+tot AS (SELECT event_type, cast(sum(c) AS bigint) AS n
+        FROM pv GROUP BY event_type),
+grid AS (SELECT cast(k AS bigint) AS k FROM range(1, 20) t(k)),
+qg AS (SELECT cum.event_type, grid.k, min(v) AS q_group
+       FROM cum JOIN tot USING (event_type) CROSS JOIN grid
+       WHERE 20 * cum.cum >= grid.k * tot.n
+       GROUP BY cum.event_type, grid.k),
+cv AS (SELECT v, cast(sum(c) AS bigint) AS c FROM pv GROUP BY v),
+ccum AS (SELECT v, cast(sum(c) OVER (ORDER BY v) AS bigint) AS cum
+         FROM cv),
+ctot AS (SELECT cast(sum(c) AS bigint) AS nn FROM cv),
+qc AS (SELECT grid.k, min(v) AS q_corpus
+       FROM ccum CROSS JOIN ctot CROSS JOIN grid
+       WHERE 20 * ccum.cum >= grid.k * ctot.nn
+       GROUP BY grid.k)
+SELECT qg.event_type, cast(qg.k AS double) / 20.0 AS p,
+       qg.q_group, qc.q_corpus
+FROM qg JOIN qc ON qg.k = qc.k""",
+        "degree_distribution": f"""
+WITH pairs AS ({_simhash_pairs_oracle()}),
+deg AS (SELECT v, cast(count(*) AS bigint) AS deg FROM (
+          SELECT doc_a AS v FROM pairs
+          UNION ALL SELECT doc_b FROM pairs)
+        GROUP BY v)
+SELECT cast(length(bin(deg)) - 1 AS int) AS log2_bucket,
+       cast(count(*) AS bigint) AS n_nodes
+FROM deg GROUP BY length(bin(deg)) - 1""",
     }
 
 
