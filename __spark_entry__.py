@@ -5879,31 +5879,13 @@ def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Apdex SLO scorecard per tool: each turn's latency (integer micros
-    # between consecutive turns) is judged against ITS OWN (role, tool)
-    # SLA from the broadcast lookup dimension — satisfied <= T,
-    # tolerating <= 4T, apdex = (2·sat + tol) / (2·n), one division of
-    # exact integer counts. One conv-partitioned lag window + one
-    # map-side-combinable shuffle to tool cardinality.
-    t = _t(spark, sf_dir)
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    lat = (F.unix_micros(F.col("ts").cast("timestamp"))
-           - F.unix_micros(F.lag("ts").over(w).cast("timestamp")))
-    lk = lookup_df(spark).select("role", "tool", "sla_ms")
-    j = (t.withColumn("_lat", lat.cast("bigint"))
-         .where(F.col("_lat").isNotNull())
-         .join(F.broadcast(lk), ["role", "tool"]))
-    thr = F.col("sla_ms").cast("bigint") * 1000
-    g = j.groupBy("tool").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
-        F.sum(F.when(F.col("_lat") <= thr, 1).otherwise(0))
-        .cast("bigint").alias("n_satisfied"),
-        F.sum(F.when((F.col("_lat") > thr) & (F.col("_lat") <= 4 * thr), 1)
-              .otherwise(0)).cast("bigint").alias("n_tolerating"))
-    return g.select(
-        "tool", "n_turns", "n_satisfied", "n_tolerating",
-        ((2 * F.col("n_satisfied") + F.col("n_tolerating")).cast("double")
-         / (2 * F.col("n_turns")).cast("double")).alias("apdex"))
+    # Apdex SLO scorecard per tool (spans.py:apdex_by_tool): each
+    # turn's latency judged against ITS OWN (role, tool) SLA from the
+    # broadcast lookup dimension; apdex = (2·sat + tol)/(2·n) from
+    # exact integer counts. Streaming twin: stream_apdex/apdex_report.
+    from logpipe_spark.operators.spans import apdex_by_tool
+
+    return apdex_by_tool(_t(spark, sf_dir))
 
 
 def q_quality_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -303,3 +303,38 @@ def context_growth(
         F.col("_o.turn").cast("int").alias("overflow_turn"),
         F.col("_o.cum").cast("bigint").alias("tokens_at_overflow"),
     )
+
+
+def apdex_by_tool(df: DataFrame, sla_scale: int = 1) -> DataFrame:
+    """Apdex SLO scorecard per tool: each turn's latency (integer
+    micros between consecutive turns of its conversation) judged
+    against ITS OWN (role, tool) SLA from the broadcast lookup
+    dimension — satisfied <= T, tolerating <= 4T,
+    apdex = (2·sat + tol) / (2·n), one division of exact integer
+    counts. One conv-partitioned lag window + one map-side-combinable
+    shuffle to tool cardinality. The batch twin of
+    ``streaming.stream_apdex`` (same pairs: consecutive turn_idx
+    within conv, judged by the LATER turn's SLA). ``sla_scale``
+    multiplies every SLA (tests rebase the ms-scale dimension onto a
+    seconds-scale fixture; production leaves it 1).
+    """
+    from logpipe_spark.transcripts import lookup_df
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lat = (F.unix_micros(F.col("ts").cast("timestamp"))
+           - F.unix_micros(F.lag("ts").over(w).cast("timestamp")))
+    lk = lookup_df(df.sparkSession).select("role", "tool", "sla_ms")
+    j = (df.withColumn("_lat", lat.cast("bigint"))
+         .where(F.col("_lat").isNotNull())
+         .join(F.broadcast(lk), ["role", "tool"]))
+    thr = F.col("sla_ms").cast("bigint") * 1000 * int(sla_scale)
+    g = j.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum(F.when(F.col("_lat") <= thr, 1).otherwise(0))
+        .cast("bigint").alias("n_satisfied"),
+        F.sum(F.when((F.col("_lat") > thr) & (F.col("_lat") <= 4 * thr), 1)
+              .otherwise(0)).cast("bigint").alias("n_tolerating"))
+    return g.select(
+        "tool", "n_turns", "n_satisfied", "n_tolerating",
+        ((2 * F.col("n_satisfied") + F.col("n_tolerating")).cast("double")
+         / (2 * F.col("n_turns")).cast("double")).alias("apdex"))

@@ -19,6 +19,8 @@ from logpipe_spark.streaming.stream import (  # noqa: F401
     stream_drift_monitor,
     read_drift,
     read_kuiper,
+    stream_apdex,
+    apdex_report,
     stream_cms_incremental,
     read_cms,
     stream_dedup_incremental,

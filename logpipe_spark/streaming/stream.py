@@ -1251,3 +1251,117 @@ def read_golden_record(spark: SparkSession, state_dir: str) -> DataFrame:
                    F.max("last_ts").alias("last_ts"),
                    F.max("_lt").alias("_lt")))
     return golden_report(merged)
+
+
+# --- streaming Apdex ----------------------------------------------------------
+
+APDEX_PARTIAL_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("tool", StringType()),
+    StructField("n_turns", LongType()),
+    StructField("n_satisfied", LongType()),
+    StructField("n_tolerating", LongType()),
+])
+
+_APDEX_STATE = StructType([
+    StructField("t", ArrayType(LongType())),
+    StructField("us", ArrayType(LongType())),
+    StructField("tool", ArrayType(StringType())),
+    StructField("sla", ArrayType(LongType())),
+])
+
+
+def _apdex_fn_factory(sla_scale: int = 1):
+    """Per-conversation buffered (turn_idx, micros, tool, sla_ms) state;
+    emits per-(conv, tool) Apdex judgment counts once the watermark
+    passes the conversation's last activity. The latency pairs are the
+    batch op's exactly: consecutive turn_idx within the conv, judged by
+    the LATER turn's own SLA (sorted at emit time, so micro-batch
+    pacing cannot reorder them)."""
+    import numpy as np
+
+    from logpipe_spark.transcripts import LOOKUP_ROWS
+
+    sla_map = {(r, t): sla for r, t, _team, _cw, sla in LOOKUP_ROWS}
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            t, us, tool, sla = state.get
+            state.remove()
+            if len(t) < 2:
+                return
+            order = np.argsort(np.asarray(t, dtype=np.int64), kind="stable")
+            us_s = np.asarray(us, dtype=np.int64)[order]
+            tool_s = np.asarray(tool, dtype=object)[order]
+            sla_s = np.asarray(sla, dtype=np.int64)[order]
+            lat = us_s[1:] - us_s[:-1]
+            thr = sla_s[1:] * 1000 * int(sla_scale)
+            sat = lat <= thr
+            tol = (~sat) & (lat <= 4 * thr)
+            pdf = pd.DataFrame({"tool": tool_s[1:],
+                                "sat": sat.astype("int64"),
+                                "tol": tol.astype("int64")})
+            g = pdf.groupby("tool", sort=True).agg(
+                n_turns=("sat", "size"), n_satisfied=("sat", "sum"),
+                n_tolerating=("tol", "sum")).reset_index()
+            g.insert(0, "conv_id", key[0])
+            yield g
+            return
+        t, us, tool, sla = (state.get if state.exists
+                            else ([], [], [], []))
+        t, us, tool, sla = list(t), list(us), list(tool), list(sla)
+        for pdf in pdfs:
+            t.extend(pdf["turn_idx"].astype("int64").tolist())
+            us.extend(pdf["us"].astype("int64").tolist())
+            tool.extend(pdf["tool"].astype(str).tolist())
+            sla.extend(int(sla_map[(r, tl)]) for r, tl in
+                       zip(pdf["role"].astype(str), pdf["tool"].astype(str)))
+        state.update((t, us, tool, sla))
+        state.setTimeoutTimestamp(int(state.getCurrentWatermarkMs()) + 1)
+        return
+        yield  # pragma: no cover - generator form
+
+    return fn
+
+
+def stream_apdex(stream: DataFrame,
+                 watermark: str = "10 seconds",
+                 sla_scale: int = 1) -> DataFrame:
+    """Streaming twin of ``operators.spans.apdex_by_tool``: per-conv
+    buffered turns, judged when the watermark closes the conversation,
+    emitted as per-(conv, tool) count partials — every field a SUM
+    monoid, so :func:`apdex_report` over the drained output equals the
+    batch scorecard (two-pacing parity in tests). SLA lookup happens
+    in-state from the same LOOKUP_ROWS dimension the batch join
+    broadcasts."""
+    base = (
+        stream.withWatermark("ts", watermark)
+        .where(F.col("conv_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "conv_id", "ts",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "role", "tool",
+        )
+    )
+    return base.groupBy("conv_id").applyInPandasWithState(
+        _apdex_fn_factory(sla_scale),
+        outputStructType=APDEX_PARTIAL_SCHEMA,
+        stateStructType=_APDEX_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def apdex_report(partials: DataFrame) -> DataFrame:
+    """Fold (conv, tool) Apdex partials to the per-tool scorecard (the
+    monoid merge) — same output contract as ``spans.apdex_by_tool``."""
+    g = partials.groupBy("tool").agg(
+        F.sum("n_turns").cast("bigint").alias("n_turns"),
+        F.sum("n_satisfied").cast("bigint").alias("n_satisfied"),
+        F.sum("n_tolerating").cast("bigint").alias("n_tolerating"))
+    return g.select(
+        "tool", "n_turns", "n_satisfied", "n_tolerating",
+        ((2 * F.col("n_satisfied") + F.col("n_tolerating")).cast("double")
+         / (2 * F.col("n_turns")).cast("double")).alias("apdex"))

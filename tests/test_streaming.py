@@ -805,3 +805,55 @@ def test_stream_golden_record_equals_batch(spark, stream_dir, tmp_path):
         got = sorted(map(tuple,
                          read_golden_record(spark, state).collect()))
         assert got == want, tag
+
+
+def _run_apdex(spark, src, ck, name, mft):
+    from logpipe_spark.streaming.stream import stream_apdex
+
+    stream = stream_transcripts(spark, src, max_files_per_trigger=mft)
+    out = stream_apdex(stream, watermark="10 seconds", sla_scale=120)
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_apdex_matches_batch(spark, stream_dir, tmp_path):
+    """Streaming per-conv Apdex partials, folded by apdex_report, equal
+    the batch apdex_by_tool scorecard on the drained stream at two
+    micro-batch pacings (counts are SUM monoids; pairs are sorted at
+    emit time so pacing cannot reorder them)."""
+    import shutil
+    import time
+
+    from logpipe_spark.operators.spans import apdex_by_tool
+    from logpipe_spark.streaming.stream import apdex_report
+
+    src = str(tmp_path / "src")
+    shutil.copytree(stream_dir, src)
+    time.sleep(0.05)
+    (spark.createDataFrame(
+        [("zz-flush", 0, "user", "flush", "none", "2025-06-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string")
+     .withColumn("ts", F.col("ts").cast("timestamp"))
+     .coalesce(1).write.mode("append").parquet(src))
+
+    batch = spark.read.parquet(src).where(F.col("conv_id") != "zz-flush")
+    # sla_scale=120 rebases the ms-scale SLAs onto the fixture's ~60 s
+    # turn gaps so all three judgment bands are populated
+    want = {r.tool: (r.n_turns, r.n_satisfied, r.n_tolerating, r.apdex)
+            for r in apdex_by_tool(batch, sla_scale=120).collect()}
+    assert len(want) > 0
+    assert any(v[1] > 0 for v in want.values()), \
+        "fixture too small: nothing satisfies any SLA"
+
+    for i, mft in enumerate((1, 3)):
+        partials = _run_apdex(spark, src, str(tmp_path / f"apck{i}"),
+                              f"apdex{i}", mft).where(
+            F.col("conv_id") != "zz-flush")
+        got = {r.tool: (r.n_turns, r.n_satisfied, r.n_tolerating, r.apdex)
+               for r in apdex_report(partials).collect()}
+        assert got == want, f"mft={mft}"
