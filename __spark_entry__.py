@@ -6190,6 +6190,62 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")))
 
 
+def q_first_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-to-first-assistant-response per conversation, exact discrete
+    # percentiles per day of first user activity — the conversational
+    # twin of ship_latency_sla (min-aggregate + integer micros + disc
+    # percentiles with a conv_id tiebreak). Honest data note: the synth
+    # schedule lets an assistant turn precede the first user turn, so
+    # negative latencies exist and are kept — the SHAPE is under test
+    # and both engines agree exactly.
+    t = _t(spark, sf_dir)
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    per = t.groupBy("conv_id").agg(
+        F.min(F.when(F.col("role") == "user", F.col("ts"))).alias("_fut"),
+        F.min(F.when(F.col("role") == "user", mic)).cast("bigint")
+        .alias("_fu"),
+        F.min(F.when(F.col("role") == "assistant", mic)).cast("bigint")
+        .alias("_fa"))
+    j = (per.where(F.col("_fu").isNotNull() & F.col("_fa").isNotNull())
+         .select(F.to_date("_fut").alias("day"), "conv_id",
+                 (F.col("_fa") - F.col("_fu")).alias("lat_us")))
+    return percentiles_disc(j, "day", "lat_us", (0.5, 0.9, 0.99),
+                            tiebreak="conv_id")
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Heaps-law vocabulary growth curve per source WITHOUT a log:
+    # vocabulary size after the first ceil(k·n/10) docs in ingest
+    # (doc_id) order, k = 1..10. Each term collapses to its FIRST
+    # occurrence rank (one map-side-combinable min), the 10-row grid
+    # broadcasts, and every output is an exact integer — the curve a
+    # curation run reads to see whether a source's vocabulary is
+    # saturating (template spam) or still growing.
+    docs = (_docs(spark, sf_dir)
+            .where(F.col("source").isNotNull() & F.col("text").isNotNull()))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.select(
+        "source", "text",
+        F.row_number().over(w).cast("bigint").alias("_r"))
+    tot = ranked.groupBy("source").agg(
+        F.max("_r").cast("bigint").alias("_n"))
+    first = (ranked
+             .select("source", "_r",
+                     F.explode(F.split(F.col("text"), " ")).alias("term"))
+             .groupBy("source", "term")
+             .agg(F.min("_r").cast("bigint").alias("_fr")))
+    grid = spark.range(1, 11).select(F.col("id").cast("bigint").alias("k"))
+    j = (first.join(F.broadcast(tot), "source")
+         .crossJoin(F.broadcast(grid))
+         .withColumn("_thr", F.expr("(k * _n + 9) div 10")))
+    return (j.groupBy("source", "k", "_thr")
+            .agg(F.sum(F.when(F.col("_fr") <= F.col("_thr"), 1)
+                       .otherwise(0)).cast("bigint").alias("vocab"))
+            .select("source",
+                    (F.col("k").cast("double") / F.lit(10.0)).alias("frac"),
+                    F.col("_thr").alias("n_docs"), "vocab"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_summary(spark, derive_transcripts(spark, "/root/testdata/sf0.001"))
@@ -6284,6 +6340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_modularity": q_dup_modularity,
         "qq_points": q_qq_points,
         "degree_distribution": q_degree_distribution,
+        "first_response_latency": q_first_response_latency,
+        "vocab_growth": q_vocab_growth,
         "quantile_sketch_merged": q_quantile_sketch_merged,
         "slo_burn": q_slo_burn,
         "dup_spans": q_dup_spans,
@@ -11121,6 +11179,54 @@ deg AS (SELECT v, cast(count(*) AS bigint) AS deg FROM (
 SELECT cast(length(bin(deg)) - 1 AS int) AS log2_bucket,
        cast(count(*) AS bigint) AS n_nodes
 FROM deg GROUP BY length(bin(deg)) - 1""",
+        "first_response_latency": f"""{P},
+per AS (
+  SELECT conv_id,
+         min(CASE WHEN role = 'user' THEN ts END) AS fut,
+         cast(min(CASE WHEN role = 'user' THEN epoch_us(ts) END)
+              AS bigint) AS fu,
+         cast(min(CASE WHEN role = 'assistant' THEN epoch_us(ts) END)
+              AS bigint) AS fa
+  FROM transcripts GROUP BY conv_id),
+j AS (
+  SELECT cast(fut AS date) AS day, conv_id,
+         cast(fa - fu AS bigint) AS lat_us
+  FROM per WHERE fu IS NOT NULL AND fa IS NOT NULL),
+r AS (
+  SELECT day, lat_us,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY lat_us, conv_id) AS rn,
+         count(*) OVER (PARTITION BY day) AS n
+  FROM j WHERE lat_us IS NOT NULL)
+SELECT day,
+       max(CASE WHEN rn = cast(ceil(0.5 * n) AS bigint)
+                THEN lat_us END) AS p50,
+       max(CASE WHEN rn = cast(ceil(0.9 * n) AS bigint)
+                THEN lat_us END) AS p90,
+       max(CASE WHEN rn = cast(ceil(0.99 * n) AS bigint)
+                THEN lat_us END) AS p99,
+       cast(max(n) AS bigint) AS n
+FROM r GROUP BY day""",
+        "vocab_growth": """
+WITH d AS (SELECT source, text, doc_id FROM documents
+           WHERE source IS NOT NULL AND text IS NOT NULL),
+ranked AS (SELECT source, text,
+                  cast(row_number() OVER (PARTITION BY source
+                                          ORDER BY doc_id) AS bigint) AS r
+           FROM d),
+tot AS (SELECT source, cast(max(r) AS bigint) AS n
+        FROM ranked GROUP BY source),
+first AS (SELECT source, term, cast(min(r) AS bigint) AS fr FROM (
+            SELECT source, r, unnest(string_split(text, ' ')) AS term
+            FROM ranked)
+          GROUP BY source, term),
+grid AS (SELECT cast(k AS bigint) AS k FROM range(1, 11) t(k)),
+j AS (SELECT f.source, grid.k, (grid.k * tot.n + 9) // 10 AS thr, f.fr
+      FROM first f JOIN tot ON f.source = tot.source CROSS JOIN grid)
+SELECT source, cast(k AS double) / 10.0 AS frac,
+       cast(thr AS bigint) AS n_docs,
+       cast(sum(CASE WHEN fr <= thr THEN 1 ELSE 0 END) AS bigint) AS vocab
+FROM j GROUP BY source, k, thr""",
     }
 
 
