@@ -6246,6 +6246,27 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("_thr").alias("n_docs"), "vocab"))
 
 
+def q_runs_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Segment-parallel Wald–Wolfowitz (drift.py:runs_partials/merge):
+    # per-(type, day) partials carry (counts, runs, first/last sign);
+    # runs(A ++ B) = runs(A) + runs(B) − [boundary match], composed
+    # along the day order — windows bounded by a day, the merge scans
+    # the day-cardinality frame. Shares runs_test's oracle verbatim:
+    # the exact hash match IS the merge==scan proof (the cusum_merged
+    # discipline).
+    from logpipe_spark.operators.drift import runs_merge, runs_partials
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull())
+          .select("event_type",
+                  F.col("ts").cast("timestamp").alias("ts"), "event_id",
+                  F.floor(F.col("value") * 100 + F.lit(0.5))
+                  .cast("bigint").alias("cents")))
+    parts = runs_partials(ev, "event_type", F.to_date("ts"),
+                          ["ts", "event_id"], F.col("cents"))
+    return runs_merge(parts, "_k").withColumnRenamed("_k", "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_summary(spark, derive_transcripts(spark, "/root/testdata/sf0.001"))
@@ -6342,6 +6363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_distribution": q_degree_distribution,
         "first_response_latency": q_first_response_latency,
         "vocab_growth": q_vocab_growth,
+        "runs_merged": q_runs_merged,
         "quantile_sketch_merged": q_quantile_sketch_merged,
         "slo_burn": q_slo_burn,
         "dup_spans": q_dup_spans,
@@ -11239,6 +11261,10 @@ def _add_segmented_aliases(oracles: dict[str, str]) -> dict[str, str]:
     # segment-parallel CUSUM must equal the full-stream scan: sharing the
     # oracle verbatim IS the merge==scan equivalence proof
     oracles["cusum_merged"] = oracles["cusum_alert"]
+    # segment-parallel runs test: runs(A ++ B) = runs(A) + runs(B) -
+    # [boundary signs match] — the shared full-stream oracle verbatim
+    # IS the monoid merge==scan proof
+    oracles["runs_merged"] = oracles["runs_test"]
     # incremental (index-probe) dedup of the second half must equal the
     # whole-corpus batch pairs: the batch SQL verbatim IS the proof
     oracles["dedup_incremental"] = oracles["dedup_minhash"]

@@ -51,6 +51,8 @@ __all__ = [
     "cliffs_delta",
     "kuiper_drift",
     "kuiper_from_counts",
+    "runs_partials",
+    "runs_merge",
 ]
 
 
@@ -1094,3 +1096,92 @@ def kuiper_from_counts(
         .alias("d_minus"))
     return g.select(key, "n_a", "n_b", "d_plus", "d_minus",
                     (F.col("d_plus") + F.col("d_minus")).alias("kuiper"))
+
+
+def runs_partials(
+    df: DataFrame,
+    key: str,
+    seg: Column,
+    order: Sequence[str],
+    value: Column,
+) -> DataFrame:
+    """Segment-parallel partials for :func:`runs_test` — the run count
+    is a MONOID over ordered segments: per segment keep
+    ``(n_pos, n_neg, n_runs, first_sign, last_sign)``; concatenating
+    two segments merges one run exactly when the boundary signs match,
+    so
+
+        runs(A ++ B) = runs(A) + runs(B) - [last(A) == first(B)]
+
+    (:func:`runs_merge` applies this along the segment order — the
+    cusum_partials/merge discipline: windows bounded by a segment, one
+    segment-cardinality merge scan, same answer as the full-stream
+    scan, which the shared oracle proves). The sign threshold is the
+    key's GLOBAL discrete lower median — computed exactly as
+    :func:`runs_test` does, one distinct-value pass.
+
+    ``seg`` must be monotone in ``order`` (e.g. the day of the
+    ordering timestamp). Returns one row per (key, seg).
+    """
+    vi = value.cast("bigint")
+    base = (df.where(vi.isNotNull() & F.col(key).isNotNull())
+            .select(F.col(key).alias("_k"), seg.alias("_seg"),
+                    *order, vi.alias("_v")))
+    per_v = base.groupBy("_k", "_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"))
+    tot = per_v.groupBy("_k").agg(F.sum("t").cast("bigint").alias("_n"))
+    wv = (Window.partitionBy("_k").orderBy("_v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = per_v.select("_k", "_v", F.sum("t").over(wv).alias("_cum"))
+    med = (cum.join(tot, "_k")
+           .groupBy("_k")
+           .agg(F.min(F.when(
+               F.col("_cum") >= F.expr("(_n + 1) div 2"),
+               F.col("_v"))).alias("_med")))
+    s = (base.join(med, "_k")
+         .where(F.col("_v") != F.col("_med"))
+         .select("_k", "_seg", *order, (F.col("_v") > F.col("_med"))
+                 .alias("_s")))
+    wo = Window.partitionBy("_k", "_seg").orderBy(*order)
+    chg = s.select(
+        "_k", "_seg", "_s",
+        F.struct(*order, F.col("_s").alias("_sv")).alias("_row"),
+        F.when(F.lag("_s").over(wo).isNull(), 1)
+        .when(F.col("_s") != F.lag("_s").over(wo), 1)
+        .otherwise(0).cast("bigint").alias("_chg"))
+    return chg.groupBy("_k", "_seg").agg(
+        F.sum(F.when(F.col("_s"), 1).otherwise(0)).cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("_s"), 0).otherwise(1)).cast("bigint")
+        .alias("n_neg"),
+        F.sum("_chg").cast("bigint").alias("n_runs"),
+        F.min("_row")["_sv"].alias("first_sign"),
+        F.max("_row")["_sv"].alias("last_sign"))
+
+
+def runs_merge(partials: DataFrame, key: str = "_k") -> DataFrame:
+    """Compose :func:`runs_partials` along the segment order and emit
+    the identical (key, n_pos, n_neg, n_runs, z) frame as
+    :func:`runs_test` over the full stream — the merge==scan proof is
+    the shared oracle. The merge scans the SEGMENT-cardinality frame
+    (days, not rows)."""
+    wo = Window.partitionBy(key).orderBy("_seg")
+    m = partials.select(
+        key, "n_pos", "n_neg", "n_runs",
+        F.when(F.lag("last_sign").over(wo) == F.col("first_sign"), 1)
+        .otherwise(0).cast("bigint").alias("_joined"))
+    g = m.groupBy(key).agg(
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_neg").cast("bigint").alias("n_neg"),
+        (F.sum("n_runs") - F.sum("_joined")).cast("bigint")
+        .alias("n_runs"))
+    nd = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    p = (F.lit(2.0) * F.col("n_pos").cast("double")
+         * F.col("n_neg").cast("double"))
+    mu = p / nd + F.lit(1.0)
+    var = p * (p - nd) / (nd * nd * (nd - F.lit(1.0)))
+    return (g.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+            .select(F.col(key), "n_pos", "n_neg", "n_runs",
+                    F.when(var > 0,
+                           (F.col("n_runs").cast("double") - mu)
+                           / F.sqrt(var)).alias("z")))

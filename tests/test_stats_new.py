@@ -384,3 +384,28 @@ def test_holt_winters_single_point(spark):
     df = spark.createDataFrame([("k", 0, 7)], "g string, t long, v long")
     row = holt_winters(df, "g", F.col("v"), ["t"]).collect()[0]
     assert (row.n, row.level, row.trend, row.forecast) == (1, 7.0, 0.0, 7.0)
+
+
+def test_runs_merge_boundary_identity(spark):
+    # two day-segments; the boundary signs MATCH (runs merge: -1) for
+    # one key and DIFFER (no adjustment) for another. Both must equal
+    # the full-stream runs_test.
+    from logpipe_spark.operators.drift import (runs_merge, runs_partials,
+                                               runs_test)
+    rows = []
+    # median of [1,1,5,9,9] is 5 (dropped). key a kept signs
+    # seg0 = -,+ ; seg1 = +,- -> full stream -,+,+,- = 3 runs;
+    # naive seg sum 2+2 = 4, one boundary join
+    for t, v in enumerate([1, 9, 5, 9, 1]):
+        rows.append(("a", t // 3, t, v))
+    # key b kept signs seg0 = -,+ ; seg1 = -,+ -> 4 runs, no join
+    for t, v in enumerate([1, 9, 5, 1, 9]):
+        rows.append(("b", t // 3, t, v))
+    df = spark.createDataFrame(rows, "g string, d long, t long, v long")
+    parts = runs_partials(df, "g", F.col("d"), ["t"], F.col("v"))
+    got = {r._k: (r.n_pos, r.n_neg, r.n_runs, r.z)
+           for r in runs_merge(parts, "_k").collect()}
+    want = {r.g: (r.n_pos, r.n_neg, r.n_runs, r.z)
+            for r in runs_test(df, "g", ["t"], F.col("v")).collect()}
+    assert got == want
+    assert got["a"][2] == 3 and got["b"][2] == 4
