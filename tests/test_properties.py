@@ -306,3 +306,75 @@ def test_ntile_closed_form_matches_definition(n, k):
     for tile, sz in enumerate(sizes, start=1):
         want.extend([tile] * sz)
     assert [closed(x) for x in range(1, n + 1)] == want
+
+
+@given(xs=st.lists(st.integers(min_value=0, max_value=1000),
+                   min_size=1, max_size=40),
+       period=st.sampled_from([2, 3, 7]))
+@settings(**_SETTINGS)
+def test_holt_winters_replays_python_fold(spark, xs, period):
+    """holt_winters == a pure-Python float replay of the same fold for
+    ANY integer series and period — the struct+array fold must never
+    deviate from its specification (the same replay the DuckDB
+    recursive-CTE oracle performs)."""
+    from logpipe_spark.operators.aggregate import holt_winters
+
+    a, b, g = 0.3, 0.1, 0.2
+    vs = [float(x) for x in xs]
+    l, tr, s = vs[0], 0.0, [0.0] * period
+    for i in range(1, len(vs)):
+        slot = i % period
+        sp = s[slot]
+        nl = a * (vs[i] - sp) + (1.0 - a) * (l + tr)
+        tr = b * (nl - l) + (1.0 - b) * tr
+        s[slot] = g * (vs[i] - nl) + (1.0 - g) * sp
+        l = nl
+    want = (l, tr, l + tr + s[len(vs) % period])
+
+    df = spark.createDataFrame(
+        [("k", t, v) for t, v in enumerate(xs)],
+        "g string, t long, v long")
+    row = holt_winters(df, "g", F.col("v"), ["t"],
+                       alpha=a, beta=b, gamma=g, period=period).collect()[0]
+    assert (row.level, row.trend, row.forecast) == want
+
+
+@given(ds=st.lists(st.integers(min_value=-50, max_value=50),
+                   min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_wilcoxon_matches_python_ranks(spark, ds):
+    """wilcoxon_signed == a pure-Python tie-averaged signed-rank
+    computation for ANY integer diffs (zeros dropped, doubled ranks)."""
+    from logpipe_spark.operators.drift import wilcoxon_signed
+
+    dd = [d for d in ds if d != 0]
+    df = spark.createDataFrame(
+        [("k", d) for d in ds], "g string, d long")
+    out = wilcoxon_signed(df, "g", F.col("d")).collect()
+    if not dd:
+        assert out == []
+        return
+    srt = sorted(abs(d) for d in dd)
+    # doubled tie-averaged rank per |d| value
+    r2 = {}
+    i = 0
+    while i < len(srt):
+        j = i
+        while j < len(srt) and srt[j] == srt[i]:
+            j += 1
+        r2[srt[i]] = (i + 1) + j  # 2 * avg of ranks i+1..j
+        i = j
+    w2p = float(sum(r2[abs(d)] for d in dd if d > 0))
+    n = len(dd)
+    tt = 0
+    for v in set(abs(d) for d in dd):
+        t = sum(1 for d in dd if abs(d) == v)
+        tt += t ** 3 - t
+    row = out[0]
+    assert row.n_pairs == n and row.w2_plus == w2p
+    var2 = (n * (n + 1.0) * (2.0 * n + 1.0) / 6.0 - tt / 12.0)
+    if var2 > 0:
+        assert abs(row.z - (w2p - n * (n + 1.0) / 2.0)
+                   / var2 ** 0.5) < 1e-9
+    else:
+        assert row.z is None
