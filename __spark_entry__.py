@@ -6267,6 +6267,43 @@ def q_runs_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs_merge(parts, "_k").withColumnRenamed("_k", "event_type")
 
 
+def q_contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Triplet mining for contrastive embedding training: per anchor
+    # query, the top same-label neighbor (positive) and the top
+    # DIFFERENT-label neighbor (hard negative) from the exact cosine
+    # top-10, plus the margin the triplet loss would see. Both arms
+    # ride the shared ANN top-k (ranks are unique per query, so the
+    # min-rank joins are exact); anchors missing either arm are
+    # dropped, the standard mining rule.
+    emb = _emb(spark, sf_dir)
+    top = sim.ann_bruteforce_topk(emb, k=10)
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("label").alias("_nl"))
+    qlab = emb.select(F.col("vec_id").alias("query_id"),
+                      F.col("label").cast("int").alias("true_label"))
+    t = (top.join(lab, "neighbor_id").join(qlab, "query_id")
+         .select("query_id", "true_label", "neighbor_id", "rank", "cos",
+                 (F.col("_nl") == F.col("true_label")).alias("_same")))
+    pr = (t.where(F.col("_same")).groupBy("query_id")
+          .agg(F.min("rank").alias("_pr")))
+    nr = (t.where(~F.col("_same")).groupBy("query_id")
+          .agg(F.min("rank").alias("_nr")))
+    pos = (t.join(pr, "query_id")
+           .where(F.col("rank") == F.col("_pr"))
+           .select("query_id", "true_label",
+                   F.col("neighbor_id").alias("pos_id"),
+                   F.col("cos").alias("pos_cos")))
+    neg = (t.join(nr, "query_id")
+           .where(F.col("rank") == F.col("_nr"))
+           .select("query_id",
+                   F.col("neighbor_id").alias("neg_id"),
+                   F.col("cos").alias("neg_cos")))
+    return (pos.join(neg, "query_id")
+            .select("query_id", "true_label", "pos_id", "pos_cos",
+                    "neg_id", "neg_cos",
+                    (F.col("pos_cos") - F.col("neg_cos")).alias("margin")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_summary(spark, derive_transcripts(spark, "/root/testdata/sf0.001"))
@@ -6364,6 +6401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_response_latency": q_first_response_latency,
         "vocab_growth": q_vocab_growth,
         "runs_merged": q_runs_merged,
+        "contrastive_triples": q_contrastive_triples,
         "quantile_sketch_merged": q_quantile_sketch_merged,
         "slo_burn": q_slo_burn,
         "dup_spans": q_dup_spans,
@@ -11249,6 +11287,27 @@ SELECT source, cast(k AS double) / 10.0 AS frac,
        cast(thr AS bigint) AS n_docs,
        cast(sum(CASE WHEN fr <= thr THEN 1 ELSE 0 END) AS bigint) AS vocab
 FROM j GROUP BY source, k, thr""",
+        "contrastive_triples": f"""
+WITH ann AS ({_ann_oracle(k=10, bucketed=False, bits=6)}),
+t AS (SELECT a.query_id, cast(q.label AS int) AS true_label,
+             a.neighbor_id, a.rank, a.cos,
+             nb.label = q.label AS same
+      FROM ann a
+      JOIN embeddings nb ON a.neighbor_id = nb.vec_id
+      JOIN embeddings q ON a.query_id = q.vec_id),
+pr AS (SELECT query_id, min(rank) AS pr FROM t WHERE same
+       GROUP BY query_id),
+nr AS (SELECT query_id, min(rank) AS nr FROM t WHERE NOT same
+       GROUP BY query_id),
+pos AS (SELECT t.query_id, t.true_label,
+               t.neighbor_id AS pos_id, t.cos AS pos_cos
+        FROM t JOIN pr ON t.query_id = pr.query_id AND t.rank = pr.pr),
+neg AS (SELECT t.query_id,
+               t.neighbor_id AS neg_id, t.cos AS neg_cos
+        FROM t JOIN nr ON t.query_id = nr.query_id AND t.rank = nr.nr)
+SELECT pos.query_id, pos.true_label, pos.pos_id, pos.pos_cos,
+       neg.neg_id, neg.neg_cos, pos.pos_cos - neg.neg_cos AS margin
+FROM pos JOIN neg ON pos.query_id = neg.query_id""",
     }
 
 
