@@ -6304,6 +6304,69 @@ def q_contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("pos_cos") - F.col("neg_cos")).alias("margin")))
 
 
+def q_mixture_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Temperature-sampling operating curve: mixture_weights at alpha in
+    # {0.25, 0.5, 0.75} — every weight is a COMPOSITION OF SQRTS
+    # (n^0.25 = sqrt(sqrt n), n^0.75 = sqrt(n)·sqrt(sqrt n)), each
+    # correctly rounded IEEE, so the whole sweep stays hash-exact where
+    # a pow() never could. Per-alpha Σw folds left-to-right over the
+    # source sort (the mixture_weights pattern).
+    budget = 1_000_000
+    n = (_docs(spark, sf_dir)
+         .where(F.col("source").isNotNull())
+         .groupBy("source")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    nd = F.col("n_docs").cast("double")
+    arms = []
+    for alpha, w in ((0.25, F.sqrt(F.sqrt(nd))),
+                     (0.5, F.sqrt(nd)),
+                     (0.75, F.sqrt(nd) * F.sqrt(F.sqrt(nd)))):
+        t = n.select("source", "n_docs", w.alias("w"))
+        tot = t.agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("source", "w"))),
+                    lambda x: x["w"]),
+                F.lit(0.0), lambda acc, x: acc + x).alias("_wsum"))
+        share = F.col("w") / F.col("_wsum")
+        arms.append(t.crossJoin(F.broadcast(tot)).select(
+            F.lit(alpha).alias("alpha"), "source", "n_docs", "w",
+            share.alias("share"),
+            F.floor(share * F.lit(float(budget))).cast("bigint")
+            .alias("alloc_tokens")))
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dedup-threshold operating curve: surviving pair count and
+    # docs-with-a-duplicate at jaccard thresholds {0.12, 0.2, 0.3} —
+    # ONE pass over the inverted-index jaccard frame (conditional sums
+    # + conditional exact distincts), the tuning readout a curation run
+    # consults before committing a cutoff.
+    pairs = dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.12)
+    e = pairs.select(
+        "jaccard",
+        F.explode(F.array("doc_a", "doc_b")).alias("d"))
+    aggs = []
+    for thr in (0.12, 0.2, 0.3):
+        aggs.append((F.sum(F.when(F.col("jaccard") >= thr, 1).otherwise(0))
+                     / 2).cast("bigint").alias(f"_p{int(thr*100)}"))
+        aggs.append(F.countDistinct(
+            F.when(F.col("jaccard") >= thr, F.col("d")))
+            .cast("bigint").alias(f"_d{int(thr*100)}"))
+    g = e.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(thr).alias("threshold"),
+                 F.col(f"_p{int(thr*100)}").alias("n_pairs"),
+                 F.col(f"_d{int(thr*100)}").alias("n_docs_with_dup"))
+        for thr in (0.12, 0.2, 0.3)])
+    return (g.select(F.explode(rows).alias("_r"))
+            .select("_r.threshold", "_r.n_pairs", "_r.n_docs_with_dup"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_summary(spark, derive_transcripts(spark, "/root/testdata/sf0.001"))
@@ -6402,6 +6465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "runs_merged": q_runs_merged,
         "contrastive_triples": q_contrastive_triples,
+        "mixture_sweep": q_mixture_sweep,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "quantile_sketch_merged": q_quantile_sketch_merged,
         "slo_burn": q_slo_burn,
         "dup_spans": q_dup_spans,
@@ -11308,6 +11373,60 @@ neg AS (SELECT t.query_id,
 SELECT pos.query_id, pos.true_label, pos.pos_id, pos.pos_cos,
        neg.neg_id, neg.neg_cos, pos.pos_cos - neg.neg_cos AS margin
 FROM pos JOIN neg ON pos.query_id = neg.query_id""",
+        "mixture_sweep": """
+WITH n AS (
+  SELECT source, cast(count(*) AS bigint) AS n_docs
+  FROM documents WHERE source IS NOT NULL GROUP BY source),
+t25 AS (SELECT source, n_docs,
+               sqrt(sqrt(cast(n_docs AS double))) AS w FROM n),
+tot25 AS (SELECT list_reduce(
+            list_prepend(cast(0.0 AS double), list(w ORDER BY source)),
+            (acc, x) -> acc + x) AS wsum FROM t25),
+t50 AS (SELECT source, n_docs,
+               sqrt(cast(n_docs AS double)) AS w FROM n),
+tot50 AS (SELECT list_reduce(
+            list_prepend(cast(0.0 AS double), list(w ORDER BY source)),
+            (acc, x) -> acc + x) AS wsum FROM t50),
+t75 AS (SELECT source, n_docs,
+               sqrt(cast(n_docs AS double))
+                 * sqrt(sqrt(cast(n_docs AS double))) AS w FROM n),
+tot75 AS (SELECT list_reduce(
+            list_prepend(cast(0.0 AS double), list(w ORDER BY source)),
+            (acc, x) -> acc + x) AS wsum FROM t75)
+SELECT 0.25e0 AS alpha, source, n_docs, w, w / wsum AS share,
+       cast(floor(w / wsum * 1000000.0) AS bigint) AS alloc_tokens
+FROM t25 CROSS JOIN tot25
+UNION ALL
+SELECT 0.5e0 AS alpha, source, n_docs, w, w / wsum AS share,
+       cast(floor(w / wsum * 1000000.0) AS bigint) AS alloc_tokens
+FROM t50 CROSS JOIN tot50
+UNION ALL
+SELECT 0.75e0 AS alpha, source, n_docs, w, w / wsum AS share,
+       cast(floor(w / wsum * 1000000.0) AS bigint) AS alloc_tokens
+FROM t75 CROSS JOIN tot75""",
+        "dedup_threshold_sweep": f"""WITH {_shingles_cte(3)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),{_JACCARD_CTES},
+p AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.12e0),
+e AS (SELECT jaccard, unnest([doc_a, doc_b]) AS d FROM p),
+g AS (SELECT
+  cast(sum(CASE WHEN jaccard >= 0.12e0 THEN 1 ELSE 0 END) / 2
+       AS bigint) AS p12,
+  cast(count(DISTINCT CASE WHEN jaccard >= 0.12e0 THEN d END)
+       AS bigint) AS d12,
+  cast(sum(CASE WHEN jaccard >= 0.2e0 THEN 1 ELSE 0 END) / 2
+       AS bigint) AS p20,
+  cast(count(DISTINCT CASE WHEN jaccard >= 0.2e0 THEN d END)
+       AS bigint) AS d20,
+  cast(sum(CASE WHEN jaccard >= 0.3e0 THEN 1 ELSE 0 END) / 2
+       AS bigint) AS p30,
+  cast(count(DISTINCT CASE WHEN jaccard >= 0.3e0 THEN d END)
+       AS bigint) AS d30
+  FROM e)
+SELECT 0.12e0 AS threshold, p12 AS n_pairs, d12 AS n_docs_with_dup FROM g
+UNION ALL SELECT 0.2e0 AS threshold, p20, d20 FROM g
+UNION ALL SELECT 0.3e0 AS threshold, p30, d30 FROM g""",
     }
 
 
