@@ -6367,6 +6367,30 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("_r.threshold", "_r.n_pairs", "_r.n_docs_with_dup"))
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tokenizer fertility per source: BPE-ish tokens per whitespace
+    # word and chars per BPE token — the compression scorecard an LLM
+    # pipeline reads before committing a tokenizer to a corpus mix.
+    # Pure codegen counting (regexp_extract_all + split), one
+    # map-side-combinable shuffle to source cardinality, ratios are
+    # single divisions of exact int64 sums.
+    docs = (_docs(spark, sf_dir)
+            .where(F.col("source").isNotNull() & F.col("text").isNotNull()))
+    text = F.col("text")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(text, " "))).cast("bigint").alias("ws_tokens"),
+        F.sum(tq.bpe_ish_token_count(text)).cast("bigint")
+        .alias("bpe_tokens"),
+        F.sum(F.length(text)).cast("bigint").alias("n_chars"))
+    return g.select(
+        "source", "n_docs", "ws_tokens", "bpe_tokens", "n_chars",
+        (F.col("bpe_tokens").cast("double") / F.col("ws_tokens"))
+        .alias("fertility"),
+        (F.col("n_chars").cast("double") / F.col("bpe_tokens"))
+        .alias("chars_per_token"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_summary(spark, derive_transcripts(spark, "/root/testdata/sf0.001"))
@@ -6467,6 +6491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_triples": q_contrastive_triples,
         "mixture_sweep": q_mixture_sweep,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "quantile_sketch_merged": q_quantile_sketch_merged,
         "slo_burn": q_slo_burn,
         "dup_spans": q_dup_spans,
@@ -11427,6 +11452,20 @@ g AS (SELECT
 SELECT 0.12e0 AS threshold, p12 AS n_pairs, d12 AS n_docs_with_dup FROM g
 UNION ALL SELECT 0.2e0 AS threshold, p20, d20 FROM g
 UNION ALL SELECT 0.3e0 AS threshold, p30, d30 FROM g""",
+        "tokenizer_fertility": """
+WITH g AS (
+  SELECT source, cast(count(*) AS bigint) AS n_docs,
+         cast(sum(len(string_split(text, ' '))) AS bigint) AS ws_tokens,
+         cast(sum(len(regexp_extract_all(
+           text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS bigint)
+           AS bpe_tokens,
+         cast(sum(length(text)) AS bigint) AS n_chars
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+  GROUP BY source)
+SELECT source, n_docs, ws_tokens, bpe_tokens, n_chars,
+       cast(bpe_tokens AS double) / ws_tokens AS fertility,
+       cast(n_chars AS double) / bpe_tokens AS chars_per_token
+FROM g""",
     }
 
 
