@@ -6391,6 +6391,78 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chars_per_token"))
 
 
+def q_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hellinger drift per event type (drift.py:hellinger_drift), first
+    # half-month vs the rest — the bounded-[0,1], LOG-FREE f-divergence
+    # (PSI/KL/JS can never pass the exact gate; Hellinger is divisions
+    # of exact int64 counts + correctly-rounded sqrt). Rides the SAME
+    # (key, v, ca, cb) count state as ks_drift/kuiper_drift; integer
+    # value buckets keep the per-key support bounded, and the per-key
+    # sum is an ordered fold replayed by DuckDB list_reduce.
+    from logpipe_spark.operators.drift import hellinger_drift
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    return hellinger_drift(
+        ev, "event_type", F.floor(F.col("value")),
+        F.dayofmonth("ts") <= 15)
+
+
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Friedman rank test (drift.py:friedman_test): does at least one
+    # event type run consistently hotter across day-of-month blocks?
+    # Cell metric = exact int64 count on the zero-filled day x type
+    # grid (missing cell genuinely means 0 events, so every block is
+    # complete); tie-averaged ranks stay integer (tr2 = 2*rank + ties
+    # - 1, the spearman discipline) and the tie-corrected Q is integer
+    # arithmetic with ONE final double division.
+    from logpipe_spark.operators.drift import friedman_test
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    return friedman_test(ev, F.dayofmonth("ts"), F.col("event_type"))
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cochran's Q (drift.py:cochran_q): across users (blocks), do the
+    # event types (treatments) differ in their rate of ever producing
+    # a high-value event (value > 150)? Binary x_ij = max over the
+    # zero-filled user x type grid; Q is pure int64 sufficient stats
+    # (column totals, row totals) with one final double division.
+    from logpipe_spark.operators.drift import cochran_q
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cochran_q(ev, F.col("user_id"), F.col("event_type"),
+                     F.col("value") > 150.0)
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-source readability profile (textqual.py:readability): FORCAST
+    # grade (20 - 15 * monosyllabic fraction — the readability formula
+    # built for non-prose text, needing NO sentence boundaries, which
+    # this corpus lacks), syllables/word and mean word length from
+    # vowel-run counts (regexp_count == DuckDB len(regexp_extract_all),
+    # both non-overlapping left-to-right). All int64 sums; the grade is
+    # two IEEE ops on a raw double — never rounded.
+    return tq.readability(_docs(spark, sf_dir))
+
+
+def q_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dyad reciprocity of the above-average event-transition graph
+    # (graph.py:reciprocity over funnel.py:event_transitions): keep
+    # directed edges whose count clears the mean (integer cross-product
+    # compare n * n_pairs > total — no division), then one left-semi
+    # self-join on the reversed key. "Is search->read answered by
+    # read->search?" — pipeline vs feedback-loop gauge.
+    from logpipe_spark.operators.funnel import event_transitions
+    from logpipe_spark.operators.graph import reciprocity
+    tr = event_transitions(_events(spark, sf_dir))
+    tot = tr.agg(F.sum("n_transitions").cast("bigint").alias("_tot"),
+                 F.count(F.lit(1)).cast("bigint").alias("_np"))
+    hot = (tr.crossJoin(F.broadcast(tot))
+           .where(F.col("n_transitions") * F.col("_np") > F.col("_tot"))
+           .where(F.col("from_type").isNotNull()))
+    return reciprocity(hot, src="from_type", dst="to_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_summary(spark, derive_transcripts(spark, "/root/testdata/sf0.001"))
@@ -6704,6 +6776,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_templates": q_log_templates,
         "holt_smooth": q_holt_smooth,
         "vocab_overlap": q_vocab_overlap,
+        "hellinger_drift": q_hellinger_drift,
+        "friedman_test": q_friedman_test,
+        "cochran_q": q_cochran_q,
+        "readability": q_readability,
+        "edge_reciprocity": q_edge_reciprocity,
     }
 
 
@@ -11608,4 +11685,130 @@ SELECT n_true, n_found, n_hit,
        CASE WHEN n_true > 0 THEN cast(n_hit AS double) / n_true
             END AS recall
 FROM t, f, h"""
+    oracles["hellinger_drift"] = """
+WITH base AS (SELECT event_type, cast(floor(value) AS bigint) AS v,
+                     CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS ia
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+pv AS (SELECT event_type, v,
+              cast(sum(ia) AS bigint) AS ca,
+              cast(sum(1 - ia) AS bigint) AS cb
+       FROM base GROUP BY event_type, v),
+t AS (SELECT event_type, cast(sum(ca) AS bigint) AS n_a,
+             cast(sum(cb) AS bigint) AS n_b
+      FROM pv GROUP BY event_type),
+j AS (SELECT pv.event_type, v, n_a, n_b,
+             (sqrt(cast(ca AS double) / n_a)
+              - sqrt(cast(cb AS double) / n_b)) AS rt
+      FROM pv JOIN t USING (event_type)
+      WHERE n_a >= 1 AND n_b >= 1),
+g AS (SELECT event_type, n_a, n_b,
+             list_reduce(
+               list_prepend(cast(0.0 AS double),
+                 list(rt * rt ORDER BY v)),
+               (acc, x) -> acc + x) AS s
+      FROM j GROUP BY event_type, n_a, n_b)
+SELECT event_type, n_a, n_b, sqrt(s * 0.5) AS hellinger FROM g"""
+    oracles["friedman_test"] = """
+WITH base AS (SELECT day(ts) AS b, event_type AS t FROM events
+              WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+cells AS (SELECT b, t, cast(count(*) AS bigint) AS m
+          FROM base GROUP BY b, t),
+blocks AS (SELECT DISTINCT b FROM cells),
+treats AS (SELECT DISTINCT t FROM cells),
+grid AS (SELECT blocks.b, treats.t,
+                cast(coalesce(cells.m, 0) AS bigint) AS m
+         FROM blocks CROSS JOIN treats
+         LEFT JOIN cells ON cells.b = blocks.b AND cells.t = treats.t),
+r AS (SELECT b, t,
+             2 * cast(rank() OVER (PARTITION BY b ORDER BY m) AS bigint)
+               + cast(count(*) OVER (PARTITION BY b, m) AS bigint) - 1
+               AS tr2
+      FROM grid),
+kk AS (SELECT cast(count(*) AS bigint) AS k FROM treats),
+pt AS (SELECT t, cast(sum(tr2) AS bigint) AS r2,
+              cast(sum(tr2 * tr2) AS bigint) AS sq,
+              cast(count(*) AS bigint) AS n
+       FROM r GROUP BY t),
+s AS (SELECT n, kk.k AS k,
+             cast(sum((r2 - n * (kk.k + 1)) * (r2 - n * (kk.k + 1)))
+                  AS bigint) AS num,
+             cast(sum(sq) AS bigint) AS ssq
+      FROM pt CROSS JOIN kk GROUP BY n, kk.k)
+SELECT k, n AS n_blocks,
+       CASE WHEN (ssq - n * k * (k + 1) * (k + 1)) > 0
+            THEN cast(k - 1 AS double) * cast(num AS double)
+                 / cast(ssq - n * k * (k + 1) * (k + 1) AS double)
+       END AS q_stat
+FROM s"""
+    oracles["cochran_q"] = """
+WITH base AS (SELECT user_id AS b, event_type AS t,
+                     CASE WHEN value > 150.0 THEN 1 ELSE 0 END AS s
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+cells AS (SELECT b, t, cast(max(s) AS bigint) AS x
+          FROM base GROUP BY b, t),
+blocks AS (SELECT DISTINCT b FROM cells),
+treats AS (SELECT DISTINCT t FROM cells),
+grid AS (SELECT blocks.b, treats.t,
+                cast(coalesce(cells.x, 0) AS bigint) AS x
+         FROM blocks CROSS JOIN treats
+         LEFT JOIN cells ON cells.b = blocks.b AND cells.t = treats.t),
+ct AS (SELECT t, cast(sum(x) AS bigint) AS c FROM grid GROUP BY t),
+rt AS (SELECT b, cast(sum(x) AS bigint) AS r FROM grid GROUP BY b),
+sc AS (SELECT cast(count(*) AS bigint) AS k,
+              cast(sum(c) AS bigint) AS nn,
+              cast(sum(c * c) AS bigint) AS csq FROM ct),
+sr AS (SELECT cast(count(*) AS bigint) AS n,
+              cast(sum(r * r) AS bigint) AS rsq FROM rt)
+SELECT k, n AS n_blocks, nn AS n_success,
+       CASE WHEN (cast(k AS double) * cast(nn AS double)
+                  - cast(rsq AS double)) > 0
+            THEN cast(k - 1 AS double)
+                 * (cast(k AS double) * cast(csq AS double)
+                    - cast(nn AS double) * cast(nn AS double))
+                 / (cast(k AS double) * cast(nn AS double)
+                    - cast(rsq AS double))
+       END AS q_stat
+FROM sc CROSS JOIN sr"""
+    oracles["readability"] = """
+WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents
+           WHERE text IS NOT NULL AND source IS NOT NULL),
+p AS (SELECT source,
+             cast(len(regexp_extract_all(tok, '[aeiouy]+')) AS bigint)
+               AS syl,
+             cast(length(tok) AS bigint) AS l
+      FROM w),
+g AS (SELECT source, cast(count(*) AS bigint) AS n_words,
+             cast(sum(CASE WHEN syl = 1 THEN 1 ELSE 0 END) AS bigint)
+               AS n_mono,
+             cast(sum(syl) AS bigint) AS syls,
+             cast(sum(l) AS bigint) AS lens
+      FROM p GROUP BY source)
+SELECT source, n_words, n_mono,
+       20.0 - 15.0 * (cast(n_mono AS double) / n_words) AS forcast_grade,
+       cast(syls AS double) / n_words AS syl_per_word,
+       cast(lens AS double) / n_words AS avg_word_len
+FROM g"""
+    oracles["edge_reciprocity"] = """
+WITH o AS (SELECT event_type AS from_type,
+                  lead(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM events),
+tr AS (SELECT from_type, to_type, cast(count(*) AS bigint) AS n
+       FROM o WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+t AS (SELECT cast(sum(n) AS bigint) AS tot,
+             cast(count(*) AS bigint) AS np FROM tr),
+e AS (SELECT DISTINCT from_type AS s, to_type AS d
+      FROM tr CROSS JOIN t
+      WHERE n * np > tot AND from_type IS NOT NULL
+        AND from_type <> to_type),
+m AS (SELECT cast(count(*) AS bigint) AS n_mutual
+      FROM e WHERE EXISTS (SELECT 1 FROM e e2
+                           WHERE e2.s = e.d AND e2.d = e.s)),
+te AS (SELECT cast(count(*) AS bigint) AS n_edges FROM e)
+SELECT n_edges, n_mutual,
+       cast(n_mutual AS double) / n_edges AS reciprocity
+FROM te CROSS JOIN m"""
     return oracles

@@ -53,6 +53,10 @@ __all__ = [
     "kuiper_from_counts",
     "runs_partials",
     "runs_merge",
+    "hellinger_drift",
+    "hellinger_from_counts",
+    "friedman_test",
+    "cochran_q",
 ]
 
 
@@ -1185,3 +1189,202 @@ def runs_merge(partials: DataFrame, key: str = "_k") -> DataFrame:
                     F.when(var > 0,
                            (F.col("n_runs").cast("double") - mu)
                            / F.sqrt(var)).alias("z")))
+
+
+def hellinger_from_counts(
+    per_v: DataFrame,
+    key: str,
+    min_n: int = 1,
+) -> DataFrame:
+    """Hellinger distance from a pre-aggregated (key, v, ca, cb) count
+    frame — the SAME mergeable state that feeds :func:`ks_from_counts`
+    and :func:`kuiper_from_counts`, so one accumulated drift-monitor
+    readout serves all three statistics.
+
+    H = sqrt(0.5 * sum_v (sqrt(ca_v/n_a) - sqrt(cb_v/n_b))^2), the
+    bounded-[0,1] f-divergence that, unlike PSI/KL/JS, needs NO
+    logarithm: every emitted double is divisions of exact int64 counts,
+    correctly-rounded IEEE sqrt, subtraction, and multiplication —
+    bit-identical cross-engine. The per-key sum is an ordered fold over
+    the value support (collect_list sorted by v, replayed by DuckDB
+    list_reduce), so callers must bucket the value to a BOUNDED support
+    per key (the ks/kuiper bucket discipline); the corpus itself never
+    funnels — only the per-(key, distinct v) count frame does.
+
+    Returns ``(key, n_a, n_b, hellinger)``.
+    """
+    totals = per_v.groupBy(key).agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"))
+    j = (per_v.join(F.broadcast(totals), key)
+         .where((F.col("n_a") >= min_n) & (F.col("n_b") >= min_n)))
+    term = (
+        F.sqrt(F.col("ca").cast("double") / F.col("n_a"))
+        - F.sqrt(F.col("cb").cast("double") / F.col("n_b"))
+    )
+    folded = (j.select(key, "n_a", "n_b", F.col("v").alias("_v"),
+                       (term * term).alias("_t"))
+              .groupBy(key, "n_a", "n_b")
+              .agg(F.aggregate(
+                  F.transform(
+                      F.sort_array(F.collect_list(F.struct("_v", "_t"))),
+                      lambda x: x["_t"]),
+                  F.lit(0.0), lambda acc, x: acc + x).alias("_s")))
+    return folded.select(
+        key, "n_a", "n_b",
+        F.sqrt(F.col("_s") * F.lit(0.5)).alias("hellinger"))
+
+
+def hellinger_drift(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    sample_a: Column,
+    min_n: int = 1,
+) -> DataFrame:
+    """Two-sample Hellinger drift per group: collapse the corpus to per
+    (key, distinct value) counts for each sample (one map-side-combinable
+    shuffle — within-value order vanishes before any float op), then
+    :func:`hellinger_from_counts`. ``value`` should already be bucketed
+    to a bounded support (e.g. ``floor(x*100 + 0.5)``)."""
+    vi = value.cast("bigint")
+    per_v = (
+        df.where(vi.isNotNull() & sample_a.isNotNull())
+        .groupBy(key, vi.alias("v"))
+        .agg(
+            F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint").alias("ca"),
+            F.sum(F.when(sample_a, 0).otherwise(1)).cast("bigint").alias("cb"),
+        )
+    )
+    return hellinger_from_counts(per_v, key, min_n=min_n)
+
+
+def friedman_test(
+    df: DataFrame,
+    block: Column,
+    treatment: Column,
+) -> DataFrame:
+    """Friedman rank test across treatments within blocks, on the
+    zero-filled (block x treatment) event-count grid — "does at least
+    one event type run consistently hotter across days?" without any
+    normality assumption (the k-sample repeated-measures sibling of
+    kruskal_wallis).
+
+    The cell metric is the exact int64 count; missing cells genuinely
+    mean zero events, so the grid (distinct blocks x distinct
+    treatments, a broadcast cross of two metadata-sized frames) is
+    complete by construction — the complete-block requirement Friedman
+    needs. Tie-averaged within-block ranks stay INTEGER as
+    tr2 = 2*rank_min + ties - 1 (the spearman discipline), and the
+    tie-corrected statistic
+
+        Q = (k-1) * sum_j d_j^2 / (sum tr2^2 - n*k*(k+1)^2),
+        d_j = R2_j - n*(k+1)
+
+    is integer arithmetic end-to-end — the /4 of ranks-halved cancels
+    between numerator and denominator — with ONE final double division.
+    Exactness bound: d_j^2 <= (2nk)^2 stays in int64 up to n*k ~ 1.5e9
+    cells; beyond that swap the bigint sums for DECIMAL(38,0) — ANSI
+    mode fails loudly, never silently wraps.
+
+    Returns one row: ``(k, n_blocks, q_stat)``.
+    """
+    base = (df.where(block.isNotNull() & treatment.isNotNull())
+            .select(block.alias("_b"), treatment.alias("_t")))
+    cells = base.groupBy("_b", "_t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_m"))
+    blocks = cells.select("_b").distinct()
+    treats = cells.select("_t").distinct()
+    grid = (blocks.crossJoin(F.broadcast(treats))
+            .join(cells, ["_b", "_t"], "left")
+            .select("_b", "_t",
+                    F.coalesce(F.col("_m"), F.lit(0))
+                    .cast("bigint").alias("_m")))
+    wr = Window.partitionBy("_b").orderBy("_m")
+    wt = Window.partitionBy("_b", "_m")
+    ranked = grid.select(
+        "_b", "_t",
+        (F.lit(2) * F.rank().over(wr).cast("bigint")
+         + F.count(F.lit(1)).over(wt).cast("bigint") - 1).alias("_tr2"))
+    per_t = ranked.groupBy("_t").agg(
+        F.sum("_tr2").cast("bigint").alias("_r2"),
+        F.sum(F.col("_tr2") * F.col("_tr2")).cast("bigint").alias("_sq"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"))
+    d = F.col("_r2") - F.col("_n") * (F.col("_k") + F.lit(1))
+    s = (per_t.crossJoin(F.broadcast(
+            treats.agg(F.count(F.lit(1)).cast("bigint").alias("_k"))))
+         .select("_n", "_k",
+                 (d * d).alias("_d2"), "_sq")
+         .groupBy("_n", "_k")
+         .agg(F.sum("_d2").cast("bigint").alias("_num"),
+              F.sum("_sq").cast("bigint").alias("_ssq")))
+    den = (F.col("_ssq")
+           - F.col("_n") * F.col("_k")
+           * (F.col("_k") + 1) * (F.col("_k") + 1))
+    return s.select(
+        F.col("_k").alias("k"),
+        F.col("_n").alias("n_blocks"),
+        F.when(den > 0,
+               (F.col("_k") - 1).cast("double")
+               * F.col("_num").cast("double")
+               / den.cast("double")).alias("q_stat"))
+
+
+def cochran_q(
+    df: DataFrame,
+    block: Column,
+    treatment: Column,
+    success: Column,
+) -> DataFrame:
+    """Cochran's Q test on binary outcomes over the zero-filled
+    (block x treatment) grid — "do the treatments differ in their
+    success RATE when each block sees every treatment?" (the binary
+    sibling of :func:`friedman_test`; k=2 degenerates to McNemar).
+
+    x_ij = 1 iff block i had >= 1 qualifying ``success`` row under
+    treatment j; a missing cell genuinely means "did not occur", which
+    is the measurement, so the grid is complete by construction.
+
+        Q = (k-1) * (k*sum_j C_j^2 - N^2) / (k*N - sum_i R_i^2)
+
+    with C_j column totals, R_i row totals, N total successes — ALL
+    exact int64 sufficient statistics (order-free integer sums, no
+    folds), one final double division. Exactness bound: C_j^2 <= n^2
+    stays in int64 up to n ~ 3e9 blocks; beyond that swap the bigint
+    sums for DECIMAL(38,0).
+
+    Returns one row: ``(k, n_blocks, n_success, q_stat)``.
+    """
+    base = (df.where(block.isNotNull() & treatment.isNotNull())
+            .select(block.alias("_b"), treatment.alias("_t"),
+                    F.when(success, 1).otherwise(0).alias("_s")))
+    cells = base.groupBy("_b", "_t").agg(
+        F.max("_s").cast("bigint").alias("_x"))
+    blocks = cells.select("_b").distinct()
+    treats = cells.select("_t").distinct()
+    grid = (blocks.crossJoin(F.broadcast(treats))
+            .join(cells, ["_b", "_t"], "left")
+            .select("_b", "_t",
+                    F.coalesce(F.col("_x"), F.lit(0))
+                    .cast("bigint").alias("_x")))
+    col_t = grid.groupBy("_t").agg(F.sum("_x").cast("bigint").alias("_c"))
+    row_t = grid.groupBy("_b").agg(F.sum("_x").cast("bigint").alias("_r"))
+    sc = col_t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_k"),
+        F.sum("_c").cast("bigint").alias("_nn"),
+        F.sum(F.col("_c") * F.col("_c")).cast("bigint").alias("_csq"))
+    sr = row_t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.col("_r") * F.col("_r")).cast("bigint").alias("_rsq"))
+    j = sc.crossJoin(F.broadcast(sr))
+    num = (F.col("_k").cast("double") * F.col("_csq").cast("double")
+           - F.col("_nn").cast("double") * F.col("_nn").cast("double"))
+    den = (F.col("_k").cast("double") * F.col("_nn").cast("double")
+           - F.col("_rsq").cast("double"))
+    return j.select(
+        F.col("_k").alias("k"),
+        F.col("_n").alias("n_blocks"),
+        F.col("_nn").alias("n_success"),
+        F.when(den > 0,
+               (F.col("_k") - 1).cast("double") * num / den)
+         .alias("q_stat"))

@@ -170,3 +170,32 @@ def k_core_peel(
     return e.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     ).select(F.col("src").alias("node"), "core_degree")
+
+
+def reciprocity(edges: DataFrame, src: str = "src",
+                dst: str = "dst") -> DataFrame:
+    """Directed-graph reciprocity: of the distinct non-loop edges
+    (a -> b), what fraction have the reverse edge (b -> a)? The dyad
+    symmetry gauge for transition graphs — a tool-call graph where
+    "search -> read" almost never answers with "read -> search" is a
+    pipeline, one that does is a feedback loop (Newman, "Networks",
+    reciprocity r = L_bidir / L).
+
+    One distinct on the edge list, then ONE left-semi self-join on the
+    reversed key — no counting join, no fan-out; the reduction is
+    single-row. All integers until one final raw-double division.
+
+    Returns one row: ``(n_edges, n_mutual, reciprocity)``.
+    """
+    e = (edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                     & (F.col(src) != F.col(dst)))
+         .select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+         .distinct())
+    rev = e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    mutual = e.join(rev, ["_s", "_d"], "left_semi")
+    tot = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    mut = mutual.agg(F.count(F.lit(1)).cast("bigint").alias("n_mutual"))
+    return (tot.crossJoin(F.broadcast(mut))
+            .select("n_edges", "n_mutual",
+                    (F.col("n_mutual").cast("double") / F.col("n_edges"))
+                    .alias("reciprocity")))

@@ -669,3 +669,47 @@ def quality_alpha(docs: DataFrame, text_col: str = "text",
                F.lit(1.5) * (F.lit(1.0)
                              - item_num.cast("double")
                              / tot_num.cast("double"))).alias("alpha"))
+
+
+def readability(docs: DataFrame, key: str = "source",
+                text_col: str = "text") -> DataFrame:
+    """Per-``key`` readability profile from syllable-proxy counts: the
+    FORCAST grade (20 - 15 * monosyllabic-word fraction — the classic
+    formula built for non-prose text precisely because it needs NO
+    sentence boundaries, which this corpus lacks), syllables per word,
+    and mean word length.
+
+    A word's syllable proxy is its count of ``[aeiouy]+`` vowel runs
+    (``regexp_count`` == DuckDB ``len(regexp_extract_all(...))`` —
+    both count non-overlapping left-to-right matches). One explode +
+    ONE map-side-combinable (key) aggregation of exact int64 counts;
+    the grade is 20.0 - 15.0 * (mono/words), two correctly-rounded
+    IEEE ops on a raw double of exact integers — bit-identical
+    cross-engine, never rounded.
+
+    Returns ``(key, n_words, n_mono, forcast_grade, syl_per_word,
+    avg_word_len)``.
+    """
+    toks = (docs.where(F.col(text_col).isNotNull()
+                       & F.col(key).isNotNull())
+            .select(key, F.explode(F.split(F.col(text_col), " "))
+                    .alias("_tok")))
+    syl = F.regexp_count(F.col("_tok"), F.lit("[aeiouy]+"))
+    per = toks.select(
+        key,
+        syl.cast("bigint").alias("_syl"),
+        F.length("_tok").cast("bigint").alias("_len"))
+    g = per.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.when(F.col("_syl") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("n_mono"),
+        F.sum("_syl").cast("bigint").alias("_syls"),
+        F.sum("_len").cast("bigint").alias("_lens"))
+    mono_frac = F.col("n_mono").cast("double") / F.col("n_words")
+    return g.select(
+        key, "n_words", "n_mono",
+        (F.lit(20.0) - F.lit(15.0) * mono_frac).alias("forcast_grade"),
+        (F.col("_syls").cast("double") / F.col("n_words"))
+        .alias("syl_per_word"),
+        (F.col("_lens").cast("double") / F.col("n_words"))
+        .alias("avg_word_len"))

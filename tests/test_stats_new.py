@@ -409,3 +409,99 @@ def test_runs_merge_boundary_identity(spark):
             for r in runs_test(df, "g", ["t"], F.col("v")).collect()}
     assert got == want
     assert got["a"][2] == 3 and got["b"][2] == 4
+
+
+def test_hellinger_hand_case(spark):
+    # A=[1,1,2], B=[1,2,2]: per v terms (sqrt(2/3)-sqrt(1/3))^2 twice,
+    # H = sqrt(0.5*s) = sqrt(2/3) - sqrt(1/3).
+    from logpipe_spark.operators.drift import hellinger_drift
+
+    df = spark.createDataFrame(
+        [("k", 1, True), ("k", 1, True), ("k", 2, True),
+         ("k", 1, False), ("k", 2, False), ("k", 2, False)],
+        "g string, v long, ia boolean")
+    row = hellinger_drift(df, "g", F.col("v"), F.col("ia")).collect()[0]
+    assert row.n_a == 3 and row.n_b == 3
+    exp = math.sqrt(2.0 / 3.0) - math.sqrt(1.0 / 3.0)
+    assert abs(row.hellinger - exp) < 1e-12
+
+
+def test_hellinger_identical_is_zero(spark):
+    from logpipe_spark.operators.drift import hellinger_drift
+
+    rows = [("k", v, ia) for v in (1, 2, 3) for ia in (True, False)]
+    df = spark.createDataFrame(rows, "g string, v long, ia boolean")
+    row = hellinger_drift(df, "g", F.col("v"), F.col("ia")).collect()[0]
+    assert row.hellinger == 0.0
+
+
+def test_friedman_hand_case(spark):
+    # 3 blocks, 3 treatments, identical ranking (counts 1<2<3) in every
+    # block -> the no-tie maximum Q = n(k-1) = 6.
+    from logpipe_spark.operators.drift import friedman_test
+
+    rows = []
+    for b in (1, 2, 3):
+        rows += [(b, "x")] * 1 + [(b, "y")] * 2 + [(b, "z")] * 3
+    df = spark.createDataFrame(rows, "b long, t string")
+    row = friedman_test(df, F.col("b"), F.col("t")).collect()[0]
+    assert row.k == 3 and row.n_blocks == 3
+    assert abs(row.q_stat - 6.0) < 1e-12
+
+
+def test_friedman_constant_grid_is_null(spark):
+    # every cell the same count -> all ranks tied -> denominator 0.
+    from logpipe_spark.operators.drift import friedman_test
+
+    rows = [(b, t) for b in (1, 2) for t in ("x", "y", "z")]
+    df = spark.createDataFrame(rows, "b long, t string")
+    row = friedman_test(df, F.col("b"), F.col("t")).collect()[0]
+    assert row.q_stat is None
+
+
+def test_cochran_q_hand_case(spark):
+    # Success matrix rows (blocks) x cols (treatments):
+    # [1,1,0],[1,0,0],[1,1,1],[0,0,0]: C=(3,2,1), N=6, sumR^2=14,
+    # Q = 2*(3*14-36)/(3*6-14) = 3.
+    from logpipe_spark.operators.drift import cochran_q
+
+    mat = {"b1": (1, 1, 0), "b2": (1, 0, 0),
+           "b3": (1, 1, 1), "b4": (0, 0, 0)}
+    rows = [(b, t, x) for b, xs in mat.items()
+            for t, x in zip(("x", "y", "z"), xs)]
+    df = spark.createDataFrame(rows, "b string, t string, v long")
+    row = cochran_q(df, F.col("b"), F.col("t"),
+                    F.col("v") > 0).collect()[0]
+    assert row.k == 3 and row.n_blocks == 4 and row.n_success == 6
+    assert abs(row.q_stat - 3.0) < 1e-12
+
+
+def test_readability_hand_case(spark):
+    # "the sky is blue": 4 words, all one vowel run -> grade 5.0;
+    # "banana banana": 0 monosyllables -> grade 20.0, 3 syl/word.
+    from logpipe_spark.trainprep.textqual import readability
+
+    df = spark.createDataFrame(
+        [(1, "the sky is blue", "s1"), (2, "banana banana", "s2")],
+        "doc_id long, text string, source string")
+    out = {r.source: r for r in readability(df).collect()}
+    r1, r2 = out["s1"], out["s2"]
+    assert r1.n_words == 4 and r1.n_mono == 4
+    assert r1.forcast_grade == 5.0 and r1.syl_per_word == 1.0
+    assert r1.avg_word_len == 3.0
+    assert r2.n_words == 2 and r2.n_mono == 0
+    assert r2.forcast_grade == 20.0 and r2.syl_per_word == 3.0
+    assert r2.avg_word_len == 6.0
+
+
+def test_reciprocity_hand_case(spark):
+    # Edges {a->b, b->a, a->c} after dedup + self-loop drop:
+    # 2 of 3 are mutual.
+    from logpipe_spark.operators.graph import reciprocity
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a"), ("a", "c"), ("c", "c")],
+        "src string, dst string")
+    row = reciprocity(df).collect()[0]
+    assert row.n_edges == 3 and row.n_mutual == 2
+    assert abs(row.reciprocity - 2.0 / 3.0) < 1e-15
