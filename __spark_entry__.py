@@ -6445,6 +6445,41 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tq.readability(_docs(spark, sf_dir))
 
 
+def q_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-sample Cramér–von Mises drift per event type (drift.py:
+    # cvm_drift), first half-month vs the rest — the L2 completion of
+    # the drift family on ONE shared count state: KS reads the single
+    # worst CDF gap, Kuiper the two signed worst, Hellinger the sqrt-
+    # mass L2, CvM integrates the squared gap over the pooled sample.
+    # Cumulatives ride the bucketed prefix scan; the weighted-term sum
+    # is an ordered fold over the bounded integer-bucket support.
+    from logpipe_spark.operators.drift import cvm_drift
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    return cvm_drift(
+        ev, "event_type", F.floor(F.col("value")),
+        F.dayofmonth("ts") <= 15)
+
+
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Page–Hinkley level-shift detector (drift.py:page_hinkley) on each
+    # event type's DAILY volume series — CUSUM against the RUNNING mean
+    # (cusum_scan needs a fixed reference; PH needs none). Struct-fold
+    # with the new-sum subexpression duplicated; oracle is a recursive
+    # CTE replaying the identical operand tree (the holt_smooth
+    # discipline — DuckDB list_reduce cannot replay struct folds).
+    from logpipe_spark.operators.drift import page_hinkley
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    daily = ev.groupBy("event_type",
+                       F.dayofmonth("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    return page_hinkley(daily, "event_type", F.col("c"), ["d"],
+                        delta=1.0)
+
+
 def q_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dyad reciprocity of the above-average event-transition graph
     # (graph.py:reciprocity over funnel.py:event_transitions): keep
@@ -6781,6 +6816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cochran_q": q_cochran_q,
         "readability": q_readability,
         "edge_reciprocity": q_edge_reciprocity,
+        "cvm_drift": q_cvm_drift,
+        "page_hinkley": q_page_hinkley,
     }
 
 
@@ -11811,4 +11848,65 @@ te AS (SELECT cast(count(*) AS bigint) AS n_edges FROM e)
 SELECT n_edges, n_mutual,
        cast(n_mutual AS double) / n_edges AS reciprocity
 FROM te CROSS JOIN m"""
+    oracles["cvm_drift"] = """
+WITH base AS (SELECT event_type, cast(floor(value) AS bigint) AS v,
+                     CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS ia
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+pv AS (SELECT event_type, v,
+              cast(sum(ia) AS bigint) AS ca,
+              cast(sum(1 - ia) AS bigint) AS cb
+       FROM base GROUP BY event_type, v),
+c AS (SELECT event_type, v, ca, cb,
+             cast(sum(ca) OVER (PARTITION BY event_type ORDER BY v)
+                  AS bigint) AS cuma,
+             cast(sum(cb) OVER (PARTITION BY event_type ORDER BY v)
+                  AS bigint) AS cumb
+      FROM pv),
+t AS (SELECT event_type, cast(sum(ca) AS bigint) AS n_a,
+             cast(sum(cb) AS bigint) AS n_b
+      FROM pv GROUP BY event_type),
+j AS (SELECT c.event_type, v, n_a, n_b,
+             cast(ca + cb AS double)
+               * ((cuma / n_a - cumb / n_b)
+                  * (cuma / n_a - cumb / n_b)) AS term
+      FROM c JOIN t USING (event_type)
+      WHERE n_a >= 1 AND n_b >= 1),
+g AS (SELECT event_type, n_a, n_b,
+             list_reduce(
+               list_prepend(cast(0.0 AS double),
+                 list(term ORDER BY v)),
+               (acc, x) -> acc + x) AS s
+      FROM j GROUP BY event_type, n_a, n_b)
+SELECT event_type, n_a, n_b,
+       cast(n_a AS double) * cast(n_b AS double)
+         / (cast(n_a + n_b AS double) * cast(n_a + n_b AS double)) * s
+         AS cvm
+FROM g"""
+    oracles["page_hinkley"] = """
+WITH RECURSIVE b AS (
+  SELECT event_type, day(ts) AS d, cast(count(*) AS bigint) AS c
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY event_type, day(ts)),
+g AS (SELECT event_type, list(cast(c AS double) ORDER BY d) AS xs
+      FROM b GROUP BY event_type),
+r AS (
+  SELECT event_type, xs, 1 AS i, len(xs) AS n,
+         xs[1] AS s, cast(-1.0 AS double) AS m,
+         cast(-1.0 AS double) AS mn
+  FROM g
+  UNION ALL
+  SELECT event_type, xs, i + 1 AS i, n,
+         r.s + xs[i + 1] AS s,
+         r.m + (xs[i + 1] - (r.s + xs[i + 1]) / cast(r.i + 1 AS double)
+                - 1.0) AS m,
+         least(r.mn,
+               r.m + (xs[i + 1]
+                      - (r.s + xs[i + 1]) / cast(r.i + 1 AS double)
+                      - 1.0)) AS mn
+  FROM r WHERE i < n)
+SELECT event_type, cast(n AS bigint) AS n,
+       m AS m_final, m - mn AS ph
+FROM r WHERE i = n"""
     return oracles

@@ -57,6 +57,9 @@ __all__ = [
     "hellinger_from_counts",
     "friedman_test",
     "cochran_q",
+    "cvm_drift",
+    "cvm_from_counts",
+    "page_hinkley",
 ]
 
 
@@ -1388,3 +1391,149 @@ def cochran_q(
         F.when(den > 0,
                (F.col("_k") - 1).cast("double") * num / den)
          .alias("q_stat"))
+
+
+def cvm_from_counts(
+    per_v: DataFrame,
+    key: str,
+    bucket_width: int = 1024,
+    min_n: int = 1,
+) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic (Anderson 1962) from the
+    shared (key, v, ca, cb) count state:
+
+        T = n_a*n_b / (n_a+n_b)^2 * sum_z (F_a(z) - F_b(z))^2
+
+    summed over the POOLED observations z (with multiplicity — each
+    distinct value contributes its pooled count ca+cb times). Where KS
+    reads only the single worst CDF gap and Kuiper the two signed
+    worst gaps, CvM integrates the squared gap over the whole pooled
+    sample — the L2 drift gate, sensitive to many small persistent
+    shifts no single-point statistic sees.
+
+    Cumulative counts ride the same two-level bucketed prefix scan as
+    :func:`ks_from_counts`; the per-key sum of pooled-count-weighted
+    squared gaps is an ordered fold over the value support (replayed by
+    DuckDB list_reduce), so the value must be bucketed to a BOUNDED
+    support per key — the :func:`hellinger_from_counts` discipline.
+    Every emitted double is divisions/products of exact int64 counts.
+
+    Returns ``(key, n_a, n_b, cvm)``.
+    """
+    cums = bucketed_cumsum(
+        per_v, key, ["ca", "cb"], bucket_width=bucket_width)
+    totals = per_v.groupBy(key).agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"))
+    j = (cums.join(F.broadcast(totals), key)
+         .where((F.col("n_a") >= min_n) & (F.col("n_b") >= min_n)))
+    gap = (F.col("cum_ca") / F.col("n_a")
+           - F.col("cum_cb") / F.col("n_b"))
+    term = (F.col("ca") + F.col("cb")).cast("double") * (gap * gap)
+    folded = (j.select(key, "n_a", "n_b", F.col("v").alias("_v"),
+                       term.alias("_t"))
+              .groupBy(key, "n_a", "n_b")
+              .agg(F.aggregate(
+                  F.transform(
+                      F.sort_array(F.collect_list(F.struct("_v", "_t"))),
+                      lambda x: x["_t"]),
+                  F.lit(0.0), lambda acc, x: acc + x).alias("_s")))
+    nn = (F.col("n_a") + F.col("n_b")).cast("double")
+    scale = (F.col("n_a").cast("double") * F.col("n_b").cast("double")
+             / (nn * nn))
+    return folded.select(
+        key, "n_a", "n_b", (scale * F.col("_s")).alias("cvm"))
+
+
+def cvm_drift(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    sample_a: Column,
+    bucket_width: int = 1024,
+    min_n: int = 1,
+) -> DataFrame:
+    """Two-sample CvM drift per group: one map-side-combinable collapse
+    to per (key, distinct value) counts, then :func:`cvm_from_counts`.
+    ``value`` should be bucketed to a bounded support per key."""
+    vi = value.cast("bigint")
+    per_v = (
+        df.where(vi.isNotNull() & sample_a.isNotNull())
+        .groupBy(key, vi.alias("v"))
+        .agg(
+            F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint").alias("ca"),
+            F.sum(F.when(sample_a, 0).otherwise(1)).cast("bigint").alias("cb"),
+        )
+    )
+    return cvm_from_counts(per_v, key, bucket_width=bucket_width,
+                           min_n=min_n)
+
+
+def page_hinkley(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    order_cols: Sequence[str],
+    delta: float = 0.0,
+) -> DataFrame:
+    """Page–Hinkley level-shift detector per key: over the ordered
+    series x_1..x_n, fold
+
+        s_t = s_{t-1} + x_t,  m_t = m_{t-1} + (x_t - s_t/t - delta),
+        PH  = m_n - min_t m_t
+
+    — the sequential CUSUM-against-the-RUNNING-mean (Page 1954; Hinkley
+    1971): a sustained upward level shift makes the deviations stay
+    positive long after the running mean has been dragged up, so PH
+    grows, while white noise keeps m_t hovering near its own minimum.
+    Complements :func:`cusum_scan`, which needs a FIXED reference mean.
+
+    The fold carries a STRUCT accumulator (i, s, m, mn) — every field
+    computed against the PREVIOUS accumulator with the new-sum
+    subexpression duplicated, so DuckDB's recursive-CTE oracle (the
+    holt_smooth discipline; list_reduce cannot replay struct folds) has
+    the identical operand tree and the doubles match bitwise. Seeds:
+    s_1 = x_1 exactly, and m_1 = x_1 - x_1/1 - delta = -delta EXACTLY
+    in IEEE, so both engines seed m = mn = -delta literally.
+
+    BOUNDED-SERIES discipline (ewma/holt): one array per key in one
+    task — aggregate to a bounded grid (e.g. daily) first.
+
+    Returns ``(key, n, m_final, ph)``; ph >= 0, 0 for n <= 1.
+    """
+    d = float(delta)
+    grouped = (
+        df.where(value.isNotNull())
+        .groupBy(key)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(
+                    *[F.col(c).alias(f"_o{i}") for i, c in
+                      enumerate(order_cols)],
+                    value.cast("double").alias("_v"),
+                ))
+            ).alias("_arr"),
+        )
+        .select(key, F.expr("transform(_arr, s -> s._v)").alias("_xs"))
+    )
+    new_m = (f"(acc.m + (x - (acc.s + x) / cast(acc.i + 1 AS double)"
+             f" - {d!r}D))")
+    fold = F.expr(
+        "aggregate(slice(_xs, 2, greatest(size(_xs) - 1, 0)), "
+        f"named_struct('i', 1, 's', element_at(_xs, 1), "
+        f"'m', {-d!r}D, 'mn', {-d!r}D), "
+        f"(acc, x) -> named_struct("
+        f"'i', acc.i + 1, "
+        f"'s', acc.s + x, "
+        f"'m', {new_m}, "
+        f"'mn', least(acc.mn, {new_m})))"
+    )
+    return grouped.select(
+        key,
+        F.size("_xs").cast("bigint").alias("n"),
+        fold.alias("_st"),
+    ).select(
+        key, "n",
+        F.col("_st.m").alias("m_final"),
+        (F.col("_st.m") - F.col("_st.mn")).alias("ph"),
+    )

@@ -17,7 +17,9 @@ from logpipe_spark.streaming.stream import (  # noqa: F401
     stream_rollup_incremental,
     read_rollup,
     stream_drift_monitor,
+    read_cvm,
     read_drift,
+    read_hellinger,
     read_kuiper,
     stream_apdex,
     apdex_report,

@@ -545,15 +545,13 @@ def stream_drift_monitor(spark: SparkSession, src: str, state_dir: str,
             .option("checkpointLocation", checkpoint_dir))
 
 
-def read_drift(spark: SparkSession, state_dir: str,
-               reference: DataFrame, bucket_width: int = 1024) -> DataFrame:
-    """Score the accumulated stream counts against ``reference`` (a
-    static (tool, v, c) count frame). Stream = sample A, reference =
+def _merged_drift_counts(spark: SparkSession, state_dir: str,
+                         reference: DataFrame) -> DataFrame:
+    """Merge the drift-monitor state dir with a static (tool, v, c)
+    reference into the pooled (tool, v, ca, cb) support frame every
+    *_from_counts statistic expects: stream = sample A, reference =
     sample B; values only one side saw carry a zero count on the other
-    (full outer merge), exactly the pooled-support frame ks_from_counts
-    expects. Returns (tool, n_a, n_b, ks, ks_at_value)."""
-    from logpipe_spark.operators.drift import ks_from_counts
-
+    (full outer merge)."""
     stream_counts = (
         spark.read.parquet(state_dir)
         .groupBy("tool", "v")
@@ -561,7 +559,7 @@ def read_drift(spark: SparkSession, state_dir: str,
     )
     ref_counts = reference.select(
         "tool", "v", F.col("c").cast("bigint").alias("cb"))
-    per_v = (
+    return (
         stream_counts.join(ref_counts, ["tool", "v"], "full_outer")
         .select(
             "tool", "v",
@@ -569,6 +567,17 @@ def read_drift(spark: SparkSession, state_dir: str,
             F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
         )
     )
+
+
+def read_drift(spark: SparkSession, state_dir: str,
+               reference: DataFrame, bucket_width: int = 1024) -> DataFrame:
+    """Score the accumulated stream counts against ``reference`` (a
+    static (tool, v, c) count frame) with
+    :func:`~logpipe_spark.operators.drift.ks_from_counts`.
+    Returns (tool, n_a, n_b, ks, ks_at_value)."""
+    from logpipe_spark.operators.drift import ks_from_counts
+
+    per_v = _merged_drift_counts(spark, state_dir, reference)
     return ks_from_counts(per_v, "tool", bucket_width=bucket_width)
 
 
@@ -576,27 +585,35 @@ def read_kuiper(spark: SparkSession, state_dir: str,
                 reference: DataFrame, bucket_width: int = 1024) -> DataFrame:
     """Kuiper V readout over the SAME accumulated drift state
     :func:`stream_drift_monitor` writes — counts are statistic-agnostic
-    mergeable partials, so one state dir serves both KS and Kuiper
-    (the tail-sensitive gate) with zero extra stream passes. Returns
+    mergeable partials, so one state dir serves KS, Kuiper, Hellinger
+    and CvM with zero extra stream passes. Returns
     (tool, n_a, n_b, d_plus, d_minus, kuiper)."""
     from logpipe_spark.operators.drift import kuiper_from_counts
 
-    stream_counts = (
-        spark.read.parquet(state_dir)
-        .groupBy("tool", "v")
-        .agg(F.sum("c").cast("bigint").alias("ca"))
-    )
-    ref_counts = reference.select(
-        "tool", "v", F.col("c").cast("bigint").alias("cb"))
-    per_v = (
-        stream_counts.join(ref_counts, ["tool", "v"], "full_outer")
-        .select(
-            "tool", "v",
-            F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
-            F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
-        )
-    )
+    per_v = _merged_drift_counts(spark, state_dir, reference)
     return kuiper_from_counts(per_v, "tool", bucket_width=bucket_width)
+
+
+def read_hellinger(spark: SparkSession, state_dir: str,
+                   reference: DataFrame) -> DataFrame:
+    """Hellinger-distance readout over the accumulated drift state —
+    the bounded-[0,1] L2-on-sqrt-mass gate on the same statistic-
+    agnostic count partials. Returns (tool, n_a, n_b, hellinger)."""
+    from logpipe_spark.operators.drift import hellinger_from_counts
+
+    per_v = _merged_drift_counts(spark, state_dir, reference)
+    return hellinger_from_counts(per_v, "tool")
+
+
+def read_cvm(spark: SparkSession, state_dir: str,
+             reference: DataFrame, bucket_width: int = 1024) -> DataFrame:
+    """Cramér–von Mises readout over the accumulated drift state — the
+    integrated-squared-gap gate on the same count partials. Returns
+    (tool, n_a, n_b, cvm)."""
+    from logpipe_spark.operators.drift import cvm_from_counts
+
+    per_v = _merged_drift_counts(spark, state_dir, reference)
+    return cvm_from_counts(per_v, "tool", bucket_width=bucket_width)
 
 
 CUSUM_SEGMENT_SCHEMA = StructType([

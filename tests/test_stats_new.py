@@ -505,3 +505,52 @@ def test_reciprocity_hand_case(spark):
     row = reciprocity(df).collect()[0]
     assert row.n_edges == 3 and row.n_mutual == 2
     assert abs(row.reciprocity - 2.0 / 3.0) < 1e-15
+
+
+def test_cvm_hand_case(spark):
+    # A=[1,2], B=[2,3]: pooled weights (1,2,1), gaps (0.5,0.5,0),
+    # T = (2*2/16) * (1*0.25 + 2*0.25) = 0.1875.
+    from logpipe_spark.operators.drift import cvm_drift
+
+    df = spark.createDataFrame(
+        [("k", 1, True), ("k", 2, True), ("k", 2, False), ("k", 3, False)],
+        "g string, v long, ia boolean")
+    row = cvm_drift(df, "g", F.col("v"), F.col("ia")).collect()[0]
+    assert row.n_a == 2 and row.n_b == 2
+    assert row.cvm == 0.1875
+
+
+def test_cvm_identical_is_zero(spark):
+    from logpipe_spark.operators.drift import cvm_drift
+
+    rows = [("k", v, ia) for v in (1, 2, 3) for ia in (True, False)]
+    df = spark.createDataFrame(rows, "g string, v long, ia boolean")
+    assert cvm_drift(df, "g", F.col("v"),
+                     F.col("ia")).collect()[0].cvm == 0.0
+
+
+def test_page_hinkley_hand_case(spark):
+    # series [1,1,4], delta=0.5: m = -0.5 -> -1.0 -> 0.5 (running mean
+    # 1, 1, 2), mn = -1.0 -> PH = 1.5. All values exact binary.
+    from logpipe_spark.operators.drift import page_hinkley
+
+    df = spark.createDataFrame(
+        [("k", 1, 1), ("k", 2, 1), ("k", 3, 4)],
+        "g string, d long, v long")
+    row = page_hinkley(df, "g", F.col("v"), ["d"],
+                       delta=0.5).collect()[0]
+    assert row.n == 3
+    assert row.m_final == 0.5 and row.ph == 1.5
+
+
+def test_page_hinkley_single_point_and_flat(spark):
+    from logpipe_spark.operators.drift import page_hinkley
+
+    one = spark.createDataFrame([("k", 1, 7)], "g string, d long, v long")
+    row = page_hinkley(one, "g", F.col("v"), ["d"]).collect()[0]
+    assert row.n == 1 and row.ph == 0.0
+    # constant series: every deviation is exactly 0 -> PH = 0
+    flat = spark.createDataFrame(
+        [("k", d, 5) for d in range(1, 6)], "g string, d long, v long")
+    row = page_hinkley(flat, "g", F.col("v"), ["d"]).collect()[0]
+    assert row.m_final == 0.0 and row.ph == 0.0

@@ -406,6 +406,24 @@ def test_stream_drift_monitor_merges_and_scores(spark, stream_dir, tmp_path):
     assert all(r.d_plus == 1.0 and r.d_minus == 0.0 and r.kuiper == 1.0
                for r in far_k)
 
+    # ... and the Hellinger + CvM readouts: self-score is EXACTLY 0
+    # (ca == cb at every value -> every term is 0.0); disjoint supports
+    # push Hellinger to its upper bound 1 (sum of both masses = 2, up
+    # to float-summation epsilon) and CvM strictly positive
+    from logpipe_spark.streaming import read_cvm, read_hellinger
+
+    self_h = read_hellinger(spark, state, batch_counts).collect()
+    assert len(self_h) > 0
+    assert all(r.hellinger == 0.0 for r in self_h)
+    far_h = read_hellinger(spark, state, shifted).collect()
+    assert all(abs(r.hellinger - 1.0) < 1e-9 for r in far_h)
+
+    self_c = read_cvm(spark, state, batch_counts).collect()
+    assert len(self_c) > 0
+    assert all(r.cvm == 0.0 for r in self_c)
+    far_c = read_cvm(spark, state, shifted).collect()
+    assert all(r.cvm > 0.1 for r in far_c)
+
 
 def _run_cusum(spark, src, ck, name, mft):
     from logpipe_spark.streaming.stream import stream_cusum_monitor
