@@ -6480,6 +6480,39 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
                         delta=1.0)
 
 
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1-Wasserstein (earth-mover) drift per event type (drift.py:
+    # wasserstein_drift), first half-month vs rest, at FULL centi-value
+    # resolution — no support bucketing: the numerator is an ORDER-FREE
+    # sum of exact int64 gap * |cuma*n_b - cumb*n_a| products (plain
+    # map-side-combinable aggregate, no collect_list fold), divided
+    # once by n_a*n_b. The drift gate that scales to an unbucketed
+    # support where the fold-based statistics can't.
+    from logpipe_spark.operators.drift import wasserstein_drift
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    return wasserstein_drift(
+        ev, "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)),
+        F.dayofmonth("ts") <= 15)
+
+
+def q_energy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Energy-distance drift (Székely–Rizzo) per event type (drift.py:
+    # energy_drift): E = 2*Sxy/(na*nb) - 2*Sxx/na^2 - 2*Syy/nb^2 with
+    # each S a sorted-gap identity sum of int64 prefix-count products —
+    # order-free, full centi-value resolution, zero iff distributions
+    # coincide. The all-moments sibling of wasserstein_drift on the
+    # same pooled-gap scaffold.
+    from logpipe_spark.operators.drift import energy_drift
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    return energy_drift(
+        ev, "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)),
+        F.dayofmonth("ts") <= 15)
+
+
 def q_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dyad reciprocity of the above-average event-transition graph
     # (graph.py:reciprocity over funnel.py:event_transitions): keep
@@ -6818,6 +6851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_reciprocity": q_edge_reciprocity,
         "cvm_drift": q_cvm_drift,
         "page_hinkley": q_page_hinkley,
+        "wasserstein_drift": q_wasserstein_drift,
+        "energy_drift": q_energy_drift,
     }
 
 
@@ -11909,4 +11944,71 @@ r AS (
 SELECT event_type, cast(n AS bigint) AS n,
        m AS m_final, m - mn AS ph
 FROM r WHERE i = n"""
+    oracles["wasserstein_drift"] = """
+WITH base AS (SELECT event_type,
+                     cast(floor(value * 100 + 0.5) AS bigint) AS v,
+                     CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS ia
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+pv AS (SELECT event_type, v,
+              cast(sum(ia) AS bigint) AS ca,
+              cast(sum(1 - ia) AS bigint) AS cb
+       FROM base GROUP BY event_type, v),
+c AS (SELECT event_type, v, ca, cb,
+             cast(sum(ca) OVER (PARTITION BY event_type ORDER BY v)
+                  AS bigint) AS cuma,
+             cast(sum(cb) OVER (PARTITION BY event_type ORDER BY v)
+                  AS bigint) AS cumb,
+             lead(v) OVER (PARTITION BY event_type ORDER BY v) - v AS gap
+      FROM pv),
+t AS (SELECT event_type, cast(sum(ca) AS bigint) AS n_a,
+             cast(sum(cb) AS bigint) AS n_b
+      FROM pv GROUP BY event_type),
+s AS (SELECT c.event_type, n_a, n_b,
+             cast(sum(gap * abs(cuma * n_b - cumb * n_a)) AS bigint)
+               AS num
+      FROM c JOIN t USING (event_type)
+      WHERE gap IS NOT NULL AND n_a >= 1 AND n_b >= 1
+      GROUP BY c.event_type, n_a, n_b)
+SELECT event_type, n_a, n_b,
+       cast(num AS double)
+         / (cast(n_a AS double) * cast(n_b AS double)) AS wasserstein
+FROM s"""
+    oracles["energy_drift"] = """
+WITH base AS (SELECT event_type,
+                     cast(floor(value * 100 + 0.5) AS bigint) AS v,
+                     CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS ia
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+pv AS (SELECT event_type, v,
+              cast(sum(ia) AS bigint) AS ca,
+              cast(sum(1 - ia) AS bigint) AS cb
+       FROM base GROUP BY event_type, v),
+c AS (SELECT event_type, v, ca, cb,
+             cast(sum(ca) OVER (PARTITION BY event_type ORDER BY v)
+                  AS bigint) AS cuma,
+             cast(sum(cb) OVER (PARTITION BY event_type ORDER BY v)
+                  AS bigint) AS cumb,
+             lead(v) OVER (PARTITION BY event_type ORDER BY v) - v AS gap
+      FROM pv),
+t AS (SELECT event_type, cast(sum(ca) AS bigint) AS n_a,
+             cast(sum(cb) AS bigint) AS n_b
+      FROM pv GROUP BY event_type),
+s AS (SELECT c.event_type, n_a, n_b,
+             cast(sum(gap * (cuma * (n_b - cumb) + cumb * (n_a - cuma)))
+                  AS bigint) AS sxy,
+             cast(sum(gap * cuma * (n_a - cuma)) AS bigint) AS sxx,
+             cast(sum(gap * cumb * (n_b - cumb)) AS bigint) AS syy
+      FROM c JOIN t USING (event_type)
+      WHERE gap IS NOT NULL AND n_a >= 1 AND n_b >= 1
+      GROUP BY c.event_type, n_a, n_b)
+SELECT event_type, n_a, n_b,
+       2.0 * (cast(sxy AS double)
+              / (cast(n_a AS double) * cast(n_b AS double)))
+         - 2.0 * (cast(sxx AS double)
+                  / (cast(n_a AS double) * cast(n_a AS double)))
+         - 2.0 * (cast(syy AS double)
+                  / (cast(n_b AS double) * cast(n_b AS double)))
+         AS energy
+FROM s"""
     return oracles

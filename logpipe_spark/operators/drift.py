@@ -60,6 +60,10 @@ __all__ = [
     "cvm_drift",
     "cvm_from_counts",
     "page_hinkley",
+    "wasserstein_drift",
+    "wasserstein_from_counts",
+    "energy_drift",
+    "energy_from_counts",
 ]
 
 
@@ -1537,3 +1541,156 @@ def page_hinkley(
         F.col("_st.m").alias("m_final"),
         (F.col("_st.m") - F.col("_st.mn")).alias("ph"),
     )
+
+
+def _pooled_gap_frame(per_v: DataFrame, key: str,
+                      bucket_width: int) -> DataFrame:
+    """Shared scaffold for the gap-weighted integer EDF statistics
+    (:func:`wasserstein_from_counts`, :func:`energy_from_counts`):
+    inclusive cumulative counts over the pooled support via the
+    two-level bucketed prefix scan, plus the gap to the NEXT distinct
+    value (lead over the per-(key, distinct v) frame — support-sized,
+    never corpus-sized). The last support point has no gap and
+    contributes nothing (both CDFs sit at 1 beyond it)."""
+    cums = bucketed_cumsum(
+        per_v, key, ["ca", "cb"], bucket_width=bucket_width)
+    w = Window.partitionBy(key).orderBy("v")
+    return (cums
+            .withColumn("_gap", F.lead("v").over(w) - F.col("v"))
+            .where(F.col("_gap").isNotNull()))
+
+
+def wasserstein_from_counts(
+    per_v: DataFrame,
+    key: str,
+    bucket_width: int = 1024,
+    min_n: int = 1,
+) -> DataFrame:
+    """1-Wasserstein (earth-mover) distance from the shared
+    (key, v, ca, cb) count state:
+
+        W1 = sum_t (v_{t+1} - v_t) * |F_a(v_t) - F_b(v_t)|
+           = [ sum_t gap_t * |cuma_t*n_b - cumb_t*n_a| ] / (n_a*n_b)
+
+    — the area between the two CDFs, in VALUE units. Unlike the
+    fold-based gates (hellinger/cvm), the numerator is a sum of exact
+    int64 products: ORDER-FREE, so it runs as a plain map-side-
+    combinable aggregate with NO bounded-support restriction and no
+    collect_list — the drift statistic that scales to an unbucketed
+    100 TB support. Exactness bound: each term <= gap * n_a * n_b must
+    stay in int64 (value_range * n_a * n_b < 9.2e18); beyond that swap
+    the bigint sums for DECIMAL(38,0) — ANSI fails loudly.
+
+    Returns ``(key, n_a, n_b, wasserstein)``.
+    """
+    totals = per_v.groupBy(key).agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"))
+    g = (_pooled_gap_frame(per_v, key, bucket_width)
+         .join(F.broadcast(totals), key)
+         .where((F.col("n_a") >= min_n) & (F.col("n_b") >= min_n)))
+    term = F.col("_gap") * F.abs(
+        F.col("cum_ca") * F.col("n_b") - F.col("cum_cb") * F.col("n_a"))
+    s = g.groupBy(key, "n_a", "n_b").agg(
+        F.sum(term).cast("bigint").alias("_num"))
+    return s.select(
+        key, "n_a", "n_b",
+        (F.col("_num").cast("double")
+         / (F.col("n_a").cast("double") * F.col("n_b").cast("double")))
+        .alias("wasserstein"))
+
+
+def wasserstein_drift(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    sample_a: Column,
+    bucket_width: int = 1024,
+    min_n: int = 1,
+) -> DataFrame:
+    """Two-sample W1 drift per group: one map-side-combinable collapse
+    to per (key, distinct value) counts, then
+    :func:`wasserstein_from_counts`. ``value`` keeps full integer
+    resolution — no support bucketing needed (order-free sums)."""
+    vi = value.cast("bigint")
+    per_v = (
+        df.where(vi.isNotNull() & sample_a.isNotNull())
+        .groupBy(key, vi.alias("v"))
+        .agg(
+            F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint").alias("ca"),
+            F.sum(F.when(sample_a, 0).otherwise(1)).cast("bigint").alias("cb"),
+        )
+    )
+    return wasserstein_from_counts(per_v, key, bucket_width=bucket_width,
+                                   min_n=min_n)
+
+
+def energy_from_counts(
+    per_v: DataFrame,
+    key: str,
+    bucket_width: int = 1024,
+    min_n: int = 1,
+) -> DataFrame:
+    """Energy distance (Székely–Rizzo) from the shared count state, via
+    the sorted-gap identity for mean absolute pairwise differences:
+
+        sum_{i,j} |x_i - y_j| = sum_t gap_t * (A_t*(n_b - B_t)
+                                               + B_t*(n_a - A_t))
+        sum_{i<j} |x_i - x_j| = sum_t gap_t * A_t*(n_a - A_t)
+
+    (A_t, B_t = inclusive cumulative counts at pooled support point t),
+    so the V-statistic energy distance
+
+        E = 2*Sxy/(n_a*n_b) - 2*Sxx/(n_a^2) - 2*Syy/(n_b^2)  >= 0
+
+    is three ORDER-FREE int64 sums and three exact-operand double
+    divisions — zero with equality iff the distributions coincide, in
+    VALUE units like W1 but sensitive to all moments. Same no-fold,
+    no-bounded-support scale path and int64 bound as
+    :func:`wasserstein_from_counts`.
+
+    Returns ``(key, n_a, n_b, energy)``.
+    """
+    totals = per_v.groupBy(key).agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"))
+    g = (_pooled_gap_frame(per_v, key, bucket_width)
+         .join(F.broadcast(totals), key)
+         .where((F.col("n_a") >= min_n) & (F.col("n_b") >= min_n)))
+    sxy = F.col("_gap") * (
+        F.col("cum_ca") * (F.col("n_b") - F.col("cum_cb"))
+        + F.col("cum_cb") * (F.col("n_a") - F.col("cum_ca")))
+    sxx = F.col("_gap") * F.col("cum_ca") * (F.col("n_a") - F.col("cum_ca"))
+    syy = F.col("_gap") * F.col("cum_cb") * (F.col("n_b") - F.col("cum_cb"))
+    s = g.groupBy(key, "n_a", "n_b").agg(
+        F.sum(sxy).cast("bigint").alias("_sxy"),
+        F.sum(sxx).cast("bigint").alias("_sxx"),
+        F.sum(syy).cast("bigint").alias("_syy"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    e = (F.lit(2.0) * (F.col("_sxy").cast("double") / (na * nb))
+         - F.lit(2.0) * (F.col("_sxx").cast("double") / (na * na))
+         - F.lit(2.0) * (F.col("_syy").cast("double") / (nb * nb)))
+    return s.select(key, "n_a", "n_b", e.alias("energy"))
+
+
+def energy_drift(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    sample_a: Column,
+    bucket_width: int = 1024,
+    min_n: int = 1,
+) -> DataFrame:
+    """Two-sample energy-distance drift per group: count collapse then
+    :func:`energy_from_counts`. Full integer value resolution."""
+    vi = value.cast("bigint")
+    per_v = (
+        df.where(vi.isNotNull() & sample_a.isNotNull())
+        .groupBy(key, vi.alias("v"))
+        .agg(
+            F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint").alias("ca"),
+            F.sum(F.when(sample_a, 0).otherwise(1)).cast("bigint").alias("cb"),
+        )
+    )
+    return energy_from_counts(per_v, key, bucket_width=bucket_width,
+                              min_n=min_n)

@@ -554,3 +554,44 @@ def test_page_hinkley_single_point_and_flat(spark):
         [("k", d, 5) for d in range(1, 6)], "g string, d long, v long")
     row = page_hinkley(flat, "g", F.col("v"), ["d"]).collect()[0]
     assert row.m_final == 0.0 and row.ph == 0.0
+
+
+def test_wasserstein_hand_case(spark):
+    # A=[0,2], B=[1,1]: both transports move 0.5 mass a distance 1 ->
+    # W1 = 1.0 (num = 1*|1*2-0| + 1*|1*2-2*2| = 4, / (2*2)).
+    from logpipe_spark.operators.drift import wasserstein_drift
+
+    df = spark.createDataFrame(
+        [("k", 0, True), ("k", 2, True), ("k", 1, False), ("k", 1, False)],
+        "g string, v long, ia boolean")
+    row = wasserstein_drift(df, "g", F.col("v"), F.col("ia")).collect()[0]
+    assert row.n_a == 2 and row.n_b == 2
+    assert row.wasserstein == 1.0
+
+
+def test_energy_hand_case_and_zero(spark):
+    # Same data: Sxy = 4, Sxx = 2, Syy = 0 ->
+    # E = 2*4/4 - 2*2/4 - 0 = 1.0; identical samples -> exactly 0.
+    from logpipe_spark.operators.drift import energy_drift
+
+    df = spark.createDataFrame(
+        [("k", 0, True), ("k", 2, True), ("k", 1, False), ("k", 1, False)],
+        "g string, v long, ia boolean")
+    row = energy_drift(df, "g", F.col("v"), F.col("ia")).collect()[0]
+    assert row.energy == 1.0
+
+    same = [("k", v, ia) for v in (1, 5, 9) for ia in (True, False)]
+    df2 = spark.createDataFrame(same, "g string, v long, ia boolean")
+    row2 = energy_drift(df2, "g", F.col("v"), F.col("ia")).collect()[0]
+    assert row2.energy == 0.0
+
+
+def test_wasserstein_identical_is_zero_and_shift_is_delta(spark):
+    # W1 between X and X+c is exactly c for equal-size samples.
+    from logpipe_spark.operators.drift import wasserstein_drift
+
+    rows = ([("k", v, True) for v in (1, 4, 6)]
+            + [("k", v + 3, False) for v in (1, 4, 6)])
+    df = spark.createDataFrame(rows, "g string, v long, ia boolean")
+    row = wasserstein_drift(df, "g", F.col("v"), F.col("ia")).collect()[0]
+    assert row.wasserstein == 3.0
