@@ -6513,6 +6513,23 @@ def q_energy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("ts") <= 15)
 
 
+def q_drift_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The six-statistic drift scorecard (drift.py:drift_panel): KS,
+    # Kuiper, Hellinger, CvM, Wasserstein-1 and energy distance per
+    # event type from ONE corpus scan — the per-(key, v) count collapse
+    # is shared (persisted, support-sized) and each statistic is a
+    # cheap re-aggregation. No single gate dominates: KS is tail-blind,
+    # W1 scale-bound, Hellinger saturates — a real pipeline reads the
+    # panel. Integer value buckets bound the fold-based members.
+    from logpipe_spark.operators.drift import drift_panel
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    return drift_panel(
+        ev, "event_type", F.floor(F.col("value")),
+        F.dayofmonth("ts") <= 15)
+
+
 def q_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dyad reciprocity of the above-average event-transition graph
     # (graph.py:reciprocity over funnel.py:event_transitions): keep
@@ -6853,6 +6870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_hinkley": q_page_hinkley,
         "wasserstein_drift": q_wasserstein_drift,
         "energy_drift": q_energy_drift,
+        "drift_panel": q_drift_panel,
     }
 
 
@@ -12011,4 +12029,79 @@ SELECT event_type, n_a, n_b,
                   / (cast(n_b AS double) * cast(n_b AS double)))
          AS energy
 FROM s"""
+    oracles["drift_panel"] = """
+WITH base AS (SELECT event_type, cast(floor(value) AS bigint) AS v,
+                     CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS ia
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+pv AS (SELECT event_type, v,
+              cast(sum(ia) AS bigint) AS ca,
+              cast(sum(1 - ia) AS bigint) AS cb
+       FROM base GROUP BY event_type, v),
+t AS (SELECT event_type, cast(sum(ca) AS bigint) AS n_a,
+             cast(sum(cb) AS bigint) AS n_b
+      FROM pv GROUP BY event_type),
+c AS (SELECT event_type, v, ca, cb,
+             cast(sum(ca) OVER (PARTITION BY event_type ORDER BY v)
+                  AS bigint) AS cuma,
+             cast(sum(cb) OVER (PARTITION BY event_type ORDER BY v)
+                  AS bigint) AS cumb,
+             lead(v) OVER (PARTITION BY event_type ORDER BY v) - v AS gap
+      FROM pv),
+j AS (SELECT c.event_type, v, ca, cb, cuma, cumb, gap, n_a, n_b,
+             (sqrt(cast(ca AS double) / n_a)
+              - sqrt(cast(cb AS double) / n_b)) AS rt,
+             (cuma / n_a - cumb / n_b) AS gcdf
+      FROM c JOIN t USING (event_type)
+      WHERE n_a >= 1 AND n_b >= 1),
+ks AS (SELECT event_type, n_a, n_b, max(abs(gcdf)) AS ks
+       FROM j GROUP BY event_type, n_a, n_b),
+ku AS (SELECT event_type,
+              max(cuma / n_a - cumb / n_b)
+                + max(cumb / n_b - cuma / n_a) AS kuiper
+       FROM j GROUP BY event_type),
+he AS (SELECT event_type,
+              sqrt(list_reduce(
+                     list_prepend(cast(0.0 AS double),
+                       list(rt * rt ORDER BY v)),
+                     (acc, x) -> acc + x) * 0.5) AS hellinger
+       FROM j GROUP BY event_type),
+cv AS (SELECT event_type,
+              cast(n_a AS double) * cast(n_b AS double)
+                / (cast(n_a + n_b AS double) * cast(n_a + n_b AS double))
+                * list_reduce(
+                    list_prepend(cast(0.0 AS double),
+                      list(cast(ca + cb AS double) * (gcdf * gcdf)
+                           ORDER BY v)),
+                    (acc, x) -> acc + x) AS cvm
+       FROM j GROUP BY event_type, n_a, n_b),
+wa AS (SELECT event_type,
+              cast(cast(sum(gap * abs(cuma * n_b - cumb * n_a))
+                        AS bigint) AS double)
+                / (cast(n_a AS double) * cast(n_b AS double))
+                AS wasserstein
+       FROM j WHERE gap IS NOT NULL
+       GROUP BY event_type, n_a, n_b),
+en AS (SELECT event_type,
+              2.0 * (cast(cast(sum(gap * (cuma * (n_b - cumb)
+                                          + cumb * (n_a - cuma)))
+                               AS bigint) AS double)
+                     / (cast(n_a AS double) * cast(n_b AS double)))
+                - 2.0 * (cast(cast(sum(gap * cuma * (n_a - cuma))
+                                   AS bigint) AS double)
+                         / (cast(n_a AS double) * cast(n_a AS double)))
+                - 2.0 * (cast(cast(sum(gap * cumb * (n_b - cumb))
+                                   AS bigint) AS double)
+                         / (cast(n_b AS double) * cast(n_b AS double)))
+                AS energy
+       FROM j WHERE gap IS NOT NULL
+       GROUP BY event_type, n_a, n_b)
+SELECT ks.event_type, ks.n_a, ks.n_b, ks.ks, ku.kuiper, he.hellinger,
+       cv.cvm, wa.wasserstein, en.energy
+FROM ks
+LEFT JOIN ku USING (event_type)
+LEFT JOIN he USING (event_type)
+LEFT JOIN cv USING (event_type)
+LEFT JOIN wa USING (event_type)
+LEFT JOIN en USING (event_type)"""
     return oracles

@@ -64,6 +64,7 @@ __all__ = [
     "wasserstein_from_counts",
     "energy_drift",
     "energy_from_counts",
+    "drift_panel",
 ]
 
 
@@ -1694,3 +1695,56 @@ def energy_drift(
     )
     return energy_from_counts(per_v, key, bucket_width=bucket_width,
                               min_n=min_n)
+
+
+def drift_panel(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    sample_a: Column,
+    bucket_width: int = 1024,
+    min_n: int = 1,
+) -> DataFrame:
+    """The full drift scorecard — KS, Kuiper, Hellinger, CvM, W1 and
+    energy distance per key — from ONE corpus scan: the six statistics
+    are all functions of the same per-(key, distinct value) count
+    state, so the expensive collapse shuffle happens once (persisted;
+    the support frame is key-cardinality-sized, not corpus-sized) and
+    each readout is a cheap re-aggregation. This is the panel a
+    training-data gate actually wants: no single statistic dominates
+    (KS is median-blind at the tails, W1 is scale-bound, Hellinger
+    saturates on disjoint supports) — read them together.
+
+    ``value`` must be bucketed to a bounded support per key for the
+    fold-based members (hellinger/cvm). Keys with a single support
+    point carry NULL wasserstein/energy (no gap; left joins from the
+    KS key set).
+
+    Returns ``(key, n_a, n_b, ks, kuiper, hellinger, cvm,
+    wasserstein, energy)``.
+    """
+    vi = value.cast("bigint")
+    per_v = (
+        df.where(vi.isNotNull() & sample_a.isNotNull())
+        .groupBy(key, vi.alias("v"))
+        .agg(
+            F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint").alias("ca"),
+            F.sum(F.when(sample_a, 0).otherwise(1)).cast("bigint").alias("cb"),
+        )
+        .persist()
+    )
+    ks = ks_from_counts(per_v, key, bucket_width=bucket_width,
+                        min_n=min_n).select(key, "n_a", "n_b", "ks")
+    ku = kuiper_from_counts(per_v, key, bucket_width=bucket_width,
+                            min_n=min_n).select(key, "kuiper")
+    he = hellinger_from_counts(per_v, key, min_n=min_n).select(
+        key, "hellinger")
+    cv = cvm_from_counts(per_v, key, bucket_width=bucket_width,
+                         min_n=min_n).select(key, "cvm")
+    wa = wasserstein_from_counts(per_v, key, bucket_width=bucket_width,
+                                 min_n=min_n).select(key, "wasserstein")
+    en = energy_from_counts(per_v, key, bucket_width=bucket_width,
+                            min_n=min_n).select(key, "energy")
+    return (ks.join(ku, key, "left").join(he, key, "left")
+            .join(cv, key, "left").join(wa, key, "left")
+            .join(en, key, "left"))

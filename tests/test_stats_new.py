@@ -595,3 +595,30 @@ def test_wasserstein_identical_is_zero_and_shift_is_delta(spark):
     df = spark.createDataFrame(rows, "g string, v long, ia boolean")
     row = wasserstein_drift(df, "g", F.col("v"), F.col("ia")).collect()[0]
     assert row.wasserstein == 3.0
+
+
+def test_drift_panel_matches_individual_statistics(spark):
+    # The one-scan panel must equal each statistic computed standalone.
+    from logpipe_spark.operators.drift import (
+        cvm_drift, drift_panel, energy_drift, hellinger_drift, ks_drift,
+        kuiper_drift, wasserstein_drift)
+
+    rows = [("k", v, v % 3 == 0) for v in range(1, 30)] + \
+           [("k2", v, v % 2 == 0) for v in range(5, 25)]
+    df = spark.createDataFrame(rows, "g string, v long, ia boolean")
+    args = (df, "g", F.col("v"), F.col("ia"))
+    panel = {r.g: r for r in drift_panel(*args).collect()}
+    assert set(panel) == {"k", "k2"}
+    for r in ks_drift(*args).collect():
+        assert panel[r.g].ks == r.ks
+        assert panel[r.g].n_a == r.n_a and panel[r.g].n_b == r.n_b
+    for r in kuiper_drift(*args).collect():
+        assert panel[r.g].kuiper == r.kuiper
+    for r in hellinger_drift(*args).collect():
+        assert panel[r.g].hellinger == r.hellinger
+    for r in cvm_drift(*args).collect():
+        assert panel[r.g].cvm == r.cvm
+    for r in wasserstein_drift(*args).collect():
+        assert panel[r.g].wasserstein == r.wasserstein
+    for r in energy_drift(*args).collect():
+        assert panel[r.g].energy == r.energy
