@@ -6530,6 +6530,17 @@ def q_drift_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("ts") <= 15)
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T5 span-corruption plan (curate.py:span_corruption_plan):
+    # deterministic md5-coin span starts (1/20 of positions, span 3 ->
+    # ~15% noise density), overlaps merged via the dup_spans lead
+    # identity. Hash-based so a 100 TB corpus re-masks identically
+    # under re-runs and appends — reproducible, auditable pretraining
+    # noise. One row per doc with the merged-mask accounting.
+    from logpipe_spark.trainprep.curate import span_corruption_plan
+    return span_corruption_plan(_docs(spark, sf_dir))
+
+
 def q_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dyad reciprocity of the above-average event-transition graph
     # (graph.py:reciprocity over funnel.py:event_transitions): keep
@@ -6871,6 +6882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein_drift": q_wasserstein_drift,
         "energy_drift": q_energy_drift,
         "drift_panel": q_drift_panel,
+        "span_corruption": q_span_corruption,
     }
 
 
@@ -12104,4 +12116,36 @@ LEFT JOIN he USING (event_type)
 LEFT JOIN cv USING (event_type)
 LEFT JOIN wa USING (event_type)
 LEFT JOIN en USING (event_type)"""
+    oracles["span_corruption"] = f"""
+WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+           FROM documents WHERE text IS NOT NULL),
+pos AS (SELECT doc_id, n_tokens,
+               unnest(generate_series(1, n_tokens)) AS p
+        FROM d),
+hm AS (SELECT doc_id, n_tokens, p,
+              md5(concat(cast(doc_id AS varchar), ':',
+                         cast(p AS varchar))) AS m
+       FROM pos),
+st AS (SELECT doc_id, n_tokens, p FROM hm
+       WHERE ({_hexpoly8('m')}) % 20 = 0),
+iv AS (SELECT doc_id, n_tokens, p,
+              lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS nxt,
+              lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prv
+       FROM st),
+per AS (SELECT doc_id,
+               least(3, n_tokens - p + 1, coalesce(nxt - p, 3)) AS c,
+               CASE WHEN prv IS NULL OR p - prv >= 3 THEN 1 ELSE 0 END
+                 AS nw
+        FROM iv),
+agg AS (SELECT doc_id, cast(count(*) AS bigint) AS n_starts,
+               cast(sum(nw) AS bigint) AS n_spans,
+               cast(sum(c) AS bigint) AS masked_tokens
+        FROM per GROUP BY doc_id)
+SELECT d.doc_id, cast(d.n_tokens AS bigint) AS n_tokens,
+       cast(coalesce(n_starts, 0) AS bigint) AS n_starts,
+       cast(coalesce(n_spans, 0) AS bigint) AS n_spans,
+       cast(coalesce(masked_tokens, 0) AS bigint) AS masked_tokens,
+       cast(coalesce(masked_tokens, 0) AS double) / d.n_tokens
+         AS mask_ratio
+FROM d LEFT JOIN agg USING (doc_id)"""
     return oracles

@@ -739,3 +739,72 @@ def chunk_documents(docs: DataFrame, text_col: str = "text",
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_chunk_words").cast("int").alias("n_chunk_words"),
         F.col("c.start_word").cast("int").alias("start_word"))
+
+
+def span_corruption_plan(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", span_len: int = 3,
+                         start_den: int = 20) -> DataFrame:
+    """T5-style span-corruption PLAN (Raffel et al. 2020 §3.1.4): for
+    each document, deterministically choose mask spans — position p
+    starts a span iff the first 8 md5 hex digits of ``"id:p"`` (as an
+    integer) are ≡ 0 mod ``start_den`` (≈ 1/start_den of positions;
+    defaults give the classic ~15% noise density at mean span 3) —
+    then merge overlapping spans into maximal mask intervals.
+
+    Hash-based, not random, for the same reason as :func:`hash_split`:
+    a 100 TB corpus re-masks IDENTICALLY under re-runs, appends, and
+    engine changes, so the plan is reproducible and auditable. The
+    span merge is the :func:`~logpipe_spark.trainprep.dedup.dup_spans`
+    lead-window identity (each start contributes
+    ``min(span_len, n - p + 1, next_start - p)`` covered tokens); span
+    COUNT is the lag-window dual (a start opens a new interval iff the
+    previous start cannot reach it).
+
+    Scale shape: the position explode is a narrow projection filtered
+    to ~1/start_den before the only shuffle; windows partition by doc.
+
+    Returns one row per doc: ``(doc_id, n_tokens, n_starts, n_spans,
+    masked_tokens, mask_ratio)`` — zero-mask docs included.
+    """
+    L = int(span_len)
+    d = (docs.withColumnRenamed(id_col, "doc_id")
+         .where(F.col(text_col).isNotNull()))
+    n = d.select("doc_id",
+                 F.size(F.split(F.col(text_col), " ")).alias("n_tokens"))
+    pos = n.select(
+        "doc_id", "n_tokens",
+        F.explode(F.sequence(F.lit(1), F.col("n_tokens"))).alias("p"))
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(
+            ":", F.col("doc_id").cast("string"),
+            F.col("p").cast("string"))), 1, 8),
+        16, 10).cast("bigint")
+    starts = pos.where(h % F.lit(int(start_den)) == 0)
+    w = Window.partitionBy("doc_id").orderBy("p")
+    iv = (starts
+          .withColumn("_nxt", F.lead("p").over(w))
+          .withColumn("_prv", F.lag("p").over(w)))
+    per = iv.select(
+        "doc_id", "n_tokens",
+        F.least(F.lit(L), F.col("n_tokens") - F.col("p") + 1,
+                F.coalesce(F.col("_nxt") - F.col("p"), F.lit(L)))
+        .alias("_c"),
+        F.when(F.col("_prv").isNull()
+               | (F.col("p") - F.col("_prv") >= L), 1)
+        .otherwise(0).alias("_new"))
+    agg = per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_starts"),
+        F.sum("_new").cast("bigint").alias("n_spans"),
+        F.sum("_c").cast("bigint").alias("masked_tokens"))
+    return (
+        n.join(agg, "doc_id", "left")
+        .select(
+            "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce("n_starts", F.lit(0)).cast("bigint")
+            .alias("n_starts"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("masked_tokens", F.lit(0)).cast("bigint")
+            .alias("masked_tokens"),
+            (F.coalesce("masked_tokens", F.lit(0)).cast("double")
+             / F.col("n_tokens")).alias("mask_ratio"))
+    )

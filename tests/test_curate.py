@@ -324,3 +324,44 @@ def test_k_anonymity_classes(spark):
     from logpipe_spark.trainprep.curate import k_anonymity as ka
     cols = ka(df, ["q1"], k=2).columns
     assert cols == ["q1", "class_size", "at_risk"]
+
+
+def test_span_corruption_plan_invariants(spark):
+    """Merged-mask accounting invariants on real docs: every span >= 1
+    token, spans never over-count (masked <= min(n_starts*L, n_tokens)),
+    a span contributes at least one token (n_spans <= masked), and the
+    plan is deterministic across runs (hash coin, no RNG)."""
+    from logpipe_spark.trainprep.curate import span_corruption_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = span_corruption_plan(docs, span_len=3, start_den=20).collect()
+    assert len(out) == docs.count()
+    tot_tok = tot_mask = 0
+    for r in out:
+        assert 0 <= r.masked_tokens <= r.n_tokens
+        assert r.n_spans <= r.n_starts
+        assert r.n_spans <= r.masked_tokens or r.n_starts == 0
+        assert r.masked_tokens <= 3 * r.n_starts
+        assert 0.0 <= r.mask_ratio <= 1.0
+        tot_tok += r.n_tokens
+        tot_mask += r.masked_tokens
+    # corpus noise density ~ L/start_den = 15%, loosely bracketed
+    assert 0.10 < tot_mask / tot_tok < 0.20
+
+    again = {r.doc_id: (r.n_starts, r.masked_tokens)
+             for r in span_corruption_plan(docs).collect()}
+    for r in out:
+        assert again[r.doc_id] == (r.n_starts, r.masked_tokens)
+
+
+def test_span_corruption_plan_merges_overlaps(spark):
+    """A doc where EVERY position starts a span (start_den=1) must be
+    one single merged interval covering the whole doc."""
+    from logpipe_spark.trainprep.curate import span_corruption_plan
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f", "s")], "doc_id long, text string, source string")
+    row = span_corruption_plan(df, span_len=3, start_den=1).collect()[0]
+    assert row.n_tokens == 6 and row.n_starts == 6
+    assert row.n_spans == 1 and row.masked_tokens == 6
+    assert row.mask_ratio == 1.0
