@@ -6541,6 +6541,32 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_corruption_plan(_docs(spark, sf_dir))
 
 
+def q_l_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sample L-moments per event type (aggregate.py:l_moments) over
+    # centi-value integers: L-scale/L-skew never square an outlier, the
+    # robust summary classical variance/skewness can't give on heavy
+    # tails. Rank-weighted sums come from closed-form rank-polynomial
+    # identities per distinct value (never a corpus sort); DECIMAL(38,0)
+    # numerators (rank products reach n^3), one fixed double tree.
+    from logpipe_spark.operators.aggregate import l_moments
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return l_moments(ev, "event_type",
+                     F.floor(F.col("value") * 100 + F.lit(0.5)))
+
+
+def q_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Peaks-over-threshold mean-excess curve (aggregate.py:
+    # mean_excess_curve) at each event type's own discrete p50/p75/p90/
+    # p95: the EVT tail diagnostic (linear-growing mean excess = GPD
+    # heavy tail; flat = exponential). Integer rank thresholds, exact
+    # int64 excess sums over the support frame — no corpus re-scan per
+    # threshold.
+    from logpipe_spark.operators.aggregate import mean_excess_curve
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mean_excess_curve(ev, "event_type",
+                             F.floor(F.col("value") * 100 + F.lit(0.5)))
+
+
 def q_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dyad reciprocity of the above-average event-transition graph
     # (graph.py:reciprocity over funnel.py:event_transitions): keep
@@ -6883,6 +6909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "energy_drift": q_energy_drift,
         "drift_panel": q_drift_panel,
         "span_corruption": q_span_corruption,
+        "l_moments": q_l_moments,
+        "mean_excess": q_mean_excess,
     }
 
 
@@ -12148,4 +12176,81 @@ SELECT d.doc_id, cast(d.n_tokens AS bigint) AS n_tokens,
        cast(coalesce(masked_tokens, 0) AS double) / d.n_tokens
          AS mask_ratio
 FROM d LEFT JOIN agg USING (doc_id)"""
+    oracles["l_moments"] = """
+WITH pv AS (SELECT event_type AS k,
+                   cast(floor(value * 100 + 0.5) AS bigint) AS v,
+                   cast(count(*) AS bigint) AS c
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY k, v),
+cc AS (SELECT k, v, c,
+              cast(sum(c) OVER (PARTITION BY k ORDER BY v) AS bigint) AS b
+       FROM pv),
+s AS (SELECT k, cast(sum(c) AS bigint) AS n,
+             cast(sum(cast(v AS decimal(38,0))
+                      * cast(c AS decimal(38,0))) AS decimal(38,0)) AS s0,
+             cast(sum(cast(v AS decimal(38,0))
+                      * ((cast(b AS decimal(38,0)) - 1)
+                           * cast(b AS decimal(38,0))
+                         - (cast(b - c + 1 AS decimal(38,0)) - 2)
+                           * (cast(b - c + 1 AS decimal(38,0)) - 1)))
+                  AS decimal(38,0)) AS u1x2,
+             cast(sum(cast(v AS decimal(38,0))
+                      * (cast(b AS decimal(38,0))
+                           * (cast(b AS decimal(38,0)) - 1)
+                           * (cast(b AS decimal(38,0)) - 2)
+                         - (cast(b - c + 1 AS decimal(38,0)) - 1)
+                           * (cast(b - c + 1 AS decimal(38,0)) - 2)
+                           * (cast(b - c + 1 AS decimal(38,0)) - 3)))
+                  AS decimal(38,0)) AS u2x3
+      FROM cc GROUP BY k),
+l AS (SELECT k, n,
+             cast(s0 AS double) / cast(n AS double) AS l1,
+             CASE WHEN n >= 2
+                  THEN cast(u1x2 AS double)
+                       / (cast(n AS double) * (cast(n AS double) - 1.0))
+             END AS b1x2n,
+             CASE WHEN n >= 3
+                  THEN cast(u2x3 AS double)
+                       / (cast(n AS double) * (cast(n AS double) - 1.0)
+                          * (cast(n AS double) - 2.0))
+             END AS b2x3n
+      FROM s),
+m AS (SELECT k, n, l1,
+             b1x2n - l1 AS l2,
+             2.0 * b2x3n - 3.0 * b1x2n + l1 AS l3
+      FROM l)
+SELECT k AS event_type, n, l1, l2, l3,
+       CASE WHEN l1 <> 0 THEN l2 / l1 END AS l_cv,
+       CASE WHEN l2 <> 0 THEN l3 / l2 END AS l_skew
+FROM m"""
+    oracles["mean_excess"] = """
+WITH pv AS (SELECT event_type AS k,
+                   cast(floor(value * 100 + 0.5) AS bigint) AS v,
+                   cast(count(*) AS bigint) AS c
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY k, v),
+cum AS (SELECT k, v, c,
+               cast(sum(c) OVER (PARTITION BY k ORDER BY v) AS bigint)
+                 AS cm
+        FROM pv),
+tot AS (SELECT k, cast(sum(c) AS bigint) AS n FROM pv GROUP BY k),
+grid AS (SELECT k, n, pct
+         FROM tot CROSS JOIN (SELECT unnest([50, 75, 90, 95]) AS pct)),
+rnk AS (SELECT k, pct, cast((n * pct + 99) // 100 AS bigint) AS r
+        FROM grid),
+thr AS (SELECT cum.k, pct, cast(min(v) AS bigint) AS threshold
+        FROM cum JOIN rnk ON cum.k = rnk.k
+        WHERE cm >= r GROUP BY cum.k, pct),
+ex AS (SELECT pv.k, pct,
+              cast(sum(c * (v - threshold)) AS bigint) AS sx,
+              cast(sum(c) AS bigint) AS n_exceed
+       FROM pv JOIN thr ON pv.k = thr.k
+       WHERE v > threshold
+       GROUP BY pv.k, pct)
+SELECT thr.k AS event_type, thr.pct, thr.threshold,
+       cast(coalesce(n_exceed, 0) AS bigint) AS n_exceed,
+       cast(sx AS double) / n_exceed AS mean_excess
+FROM thr LEFT JOIN ex ON thr.k = ex.k AND thr.pct = ex.pct"""
     return oracles

@@ -18,7 +18,7 @@ from __future__ import annotations
 from typing import Callable, Sequence
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -2106,3 +2106,124 @@ def holt_winters(
         F.col("_st.b").alias("trend"),
         (F.col("_st.l") + F.col("_st.b") + nxt).alias("forecast"),
     )
+
+
+def l_moments(df: DataFrame, key: str, value: Column) -> DataFrame:
+    """Sample L-moments per key (Hosking 1990): L-location, L-scale,
+    the third L-moment, and the ratios L-CV = l2/l1 and
+    L-skewness = l3/l2 — the order-statistics alternative to classical
+    moments: every L-moment is a LINEAR function of the sorted sample,
+    so it exists whenever the mean does and never squares an outlier
+    (variance/skewness explode on heavy-tailed latency data; L-scale
+    does not).
+
+    Distributed form: rank-weighted sums never sort the corpus — a
+    distinct value occupying sorted ranks [a, b] (from one cumulative
+    window over the per-(key, distinct value) count frame) contributes
+    closed-form rank-polynomial sums:
+
+        sum_{r=a}^{b} (r-1)        = [(b-1)b - (a-2)(a-1)] / 2
+        sum_{r=a}^{b} (r-1)(r-2)   = [b(b-1)(b-2) - (a-1)(a-2)(a-3)] / 3
+
+    Doubled/tripled integer numerators accumulate as DECIMAL(38,0)
+    (the cliffs_delta overflow discipline — rank products reach n^3);
+    the L-moments are then a fixed tree of exact-operand double ops:
+    l1 = S/n, l2 = U1x2/(n(n-1)) - l1,
+    l3 = 2*U2x3/(n(n-1)(n-2)) - 3*U1x2/(n(n-1)) + l1.
+
+    Returns ``(key, n, l1, l2, l3, l_cv, l_skew)``; l2/l3 need
+    n >= 2 / n >= 3, ratios guard their zero denominators (NULL
+    otherwise — ANSI doubles THROW on /0, they do not give inf).
+    """
+    d = "decimal(38,0)"
+    vi = value.cast("bigint")
+    pv = (df.where(vi.isNotNull() & F.col(key).isNotNull())
+          .groupBy(F.col(key).alias("_k"), vi.alias("_v"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
+    w = (Window.partitionBy("_k").orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = pv.select(
+        "_k", "_v", "_c",
+        F.sum("_c").over(w).cast("bigint").alias("_b"))
+    a = (F.col("_b") - F.col("_c") + 1).cast(d)
+    b = F.col("_b").cast(d)
+    p1 = ((b - 1) * b - (a - 2) * (a - 1))
+    p2 = (b * (b - 1) * (b - 2) - (a - 1) * (a - 2) * (a - 3))
+    s = c.groupBy("_k").agg(
+        F.sum("_c").cast("bigint").alias("n"),
+        F.sum(F.col("_v").cast(d) * F.col("_c").cast(d)).cast(d)
+        .alias("_s0"),
+        F.sum(F.col("_v").cast(d) * p1).cast(d).alias("_u1x2"),
+        F.sum(F.col("_v").cast(d) * p2).cast(d).alias("_u2x3"))
+    nd = F.col("n").cast("double")
+    lvl1 = s.select(
+        F.col("_k").alias(key), "n",
+        (F.col("_s0").cast("double") / nd).alias("l1"),
+        F.when(F.col("n") >= 2,
+               F.col("_u1x2").cast("double") / (nd * (nd - F.lit(1.0))))
+        .alias("_b1x2n"),
+        F.when(F.col("n") >= 3,
+               F.col("_u2x3").cast("double")
+               / (nd * (nd - F.lit(1.0)) * (nd - F.lit(2.0))))
+        .alias("_b2x3n"))
+    lvl2 = lvl1.select(
+        key, "n", "l1",
+        (F.col("_b1x2n") - F.col("l1")).alias("l2"),
+        (F.lit(2.0) * F.col("_b2x3n") - F.lit(3.0) * F.col("_b1x2n")
+         + F.col("l1")).alias("l3"))
+    return lvl2.select(
+        key, "n", "l1", "l2", "l3",
+        F.when(F.col("l1") != 0, F.col("l2") / F.col("l1")).alias("l_cv"),
+        F.when(F.col("l2") != 0, F.col("l3") / F.col("l2")).alias("l_skew"))
+
+
+def mean_excess_curve(df: DataFrame, key: str, value: Column,
+                      pcts: Sequence[int] = (50, 75, 90, 95)) -> DataFrame:
+    """Peaks-over-threshold mean-excess curve per key: at each discrete
+    percentile threshold u, the mean exceedance E[X - u | X > u] — the
+    extreme-value-theory diagnostic (an ~linear-in-u mean excess is the
+    GPD heavy-tail signature; exponential tails go flat) a latency SLO
+    review reads before promising a p999.
+
+    Thresholds are the key's own DISCRETE percentiles (min v with
+    cum >= ceil(n*pct/100), integer rank arithmetic — Spark div ==
+    DuckDB // on the non-negative operands); excess sums are exact
+    int64 over the per-(key, distinct value) count frame (support-
+    sized, one cumulative window, no corpus re-scan per threshold).
+
+    Returns ``(key, pct, threshold, n_exceed, mean_excess)``;
+    mean_excess NULL when nothing exceeds.
+    """
+    vi = value.cast("bigint")
+    pv = (df.where(vi.isNotNull() & F.col(key).isNotNull())
+          .groupBy(F.col(key).alias("_k"), vi.alias("_v"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
+    w = (Window.partitionBy("_k").orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = pv.select("_k", "_v", "_c",
+                    F.sum("_c").over(w).cast("bigint").alias("_cum"))
+    tot = pv.groupBy("_k").agg(F.sum("_c").cast("bigint").alias("_n"))
+    grid = tot.crossJoin(F.broadcast(
+        cum.sparkSession.createDataFrame(
+            [(int(p),) for p in pcts], "pct int")))
+    rank = grid.select(
+        "_k", "_n", "pct",
+        F.expr("(_n * pct + 99) div 100").cast("bigint").alias("_r"))
+    thr = (cum.join(rank, "_k")
+           .where(F.col("_cum") >= F.col("_r"))
+           .groupBy("_k", "pct")
+           .agg(F.min("_v").cast("bigint").alias("threshold")))
+    ex = (pv.join(thr, "_k")
+          .where(F.col("_v") > F.col("threshold"))
+          .groupBy("_k", "pct", "threshold")
+          .agg(F.sum(F.col("_c")
+                     * (F.col("_v") - F.col("threshold")))
+               .cast("bigint").alias("_sx"),
+               F.sum("_c").cast("bigint").alias("n_exceed")))
+    return (thr.join(ex.select("_k", "pct", "_sx", "n_exceed"),
+                     ["_k", "pct"], "left")
+            .select(F.col("_k").alias(key), "pct", "threshold",
+                    F.coalesce("n_exceed", F.lit(0)).cast("bigint")
+                    .alias("n_exceed"),
+                    (F.col("_sx").cast("double") / F.col("n_exceed"))
+                    .alias("mean_excess")))

@@ -622,3 +622,57 @@ def test_drift_panel_matches_individual_statistics(spark):
         assert panel[r.g].wasserstein == r.wasserstein
     for r in energy_drift(*args).collect():
         assert panel[r.g].energy == r.energy
+
+
+def test_l_moments_hand_case(spark):
+    # [1,2,3,4]: l1=2.5, l2=5/6, l3=0 (symmetric), l_cv=1/3.
+    from logpipe_spark.operators.aggregate import l_moments
+
+    df = spark.createDataFrame(
+        [("k", v) for v in (1, 2, 3, 4)], "g string, v long")
+    row = l_moments(df, "g", F.col("v")).collect()[0]
+    assert row.n == 4 and row.l1 == 2.5
+    assert abs(row.l2 - 5.0 / 6.0) < 1e-12
+    assert abs(row.l3) < 1e-12
+    assert abs(row.l_cv - 1.0 / 3.0) < 1e-12
+    assert abs(row.l_skew) < 1e-12
+
+
+def test_l_moments_ties_match_pairwise_identity(spark):
+    # [1,1,3,3]: l2 = mean pairwise |xi-xj| / 2 = (8/6)/2 = 2/3.
+    from logpipe_spark.operators.aggregate import l_moments
+
+    df = spark.createDataFrame(
+        [("k", v) for v in (1, 1, 3, 3)], "g string, v long")
+    row = l_moments(df, "g", F.col("v")).collect()[0]
+    assert row.l1 == 2.0
+    assert abs(row.l2 - 2.0 / 3.0) < 1e-12
+
+
+def test_l_moments_degenerate(spark):
+    # n=1: l2/l3/ratios NULL; constant series: l2=0 -> l_skew NULL.
+    from logpipe_spark.operators.aggregate import l_moments
+
+    one = spark.createDataFrame([("k", 7)], "g string, v long")
+    r = l_moments(one, "g", F.col("v")).collect()[0]
+    assert r.l1 == 7.0 and r.l2 is None and r.l3 is None
+    flat = spark.createDataFrame(
+        [("k", 5)] * 4, "g string, v long")
+    r2 = l_moments(flat, "g", F.col("v")).collect()[0]
+    assert r2.l2 == 0.0 and r2.l_skew is None and r2.l_cv == 0.0
+
+
+def test_mean_excess_hand_case(spark):
+    # values 1..10: p50 thr=5 -> mean excess 3.0; p75 thr=8 -> 1.5;
+    # p90 thr=9 -> 1.0; p95 thr=10 -> nothing exceeds (NULL).
+    from logpipe_spark.operators.aggregate import mean_excess_curve
+
+    df = spark.createDataFrame(
+        [("k", v) for v in range(1, 11)], "g string, v long")
+    out = {r.pct: r for r in
+           mean_excess_curve(df, "g", F.col("v")).collect()}
+    assert out[50].threshold == 5 and out[50].mean_excess == 3.0
+    assert out[75].threshold == 8 and out[75].mean_excess == 1.5
+    assert out[90].threshold == 9 and out[90].mean_excess == 1.0
+    assert out[95].threshold == 10 and out[95].n_exceed == 0
+    assert out[95].mean_excess is None
