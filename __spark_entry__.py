@@ -6608,84 +6608,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-verified) replaced pipeline_flagship, parse_grok,
     # enrich_lookup, route_counts, hash_iterated (r03 green rows);
     # flagship_approx STAYS to driver-prove the now-exact md5 HLL.
-    # Entries 51+ are covered by scripts/gate_dryrun.py over the full
-    # surface every session.
+    # Third-continuation rotation: the 21 newest ops (drift panel +
+    # W1/energy/Hellinger/CvM/PH, L-moments, mean-excess, T5 masking,
+    # readability, Friedman/Cochran, reciprocity, runs monoid,
+    # Holt-Winters, apdex, Wilcoxon, Kuiper, triplets, fertility,
+    # threshold sweep) replaced 21 queries whose families carry r02/r03
+    # driver evidence (moved just below slot 50, see the displaced
+    # block). Entries 51+ are covered by scripts/gate_dryrun.py over
+    # the full surface every session.
         "flagship_approx": q_flagship_approx,
         "spearman_corr": q_spearman_corr,
-        "common_neighbors": q_common_neighbors,
-        "bpe_pair_counts": q_bpe_pair_counts,
         "autocorr": q_autocorr,
-        "nation_trade_volume": q_nation_trade_volume,
         "read_changes_evo": q_read_changes_evo,
         "mv_incremental": q_mv_incremental,
         "k_anonymity": q_k_anonymity,
-        "burstiness": q_burstiness,
-        "blame_suppliers": q_blame_suppliers,
-        "changepoint_binseg": q_changepoint,
         "funnel_latency": q_funnel_latency,
-        "funnel_conversion": q_funnel_conversion,
-        "error_burst_convs": q_error_burst_convs,
-        "conv_tool_diversity": q_conv_tool_diversity,
         "rfm_scores": q_rfm_scores,
         "peak_rate": q_peak_rate,
         "theil_sen": q_theil_sen,
-        "trimmed_stats": q_trimmed_stats,
         "context_growth": q_context_growth,
         "anomaly_contributors": q_anomaly_contributors,
         "postings_incremental": q_postings_incremental,
         "ann_recall": q_ann_recall,
         "kruskal_wallis": q_kruskal_wallis,
-        "levene_test": q_levene_test,
-        "rolling_corr": q_rolling_corr,
         "bootstrap_ci": q_bootstrap_ci,
         "mann_kendall": q_mann_kendall,
         "map_eval": q_map_eval,
         "hazard_curve": q_hazard_curve,
-        "survival_km": q_survival_km,
-        "important_stock": q_important_stock,
-        "revenue_concentration": q_revenue_concentration,
         "dedup_precision": q_dedup_precision,
-        "join_fanout_audit": q_join_fanout_audit,
         "sketch_error_eval": q_sketch_error_eval,
         "embed_centroids": q_embed_centroids,
         "kmeans_lloyd": q_kmeans_lloyd,
         "embedding_drift": q_embedding_drift,
         "langid_confusion": q_langid_confusion,
+        "ann_index_incr": q_ann_index_incr,
+        "ann_rebalanced": q_ann_rebalanced,
+        "quantile_sketch": q_quantile_sketch,
+        "ndcg_eval": q_ndcg_eval,
+    # round-4 third-continuation window adds (never driver-verified):
+    # the one-scan drift panel + its W1/energy/Hellinger/CvM members,
+    # PH level-shift, L-moments, mean-excess tails, T5 masking plan,
+    # readability, Friedman/Cochran grids, reciprocity, plus the
+    # strongest prior-session adds (runs monoid, Holt-Winters, apdex,
+    # Wilcoxon, Kuiper, triplets, fertility, threshold sweep)
+        "drift_panel": q_drift_panel,
+        "wasserstein_drift": q_wasserstein_drift,
+        "energy_drift": q_energy_drift,
+        "hellinger_drift": q_hellinger_drift,
+        "cvm_drift": q_cvm_drift,
+        "page_hinkley": q_page_hinkley,
+        "l_moments": q_l_moments,
+        "mean_excess": q_mean_excess,
+        "span_corruption": q_span_corruption,
+        "readability": q_readability,
+        "friedman_test": q_friedman_test,
+        "cochran_q": q_cochran_q,
+        "edge_reciprocity": q_edge_reciprocity,
+        "wilcoxon_signed": q_wilcoxon_signed,
+        "runs_merged": q_runs_merged,
+        "kuiper_drift": q_kuiper_drift,
+        "holt_winters": q_holt_winters,
+        "apdex_score": q_apdex_score,
+        "contrastive_triples": q_contrastive_triples,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
+    # displaced from the r04 window (families with driver evidence
+    # in r02/r03 or represented above); still gated by the full-surface
+    # gate_dryrun every session
+        "common_neighbors": q_common_neighbors,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "nation_trade_volume": q_nation_trade_volume,
+        "burstiness": q_burstiness,
+        "blame_suppliers": q_blame_suppliers,
+        "changepoint_binseg": q_changepoint,
+        "funnel_conversion": q_funnel_conversion,
+        "error_burst_convs": q_error_burst_convs,
+        "conv_tool_diversity": q_conv_tool_diversity,
+        "trimmed_stats": q_trimmed_stats,
+        "levene_test": q_levene_test,
+        "rolling_corr": q_rolling_corr,
+        "survival_km": q_survival_km,
+        "important_stock": q_important_stock,
+        "revenue_concentration": q_revenue_concentration,
+        "join_fanout_audit": q_join_fanout_audit,
         "cohens_kappa": q_cohens_kappa,
         "doc_containment": q_doc_containment,
         "lexical_stats": q_lexical_stats,
         "bfs_hops": q_bfs_hops,
         "k_core": q_k_core,
-        "ann_index_incr": q_ann_index_incr,
-        "ann_rebalanced": q_ann_rebalanced,
-        "quantile_sketch": q_quantile_sketch,
-        "ndcg_eval": q_ndcg_eval,
         "precision_recall_k": q_precision_recall_k,
         "calibration_curve": q_calibration_curve,
-        "wilcoxon_signed": q_wilcoxon_signed,
         "runs_test": q_runs_test,
         "cliffs_delta": q_cliffs_delta,
-        "apdex_score": q_apdex_score,
         "quality_prune_curve": q_quality_prune_curve,
         "tv_drift": q_tv_drift,
-        "kuiper_drift": q_kuiper_drift,
         "local_clustering": q_local_clustering,
         "risk_ratios": q_risk_ratios,
         "quality_alpha": q_quality_alpha,
         "centroid_separation": q_centroid_separation,
         "transition_lift": q_transition_lift,
-        "holt_winters": q_holt_winters,
         "changepoint_slopes": q_changepoint_slopes,
         "dup_modularity": q_dup_modularity,
         "qq_points": q_qq_points,
         "degree_distribution": q_degree_distribution,
         "first_response_latency": q_first_response_latency,
         "vocab_growth": q_vocab_growth,
-        "runs_merged": q_runs_merged,
-        "contrastive_triples": q_contrastive_triples,
         "mixture_sweep": q_mixture_sweep,
-        "dedup_threshold_sweep": q_dedup_threshold_sweep,
-        "tokenizer_fertility": q_tokenizer_fertility,
         "quantile_sketch_merged": q_quantile_sketch_merged,
         "slo_burn": q_slo_burn,
         "dup_spans": q_dup_spans,
@@ -6898,19 +6926,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_templates": q_log_templates,
         "holt_smooth": q_holt_smooth,
         "vocab_overlap": q_vocab_overlap,
-        "hellinger_drift": q_hellinger_drift,
-        "friedman_test": q_friedman_test,
-        "cochran_q": q_cochran_q,
-        "readability": q_readability,
-        "edge_reciprocity": q_edge_reciprocity,
-        "cvm_drift": q_cvm_drift,
-        "page_hinkley": q_page_hinkley,
-        "wasserstein_drift": q_wasserstein_drift,
-        "energy_drift": q_energy_drift,
-        "drift_panel": q_drift_panel,
-        "span_corruption": q_span_corruption,
-        "l_moments": q_l_moments,
-        "mean_excess": q_mean_excess,
     }
 
 

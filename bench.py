@@ -258,6 +258,20 @@ HEADLINE = [
     "dau_wau_stickiness",
     "activity_gini",
     "experiment_sizing",
+    # round 4 third continuation: drift family completion (the panel
+    # covers KS/Kuiper/Hellinger/CvM/W1/energy in ONE scan), robust
+    # L-moments, EVT tails, T5 masking plan, readability, Friedman/
+    # Cochran grids, transition reciprocity
+    "drift_panel",
+    "wasserstein_drift",
+    "page_hinkley",
+    "l_moments",
+    "mean_excess",
+    "span_corruption",
+    "readability",
+    "friedman_test",
+    "cochran_q",
+    "edge_reciprocity",
 ]
 # ann_bits_sweep joins automatically via the ann_* tag rule
 # dedup_precision joins automatically via the dedup_* tag rule
