@@ -1,12 +1,17 @@
-"""Two-sample distribution statistics: KS drift, Welch's t, CUSUM, AUC.
+"""Two-sample distribution statistics and sequential change detection.
 
 The drift gates a training-data pipeline runs before trusting a new
 batch: "does this week's value distribution still look like last
-week's?" (KS, Welch), "did the level shift mid-stream?" (CUSUM), and
-"does this score actually separate the two populations?" (Mann–Whitney
-AUC). All four are log-free: every emitted double derives from exact
-integer sufficient statistics through correctly-rounded IEEE ops, so
-they pass the exact cross-engine hash gate (PSI/KL/entropy never could).
+week's?" (KS, Kuiper, Hellinger, CvM, Wasserstein-1, energy distance —
+one shared (key, v, ca, cb) count state serves all six, see
+:func:`drift_panel`), "did the level shift mid-stream?" (CUSUM against
+a fixed reference; Page–Hinkley against the running mean), rank tests
+(Mann–Whitney/AUC, Kruskal–Wallis, Wilcoxon, Friedman, Cochran's Q,
+runs, Cliff's delta, Mann–Kendall). ALL log-free: every emitted double
+derives from exact integer sufficient statistics through
+correctly-rounded IEEE ops, so they pass the exact cross-engine hash
+gate (PSI/KL/entropy never could; Hellinger/W1/energy are the log-free
+replacements).
 
 No reference counterpart (the reference has no ordered analytics at all —
 SURVEY.md §2.4). The naive CDF formulations are cumulative sums over a
