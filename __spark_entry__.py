@@ -6567,6 +6567,18 @@ def q_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.floor(F.col("value") * 100 + F.lit(0.5)))
 
 
+def q_gpd_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GPD tail fit per event type (aggregate.py:gpd_tail_fit): L-moment
+    # estimator over exceedances above each key's own discrete p90 —
+    # xi = 2 - l1/l2 (heavy tail iff > 0), sigma = l1*(l1/l2 - 1). The
+    # quantitative completion of the mean_excess diagnostic; support-
+    # frame only after the one count collapse.
+    from logpipe_spark.operators.aggregate import gpd_tail_fit
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return gpd_tail_fit(ev, "event_type",
+                        F.floor(F.col("value") * 100 + F.lit(0.5)))
+
+
 def q_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dyad reciprocity of the above-average event-transition graph
     # (graph.py:reciprocity over funnel.py:event_transitions): keep
@@ -6926,6 +6938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_templates": q_log_templates,
         "holt_smooth": q_holt_smooth,
         "vocab_overlap": q_vocab_overlap,
+        "gpd_tail_fit": q_gpd_tail_fit,
     }
 
 
@@ -12268,4 +12281,48 @@ SELECT thr.k AS event_type, thr.pct, thr.threshold,
        cast(coalesce(n_exceed, 0) AS bigint) AS n_exceed,
        cast(sx AS double) / n_exceed AS mean_excess
 FROM thr LEFT JOIN ex ON thr.k = ex.k AND thr.pct = ex.pct"""
+    oracles["gpd_tail_fit"] = """
+WITH pv AS (SELECT event_type AS k,
+                   cast(floor(value * 100 + 0.5) AS bigint) AS v,
+                   cast(count(*) AS bigint) AS c
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY k, v),
+cum AS (SELECT k, v, c,
+               cast(sum(c) OVER (PARTITION BY k ORDER BY v) AS bigint)
+                 AS cm
+        FROM pv),
+tot AS (SELECT k, cast(sum(c) AS bigint) AS n FROM pv GROUP BY k),
+rnk AS (SELECT k, cast((n * 90 + 99) // 100 AS bigint) AS r FROM tot),
+thr AS (SELECT cum.k, cast(min(v) AS bigint) AS u
+        FROM cum JOIN rnk ON cum.k = rnk.k
+        WHERE cm >= r GROUP BY cum.k),
+pv2 AS (SELECT pv.k, v - u AS v, c
+        FROM pv JOIN thr ON pv.k = thr.k WHERE v > u),
+cc AS (SELECT k, v, c,
+              cast(sum(c) OVER (PARTITION BY k ORDER BY v) AS bigint) AS b
+       FROM pv2),
+s AS (SELECT k, cast(sum(c) AS bigint) AS n,
+             cast(sum(cast(v AS decimal(38,0))
+                      * cast(c AS decimal(38,0))) AS decimal(38,0)) AS s0,
+             cast(sum(cast(v AS decimal(38,0))
+                      * ((cast(b AS decimal(38,0)) - 1)
+                           * cast(b AS decimal(38,0))
+                         - (cast(b - c + 1 AS decimal(38,0)) - 2)
+                           * (cast(b - c + 1 AS decimal(38,0)) - 1)))
+                  AS decimal(38,0)) AS u1x2
+      FROM cc GROUP BY k),
+l AS (SELECT k, n,
+             cast(s0 AS double) / cast(n AS double) AS l1,
+             CASE WHEN n >= 2
+                  THEN cast(u1x2 AS double)
+                       / (cast(n AS double) * (cast(n AS double) - 1.0))
+             END AS b1x2n
+      FROM s),
+m AS (SELECT k, n, l1, b1x2n - l1 AS l2 FROM l)
+SELECT m.k AS event_type, thr.u AS threshold, m.n AS n_exceed,
+       m.l1, m.l2,
+       CASE WHEN l2 > 0 THEN 2.0 - l1 / l2 END AS xi,
+       CASE WHEN l2 > 0 THEN l1 * (l1 / l2 - 1.0) END AS sigma
+FROM m JOIN thr ON m.k = thr.k"""
     return oracles

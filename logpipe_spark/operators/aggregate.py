@@ -2135,11 +2135,19 @@ def l_moments(df: DataFrame, key: str, value: Column) -> DataFrame:
     n >= 2 / n >= 3, ratios guard their zero denominators (NULL
     otherwise — ANSI doubles THROW on /0, they do not give inf).
     """
-    d = "decimal(38,0)"
     vi = value.cast("bigint")
     pv = (df.where(vi.isNotNull() & F.col(key).isNotNull())
           .groupBy(F.col(key).alias("_k"), vi.alias("_v"))
           .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
+    return l_moments_from_counts(pv, key)
+
+
+def l_moments_from_counts(pv: DataFrame, key: str) -> DataFrame:
+    """:func:`l_moments` from a pre-aggregated ``(_k, _v, _c)`` count
+    frame — the support-sized entry point compositions use (e.g.
+    :func:`gpd_tail_fit` feeds the SHIFTED exceedance counts here
+    without re-touching the corpus)."""
+    d = "decimal(38,0)"
     w = (Window.partitionBy("_k").orderBy("_v")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     c = pv.select(
@@ -2227,3 +2235,57 @@ def mean_excess_curve(df: DataFrame, key: str, value: Column,
                     .alias("n_exceed"),
                     (F.col("_sx").cast("double") / F.col("n_exceed"))
                     .alias("mean_excess")))
+
+
+def gpd_tail_fit(df: DataFrame, key: str, value: Column,
+                 pct: int = 90) -> DataFrame:
+    """Generalized-Pareto tail fit per key via the L-moment (PWM)
+    estimator (Hosking & Wallis 1987): over the exceedances
+    y = v - u > 0 above the key's own discrete ``pct``-percentile
+    threshold u,
+
+        kappa = l1/l2 - 2,   xi = -kappa = 2 - l1/l2,
+        sigma = l1 * (l1/l2 - 1)
+
+    — the EVT capacity answer ("how heavy is this latency tail, and
+    what scale does the excess distribution have?") that
+    :func:`mean_excess_curve` diagnoses qualitatively. xi > 0 is the
+    heavy-tail verdict; xi ~ 0 exponential; xi < 0 bounded.
+
+    Everything after the one count collapse runs on the support frame:
+    the threshold is an integer rank lookup, exceedance counts are a
+    SHIFT of the support (no corpus re-scan), and the L-moments ride
+    :func:`l_moments_from_counts`' closed-form rank sums. xi/sigma are
+    fixed trees of exact-operand double ops, guarded on l2 > 0.
+
+    Returns ``(key, threshold, n_exceed, l1, l2, xi, sigma)``.
+    """
+    vi = value.cast("bigint")
+    pv = (df.where(vi.isNotNull() & F.col(key).isNotNull())
+          .groupBy(F.col(key).alias("_k"), vi.alias("_v"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
+    w = (Window.partitionBy("_k").orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = pv.select("_k", "_v", "_c",
+                    F.sum("_c").over(w).cast("bigint").alias("_cum"))
+    tot = pv.groupBy("_k").agg(F.sum("_c").cast("bigint").alias("_n"))
+    rnk = tot.select(
+        "_k", F.expr(f"(_n * {int(pct)} + 99) div 100")
+        .cast("bigint").alias("_r"))
+    thr = (cum.join(rnk, "_k")
+           .where(F.col("_cum") >= F.col("_r"))
+           .groupBy("_k")
+           .agg(F.min("_v").cast("bigint").alias("_u")))
+    ex = (pv.join(F.broadcast(thr), "_k")
+          .where(F.col("_v") > F.col("_u"))
+          .select("_k", (F.col("_v") - F.col("_u")).alias("_v"), "_c"))
+    lm = l_moments_from_counts(ex, key)
+    out = lm.join(
+        thr.select(F.col("_k").alias(key),
+                   F.col("_u").alias("threshold")), key)
+    ratio = F.col("l1") / F.col("l2")
+    return out.select(
+        key, "threshold", F.col("n").alias("n_exceed"), "l1", "l2",
+        F.when(F.col("l2") > 0, F.lit(2.0) - ratio).alias("xi"),
+        F.when(F.col("l2") > 0,
+               F.col("l1") * (ratio - F.lit(1.0))).alias("sigma"))

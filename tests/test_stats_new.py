@@ -676,3 +676,30 @@ def test_mean_excess_hand_case(spark):
     assert out[90].threshold == 9 and out[90].mean_excess == 1.0
     assert out[95].threshold == 10 and out[95].n_exceed == 0
     assert out[95].mean_excess is None
+
+
+def test_gpd_tail_fit_uniform_exceedances(spark):
+    # values 1..100: p90 threshold = 90, exceedances 1..10 (uniform) —
+    # the GPD with xi = -1 IS the uniform: xi-hat = 2 - 5.5/(11/6) = -1,
+    # sigma-hat = 5.5 * (3 - 1) = 11 (support [0, 11] brackets 1..10).
+    from logpipe_spark.operators.aggregate import gpd_tail_fit
+
+    df = spark.createDataFrame(
+        [("k", v) for v in range(1, 101)], "g string, v long")
+    row = gpd_tail_fit(df, "g", F.col("v"), pct=90).collect()[0]
+    assert row.threshold == 90 and row.n_exceed == 10
+    assert row.l1 == 5.5
+    assert abs(row.l2 - 11.0 / 6.0) < 1e-12
+    assert abs(row.xi - (-1.0)) < 1e-12
+    assert abs(row.sigma - 11.0) < 1e-12
+
+
+def test_gpd_tail_fit_constant_exceedances_null(spark):
+    # all exceedances equal -> l2 = 0 -> xi/sigma NULL (guarded).
+    from logpipe_spark.operators.aggregate import gpd_tail_fit
+
+    rows = [("k", v) for v in (1, 2, 3, 4, 5, 6, 7, 8, 9)] + \
+           [("k", 50)] * 3
+    df = spark.createDataFrame(rows, "g string, v long")
+    row = gpd_tail_fit(df, "g", F.col("v"), pct=75).collect()[0]
+    assert row.l2 == 0.0 and row.xi is None and row.sigma is None
