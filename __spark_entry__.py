@@ -6579,6 +6579,22 @@ def q_gpd_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.floor(F.col("value") * 100 + F.lit(0.5)))
 
 
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-sample Anderson–Darling drift per event type (drift.py:
+    # anderson_darling): variance-weighted EDF gaps — dividing each
+    # squared gap by B(N-B) up-weights the TAILS where KS/CvM go numb.
+    # The 7th statistic on the same count state; DECIMAL(38,0) gap
+    # products, per-term double division, ordered fold over the
+    # bounded integer-bucket support.
+    from logpipe_spark.operators.drift import anderson_darling
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    return anderson_darling(
+        ev, "event_type", F.floor(F.col("value")),
+        F.dayofmonth("ts") <= 15)
+
+
 def q_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dyad reciprocity of the above-average event-transition graph
     # (graph.py:reciprocity over funnel.py:event_transitions): keep
@@ -6939,6 +6955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_smooth": q_holt_smooth,
         "vocab_overlap": q_vocab_overlap,
         "gpd_tail_fit": q_gpd_tail_fit,
+        "anderson_darling": q_anderson_darling,
     }
 
 
@@ -12325,4 +12342,36 @@ SELECT m.k AS event_type, thr.u AS threshold, m.n AS n_exceed,
        CASE WHEN l2 > 0 THEN 2.0 - l1 / l2 END AS xi,
        CASE WHEN l2 > 0 THEN l1 * (l1 / l2 - 1.0) END AS sigma
 FROM m JOIN thr ON m.k = thr.k"""
+    oracles["anderson_darling"] = """
+WITH base AS (SELECT event_type, cast(floor(value) AS bigint) AS v,
+                     CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS ia
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+pv AS (SELECT event_type, v,
+              cast(sum(ia) AS bigint) AS ca,
+              cast(sum(1 - ia) AS bigint) AS cb
+       FROM base GROUP BY event_type, v),
+c AS (SELECT event_type, v, ca, cb,
+             cast(sum(ca) OVER (PARTITION BY event_type ORDER BY v)
+                  AS bigint) AS cuma,
+             cast(sum(cb) OVER (PARTITION BY event_type ORDER BY v)
+                  AS bigint) AS cumb
+      FROM pv),
+t AS (SELECT event_type, cast(sum(ca) AS bigint) AS n_a,
+             cast(sum(cb) AS bigint) AS n_b
+      FROM pv GROUP BY event_type),
+j AS (SELECT c.event_type, v, ca, cb, cuma, cumb, n_a, n_b
+      FROM c JOIN t USING (event_type)
+      WHERE n_a >= 1 AND n_b >= 1),
+w AS (SELECT event_type, n_a, n_b, v,
+             cast(cast(ca + cb AS decimal(38,0)) * (cast(n_a + n_b AS decimal(38,0)) * cast(cuma AS decimal(38,0)) - cast(n_a AS decimal(38,0)) * cast(cuma + cumb AS decimal(38,0))) * (cast(n_a + n_b AS decimal(38,0)) * cast(cuma AS decimal(38,0)) - cast(n_a AS decimal(38,0)) * cast(cuma + cumb AS decimal(38,0))) AS double) / n_a / cast(cast(n_a + n_b AS decimal(38,0)) * cast(cuma + cumb AS decimal(38,0)) * (cast(n_a + n_b AS decimal(38,0)) - cast(cuma + cumb AS decimal(38,0))) AS double)
+               + cast(cast(ca + cb AS decimal(38,0)) * (cast(n_a + n_b AS decimal(38,0)) * cast(cumb AS decimal(38,0)) - cast(n_b AS decimal(38,0)) * cast(cuma + cumb AS decimal(38,0))) * (cast(n_a + n_b AS decimal(38,0)) * cast(cumb AS decimal(38,0)) - cast(n_b AS decimal(38,0)) * cast(cuma + cumb AS decimal(38,0))) AS double) / n_b / cast(cast(n_a + n_b AS decimal(38,0)) * cast(cuma + cumb AS decimal(38,0)) * (cast(n_a + n_b AS decimal(38,0)) - cast(cuma + cumb AS decimal(38,0))) AS double) AS trm
+      FROM j WHERE (cuma + cumb) < (n_a + n_b)),
+g AS (SELECT event_type, n_a, n_b,
+             list_reduce(
+               list_prepend(cast(0.0 AS double),
+                 list(trm ORDER BY v)),
+               (acc, x) -> acc + x) AS a2
+      FROM w GROUP BY event_type, n_a, n_b)
+SELECT event_type, n_a, n_b, a2 FROM g"""
     return oracles

@@ -70,6 +70,7 @@ __all__ = [
     "energy_drift",
     "energy_from_counts",
     "drift_panel",
+    "anderson_darling",
 ]
 
 
@@ -1753,3 +1754,73 @@ def drift_panel(
     return (ks.join(ku, key, "left").join(he, key, "left")
             .join(cv, key, "left").join(wa, key, "left")
             .join(en, key, "left"))
+
+
+def anderson_darling(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    sample_a: Column,
+    bucket_width: int = 1024,
+    min_n: int = 1,
+) -> DataFrame:
+    """Two-sample Anderson–Darling statistic (Scholz–Stephens 1987,
+    right-continuous tie form) from the shared count state:
+
+        A2 = sum_{i in {a,b}} (1/n_i) * sum_{j != last} l_j *
+             (N*M_ij - n_i*B_j)^2 / (N * B_j * (N - B_j))
+
+    over the distinct pooled values j (l_j pooled count, B_j pooled
+    cumulative, M_ij sample-i cumulative) — the variance-weighted EDF
+    gap: dividing each squared gap by B(N-B) up-weights the TAILS where
+    KS/CvM go numb (the few worst latencies are exactly what an SLO
+    cares about). Null expectation ~1 (A2 is centered at k-1 = 1).
+
+    Per-value numerators are exact int64/DECIMAL(38,0) products (the
+    N*M - n*B discipline of :func:`wasserstein_from_counts`, but the
+    per-term variance division makes the sum a FLOAT fold) — ordered
+    fold over the bounded support, the hellinger/cvm discipline. The
+    last pooled value has B = N and contributes nothing (excluded —
+    its variance weight is 0).
+
+    Returns ``(key, n_a, n_b, a2)``.
+    """
+    d = "decimal(38,0)"
+    vi = value.cast("bigint")
+    per_v = (
+        df.where(vi.isNotNull() & sample_a.isNotNull())
+        .groupBy(key, vi.alias("v"))
+        .agg(
+            F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint").alias("ca"),
+            F.sum(F.when(sample_a, 0).otherwise(1)).cast("bigint").alias("cb"),
+        )
+    )
+    cums = bucketed_cumsum(
+        per_v, key, ["ca", "cb"], bucket_width=bucket_width)
+    totals = per_v.groupBy(key).agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"))
+    j = (cums.join(F.broadcast(totals), key)
+         .where((F.col("n_a") >= min_n) & (F.col("n_b") >= min_n)))
+    nn = (F.col("n_a") + F.col("n_b")).cast(d)
+    bj = (F.col("cum_ca") + F.col("cum_cb")).cast(d)
+    ga = (nn * F.col("cum_ca").cast(d)
+          - F.col("n_a").cast(d) * bj)
+    gb = (nn * F.col("cum_cb").cast(d)
+          - F.col("n_b").cast(d) * bj)
+    lj = (F.col("ca") + F.col("cb")).cast(d)
+    den = (nn * bj * (nn - bj)).cast("double")
+    term = (
+        (lj * ga * ga).cast("double") / F.col("n_a") / den
+        + (lj * gb * gb).cast("double") / F.col("n_b") / den)
+    folded = (j.where(bj.cast("bigint")
+                      < (F.col("n_a") + F.col("n_b")))
+              .select(key, "n_a", "n_b", F.col("v").alias("_v"),
+                      term.alias("_t"))
+              .groupBy(key, "n_a", "n_b")
+              .agg(F.aggregate(
+                  F.transform(
+                      F.sort_array(F.collect_list(F.struct("_v", "_t"))),
+                      lambda x: x["_t"]),
+                  F.lit(0.0), lambda acc, x: acc + x).alias("a2")))
+    return folded.select(key, "n_a", "n_b", "a2")

@@ -703,3 +703,21 @@ def test_gpd_tail_fit_constant_exceedances_null(spark):
     df = spark.createDataFrame(rows, "g string, v long")
     row = gpd_tail_fit(df, "g", F.col("v"), pct=75).collect()[0]
     assert row.l2 == 0.0 and row.xi is None and row.sigma is None
+
+
+def test_anderson_darling_hand_cases(spark):
+    # identical samples -> 0 exactly; complete separation A=[1,1] vs
+    # B=[2,2] -> at v=1: l=2, ga=4, gb=-4, den=16 -> A2 = 1+1 = 2.0.
+    from logpipe_spark.operators.drift import anderson_darling
+
+    same = [("k", v, ia) for v in (1, 2) for ia in (True, False)]
+    df = spark.createDataFrame(same, "g string, v long, ia boolean")
+    assert anderson_darling(df, "g", F.col("v"),
+                            F.col("ia")).collect()[0].a2 == 0.0
+
+    sep = spark.createDataFrame(
+        [("k", 1, True), ("k", 1, True), ("k", 2, False), ("k", 2, False)],
+        "g string, v long, ia boolean")
+    row = anderson_darling(sep, "g", F.col("v"), F.col("ia")).collect()[0]
+    assert row.n_a == 2 and row.n_b == 2
+    assert row.a2 == 2.0
