@@ -6595,6 +6595,16 @@ def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("ts") <= 15)
 
 
+def q_turn_taking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Conversational turn-taking profile (spans.py:turn_taking): role
+    # alternation rate + mean same-role run length per conv — the
+    # retry-storm / runaway-agent detector. One lag window per conv;
+    # a k-run conversation has exactly k-1 switches, so run stats need
+    # no second pass. Exact integer counts, raw-double ratios.
+    from logpipe_spark.operators.spans import turn_taking
+    return turn_taking(_t(spark, sf_dir))
+
+
 def q_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dyad reciprocity of the above-average event-transition graph
     # (graph.py:reciprocity over funnel.py:event_transitions): keep
@@ -6956,6 +6966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_overlap": q_vocab_overlap,
         "gpd_tail_fit": q_gpd_tail_fit,
         "anderson_darling": q_anderson_darling,
+        "turn_taking": q_turn_taking,
     }
 
 
@@ -12374,4 +12385,20 @@ g AS (SELECT event_type, n_a, n_b,
                (acc, x) -> acc + x) AS a2
       FROM w GROUP BY event_type, n_a, n_b)
 SELECT event_type, n_a, n_b, a2 FROM g"""
+    oracles["turn_taking"] = f"""{_oracle_prefix()},
+r AS (SELECT conv_id, role,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS pr
+      FROM transcripts),
+g AS (SELECT conv_id, cast(count(*) AS bigint) AS n_turns,
+             cast(sum(CASE WHEN pr IS NOT NULL AND role <> pr
+                           THEN 1 ELSE 0 END) AS bigint) AS n_switches,
+             cast(count(DISTINCT role) AS bigint) AS n_roles
+      FROM r GROUP BY conv_id)
+SELECT conv_id, n_turns, n_switches, n_roles,
+       CASE WHEN n_turns > 1
+            THEN cast(n_switches AS double) / (n_turns - 1)
+       END AS alternation_rate,
+       cast(n_turns AS double) / (n_switches + 1) AS avg_run_len
+FROM g"""
     return oracles

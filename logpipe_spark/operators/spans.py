@@ -338,3 +338,42 @@ def apdex_by_tool(df: DataFrame, sla_scale: int = 1) -> DataFrame:
         "tool", "n_turns", "n_satisfied", "n_tolerating",
         ((2 * F.col("n_satisfied") + F.col("n_tolerating")).cast("double")
          / (2 * F.col("n_turns")).cast("double")).alias("apdex"))
+
+
+def turn_taking(df: DataFrame) -> DataFrame:
+    """Per-conversation turn-taking profile: how often does the ROLE
+    actually change hands? A healthy assistant loop alternates
+    (user -> assistant -> tool -> assistant ...); a conversation that
+    degenerates into long single-role runs is a retry storm or a
+    runaway agent — the conversational-dynamics sibling of
+    ``value_streaks`` (which is value-based and generic).
+
+    One lag window per conv (the sessionize partition discipline),
+    then exact integer counts:
+
+        alternation_rate = switches / (n_turns - 1)
+        avg_run_len      = n_turns / (switches + 1)
+
+    (a k-run conversation has exactly k-1 switches, so the run count
+    needs no second pass). Raw doubles of exact int64s, NULL-guarded
+    for 1-turn convs.
+
+    Returns ``(conv_id, n_turns, n_switches, n_roles,
+    alternation_rate, avg_run_len)``.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    r = df.select("conv_id", "role",
+                  F.lag("role").over(w).alias("_pr"))
+    g = r.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum(F.when(F.col("_pr").isNotNull()
+                     & (F.col("role") != F.col("_pr")), 1)
+              .otherwise(0)).cast("bigint").alias("n_switches"),
+        F.countDistinct("role").cast("bigint").alias("n_roles"))
+    return g.select(
+        "conv_id", "n_turns", "n_switches", "n_roles",
+        F.when(F.col("n_turns") > 1,
+               F.col("n_switches").cast("double")
+               / (F.col("n_turns") - 1)).alias("alternation_rate"),
+        (F.col("n_turns").cast("double") / (F.col("n_switches") + 1))
+        .alias("avg_run_len"))

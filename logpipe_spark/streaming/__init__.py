@@ -19,8 +19,10 @@ from logpipe_spark.streaming.stream import (  # noqa: F401
     stream_drift_monitor,
     read_cvm,
     read_drift,
+    read_energy,
     read_hellinger,
     read_kuiper,
+    read_wasserstein,
     stream_apdex,
     apdex_report,
     stream_cms_incremental,

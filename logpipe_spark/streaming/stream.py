@@ -616,6 +616,32 @@ def read_cvm(spark: SparkSession, state_dir: str,
     return cvm_from_counts(per_v, "tool", bucket_width=bucket_width)
 
 
+def read_wasserstein(spark: SparkSession, state_dir: str,
+                     reference: DataFrame,
+                     bucket_width: int = 1024) -> DataFrame:
+    """Wasserstein-1 readout over the accumulated drift state — the
+    order-free integer earth-mover gate (value units, no bounded-
+    support requirement) on the same count partials. Returns
+    (tool, n_a, n_b, wasserstein)."""
+    from logpipe_spark.operators.drift import wasserstein_from_counts
+
+    per_v = _merged_drift_counts(spark, state_dir, reference)
+    return wasserstein_from_counts(per_v, "tool",
+                                   bucket_width=bucket_width)
+
+
+def read_energy(spark: SparkSession, state_dir: str,
+                reference: DataFrame,
+                bucket_width: int = 1024) -> DataFrame:
+    """Energy-distance readout over the accumulated drift state — the
+    all-moments order-free gate on the same count partials. Returns
+    (tool, n_a, n_b, energy)."""
+    from logpipe_spark.operators.drift import energy_from_counts
+
+    per_v = _merged_drift_counts(spark, state_dir, reference)
+    return energy_from_counts(per_v, "tool", bucket_width=bucket_width)
+
+
 CUSUM_SEGMENT_SCHEMA = StructType([
     StructField("tool", StringType()),
     StructField("epoch", LongType()),

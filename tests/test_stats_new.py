@@ -721,3 +721,23 @@ def test_anderson_darling_hand_cases(spark):
     row = anderson_darling(sep, "g", F.col("v"), F.col("ia")).collect()[0]
     assert row.n_a == 2 and row.n_b == 2
     assert row.a2 == 2.0
+
+
+def test_turn_taking_hand_case(spark):
+    # conv A: roles u,a,u,a (3 switches over 4 turns, runs of 1);
+    # conv B: u,u,u (0 switches, one run of 3).
+    from logpipe_spark.operators.spans import turn_taking
+
+    rows = [("A", 0, "u"), ("A", 1, "a"), ("A", 2, "u"), ("A", 3, "a"),
+            ("B", 0, "u"), ("B", 1, "u"), ("B", 2, "u")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    out = {r.conv_id: r for r in turn_taking(df).collect()}
+    a, b = out["A"], out["B"]
+    assert a.n_turns == 4 and a.n_switches == 3 and a.n_roles == 2
+    assert a.alternation_rate == 1.0 and a.avg_run_len == 1.0
+    assert b.n_switches == 0 and b.alternation_rate == 0.0
+    assert b.avg_run_len == 3.0
+    one = spark.createDataFrame([("C", 0, "u")],
+                                "conv_id string, turn_idx int, role string")
+    c = turn_taking(one).collect()[0]
+    assert c.alternation_rate is None and c.avg_run_len == 1.0

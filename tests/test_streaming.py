@@ -424,6 +424,22 @@ def test_stream_drift_monitor_merges_and_scores(spark, stream_dir, tmp_path):
     far_c = read_cvm(spark, state, shifted).collect()
     assert all(r.cvm > 0.1 for r in far_c)
 
+    # ... and the order-free pair: W1 against the +10k shifted copy is
+    # EXACTLY 10000.0 in value units (shift identity, equal sizes);
+    # energy is strictly positive there and exactly 0 on self
+    from logpipe_spark.streaming import read_energy, read_wasserstein
+
+    self_w = read_wasserstein(spark, state, batch_counts).collect()
+    assert len(self_w) > 0
+    assert all(r.wasserstein == 0.0 for r in self_w)
+    far_w = read_wasserstein(spark, state, shifted).collect()
+    assert all(r.wasserstein == 10_000.0 for r in far_w)
+
+    self_e = read_energy(spark, state, batch_counts).collect()
+    assert all(r.energy == 0.0 for r in self_e)
+    far_e = read_energy(spark, state, shifted).collect()
+    assert all(r.energy > 0.0 for r in far_e)
+
 
 def _run_cusum(spark, src, ck, name, mft):
     from logpipe_spark.streaming.stream import stream_cusum_monitor
