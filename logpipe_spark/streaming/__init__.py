@@ -22,6 +22,7 @@ from logpipe_spark.streaming.stream import (  # noqa: F401
     read_energy,
     read_hellinger,
     read_kuiper,
+    read_l_moments,
     read_wasserstein,
     stream_apdex,
     apdex_report,

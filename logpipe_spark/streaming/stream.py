@@ -642,6 +642,26 @@ def read_energy(spark: SparkSession, state_dir: str,
     return energy_from_counts(per_v, "tool", bucket_width=bucket_width)
 
 
+def read_l_moments(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Robust distribution summary of the ACCUMULATED stream itself
+    (no reference): L-location/L-scale/L-skew per tool from the same
+    count partials — the sketchless robust-moments readout (classical
+    variance would need no more state, but squares the outliers; the
+    L-moments come free from the counts via
+    :func:`~logpipe_spark.operators.aggregate.l_moments_from_counts`'s
+    closed-form rank sums). Returns the l_moments schema keyed by
+    tool."""
+    from logpipe_spark.operators.aggregate import l_moments_from_counts
+
+    counts = (
+        spark.read.parquet(state_dir)
+        .groupBy("tool", "v")
+        .agg(F.sum("c").cast("bigint").alias("_c"))
+        .select(F.col("tool").alias("_k"), F.col("v").alias("_v"), "_c")
+    )
+    return l_moments_from_counts(counts, "tool")
+
+
 CUSUM_SEGMENT_SCHEMA = StructType([
     StructField("tool", StringType()),
     StructField("epoch", LongType()),

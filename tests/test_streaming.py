@@ -440,6 +440,19 @@ def test_stream_drift_monitor_merges_and_scores(spark, stream_dir, tmp_path):
     far_e = read_energy(spark, state, shifted).collect()
     assert all(r.energy > 0.0 for r in far_e)
 
+    # L-moments of the accumulated stream == batch l_moments over the
+    # raw values (the counts are a lossless sufficient statistic)
+    from logpipe_spark.operators.aggregate import l_moments
+    from logpipe_spark.streaming import read_l_moments
+
+    stream_lm = {r.tool: r for r in read_l_moments(spark, state).collect()}
+    raw = (spark.read.parquet(stream_dir)
+           .select("tool", token_count(F.col("text")).alias("v"))
+           .where(F.col("v").isNotNull()))
+    for r in l_moments(raw, "tool", F.col("v")).collect():
+        s = stream_lm[r.tool]
+        assert (s.n, s.l1, s.l2, s.l3) == (r.n, r.l1, r.l2, r.l3)
+
 
 def _run_cusum(spark, src, ck, name, mft):
     from logpipe_spark.streaming.stream import stream_cusum_monitor
