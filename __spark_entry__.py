@@ -6595,6 +6595,22 @@ def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("ts") <= 15)
 
 
+def q_shift_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Doksum shift function per event type (drift.py:shift_function):
+    # per-decile quantile differences, first half-month vs rest — WHERE
+    # the distribution moved, where the scalar gates only say THAT.
+    # Discrete ceil-rank quantiles on the shared count state; both
+    # lookups ride ONE cumulative frame; shifts are exact integers in
+    # centi-value units.
+    from logpipe_spark.operators.drift import shift_function
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    return shift_function(
+        ev, "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)),
+        F.dayofmonth("ts") <= 15)
+
+
 def q_turn_taking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Conversational turn-taking profile (spans.py:turn_taking): role
     # alternation rate + mean same-role run length per conv — the
@@ -6967,6 +6983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpd_tail_fit": q_gpd_tail_fit,
         "anderson_darling": q_anderson_darling,
         "turn_taking": q_turn_taking,
+        "shift_function": q_shift_function,
     }
 
 
@@ -12401,4 +12418,39 @@ SELECT conv_id, n_turns, n_switches, n_roles,
        END AS alternation_rate,
        cast(n_turns AS double) / (n_switches + 1) AS avg_run_len
 FROM g"""
+    oracles["shift_function"] = """
+WITH base AS (SELECT event_type,
+                     cast(floor(value * 100 + 0.5) AS bigint) AS v,
+                     CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS ia
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+pv AS (SELECT event_type, v,
+              cast(sum(ia) AS bigint) AS ca,
+              cast(sum(1 - ia) AS bigint) AS cb
+       FROM base GROUP BY event_type, v),
+cum AS (SELECT event_type, v,
+               cast(sum(ca) OVER (PARTITION BY event_type ORDER BY v)
+                    AS bigint) AS cuma,
+               cast(sum(cb) OVER (PARTITION BY event_type ORDER BY v)
+                    AS bigint) AS cumb
+        FROM pv),
+t AS (SELECT event_type, cast(sum(ca) AS bigint) AS na,
+             cast(sum(cb) AS bigint) AS nb
+      FROM pv GROUP BY event_type
+      HAVING sum(ca) >= 1 AND sum(cb) >= 1),
+grid AS (SELECT event_type, na, nb, pct
+         FROM t CROSS JOIN (SELECT unnest([10, 20, 30, 40, 50,
+                                           60, 70, 80, 90]) AS pct)),
+rnk AS (SELECT event_type, pct,
+               cast((na * pct + 99) // 100 AS bigint) AS ra,
+               cast((nb * pct + 99) // 100 AS bigint) AS rb
+        FROM grid),
+qa AS (SELECT cum.event_type, pct, cast(min(v) AS bigint) AS q_a
+       FROM cum JOIN rnk ON cum.event_type = rnk.event_type
+       WHERE cuma >= ra GROUP BY cum.event_type, pct),
+qb AS (SELECT cum.event_type, pct, cast(min(v) AS bigint) AS q_b
+       FROM cum JOIN rnk ON cum.event_type = rnk.event_type
+       WHERE cumb >= rb GROUP BY cum.event_type, pct)
+SELECT qa.event_type, qa.pct, q_a, q_b, q_a - q_b AS shift
+FROM qa JOIN qb ON qa.event_type = qb.event_type AND qa.pct = qb.pct"""
     return oracles

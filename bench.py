@@ -272,6 +272,10 @@ HEADLINE = [
     "friedman_test",
     "cochran_q",
     "edge_reciprocity",
+    "anderson_darling",
+    "gpd_tail_fit",
+    "turn_taking",
+    "shift_function",
 ]
 # ann_bits_sweep joins automatically via the ann_* tag rule
 # dedup_precision joins automatically via the dedup_* tag rule

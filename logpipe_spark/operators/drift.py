@@ -71,6 +71,7 @@ __all__ = [
     "energy_from_counts",
     "drift_panel",
     "anderson_darling",
+    "shift_function",
 ]
 
 
@@ -1824,3 +1825,63 @@ def anderson_darling(
                       lambda x: x["_t"]),
                   F.lit(0.0), lambda acc, x: acc + x).alias("a2")))
     return folded.select(key, "n_a", "n_b", "a2")
+
+
+def shift_function(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    sample_a: Column,
+    pcts: Sequence[int] = (10, 20, 30, 40, 50, 60, 70, 80, 90),
+    min_n: int = 1,
+) -> DataFrame:
+    """Doksum shift function per key: at each percentile p, the
+    quantile difference Q_a(p) - Q_b(p) — the drift readout that says
+    WHERE the distribution moved (a pure location shift is a flat
+    line at c; tail inflation shows only in the high deciles), where
+    the scalar gates (KS/W1/energy) only say THAT it moved.
+
+    Discrete ceil-rank quantiles (min v with cum >= ceil(p*n/100),
+    integer arithmetic — Spark div == DuckDB // on non-negative
+    operands) over the shared (key, v, ca, cb) count state: every
+    emitted quantile is an ACTUAL sample element, the percentile grid
+    broadcasts, and both lookups reuse ONE cumulative frame — no
+    corpus re-scan per percentile. Shift is an exact integer
+    difference in value units.
+
+    Returns ``(key, pct, q_a, q_b, shift)``.
+    """
+    vi = value.cast("bigint")
+    per_v = (
+        df.where(vi.isNotNull() & sample_a.isNotNull())
+        .groupBy(key, vi.alias("v"))
+        .agg(
+            F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint").alias("ca"),
+            F.sum(F.when(sample_a, 0).otherwise(1)).cast("bigint").alias("cb"),
+        )
+    )
+    w = (Window.partitionBy(key).orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = per_v.select(
+        key, "v",
+        F.sum("ca").over(w).cast("bigint").alias("_cuma"),
+        F.sum("cb").over(w).cast("bigint").alias("_cumb"))
+    totals = (per_v.groupBy(key)
+              .agg(F.sum("ca").cast("bigint").alias("_na"),
+                   F.sum("cb").cast("bigint").alias("_nb"))
+              .where((F.col("_na") >= min_n) & (F.col("_nb") >= min_n)))
+    grid = totals.crossJoin(F.broadcast(
+        per_v.sparkSession.createDataFrame(
+            [(int(p),) for p in pcts], "pct int")))
+    rnk = grid.select(
+        key, "pct",
+        F.expr("(_na * pct + 99) div 100").cast("bigint").alias("_ra"),
+        F.expr("(_nb * pct + 99) div 100").cast("bigint").alias("_rb"))
+    j = cum.join(rnk, key)
+    qa = (j.where(F.col("_cuma") >= F.col("_ra"))
+          .groupBy(key, "pct").agg(F.min("v").cast("bigint").alias("q_a")))
+    qb = (j.where(F.col("_cumb") >= F.col("_rb"))
+          .groupBy(key, "pct").agg(F.min("v").cast("bigint").alias("q_b")))
+    return (qa.join(qb, [key, "pct"])
+            .select(key, "pct", "q_a", "q_b",
+                    (F.col("q_a") - F.col("q_b")).alias("shift")))

@@ -741,3 +741,19 @@ def test_turn_taking_hand_case(spark):
                                 "conv_id string, turn_idx int, role string")
     c = turn_taking(one).collect()[0]
     assert c.alternation_rate is None and c.avg_run_len == 1.0
+
+
+def test_shift_function_pure_location_shift(spark):
+    # B = A + 7 exactly -> the shift function is flat at -7 (A lags B)
+    # ... with A as first sample: Q_a - Q_b = -7 at every decile.
+    from logpipe_spark.operators.drift import shift_function
+
+    vals = [3, 8, 15, 22, 40, 41, 50, 66, 78, 90]
+    rows = ([("k", v, True) for v in vals]
+            + [("k", v + 7, False) for v in vals])
+    df = spark.createDataFrame(rows, "g string, v long, ia boolean")
+    out = shift_function(df, "g", F.col("v"), F.col("ia")).collect()
+    assert len(out) == 9
+    assert all(r.shift == -7 for r in out)
+    p50 = next(r for r in out if r.pct == 50)
+    assert p50.q_a == 40 and p50.q_b == 47
