@@ -12012,7 +12012,8 @@ m AS (SELECT cast(count(*) AS bigint) AS n_mutual
                            WHERE e2.s = e.d AND e2.d = e.s)),
 te AS (SELECT cast(count(*) AS bigint) AS n_edges FROM e)
 SELECT n_edges, n_mutual,
-       cast(n_mutual AS double) / n_edges AS reciprocity
+       CASE WHEN n_edges > 0
+            THEN cast(n_mutual AS double) / n_edges END AS reciprocity
 FROM te CROSS JOIN m"""
     oracles["cvm_drift"] = """
 WITH base AS (SELECT event_type, cast(floor(value) AS bigint) AS v,

@@ -150,7 +150,8 @@ def ks_drift(
     # sample — drop them rather than letting when().otherwise(0) silently
     # misfile them into sample B and skew F_B
     per_v = (
-        df.where(vi.isNotNull() & sample_a.isNotNull())
+        df.where(vi.isNotNull() & sample_a.isNotNull()
+                 & F.col(key).isNotNull())
         .groupBy(key, vi.alias("v"))
         .agg(
             F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint").alias("ca"),
@@ -1076,7 +1077,8 @@ def kuiper_drift(
     """
     vi = value.cast("bigint")
     per_v = (
-        df.where(vi.isNotNull() & sample_a.isNotNull())
+        df.where(vi.isNotNull() & sample_a.isNotNull()
+                 & F.col(key).isNotNull())
         .groupBy(key, vi.alias("v"))
         .agg(
             F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint").alias("ca"),
@@ -1264,7 +1266,8 @@ def hellinger_drift(
     to a bounded support (e.g. ``floor(x*100 + 0.5)``)."""
     vi = value.cast("bigint")
     per_v = (
-        df.where(vi.isNotNull() & sample_a.isNotNull())
+        df.where(vi.isNotNull() & sample_a.isNotNull()
+                 & F.col(key).isNotNull())
         .groupBy(key, vi.alias("v"))
         .agg(
             F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint").alias("ca"),
@@ -1470,7 +1473,8 @@ def cvm_drift(
     ``value`` should be bucketed to a bounded support per key."""
     vi = value.cast("bigint")
     per_v = (
-        df.where(vi.isNotNull() & sample_a.isNotNull())
+        df.where(vi.isNotNull() & sample_a.isNotNull()
+                 & F.col(key).isNotNull())
         .groupBy(key, vi.alias("v"))
         .agg(
             F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint").alias("ca"),
@@ -1515,7 +1519,7 @@ def page_hinkley(
     """
     d = float(delta)
     grouped = (
-        df.where(value.isNotNull())
+        df.where(value.isNotNull() & F.col(key).isNotNull())
         .groupBy(key)
         .agg(
             F.array_sort(
@@ -1557,15 +1561,30 @@ def _pooled_gap_frame(per_v: DataFrame, key: str,
     (:func:`wasserstein_from_counts`, :func:`energy_from_counts`):
     inclusive cumulative counts over the pooled support via the
     two-level bucketed prefix scan, plus the gap to the NEXT distinct
-    value (lead over the per-(key, distinct v) frame — support-sized,
-    never corpus-sized). The last support point has no gap and
-    contributes nothing (both CDFs sit at 1 beyond it)."""
+    value. The gap itself is ALSO two-level (a per-key global lead
+    window would funnel the whole support into one task — the exact
+    trap bucketed_cumsum exists to avoid): lead(v) within each
+    (key, value-bucket) partition, and the bucket-boundary gap comes
+    from the bucket-summary frame's own lead over bucket order
+    (values/width rows per key, the same carry-frame size as the
+    prefix scan). The last support point has no gap and contributes
+    nothing (both CDFs sit at 1 beyond it)."""
     cums = bucketed_cumsum(
         per_v, key, ["ca", "cb"], bucket_width=bucket_width)
-    w = Window.partitionBy(key).orderBy("v")
-    return (cums
-            .withColumn("_gap", F.lead("v").over(w) - F.col("v"))
-            .where(F.col("_gap").isNotNull()))
+    b = cums.withColumn(
+        "_bkt", F.floor(F.col("v") / F.lit(int(bucket_width))))
+    w_in = Window.partitionBy(key, "_bkt").orderBy("v")
+    b = b.withColumn("_nxt_in", F.lead("v").over(w_in))
+    summ = b.groupBy(key, "_bkt").agg(F.min("v").alias("_minv"))
+    w_s = Window.partitionBy(key).orderBy("_bkt")
+    nxt_b = summ.select(
+        key, "_bkt", F.lead("_minv").over(w_s).alias("_nextbv"))
+    return (b.join(nxt_b, [key, "_bkt"])
+            .withColumn("_gap",
+                        F.coalesce(F.col("_nxt_in"), F.col("_nextbv"))
+                        - F.col("v"))
+            .where(F.col("_gap").isNotNull())
+            .drop("_bkt", "_nxt_in", "_nextbv"))
 
 
 def wasserstein_from_counts(
@@ -1622,7 +1641,8 @@ def wasserstein_drift(
     resolution — no support bucketing needed (order-free sums)."""
     vi = value.cast("bigint")
     per_v = (
-        df.where(vi.isNotNull() & sample_a.isNotNull())
+        df.where(vi.isNotNull() & sample_a.isNotNull()
+                 & F.col(key).isNotNull())
         .groupBy(key, vi.alias("v"))
         .agg(
             F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint").alias("ca"),
@@ -1693,7 +1713,8 @@ def energy_drift(
     :func:`energy_from_counts`. Full integer value resolution."""
     vi = value.cast("bigint")
     per_v = (
-        df.where(vi.isNotNull() & sample_a.isNotNull())
+        df.where(vi.isNotNull() & sample_a.isNotNull()
+                 & F.col(key).isNotNull())
         .groupBy(key, vi.alias("v"))
         .agg(
             F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint").alias("ca"),
@@ -1732,7 +1753,8 @@ def drift_panel(
     """
     vi = value.cast("bigint")
     per_v = (
-        df.where(vi.isNotNull() & sample_a.isNotNull())
+        df.where(vi.isNotNull() & sample_a.isNotNull()
+                 & F.col(key).isNotNull())
         .groupBy(key, vi.alias("v"))
         .agg(
             F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint").alias("ca"),
@@ -1789,7 +1811,8 @@ def anderson_darling(
     d = "decimal(38,0)"
     vi = value.cast("bigint")
     per_v = (
-        df.where(vi.isNotNull() & sample_a.isNotNull())
+        df.where(vi.isNotNull() & sample_a.isNotNull()
+                 & F.col(key).isNotNull())
         .groupBy(key, vi.alias("v"))
         .agg(
             F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint").alias("ca"),
@@ -1853,19 +1876,18 @@ def shift_function(
     """
     vi = value.cast("bigint")
     per_v = (
-        df.where(vi.isNotNull() & sample_a.isNotNull())
+        df.where(vi.isNotNull() & sample_a.isNotNull()
+                 & F.col(key).isNotNull())
         .groupBy(key, vi.alias("v"))
         .agg(
             F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint").alias("ca"),
             F.sum(F.when(sample_a, 0).otherwise(1)).cast("bigint").alias("cb"),
         )
     )
-    w = (Window.partitionBy(key).orderBy("v")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = per_v.select(
+    cum = bucketed_cumsum(per_v, key, ["ca", "cb"]).select(
         key, "v",
-        F.sum("ca").over(w).cast("bigint").alias("_cuma"),
-        F.sum("cb").over(w).cast("bigint").alias("_cumb"))
+        F.col("cum_ca").alias("_cuma"),
+        F.col("cum_cb").alias("_cumb"))
     totals = (per_v.groupBy(key)
               .agg(F.sum("ca").cast("bigint").alias("_na"),
                    F.sum("cb").cast("bigint").alias("_nb"))

@@ -197,5 +197,7 @@ def reciprocity(edges: DataFrame, src: str = "src",
     mut = mutual.agg(F.count(F.lit(1)).cast("bigint").alias("n_mutual"))
     return (tot.crossJoin(F.broadcast(mut))
             .select("n_edges", "n_mutual",
-                    (F.col("n_mutual").cast("double") / F.col("n_edges"))
+                    F.when(F.col("n_edges") > 0,
+                           F.col("n_mutual").cast("double")
+                           / F.col("n_edges"))
                     .alias("reciprocity")))

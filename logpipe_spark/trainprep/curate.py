@@ -771,9 +771,14 @@ def span_corruption_plan(docs: DataFrame, text_col: str = "text",
          .where(F.col(text_col).isNotNull()))
     n = d.select("doc_id",
                  F.size(F.split(F.col(text_col), " ")).alias("n_tokens"))
-    pos = n.select(
+    # explode_outer + isNotNull: InferFiltersFromGenerate would copy the
+    # sequence() input into an inferred pushed filter, building every
+    # doc's position array twice (CLAUDE.md Catalyst-trap #2)
+    pos = (n.select(
         "doc_id", "n_tokens",
-        F.explode(F.sequence(F.lit(1), F.col("n_tokens"))).alias("p"))
+        F.explode_outer(F.sequence(F.lit(1), F.col("n_tokens")))
+        .alias("p"))
+        .where(F.col("p").isNotNull()))
     h = F.conv(
         F.substring(F.md5(F.concat_ws(
             ":", F.col("doc_id").cast("string"),

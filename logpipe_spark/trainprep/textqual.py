@@ -690,10 +690,14 @@ def readability(docs: DataFrame, key: str = "source",
     Returns ``(key, n_words, n_mono, forcast_grade, syl_per_word,
     avg_word_len)``.
     """
+    # explode_outer + isNotNull: the InferFiltersFromGenerate dodge
+    # (a plain explode gets its computed input copied into an inferred
+    # pushed-down filter, re-splitting every doc — see CLAUDE.md)
     toks = (docs.where(F.col(text_col).isNotNull()
                        & F.col(key).isNotNull())
-            .select(key, F.explode(F.split(F.col(text_col), " "))
-                    .alias("_tok")))
+            .select(key, F.explode_outer(F.split(F.col(text_col), " "))
+                    .alias("_tok"))
+            .where(F.col("_tok").isNotNull()))
     syl = F.regexp_count(F.col("_tok"), F.lit("[aeiouy]+"))
     per = toks.select(
         key,
