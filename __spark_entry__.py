@@ -6611,6 +6611,20 @@ def q_shift_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("ts") <= 15)
 
 
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GA-style conversion-window funnel (funnel.py:funnel_windowed):
+    # signup -> click -> purchase, each step strictly after AND within
+    # 1 day of the previous. Greedy-earliest is WRONG under a timeout;
+    # the fold keeps the most-recent completion per step (dominance),
+    # and the oracle is the independent unrolled EXISTS-join
+    # formulation — the gate cross-proves the DP.
+    from logpipe_spark.operators.funnel import funnel_windowed
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    return funnel_windowed(
+        ev, ["signup", "click", "purchase"], window_seconds=86400)
+
+
 def q_turn_taking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Conversational turn-taking profile (spans.py:turn_taking): role
     # alternation rate + mean same-role run length per conv — the
@@ -6984,6 +6998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anderson_darling": q_anderson_darling,
         "turn_taking": q_turn_taking,
         "shift_function": q_shift_function,
+        "funnel_windowed": q_funnel_windowed,
     }
 
 
@@ -12454,4 +12469,27 @@ qb AS (SELECT cum.event_type, pct, cast(min(v) AS bigint) AS q_b
        WHERE cumb >= rb GROUP BY cum.event_type, pct)
 SELECT qa.event_type, qa.pct, q_a, q_b, q_a - q_b AS shift
 FROM qa JOIN qb ON qa.event_type = qb.event_type AND qa.pct = qb.pct"""
+    oracles["funnel_windowed"] = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsu
+            FROM events
+            WHERE event_type IN ('signup', 'click', 'purchase')
+              AND user_id IS NOT NULL AND ts IS NOT NULL),
+r1 AS (SELECT user_id, tsu FROM ev WHERE event_type = 'signup'),
+r2 AS (SELECT e.user_id, e.tsu FROM ev e
+       WHERE e.event_type = 'click' AND EXISTS (
+         SELECT 1 FROM r1 WHERE r1.user_id = e.user_id
+           AND r1.tsu < e.tsu AND e.tsu - r1.tsu <= 86400000000)),
+r3 AS (SELECT e.user_id, e.tsu FROM ev e
+       WHERE e.event_type = 'purchase' AND EXISTS (
+         SELECT 1 FROM r2 WHERE r2.user_id = e.user_id
+           AND r2.tsu < e.tsu AND e.tsu - r2.tsu <= 86400000000))
+SELECT 0 AS step_idx, 'signup' AS step,
+       cast((SELECT count(DISTINCT user_id) FROM r1) AS bigint)
+         AS n_users
+UNION ALL
+SELECT 1, 'click',
+       cast((SELECT count(DISTINCT user_id) FROM r2) AS bigint)
+UNION ALL
+SELECT 2, 'purchase',
+       cast((SELECT count(DISTINCT user_id) FROM r3) AS bigint)"""
     return oracles

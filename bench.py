@@ -276,6 +276,7 @@ HEADLINE = [
     "gpd_tail_fit",
     "turn_taking",
     "shift_function",
+    "funnel_windowed",
 ]
 # ann_bits_sweep joins automatically via the ann_* tag rule
 # dedup_precision joins automatically via the dedup_* tag rule

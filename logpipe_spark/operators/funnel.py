@@ -324,3 +324,85 @@ def event_transitions(
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
     )
+
+
+def funnel_windowed(
+    events: DataFrame,
+    steps: Sequence[str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Windowed strict-order funnel: step i+1 counts only when it
+    occurs STRICTLY AFTER step i's completion AND within
+    ``window_seconds`` of it — the GA-style conversion window
+    :func:`funnel_steps` (unbounded gaps) cannot express. With a
+    timeout, greedy-earliest is NO longer optimal (an early step-0 can
+    strand the chain that a later restart would complete), so the fold
+    keeps, per step, the MOST RECENT completion time seen so far:
+    the maximal predecessor r* both maximizes the window end and
+    minimizes t - r*, so reachability under the kept state equals the
+    full exists-chain (dominance). Same-timestamp events process
+    HIGHER step first (sort key (tsu, n - idx)) so an equal-ts step-0
+    overwrite cannot strand a same-instant successor — strictness
+    stays exact.
+
+    Plan shape: one groupBy(user) shuffle collecting the (bounded)
+    per-user funnel history, one integer-micros struct fold, then a
+    tiny histogram x steps reduction. The oracle is the INDEPENDENT
+    unrolled EXISTS-join formulation (one semi-join per step), so the
+    gate cross-proves the dominance argument.
+
+    Returns one row per step: ``(step_idx, step, n_users)``.
+    """
+    steps = list(steps)
+    n = len(steps)
+    w_us = int(window_seconds) * 1_000_000
+    idx = F.lit(None).cast("int")
+    for i, s in enumerate(reversed(steps)):
+        idx = F.when(F.col(type_col) == s,
+                     F.lit(n - 1 - i)).otherwise(idx)
+    ev = (events.filter(F.col(type_col).isin(steps)
+                        & F.col(user_col).isNotNull()
+                        & F.col(ts_col).isNotNull())
+          .select(F.col(user_col).alias("user_id"),
+                  F.unix_micros(F.col(ts_col)).alias("tsu"),
+                  idx.alias("idx")))
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("tsu").alias("tsu"),
+            (F.lit(n) - F.col("idx")).alias("rev"),
+            F.col("idx").alias("idx")))).alias("h"))
+    conds = ["e.idx = 0"]
+    for j in range(1, n):
+        conds.append(
+            f"(e.idx = {j} AND acc.t{j - 1} IS NOT NULL"
+            f" AND e.tsu > acc.t{j - 1}"
+            f" AND e.tsu - acc.t{j - 1} <= {w_us}L)")
+    seed = ", ".join(
+        [f"'t{j}', CAST(NULL AS BIGINT)" for j in range(n)]
+        + ["'m', 0"])
+    fields = [f"'t0', CASE WHEN e.idx = 0 THEN e.tsu ELSE acc.t0 END"]
+    for j in range(1, n):
+        fields.append(
+            f"'t{j}', CASE WHEN {conds[j]} THEN e.tsu"
+            f" ELSE acc.t{j} END")
+    m_case = " ".join(
+        f"WHEN {conds[j]} THEN {j + 1}" for j in range(n - 1, -1, -1))
+    fields.append(f"'m', greatest(acc.m, CASE {m_case} ELSE 0 END)")
+    fold = F.expr(
+        f"aggregate(h, named_struct({seed}), "
+        f"(acc, e) -> named_struct({', '.join(fields)}))")
+    um = per_user.select(fold.alias("_st")).select(
+        F.col("_st.m").alias("m"))
+    steps_df = events.sparkSession.createDataFrame(
+        [(i, s) for i, s in enumerate(steps)], "step_idx int, step string")
+    counts = (um.crossJoin(F.broadcast(steps_df))
+              .where(F.col("m") >= F.col("step_idx") + 1)
+              .groupBy("step_idx", "step")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("_n")))
+    return (steps_df.join(counts, ["step_idx", "step"], "left")
+            .select("step_idx", "step",
+                    F.coalesce("_n", F.lit(0)).cast("bigint")
+                    .alias("n_users")))

@@ -757,3 +757,51 @@ def test_shift_function_pure_location_shift(spark):
     assert all(r.shift == -7 for r in out)
     p50 = next(r for r in out if r.pct == 50)
     assert p50.q_a == 40 and p50.q_b == 47
+
+
+def _fw_events(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = [(u, t, base + dt.timedelta(seconds=s)) for u, t, s in rows]
+    return spark.createDataFrame(
+        data, "user_id string, event_type string, ts timestamp")
+
+
+def test_funnel_windowed_restart_beats_greedy(spark):
+    # A@0, A@10, B@12, w=5: greedy-earliest (chain from A@0) strands
+    # the user; the most-recent-prefix DP completes via A@10 -> B@12.
+    from logpipe_spark.operators.funnel import funnel_windowed
+
+    ev = _fw_events(spark, [("u", "A", 0), ("u", "A", 10), ("u", "B", 12)])
+    out = {r.step: r.n_users for r in
+           funnel_windowed(ev, ["A", "B"], window_seconds=5).collect()}
+    assert out == {"A": 1, "B": 1}
+
+
+def test_funnel_windowed_timeout_and_strictness(spark):
+    # w=3: A@0 -> B@5 times out; A@5 is NOT strictly before B@5 -> the
+    # same-ts tie ordering (higher step first) must not let the A@5
+    # overwrite rescue it. Boundary: gap == w passes.
+    from logpipe_spark.operators.funnel import funnel_windowed
+
+    ev = _fw_events(spark, [("u", "A", 0), ("u", "A", 5), ("u", "B", 5)])
+    out = {r.step: r.n_users for r in
+           funnel_windowed(ev, ["A", "B"], window_seconds=3).collect()}
+    assert out == {"A": 1, "B": 0}
+
+    ev2 = _fw_events(spark, [("v", "A", 0), ("v", "B", 3)])
+    out2 = {r.step: r.n_users for r in
+            funnel_windowed(ev2, ["A", "B"], window_seconds=3).collect()}
+    assert out2 == {"A": 1, "B": 1}
+
+
+def test_funnel_windowed_zero_step_rows_present(spark):
+    # steps nobody reaches still emit a 0 row (left join + coalesce).
+    from logpipe_spark.operators.funnel import funnel_windowed
+
+    ev = _fw_events(spark, [("u", "A", 0)])
+    out = {r.step: r.n_users for r in
+           funnel_windowed(ev, ["A", "B", "C"],
+                           window_seconds=10).collect()}
+    assert out == {"A": 1, "B": 0, "C": 0}
