@@ -6625,6 +6625,19 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["signup", "click", "purchase"], window_seconds=86400)
 
 
+def q_decompose_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Classical MA decomposition of each event type's daily volume
+    # (aggregate.py:decompose_series): centered 7-day trend on a RANGE
+    # frame over integer days (calendar-correct under gaps), weekly
+    # seasonal = per-(d mod 7) ordered-fold mean of the detrended
+    # series, remainder NULL-propagating — the readout behind
+    # seasonal_strength's single number.
+    from logpipe_spark.operators.aggregate import decompose_series
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    return decompose_series(ev, "event_type")
+
+
 def q_turn_taking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Conversational turn-taking profile (spans.py:turn_taking): role
     # alternation rate + mean same-role run length per conv — the
@@ -6999,6 +7012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_taking": q_turn_taking,
         "shift_function": q_shift_function,
         "funnel_windowed": q_funnel_windowed,
+        "decompose_series": q_decompose_series,
     }
 
 
@@ -12492,4 +12506,36 @@ SELECT 1, 'click',
 UNION ALL
 SELECT 2, 'purchase',
        cast((SELECT count(DISTINCT user_id) FROM r3) AS bigint)"""
+    oracles["decompose_series"] = """
+WITH daily AS (SELECT event_type AS k,
+                      cast(epoch_us(ts) // 86400000000 AS bigint) AS d,
+                      cast(count(*) AS bigint) AS x
+               FROM events
+               WHERE ts IS NOT NULL AND event_type IS NOT NULL
+               GROUP BY k, d),
+t AS (SELECT k, d, x,
+             cast(sum(x) OVER (PARTITION BY k ORDER BY d
+                               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS bigint) AS s,
+             cast(count(*) OVER (PARTITION BY k ORDER BY d
+                                 RANGE BETWEEN 3 PRECEDING
+                                 AND 3 FOLLOWING)
+                  AS bigint) AS c
+      FROM daily),
+tr AS (SELECT k, d, x,
+              CASE WHEN c = 7 THEN cast(s AS double) / 7.0 END AS trend
+       FROM t),
+det AS (SELECT k, d, x, trend, d % 7 AS slot,
+               cast(x AS double) - trend AS dt
+        FROM tr),
+sm AS (SELECT k, slot,
+              list_reduce(
+                list_prepend(cast(0.0 AS double),
+                  list(dt ORDER BY d)),
+                (acc, v) -> acc + v)
+                / cast(count(*) AS bigint) AS seasonal
+       FROM det WHERE dt IS NOT NULL GROUP BY k, slot)
+SELECT det.k AS event_type, det.d, det.x, det.trend, sm.seasonal,
+       cast(det.x AS double) - det.trend - sm.seasonal AS remainder
+FROM det LEFT JOIN sm ON det.k = sm.k AND det.slot = sm.slot"""
     return oracles

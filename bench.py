@@ -277,6 +277,7 @@ HEADLINE = [
     "turn_taking",
     "shift_function",
     "funnel_windowed",
+    "decompose_series",
 ]
 # ann_bits_sweep joins automatically via the ann_* tag rule
 # dedup_precision joins automatically via the dedup_* tag rule

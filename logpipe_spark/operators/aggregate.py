@@ -2289,3 +2289,64 @@ def gpd_tail_fit(df: DataFrame, key: str, value: Column,
         F.when(F.col("l2") > 0, F.lit(2.0) - ratio).alias("xi"),
         F.when(F.col("l2") > 0,
                F.col("l1") * (ratio - F.lit(1.0))).alias("sigma"))
+
+
+def decompose_series(df: DataFrame, key: str, ts_col: str = "ts",
+                     period: int = 7, window: int = 7) -> DataFrame:
+    """Classical moving-average decomposition of each key's daily count
+    series: x_d = trend + seasonal + remainder — the readout behind
+    ``seasonal_strength``'s single number ("WHAT is the weekly shape,
+    and what's left after removing it?").
+
+    - trend: centered ``window``-day mean on a RANGE frame over the
+      integer day index (calendar-correct under gaps — a ROWS frame
+      would silently span holes; the round-2 integer-RANGE trick), only
+      where the full window is present (NULL at edges/gaps).
+    - seasonal: per (key, day-index mod ``period``) mean of the
+      detrended values — slot = d % period, NOT dayofweek() (Spark is
+      1-Sunday, DuckDB 0-Sunday; integer mod agrees everywhere). The
+      per-slot mean is an ordered fold (series-bounded, the ewma
+      discipline) over exact-operand doubles.
+    - remainder: x - trend - seasonal, NULL-propagating.
+
+    Series are day-grain per key — bounded state, windows partition by
+    key. Returns ``(key, d, x, trend, seasonal, remainder)``.
+    """
+    half = int(window) // 2
+    day = F.expr(
+        f"unix_micros({ts_col}) div 86400000000").cast("bigint")
+    daily = (df.where(F.col(ts_col).isNotNull()
+                      & F.col(key).isNotNull())
+             .groupBy(key, day.alias("d"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("x")))
+    w = (Window.partitionBy(key).orderBy("d")
+         .rangeBetween(-half, half))
+    t = daily.select(
+        key, "d", "x",
+        F.sum("x").over(w).cast("bigint").alias("_s"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("_c"))
+    t = t.select(
+        key, "d", "x",
+        F.when(F.col("_c") == window,
+               F.col("_s").cast("double") / F.lit(float(window)))
+        .alias("trend"))
+    det = t.select(
+        key, "d", "x", "trend",
+        (F.col("d") % F.lit(int(period))).alias("_slot"),
+        (F.col("x").cast("double") - F.col("trend")).alias("_det"))
+    slot_mean = (det.where(F.col("_det").isNotNull())
+                 .groupBy(key, "_slot")
+                 .agg(F.aggregate(
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.struct("d", "_det"))),
+                         lambda e: e["_det"]),
+                     F.lit(0.0), lambda acc, v: acc + v).alias("_ss"),
+                     F.count(F.lit(1)).cast("bigint").alias("_sc")))
+    slot_mean = slot_mean.select(
+        key, "_slot", (F.col("_ss") / F.col("_sc")).alias("seasonal"))
+    out = det.join(slot_mean, [key, "_slot"], "left")
+    return out.select(
+        key, "d", "x", "trend", "seasonal",
+        (F.col("x").cast("double") - F.col("trend")
+         - F.col("seasonal")).alias("remainder"))

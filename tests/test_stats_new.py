@@ -805,3 +805,36 @@ def test_funnel_windowed_zero_step_rows_present(spark):
            funnel_windowed(ev, ["A", "B", "C"],
                            window_seconds=10).collect()}
     assert out == {"A": 1, "B": 0, "C": 0}
+
+
+def test_decompose_series_constant_and_gap(spark):
+    import datetime as dt
+
+    from logpipe_spark.operators.aggregate import decompose_series
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(days, per_day=5):
+        rows = [("k", base + dt.timedelta(days=d, hours=h))
+                for d in days for h in range(per_day)]
+        return spark.createDataFrame(rows, "g string, ts timestamp")
+
+    # constant 5/day for 14 days: interior trend exactly 5.0, seasonal
+    # and remainder exactly 0.0; the first/last 3 days have NULL trend.
+    out = {r.d: r for r in
+           decompose_series(ev(range(14)), "g").collect()}
+    d0 = min(out)
+    for off, r in ((3, out[d0 + 3]), (10, out[d0 + 10])):
+        assert r.x == 5 and r.trend == 5.0
+        assert r.seasonal == 0.0 and r.remainder == 0.0
+    assert out[d0].trend is None and out[d0 + 13].trend is None
+
+    # calendar gap: days 0-5 then 10-15 — a ROWS frame would bridge the
+    # hole; the RANGE frame must leave trend NULL beside it (day 4's
+    # window [1,7] sees only days 1-5).
+    out2 = {r.d: r for r in
+            decompose_series(ev(list(range(6)) + list(range(10, 16))),
+                             "g").collect()}
+    d0 = min(out2)
+    assert out2[d0 + 4].trend is None
+    assert all(r.trend is None for r in out2.values())
