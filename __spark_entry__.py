@@ -6638,6 +6638,75 @@ def q_decompose_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decompose_series(ev, "event_type")
 
 
+def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Yule's K lexical-repetitiveness index per source
+    # (textqual.yules_k): 10^4*(sum c^2 - N)/N^2 over per-token counts —
+    # the length-invariant companion to lexical_stats' TTR. sum c^2
+    # accumulates in DECIMAL(38,0) (exact, order-free) vs the oracle's
+    # HUGEINT; one double division of exact integers.
+    return tq.yules_k(_docs(spark, sf_dir))
+
+
+def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ClickHouse sequenceMatch parity (funnel.sequence_match): each
+    # conv's role initials concatenate in turn order (the conv_digest
+    # ordered fold) and three RE2-compatible patterns evaluate in ONE
+    # pass over the conv-cardinality frame — user->tool->assistant
+    # escalation, back-to-back tool turns, system-opened/user-closed.
+    from logpipe_spark.operators.funnel import sequence_match
+    t = _t(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        F.substring(F.col("role"), 1, 1).alias("sym"))
+    return sequence_match(t, [
+        ("user_then_tool_then_assistant", "u.*t.*a"),
+        ("tool_pair_adjacent", "tt"),
+        ("system_open_user_close", "^s.*u$"),
+    ])
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Durbin-Watson lag-1 serial-correlation screen per conv
+    # (drift.durbin_watson) on the turn-length series: one PARTITIONED
+    # lag window -> four exact int64 sufficient stats; DW formed with
+    # every sum cast to double BEFORE the cross products, NULL for
+    # zero-variance series (ANSI guard).
+    from logpipe_spark.operators.drift import durbin_watson
+    t = _t(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.length("text").alias("x"))
+    return durbin_watson(t, "conv_id", "turn_idx", "x", min_n=8)
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kendall tau-b per source (drift.kendall_tau) between doc length
+    # and distinct-token count: every unordered pair generated exactly
+    # once (id < id2 on the group self-join), sign-only classification
+    # (no difference products -> no overflow at any value scale),
+    # tie-corrected denominator on exact integer counts.
+    from logpipe_spark.operators.drift import kendall_tau
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.length("text").cast("bigint").alias("x"),
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("bigint").alias("y"),
+    ).where(F.col("text").isNotNull())
+    return kendall_tau(d, "source", "x", "y", "doc_id")
+
+
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Moran's I spatial autocorrelation over the (value, props-k) grid
+    # (spatial.morans_i): corpus collapses to occupied 2.0-cells, rook
+    # adjacency via the broadcast 4-offset self-join, integer-centered
+    # values n*c - S with DECIMAL(38,0) pair products == the oracle's
+    # HUGEINT sums.
+    from logpipe_spark.operators.spatial import morans_i
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("value").alias("x"),
+        F.substring(F.col("props"), 7, F.length("props") - 7)
+         .cast("int").cast("double").alias("y"),
+    )
+    return morans_i(ev, cell=2.0)
+
+
 def q_turn_taking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Conversational turn-taking profile (spans.py:turn_taking): role
     # alternation rate + mean same-role run length per conv — the
@@ -7013,6 +7082,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shift_function": q_shift_function,
         "funnel_windowed": q_funnel_windowed,
         "decompose_series": q_decompose_series,
+        "yules_k": q_yules_k,
+        "sequence_match": q_sequence_match,
+        "durbin_watson": q_durbin_watson,
+        "kendall_tau": q_kendall_tau,
+        "morans_i": q_morans_i,
     }
 
 
@@ -12538,4 +12612,133 @@ sm AS (SELECT k, slot,
 SELECT det.k AS event_type, det.d, det.x, det.trend, sm.seasonal,
        cast(det.x AS double) - det.trend - sm.seasonal AS remainder
 FROM det LEFT JOIN sm ON det.k = sm.k AND det.slot = sm.slot"""
+    # Same (source, token) count CTE as lexical_stats; HUGEINT c*c sum
+    # == the engine's DECIMAL(38,0); one double division of exact ints.
+    oracles["yules_k"] = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+pt AS (SELECT source, tok, cast(count(*) AS bigint) AS c
+       FROM toks GROUP BY source, tok),
+g AS (SELECT source,
+             cast(count(*) AS bigint) AS vocab,
+             cast(sum(c) AS bigint) AS n_tokens,
+             sum(cast(c AS hugeint) * c) AS s2
+      FROM pt GROUP BY source)
+SELECT source, vocab, n_tokens,
+       10000.0 * cast(s2 - n_tokens AS double)
+       / (cast(n_tokens AS double) * cast(n_tokens AS double)) AS yules_k
+FROM g"""
+    # string_agg(ORDER BY turn_idx) == the engine's array_sort
+    # collect_list fold; DuckDB RE2 and Spark java.util.regex agree on
+    # this anchored-or-plain subset, both find-anywhere.
+    oracles["sequence_match"] = f"""{_oracle_prefix()},
+seq AS (SELECT conv_id,
+               string_agg(substring(role, 1, 1), '' ORDER BY turn_idx)
+                 AS s
+        FROM transcripts GROUP BY conv_id),
+tot AS (SELECT cast(count(*) AS bigint) AS n_keys FROM seq),
+m AS (
+  SELECT 'user_then_tool_then_assistant' AS pattern,
+         cast(sum(CASE WHEN regexp_matches(s, 'u.*t.*a')
+                       THEN 1 ELSE 0 END) AS bigint) AS n_match
+  FROM seq
+  UNION ALL
+  SELECT 'tool_pair_adjacent',
+         cast(sum(CASE WHEN regexp_matches(s, 'tt')
+                       THEN 1 ELSE 0 END) AS bigint)
+  FROM seq
+  UNION ALL
+  SELECT 'system_open_user_close',
+         cast(sum(CASE WHEN regexp_matches(s, '^s.*u$')
+                       THEN 1 ELSE 0 END) AS bigint)
+  FROM seq)
+SELECT pattern, n_match, n_keys,
+       cast(n_match AS double) / cast(n_keys AS double) AS share
+FROM m, tot"""
+    # Partitioned lag == the engine's window; every sum cast to double
+    # BEFORE the cross products, CASE guard for zero-variance series.
+    oracles["durbin_watson"] = f"""{_oracle_prefix()},
+x AS (SELECT conv_id, cast(length(text) AS bigint) AS x,
+             cast(length(text) AS bigint)
+             - lag(cast(length(text) AS bigint))
+               OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dx
+      FROM transcripts WHERE conv_id IS NOT NULL),
+s AS (SELECT conv_id, cast(count(*) AS bigint) AS n,
+             cast(sum(x) AS bigint) AS sx,
+             cast(sum(x * x) AS bigint) AS sxx,
+             cast(sum(coalesce(dx * dx, 0)) AS bigint) AS sd2
+      FROM x GROUP BY conv_id)
+SELECT conv_id, n,
+       CASE WHEN cast(n AS double) * cast(sxx AS double)
+                 - cast(sx AS double) * cast(sx AS double) > 0.0
+            THEN cast(n AS double) * cast(sd2 AS double)
+                 / (cast(n AS double) * cast(sxx AS double)
+                    - cast(sx AS double) * cast(sx AS double))
+       END AS dw
+FROM s WHERE n >= 8"""
+    # Pairwise self-join with id < id2 (each unordered pair once);
+    # sign-only classification; sqrt on products of exact int counts.
+    oracles["kendall_tau"] = """
+WITH b AS (SELECT source, doc_id AS id,
+                  cast(length(text) AS bigint) AS x,
+                  cast(len(list_distinct(string_split(text, ' ')))
+                       AS bigint) AS y
+           FROM documents
+           WHERE source IS NOT NULL AND text IS NOT NULL),
+n AS (SELECT source, cast(count(*) AS bigint) AS n
+      FROM b GROUP BY source),
+p AS (SELECT a.source, a.x, a.y, c.x AS x2, c.y AS y2
+      FROM b a JOIN b c ON a.source = c.source AND a.id < c.id),
+s AS (SELECT source,
+        cast(sum(CASE WHEN (x < x2 AND y < y2) OR (x > x2 AND y > y2)
+                      THEN 1 ELSE 0 END) AS bigint) AS concordant,
+        cast(sum(CASE WHEN (x < x2 AND y > y2) OR (x > x2 AND y < y2)
+                      THEN 1 ELSE 0 END) AS bigint) AS discordant,
+        cast(sum(CASE WHEN x = x2 AND y <> y2
+                      THEN 1 ELSE 0 END) AS bigint) AS tx,
+        cast(sum(CASE WHEN y = y2 AND x <> x2
+                      THEN 1 ELSE 0 END) AS bigint) AS ty
+      FROM p GROUP BY source)
+SELECT n.source, n.n, concordant, discordant,
+       CASE WHEN sqrt(cast(concordant + discordant + ty AS double)
+                      * cast(concordant + discordant + tx AS double))
+                 > 0.0
+            THEN cast(concordant - discordant AS double)
+                 / sqrt(cast(concordant + discordant + ty AS double)
+                        * cast(concordant + discordant + tx AS double))
+       END AS tau_b
+FROM n JOIN s ON n.source = s.source"""
+    # Same 2.0-cell grid as density_outliers; rook offsets; HUGEINT
+    # pair products == the engine's DECIMAL(38,0); (n/W)*(num/den) in
+    # the engine's exact operation order.
+    oracles["morans_i"] = """
+WITH p0 AS (SELECT cast(value AS double) AS x,
+                   cast(cast(substring(props, 7, length(props) - 7)
+                             AS int) AS double) AS y
+            FROM events),
+p AS (SELECT cast(floor(x / 2.0) AS bigint) AS cx,
+             cast(floor(y / 2.0) AS bigint) AS cy
+      FROM p0 WHERE x IS NOT NULL AND y IS NOT NULL),
+cells AS (SELECT cx, cy, cast(count(*) AS bigint) AS c
+          FROM p GROUP BY cx, cy),
+tot AS (SELECT cast(count(*) AS bigint) AS n,
+               cast(sum(c) AS bigint) AS s FROM cells),
+dev AS (SELECT cx, cy, n, cast(n * c - s AS bigint) AS dv
+        FROM cells, tot),
+o AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1))
+      AS t(dx, dy)),
+adj AS (SELECT a.dv AS dv_a, b.dv AS dv_b
+        FROM dev a JOIN o ON true
+        JOIN dev b ON a.cx + o.dx = b.cx AND a.cy + o.dy = b.cy),
+nw AS (SELECT cast(count(*) AS bigint) AS w_pairs,
+              sum(cast(dv_a AS hugeint) * dv_b) AS num FROM adj),
+dn AS (SELECT cast(max(n) AS bigint) AS n_cells,
+              sum(cast(dv AS hugeint) * dv) AS den FROM dev)
+SELECT n_cells, w_pairs,
+       CASE WHEN w_pairs > 0 AND cast(den AS double) > 0.0
+            THEN (cast(n_cells AS double) / cast(w_pairs AS double))
+                 * (cast(num AS double) / cast(den AS double))
+       END AS morans_i
+FROM dn, nw"""
     return oracles

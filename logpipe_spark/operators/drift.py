@@ -1907,3 +1907,121 @@ def shift_function(
     return (qa.join(qb, [key, "pct"])
             .select(key, "pct", "q_a", "q_b",
                     (F.col("q_a") - F.col("q_b")).alias("shift")))
+
+
+def durbin_watson(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    val_col: str,
+    min_n: int = 8,
+) -> DataFrame:
+    """Durbin–Watson serial-correlation statistic per ``key`` series:
+    ``DW = sum (x_t - x_{t-1})^2 / sum (x_t - xbar)^2`` — near 2 for an
+    uncorrelated series, toward 0 under positive lag-1 autocorrelation,
+    toward 4 under negative (Durbin & Watson, Biometrika 1950). The
+    classic residual-autocorrelation screen, run here directly on the
+    integer series.
+
+    One PARTITIONED lag window (never a global sort) produces the
+    successive differences; everything reduces to four exact int64
+    sufficient statistics per key, and ``DW = n·sum d^2 / (n·sum x^2 -
+    (sum x)^2)`` is formed with every sum cast to double BEFORE the
+    cross products (overflow discipline) in the oracle's exact order.
+    Zero-variance series emit NULL (ANSI division guard, the
+    spearman_corr lesson). Exactness bound: n·sum x^2 stays in the
+    double-exact integer range for per-key series far beyond any
+    transcript length; the sums themselves are exact int64 up to
+    ~3e9 squared-value mass per key.
+
+    Returns ``(key, n, dw)`` for series with at least ``min_n`` points.
+    """
+    w = Window.partitionBy(key).orderBy(order_col)
+    x = F.col(val_col).cast("bigint")
+    d = df.where(F.col(key).isNotNull()).select(
+        F.col(key), x.alias("_x"),
+        (x - F.lag(x).over(w)).alias("_d"))
+    s = d.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_x").cast("bigint").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).cast("bigint").alias("_sxx"),
+        F.sum(F.coalesce(F.col("_d") * F.col("_d"), F.lit(0)))
+        .cast("bigint").alias("_sd2"))
+    nd = F.col("n").cast("double")
+    den = nd * F.col("_sxx").cast("double") - (
+        F.col("_sx").cast("double") * F.col("_sx").cast("double"))
+    return (s.where(F.col("n") >= min_n)
+            .select(key, "n",
+                    F.when(den > 0.0,
+                           nd * F.col("_sd2").cast("double") / den)
+                    .alias("dw")))
+
+
+def kendall_tau(
+    df: DataFrame,
+    key: str,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    max_rows: int | None = None,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation per ``key`` group, from exact
+    concordant/discordant pair counts (Kendall, Biometrika 1938) — the
+    tie-corrected companion to the spearman_corr query for monotone
+    association that is robust to outliers in either margin.
+
+    Every unordered pair inside a group is generated EXACTLY once via a
+    self-join on the group key with ``id < id2`` (the density_outliers
+    discipline); pairs classify by sign comparisons only (never a
+    difference product, so no overflow at any value scale). Cost is
+    O(sum g^2) pairs shuffled on the group key — bounded groups by
+    construction here; for unbounded groups pass ``max_rows`` to keep
+    the ``max_rows`` lowest-md5 members per group (a uniform, seedless
+    subsample — the cooccurrence_lift cap discipline) via a PARTITIONED
+    row_number window before the join.
+
+    ``tau_b = (C - D) / sqrt((C + D + Ty) * (C + D + Tx))`` where Tx/Ty
+    count pairs tied ONLY in x / only in y; the sqrt runs on a product
+    of exact int64 counts cast to double (identical operands → identical
+    IEEE result in both engines). Degenerate groups (all ties in a
+    margin) emit NULL under the ANSI guard.
+
+    Returns ``(key, n, concordant, discordant, tau_b)``.
+    """
+    base = df.where(
+        F.col(key).isNotNull() & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()).select(
+        F.col(key).alias("_k"), F.col(id_col).alias("_id"),
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+    if max_rows is not None:
+        wcap = Window.partitionBy("_k").orderBy(
+            F.md5(F.col("_id").cast("string")), F.col("_id"))
+        base = (base
+                .withColumn("_rn", F.row_number().over(wcap))
+                .where(F.col("_rn") <= max_rows).drop("_rn"))
+    n_per = base.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    b = base.select(
+        F.col("_k"), F.col("_id").alias("_id2"),
+        F.col("_x").alias("_x2"), F.col("_y").alias("_y2"))
+    pairs = base.join(b, "_k").where(F.col("_id") < F.col("_id2"))
+    conc = ((F.col("_x") < F.col("_x2")) & (F.col("_y") < F.col("_y2"))) | (
+        (F.col("_x") > F.col("_x2")) & (F.col("_y") > F.col("_y2")))
+    disc = ((F.col("_x") < F.col("_x2")) & (F.col("_y") > F.col("_y2"))) | (
+        (F.col("_x") > F.col("_x2")) & (F.col("_y") < F.col("_y2")))
+    tx_only = (F.col("_x") == F.col("_x2")) & (F.col("_y") != F.col("_y2"))
+    ty_only = (F.col("_y") == F.col("_y2")) & (F.col("_x") != F.col("_x2"))
+    s = pairs.groupBy("_k").agg(
+        F.sum(F.when(conc, 1).otherwise(0)).cast("bigint").alias("concordant"),
+        F.sum(F.when(disc, 1).otherwise(0)).cast("bigint").alias("discordant"),
+        F.sum(F.when(tx_only, 1).otherwise(0)).cast("bigint").alias("_tx"),
+        F.sum(F.when(ty_only, 1).otherwise(0)).cast("bigint").alias("_ty"))
+    cd = F.col("concordant") + F.col("discordant")
+    den = F.sqrt((cd + F.col("_ty")).cast("double")
+                 * (cd + F.col("_tx")).cast("double"))
+    return (n_per.join(s, "_k")
+            .select(F.col("_k").alias(key), "n", "concordant", "discordant",
+                    F.when(den > 0.0,
+                           (F.col("concordant") - F.col("discordant"))
+                           .cast("double") / den)
+                    .alias("tau_b")))

@@ -406,3 +406,52 @@ def funnel_windowed(
             .select("step_idx", "step",
                     F.coalesce("_n", F.lit(0)).cast("bigint")
                     .alias("n_users")))
+
+
+def sequence_match(
+    turns: DataFrame,
+    patterns: Sequence[tuple[str, str]],
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    symbol_col: str = "sym",
+) -> DataFrame:
+    """ClickHouse ``sequenceMatch``-style event-pattern detection: each
+    ``key`` group's symbols concatenate in ``order_col`` order into one
+    string, and every regex in ``patterns`` (name, pattern) is tested
+    against it — "did a user turn eventually lead to a tool call then
+    an assistant reply", "did two tool calls ever run back to back".
+
+    Scale shape: ONE groupBy collapses the corpus to key cardinality
+    (the conv_digest ordered fold — ``array_sort(collect_list(struct))``
+    is deterministic because ``order_col`` is unique per key); all K
+    patterns then evaluate in a single pass over that collapsed frame
+    and reduce to ONE row, unpivoted to K rows via ``stack`` — no
+    per-pattern job, no second shuffle. Patterns must stay in the
+    RE2-compatible subset so Spark (java.util.regex) and the DuckDB
+    oracle (RE2) agree; both engines' regex search is find-anywhere.
+
+    ``share`` is the RAW double division of two exact int64 counts
+    (never rounded — CLAUDE.md round() divergence note).
+
+    Returns one row per pattern: ``(pattern, n_match, n_keys, share)``.
+    """
+    seq = turns.groupBy(key).agg(
+        F.expr(
+            f"array_join(transform(array_sort(collect_list("
+            f"struct({order_col}, {symbol_col}))), "
+            f"s -> s.{symbol_col}), '')").alias("_seq"))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_keys")]
+    for i, (_name, pat) in enumerate(patterns):
+        aggs.append(
+            F.sum(F.when(F.col("_seq").rlike(pat), 1).otherwise(0))
+            .cast("bigint").alias(f"_m{i}"))
+    one = seq.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', _m{i}" for i, (name, _pat) in enumerate(patterns))
+    out = one.selectExpr(
+        f"stack({len(patterns)}, {stack_args}) AS (pattern, n_match)",
+        "n_keys")
+    return out.select(
+        "pattern", "n_match", "n_keys",
+        (F.col("n_match").cast("double") / F.col("n_keys").cast("double"))
+        .alias("share"))

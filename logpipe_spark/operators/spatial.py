@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["density_neighbor_counts"]
+__all__ = ["density_neighbor_counts", "morans_i"]
 
 
 def density_neighbor_counts(
@@ -87,3 +87,75 @@ def density_neighbor_counts(
          .alias("is_outlier"),
     )
     return out
+
+
+def morans_i(
+    pts: DataFrame,
+    cell: float,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Moran's I spatial autocorrelation of point DENSITY over an
+    occupied-cell grid (Moran, Biometrika 1950): bucket points into
+    ``cell``-sized grid cells, take each occupied cell's point count as
+    its value, and correlate each cell with its rook (4-neighbor)
+    occupied neighbors — I > 0 means clustered mass, I < 0 a
+    checkerboard, ~ -1/(n-1) spatial randomness. The standard first
+    screen on a feature plane before density work (same grid as
+    :func:`density_neighbor_counts`).
+
+    Scale shape: the corpus collapses to occupied-cell cardinality in
+    ONE map-side-combinable groupBy; adjacency is a self-join of that
+    bounded cell frame fanned out by the broadcast 4-offset relation
+    (each ORDERED adjacent pair generated exactly once — symmetric
+    weights mean W and the numerator simply count both directions).
+    Determinism: with S = total points and n = cell count, the centered
+    value n·c_i - S is an exact integer; pair products accumulate in
+    DECIMAL(38,0) (order-free, no int64 overflow at corpus scale —
+    the l_moments discipline; the oracle's HUGEINT sums agree), and
+    I = (n/W) · num/den is formed from those exact integers cast to
+    double in the oracle's order. Occupied cells only: empty cells are
+    not zero-observations, matching the sparse-grid convention.
+
+    Returns ONE row: ``(n_cells, w_pairs, morans_i)``.
+    """
+    spark = pts.sparkSession
+    p = pts.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        F.floor(F.col(x_col).cast("double") / F.lit(cell))
+        .cast("bigint").alias("cx"),
+        F.floor(F.col(y_col).cast("double") / F.lit(cell))
+        .cast("bigint").alias("cy"))
+    cells = p.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"))
+    dev = cells.crossJoin(F.broadcast(tot)).select(
+        "cx", "cy", "n",
+        (F.col("n") * F.col("c") - F.col("s")).cast("bigint").alias("dv"))
+    offsets = spark.createDataFrame(
+        [(1, 0), (-1, 0), (0, 1), (0, -1)], "dx int, dy int")
+    probe = dev.crossJoin(F.broadcast(offsets)).select(
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+        F.col("dv").alias("dv_a"))
+    adj = probe.join(
+        dev.select("cx", "cy", F.col("dv").alias("dv_b")), ["cx", "cy"])
+    num_w = adj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("w_pairs"),
+        F.sum(F.col("dv_a").cast("decimal(38,0)") * F.col("dv_b"))
+        .cast("decimal(38,0)").alias("num"))
+    den_n = dev.groupBy().agg(
+        F.max("n").cast("bigint").alias("n_cells"),
+        F.sum(F.col("dv").cast("decimal(38,0)") * F.col("dv"))
+        .cast("decimal(38,0)").alias("den"))
+    out = den_n.crossJoin(num_w)
+    return out.select(
+        "n_cells", "w_pairs",
+        F.when(
+            (F.col("w_pairs") > 0) & (F.col("den").cast("double") > 0.0),
+            (F.col("n_cells").cast("double")
+             / F.col("w_pairs").cast("double"))
+            * (F.col("num").cast("double") / F.col("den").cast("double")))
+        .alias("morans_i"))

@@ -549,6 +549,46 @@ def lexical_stats(docs: DataFrame, key: str = "source",
         .alias("hapax_ratio"))
 
 
+def yules_k(docs: DataFrame, key: str = "source",
+            text_col: str = "text") -> DataFrame:
+    """Yule's characteristic K per ``key``: the length-invariant
+    repetitiveness index ``10^4 * (sum_t c_t^2 - N) / N^2`` over the
+    per-token occurrence counts ``c_t`` (Yule, "The Statistical Study
+    of Literary Vocabulary", 1944). Unlike TTR (lexical_stats), K does
+    not shrink with corpus size, so sources of different volumes are
+    directly comparable — a template-heavy synthetic source shows an
+    inflated K at any N.
+
+    Same shuffle shape as :func:`lexical_stats`: ONE map-side-combinable
+    (key, token) count, then a key-cardinality reduction. ``sum c^2``
+    accumulates in DECIMAL(38,0) (the l_moments discipline — a hot
+    stopword's count squared leaves int64 long before the corpus is
+    large), exact and order-free; the single division of the exact
+    integer operands cast to double is bit-identical to the oracle's
+    HUGEINT sum (values stay < 2^53 at test scale, so the
+    decimal->double conversions agree).
+
+    Returns ``(key, vocab, n_tokens, yules_k)``.
+    """
+    toks = (docs.where(F.col(text_col).isNotNull()
+                       & F.col(key).isNotNull())
+            .select(key, F.explode(F.split(F.col(text_col), " "))
+                    .alias("_tok")))
+    per_tok = toks.groupBy(key, "_tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c"))
+    g = per_tok.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("_c").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_c"))
+        .cast("decimal(38,0)").alias("_s2"))
+    n_d = F.col("n_tokens").cast("double")
+    return g.select(
+        key, "vocab", "n_tokens",
+        (F.lit(10000.0)
+         * (F.col("_s2") - F.col("n_tokens")).cast("double")
+         / (n_d * n_d)).alias("yules_k"))
+
+
 def quality_prune_curve(docs: DataFrame, text_col: str = "text",
                         buckets: int = 20) -> DataFrame:
     """Quality-threshold pruning curve: for each score threshold on the

@@ -838,3 +838,115 @@ def test_decompose_series_constant_and_gap(spark):
     d0 = min(out2)
     assert out2[d0 + 4].trend is None
     assert all(r.trend is None for r in out2.values())
+
+
+def test_durbin_watson_hand_case(spark):
+    from logpipe_spark.operators.drift import durbin_watson
+
+    # x = [1,2,3,4,5,6,7,8]: sum d² = 7, xbar = 4.5,
+    # sum (x-xbar)² = 42 -> DW = 7/42 = 1/6
+    rows = [("c", i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(rows, "k string, t int, x long")
+    out = durbin_watson(df, "k", "t", "x", min_n=8).collect()
+    assert len(out) == 1 and out[0].n == 8
+    assert abs(out[0].dw - 7.0 / 42.0) < 1e-15
+    # alternating series [1,3,1,3,...]: strong negative autocorr, DW
+    # = n·sum d²/(n·sum x² - S²): d²=4×7=28, S=16, Q=40: 8·28/(320-256)=3.5
+    rows2 = [("c", i, 1 if i % 2 == 0 else 3) for i in range(8)]
+    df2 = spark.createDataFrame(rows2, "k string, t int, x long")
+    out2 = durbin_watson(df2, "k", "t", "x", min_n=8).collect()
+    assert abs(out2[0].dw - 3.5) < 1e-15
+    # constant series -> zero variance -> NULL dw (ANSI guard)
+    rows3 = [("c", i, 5) for i in range(8)]
+    df3 = spark.createDataFrame(rows3, "k string, t int, x long")
+    out3 = durbin_watson(df3, "k", "t", "x", min_n=8).collect()
+    assert out3[0].dw is None
+    # short series filtered by min_n
+    rows4 = [("c", i, i) for i in range(5)]
+    df4 = spark.createDataFrame(rows4, "k string, t int, x long")
+    assert durbin_watson(df4, "k", "t", "x", min_n=8).count() == 0
+
+
+def test_kendall_tau_hand_cases(spark):
+    from logpipe_spark.operators.drift import kendall_tau
+
+    # perfect concordance: tau_b = 1
+    rows = [("g", i, i, i * 2) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, id int, x long, y long")
+    out = kendall_tau(df, "k", "x", "y", "id").collect()
+    assert out[0].tau_b == 1.0 and out[0].concordant == 10
+    # x=[1,2,3], y=[3,2,1]: all discordant -> tau_b = -1
+    rows2 = [("g", 1, 1, 3), ("g", 2, 2, 2), ("g", 3, 3, 1)]
+    df2 = spark.createDataFrame(rows2, "k string, id int, x long, y long")
+    assert kendall_tau(df2, "k", "x", "y", "id").collect()[0].tau_b == -1.0
+    # tie case: x=[1,1,2], y=[1,2,3]. Pairs: (1,2) tie-x-only;
+    # (1,3),(2,3) concordant. C=2 D=0 Tx=1 Ty=0.
+    # tau_b = 2/sqrt((2+0)*(2+1)) = 2/sqrt 6
+    rows3 = [("g", 1, 1, 1), ("g", 2, 1, 2), ("g", 3, 2, 3)]
+    df3 = spark.createDataFrame(rows3, "k string, id int, x long, y long")
+    r3 = kendall_tau(df3, "k", "x", "y", "id").collect()[0]
+    assert r3.concordant == 2 and r3.discordant == 0
+    assert abs(r3.tau_b - 2.0 / math.sqrt(6.0)) < 1e-15
+    # all-tied x margin -> denominator 0 -> NULL
+    rows4 = [("g", 1, 7, 1), ("g", 2, 7, 2), ("g", 3, 7, 3)]
+    df4 = spark.createDataFrame(rows4, "k string, id int, x long, y long")
+    assert kendall_tau(df4, "k", "x", "y", "id").collect()[0].tau_b is None
+    # max_rows cap keeps at most that many members per group
+    rows5 = [("g", i, i, i) for i in range(10)]
+    df5 = spark.createDataFrame(rows5, "k string, id int, x long, y long")
+    r5 = kendall_tau(df5, "k", "x", "y", "id", max_rows=4).collect()[0]
+    assert r5.n == 4 and r5.concordant == 6  # C(4,2) all concordant
+
+
+def test_morans_i_hand_cases(spark):
+    from logpipe_spark.operators.spatial import morans_i
+
+    # two occupied cells side by side, counts 1 and 3 (cell=1):
+    # n=2, S=4, dev=[-2, 2]; W=2 (both directions);
+    # num = 2 * (-2*2) = -8; den = 8 -> I = (2/2) * (-8/8) = -1
+    pts = [(0.5, 0.5)] + [(1.5, 0.5)] * 3
+    df = spark.createDataFrame(pts, "x double, y double")
+    r = morans_i(df, cell=1.0).collect()[0]
+    assert r.n_cells == 2 and r.w_pairs == 2
+    assert r.morans_i == -1.0
+    # isolated cells (no adjacency) -> NULL
+    pts2 = [(0.5, 0.5), (5.5, 5.5)]
+    df2 = spark.createDataFrame(pts2, "x double, y double")
+    r2 = morans_i(df2, cell=1.0).collect()[0]
+    assert r2.w_pairs == 0 and r2.morans_i is None
+    # clustered equal-count line of 3 cells, counts [2,2,2]: dev=0
+    # everywhere -> den=0 -> NULL (uniform field has no variance)
+    pts3 = [(x + 0.5, 0.5) for x in range(3) for _ in range(2)]
+    df3 = spark.createDataFrame(pts3, "x double, y double")
+    assert morans_i(df3, cell=1.0).collect()[0].morans_i is None
+
+
+def test_yules_k_hand_case(spark):
+    from logpipe_spark.trainprep.textqual import yules_k
+
+    # source a: "x x y" -> counts {x:2, y:1}, N=3, sum c²=5
+    # K = 10^4 * (5-3)/9 = 2222.2...
+    df = spark.createDataFrame(
+        [("a", "x x y"), ("b", "p q r")], "source string, text string")
+    out = {r.source: r for r in yules_k(df).collect()}
+    assert out["a"].vocab == 2 and out["a"].n_tokens == 3
+    assert abs(out["a"].yules_k - 10000.0 * 2.0 / 9.0) < 1e-12
+    # all-distinct source: sum c² = N -> K = 0
+    assert out["b"].yules_k == 0.0
+
+
+def test_sequence_match_hand_case(spark):
+    from logpipe_spark.operators.funnel import sequence_match
+
+    rows = [
+        ("c1", 0, "u"), ("c1", 1, "t"), ("c1", 2, "a"),   # u.*t.*a
+        ("c2", 0, "s"), ("c2", 1, "t"), ("c2", 2, "t"),   # tt
+        ("c3", 0, "s"), ("c3", 1, "a"), ("c3", 2, "u"),   # ^s.*u$
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, sym string")
+    out = {r.pattern: r for r in sequence_match(df, [
+        ("uta", "u.*t.*a"), ("tt", "tt"), ("s_u", "^s.*u$")]).collect()}
+    assert out["uta"].n_match == 1 and out["uta"].n_keys == 3
+    assert out["tt"].n_match == 1
+    assert out["s_u"].n_match == 1
+    assert abs(out["uta"].share - 1.0 / 3.0) < 1e-15
