@@ -6707,6 +6707,31 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     return morans_i(ev, cell=2.0)
 
 
+def q_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lead-lag discovery (aggregate.cross_corr_from_counts): Pearson r
+    # between the hourly error series and the hourly purchase series at
+    # lags -3..3 — does the error rate LEAD purchases? Pairwise-present
+    # buckets only (no dense spine), broadcast lag fan-out, exact int64
+    # sufficient stats cast to double before every cross product.
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = agg2.rate_counts(
+        ev.where(F.col("event_type") == "error"), bucket_seconds=3600)
+    b = agg2.rate_counts(
+        ev.where(F.col("event_type") == "purchase"), bucket_seconds=3600)
+    return agg2.cross_corr_from_counts(
+        a, b, lags=(-3, -2, -1, 0, 1, 2, 3))
+
+
+def q_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-source data-freshness audit (profile.freshness_lag): staleness
+    # of each event type's newest row behind the global high-water mark
+    # plus the mean arrival gap — exact int64 micros end-to-end, one
+    # per-key reduction + a broadcast 1-row global re-aggregate.
+    from logpipe_spark.operators.profile import freshness_lag
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return freshness_lag(ev, "event_type")
+
+
 def q_turn_taking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Conversational turn-taking profile (spans.py:turn_taking): role
     # alternation rate + mean same-role run length per conv — the
@@ -7087,6 +7112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "durbin_watson": q_durbin_watson,
         "kendall_tau": q_kendall_tau,
         "morans_i": q_morans_i,
+        "cross_corr": q_cross_corr,
+        "freshness_lag": q_freshness_lag,
     }
 
 
@@ -12741,4 +12768,56 @@ SELECT n_cells, w_pairs,
                  * (cast(num AS double) / cast(den AS double))
        END AS morans_i
 FROM dn, nw"""
+    # Same bucket floor and sufficient-stat cast order as the autocorr
+    # oracle; two filtered count CTEs instead of the self-join.
+    oracles["cross_corr"] = """
+WITH a AS (
+  SELECT cast(floor((epoch_us(ts) // 1000000) / 3600) AS bigint) AS m,
+         cast(count(*) AS bigint) AS c
+  FROM events WHERE event_type = 'error' GROUP BY m),
+b AS (
+  SELECT cast(floor((epoch_us(ts) // 1000000) / 3600) AS bigint) AS m,
+         cast(count(*) AS bigint) AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY m),
+paired AS (
+  SELECT lags.lag, a.c AS x, b.c AS y
+  FROM a
+  JOIN (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag) lags ON true
+  JOIN b ON a.m + lags.lag = b.m),
+s AS (
+  SELECT lag, cast(count(*) AS bigint) AS n_pairs,
+         cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+         cast(sum(x * y) AS bigint) AS sxy,
+         cast(sum(x * x) AS bigint) AS sxx,
+         cast(sum(y * y) AS bigint) AS syy
+  FROM paired GROUP BY lag),
+f AS (
+  SELECT lag, n_pairs,
+         cast(n_pairs AS double) * cast(sxy AS double)
+           - cast(sx AS double) * cast(sy AS double) AS num,
+         cast(n_pairs AS double) * cast(sxx AS double)
+           - cast(sx AS double) * cast(sx AS double) AS dx,
+         cast(n_pairs AS double) * cast(syy AS double)
+           - cast(sy AS double) * cast(sy AS double) AS dy
+  FROM s)
+SELECT cast(lag AS int) AS lag, n_pairs,
+       CASE WHEN dx > 0 AND dy > 0 THEN num / sqrt(dx * dy) END AS r
+FROM f ORDER BY lag"""
+    # epoch_us == unix_micros after the NTZ cast (session tz UTC);
+    # single int64 subtraction per key, one broadcast global max.
+    oracles["freshness_lag"] = """
+WITH per AS (
+  SELECT event_type, cast(count(*) AS bigint) AS n,
+         cast(min(epoch_us(ts)) AS bigint) AS first_us,
+         cast(max(epoch_us(ts)) AS bigint) AS last_us
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY event_type),
+g AS (SELECT cast(max(last_us) AS bigint) AS hwm FROM per)
+SELECT event_type, n, last_us,
+       cast(hwm - last_us AS bigint) AS staleness_us,
+       CASE WHEN n > 1
+            THEN cast(last_us - first_us AS double)
+                 / cast(n - 1 AS double)
+       END AS mean_gap_us
+FROM per, g"""
     return oracles

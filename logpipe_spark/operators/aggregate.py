@@ -2350,3 +2350,49 @@ def decompose_series(df: DataFrame, key: str, ts_col: str = "ts",
         key, "d", "x", "trend", "seasonal",
         (F.col("x").cast("double") - F.col("trend")
          - F.col("seasonal")).alias("remainder"))
+
+
+def cross_corr_from_counts(a: DataFrame, b: DataFrame,
+                           lags: Sequence[int] = (-3, -2, -1, 0, 1, 2, 3)
+                           ) -> DataFrame:
+    """Lagged cross-correlation between two (m, c) bucket-count series:
+    Pearson r between a(m) and b(m + lag) per lag — the lead-lag
+    discovery scan (does the error rate LEAD the purchase dip, and by
+    how many hours?), the two-series sibling of
+    :func:`autocorr_from_counts`.
+
+    Same scale discipline: PAIRWISE-PRESENT buckets only (no dense
+    spine — zero-filling a sparse corpus timeline is a single-task
+    explode at scale); each lag is a narrow equi-join on the shifted
+    bucket id after a broadcast lag fan-out, so the whole scan is one
+    shuffle of the bucket-cardinality frames; sufficient stats are
+    exact bigints cast to double BEFORE every cross product (overflow
+    discipline — at corpus bucket counts n·Σxy leaves int64 first).
+    Degenerate lags (either margin constant) emit NULL under the ANSI
+    guard.
+
+    Returns ``(lag, n_pairs, r)``.
+    """
+    spark = a.sparkSession
+    lagdf = spark.createDataFrame([(int(lg),) for lg in lags], "lag int")
+    left = a.crossJoin(F.broadcast(lagdf))
+    right = b.select(F.col("m").alias("m2"), F.col("c").alias("c2"))
+    paired = left.join(right, F.col("m") + F.col("lag") == F.col("m2"))
+    s = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum("c2").cast("bigint").alias("sy"),
+        F.sum(F.col("c") * F.col("c2")).cast("bigint").alias("sxy"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sxx"),
+        F.sum(F.col("c2") * F.col("c2")).cast("bigint").alias("syy"))
+    nd = F.col("n_pairs").cast("double")
+    num = nd * F.col("sxy").cast("double") - (
+        F.col("sx").cast("double") * F.col("sy").cast("double"))
+    dx = nd * F.col("sxx").cast("double") - (
+        F.col("sx").cast("double") * F.col("sx").cast("double"))
+    dy = nd * F.col("syy").cast("double") - (
+        F.col("sy").cast("double") * F.col("sy").cast("double"))
+    return s.select(
+        "lag", "n_pairs",
+        F.when((dx > 0.0) & (dy > 0.0),
+               num / F.sqrt(dx * dy)).alias("r")).orderBy("lag")

@@ -257,3 +257,39 @@ def hist2d(df: DataFrame, x: str, y: str, min_n: int = 1) -> DataFrame:
              / (F.col("n_x").cast("double") * F.col("n_y"))).alias("lift"),
         )
     )
+
+
+def freshness_lag(df: DataFrame, key: str, ts_col: str = "ts") -> DataFrame:
+    """Per-``key`` data-freshness audit: how far each key's newest row
+    lags behind the table's global high-water mark, plus the mean
+    arrival gap — the staleness monitor a 100 TB ingest runs per
+    source/partition before trusting a downstream window (a silently
+    stalled producer shows up as staleness_us >> its own mean gap long
+    before volume alarms fire).
+
+    One map-side-combinable per-key (min, max, count) reduction; the
+    global maximum is the broadcast of that key-cardinality frame's
+    1-row re-aggregate (never a global window). All epoch math is
+    exact int64 micros; ``mean_gap_us`` is the single division
+    (max-min)/(n-1) of exact integers, NULL for single-row keys
+    (ANSI guard).
+
+    Returns ``(key, n, last_us, staleness_us, mean_gap_us)``.
+    """
+    tsu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per = (df.where(F.col(key).isNotNull() & F.col(ts_col).isNotNull())
+           .groupBy(key).agg(
+               F.count(F.lit(1)).cast("bigint").alias("n"),
+               F.min(tsu).cast("bigint").alias("_first_us"),
+               F.max(tsu).cast("bigint").alias("last_us")))
+    glob = per.agg(F.max("last_us").cast("bigint").alias("_hwm"))
+    return (per.crossJoin(F.broadcast(glob))
+            .select(
+                key, "n", "last_us",
+                (F.col("_hwm") - F.col("last_us")).cast("bigint")
+                .alias("staleness_us"),
+                F.when(F.col("n") > 1,
+                       (F.col("last_us") - F.col("_first_us"))
+                       .cast("double")
+                       / (F.col("n") - 1).cast("double"))
+                .alias("mean_gap_us")))

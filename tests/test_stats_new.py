@@ -950,3 +950,52 @@ def test_sequence_match_hand_case(spark):
     assert out["tt"].n_match == 1
     assert out["s_u"].n_match == 1
     assert abs(out["uta"].share - 1.0 / 3.0) < 1e-15
+
+
+def test_cross_corr_hand_cases(spark):
+    from logpipe_spark.operators.aggregate import cross_corr_from_counts
+
+    # b is a shifted one bucket right: at lag=+1 the paired series are
+    # identical -> r == 1.0 exactly (integer sufficient stats)
+    vals = [1, 5, 2, 8, 3, 9]
+    a = spark.createDataFrame(
+        [(m, v) for m, v in enumerate(vals)], "m long, c long")
+    b = spark.createDataFrame(
+        [(m + 1, v) for m, v in enumerate(vals)], "m long, c long")
+    out = {r.lag: r for r in
+           cross_corr_from_counts(a, b, lags=(0, 1)).collect()}
+    assert out[1].n_pairs == 6 and out[1].r == 1.0
+    # anti-correlated at lag 0: y = 10 - x -> r == -1.0
+    b2 = spark.createDataFrame(
+        [(m, 10 - v) for m, v in enumerate(vals)], "m long, c long")
+    out2 = {r.lag: r for r in
+            cross_corr_from_counts(a, b2, lags=(0,)).collect()}
+    assert out2[0].r == -1.0
+    # constant right margin -> zero variance -> NULL (ANSI guard)
+    b3 = spark.createDataFrame(
+        [(m, 4) for m in range(6)], "m long, c long")
+    out3 = cross_corr_from_counts(a, b3, lags=(0,)).collect()
+    assert out3[0].r is None
+    # pairwise-present only: disjoint buckets produce no row for the lag
+    b4 = spark.createDataFrame([(100, 1)], "m long, c long")
+    assert cross_corr_from_counts(a, b4, lags=(0,)).count() == 0
+
+
+def test_freshness_lag_hand_case(spark):
+    from logpipe_spark.operators.profile import freshness_lag
+
+    rows = [
+        ("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 00:00:10"),
+        ("a", "2024-01-01 00:00:30"),
+        ("b", "2024-01-01 00:01:00"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r.k: r for r in freshness_lag(df, "k").collect()}
+    # key a: 3 rows spanning 30s -> mean gap 15s; hwm is key b's ts
+    assert out["a"].n == 3
+    assert out["a"].staleness_us == 30_000_000
+    assert out["a"].mean_gap_us == 15_000_000.0
+    # key b: newest row -> zero staleness; single row -> NULL gap
+    assert out["b"].staleness_us == 0
+    assert out["b"].mean_gap_us is None
