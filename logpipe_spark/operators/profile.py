@@ -276,12 +276,28 @@ def freshness_lag(df: DataFrame, key: str, ts_col: str = "ts") -> DataFrame:
 
     Returns ``(key, n, last_us, staleness_us, mean_gap_us)``.
     """
+    return freshness_report(freshness_partials(df, key, ts_col), key)
+
+
+def freshness_partials(df: DataFrame, key: str,
+                       ts_col: str = "ts") -> DataFrame:
+    """Per-``key`` (n, first_us, last_us) freshness state — every field
+    a monoid (SUM / MIN / MAX), so per-segment partials merge to exactly
+    the full-corpus state (the health_partials discipline; streaming
+    twin: ``stream_freshness``/``read_freshness``)."""
     tsu = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    per = (df.where(F.col(key).isNotNull() & F.col(ts_col).isNotNull())
-           .groupBy(key).agg(
-               F.count(F.lit(1)).cast("bigint").alias("n"),
-               F.min(tsu).cast("bigint").alias("_first_us"),
-               F.max(tsu).cast("bigint").alias("last_us")))
+    return (df.where(F.col(key).isNotNull() & F.col(ts_col).isNotNull())
+            .groupBy(key).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min(tsu).cast("bigint").alias("first_us"),
+                F.max(tsu).cast("bigint").alias("last_us")))
+
+
+def freshness_report(per: DataFrame, key: str) -> DataFrame:
+    """Fold merged freshness partials to the staleness scorecard (see
+    :func:`freshness_lag`)."""
+    per = per.select(key, "n", F.col("first_us").alias("_first_us"),
+                     "last_us")
     glob = per.agg(F.max("last_us").cast("bigint").alias("_hwm"))
     return (per.crossJoin(F.broadcast(glob))
             .select(

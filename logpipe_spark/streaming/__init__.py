@@ -46,6 +46,8 @@ from logpipe_spark.streaming.stream import (  # noqa: F401
     stream_golden_record,
     read_golden_record,
     stream_slo_incremental,
+    stream_freshness,
+    read_freshness,
     read_slo_burn,
     run_stream_once,
     stream_route_fanout,

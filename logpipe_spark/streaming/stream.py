@@ -1428,3 +1428,40 @@ def apdex_report(partials: DataFrame) -> DataFrame:
         "tool", "n_turns", "n_satisfied", "n_tolerating",
         ((2 * F.col("n_satisfied") + F.col("n_tolerating")).cast("double")
          / (2 * F.col("n_turns")).cast("double")).alias("apdex"))
+
+
+def stream_freshness(spark: SparkSession, src: str, state_dir: str,
+                     checkpoint_dir: str, key: str = "role",
+                     max_files_per_trigger: int | None = None):
+    """Streaming data-freshness monitor: each micro-batch writes ITS OWN
+    per-``key`` (n, first_us, last_us) partials to
+    ``{state_dir}/epoch=<id>`` (overwrite → idempotent on replay).
+    Every field is a monoid (SUM / MIN / MAX), so
+    :func:`read_freshness` is IDENTICAL to the batch
+    ``freshness_lag`` over the whole corpus (two-pacing parity in
+    tests — the health/golden epoch-partials pattern)."""
+    from logpipe_spark.operators.profile import freshness_partials
+
+    stream = stream_transcripts(spark, src,
+                                max_files_per_trigger=max_files_per_trigger)
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        (freshness_partials(df, key).coalesce(1).write.mode("overwrite")
+         .parquet(f"{state_dir}/epoch={epoch_id}"))
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir))
+
+
+def read_freshness(spark: SparkSession, state_dir: str,
+                   key: str = "role") -> DataFrame:
+    """Merge every epoch's freshness partials (SUM/MIN/MAX — the monoid
+    op) and fold to the staleness scorecard == batch freshness_lag."""
+    from logpipe_spark.operators.profile import freshness_report
+
+    merged = (spark.read.parquet(state_dir)
+              .groupBy(key)
+              .agg(F.sum("n").cast("bigint").alias("n"),
+                   F.min("first_us").cast("bigint").alias("first_us"),
+                   F.max("last_us").cast("bigint").alias("last_us")))
+    return freshness_report(merged, key)

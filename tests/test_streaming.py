@@ -904,3 +904,26 @@ def test_stream_apdex_matches_batch(spark, stream_dir, tmp_path):
         got = {r.tool: (r.n_turns, r.n_satisfied, r.n_tolerating, r.apdex)
                for r in apdex_report(partials).collect()}
         assert got == want, f"mft={mft}"
+
+
+def test_stream_freshness_equals_batch(spark, stream_dir, tmp_path):
+    """Freshness monoid: per-epoch (key, n, first_us, last_us) partials
+    (SUM/MIN/MAX) merged across the stream == the batch freshness_lag
+    scorecard over the whole corpus. Both pacings."""
+    from logpipe_spark.operators.profile import freshness_lag
+    from logpipe_spark.streaming import read_freshness, stream_freshness
+
+    batch = spark.read.parquet(stream_dir)
+    want = sorted(map(tuple, freshness_lag(batch, "role").collect()))
+    assert len(want) >= 2
+    assert any(r[3] > 0 for r in want)      # some key is stale vs hwm
+    assert all(r[1] is not None for r in want)
+
+    for mft, tag in ((1, "paced"), (None, "oneshot")):
+        state = str(tmp_path / f"fresh_state_{tag}")
+        writer = stream_freshness(
+            spark, stream_dir, state, str(tmp_path / f"ckf_{tag}"),
+            key="role", max_files_per_trigger=mft)
+        run_stream_once(writer)
+        got = sorted(map(tuple, read_freshness(spark, state, "role").collect()))
+        assert got == want, tag
