@@ -6722,6 +6722,44 @@ def q_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, lags=(-3, -2, -1, 0, 1, 2, 3))
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DPO-style chosen/rejected mining (curate.preference_pairs): per
+    # conv the longest assistant turn vs the shortest, kept when the
+    # margin clears 1 char. Two PARTITIONED rank windows under total
+    # orders (deterministic tiebreak on turn_idx), integer margins.
+    from logpipe_spark.trainprep.curate import preference_pairs
+    t = _t(spark, sf_dir).where(F.col("role") == "assistant")
+    return preference_pairs(
+        t.select("conv_id", "turn_idx", "text"),
+        "conv_id", "turn_idx", F.length("text").cast("bigint"))
+
+
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bradley-Terry tool ranking (graph.bradley_terry): per conv each
+    # tool scores assistant-turns minus error-turns; every distinct
+    # tool pair in a conv yields a win for the higher score; two MM
+    # rounds with ordered per-item folds (== DuckDB list_reduce) give
+    # the strength fit. p_i + p_j > 0 is structural (whoever won their
+    # shared game has wins >= 1), so no ANSI division guard is needed.
+    from logpipe_spark.operators.graph import bradley_terry
+    t = _t(spark, sf_dir).where(F.col("tool") != "none")
+    sc = t.groupBy("conv_id", "tool").agg(
+        (F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+         - F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)))
+        .cast("bigint").alias("s"))
+    b = sc.select(F.col("conv_id"), F.col("tool").alias("tool_b"),
+                  F.col("s").alias("s_b"))
+    pr = (sc.join(b, "conv_id")
+          .where(F.col("tool") < F.col("tool_b"))
+          .where(F.col("s") != F.col("s_b"))
+          .select(
+              F.when(F.col("s") > F.col("s_b"), F.col("tool"))
+              .otherwise(F.col("tool_b")).alias("winner"),
+              F.when(F.col("s") > F.col("s_b"), F.col("tool_b"))
+              .otherwise(F.col("tool")).alias("loser")))
+    return bradley_terry(pr, iters=2)
+
+
 def q_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-source data-freshness audit (profile.freshness_lag): staleness
     # of each event type's newest row behind the global high-water mark
@@ -7114,6 +7152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "cross_corr": q_cross_corr,
         "freshness_lag": q_freshness_lag,
+        "preference_pairs": q_preference_pairs,
+        "bradley_terry": q_bradley_terry,
     }
 
 
@@ -12820,4 +12860,65 @@ SELECT event_type, n, last_us,
                  / cast(n - 1 AS double)
        END AS mean_gap_us
 FROM per, g"""
+    # Two rank windows under the same total orders; margin filter on
+    # exact integer scores.
+    oracles["preference_pairs"] = f"""{_oracle_prefix()},
+s AS (SELECT conv_id AS g, turn_idx AS id,
+             cast(length(text) AS bigint) AS sc
+      FROM transcripts WHERE role = 'assistant'),
+hi AS (SELECT g, id AS chosen_id, sc AS chosen_score,
+              row_number() OVER (PARTITION BY g
+                                 ORDER BY sc DESC, id ASC) AS rn
+       FROM s),
+lo AS (SELECT g, id AS rejected_id, sc AS rejected_score,
+              row_number() OVER (PARTITION BY g
+                                 ORDER BY sc ASC, id ASC) AS rn
+       FROM s)
+SELECT hi.g AS conv_id, chosen_id, chosen_score,
+       rejected_id, rejected_score,
+       chosen_score - rejected_score AS margin
+FROM hi JOIN lo ON hi.g = lo.g AND hi.rn = 1 AND lo.rn = 1
+WHERE chosen_score - rejected_score >= 1"""
+    # Pair mining verbatim, then both MM rounds unrolled; each per-item
+    # denominator is list_reduce over opponents ORDER BY j with a
+    # prepended 0.0 seed == the engine's left-to-right aggregate() fold.
+    oracles["bradley_terry"] = f"""{_oracle_prefix()},
+sc AS (SELECT conv_id, tool,
+              cast(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                   - sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                   AS bigint) AS s
+       FROM transcripts WHERE tool <> 'none' GROUP BY conv_id, tool),
+pr AS (SELECT CASE WHEN a.s > b.s THEN a.tool ELSE b.tool END AS winner,
+              CASE WHEN a.s > b.s THEN b.tool ELSE a.tool END AS loser
+       FROM sc a JOIN sc b ON a.conv_id = b.conv_id AND a.tool < b.tool
+       WHERE a.s <> b.s),
+g AS (SELECT winner AS i, loser AS j, cast(count(*) AS bigint) AS n
+      FROM pr GROUP BY i, j),
+sym AS (SELECT i, j, cast(sum(n) AS bigint) AS n
+        FROM (SELECT i, j, n FROM g
+              UNION ALL SELECT j AS i, i AS j, n FROM g) u
+        GROUP BY i, j),
+wt AS (SELECT i, cast(sum(n) AS bigint) AS wins FROM g GROUP BY i),
+base AS (SELECT sym.i, cast(coalesce(wt.wins, 0) AS bigint) AS wins,
+                cast(sum(sym.n) AS bigint) AS games
+         FROM sym LEFT JOIN wt ON sym.i = wt.i GROUP BY sym.i, wt.wins),
+p0 AS (SELECT i, cast(1 AS double) AS p FROM base),
+t1 AS (SELECT s.i, s.j, cast(s.n AS double) / (pi.p + pj.p) AS t
+       FROM sym s JOIN p0 pi ON s.i = pi.i JOIN p0 pj ON s.j = pj.i),
+d1 AS (SELECT i, list_reduce(list_prepend(cast(0 AS double),
+                                          list(t ORDER BY j)),
+                             (acc, v) -> acc + v) AS d
+       FROM t1 GROUP BY i),
+p1 AS (SELECT base.i, cast(base.wins AS double) / d1.d AS p
+       FROM base JOIN d1 ON base.i = d1.i),
+t2 AS (SELECT s.i, s.j, cast(s.n AS double) / (pi.p + pj.p) AS t
+       FROM sym s JOIN p1 pi ON s.i = pi.i JOIN p1 pj ON s.j = pj.i),
+d2 AS (SELECT i, list_reduce(list_prepend(cast(0 AS double),
+                                          list(t ORDER BY j)),
+                             (acc, v) -> acc + v) AS d
+       FROM t2 GROUP BY i),
+p2 AS (SELECT base.i, cast(base.wins AS double) / d2.d AS p
+       FROM base JOIN d2 ON base.i = d2.i)
+SELECT base.i AS item, base.wins, base.games, p2.p AS strength
+FROM base JOIN p2 ON base.i = p2.i"""
     return oracles

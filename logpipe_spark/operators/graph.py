@@ -201,3 +201,64 @@ def reciprocity(edges: DataFrame, src: str = "src",
                            F.col("n_mutual").cast("double")
                            / F.col("n_edges"))
                     .alias("reciprocity")))
+
+
+def bradley_terry(pairs: DataFrame, winner_col: str = "winner",
+                  loser_col: str = "loser", iters: int = 2) -> DataFrame:
+    """Bradley–Terry strength estimation from pairwise outcomes — the
+    preference-ranking fit behind reward-model data curation (which
+    source/policy wins head-to-head comparisons), via ``iters`` rounds
+    of the MM update (Hunter, Ann. Statist. 2004):
+    ``p_i <- W_i / sum_j n_ij / (p_i + p_j)`` from ``p0 = 1``.
+
+    Scale shape: outcomes collapse to the item-pair matrix in ONE
+    map-side-combinable groupBy; each MM round is two broadcast-sized
+    joins against the item-cardinality strength frame plus a PARTITIONED
+    per-item fold. Determinism: the per-item denominator is an ordered
+    left-to-right ``aggregate()`` fold over opponents sorted by id
+    (== DuckDB ``list_reduce`` with a prepended 0.0 seed, the
+    ewma/kmeans discipline), so every double op replays bit-identically;
+    the oracle unrolls the same ``iters`` rounds. Division safety is
+    structural: if i and j ever played, one of them won that game, so
+    ``p_i + p_j > 0`` at every round (a 0-win item's strength collapses
+    to exactly 0.0 in round 1 and stays there).
+
+    Returns ``(item, wins, games, strength)`` after ``iters`` rounds
+    (unnormalized — ratios are the meaningful quantity).
+    """
+    g = (pairs.where(F.col(winner_col).isNotNull()
+                     & F.col(loser_col).isNotNull())
+         .groupBy(F.col(winner_col).alias("i"), F.col(loser_col).alias("j"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    sym = (g.select("i", "j", "n")
+           .unionAll(g.select(F.col("j").alias("i"), F.col("i").alias("j"),
+                              "n"))
+           .groupBy("i", "j").agg(F.sum("n").cast("bigint").alias("n")))
+    wtot = g.groupBy("i").agg(F.sum("n").cast("bigint").alias("wins"))
+    base = (sym.groupBy("i")
+            .agg(F.sum("n").cast("bigint").alias("games"))
+            .join(wtot, "i", "left")
+            .select("i", F.coalesce("wins", F.lit(0)).cast("bigint")
+                    .alias("wins"), "games"))
+    p = base.select("i", F.lit(1.0).alias("p"))
+    for _ in range(iters):
+        terms = (sym
+                 .join(p.select(F.col("i"), F.col("p").alias("_pi")), "i")
+                 .join(p.select(F.col("i").alias("j"),
+                                F.col("p").alias("_pj")), "j")
+                 .select("i", "j",
+                         (F.col("n").cast("double")
+                          / (F.col("_pi") + F.col("_pj"))).alias("_t")))
+        denom = (terms.groupBy("i")
+                 .agg(F.array_sort(F.collect_list(F.struct("j", "_t")))
+                      .alias("_h"))
+                 .select("i", F.expr(
+                     "aggregate(transform(_h, s -> s._t), "
+                     "cast(0.0 AS double), (acc, v) -> acc + v)")
+                     .alias("_d")))
+        p = (base.join(denom, "i")
+             .select("i", (F.col("wins").cast("double") / F.col("_d"))
+                     .alias("p")))
+    return (base.join(p, "i")
+            .select(F.col("i").alias("item"), "wins", "games",
+                    F.col("p").alias("strength")))

@@ -813,3 +813,46 @@ def span_corruption_plan(docs: DataFrame, text_col: str = "text",
             (F.coalesce("masked_tokens", F.lit(0)).cast("double")
              / F.col("n_tokens")).alias("mask_ratio"))
     )
+
+
+def preference_pairs(cands: DataFrame, group_col: str, cand_col: str,
+                     score, min_margin: int = 1) -> DataFrame:
+    """DPO/RLHF preference-pair mining: per ``group_col`` prompt group,
+    the best-scoring candidate becomes ``chosen`` and the worst becomes
+    ``rejected``, kept only when the margin clears ``min_margin`` —
+    the chosen/rejected extraction every preference-tuning corpus needs
+    (Rafailov et al. 2023 take exactly this pair shape as input).
+
+    Two PARTITIONED rank windows under total orders (score desc/asc
+    with the candidate id as tiebreak — deterministic under ties, the
+    golden_record discipline), joined back on the group. Groups with a
+    single candidate or an all-tied score margin < ``min_margin`` drop
+    out structurally (chosen == rejected ⇒ margin 0). Margins stay
+    exact integers when ``score`` is integer-valued.
+
+    Returns ``(group, chosen_id, chosen_score, rejected_id,
+    rejected_score, margin)``.
+    """
+    s = cands.where(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), F.col(cand_col).alias("_id"),
+        score.alias("_s"))
+    w_hi = Window.partitionBy("_g").orderBy(
+        F.col("_s").desc(), F.col("_id").asc())
+    w_lo = Window.partitionBy("_g").orderBy(
+        F.col("_s").asc(), F.col("_id").asc())
+    hi = (s.withColumn("_rn", F.row_number().over(w_hi))
+          .where(F.col("_rn") == 1)
+          .select(F.col("_g"), F.col("_id").alias("chosen_id"),
+                  F.col("_s").alias("chosen_score")))
+    lo = (s.withColumn("_rn", F.row_number().over(w_lo))
+          .where(F.col("_rn") == 1)
+          .select(F.col("_g"), F.col("_id").alias("rejected_id"),
+                  F.col("_s").alias("rejected_score")))
+    return (hi.join(lo, "_g")
+            .where((F.col("chosen_score") - F.col("rejected_score"))
+                   >= min_margin)
+            .select(F.col("_g").alias(group_col),
+                    "chosen_id", "chosen_score",
+                    "rejected_id", "rejected_score",
+                    (F.col("chosen_score") - F.col("rejected_score"))
+                    .alias("margin")))

@@ -999,3 +999,54 @@ def test_freshness_lag_hand_case(spark):
     # key b: newest row -> zero staleness; single row -> NULL gap
     assert out["b"].staleness_us == 0
     assert out["b"].mean_gap_us is None
+
+
+def test_bradley_terry_hand_cases(spark):
+    from logpipe_spark.operators.graph import bradley_terry
+
+    # A beats B 3:1 -> MM fixed point p_A=1.5, p_B=0.5 (reached in one
+    # round and stable), i.e. P(A beats B) = 0.75 = 3/4
+    rows = [("a", "b")] * 3 + [("b", "a")]
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    out = {r.item: r for r in bradley_terry(df, iters=2).collect()}
+    assert out["a"].wins == 3 and out["a"].games == 4
+    assert out["a"].strength == 1.5 and out["b"].strength == 0.5
+    # chain a>b (x2), b>c (x2): replay the two MM rounds in python
+    # floats (fold order: opponents sorted by id)
+    rows2 = [("a", "b")] * 2 + [("b", "c")] * 2
+    df2 = spark.createDataFrame(rows2, "winner string, loser string")
+    out2 = {r.item: r for r in bradley_terry(df2, iters=2).collect()}
+    pa, pb, pc = 1.0, 1.0, 1.0
+    for _ in range(2):
+        da = (0.0 + 2.0 / (pa + pb))
+        db = (0.0 + 2.0 / (pb + pa)) + 2.0 / (pb + pc)
+        dc = (0.0 + 2.0 / (pc + pb))
+        pa, pb, pc = 2.0 / da, 2.0 / db, 0.0 / dc
+    assert out2["a"].strength == pa
+    assert out2["b"].strength == pb
+    assert out2["c"].strength == 0.0   # 0-win item collapses exactly
+    assert out2["b"].wins == 2 and out2["b"].games == 4
+
+
+def test_preference_pairs_hand_case(spark):
+    from logpipe_spark.trainprep.curate import preference_pairs
+
+    rows = [
+        ("c1", 0, "short"), ("c1", 1, "the longest answer"),
+        ("c1", 2, "middle one"),
+        ("c2", 0, "same"), ("c2", 1, "same"),      # all tied -> dropped
+        ("c3", 0, "only one"),                      # single cand -> dropped
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = preference_pairs(
+        df, "conv_id", "turn_idx", F.length("text").cast("bigint")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.conv_id == "c1" and r.chosen_id == 1 and r.rejected_id == 0
+    assert r.margin == len("the longest answer") - len("short")
+    # tie on score breaks toward the lower turn_idx on both ends
+    rows2 = [("c4", 0, "aa"), ("c4", 1, "aa"), ("c4", 2, "bbbb")]
+    df2 = spark.createDataFrame(rows2, "conv_id string, turn_idx int, text string")
+    r2 = preference_pairs(
+        df2, "conv_id", "turn_idx", F.length("text").cast("bigint")).collect()[0]
+    assert r2.chosen_id == 2 and r2.rejected_id == 0
