@@ -1994,11 +1994,24 @@ def kendall_tau(
         F.col(key).alias("_k"), F.col(id_col).alias("_id"),
         F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
     if max_rows is not None:
-        wcap = Window.partitionBy("_k").orderBy(
-            F.md5(F.col("_id").cast("string")), F.col("_id"))
-        base = (base
-                .withColumn("_rn", F.row_number().over(wcap))
-                .where(F.col("_rn") <= max_rows).drop("_rn"))
+        # Two-level exact cap (the postings/bucketed-prefix monoid
+        # argument: the k md5-smallest of a union are a subset of the
+        # union of per-bucket k-smallests): level 1 prunes inside
+        # (key, salt) buckets — parallelism keys*salts, spill-safe —
+        # so the level-2 per-key window sorts at most salts*max_rows
+        # rows instead of the whole group (a 12-group corpus-sized
+        # window was the measured bottleneck: bench/stats4_scale.py).
+        salts = 64
+        h = F.md5(F.col("_id").cast("string"))
+        base = base.withColumn("_h", h).withColumn(
+            "_salt", F.pmod(F.hash(F.col("_id")), F.lit(salts)))
+        w1 = Window.partitionBy("_k", "_salt").orderBy(
+            F.col("_h"), F.col("_id"))
+        lvl1 = (base.withColumn("_rn", F.row_number().over(w1))
+                .where(F.col("_rn") <= max_rows).drop("_rn", "_salt"))
+        w2 = Window.partitionBy("_k").orderBy(F.col("_h"), F.col("_id"))
+        base = (lvl1.withColumn("_rn", F.row_number().over(w2))
+                .where(F.col("_rn") <= max_rows).drop("_rn", "_h"))
     n_per = base.groupBy("_k").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"))
     b = base.select(
