@@ -6760,6 +6760,47 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bradley_terry(pr, iters=2)
 
 
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Difference-in-differences (drift.diff_in_diff): treated = users
+    # with a pre-period error, outcome = purchase cents, periods split
+    # at the corpus midpoint (integer micros, non-negative div ==
+    # DuckDB //). Corpus collapses to four (treated, post) cells in
+    # one combinable shuffle; DiD from exact int64 cell sums.
+    from logpipe_spark.operators.drift import diff_in_diff
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()).select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        .alias("cents"))
+    b = ev.agg(F.expr("min(tsu) + ((max(tsu) - min(tsu)) div 2)")
+               .alias("_tmid"))
+    ev2 = (ev.crossJoin(F.broadcast(b))
+           .withColumn("post", F.col("tsu") >= F.col("_tmid")))
+    tr = (ev2.where((F.col("event_type") == "error") & ~F.col("post"))
+          .select("user_id").distinct().withColumn("_tr", F.lit(1)))
+    p = (ev2.where(F.col("event_type") == "purchase")
+         .join(tr, "user_id", "left"))
+    return diff_in_diff(p, F.col("_tr").isNotNull(), F.col("post"),
+                        F.col("cents"))
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fleiss' kappa across three heuristic quality raters (length,
+    # token count, TTR) per document (aggregate.fleiss_kappa) — the
+    # annotation-agreement QA gate. The split materializes ONCE before
+    # fan-out (the CollapseProject 25x lesson); three exact int64 sums.
+    from logpipe_spark.operators.aggregate import fleiss_kappa
+    d = (_docs(spark, sf_dir).where(F.col("text").isNotNull())
+         .select("text", F.split(F.col("text"), " ").alias("_w")))
+    g = (F.when(F.length("text") >= 300, 1).otherwise(0)
+         + F.when(F.size("_w") >= 50, 1).otherwise(0)
+         + F.when(2 * F.size(F.array_distinct(F.col("_w")))
+                  >= F.size("_w"), 1).otherwise(0))
+    return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
+
+
 def q_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-source data-freshness audit (profile.freshness_lag): staleness
     # of each event type's newest row behind the global high-water mark
@@ -7154,6 +7195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_lag": q_freshness_lag,
         "preference_pairs": q_preference_pairs,
         "bradley_terry": q_bradley_terry,
+        "diff_in_diff": q_diff_in_diff,
+        "fleiss_kappa": q_fleiss_kappa,
     }
 
 
@@ -12921,4 +12964,74 @@ p2 AS (SELECT base.i, cast(base.wins AS double) / d2.d AS p
        FROM base JOIN d2 ON base.i = d2.i)
 SELECT base.i AS item, base.wins, base.games, p2.p AS strength
 FROM base JOIN p2 ON base.i = p2.i"""
+    # Midpoint split via non-negative integer // == Spark div; four
+    # exact cell sums; the DiD combines means in the engine's order.
+    oracles["diff_in_diff"] = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tsu,
+         cast(floor(value * 100 + 0.5) AS bigint) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+b AS (SELECT min(tsu) + (max(tsu) - min(tsu)) // 2 AS tmid FROM ev),
+ev2 AS (SELECT user_id, event_type, cents, tsu >= tmid AS post
+        FROM ev, b),
+tr AS (SELECT DISTINCT user_id FROM ev2
+       WHERE event_type = 'error' AND NOT post),
+p AS (SELECT e.cents, e.post, tr.user_id IS NOT NULL AS treated
+      FROM ev2 e LEFT JOIN tr ON e.user_id = tr.user_id
+      WHERE e.event_type = 'purchase'),
+cells AS (SELECT treated, post, cast(count(*) AS bigint) AS n,
+                 cast(sum(cents) AS bigint) AS s
+          FROM p GROUP BY treated, post),
+one AS (SELECT
+  cast(sum(CASE WHEN treated AND post THEN n END) AS bigint) AS n_tp,
+  cast(sum(CASE WHEN treated AND NOT post THEN n END) AS bigint) AS n_tr,
+  cast(sum(CASE WHEN NOT treated AND post THEN n END) AS bigint) AS n_cp,
+  cast(sum(CASE WHEN NOT treated AND NOT post THEN n END) AS bigint)
+    AS n_cr,
+  cast(sum(CASE WHEN treated AND post THEN s END) AS bigint) AS s_tp,
+  cast(sum(CASE WHEN treated AND NOT post THEN s END) AS bigint) AS s_tr,
+  cast(sum(CASE WHEN NOT treated AND post THEN s END) AS bigint) AS s_cp,
+  cast(sum(CASE WHEN NOT treated AND NOT post THEN s END) AS bigint)
+    AS s_cr
+  FROM cells),
+f AS (SELECT *,
+        n_tp > 0 AND n_tr > 0 AND n_cp > 0 AND n_cr > 0 AS ok,
+        cast(s_tp AS double) / cast(n_tp AS double) AS m_tp,
+        cast(s_tr AS double) / cast(n_tr AS double) AS m_tr,
+        cast(s_cp AS double) / cast(n_cp AS double) AS m_cp,
+        cast(s_cr AS double) / cast(n_cr AS double) AS m_cr
+      FROM one)
+SELECT n_tp, n_tr, n_cp, n_cr,
+       CASE WHEN ok THEN m_tp END AS m_treat_post,
+       CASE WHEN ok THEN m_tr END AS m_treat_pre,
+       CASE WHEN ok THEN m_cp END AS m_ctrl_post,
+       CASE WHEN ok THEN m_cr END AS m_ctrl_pre,
+       CASE WHEN ok THEN (m_tp - m_tr) - (m_cp - m_cr) END AS did
+FROM f"""
+    # The split materializes once; three exact int64 sums; every
+    # division mirrors the engine's (n*3.0)-first grouping.
+    oracles["fleiss_kappa"] = """
+WITH w AS (SELECT text, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+v AS (SELECT (CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END
+            + CASE WHEN len(w) >= 50 THEN 1 ELSE 0 END
+            + CASE WHEN 2 * len(list_distinct(w)) >= len(w)
+                   THEN 1 ELSE 0 END) AS g
+      FROM w),
+s AS (SELECT cast(count(*) AS bigint) AS n,
+             cast(sum(g * g + (3 - g) * (3 - g)) AS bigint) AS a,
+             cast(sum(g) AS bigint) AS cpos
+      FROM v),
+f AS (SELECT n,
+        (cast(a AS double) - cast(n AS double) * 3.0)
+          / (cast(n AS double) * 3.0 * 2.0) AS p_bar,
+        (cast(cpos AS double) * cast(cpos AS double)
+         + (cast(n AS double) * 3.0 - cast(cpos AS double))
+           * (cast(n AS double) * 3.0 - cast(cpos AS double)))
+          / (cast(n AS double) * 3.0 * (cast(n AS double) * 3.0)) AS p_e
+      FROM s)
+SELECT n AS n_items, p_bar, p_e,
+       CASE WHEN p_e < 1.0 THEN (p_bar - p_e) / (1.0 - p_e) END AS kappa
+FROM f"""
     return oracles

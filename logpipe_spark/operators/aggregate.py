@@ -2396,3 +2396,50 @@ def cross_corr_from_counts(a: DataFrame, b: DataFrame,
         "lag", "n_pairs",
         F.when((dx > 0.0) & (dy > 0.0),
                num / F.sqrt(dx * dy)).alias("r")).orderBy("lag")
+
+
+def fleiss_kappa(items: DataFrame, votes_col: str, raters: int,
+                 categories: int = 2) -> DataFrame:
+    """Fleiss' kappa for multi-rater agreement (Fleiss, Psych. Bull.
+    1971) over a BINARY category, generalizing :func:`cohens_kappa`
+    past two raters — the annotation-QA gate a labeling pipeline runs
+    before trusting heuristic raters enough to train on their majority
+    vote. ``votes_col`` holds each item's count of "positive" votes
+    out of ``raters``.
+
+    Everything reduces to three exact int64 sums in ONE
+    map-side-combinable aggregate: A = sum_i sum_j n_ij² (with
+    n_i,pos = g and n_i,neg = raters - g), the positive-vote total,
+    and n. P̄ = (A - n·k)/(n·k·(k-1)) and P_e = (c_pos² + c_neg²)/(nk)²
+    are single divisions of those integers (cast to double BEFORE the
+    squares — overflow discipline), so kappa = (P̄ - P_e)/(1 - P_e) is
+    bit-identical to the oracle. Perfect-chance degeneracy (P_e = 1,
+    only possible when every vote lands in one category AND agreement
+    is perfect) yields NULL under the ANSI guard.
+
+    ``categories`` documents the binary contract (asserted); the
+    multi-category extension needs per-category counts, not one g.
+
+    Returns ONE row: ``(n_items, p_bar, p_e, kappa)``.
+    """
+    assert categories == 2, "binary-category contract (see docstring)"
+    k = raters
+    g = F.col(votes_col).cast("bigint")
+    s = items.where(g.isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(g * g + (F.lit(k) - g) * (F.lit(k) - g))
+        .cast("bigint").alias("a"),
+        F.sum(g).cast("bigint").alias("cpos"))
+    nd = F.col("n").cast("double")
+    nk = nd * F.lit(float(k))
+    cpos = F.col("cpos").cast("double")
+    cneg = nk - cpos
+    p_bar = (F.col("a").cast("double") - nk) / (
+        nk * F.lit(float(k - 1)))
+    p_e = (cpos * cpos + cneg * cneg) / (nk * nk)
+    return s.select(
+        F.col("n").alias("n_items"),
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+        F.when(p_e < 1.0, (p_bar - p_e) / (F.lit(1.0) - p_e))
+        .alias("kappa"))

@@ -2038,3 +2038,61 @@ def kendall_tau(
                            (F.col("concordant") - F.col("discordant"))
                            .cast("double") / den)
                     .alias("tau_b")))
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat: Column,
+    post: Column,
+    value: Column,
+) -> DataFrame:
+    """Difference-in-differences effect estimate (Card & Krueger, AER
+    1994): ``DiD = (ȳ_treat,post - ȳ_treat,pre) - (ȳ_ctrl,post -
+    ȳ_ctrl,pre)`` — the two-period two-group causal workhorse for "did
+    the intervention move the metric beyond the secular trend".
+
+    ONE map-side-combinable groupBy collapses the corpus to the four
+    (treated, post) cells; the pivot to a single row is a conditional
+    re-aggregate of that 4-row frame. ``value`` must be integer-valued
+    (cents-style): the four sums stay exact int64, each mean is a
+    single division of exact integers, and the DiD combines them in
+    the oracle's exact order. Any empty cell yields NULL (the estimate
+    is undefined, and ANSI division would throw).
+
+    Returns ONE row: ``(n_tp, n_tr, n_cp, n_cr, m_treat_post,
+    m_treat_pre, m_ctrl_post, m_ctrl_pre, did)``.
+    """
+    cells = (df.where(treat.isNotNull() & post.isNotNull()
+                      & value.isNotNull())
+             .groupBy(treat.alias("_t"), post.alias("_p"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_n"),
+                  F.sum(value).cast("bigint").alias("_s")))
+
+    def cell(t: bool, p: bool, col: str):
+        return F.sum(F.when((F.col("_t") == t) & (F.col("_p") == p),
+                            F.col(col)))
+
+    one = cells.agg(
+        cell(True, True, "_n").cast("bigint").alias("n_tp"),
+        cell(True, False, "_n").cast("bigint").alias("n_tr"),
+        cell(False, True, "_n").cast("bigint").alias("n_cp"),
+        cell(False, False, "_n").cast("bigint").alias("n_cr"),
+        cell(True, True, "_s").cast("bigint").alias("_s_tp"),
+        cell(True, False, "_s").cast("bigint").alias("_s_tr"),
+        cell(False, True, "_s").cast("bigint").alias("_s_cp"),
+        cell(False, False, "_s").cast("bigint").alias("_s_cr"))
+    ok = ((F.col("n_tp") > 0) & (F.col("n_tr") > 0)
+          & (F.col("n_cp") > 0) & (F.col("n_cr") > 0))
+
+    def mean(s: str, n: str):
+        return F.col(s).cast("double") / F.col(n).cast("double")
+
+    m_tp, m_tr = mean("_s_tp", "n_tp"), mean("_s_tr", "n_tr")
+    m_cp, m_cr = mean("_s_cp", "n_cp"), mean("_s_cr", "n_cr")
+    return one.select(
+        "n_tp", "n_tr", "n_cp", "n_cr",
+        F.when(ok, m_tp).alias("m_treat_post"),
+        F.when(ok, m_tr).alias("m_treat_pre"),
+        F.when(ok, m_cp).alias("m_ctrl_post"),
+        F.when(ok, m_cr).alias("m_ctrl_pre"),
+        F.when(ok, (m_tp - m_tr) - (m_cp - m_cr)).alias("did"))

@@ -1050,3 +1050,48 @@ def test_preference_pairs_hand_case(spark):
     r2 = preference_pairs(
         df2, "conv_id", "turn_idx", F.length("text").cast("bigint")).collect()[0]
     assert r2.chosen_id == 2 and r2.rejected_id == 0
+
+
+def test_diff_in_diff_hand_case(spark):
+    from logpipe_spark.operators.drift import diff_in_diff
+
+    # treat: pre mean 10, post mean 14 (+4); ctrl: pre 20, post 21 (+1)
+    # -> DiD = +3
+    rows = (
+        [(True, False, 10)] * 2 + [(True, True, 14)] * 3
+        + [(False, False, 20)] * 2 + [(False, True, 21)] * 4)
+    df = spark.createDataFrame(rows, "t boolean, p boolean, v long")
+    r = diff_in_diff(df, F.col("t"), F.col("p"), F.col("v")).collect()[0]
+    assert (r.n_tp, r.n_tr, r.n_cp, r.n_cr) == (3, 2, 4, 2)
+    assert r.m_treat_post == 14.0 and r.m_ctrl_pre == 20.0
+    assert r.did == 3.0
+    # empty cell -> NULL estimate
+    rows2 = [(True, True, 1), (False, True, 2), (False, False, 3)]
+    df2 = spark.createDataFrame(rows2, "t boolean, p boolean, v long")
+    r2 = diff_in_diff(df2, F.col("t"), F.col("p"), F.col("v")).collect()[0]
+    assert r2.did is None and r2.m_treat_post is None
+
+
+def test_fleiss_kappa_hand_cases(spark):
+    from logpipe_spark.operators.aggregate import fleiss_kappa
+
+    # perfect agreement, both categories used: kappa = 1
+    df = spark.createDataFrame([(3,), (0,), (3,), (0,)], "votes int")
+    r = fleiss_kappa(df, "votes", raters=3).collect()[0]
+    assert r.n_items == 4 and r.p_bar == 1.0 and r.kappa == 1.0
+    # replay the textbook formula in python for a mixed case
+    votes = [3, 2, 1, 0, 2, 3]
+    df2 = spark.createDataFrame([(v,) for v in votes], "votes int")
+    r2 = fleiss_kappa(df2, "votes", raters=3).collect()[0]
+    n, k = float(len(votes)), 3.0
+    a = float(sum(g * g + (3 - g) * (3 - g) for g in votes))
+    cpos = float(sum(votes))
+    nk = n * k
+    p_bar = (a - nk) / (nk * 2.0)
+    p_e = (cpos * cpos + (nk - cpos) * (nk - cpos)) / (nk * nk)
+    assert r2.p_bar == p_bar and r2.p_e == p_e
+    assert r2.kappa == (p_bar - p_e) / (1.0 - p_e)
+    # unanimous single-category voting: P_e = 1 -> NULL (degenerate)
+    df3 = spark.createDataFrame([(3,), (3,)], "votes int")
+    r3 = fleiss_kappa(df3, "votes", raters=3).collect()[0]
+    assert r3.p_e == 1.0 and r3.kappa is None
