@@ -6801,6 +6801,47 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tukey box-plot scorecard per event type (aggregate.boxplot_stats):
+    # discrete quartiles (rank-based, actual elements — bit-identical
+    # cross-engine), integer IQR, and 1.5-IQR fence outlier counts via
+    # the doubled-operand integer compare (2v < 2*p25 - 3*IQR).
+    from logpipe_spark.operators.aggregate import boxplot_stats
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        .alias("cents"))
+    return boxplot_stats(ev, "event_type", "cents")
+
+
+def q_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # What-changed triage (aggregate.topk_movers): the 20 users whose
+    # event volume moved most between the two corpus halves. One
+    # conditional-count shuffle to user cardinality, then global top-k
+    # via orderBy().limit() (TakeOrderedAndProject, never a global rank
+    # window) under (|change| desc, user) with rank over the survivors.
+    from logpipe_spark.operators.aggregate import topk_movers
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"))
+    b = ev.agg(F.expr("min(tsu) + ((max(tsu) - min(tsu)) div 2)")
+               .alias("_tmid"))
+    ev2 = ev.crossJoin(F.broadcast(b))
+    return topk_movers(ev2, "user_id",
+                       F.col("tsu") >= F.col("_tmid"), k=20)
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tokenizer-coverage screen (textqual.oov_rate): per-source OOV
+    # rate against the corpus' own top-1000 token vocabulary —
+    # TakeOrderedAndProject top-k under (count desc, token asc),
+    # broadcast back onto the token stream, exact integer rate.
+    return tq.oov_rate(_docs(spark, sf_dir), vocab_size=1000)
+
+
 def q_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-source data-freshness audit (profile.freshness_lag): staleness
     # of each event type's newest row behind the global high-water mark
@@ -7197,6 +7238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bradley_terry": q_bradley_terry,
         "diff_in_diff": q_diff_in_diff,
         "fleiss_kappa": q_fleiss_kappa,
+        "boxplot_stats": q_boxplot_stats,
+        "topk_movers": q_topk_movers,
+        "oov_rate": q_oov_rate,
     }
 
 
@@ -13034,4 +13078,70 @@ f AS (SELECT n,
 SELECT n AS n_items, p_bar, p_e,
        CASE WHEN p_e < 1.0 THEN (p_bar - p_e) / (1.0 - p_e) END AS kappa
 FROM f"""
+    # Rank-based quartiles (selected VALUE is order-independent among
+    # ties); doubled-operand integer fence compares.
+    oracles["boxplot_stats"] = """
+WITH e AS (SELECT event_type,
+                  cast(floor(value * 100 + 0.5) AS bigint) AS v
+           FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+r AS (SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e),
+q AS (SELECT event_type,
+        max(CASE WHEN rn = cast(ceil(0.25 * n) AS bigint)
+                 THEN v END) AS p25,
+        max(CASE WHEN rn = cast(ceil(0.5 * n) AS bigint)
+                 THEN v END) AS p50,
+        max(CASE WHEN rn = cast(ceil(0.75 * n) AS bigint)
+                 THEN v END) AS p75,
+        cast(max(n) AS bigint) AS n
+      FROM r GROUP BY event_type),
+o AS (SELECT e.event_type,
+        cast(sum(CASE WHEN 2 * e.v < 2 * q.p25 - 3 * (q.p75 - q.p25)
+                      THEN 1 ELSE 0 END) AS bigint) AS n_low,
+        cast(sum(CASE WHEN 2 * e.v > 2 * q.p75 + 3 * (q.p75 - q.p25)
+                      THEN 1 ELSE 0 END) AS bigint) AS n_high
+      FROM e JOIN q ON e.event_type = q.event_type
+      GROUP BY e.event_type)
+SELECT q.event_type, q.n, p25, p50, p75, p75 - p25 AS iqr,
+       n_low, n_high
+FROM q JOIN o ON q.event_type = o.event_type"""
+    # Midpoint split as in diff_in_diff; LIMIT under the same total
+    # order as the engine's TakeOrderedAndProject.
+    oracles["topk_movers"] = """
+WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+b AS (SELECT min(tsu) + (max(tsu) - min(tsu)) // 2 AS tmid FROM ev),
+c AS (SELECT user_id,
+             cast(sum(CASE WHEN tsu >= tmid THEN 0 ELSE 1 END)
+                  AS bigint) AS n_pre,
+             cast(sum(CASE WHEN tsu >= tmid THEN 1 ELSE 0 END)
+                  AS bigint) AS n_post
+      FROM ev, b GROUP BY user_id),
+t AS (SELECT user_id, n_pre, n_post, n_post - n_pre AS change
+      FROM c ORDER BY abs(n_post - n_pre) DESC, user_id LIMIT 20)
+SELECT user_id, n_pre, n_post, change,
+       cast(row_number() OVER (ORDER BY abs(change) DESC, user_id)
+            AS int) AS rank
+FROM t"""
+    # Same token CTE as lexical_stats; LIMIT vocab under (count desc,
+    # token asc) == the engine's TakeOrderedAndProject total order.
+    oracles["oov_rate"] = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM toks
+                       GROUP BY tok)
+      ORDER BY c DESC, tok LIMIT 1000),
+g AS (SELECT source, cast(count(*) AS bigint) AS n_tokens,
+             cast(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                  AS bigint) AS n_oov
+      FROM toks LEFT JOIN v ON toks.tok = v.tok
+      GROUP BY source)
+SELECT source, n_tokens, n_oov,
+       cast(n_oov AS double) / cast(n_tokens AS double) AS oov_rate
+FROM g"""
     return oracles

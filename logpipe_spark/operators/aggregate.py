@@ -2443,3 +2443,61 @@ def fleiss_kappa(items: DataFrame, votes_col: str, raters: int,
         p_e.alias("p_e"),
         F.when(p_e < 1.0, (p_bar - p_e) / (F.lit(1.0) - p_e))
         .alias("kappa"))
+
+
+def boxplot_stats(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Tukey box-plot profile per group: discrete quartiles, IQR, and
+    the counts outside the 1.5·IQR fences (Tukey, EDA 1977) — the
+    one-line distribution scorecard a metrics dashboard renders per
+    key. Built on :func:`percentiles_disc` (rank-based, so quartile
+    VALUES are actual elements and bit-identical cross-engine).
+
+    The fence comparison stays INTEGER: 2·v < 2·p25 - 3·IQR avoids the
+    1.5 multiplier entirely (never a float compare). Second pass joins
+    the key-cardinality quartile frame back onto the corpus — broadcast
+    under AQE — and reduces to the outlier counts.
+
+    Returns ``(key, n, p25, p50, p75, iqr, n_low, n_high)``.
+    """
+    q = percentiles_disc(df, key, value, ps=(0.25, 0.5, 0.75))
+    q = q.select(key, "n", "p25", "p50", "p75",
+                 (F.col("p75") - F.col("p25")).alias("iqr"))
+    j = df.where(F.col(value).isNotNull()).join(q, key)
+    low = 2 * F.col(value) < 2 * F.col("p25") - 3 * F.col("iqr")
+    high = 2 * F.col(value) > 2 * F.col("p75") + 3 * F.col("iqr")
+    out = j.groupBy(key).agg(
+        F.sum(F.when(low, 1).otherwise(0)).cast("bigint").alias("n_low"),
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("n_high"))
+    return (q.join(out, key)
+            .select(key, "n", "p25", "p50", "p75", "iqr",
+                    "n_low", "n_high"))
+
+
+def topk_movers(df: DataFrame, key: str, post, k: int = 20) -> DataFrame:
+    """Top-k movers between two periods: per key the pre/post counts
+    and the keys with the largest ABSOLUTE change — the "what changed
+    since yesterday" triage scan over a high-cardinality dimension.
+
+    One conditional-count shuffle collapses the corpus to key
+    cardinality; the global top-k runs through ``orderBy().limit(k)``
+    (TakeOrderedAndProject — distributed partial top-k, never a global
+    rank window: the top_ngrams lesson) under the total order
+    (|change| desc, key asc); the k survivors get their rank from a
+    trivially small window.
+
+    Returns ``(key, n_pre, n_post, change, rank)``.
+    """
+    from pyspark.sql import Window
+
+    c = (df.where(F.col(key).isNotNull())
+         .groupBy(key).agg(
+             F.sum(F.when(post, 0).otherwise(1)).cast("bigint")
+             .alias("n_pre"),
+             F.sum(F.when(post, 1).otherwise(0)).cast("bigint")
+             .alias("n_post")))
+    c = c.select(key, "n_pre", "n_post",
+                 (F.col("n_post") - F.col("n_pre")).alias("change"))
+    top = c.orderBy(F.abs(F.col("change")).desc(), F.col(key)).limit(k)
+    w = Window.orderBy(F.abs(F.col("change")).desc(), F.col(key))
+    return top.select(key, "n_pre", "n_post", "change",
+                      F.row_number().over(w).cast("int").alias("rank"))

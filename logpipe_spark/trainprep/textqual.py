@@ -757,3 +757,39 @@ def readability(docs: DataFrame, key: str = "source",
         .alias("syl_per_word"),
         (F.col("_lens").cast("double") / F.col("n_words"))
         .alias("avg_word_len"))
+
+
+def oov_rate(docs: DataFrame, vocab_size: int = 1000,
+             key: str = "source", text_col: str = "text") -> DataFrame:
+    """Out-of-vocabulary rate per ``key`` against the corpus' own
+    top-``vocab_size`` token vocabulary — the tokenizer-coverage screen
+    (a source whose OOV rate spikes against the shared vocabulary will
+    fragment into byte-fallback tokens and waste context budget).
+
+    The vocabulary is the top-k of the global token counts via
+    ``orderBy().limit(k)`` (TakeOrderedAndProject under the total order
+    (count desc, token asc) — deterministic at rank ties, never a
+    global rank window) and is broadcast back onto the token stream;
+    the OOV flag is a broadcast LEFT join null-check. ``oov`` and the
+    rate are exact-integer derived.
+
+    Returns ``(key, n_tokens, n_oov, oov_rate)``.
+    """
+    toks = (docs.where(F.col(text_col).isNotNull()
+                       & F.col(key).isNotNull())
+            .select(key, F.explode(F.split(F.col(text_col), " "))
+                    .alias("_tok")))
+    vocab = (toks.groupBy("_tok")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+             .orderBy(F.col("_c").desc(), F.col("_tok").asc())
+             .limit(vocab_size)
+             .select(F.col("_tok").alias("_v")))
+    j = toks.join(F.broadcast(vocab), toks["_tok"] == vocab["_v"], "left")
+    g = j.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_oov"))
+    return g.select(
+        key, "n_tokens", "n_oov",
+        (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("oov_rate"))

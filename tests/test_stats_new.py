@@ -1095,3 +1095,44 @@ def test_fleiss_kappa_hand_cases(spark):
     df3 = spark.createDataFrame([(3,), (3,)], "votes int")
     r3 = fleiss_kappa(df3, "votes", raters=3).collect()[0]
     assert r3.p_e == 1.0 and r3.kappa is None
+
+
+def test_boxplot_stats_hand_case(spark):
+    from logpipe_spark.operators.aggregate import boxplot_stats
+
+    # 1..8 plus one far outlier 100: n=9, rank-based quartiles at
+    # ceil(p*9): p25 -> rank 3 (v=3), p50 -> rank 5 (v=5),
+    # p75 -> rank 7 (v=7); IQR=4 -> fences (-3, 13): one high outlier
+    vals = list(range(1, 9)) + [100]
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, v long")
+    r = boxplot_stats(df, "k", "v").collect()[0]
+    assert (r.p25, r.p50, r.p75, r.iqr) == (3, 5, 7, 4)
+    assert r.n == 9 and r.n_low == 0 and r.n_high == 1
+
+
+def test_topk_movers_hand_case(spark):
+    from logpipe_spark.operators.aggregate import topk_movers
+
+    # u1: 1 pre / 5 post (+4); u2: 3 / 1 (-2); u3: 2 / 2 (0)
+    rows = ([("u1", False)] + [("u1", True)] * 5
+            + [("u2", False)] * 3 + [("u2", True)]
+            + [("u3", False)] * 2 + [("u3", True)] * 2)
+    df = spark.createDataFrame(rows, "u string, post boolean")
+    out = topk_movers(df, "u", F.col("post"), k=2).collect()
+    assert [(r.u, r.change, r.rank) for r in out] == [
+        ("u1", 4, 1), ("u2", -2, 2)]
+
+
+def test_oov_rate_hand_case(spark):
+    from logpipe_spark.trainprep.textqual import oov_rate
+
+    # vocab_size=2 -> vocab {a (x4), b (x2)} (count desc, token asc);
+    # src1 tokens: a a b c -> 1 OOV of 4; src2: a a d e -> 2 of 4
+    df = spark.createDataFrame(
+        [("s1", "a a b c"), ("s2", "a a d e"), ("s3", "b")],
+        "source string, text string")
+    out = {r.source: r for r in oov_rate(df, vocab_size=2).collect()}
+    assert out["s1"].n_oov == 1 and out["s1"].n_tokens == 4
+    assert out["s2"].n_oov == 2
+    assert out["s3"].n_oov == 0
+    assert out["s2"].oov_rate == 0.5
