@@ -6801,6 +6801,56 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Heterogeneous treatment effect (drift.diff_in_diff_by): the
+    # diff_in_diff query broken out per purchase tool (k % 5, the
+    # transcripts mapping) — WHERE did the pre-period-error cohort's
+    # purchase value move. Four cells per segment, exact int64 sums.
+    from logpipe_spark.operators.drift import diff_in_diff_by
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()).select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        .alias("cents"),
+        F.substring(F.col("props"), 7, F.length("props") - 7)
+         .cast("int").alias("k"))
+    b = ev.agg(F.expr("min(tsu) + ((max(tsu) - min(tsu)) div 2)")
+               .alias("_tmid"))
+    ev2 = (ev.crossJoin(F.broadcast(b))
+           .withColumn("post", F.col("tsu") >= F.col("_tmid")))
+    tr = (ev2.where((F.col("event_type") == "error") & ~F.col("post"))
+          .select("user_id").distinct().withColumn("_tr", F.lit(1)))
+    tool = (F.when(F.col("k") % 5 == 0, "search")
+            .when(F.col("k") % 5 == 1, "bash")
+            .when(F.col("k") % 5 == 2, "editor")
+            .when(F.col("k") % 5 == 3, "browser").otherwise("none"))
+    p = (ev2.where(F.col("event_type") == "purchase")
+         .withColumn("tool", tool)
+         .join(tr, "user_id", "left"))
+    return diff_in_diff_by(p, "tool", F.col("_tr").isNotNull(),
+                           F.col("post"), F.col("cents"))
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sample-ratio-mismatch gate (profile.srm_check): per event type,
+    # do the md5-assigned experiment arms of its distinct users land
+    # 50/50? Two-arm chi-square from exact integer counts; the
+    # assignment is the stable first-8-hex md5 integer (hash_split).
+    from logpipe_spark.operators.profile import srm_check
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return srm_check(ev, "user_id", "event_type")
+
+
+def q_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stratified k-fold audit (curate.kfold_balance): deterministic
+    # md5 mod 5 fold per doc, per-(source, fold) sizes and shares —
+    # the reproducible-split evidence an eval pipeline needs.
+    from logpipe_spark.trainprep.curate import kfold_balance
+    return kfold_balance(_docs(spark, sf_dir), k=5)
+
+
 def q_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tukey box-plot scorecard per event type (aggregate.boxplot_stats):
     # discrete quartiles (rank-based, actual elements — bit-identical
@@ -7241,6 +7291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boxplot_stats": q_boxplot_stats,
         "topk_movers": q_topk_movers,
         "oov_rate": q_oov_rate,
+        "uplift_by_segment": q_uplift_by_segment,
+        "srm_check": q_srm_check,
+        "kfold_balance": q_kfold_balance,
     }
 
 
@@ -13144,4 +13197,88 @@ g AS (SELECT source, cast(count(*) AS bigint) AS n_tokens,
 SELECT source, n_tokens, n_oov,
        cast(n_oov AS double) / cast(n_tokens AS double) AS oov_rate
 FROM g"""
+    # Keyed diff_in_diff with the transcripts tool CASE on purchases.
+    oracles["uplift_by_segment"] = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tsu,
+         cast(floor(value * 100 + 0.5) AS bigint) AS cents,
+         cast(substring(props, 7, length(props) - 7) AS int) AS k
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+b AS (SELECT min(tsu) + (max(tsu) - min(tsu)) // 2 AS tmid FROM ev),
+ev2 AS (SELECT user_id, event_type, cents, k, tsu >= tmid AS post
+        FROM ev, b),
+tr AS (SELECT DISTINCT user_id FROM ev2
+       WHERE event_type = 'error' AND NOT post),
+p AS (SELECT CASE e.k % 5 WHEN 0 THEN 'search' WHEN 1 THEN 'bash'
+                  WHEN 2 THEN 'editor' WHEN 3 THEN 'browser'
+                  ELSE 'none' END AS tool,
+             e.cents, e.post, tr.user_id IS NOT NULL AS treated
+      FROM ev2 e LEFT JOIN tr ON e.user_id = tr.user_id
+      WHERE e.event_type = 'purchase'),
+cells AS (SELECT tool, treated, post, cast(count(*) AS bigint) AS n,
+                 cast(sum(cents) AS bigint) AS s
+          FROM p GROUP BY tool, treated, post),
+one AS (SELECT tool,
+  cast(sum(CASE WHEN treated AND post THEN n END) AS bigint) AS n_tp,
+  cast(sum(CASE WHEN treated AND NOT post THEN n END) AS bigint) AS n_tr,
+  cast(sum(CASE WHEN NOT treated AND post THEN n END) AS bigint) AS n_cp,
+  cast(sum(CASE WHEN NOT treated AND NOT post THEN n END) AS bigint)
+    AS n_cr,
+  cast(sum(CASE WHEN treated AND post THEN s END) AS bigint) AS s_tp,
+  cast(sum(CASE WHEN treated AND NOT post THEN s END) AS bigint) AS s_tr,
+  cast(sum(CASE WHEN NOT treated AND post THEN s END) AS bigint) AS s_cp,
+  cast(sum(CASE WHEN NOT treated AND NOT post THEN s END) AS bigint)
+    AS s_cr
+  FROM cells GROUP BY tool),
+f AS (SELECT *,
+        n_tp > 0 AND n_tr > 0 AND n_cp > 0 AND n_cr > 0 AS ok,
+        cast(s_tp AS double) / cast(n_tp AS double) AS m_tp,
+        cast(s_tr AS double) / cast(n_tr AS double) AS m_tr,
+        cast(s_cp AS double) / cast(n_cp AS double) AS m_cp,
+        cast(s_cr AS double) / cast(n_cr AS double) AS m_cr
+      FROM one)
+SELECT tool, n_tp, n_tr, n_cp, n_cr,
+       CASE WHEN ok THEN m_tp END AS m_treat_post,
+       CASE WHEN ok THEN m_tr END AS m_treat_pre,
+       CASE WHEN ok THEN m_cp END AS m_ctrl_post,
+       CASE WHEN ok THEN m_cr END AS m_ctrl_pre,
+       CASE WHEN ok THEN (m_tp - m_tr) - (m_cp - m_cr) END AS did
+FROM f"""
+    # md5 first-8-hex arm assignment (hash_split twin); two-arm
+    # chi-square closed form on exact integers.
+    oracles["srm_check"] = f"""
+WITH u AS (SELECT DISTINCT event_type,
+                  user_id,
+                  md5(cast(user_id AS varchar)) AS m
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+a AS (SELECT event_type, ({_hexpoly8('m')}) % 2 AS arm FROM u),
+g AS (SELECT event_type,
+             cast(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS bigint)
+               AS n_arm0,
+             cast(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS bigint)
+               AS n_arm1
+      FROM a GROUP BY event_type)
+SELECT event_type, n_arm0, n_arm1,
+       cast(n_arm0 - n_arm1 AS double) * cast(n_arm0 - n_arm1 AS double)
+         / cast(n_arm0 + n_arm1 AS double) AS chi2,
+       cast(n_arm0 - n_arm1 AS double) * cast(n_arm0 - n_arm1 AS double)
+         / cast(n_arm0 + n_arm1 AS double) > 3.84e0 AS srm_suspect
+FROM g"""
+    # md5 mod 5 fold (hash_split twin); shares of exact integers.
+    oracles["kfold_balance"] = f"""
+WITH d AS (SELECT source AS stratum,
+                  md5(cast(doc_id AS varchar)) AS m
+           FROM documents
+           WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+per AS (SELECT stratum,
+               cast(({_hexpoly8('m')}) % 5 AS int) AS fold,
+               cast(count(*) AS bigint) AS n
+        FROM d GROUP BY stratum, fold),
+tot AS (SELECT stratum, cast(sum(n) AS bigint) AS n_stratum
+        FROM per GROUP BY stratum)
+SELECT per.stratum, fold, n, n_stratum,
+       cast(n AS double) / cast(n_stratum AS double) AS share
+FROM per JOIN tot ON per.stratum = tot.stratum"""
     return oracles

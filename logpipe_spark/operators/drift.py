@@ -2062,9 +2062,27 @@ def diff_in_diff(
     Returns ONE row: ``(n_tp, n_tr, n_cp, n_cr, m_treat_post,
     m_treat_pre, m_ctrl_post, m_ctrl_pre, did)``.
     """
-    cells = (df.where(treat.isNotNull() & post.isNotNull()
-                      & value.isNotNull())
-             .groupBy(treat.alias("_t"), post.alias("_p"))
+    return diff_in_diff_by(
+        df.withColumn("_all", F.lit(1)), "_all", treat, post, value
+    ).drop("_all")
+
+
+def diff_in_diff_by(
+    df: DataFrame,
+    key: str,
+    treat: Column,
+    post: Column,
+    value: Column,
+) -> DataFrame:
+    """Heterogeneous-treatment-effect panel: :func:`diff_in_diff` per
+    ``key`` segment — the uplift breakdown that says WHERE the
+    intervention moved the metric, not just whether. Same four-cell
+    collapse per key (one combinable shuffle to 4x key cardinality),
+    same exact-integer means, NULL per segment with any empty cell.
+    """
+    cells = (df.where(F.col(key).isNotNull() & treat.isNotNull()
+                      & post.isNotNull() & value.isNotNull())
+             .groupBy(key, treat.alias("_t"), post.alias("_p"))
              .agg(F.count(F.lit(1)).cast("bigint").alias("_n"),
                   F.sum(value).cast("bigint").alias("_s")))
 
@@ -2072,7 +2090,7 @@ def diff_in_diff(
         return F.sum(F.when((F.col("_t") == t) & (F.col("_p") == p),
                             F.col(col)))
 
-    one = cells.agg(
+    one = cells.groupBy(key).agg(
         cell(True, True, "_n").cast("bigint").alias("n_tp"),
         cell(True, False, "_n").cast("bigint").alias("n_tr"),
         cell(False, True, "_n").cast("bigint").alias("n_cp"),
@@ -2090,7 +2108,7 @@ def diff_in_diff(
     m_tp, m_tr = mean("_s_tp", "n_tp"), mean("_s_tr", "n_tr")
     m_cp, m_cr = mean("_s_cp", "n_cp"), mean("_s_cr", "n_cr")
     return one.select(
-        "n_tp", "n_tr", "n_cp", "n_cr",
+        key, "n_tp", "n_tr", "n_cp", "n_cr",
         F.when(ok, m_tp).alias("m_treat_post"),
         F.when(ok, m_tr).alias("m_treat_pre"),
         F.when(ok, m_cp).alias("m_ctrl_post"),

@@ -309,3 +309,42 @@ def freshness_report(per: DataFrame, key: str) -> DataFrame:
                        .cast("double")
                        / (F.col("n") - 1).cast("double"))
                 .alias("mean_gap_us")))
+
+
+def srm_check(df: DataFrame, unit_col: str, key: str,
+              arms: int = 2) -> DataFrame:
+    """Sample-ratio-mismatch gate per ``key``: the first check every
+    experimentation platform runs before reading an A/B result — if the
+    deterministic 50/50 hash assignment of units did not land 50/50,
+    the logging pipeline is dropping one arm and every downstream
+    metric is biased (Fabijan et al., KDD'19 call SRM the most common
+    invalidator in practice).
+
+    Assignment is the stable first-8-hex md5 integer mod ``arms``
+    (the hash_split discipline — re-runs, appends, and engines agree).
+    Units dedupe per (key, unit) in one combinable shuffle, then each
+    key reduces to the two arm counts; the chi-square statistic for
+    two arms collapses to ``(n0 - n1)² / (n0 + n1)``, one division of
+    exact integers (difference cast to double before the square —
+    overflow discipline). ``srm_suspect`` flags chi² > 3.84 (the 5%
+    critical value, df=1). Two-arm contract asserted.
+
+    Returns ``(key, n_arm0, n_arm1, chi2, srm_suspect)``.
+    """
+    assert arms == 2, "two-arm contract (chi2 closed form)"
+    h = F.conv(F.substring(F.md5(F.col(unit_col).cast("string")), 1, 8),
+               16, 10).cast("bigint")
+    units = (df.where(F.col(unit_col).isNotNull() & F.col(key).isNotNull())
+             .select(key, F.col(unit_col).alias("_u"),
+                     (h % arms).alias("_arm"))
+             .distinct())
+    g = units.groupBy(key).agg(
+        F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_arm0"),
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("n_arm1"))
+    d = (F.col("n_arm0") - F.col("n_arm1")).cast("double")
+    tot = (F.col("n_arm0") + F.col("n_arm1")).cast("double")
+    chi = d * d / tot
+    return g.select(key, "n_arm0", "n_arm1", chi.alias("chi2"),
+                    (chi > 3.84).alias("srm_suspect"))

@@ -856,3 +856,34 @@ def preference_pairs(cands: DataFrame, group_col: str, cand_col: str,
                     "rejected_id", "rejected_score",
                     (F.col("chosen_score") - F.col("rejected_score"))
                     .alias("margin")))
+
+
+def kfold_balance(docs: DataFrame, id_col: str = "doc_id",
+                  stratum_col: str = "source", k: int = 5) -> DataFrame:
+    """Deterministic stratified k-fold audit: assign every doc to a
+    fold by the stable first-8-hex md5 integer mod ``k`` (the
+    hash_split discipline — the assignment an eval pipeline MUST be
+    able to reproduce at 100 TB) and report each (stratum, fold)'s
+    size and within-stratum share, the balance evidence a cross-
+    validation split needs before anyone trains on it.
+
+    One combinable (stratum, fold) count; the per-stratum total joins
+    back from the stratum-cardinality re-aggregate. Shares are single
+    divisions of exact integers.
+
+    Returns ``(stratum, fold, n, n_stratum, share)``.
+    """
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+               16, 10).cast("bigint")
+    per = (docs.where(F.col(id_col).isNotNull()
+                      & F.col(stratum_col).isNotNull())
+           .select(F.col(stratum_col).alias("stratum"),
+                   (h % k).cast("int").alias("fold"))
+           .groupBy("stratum", "fold")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    tot = per.groupBy("stratum").agg(
+        F.sum("n").cast("bigint").alias("n_stratum"))
+    return (per.join(tot, "stratum")
+            .select("stratum", "fold", "n", "n_stratum",
+                    (F.col("n").cast("double")
+                     / F.col("n_stratum").cast("double")).alias("share")))

@@ -1136,3 +1136,53 @@ def test_oov_rate_hand_case(spark):
     assert out["s2"].n_oov == 2
     assert out["s3"].n_oov == 0
     assert out["s2"].oov_rate == 0.5
+
+
+def test_srm_check_hand_case(spark):
+    from logpipe_spark.operators.profile import srm_check
+
+    # balanced by construction: pick unit ids whose md5-arm is known
+    rows = [("e", f"u{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, u string")
+    r = srm_check(df, "u", "k").collect()[0]
+    n0, n1 = r.n_arm0, r.n_arm1
+    assert n0 + n1 == 40
+    d = float(n0 - n1)
+    assert r.chi2 == d * d / 40.0
+    assert r.srm_suspect == (r.chi2 > 3.84)
+    # gross mismatch: duplicate rows do NOT inflate (distinct units)
+    df2 = spark.createDataFrame(rows * 3, "k string, u string")
+    r2 = srm_check(df2, "u", "k").collect()[0]
+    assert (r2.n_arm0, r2.n_arm1) == (n0, n1)
+
+
+def test_kfold_balance_hand_case(spark):
+    from logpipe_spark.trainprep.curate import kfold_balance
+
+    rows = [(f"d{i}", "s1") for i in range(50)] + [
+        (f"x{i}", "s2") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = kfold_balance(df, k=5).collect()
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault(r.stratum, 0)
+        by_stratum[r.stratum] += r.n
+        assert r.share == r.n / float(r.n_stratum)
+    assert by_stratum == {"s1": 50, "s2": 10}
+    # determinism: same input -> identical assignment
+    out2 = kfold_balance(df, k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_diff_in_diff_by_hand_case(spark):
+    from logpipe_spark.operators.drift import diff_in_diff_by
+
+    rows = (
+        [("g1", True, False, 10)] * 2 + [("g1", True, True, 14)] * 2
+        + [("g1", False, False, 20)] + [("g1", False, True, 21)]
+        + [("g2", True, True, 5)])   # g2 missing three cells -> NULL
+    df = spark.createDataFrame(rows, "g string, t boolean, p boolean, v long")
+    out = {r.g: r for r in diff_in_diff_by(
+        df, "g", F.col("t"), F.col("p"), F.col("v")).collect()}
+    assert out["g1"].did == (14.0 - 10.0) - (21.0 - 20.0)
+    assert out["g2"].did is None
