@@ -6975,17 +6975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_contributors": q_anomaly_contributors,
         "postings_incremental": q_postings_incremental,
         "ann_recall": q_ann_recall,
-        "kruskal_wallis": q_kruskal_wallis,
-        "bootstrap_ci": q_bootstrap_ci,
-        "mann_kendall": q_mann_kendall,
-        "map_eval": q_map_eval,
         "hazard_curve": q_hazard_curve,
         "dedup_precision": q_dedup_precision,
-        "sketch_error_eval": q_sketch_error_eval,
-        "embed_centroids": q_embed_centroids,
         "kmeans_lloyd": q_kmeans_lloyd,
-        "embedding_drift": q_embedding_drift,
-        "langid_confusion": q_langid_confusion,
         "ann_index_incr": q_ann_index_incr,
         "ann_rebalanced": q_ann_rebalanced,
         "quantile_sketch": q_quantile_sketch,
@@ -6995,20 +6987,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # PH level-shift, L-moments, mean-excess tails, T5 masking plan,
     # readability, Friedman/Cochran grids, reciprocity, plus the
     # strongest prior-session adds (runs monoid, Holt-Winters, apdex,
-    # Wilcoxon, Kuiper, triplets, fertility, threshold sweep)
+    # Wilcoxon, Kuiper, triplets, fertility, threshold sweep).
+    # Session-5 rotation: the 17 newest ops (Yule's K, sequenceMatch,
+    # Durbin-Watson, Kendall tau-b, Moran's I, lead-lag cross-corr,
+    # freshness audit, DPO pair mining, Bradley-Terry, DiD + uplift
+    # panel, Fleiss kappa, boxplot, top-k movers, OOV rate, SRM gate,
+    # k-fold audit) replaced 17 entries whose statistic families are
+    # represented in-window or in prior driver artifacts (drift_panel
+    # embeds the Hellinger/CvM/energy members; fleiss covers the
+    # grid-test family; kmeans_lloyd covers embed_centroids; etc.).
         "drift_panel": q_drift_panel,
         "wasserstein_drift": q_wasserstein_drift,
-        "energy_drift": q_energy_drift,
-        "hellinger_drift": q_hellinger_drift,
-        "cvm_drift": q_cvm_drift,
         "page_hinkley": q_page_hinkley,
         "l_moments": q_l_moments,
-        "mean_excess": q_mean_excess,
-        "span_corruption": q_span_corruption,
-        "readability": q_readability,
-        "friedman_test": q_friedman_test,
-        "cochran_q": q_cochran_q,
-        "edge_reciprocity": q_edge_reciprocity,
         "wilcoxon_signed": q_wilcoxon_signed,
         "runs_merged": q_runs_merged,
         "kuiper_drift": q_kuiper_drift,
@@ -7017,9 +7008,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_triples": q_contrastive_triples,
         "tokenizer_fertility": q_tokenizer_fertility,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "yules_k": q_yules_k,
+        "sequence_match": q_sequence_match,
+        "durbin_watson": q_durbin_watson,
+        "kendall_tau": q_kendall_tau,
+        "morans_i": q_morans_i,
+        "cross_corr": q_cross_corr,
+        "freshness_lag": q_freshness_lag,
+        "preference_pairs": q_preference_pairs,
+        "bradley_terry": q_bradley_terry,
+        "diff_in_diff": q_diff_in_diff,
+        "fleiss_kappa": q_fleiss_kappa,
+        "boxplot_stats": q_boxplot_stats,
+        "topk_movers": q_topk_movers,
+        "oov_rate": q_oov_rate,
+        "uplift_by_segment": q_uplift_by_segment,
+        "srm_check": q_srm_check,
+        "kfold_balance": q_kfold_balance,
     # displaced from the r04 window (families with driver evidence
     # in r02/r03 or represented above); still gated by the full-surface
     # gate_dryrun every session
+        "kruskal_wallis": q_kruskal_wallis,
+        "bootstrap_ci": q_bootstrap_ci,
+        "mann_kendall": q_mann_kendall,
+        "map_eval": q_map_eval,
+        "sketch_error_eval": q_sketch_error_eval,
+        "embedding_drift": q_embedding_drift,
+        "langid_confusion": q_langid_confusion,
+        "embed_centroids": q_embed_centroids,
+        "hellinger_drift": q_hellinger_drift,
+        "cvm_drift": q_cvm_drift,
+        "energy_drift": q_energy_drift,
+        "friedman_test": q_friedman_test,
+        "cochran_q": q_cochran_q,
+        "readability": q_readability,
+        "edge_reciprocity": q_edge_reciprocity,
+        "span_corruption": q_span_corruption,
+        "mean_excess": q_mean_excess,
         "common_neighbors": q_common_neighbors,
         "bpe_pair_counts": q_bpe_pair_counts,
         "nation_trade_volume": q_nation_trade_volume,
@@ -7277,23 +7302,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shift_function": q_shift_function,
         "funnel_windowed": q_funnel_windowed,
         "decompose_series": q_decompose_series,
-        "yules_k": q_yules_k,
-        "sequence_match": q_sequence_match,
-        "durbin_watson": q_durbin_watson,
-        "kendall_tau": q_kendall_tau,
-        "morans_i": q_morans_i,
-        "cross_corr": q_cross_corr,
-        "freshness_lag": q_freshness_lag,
-        "preference_pairs": q_preference_pairs,
-        "bradley_terry": q_bradley_terry,
-        "diff_in_diff": q_diff_in_diff,
-        "fleiss_kappa": q_fleiss_kappa,
-        "boxplot_stats": q_boxplot_stats,
-        "topk_movers": q_topk_movers,
-        "oov_rate": q_oov_rate,
-        "uplift_by_segment": q_uplift_by_segment,
-        "srm_check": q_srm_check,
-        "kfold_balance": q_kfold_balance,
     }
 
 
