@@ -6801,6 +6801,35 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-touch attribution (funnel.attribution_credits): first/last/
+    # linear credit per channel over each converting user's last <= 9
+    # pre-purchase touches. Linear uses the map_eval lcm trick —
+    # 2520 div n is an exact integer per touch — so credit sums stay
+    # int64 (never a float 1/n sum, which is order-dependent).
+    from logpipe_spark.operators.funnel import attribution_credits
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()).select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"))
+    conv = (ev.where(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.min("tsu").cast("bigint").alias("conv_tsu")))
+    touches = (ev.where(F.col("event_type") != "purchase")
+               .select("user_id", F.col("event_type").alias("channel"),
+                       "tsu", "event_id"))
+    return attribution_credits(touches, conv)
+
+
+def q_bigram_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bigram-LM predictability probe (textqual.bigram_accuracy):
+    # in-sample top-1 accuracy of the corpus' own argmax bigram model
+    # per source — the log-free "how templated is this source" number.
+    # Guarded sequence() gram extraction, vocabulary-partitioned rank
+    # under (count desc, w2 asc), exact integer accuracy.
+    return tq.bigram_accuracy(_docs(spark, sf_dir))
+
+
 def q_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Heterogeneous treatment effect (drift.diff_in_diff_by): the
     # diff_in_diff query broken out per purchase tool (k % 5, the
@@ -7302,6 +7331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shift_function": q_shift_function,
         "funnel_windowed": q_funnel_windowed,
         "decompose_series": q_decompose_series,
+        "attribution_credits": q_attribution_credits,
+        "bigram_accuracy": q_bigram_accuracy,
     }
 
 
@@ -13289,4 +13320,61 @@ tot AS (SELECT stratum, cast(sum(n) AS bigint) AS n_stratum
 SELECT per.stratum, fold, n, n_stratum,
        cast(n AS double) / cast(n_stratum AS double) AS share
 FROM per JOIN tot ON per.stratum = tot.stratum"""
+    # Recency cap then first/last ranks on the capped set; 2520 // n
+    # is exact (n <= 9), so linear credit never leaves int64.
+    oracles["attribution_credits"] = """
+WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+conv AS (SELECT user_id, min(tsu) AS conv_tsu FROM ev
+         WHERE event_type = 'purchase' GROUP BY user_id),
+j AS (SELECT e.user_id, e.event_type AS channel, e.tsu, e.event_id
+      FROM ev e JOIN conv c ON e.user_id = c.user_id
+      WHERE e.event_type <> 'purchase' AND e.tsu < c.conv_tsu),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY tsu DESC, event_id DESC)
+             AS rl
+      FROM j),
+t AS (SELECT * FROM r WHERE rl <= 9),
+t2 AS (SELECT user_id, channel, rl,
+              count(*) OVER (PARTITION BY user_id) AS n,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY tsu ASC, event_id ASC) AS rf
+       FROM t),
+f AS (SELECT channel,
+        cast(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS bigint)
+          AS n_first,
+        cast(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS bigint)
+          AS n_last,
+        cast(sum(2520 // n) AS bigint) AS linear_scaled
+      FROM t2 GROUP BY channel)
+SELECT channel, n_first, n_last, linear_scaled,
+       cast(linear_scaled AS double) / 2520.0 AS linear
+FROM f"""
+    # Guarded positional grams (the phrase_search struct-unnest
+    # pattern); same (count desc, w2 asc) model rank total order.
+    oracles["bigram_accuracy"] = """
+WITH w AS (SELECT source, string_split(text, ' ') AS w
+           FROM documents
+           WHERE text IS NOT NULL AND source IS NOT NULL),
+gr AS (SELECT source,
+              unnest(list_transform(generate_series(1, len(w) - 1),
+                     i -> {'w1': w[i], 'w2': w[i + 1]})) AS u
+       FROM w WHERE len(w) >= 2),
+g AS (SELECT source, u.w1 AS w1, u.w2 AS w2 FROM gr),
+c AS (SELECT w1, w2, cast(count(*) AS bigint) AS c
+      FROM g GROUP BY w1, w2),
+m AS (SELECT w1, w2 AS pred FROM (
+        SELECT w1, w2,
+               row_number() OVER (PARTITION BY w1
+                                  ORDER BY c DESC, w2 ASC) AS rn
+        FROM c)
+      WHERE rn = 1),
+s AS (SELECT g.source, cast(count(*) AS bigint) AS n_bigrams,
+             cast(sum(CASE WHEN g.w2 = m.pred THEN 1 ELSE 0 END)
+                  AS bigint) AS n_hits
+      FROM g JOIN m ON g.w1 = m.w1 GROUP BY g.source)
+SELECT source, n_bigrams, n_hits,
+       cast(n_hits AS double) / cast(n_bigrams AS double) AS accuracy
+FROM s"""
     return oracles

@@ -455,3 +455,58 @@ def sequence_match(
         "pattern", "n_match", "n_keys",
         (F.col("n_match").cast("double") / F.col("n_keys").cast("double"))
         .alias("share"))
+
+
+def attribution_credits(
+    events: DataFrame,
+    conversions: DataFrame,
+    channel_col: str = "channel",
+    user_col: str = "user_id",
+    ts_col: str = "tsu",
+    id_col: str = "event_id",
+    max_touches: int = 9,
+) -> DataFrame:
+    """Multi-touch conversion attribution — first-touch, last-touch and
+    linear credit per channel over each user's last ``max_touches``
+    touchpoints before their conversion (the marketing-analytics
+    workhorse; Shao & Li, KDD'11 survey the model family).
+
+    ``events`` carries touches (user, channel, integer ts, id);
+    ``conversions`` carries one row per converting user with ``conv_tsu``.
+    Touches join their user's conversion (user-keyed shuffle), keep
+    strictly-before rows, and a PARTITIONED recency window caps each
+    user at ``max_touches`` — bounded state per user, the spill-safe
+    cap discipline. Linear credit uses the map_eval lcm trick: with at
+    most 9 touches, ``2520 / n`` is an EXACT integer per touch
+    (2520 = lcm(1..9)), so per-channel credit sums stay int64 and the
+    emitted ``linear`` share is one division of exact integers — never
+    a float sum of 1/n terms (order-dependent across engines).
+
+    Returns ``(channel, n_first, n_last, linear_scaled, linear)`` —
+    ``linear`` in conversions (linear_scaled / 2520).
+    """
+    assert max_touches <= 9, "2520 = lcm(1..9) exactness bound"
+    j = (events.join(conversions, user_col)
+         .where(F.col(ts_col) < F.col("conv_tsu")))
+    w_recent = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc())
+    t = (j.withColumn("_rn", F.row_number().over(w_recent))
+         .where(F.col("_rn") <= max_touches))
+    w_n = Window.partitionBy(user_col)
+    w_first = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc())
+    t = t.select(
+        user_col, channel_col,
+        F.count(F.lit(1)).over(w_n).alias("_n"),
+        F.row_number().over(w_first).alias("_rf"),
+        F.col("_rn").alias("_rl"))
+    return (t.groupBy(channel_col).agg(
+        F.sum(F.when(F.col("_rf") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("n_first"),
+        F.sum(F.when(F.col("_rl") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("n_last"),
+        F.sum(F.expr("2520 div _n")).cast("bigint")
+        .alias("linear_scaled"))
+        .select(channel_col, "n_first", "n_last", "linear_scaled",
+                (F.col("linear_scaled").cast("double") / F.lit(2520.0))
+                .alias("linear")))

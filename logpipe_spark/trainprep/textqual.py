@@ -793,3 +793,50 @@ def oov_rate(docs: DataFrame, vocab_size: int = 1000,
         key, "n_tokens", "n_oov",
         (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"))
         .alias("oov_rate"))
+
+
+def bigram_accuracy(docs: DataFrame, key: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """In-sample top-1 accuracy of the corpus' own bigram language
+    model per ``key``: fit argmax-next-token over all (w1, w2) bigram
+    counts, then score every bigram against the prediction — the
+    cheapest "how predictable is this source" probe (a template-heavy
+    source scores near 1.0; natural text much lower), log-free where
+    perplexity is not.
+
+    Plan: bigrams come from a guarded ``transform(sequence(...))`` over
+    the ONCE-materialized split (the CollapseProject 25x lesson + the
+    descending-sequence guard from word_grams_col); the model is one
+    (w1, w2) count shuffle and a PARTITIONED-by-w1 rank (vocabulary
+    cardinality, total order (count desc, w2 asc) — deterministic at
+    ties); scoring is a broadcast-sized join back on w1. Accuracy is
+    one division of exact int64 counts.
+
+    Returns ``(key, n_bigrams, n_hits, accuracy)``.
+    """
+    from pyspark.sql import Window
+
+    w = (docs.where(F.col(text_col).isNotNull() & F.col(key).isNotNull())
+         .select(key, F.split(F.col(text_col), " ").alias("_w")))
+    grams = w.where(F.size("_w") >= 2).select(
+        key,
+        F.explode(F.expr(
+            "transform(sequence(1, size(_w) - 1), "
+            "i -> struct(element_at(_w, i) AS w1, "
+            "element_at(_w, i + 1) AS w2))")).alias("_g")
+    ).select(key, F.col("_g.w1").alias("w1"), F.col("_g.w2").alias("w2"))
+    counts = grams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c"))
+    wrank = Window.partitionBy("w1").orderBy(
+        F.col("_c").desc(), F.col("w2").asc())
+    model = (counts.withColumn("_rn", F.row_number().over(wrank))
+             .where(F.col("_rn") == 1)
+             .select("w1", F.col("w2").alias("_pred")))
+    scored = grams.join(model, "w1")
+    return (scored.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum(F.when(F.col("w2") == F.col("_pred"), 1).otherwise(0))
+        .cast("bigint").alias("n_hits"))
+        .select(key, "n_bigrams", "n_hits",
+                (F.col("n_hits").cast("double")
+                 / F.col("n_bigrams").cast("double")).alias("accuracy")))

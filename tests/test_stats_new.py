@@ -1186,3 +1186,46 @@ def test_diff_in_diff_by_hand_case(spark):
         df, "g", F.col("t"), F.col("p"), F.col("v")).collect()}
     assert out["g1"].did == (14.0 - 10.0) - (21.0 - 20.0)
     assert out["g2"].did is None
+
+
+def test_attribution_credits_hand_case(spark):
+    from logpipe_spark.operators.funnel import attribution_credits
+
+    # u1 converts at t=100 with touches A(10), B(20), A(30):
+    # first=A, last=A, linear: each 2520/3=840
+    # u2 converts at t=50 with one touch B(40): all credit to B
+    touches = spark.createDataFrame(
+        [("u1", "A", 10, 1), ("u1", "B", 20, 2), ("u1", "A", 30, 3),
+         ("u2", "B", 40, 4), ("u2", "C", 60, 5)],   # C is post-conv
+        "user_id string, channel string, tsu long, event_id long")
+    conv = spark.createDataFrame(
+        [("u1", 100), ("u2", 50)], "user_id string, conv_tsu long")
+    out = {r.channel: r for r in
+           attribution_credits(touches, conv).collect()}
+    assert out["A"].n_first == 1 and out["A"].n_last == 1
+    assert out["A"].linear_scaled == 1680          # two A touches
+    assert out["B"].n_first == 1 and out["B"].n_last == 1
+    assert out["B"].linear_scaled == 840 + 2520    # u1's B + u2's only
+    assert "C" not in out
+    assert out["B"].linear == (840 + 2520) / 2520.0
+
+
+def test_bigram_accuracy_hand_case(spark):
+    from logpipe_spark.trainprep.textqual import bigram_accuracy
+
+    # model from the whole corpus: after 'a' -> 'b' (2 of 3), after
+    # 'b' -> 'a' (1, tie broken to 'a' over 'c' by w2 asc at c=1? no:
+    # counts b->a:1, b->c:1 -> tie -> 'a')
+    df = spark.createDataFrame(
+        [("s1", "a b a b"), ("s2", "a c b c")],
+        "source string, text string")
+    out = {r.source: r for r in bigram_accuracy(df).collect()}
+    # s1 bigrams: (a,b),(b,a),(a,b): a->b pred=b hits 2; b->a pred=a hit
+    assert out["s1"].n_bigrams == 3 and out["s1"].n_hits == 3
+    # s2 bigrams: (a,c) miss, (c,b) pred? c->b only once -> pred=b hit,
+    # (b,c) pred=a miss
+    assert out["s2"].n_bigrams == 3 and out["s2"].n_hits == 1
+    assert out["s2"].accuracy == 1.0 / 3.0
+    # single-token doc contributes nothing
+    df2 = spark.createDataFrame([("s3", "x")], "source string, text string")
+    assert bigram_accuracy(df2).count() == 0
