@@ -6801,6 +6801,24 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_topic_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TextTiling segmentation (spans.topic_boundaries): adjacent-turn
+    # cosine over integer token-count vectors per conv; the dot is a
+    # (conv, token) equi-join, norms are int64, low-cohesion gaps flag
+    # boundaries. Zero-overlap boundaries survive via the LEFT dot
+    # join + coalesce (an inner join would drop the strongest cuts).
+    from logpipe_spark.operators.spans import topic_boundaries
+    return topic_boundaries(_t(spark, sf_dir), threshold=0.15)
+
+
+def q_watermark_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Green-list watermark detector (textqual.watermark_score,
+    # Kirchenbauer et al. 2023): per-source z-score of md5-parity
+    # "green" bigram selection vs the 50% baseline — the synthetic-
+    # text screen. Exact int64 counts; z = (2g - n)/sqrt(n).
+    return tq.watermark_score(_docs(spark, sf_dir))
+
+
 def q_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Multi-touch attribution (funnel.attribution_credits): first/last/
     # linear credit per channel over each converting user's last <= 9
@@ -7333,6 +7351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decompose_series": q_decompose_series,
         "attribution_credits": q_attribution_credits,
         "bigram_accuracy": q_bigram_accuracy,
+        "topic_boundaries": q_topic_boundaries,
+        "watermark_score": q_watermark_score,
     }
 
 
@@ -13377,4 +13397,50 @@ s AS (SELECT g.source, cast(count(*) AS bigint) AS n_bigrams,
 SELECT source, n_bigrams, n_hits,
        cast(n_hits AS double) / cast(n_bigrams AS double) AS accuracy
 FROM s"""
+    # Integer token-count vectors: exact dot + norms; LEFT dot join
+    # keeps zero-overlap boundaries; 0.15e0 parses directly as double.
+    oracles["topic_boundaries"] = f"""{_oracle_prefix()},
+toks AS (SELECT conv_id AS k, turn_idx AS t,
+                unnest(string_split(text, ' ')) AS tok
+         FROM transcripts
+         WHERE text IS NOT NULL AND conv_id IS NOT NULL),
+c AS (SELECT k, t, tok, cast(count(*) AS bigint) AS c
+      FROM toks GROUP BY k, t, tok),
+n AS (SELECT k, t, cast(sum(c * c) AS bigint) AS n2
+      FROM c GROUP BY k, t),
+p AS (SELECT a.k, a.t, a.n2, b.n2 AS n2b
+      FROM n a JOIN n b ON a.k = b.k AND b.t = a.t + 1),
+d AS (SELECT a.k, a.t, cast(sum(a.c * b.c) AS bigint) AS dot
+      FROM c a JOIN c b ON a.k = b.k AND b.t = a.t + 1
+                       AND a.tok = b.tok
+      GROUP BY a.k, a.t),
+j AS (SELECT p.k, p.t, p.n2, p.n2b,
+             cast(coalesce(d.dot, 0) AS bigint) AS dot
+      FROM p LEFT JOIN d ON p.k = d.k AND p.t = d.t)
+SELECT k AS conv_id, cast(t + 1 AS int) AS boundary_turn,
+       cast(dot AS double)
+         / sqrt(cast(n2 AS double) * cast(n2b AS double)) AS cos,
+       cast(dot AS double)
+         / sqrt(cast(n2 AS double) * cast(n2b AS double)) < 0.15e0
+         AS is_boundary
+FROM j"""
+    # md5-parity green list (hash_split decode); z on exact integers.
+    oracles["watermark_score"] = f"""
+WITH w AS (SELECT source, string_split(text, ' ') AS w
+           FROM documents
+           WHERE text IS NOT NULL AND source IS NOT NULL),
+gr AS (SELECT source,
+              unnest(list_transform(generate_series(1, len(w) - 1),
+                     i -> w[i] || ':' || w[i + 1])) AS bg
+       FROM w WHERE len(w) >= 2),
+h AS (SELECT source, md5(bg) AS m FROM gr),
+g AS (SELECT source, cast(count(*) AS bigint) AS n_bigrams,
+             cast(sum(CASE WHEN ({_hexpoly8('m')}) % 2 = 0
+                           THEN 1 ELSE 0 END) AS bigint) AS greens
+      FROM h GROUP BY source)
+SELECT source, n_bigrams, greens,
+       cast(greens AS double) / cast(n_bigrams AS double) AS green_frac,
+       cast(2 * greens - n_bigrams AS double)
+         / sqrt(cast(n_bigrams AS double)) AS z
+FROM g"""
     return oracles

@@ -377,3 +377,60 @@ def turn_taking(df: DataFrame) -> DataFrame:
                / (F.col("n_turns") - 1)).alias("alternation_rate"),
         (F.col("n_turns").cast("double") / (F.col("n_switches") + 1))
         .alias("avg_run_len"))
+
+
+def topic_boundaries(turns: DataFrame, key: str = "conv_id",
+                     order_col: str = "turn_idx",
+                     text_col: str = "text",
+                     threshold: float = 0.15) -> DataFrame:
+    """TextTiling-style topic segmentation over a conversation: the
+    cosine similarity between each adjacent turn pair's token-count
+    vectors, with low-cohesion gaps flagged as topic boundaries
+    (Hearst, CL 1997) — the chunk-by-topic pass a RAG pipeline runs
+    before embedding long transcripts.
+
+    Determinism: token-count vectors are integers, so the dot product
+    (one (key, token) equi-join between adjacent turns) and both
+    squared norms are exact int64; cosine is ``dot / sqrt(n1 · n2)``
+    on doubles cast from those integers — bit-identical cross-engine.
+    Plan: one (key, turn, token) count shuffle; the dot join shuffles
+    on (key, token) — narrow, token-cardinality fan-out; boundary rows
+    with NO shared token come from the norms self-join with the dot
+    LEFT-joined and coalesced to 0 (an inner dot join would silently
+    drop exactly the strongest boundaries).
+
+    Returns ``(key, boundary_turn, cos, is_boundary)`` for every
+    adjacent pair where both sides have tokens.
+    """
+    toks = (turns.where(F.col(text_col).isNotNull()
+                        & F.col(key).isNotNull())
+            .select(F.col(key).alias("_k"),
+                    F.col(order_col).alias("_t"),
+                    F.explode(F.split(F.col(text_col), " "))
+                    .alias("_tok")))
+    counts = toks.groupBy("_k", "_t", "_tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c"))
+    norms = counts.groupBy("_k", "_t").agg(
+        F.sum(F.col("_c") * F.col("_c")).cast("bigint").alias("_n2"))
+    nb = norms.select(F.col("_k"), (F.col("_t") - 1).alias("_t"),
+                      F.col("_n2").alias("_n2b"))
+    pairs = norms.join(nb, ["_k", "_t"])
+    dots = (counts.join(
+        counts.select(F.col("_k"), (F.col("_t") - 1).alias("_t"),
+                      F.col("_tok"), F.col("_c").alias("_cb")),
+        ["_k", "_t", "_tok"])
+        .groupBy("_k", "_t")
+        .agg(F.sum(F.col("_c") * F.col("_cb")).cast("bigint")
+             .alias("_dot")))
+    j = (pairs.join(dots, ["_k", "_t"], "left")
+         .select("_k", "_t", "_n2", "_n2b",
+                 F.coalesce("_dot", F.lit(0)).cast("bigint")
+                 .alias("_dot")))
+    cos = (F.col("_dot").cast("double")
+           / F.sqrt(F.col("_n2").cast("double")
+                    * F.col("_n2b").cast("double")))
+    return j.select(
+        F.col("_k").alias(key),
+        (F.col("_t") + 1).cast("int").alias("boundary_turn"),
+        cos.alias("cos"),
+        (cos < threshold).alias("is_boundary"))

@@ -840,3 +840,44 @@ def bigram_accuracy(docs: DataFrame, key: str = "source",
         .select(key, "n_bigrams", "n_hits",
                 (F.col("n_hits").cast("double")
                  / F.col("n_bigrams").cast("double")).alias("accuracy")))
+
+
+def watermark_score(docs: DataFrame, key: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """Green-list watermark detection score per ``key`` (Kirchenbauer
+    et al., ICML 2023, public algorithm): with a hash-seeded half-vocab
+    "green list" per previous token, watermarked text over-selects
+    green tokens; the detector z-score ``(2·greens - n) / sqrt(n)``
+    measures how far a source sits from the unwatermarked 50% baseline.
+    The synthetic-text screen a pretraining corpus runs to keep
+    model-generated (or deliberately watermarked) data out of the mix.
+
+    The green membership of a (prev, token) bigram is the parity of
+    the stable first-8-hex md5 integer of ``prev || ':' || token`` —
+    the hash_split discipline, identical in the oracle. One guarded
+    gram projection + one (key) reduction: greens and n are exact
+    int64; the z-score is a single division by a sqrt of an exact
+    integer. |z| > ~4 flags a watermarked source.
+
+    Returns ``(key, n_bigrams, greens, green_frac, z)``.
+    """
+    w = (docs.where(F.col(text_col).isNotNull() & F.col(key).isNotNull())
+         .select(key, F.split(F.col(text_col), " ").alias("_w")))
+    grams = w.where(F.size("_w") >= 2).select(
+        key,
+        F.explode(F.expr(
+            "transform(sequence(1, size(_w) - 1), "
+            "i -> concat(element_at(_w, i), ':', "
+            "element_at(_w, i + 1)))")).alias("_bg"))
+    h = F.conv(F.substring(F.md5(F.col("_bg")), 1, 8), 16, 10) \
+        .cast("bigint")
+    g = grams.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum(F.when(h % 2 == 0, 1).otherwise(0)).cast("bigint")
+        .alias("greens"))
+    nd = F.col("n_bigrams").cast("double")
+    return g.select(
+        key, "n_bigrams", "greens",
+        (F.col("greens").cast("double") / nd).alias("green_frac"),
+        ((F.lit(2) * F.col("greens") - F.col("n_bigrams"))
+         .cast("double") / F.sqrt(nd)).alias("z"))

@@ -1229,3 +1229,53 @@ def test_bigram_accuracy_hand_case(spark):
     # single-token doc contributes nothing
     df2 = spark.createDataFrame([("s3", "x")], "source string, text string")
     assert bigram_accuracy(df2).count() == 0
+
+
+def test_topic_boundaries_hand_case(spark):
+    from logpipe_spark.operators.spans import topic_boundaries
+
+    rows = [
+        ("c1", 0, "alpha beta alpha"),   # vec {alpha:2, beta:1}, n2=5
+        ("c1", 1, "alpha beta"),         # vec {alpha:1, beta:1}, n2=2
+        ("c1", 2, "gamma delta"),        # disjoint from turn 1
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {r.boundary_turn: r for r in
+           topic_boundaries(df, threshold=0.5).collect()}
+    # boundary at turn 1: dot = 2*1 + 1*1 = 3, cos = 3/sqrt(5*2)
+    import math
+    assert out[1].cos == 3.0 / math.sqrt(10.0)
+    assert not out[1].is_boundary
+    # boundary at turn 2: zero overlap -> cos 0 -> boundary (left join!)
+    assert out[2].cos == 0.0 and out[2].is_boundary
+
+
+def test_watermark_score_hand_case(spark):
+    from logpipe_spark.trainprep.textqual import watermark_score
+    import hashlib
+    import math
+
+    text = "the quick brown fox jumps over the lazy dog"
+    toks = text.split(" ")
+    greens = 0
+    for a, b in zip(toks, toks[1:]):
+        h = int(hashlib.md5(f"{a}:{b}".encode()).hexdigest()[:8], 16)
+        greens += 1 if h % 2 == 0 else 0
+    df = spark.createDataFrame([("s", text)], "source string, text string")
+    r = watermark_score(df).collect()[0]
+    n = len(toks) - 1
+    assert r.n_bigrams == n and r.greens == greens
+    assert r.z == (2.0 * greens - n) / math.sqrt(float(n))
+    # fully green synthetic: repeat one green bigram only
+    # find a green pair deterministically
+    pair = None
+    for x in ["aa", "bb", "cc", "dd", "ee"]:
+        h = int(hashlib.md5(f"{x}:{x}".encode()).hexdigest()[:8], 16)
+        if h % 2 == 0:
+            pair = x
+            break
+    assert pair is not None
+    df2 = spark.createDataFrame(
+        [("w", " ".join([pair] * 10))], "source string, text string")
+    r2 = watermark_score(df2).collect()[0]
+    assert r2.green_frac == 1.0 and r2.z == 9.0 / 3.0
