@@ -6801,6 +6801,16 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AMS F2 sketch audit (skew.ams_f2): the self-join-size estimator
+    # for user_id from 9 md5-signed sums, discrete-median'd, next to
+    # the exact F2 (DECIMAL(38,0) == HUGEINT) — the sketch's own error
+    # is the oracle-checked output, like minhash_recall/sketch_error.
+    from logpipe_spark.operators.skew import ams_f2
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ams_f2(ev, "user_id", k=9, hash_fn="md5")
+
+
 def q_topic_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TextTiling segmentation (spans.topic_boundaries): adjacent-turn
     # cosine over integer token-count vectors per conv; the dot is a
@@ -7353,6 +7363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_accuracy": q_bigram_accuracy,
         "topic_boundaries": q_topic_boundaries,
         "watermark_score": q_watermark_score,
+        "ams_f2": q_ams_f2,
     }
 
 
@@ -13443,4 +13454,30 @@ SELECT source, n_bigrams, greens,
        cast(2 * greens - n_bigrams AS double)
          / sqrt(cast(n_bigrams AS double)) AS z
 FROM g"""
+    # md5-signed ±1 sums (cms/kmv decode); HUGEINT squares == the
+    # engine's DECIMAL(38,0); discrete median at rank 5 of 9.
+    oracles["ams_f2"] = f"""
+WITH c AS (SELECT cast(user_id AS varchar) AS v,
+                  cast(count(*) AS bigint) AS c
+           FROM events WHERE user_id IS NOT NULL GROUP BY v),
+ex AS (SELECT cast(count(*) AS bigint) AS n_values,
+              sum(cast(c AS hugeint) * c) AS f2 FROM c),
+mm AS (SELECT seed, c.c,
+              md5(cast(seed AS varchar) || ':' || v) AS m
+       FROM c, (SELECT unnest(generate_series(0, 8)) AS seed) sd),
+s AS (SELECT seed,
+             cast(sum((1 - 2 * (({_hexpoly8('m')}) % 2)) * c)
+                  AS bigint) AS s
+      FROM mm GROUP BY seed),
+e AS (SELECT seed, cast(s AS hugeint) * s AS e FROM s),
+m AS (SELECT e AS est FROM (
+        SELECT e, row_number() OVER (ORDER BY e, seed) AS rn FROM e)
+      WHERE rn = 5)
+SELECT n_values, cast(f2 AS double) AS f2_exact,
+       cast(est AS double) AS f2_est,
+       CASE WHEN cast(f2 AS double) > 0.0
+            THEN abs(cast(est AS double) - cast(f2 AS double))
+                 / cast(f2 AS double)
+       END AS rel_err
+FROM ex, m"""
     return oracles

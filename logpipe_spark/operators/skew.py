@@ -235,3 +235,65 @@ def cms_estimate(sketch: DataFrame, keys_df: DataFrame, key: str,
         .groupBy(key)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias(alias))
     )
+
+
+def ams_f2(df: DataFrame, key: str, k: int = 9,
+           hash_fn: str = "xxhash64") -> DataFrame:
+    """AMS second-moment sketch (Alon, Matias & Szegedy, STOC'96):
+    estimate ``F2 = sum_v c_v²`` — the SELF-JOIN SIZE of the column —
+    from ``k`` ±1-signed sums, alongside the exact F2 for the audit.
+    F2 is the number a shuffle planner wants before joining a column on
+    itself (skew and output size are both F2 stories); the sketch gets
+    it in one pass with k counters where the exact path needs the
+    distinct-value frame.
+
+    Each estimator is ``(sum_v s_i(v)·c_v)²`` with ``s_i(v) = ±1`` from
+    the seeded hash parity; the estimate is the DISCRETE median of the
+    k estimators (k odd — an actual element, rank-based, never an
+    interpolated blend). With ``hash_fn='md5'`` the signs replay in the
+    oracle (the cms/kmv discipline; xxhash64 is the cheaper 100 TB
+    default). Signed sums stay int64 (|s| ≤ N); their squares
+    accumulate in DECIMAL(38,0) == HUGEINT, as does exact F2.
+
+    Returns ONE row: ``(n_values, f2_exact, f2_est, rel_err)``.
+    """
+    assert k % 2 == 1, "odd k keeps the median an actual element"
+    spark = df.sparkSession
+    c = (df.where(F.col(key).isNotNull())
+         .groupBy(F.col(key).cast("string").alias("_v"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
+    exact = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_c"))
+        .cast("decimal(38,0)").alias("_f2"))
+    seeds = spark.createDataFrame([(i,) for i in range(k)], "seed int")
+    if hash_fn == "md5":
+        h = F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.col("seed").cast("string"),
+                              F.col("_v"))), 1, 8), 16, 10).cast("bigint")
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(F.col("_v"), F.col("seed").cast("string"))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    sgn = F.lit(1) - F.lit(2) * F.pmod(h, F.lit(2))
+    per_seed = (c.crossJoin(F.broadcast(seeds))
+                .groupBy("seed")
+                .agg(F.sum(sgn * F.col("_c")).cast("bigint").alias("_s")))
+    ests = per_seed.select(
+        "seed",
+        (F.col("_s").cast("decimal(19,0)") * F.col("_s"))
+        .cast("decimal(38,0)").alias("_e"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("_e").asc(), F.col("seed").asc())
+    med = (ests.withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") == (k + 1) // 2)
+           .select(F.col("_e").alias("_est")))
+    out = exact.crossJoin(F.broadcast(med))
+    ex_d = F.col("_f2").cast("double")
+    est_d = F.col("_est").cast("double")
+    return out.select(
+        "n_values",
+        ex_d.alias("f2_exact"),
+        est_d.alias("f2_est"),
+        F.when(ex_d > 0.0, F.abs(est_d - ex_d) / ex_d).alias("rel_err"))

@@ -1279,3 +1279,20 @@ def test_watermark_score_hand_case(spark):
         [("w", " ".join([pair] * 10))], "source string, text string")
     r2 = watermark_score(df2).collect()[0]
     assert r2.green_frac == 1.0 and r2.z == 9.0 / 3.0
+
+
+def test_ams_f2_hand_case(spark):
+    from logpipe_spark.operators.skew import ams_f2
+
+    # exact F2 of {a x3, b x2, c x1} = 9 + 4 + 1 = 14
+    rows = [("a",)] * 3 + [("b",)] * 2 + [("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    r = ams_f2(df, "k", k=9, hash_fn="md5").collect()[0]
+    assert r.n_values == 3 and r.f2_exact == 14.0
+    assert r.rel_err == abs(r.f2_est - 14.0) / 14.0
+    # estimator sanity: E[est] = F2; with 9 estimators the median is
+    # within a loose constant factor on this tiny input
+    assert 0.0 <= r.f2_est <= 36.0 * 14.0
+    # xxhash64 fast path returns the same exact F2 and a valid estimate
+    r2 = ams_f2(df, "k", k=9, hash_fn="xxhash64").collect()[0]
+    assert r2.f2_exact == 14.0 and r2.f2_est >= 0.0
