@@ -6801,6 +6801,18 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rank-biased overlap (similarity.rbo_overlap): top-weighted
+    # agreement between the single-probe IVF ranking and brute-force
+    # cosine per query — the rank-aware companion to ann_recall. Both
+    # input rankings are independently exact-oracled; weights are
+    # shared float literals and the k-term sum folds in depth order.
+    from logpipe_spark.trainprep.similarity import rbo_overlap
+    truth = q_ann_topk(spark, sf_dir)
+    found = q_ann_ivf_topk(spark, sf_dir)
+    return rbo_overlap(truth, found, k=5, p=0.9)
+
+
 def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AMS F2 sketch audit (skew.ams_f2): the self-join-size estimator
     # for user_id from 9 md5-signed sums, discrete-median'd, next to
@@ -7364,6 +7376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_boundaries": q_topic_boundaries,
         "watermark_score": q_watermark_score,
         "ams_f2": q_ams_f2,
+        "rbo_eval": q_rbo_eval,
     }
 
 
@@ -13480,4 +13493,41 @@ SELECT n_values, cast(f2 AS double) AS f2_exact,
                  / cast(f2 AS double)
        END AS rel_err
 FROM ex, m"""
+    # Both rankings nested verbatim (the minhash_recall composition);
+    # p^(d-1) weights are the engine's float literals with e0 suffixes
+    # (DECIMAL->DOUBLE is lossy on long literals); depth-ordered
+    # list_reduce == the engine's aggregate() fold.
+    _rbo_w = " ".join(
+        f"WHEN {d} THEN {0.9 ** (d - 1)!r}e0" for d in range(1, 6))
+    oracles["rbo_eval"] = f"""
+WITH tr AS ({oracles['ann_topk']}),
+fo AS ({oracles['ann_ivf_topk']}),
+bo AS (SELECT tr.query_id,
+              cast(greatest(tr.rank, fo.rank) AS int) AS mr
+       FROM tr JOIN fo ON tr.query_id = fo.query_id
+                      AND tr.neighbor_id = fo.neighbor_id),
+qs AS (SELECT DISTINCT query_id FROM tr),
+dd AS (SELECT unnest(generate_series(1, 5)) AS d),
+grid AS (SELECT query_id, d FROM qs, dd),
+ov AS (SELECT query_id, d, cast(count(*) AS bigint) AS ov
+       FROM bo, dd WHERE mr <= d GROUP BY query_id, d),
+g AS (SELECT grid.query_id, grid.d,
+             cast(coalesce(ov.ov, 0) AS bigint) AS ov
+      FROM grid LEFT JOIN ov ON grid.query_id = ov.query_id
+                            AND grid.d = ov.d),
+t AS (SELECT query_id, d,
+             (CASE d {_rbo_w} END)
+               * (cast(ov AS double) / cast(d AS double)) AS term
+      FROM g),
+f2 AS (SELECT query_id,
+              list_reduce(list_prepend(cast(0 AS double),
+                                       list(term ORDER BY d)),
+                          (acc, v) -> acc + v) AS s
+       FROM t GROUP BY query_id),
+nc AS (SELECT query_id, cast(count(*) AS bigint) AS n_common
+       FROM bo GROUP BY query_id)
+SELECT f2.query_id,
+       cast(coalesce(nc.n_common, 0) AS bigint) AS n_common,
+       {1.0 - 0.9!r}e0 * s AS rbo
+FROM f2 LEFT JOIN nc ON f2.query_id = nc.query_id"""
     return oracles

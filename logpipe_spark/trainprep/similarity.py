@@ -941,3 +941,63 @@ def kmeans_lloyd(emb: DataFrame, k: int = 8, n_iter: int = 2,
         (F.col("dim0") + 1).cast("int").alias("dim"),
         "c",
     )
+
+
+def rbo_overlap(truth: DataFrame, found: DataFrame, k: int = 5,
+                p: float = 0.9) -> DataFrame:
+    """Rank-biased overlap between two top-k rankings per query
+    (Webber, Moffat & Zobel, TOIS 2010): the top-weighted agreement
+    measure that, unlike recall, rewards putting the SAME items at the
+    SAME depths — the rank-aware companion to ann_recall for judging
+    an ANN index against brute force. Truncated form:
+    ``RBO = (1-p) · sum_{d=1..k} p^(d-1) · |A_d ∩ B_d| / d``.
+
+    Determinism: overlap-at-depth comes from integer ranks (an item in
+    both lists contributes to every depth ≥ max of its two ranks, so
+    the per-depth counts are one bounded broadcast-depth join — never
+    a set computation per depth); the ``p^(d-1)`` weights are Python-
+    float literals injected into BOTH engines (the Benford literal
+    discipline), and the k-term sum folds LEFT-TO-RIGHT over depth
+    order (== DuckDB list_reduce with a 0.0 seed). Queries with zero
+    agreement keep a row (grid LEFT joins, the topic_boundaries
+    lesson) with rbo = 0.0.
+
+    Inputs carry ``(query_id, neighbor_id, rank)`` with rank 1..k.
+    Returns ``(query_id, n_common, rbo)``.
+    """
+    spark = truth.sparkSession
+    t = truth.select("query_id", "neighbor_id",
+                     F.col("rank").alias("_rt"))
+    f = found.select("query_id", "neighbor_id",
+                     F.col("rank").alias("_rf"))
+    both = t.join(f, ["query_id", "neighbor_id"]).select(
+        "query_id", F.greatest("_rt", "_rf").cast("int").alias("_mr"))
+    depths = spark.createDataFrame([(d,) for d in range(1, k + 1)],
+                                   "d int")
+    grid = (truth.select("query_id").distinct()
+            .crossJoin(F.broadcast(depths)))
+    ov = (both.crossJoin(F.broadcast(depths))
+          .where(F.col("_mr") <= F.col("d"))
+          .groupBy("query_id", "d")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("_ov")))
+    g = grid.join(ov, ["query_id", "d"], "left").select(
+        "query_id", "d",
+        F.coalesce("_ov", F.lit(0)).cast("bigint").alias("_ov"))
+    wts = F.array(*[F.lit(float(p) ** (d - 1)) for d in range(1, k + 1)])
+    term = (F.element_at(wts, F.col("d"))
+            * (F.col("_ov").cast("double") / F.col("d").cast("double")))
+    folded = (g.select("query_id", "d", term.alias("_t"))
+              .groupBy("query_id")
+              .agg(F.array_sort(F.collect_list(F.struct("d", "_t")))
+                   .alias("_h"))
+              .select("query_id", F.expr(
+                  "aggregate(transform(_h, s -> s._t), "
+                  "cast(0.0 AS double), (acc, v) -> acc + v)")
+                  .alias("_s")))
+    nc = both.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    return (folded.join(nc, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_common", F.lit(0)).cast("bigint")
+                    .alias("n_common"),
+                    (F.lit(1.0 - float(p)) * F.col("_s")).alias("rbo")))

@@ -1296,3 +1296,33 @@ def test_ams_f2_hand_case(spark):
     # xxhash64 fast path returns the same exact F2 and a valid estimate
     r2 = ams_f2(df, "k", k=9, hash_fn="xxhash64").collect()[0]
     assert r2.f2_exact == 14.0 and r2.f2_est >= 0.0
+
+
+def test_rbo_overlap_hand_cases(spark):
+    from logpipe_spark.trainprep.similarity import rbo_overlap
+
+    def ranked(qid, ids):
+        return [(qid, nid, r + 1) for r, nid in enumerate(ids)]
+
+    schema = "query_id int, neighbor_id int, rank int"
+    # identical top-5 lists: overlap_d = d at every depth ->
+    # RBO = (1-p) * sum p^(d-1) = (1-p)(1-p^5)/(1-p)... replay exactly
+    a = spark.createDataFrame(ranked(1, [10, 11, 12, 13, 14]), schema)
+    r = rbo_overlap(a, a, k=5, p=0.9).collect()[0]
+    expect = 0.0
+    for d in range(1, 6):
+        expect = expect + (0.9 ** (d - 1)) * (float(d) / float(d))
+    assert r.rbo == (1.0 - 0.9) * expect and r.n_common == 5
+    # disjoint lists: zero overlap everywhere -> rbo 0.0, row KEPT
+    b = spark.createDataFrame(ranked(1, [20, 21, 22, 23, 24]), schema)
+    r2 = rbo_overlap(a, b, k=5, p=0.9).collect()[0]
+    assert r2.rbo == 0.0 and r2.n_common == 0
+    # same items reversed order: overlap only at full depth
+    c = spark.createDataFrame(ranked(1, [14, 13, 12, 11, 10]), schema)
+    r3 = rbo_overlap(a, c, k=5, p=0.9).collect()[0]
+    # mr for item at ranks (i, 6-i): max -> [5,4,3,4,5]; overlap_d:
+    # d=3 ->1, d=4 ->3, d=5 ->5
+    expect3 = 0.0
+    for d, ov in ((1, 0), (2, 0), (3, 1), (4, 3), (5, 5)):
+        expect3 = expect3 + (0.9 ** (d - 1)) * (float(ov) / float(d))
+    assert r3.rbo == (1.0 - 0.9) * expect3 and r3.n_common == 5
