@@ -6801,6 +6801,23 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Chapman mark-recapture estimate of the user population from the
+    # two corpus halves (profile.capture_recapture), audited against
+    # the exact distinct — the estimator's own error is the oracled
+    # output. Midpoint split as in diff_in_diff.
+    from logpipe_spark.operators.profile import capture_recapture
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"))
+    b = ev.agg(F.expr("min(tsu) + ((max(tsu) - min(tsu)) div 2)")
+               .alias("_tmid"))
+    ev2 = ev.crossJoin(F.broadcast(b))
+    return capture_recapture(ev2, "user_id",
+                             F.col("tsu") >= F.col("_tmid"))
+
+
 def q_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rank-biased overlap (similarity.rbo_overlap): top-weighted
     # agreement between the single-probe IVF ranking and brute-force
@@ -7377,6 +7394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_score": q_watermark_score,
         "ams_f2": q_ams_f2,
         "rbo_eval": q_rbo_eval,
+        "capture_recapture": q_capture_recapture,
     }
 
 
@@ -13530,4 +13548,30 @@ SELECT f2.query_id,
        cast(coalesce(nc.n_common, 0) AS bigint) AS n_common,
        {1.0 - 0.9!r}e0 * s AS rbo
 FROM f2 LEFT JOIN nc ON f2.query_id = nc.query_id"""
+    # Midpoint split; Chapman estimate formed in the engine's cast
+    # order; exact distinct from the same flag frame.
+    oracles["capture_recapture"] = """
+WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+b AS (SELECT min(tsu) + (max(tsu) - min(tsu)) // 2 AS tmid FROM ev),
+fl AS (SELECT user_id,
+              max(CASE WHEN tsu >= tmid THEN 0 ELSE 1 END) AS pre,
+              max(CASE WHEN tsu >= tmid THEN 1 ELSE 0 END) AS post
+       FROM ev, b GROUP BY user_id),
+s AS (SELECT cast(sum(pre) AS bigint) AS n_first,
+             cast(sum(post) AS bigint) AS n_second,
+             cast(sum(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END)
+                  AS bigint) AS n_both,
+             cast(count(*) AS bigint) AS n_exact
+      FROM fl),
+f AS (SELECT *,
+        cast(n_first + 1 AS double) * cast(n_second + 1 AS double)
+          / cast(n_both + 1 AS double) - 1.0 AS est
+      FROM s)
+SELECT n_first, n_second, n_both, n_exact, est AS estimate,
+       CASE WHEN cast(n_exact AS double) > 0.0
+            THEN abs(est - cast(n_exact AS double))
+                 / cast(n_exact AS double)
+       END AS rel_err
+FROM f"""
     return oracles

@@ -348,3 +348,42 @@ def srm_check(df: DataFrame, unit_col: str, key: str,
     chi = d * d / tot
     return g.select(key, "n_arm0", "n_arm1", chi.alias("chi2"),
                     (chi > 3.84).alias("srm_suspect"))
+
+
+def capture_recapture(df: DataFrame, unit_col: str, post) -> DataFrame:
+    """Chapman capture-recapture estimate of the distinct-unit
+    population from two observation windows (Chapman 1951; the
+    mark-recapture estimator ecologists run on two surveys), audited
+    against the exact distinct count — the "how many users exist that
+    we HAVEN'T seen yet" number a sampling pipeline wants when a full
+    distinct is affordable only at audit time.
+
+    ``N̂ = (n1+1)(n2+1)/(m+1) - 1`` with n1/n2 the windows' distinct
+    units and m the overlap. One unit-keyed conditional-flag reduction
+    (map-side combinable) collapses the corpus; the four counts are
+    exact int64 and the estimate is formed from them cast to double in
+    the oracle's order (n1·n2 products cast BEFORE multiplying —
+    overflow discipline). The estimator's own relative error vs the
+    exact count is the oracled output (the ams_f2 discipline).
+
+    Returns ONE row: ``(n_first, n_second, n_both, n_exact, estimate,
+    rel_err)``.
+    """
+    flags = (df.where(F.col(unit_col).isNotNull() & post.isNotNull())
+             .groupBy(F.col(unit_col).alias("_u"))
+             .agg(F.max(F.when(post, 0).otherwise(1)).alias("_pre"),
+                  F.max(F.when(post, 1).otherwise(0)).alias("_post")))
+    s = flags.agg(
+        F.sum("_pre").cast("bigint").alias("n_first"),
+        F.sum("_post").cast("bigint").alias("n_second"),
+        F.sum(F.when((F.col("_pre") == 1) & (F.col("_post") == 1), 1)
+              .otherwise(0)).cast("bigint").alias("n_both"),
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    est = ((F.col("n_first") + 1).cast("double")
+           * (F.col("n_second") + 1).cast("double")
+           / (F.col("n_both") + 1).cast("double") - F.lit(1.0))
+    exd = F.col("n_exact").cast("double")
+    return s.select(
+        "n_first", "n_second", "n_both", "n_exact",
+        est.alias("estimate"),
+        F.when(exd > 0.0, F.abs(est - exd) / exd).alias("rel_err"))

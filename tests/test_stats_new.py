@@ -1326,3 +1326,21 @@ def test_rbo_overlap_hand_cases(spark):
     for d, ov in ((1, 0), (2, 0), (3, 1), (4, 3), (5, 5)):
         expect3 = expect3 + (0.9 ** (d - 1)) * (float(ov) / float(d))
     assert r3.rbo == (1.0 - 0.9) * expect3 and r3.n_common == 5
+
+
+def test_capture_recapture_hand_case(spark):
+    from logpipe_spark.operators.profile import capture_recapture
+
+    # pre window sees {a,b,c}, post sees {b,c,d,e}: n1=3, n2=4, m=2,
+    # Chapman = 4*5/3 - 1 = 17/3; exact = 5
+    rows = [("a", False), ("b", False), ("c", False),
+            ("b", True), ("c", True), ("d", True), ("e", True)]
+    df = spark.createDataFrame(rows, "u string, post boolean")
+    r = capture_recapture(df, "u", F.col("post")).collect()[0]
+    assert (r.n_first, r.n_second, r.n_both, r.n_exact) == (3, 4, 2, 5)
+    assert r.estimate == 4.0 * 5.0 / 3.0 - 1.0
+    assert r.rel_err == abs(r.estimate - 5.0) / 5.0
+    # duplicate sightings don't inflate (distinct-unit flags)
+    df2 = spark.createDataFrame(rows * 4, "u string, post boolean")
+    r2 = capture_recapture(df2, "u", F.col("post")).collect()[0]
+    assert (r2.n_first, r2.n_second) == (3, 4)
