@@ -6801,6 +6801,21 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weekly growth accounting (segment.growth_accounting): active
+    # users decomposed into new / retained / resurrected plus the
+    # churned count keyed the week after last activity — one distinct
+    # (user, week) collapse + a partitioned lag/lead window, exact
+    # integer classes, zero-filled full-outer week stitch.
+    from logpipe_spark.operators.segment import growth_accounting
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()).select(
+        "user_id",
+        F.expr("unix_micros(cast(ts AS timestamp)) div 604800000000")
+        .cast("bigint").alias("week"))
+    return growth_accounting(ev, "user_id", "week")
+
+
 def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Chapman mark-recapture estimate of the user population from the
     # two corpus halves (profile.capture_recapture), audited against
@@ -7395,6 +7410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2": q_ams_f2,
         "rbo_eval": q_rbo_eval,
         "capture_recapture": q_capture_recapture,
+        "growth_accounting": q_growth_accounting,
     }
 
 
@@ -13574,4 +13590,31 @@ SELECT n_first, n_second, n_both, n_exact, est AS estimate,
                  / cast(n_exact AS double)
        END AS rel_err
 FROM f"""
+    # Distinct (user, week) collapse; churn keys at prev+1; full-outer
+    # week stitch zero-filled.
+    oracles["growth_accounting"] = """
+WITH uw AS (SELECT DISTINCT user_id AS u,
+                   cast(epoch_us(ts) // 604800000000 AS bigint) AS w
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+f AS (SELECT u, w,
+             lag(w) OVER (PARTITION BY u ORDER BY w) AS prev,
+             lead(w) OVER (PARTITION BY u ORDER BY w) AS nxt
+      FROM uw),
+act AS (SELECT w AS week,
+          cast(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS bigint)
+            AS n_new,
+          cast(sum(CASE WHEN w = prev + 1 THEN 1 ELSE 0 END) AS bigint)
+            AS n_retained,
+          cast(sum(CASE WHEN prev IS NOT NULL AND w > prev + 1
+                        THEN 1 ELSE 0 END) AS bigint) AS n_resurrected
+        FROM f GROUP BY w),
+ch AS (SELECT w + 1 AS week, cast(count(*) AS bigint) AS n_churned
+       FROM f WHERE nxt IS NULL OR nxt > w + 1 GROUP BY w + 1)
+SELECT coalesce(act.week, ch.week) AS week,
+       cast(coalesce(n_new, 0) AS bigint) AS n_new,
+       cast(coalesce(n_retained, 0) AS bigint) AS n_retained,
+       cast(coalesce(n_resurrected, 0) AS bigint) AS n_resurrected,
+       cast(coalesce(n_churned, 0) AS bigint) AS n_churned
+FROM act FULL OUTER JOIN ch ON act.week = ch.week"""
     return oracles

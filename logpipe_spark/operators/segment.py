@@ -240,3 +240,55 @@ def decile_lift(
             / (F.col("_tp").cast("double") / F.col("_tn").cast("double")),
         ).alias("cum_lift"),
     )
+
+
+def growth_accounting(df: DataFrame, unit_col: str,
+                      week_col: str) -> DataFrame:
+    """Weekly growth accounting: every active unit classified NEW
+    (first week ever), RETAINED (active the week before), or
+    RESURRECTED (returning after a gap), plus the CHURNED count (active
+    last week, absent this week) — the standard DAU/MAU decomposition
+    chart's data (new + retained + resurrected − churned = net change).
+
+    One distinct (unit, week) collapse, then a single PARTITIONED
+    lag/lead window per unit; class counts are conditional integer
+    sums per week, and churn events key at ``last_active_week + 1``
+    (a unit whose next activity is more than one week away churns
+    exactly once, the week after it was last seen — the final horizon
+    week appears with only churn). Full-outer week join stitches the
+    activity and churn frames, zero-filled.
+
+    Returns ``(week, n_new, n_retained, n_resurrected, n_churned)``.
+    """
+    uw = (df.where(F.col(unit_col).isNotNull()
+                   & F.col(week_col).isNotNull())
+          .select(F.col(unit_col).alias("_u"),
+                  F.col(week_col).cast("bigint").alias("_w"))
+          .distinct())
+    w = Window.partitionBy("_u").orderBy("_w")
+    f = uw.select(
+        "_u", "_w",
+        F.lag("_w").over(w).alias("_prev"),
+        F.lead("_w").over(w).alias("_nxt"))
+    act = f.groupBy(F.col("_w").alias("week")).agg(
+        F.sum(F.when(F.col("_prev").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("_w") == F.col("_prev") + 1, 1).otherwise(0))
+        .cast("bigint").alias("n_retained"),
+        F.sum(F.when(F.col("_prev").isNotNull()
+                     & (F.col("_w") > F.col("_prev") + 1), 1)
+              .otherwise(0)).cast("bigint").alias("n_resurrected"))
+    churn = (f.where(F.col("_nxt").isNull()
+                     | (F.col("_nxt") > F.col("_w") + 1))
+             .groupBy((F.col("_w") + 1).alias("week"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned")))
+    return (act.join(churn, "week", "full_outer")
+            .select("week",
+                    F.coalesce("n_new", F.lit(0)).cast("bigint")
+                    .alias("n_new"),
+                    F.coalesce("n_retained", F.lit(0)).cast("bigint")
+                    .alias("n_retained"),
+                    F.coalesce("n_resurrected", F.lit(0)).cast("bigint")
+                    .alias("n_resurrected"),
+                    F.coalesce("n_churned", F.lit(0)).cast("bigint")
+                    .alias("n_churned")))

@@ -1344,3 +1344,20 @@ def test_capture_recapture_hand_case(spark):
     df2 = spark.createDataFrame(rows * 4, "u string, post boolean")
     r2 = capture_recapture(df2, "u", F.col("post")).collect()[0]
     assert (r2.n_first, r2.n_second) == (3, 4)
+
+
+def test_growth_accounting_hand_case(spark):
+    from logpipe_spark.operators.segment import growth_accounting
+
+    # u1: weeks 1,2,4  -> new@1, retained@2, churned@3, resurrected@4,
+    #                     churned@5
+    # u2: weeks 2      -> new@2, churned@3
+    rows = [("u1", 1), ("u1", 2), ("u1", 4), ("u2", 2), ("u1", 4)]
+    df = spark.createDataFrame(rows, "u string, w long")
+    out = {r.week: r for r in growth_accounting(df, "u", "w").collect()}
+    assert out[1].n_new == 1 and out[1].n_churned == 0
+    assert out[2].n_new == 1 and out[2].n_retained == 1
+    assert out[3].n_churned == 2 and out[3].n_new == 0
+    assert out[4].n_resurrected == 1 and out[4].n_retained == 0
+    assert out[5].n_churned == 1
+    assert sorted(out) == [1, 2, 3, 4, 5]
