@@ -6801,6 +6801,32 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUPED fit (drift.cuped_adjustment): per user the pre-period
+    # event count is the covariate, post-period purchase cents the
+    # metric (midpoint split as in diff_in_diff); theta/rho from six
+    # exact int64 sufficient stats, cast-before-product.
+    from logpipe_spark.operators.drift import cuped_adjustment
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()).select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        .alias("cents"))
+    b = ev.agg(F.expr("min(tsu) + ((max(tsu) - min(tsu)) div 2)")
+               .alias("_tmid"))
+    ev2 = ev.crossJoin(F.broadcast(b))
+    per = ev2.groupBy("user_id").agg(
+        F.sum(F.when(F.col("tsu") < F.col("_tmid"), 1).otherwise(0))
+        .cast("bigint").alias("x"),
+        F.sum(F.when((F.col("tsu") >= F.col("_tmid"))
+                     & (F.col("event_type") == "purchase"),
+                     F.col("cents")).otherwise(0))
+        .cast("bigint").alias("y"))
+    return cuped_adjustment(per, "x", "y")
+
+
 def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Weekly growth accounting (segment.growth_accounting): active
     # users decomposed into new / retained / resurrected plus the
@@ -7411,6 +7437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbo_eval": q_rbo_eval,
         "capture_recapture": q_capture_recapture,
         "growth_accounting": q_growth_accounting,
+        "cuped_adjustment": q_cuped_adjustment,
     }
 
 
@@ -13617,4 +13644,42 @@ SELECT coalesce(act.week, ch.week) AS week,
        cast(coalesce(n_resurrected, 0) AS bigint) AS n_resurrected,
        cast(coalesce(n_churned, 0) AS bigint) AS n_churned
 FROM act FULL OUTER JOIN ch ON act.week = ch.week"""
+    # Midpoint split; six exact int64 sufficient stats; every sum cast
+    # to double before the cross products in the engine's order.
+    oracles["cuped_adjustment"] = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tsu,
+         cast(floor(value * 100 + 0.5) AS bigint) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+b AS (SELECT min(tsu) + (max(tsu) - min(tsu)) // 2 AS tmid FROM ev),
+per AS (SELECT user_id,
+          cast(sum(CASE WHEN tsu < tmid THEN 1 ELSE 0 END) AS bigint)
+            AS x,
+          cast(sum(CASE WHEN tsu >= tmid AND event_type = 'purchase'
+                        THEN cents ELSE 0 END) AS bigint) AS y
+        FROM ev, b GROUP BY user_id),
+s AS (SELECT cast(count(*) AS bigint) AS n_units,
+             cast(sum(x) AS bigint) AS sx,
+             cast(sum(y) AS bigint) AS sy,
+             cast(sum(x * y) AS bigint) AS sxy,
+             cast(sum(x * x) AS bigint) AS sxx,
+             cast(sum(y * y) AS bigint) AS syy
+      FROM per),
+f AS (SELECT n_units,
+        cast(n_units AS double) * cast(sxy AS double)
+          - cast(sx AS double) * cast(sy AS double) AS num,
+        cast(n_units AS double) * cast(sxx AS double)
+          - cast(sx AS double) * cast(sx AS double) AS dx,
+        cast(n_units AS double) * cast(syy AS double)
+          - cast(sy AS double) * cast(sy AS double) AS dy
+      FROM s)
+SELECT n_units,
+       CASE WHEN dx > 0.0 THEN num / dx END AS theta,
+       CASE WHEN dx > 0.0 AND dy > 0.0
+            THEN num / sqrt(dx * dy) END AS rho,
+       CASE WHEN dx > 0.0 AND dy > 0.0
+            THEN (num / sqrt(dx * dy)) * (num / sqrt(dx * dy))
+       END AS var_reduction
+FROM f"""
     return oracles

@@ -2114,3 +2114,53 @@ def diff_in_diff_by(
         F.when(ok, m_cp).alias("m_ctrl_post"),
         F.when(ok, m_cr).alias("m_ctrl_pre"),
         F.when(ok, (m_tp - m_tr) - (m_cp - m_cr)).alias("did"))
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """CUPED variance-reduction fit (Deng, Xu, Kohavi & Walker,
+    WSDM'13): from per-unit (pre-period covariate X, experiment metric
+    Y) pairs, the adjustment coefficient ``theta = cov(X,Y)/var(X)``
+    and the variance fraction CUPED removes (``rho²``) — the number
+    that says how much smaller the A/B test can be. Completes the
+    experimentation suite next to srm_check / experiment_sizing /
+    diff_in_diff.
+
+    Both inputs must be integer-valued per unit: everything reduces to
+    the six exact int64 sufficient statistics in ONE map-side
+    combinable aggregate, and theta / rho are formed with every sum
+    cast to double BEFORE the cross products (the spearman_corr
+    discipline, including its exactness bound). Zero-variance margins
+    emit NULL under the ANSI guard.
+
+    Returns ONE row: ``(n_units, theta, rho, var_reduction)``.
+    """
+    s = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+         .select(F.col(x_col).cast("bigint").alias("_x"),
+                 F.col(y_col).cast("bigint").alias("_y"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_units"),
+              F.sum("_x").cast("bigint").alias("_sx"),
+              F.sum("_y").cast("bigint").alias("_sy"),
+              F.sum(F.col("_x") * F.col("_y")).cast("bigint")
+              .alias("_sxy"),
+              F.sum(F.col("_x") * F.col("_x")).cast("bigint")
+              .alias("_sxx"),
+              F.sum(F.col("_y") * F.col("_y")).cast("bigint")
+              .alias("_syy")))
+    nd = F.col("n_units").cast("double")
+    num = nd * F.col("_sxy").cast("double") - (
+        F.col("_sx").cast("double") * F.col("_sy").cast("double"))
+    dx = nd * F.col("_sxx").cast("double") - (
+        F.col("_sx").cast("double") * F.col("_sx").cast("double"))
+    dy = nd * F.col("_syy").cast("double") - (
+        F.col("_sy").cast("double") * F.col("_sy").cast("double"))
+    rho = num / F.sqrt(dx * dy)
+    return s.select(
+        "n_units",
+        F.when(dx > 0.0, num / dx).alias("theta"),
+        F.when((dx > 0.0) & (dy > 0.0), rho).alias("rho"),
+        F.when((dx > 0.0) & (dy > 0.0), rho * rho)
+        .alias("var_reduction"))

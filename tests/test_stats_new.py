@@ -1361,3 +1361,34 @@ def test_growth_accounting_hand_case(spark):
     assert out[4].n_resurrected == 1 and out[4].n_retained == 0
     assert out[5].n_churned == 1
     assert sorted(out) == [1, 2, 3, 4, 5]
+
+
+def test_cuped_adjustment_hand_case(spark):
+    from logpipe_spark.operators.drift import cuped_adjustment
+
+    # perfectly correlated covariate: y = 3x -> theta = 3, rho = 1,
+    # CUPED removes all variance
+    rows = [(i, 3 * i) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = cuped_adjustment(df, "x", "y").collect()[0]
+    assert r.n_units == 5 and r.theta == 3.0
+    assert r.rho == 1.0 and r.var_reduction == 1.0
+    # replay a mixed case in python floats (same cast order)
+    xs, ys = [1, 2, 3, 4], [2, 1, 4, 3]
+    df2 = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    r2 = cuped_adjustment(df2, "x", "y").collect()[0]
+    n = float(len(xs))
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxy = float(sum(a * b for a, b in zip(xs, ys)))
+    sxx = float(sum(a * a for a in xs))
+    syy = float(sum(b * b for b in ys))
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    import math
+    assert r2.theta == num / dx
+    assert r2.rho == num / math.sqrt(dx * dy)
+    # constant covariate -> NULL everything (ANSI guard)
+    df3 = spark.createDataFrame([(7, 1), (7, 2)], "x long, y long")
+    r3 = cuped_adjustment(df3, "x", "y").collect()[0]
+    assert r3.theta is None and r3.var_reduction is None
