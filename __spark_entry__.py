@@ -6801,6 +6801,27 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic permutation test (drift.permutation_test): do
+    # error-affected users spend differently? 19 md5-relabeled splits
+    # of per-user purchase cents; p = (1 + #{|perm| >= |obs|}) / 20.
+    # Every mean is a division of exact int64 sums.
+    from logpipe_spark.operators.drift import permutation_test
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()).select(
+        "user_id", "event_type",
+        F.when(F.col("value").isNotNull(),
+               F.floor(F.col("value") * 100 + F.lit(0.5)))
+        .otherwise(0).cast("bigint").alias("cents"))
+    per = ev.groupBy("user_id").agg(
+        (F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+         == 1).alias("had_error"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("cents"))
+              .otherwise(0)).cast("bigint").alias("y"))
+    return permutation_test(per, "user_id", F.col("had_error"), "y",
+                            n_perms=19)
+
+
 def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CUPED fit (drift.cuped_adjustment): per user the pre-period
     # event count is the covariate, post-period purchase cents the
@@ -7438,6 +7459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_recapture": q_capture_recapture,
         "growth_accounting": q_growth_accounting,
         "cuped_adjustment": q_cuped_adjustment,
+        "permutation_test": q_permutation_test,
     }
 
 
@@ -13682,4 +13704,55 @@ SELECT n_units,
             THEN (num / sqrt(dx * dy)) * (num / sqrt(dx * dy))
        END AS var_reduction
 FROM f"""
+    # md5-parity relabelings (hash_split decode); every mean a single
+    # division of exact int64 sums; NULL-diff permutations void p.
+    _pm = f"({_hexpoly8('m')}) % 2 = 0"
+    oracles["permutation_test"] = f"""
+WITH ev AS (SELECT user_id, event_type,
+                   CASE WHEN value IS NOT NULL
+                        THEN cast(floor(value * 100 + 0.5) AS bigint)
+                        ELSE 0 END AS cents
+            FROM events WHERE user_id IS NOT NULL),
+per AS (SELECT cast(user_id AS varchar) AS u,
+               max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 = 1 AS g,
+               cast(sum(CASE WHEN event_type = 'purchase'
+                             THEN cents ELSE 0 END) AS bigint) AS y
+        FROM ev GROUP BY user_id),
+obs AS (SELECT
+  cast(sum(CASE WHEN g THEN 1 ELSE 0 END) AS bigint) AS n_a,
+  cast(sum(CASE WHEN g THEN 0 ELSE 1 END) AS bigint) AS n_b,
+  cast(sum(CASE WHEN g THEN y ELSE 0 END) AS bigint) AS sa,
+  cast(sum(CASE WHEN g THEN 0 ELSE y END) AS bigint) AS sb
+  FROM per),
+obs2 AS (SELECT n_a, n_b,
+                CASE WHEN n_a > 0 AND n_b > 0
+                     THEN cast(sa AS double) / cast(n_a AS double)
+                          - cast(sb AS double) / cast(n_b AS double)
+                END AS diff_obs
+         FROM obs),
+mm AS (SELECT seed, y, md5(cast(seed AS varchar) || ':' || u) AS m
+       FROM per, (SELECT unnest(generate_series(1, 19)) AS seed) sd),
+ps AS (SELECT seed,
+         cast(sum(CASE WHEN {_pm} THEN 1 ELSE 0 END) AS bigint) AS pa,
+         cast(sum(CASE WHEN {_pm} THEN 0 ELSE 1 END) AS bigint) AS pb,
+         cast(sum(CASE WHEN {_pm} THEN y ELSE 0 END) AS bigint) AS psa,
+         cast(sum(CASE WHEN {_pm} THEN 0 ELSE y END) AS bigint) AS psb
+       FROM mm GROUP BY seed),
+pd AS (SELECT seed,
+              CASE WHEN pa > 0 AND pb > 0
+                   THEN cast(psa AS double) / cast(pa AS double)
+                        - cast(psb AS double) / cast(pb AS double)
+              END AS d
+       FROM ps),
+c AS (SELECT
+  cast(sum(CASE WHEN abs(d) >= abs(diff_obs) THEN 1 ELSE 0 END)
+       AS bigint) AS n_ge,
+  cast(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS bigint)
+    AS null_perms
+  FROM pd, obs2)
+SELECT n_a, n_b, diff_obs, n_ge,
+       CASE WHEN diff_obs IS NOT NULL AND null_perms = 0
+            THEN cast(n_ge + 1 AS double) / 20.0 END AS p_value
+FROM obs2, c"""
     return oracles

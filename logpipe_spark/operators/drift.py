@@ -2164,3 +2164,86 @@ def cuped_adjustment(
         F.when((dx > 0.0) & (dy > 0.0), rho).alias("rho"),
         F.when((dx > 0.0) & (dy > 0.0), rho * rho)
         .alias("var_reduction"))
+
+
+def permutation_test(
+    df: DataFrame,
+    unit_col: str,
+    group: Column,
+    y_col: str,
+    n_perms: int = 19,
+) -> DataFrame:
+    """Permutation test of a two-group mean difference with
+    DETERMINISTIC md5 relabelings (Fisher's exact-randomization logic;
+    fixed hash assignments replace the RNG so both engines and any two
+    runs draw the SAME permutation set — the reproducibility property a
+    pipeline gate needs). ``p ≈ (1 + #{|diff_perm| ≥ |diff_obs|}) /
+    (n_perms + 1)`` — with 19 permutations the smallest attainable p
+    is 0.05.
+
+    One unit-level frame feeds both sides: the observed split and, via
+    a broadcast seed fan-out, the per-seed md5-parity relabelings; each
+    permutation reduces to conditional exact int64 sums in ONE
+    combinable shuffle (seeds × units rows, map-side collapsed to
+    n_perms rows). Mean differences are single divisions of exact
+    integers; the ≥ comparison runs on bit-identical doubles. Empty
+    arms (observed or permuted) yield NULL p under the ANSI guard.
+
+    Returns ONE row: ``(n_a, n_b, diff_obs, n_ge, p_value)``.
+    """
+    u = (df.where(F.col(unit_col).isNotNull() & group.isNotNull()
+                  & F.col(y_col).isNotNull())
+         .select(F.col(unit_col).cast("string").alias("_u"),
+                 group.alias("_g"),
+                 F.col(y_col).cast("bigint").alias("_y")))
+    obs = u.agg(
+        F.sum(F.when(F.col("_g"), 1).otherwise(0)).cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("_g"), 0).otherwise(1)).cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("_g"), F.col("_y")).otherwise(0))
+        .cast("bigint").alias("_sa"),
+        F.sum(F.when(F.col("_g"), 0).otherwise(F.col("_y")))
+        .cast("bigint").alias("_sb"))
+    d_obs = (F.col("_sa").cast("double") / F.col("n_a").cast("double")
+             - F.col("_sb").cast("double") / F.col("n_b").cast("double"))
+    obs = obs.select(
+        "n_a", "n_b",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), d_obs)
+        .alias("diff_obs"))
+    spark = df.sparkSession
+    seeds = spark.createDataFrame([(s,) for s in range(1, n_perms + 1)],
+                                  "seed int")
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col("seed").cast("string"),
+                          F.col("_u"))), 1, 8), 16, 10).cast("bigint")
+    flip = F.pmod(h, F.lit(2)) == 0
+    per = (u.crossJoin(F.broadcast(seeds))
+           .groupBy("seed")
+           .agg(F.sum(F.when(flip, 1).otherwise(0)).cast("bigint")
+                .alias("_pa"),
+                F.sum(F.when(flip, 0).otherwise(1)).cast("bigint")
+                .alias("_pb"),
+                F.sum(F.when(flip, F.col("_y")).otherwise(0))
+                .cast("bigint").alias("_psa"),
+                F.sum(F.when(flip, 0).otherwise(F.col("_y")))
+                .cast("bigint").alias("_psb")))
+    d_perm = (F.col("_psa").cast("double") / F.col("_pa").cast("double")
+              - F.col("_psb").cast("double")
+              / F.col("_pb").cast("double"))
+    per = per.select(
+        "seed",
+        F.when((F.col("_pa") > 0) & (F.col("_pb") > 0), d_perm)
+        .alias("_d"))
+    cnt = per.crossJoin(F.broadcast(obs)).agg(
+        F.sum(F.when(F.abs(F.col("_d")) >= F.abs(F.col("diff_obs")),
+                     1).otherwise(0)).cast("bigint").alias("n_ge"),
+        F.sum(F.when(F.col("_d").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("_null_perms"))
+    out = obs.crossJoin(F.broadcast(cnt))
+    return out.select(
+        "n_a", "n_b", "diff_obs", "n_ge",
+        F.when(F.col("diff_obs").isNotNull()
+               & (F.col("_null_perms") == 0),
+               (F.col("n_ge") + 1).cast("double")
+               / F.lit(float(n_perms + 1))).alias("p_value"))

@@ -48,6 +48,8 @@ from logpipe_spark.streaming.stream import (  # noqa: F401
     stream_slo_incremental,
     stream_freshness,
     read_freshness,
+    stream_growth_accounting,
+    read_growth_accounting,
     read_slo_burn,
     run_stream_once,
     stream_route_fanout,

@@ -1465,3 +1465,38 @@ def read_freshness(spark: SparkSession, state_dir: str,
                    F.min("first_us").cast("bigint").alias("first_us"),
                    F.max("last_us").cast("bigint").alias("last_us")))
     return freshness_report(merged, key)
+
+
+def stream_growth_accounting(spark: SparkSession, src: str,
+                             state_dir: str, checkpoint_dir: str,
+                             max_files_per_trigger: int | None = None):
+    """Streaming growth accounting: each micro-batch writes ITS OWN
+    distinct (conv, week) activity pairs to ``{state_dir}/epoch=<id>``
+    (overwrite → idempotent). The distinct-pair SET is the mergeable
+    state (union-distinct is the monoid, the dedup-pairs discipline);
+    :func:`read_growth_accounting` merges and runs the batch fold, so
+    the readout is IDENTICAL to batch ``growth_accounting`` over the
+    whole corpus (two-pacing parity in tests)."""
+    stream = stream_transcripts(spark, src,
+                                max_files_per_trigger=max_files_per_trigger)
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        (df.where(F.col("conv_id").isNotNull() & F.col("ts").isNotNull())
+         .select("conv_id",
+                 F.expr("unix_micros(cast(ts AS timestamp)) "
+                        "div 604800000000").cast("bigint").alias("week"))
+         .distinct()
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{state_dir}/epoch={epoch_id}"))
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir))
+
+
+def read_growth_accounting(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Union-distinct the epochs' activity pairs (the monoid op) and
+    fold to the weekly growth panel == batch growth_accounting."""
+    from logpipe_spark.operators.segment import growth_accounting
+
+    pairs = spark.read.parquet(state_dir).select("conv_id", "week")
+    return growth_accounting(pairs, "conv_id", "week")

@@ -1392,3 +1392,22 @@ def test_cuped_adjustment_hand_case(spark):
     df3 = spark.createDataFrame([(7, 1), (7, 2)], "x long, y long")
     r3 = cuped_adjustment(df3, "x", "y").collect()[0]
     assert r3.theta is None and r3.var_reduction is None
+
+
+def test_permutation_test_hand_case(spark):
+    from logpipe_spark.operators.drift import permutation_test
+
+    # big separation: group A all 100s, group B all 0s -> no md5
+    # relabeling of 20 units reproduces |diff| = 100 (p = 1/20)
+    rows = ([(f"a{i}", True, 100) for i in range(10)]
+            + [(f"b{i}", False, 0) for i in range(10)])
+    df = spark.createDataFrame(rows, "u string, g boolean, y long")
+    r = permutation_test(df, "u", F.col("g"), "y", n_perms=19).collect()[0]
+    assert (r.n_a, r.n_b) == (10, 10)
+    assert r.diff_obs == 100.0
+    assert r.p_value == (r.n_ge + 1) / 20.0
+    assert r.p_value <= 0.25      # extreme split should look rare
+    # single-arm input -> NULL p (guard)
+    df2 = spark.createDataFrame([("u1", True, 5)], "u string, g boolean, y long")
+    r2 = permutation_test(df2, "u", F.col("g"), "y").collect()[0]
+    assert r2.diff_obs is None and r2.p_value is None

@@ -927,3 +927,34 @@ def test_stream_freshness_equals_batch(spark, stream_dir, tmp_path):
         run_stream_once(writer)
         got = sorted(map(tuple, read_freshness(spark, state, "role").collect()))
         assert got == want, tag
+
+
+def test_stream_growth_accounting_equals_batch(spark, stream_dir, tmp_path):
+    """Growth-accounting twin: the distinct (conv, week) pair SET is
+    the mergeable state — union-distinct across epochs then the batch
+    fold == batch growth_accounting over the whole corpus. Both
+    pacings."""
+    from logpipe_spark.operators.segment import growth_accounting
+    from logpipe_spark.streaming import (read_growth_accounting,
+                                         stream_growth_accounting)
+
+    batch = (spark.read.parquet(stream_dir)
+             .where(F.col("conv_id").isNotNull() & F.col("ts").isNotNull())
+             .select("conv_id",
+                     F.expr("unix_micros(cast(ts AS timestamp)) "
+                            "div 604800000000").cast("bigint")
+                     .alias("week")))
+    want = sorted(map(tuple,
+                      growth_accounting(batch, "conv_id", "week").collect()))
+    assert len(want) >= 1
+    assert sum(r[1] for r in want) > 0     # some new activity
+
+    for mft, tag in ((1, "paced"), (None, "oneshot")):
+        state = str(tmp_path / f"ga_state_{tag}")
+        writer = stream_growth_accounting(
+            spark, stream_dir, state, str(tmp_path / f"ckga_{tag}"),
+            max_files_per_trigger=mft)
+        run_stream_once(writer)
+        got = sorted(map(tuple,
+                         read_growth_accounting(spark, state).collect()))
+        assert got == want, tag
