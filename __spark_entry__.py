@@ -6801,6 +6801,37 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_injection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Prompt-injection lexicon screen (textqual.injection_scan): per
+    # (source, pattern) the docs containing each override phrase and
+    # the per-million-token hit rate — literal lowercase contains via
+    # the shared replace-length count, one reduction + stack unpivot.
+    return tq.injection_scan(_docs(spark, sf_dir))
+
+
+def q_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Delta-method ratio-metric CI (drift.ratio_metric_ci): purchase
+    # cents per event, per md5 experiment arm (the srm_check split) —
+    # six exact int64 sufficient stats per arm, variance clamp before
+    # the sqrt, CI bounds bit-identical.
+    from logpipe_spark.operators.drift import ratio_metric_ci
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()).select(
+        "user_id", "event_type",
+        F.when(F.col("value").isNotNull(),
+               F.floor(F.col("value") * 100 + F.lit(0.5)))
+        .otherwise(0).cast("bigint").alias("cents"))
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+               16, 10).cast("bigint")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("cents"))
+              .otherwise(0)).cast("bigint").alias("num"),
+        F.count(F.lit(1)).cast("bigint").alias("den"))
+    per = per.withColumn(
+        "arm", F.concat(F.lit("arm"), (h % 2).cast("string")))
+    return ratio_metric_ci(per, "arm", "num", "den")
+
+
 def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deterministic permutation test (drift.permutation_test): do
     # error-affected users spend differently? 19 md5-relabeled splits
@@ -7460,6 +7491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "growth_accounting": q_growth_accounting,
         "cuped_adjustment": q_cuped_adjustment,
         "permutation_test": q_permutation_test,
+        "injection_scan": q_injection_scan,
+        "ratio_metric_ci": q_ratio_metric_ci,
     }
 
 
@@ -13755,4 +13788,83 @@ SELECT n_a, n_b, diff_obs, n_ge,
        CASE WHEN diff_obs IS NOT NULL AND null_perms = 0
             THEN cast(n_ge + 1 AS double) / 20.0 END AS p_value
 FROM obs2, c"""
+    # Literal lowercase contains via the shared replace-length count;
+    # UNION ALL unpivot mirrors the engine's stack.
+    import logpipe_spark.trainprep.textqual as _tq
+    _occ_defs = ", ".join(
+        _occ_sql("low", pat) + f" AS o{i}"
+        for i, (_n, pat) in enumerate(_tq.INJECTION_PATTERNS))
+    _agg_defs = ", ".join(
+        f"cast(sum(CASE WHEN o{i} > 0 THEN 1 ELSE 0 END) AS bigint)"
+        f" AS d{i}, cast(sum(o{i}) AS bigint) AS h{i}"
+        for i, _ in enumerate(_tq.INJECTION_PATTERNS))
+    _unpiv = "\nUNION ALL\n".join(
+        f"SELECT source, '{name}' AS pattern, d{i} AS n_docs_hit,"
+        f" h{i} AS n_hits,"
+        f" cast(h{i} AS double) * 1000000.0 / cast(toks AS double)"
+        f" AS hits_per_mtok FROM g"
+        for i, (name, _p) in enumerate(_tq.INJECTION_PATTERNS))
+    oracles["injection_scan"] = f"""
+WITH d AS (SELECT source,
+                  cast(len(string_split(text, ' ')) AS bigint) AS ntok,
+                  lower(text) AS low
+           FROM documents
+           WHERE text IS NOT NULL AND source IS NOT NULL),
+o AS (SELECT source, ntok, {_occ_defs} FROM d),
+g AS (SELECT source, cast(sum(ntok) AS bigint) AS toks, {_agg_defs}
+      FROM o GROUP BY source)
+{_unpiv}"""
+    # Per-user ratio units; md5-arm split (srm_check decode); delta-
+    # method terms formed in the engine's exact order, variance clamp.
+    oracles["ratio_metric_ci"] = f"""
+WITH ev AS (SELECT user_id, event_type,
+                   CASE WHEN value IS NOT NULL
+                        THEN cast(floor(value * 100 + 0.5) AS bigint)
+                        ELSE 0 END AS cents
+            FROM events WHERE user_id IS NOT NULL),
+per AS (SELECT user_id,
+               cast(sum(CASE WHEN event_type = 'purchase'
+                             THEN cents ELSE 0 END) AS bigint) AS num,
+               cast(count(*) AS bigint) AS den,
+               md5(cast(user_id AS varchar)) AS m
+        FROM ev GROUP BY user_id),
+a AS (SELECT 'arm' || cast(({_hexpoly8('m')}) % 2 AS varchar) AS arm,
+             num, den
+      FROM per),
+s AS (SELECT arm, cast(count(*) AS bigint) AS n_units,
+             cast(sum(num) AS bigint) AS sn,
+             cast(sum(den) AS bigint) AS sd,
+             cast(sum(num * num) AS bigint) AS snn,
+             cast(sum(den * den) AS bigint) AS sdd,
+             cast(sum(num * den) AS bigint) AS snd
+      FROM a GROUP BY arm),
+f AS (SELECT arm, n_units, sd,
+        cast(sn AS double) / cast(sd AS double) AS r,
+        (cast(n_units AS double) * cast(snn AS double)
+         - cast(sn AS double) * cast(sn AS double))
+          / (cast(n_units AS double)
+             * (cast(n_units AS double) - 1.0)) AS var_n,
+        (cast(n_units AS double) * cast(sdd AS double)
+         - cast(sd AS double) * cast(sd AS double))
+          / (cast(n_units AS double)
+             * (cast(n_units AS double) - 1.0)) AS var_d,
+        (cast(n_units AS double) * cast(snd AS double)
+         - cast(sn AS double) * cast(sd AS double))
+          / (cast(n_units AS double)
+             * (cast(n_units AS double) - 1.0)) AS cov_nd,
+        cast(sd AS double) / cast(n_units AS double) AS dbar
+      FROM s),
+f2 AS (SELECT arm, n_units, sd, r,
+         sqrt(greatest(
+           (var_n - 2.0 * r * cov_nd + r * r * var_d)
+             / (cast(n_units AS double) * (dbar * dbar)), 0.0)) AS se
+       FROM f)
+SELECT arm, n_units,
+       CASE WHEN sd > 0 THEN r END AS ratio,
+       CASE WHEN sd > 0 AND n_units > 1 THEN se END AS se,
+       CASE WHEN sd > 0 AND n_units > 1 THEN r - 1.96e0 * se END
+         AS ci_lo,
+       CASE WHEN sd > 0 AND n_units > 1 THEN r + 1.96e0 * se END
+         AS ci_hi
+FROM f2"""
     return oracles

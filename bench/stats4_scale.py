@@ -27,12 +27,19 @@ from logpipe_spark.operators.aggregate import (  # noqa: E402
 from logpipe_spark.operators.drift import (  # noqa: E402
     durbin_watson,
     kendall_tau,
+    permutation_test,
 )
 from logpipe_spark.operators.funnel import sequence_match  # noqa: E402
+from logpipe_spark.operators.graph import bradley_terry  # noqa: E402
 from logpipe_spark.operators.profile import freshness_lag  # noqa: E402
+from logpipe_spark.operators.spans import topic_boundaries  # noqa: E402
 from logpipe_spark.operators.spatial import morans_i  # noqa: E402
 from logpipe_spark.session import build_session  # noqa: E402
-from logpipe_spark.trainprep.textqual import yules_k  # noqa: E402
+from logpipe_spark.trainprep.textqual import (  # noqa: E402
+    bigram_accuracy,
+    watermark_score,
+    yules_k,
+)
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -112,6 +119,29 @@ def run_suite(spark, path):
         "yules_k": lambda: noop(yules_k(docs)),
         # per-key MIN/MAX/COUNT reduction + broadcast 1-row hwm
         "freshness_lag": lambda: noop(freshness_lag(ev, "seg")),
+        # session-5 second wave: token-level and preference ops
+        # (w1-partitioned model rank is the vocabulary-sized stage)
+        "bigram_accuracy": lambda: noop(bigram_accuracy(docs)),
+        # guarded gram projection + one (key) reduction
+        "watermark_score": lambda: noop(watermark_score(docs)),
+        # (conv, token) dot join between adjacent turns
+        "topic_boundaries": lambda: noop(topic_boundaries(
+            ev.select(F.col("conv_id"), F.col("turn_idx"), "text"))),
+        # corpus-scale pair counting, then item-cardinality MM rounds
+        "bradley_terry": lambda: noop(bradley_terry(
+            ev.where(F.col("cents") % 7 != 0).select(
+                F.concat(F.lit("i"), F.pmod(F.col("cents"), F.lit(40)))
+                .alias("winner"),
+                F.concat(F.lit("i"),
+                         F.pmod(F.col("cents") * 3 + 1, F.lit(40)))
+                .alias("loser"))
+            .where(F.col("winner") != F.col("loser")))),
+        # 19 md5 relabelings over the unit frame (n/100 users)
+        "permutation_test": lambda: noop(permutation_test(
+            ev.groupBy("row_id").agg(
+                F.max("label").alias("g"),
+                F.sum("cents").cast("bigint").alias("y")),
+            "row_id", F.col("g"), "y")),
     }
     out = {}
     for name, fn in ops.items():

@@ -2457,8 +2457,12 @@ def boxplot_stats(df: DataFrame, key: str, value: str) -> DataFrame:
     the key-cardinality quartile frame back onto the corpus — broadcast
     under AQE — and reduces to the outlier counts.
 
-    Returns ``(key, n, p25, p50, p75, iqr, n_low, n_high)``.
+    Returns ``(key, n, p25, p50, p75, iqr, n_low, n_high)``. NULL
+    groups are excluded EXPLICITLY (the downstream equi-joins would
+    silently drop them anyway — the round-2 NULL-key defect class;
+    filter upfront so the contract is visible).
     """
+    df = df.where(F.col(key).isNotNull())
     q = percentiles_disc(df, key, value, ps=(0.25, 0.5, 0.75))
     q = q.select(key, "n", "p25", "p50", "p75",
                  (F.col("p75") - F.col("p25")).alias("iqr"))

@@ -2247,3 +2247,68 @@ def permutation_test(
                & (F.col("_null_perms") == 0),
                (F.col("n_ge") + 1).cast("double")
                / F.lit(float(n_perms + 1))).alias("p_value"))
+
+
+def ratio_metric_ci(
+    df: DataFrame,
+    key: str,
+    num_col: str,
+    den_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Delta-method confidence interval for a per-unit RATIO metric
+    (conversions per session, cents per event) per ``key`` — the
+    variance formula every experimentation platform uses because a
+    ratio of sums is NOT a mean of ratios (Deng & Knoblich's ratio-
+    metric memo; standard delta method):
+    ``var(N/D) ≈ (var(n) - 2·r·cov(n,d) + r²·var(d)) / (n·d̄²)``.
+
+    Per-unit numerator/denominator must be integer-valued: one
+    combinable shuffle produces the six exact int64 sufficient stats
+    per key; the point estimate ``r = ΣN/ΣD`` and the CI half-width
+    are formed from them cast to double in the oracle's exact order
+    (sqrt is correctly rounded, so the bound is bit-identical).
+    Degenerate keys (zero denominator or a single unit) emit NULL
+    bounds under the ANSI guard.
+
+    Returns ``(key, n_units, ratio, se, ci_lo, ci_hi)``.
+    """
+    s = (df.where(F.col(key).isNotNull() & F.col(num_col).isNotNull()
+                  & F.col(den_col).isNotNull())
+         .select(F.col(key),
+                 F.col(num_col).cast("bigint").alias("_n"),
+                 F.col(den_col).cast("bigint").alias("_d"))
+         .groupBy(key)
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_units"),
+              F.sum("_n").cast("bigint").alias("_sn"),
+              F.sum("_d").cast("bigint").alias("_sd"),
+              F.sum(F.col("_n") * F.col("_n")).cast("bigint")
+              .alias("_snn"),
+              F.sum(F.col("_d") * F.col("_d")).cast("bigint")
+              .alias("_sdd"),
+              F.sum(F.col("_n") * F.col("_d")).cast("bigint")
+              .alias("_snd")))
+    k = F.col("n_units").cast("double")
+    sn = F.col("_sn").cast("double")
+    sd = F.col("_sd").cast("double")
+    r = sn / sd
+    # sample (co)variances of the per-unit values, n-1 denominator
+    var_n = (k * F.col("_snn").cast("double") - sn * sn) / (
+        k * (k - F.lit(1.0)))
+    var_d = (k * F.col("_sdd").cast("double") - sd * sd) / (
+        k * (k - F.lit(1.0)))
+    cov_nd = (k * F.col("_snd").cast("double") - sn * sd) / (
+        k * (k - F.lit(1.0)))
+    dbar = sd / k
+    # var(n - r·d) >= 0 in exact arithmetic; clamp the float residual
+    # so sqrt never sees a last-ulp negative (DuckDB sqrt(<0) errors)
+    se = F.sqrt(F.greatest(
+        (var_n - F.lit(2.0) * r * cov_nd + r * r * var_d)
+        / (k * (dbar * dbar)), F.lit(0.0)))
+    ok = (F.col("_sd") > 0) & (F.col("n_units") > 1)
+    return s.select(
+        key, "n_units",
+        F.when(F.col("_sd") > 0, r).alias("ratio"),
+        F.when(ok, se).alias("se"),
+        F.when(ok, r - F.lit(float(z)) * se).alias("ci_lo"),
+        F.when(ok, r + F.lit(float(z)) * se).alias("ci_hi"))

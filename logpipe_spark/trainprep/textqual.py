@@ -881,3 +881,61 @@ def watermark_score(docs: DataFrame, key: str = "source",
         (F.col("greens").cast("double") / nd).alias("green_frac"),
         ((F.lit(2) * F.col("greens") - F.col("n_bigrams"))
          .cast("double") / F.sqrt(nd)).alias("z"))
+
+
+INJECTION_PATTERNS: list[tuple[str, str]] = [
+    ("ignore_instructions", "ignore previous instructions"),
+    ("disregard_above", "disregard the above"),
+    ("role_override", "you are now"),
+    ("system_prompt_probe", "system prompt"),
+    ("do_anything", "do anything now"),
+]
+
+
+def injection_scan(docs: DataFrame, key: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Prompt-injection lexicon screen per ``key``: how many documents
+    contain each known injection phrase and the per-million-token hit
+    rate — the training-safety pass a transcript corpus runs before
+    fine-tuning (model-written or adversarial turns carrying
+    instruction-override phrases poison instruction-following data;
+    the public pattern families are catalogued in e.g. Greshake et al.
+    2023). Phrases are LITERAL lowercase substrings (contains on
+    lower(), identical in both engines — no regex dialect risk), and
+    the occurrence count uses the replace-length trick shared with
+    quality_score, so every number is an exact integer.
+
+    One narrow projection per doc (the lower() materializes once) and
+    one (key, pattern) reduction via a stack unpivot — K patterns
+    never rescan the corpus.
+
+    Returns ``(key, pattern, n_docs_hit, n_hits, hits_per_mtok)``.
+    """
+    low = F.lower(F.col(text_col))
+    cols = [F.col(key), F.size(F.split(F.col(text_col), " "))
+            .cast("bigint").alias("_ntok"), low.alias("_low")]
+    d = (docs.where(F.col(text_col).isNotNull() & F.col(key).isNotNull())
+         .select(*cols))
+    occs = []
+    for i, (_name, pat) in enumerate(INJECTION_PATTERNS):
+        occs.append(_occ_simple(F.col("_low"), pat).cast("bigint")
+                    .alias(f"_o{i}"))
+    d = d.select(key, "_ntok", *occs)
+    aggs = [F.sum("_ntok").cast("bigint").alias("_toks")]
+    for i, (name, _pat) in enumerate(INJECTION_PATTERNS):
+        aggs.append(F.sum(F.when(F.col(f"_o{i}") > 0, 1).otherwise(0))
+                    .cast("bigint").alias(f"_d{i}"))
+        aggs.append(F.sum(F.col(f"_o{i}")).cast("bigint")
+                    .alias(f"_h{i}"))
+    g = d.groupBy(key).agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', _d{i}, _h{i}"
+        for i, (name, _pat) in enumerate(INJECTION_PATTERNS))
+    out = g.selectExpr(
+        key, "_toks",
+        f"stack({len(INJECTION_PATTERNS)}, {stack_args}) "
+        "AS (pattern, n_docs_hit, n_hits)")
+    return out.select(
+        key, "pattern", "n_docs_hit", "n_hits",
+        (F.col("n_hits").cast("double") * F.lit(1000000.0)
+         / F.col("_toks").cast("double")).alias("hits_per_mtok"))
