@@ -6801,6 +6801,59 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_dedup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Global clustering of the near-dup graph: transitivity = 3T/W over
+    # the simhash pair edges — the one-number audit of whether near-dup
+    # pairs form coherent clusters (high) or a hairball of accidental
+    # collisions (low). T reuses triangle_count's DEGREE-ORIENTED
+    # enumeration (each triangle once, no hub blowup — the oracle's
+    # id-ordered join counts identically); W = sum C(deg, 2) exact.
+    raw = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (raw.select(F.col("doc_a").alias("v"))
+           .unionAll(raw.select(F.col("doc_b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).cast("bigint")
+                             .alias("deg")))
+    w = deg.agg(F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint")
+                .alias("n_wedges"))
+    ne = raw.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    da = deg.select(F.col("v").alias("doc_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("doc_b"), F.col("deg").alias("deg_b"))
+    keyed = raw.join(da, "doc_a").join(db, "doc_b")
+    lt = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b"))
+        & (F.col("doc_a") < F.col("doc_b")))
+    edges = keyed.select(
+        F.when(lt, F.col("doc_a")).otherwise(F.col("doc_b"))
+        .alias("doc_a"),
+        F.when(lt, F.col("doc_b")).otherwise(F.col("doc_a"))
+        .alias("doc_b"))
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+           .join(e3, (F.col("e3.doc_a") == F.col("e1.doc_a"))
+                 & (F.col("e3.doc_b") == F.col("e2.doc_b"))))
+    t = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    out = ne.crossJoin(F.broadcast(w)).crossJoin(F.broadcast(t))
+    return out.select(
+        "n_edges", "n_wedges", "n_triangles",
+        F.when(F.col("n_wedges") > 0,
+               F.lit(3.0) * F.col("n_triangles").cast("double")
+               / F.col("n_wedges").cast("double"))
+        .alias("transitivity"))
+
+
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Balanced class weights (curate.class_weights) for the per-conv
+    # outcome label (error-containing vs clean): the loss-reweighting
+    # table an imbalanced fine-tuning run feeds its sampler. Exact
+    # integer counts, single divisions.
+    from logpipe_spark.trainprep.curate import class_weights
+    t = _t(spark, sf_dir)
+    conv = t.groupBy("conv_id").agg(
+        F.when(F.max(F.when(F.col("role") == "tool", 1).otherwise(0))
+               == 1, "error").otherwise("clean").alias("outcome"))
+    return class_weights(conv, "outcome")
+
+
 def q_injection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Prompt-injection lexicon screen (textqual.injection_scan): per
     # (source, pattern) the docs containing each override phrase and
@@ -7493,6 +7546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "permutation_test": q_permutation_test,
         "injection_scan": q_injection_scan,
         "ratio_metric_ci": q_ratio_metric_ci,
+        "dedup_transitivity": q_dedup_transitivity,
+        "class_weights": q_class_weights,
     }
 
 
@@ -13867,4 +13922,40 @@ SELECT arm, n_units,
        CASE WHEN sd > 0 AND n_units > 1 THEN r + 1.96e0 * se END
          AS ci_hi
 FROM f2"""
+    # Id-ordered triangle join == the engine's degree-oriented count
+    # (each triangle has one source under any total order).
+    oracles["dedup_transitivity"] = f"""
+WITH pairs AS ({_simhash_pairs_oracle()}),
+e AS (SELECT doc_a, doc_b FROM pairs),
+deg AS (SELECT v, cast(count(*) AS bigint) AS d FROM (
+          SELECT doc_a AS v FROM e
+          UNION ALL SELECT doc_b AS v FROM e) u GROUP BY v),
+w AS (SELECT cast(sum(d * (d - 1) // 2) AS bigint) AS n_wedges
+      FROM deg),
+ne AS (SELECT cast(count(*) AS bigint) AS n_edges FROM e),
+tri AS (SELECT e1.doc_a AS a
+        FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+        JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+t AS (SELECT cast(count(*) AS bigint) AS n_triangles FROM tri)
+SELECT n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN 3.0 * cast(n_triangles AS double)
+                 / cast(n_wedges AS double)
+       END AS transitivity
+FROM ne, w, t"""
+    # One label count + a broadcast 1-row total; single divisions.
+    oracles["class_weights"] = f"""{_oracle_prefix()},
+conv AS (SELECT conv_id,
+                CASE WHEN max(CASE WHEN role = 'tool' THEN 1 ELSE 0
+                              END) = 1
+                     THEN 'error' ELSE 'clean' END AS outcome
+         FROM transcripts GROUP BY conv_id),
+l AS (SELECT outcome AS label, cast(count(*) AS bigint) AS n
+      FROM conv GROUP BY outcome),
+tot AS (SELECT cast(sum(n) AS bigint) AS t,
+               cast(count(*) AS bigint) AS k FROM l)
+SELECT label, n,
+       cast(t AS double) / (cast(k AS double) * cast(n AS double))
+         AS weight
+FROM l, tot"""
     return oracles

@@ -887,3 +887,27 @@ def kfold_balance(docs: DataFrame, id_col: str = "doc_id",
             .select("stratum", "fold", "n", "n_stratum",
                     (F.col("n").cast("double")
                      / F.col("n_stratum").cast("double")).alias("share")))
+
+
+def class_weights(df: DataFrame, label_col: str) -> DataFrame:
+    """Balanced class weights for a label column — sklearn's
+    ``class_weight='balanced'`` formula ``n_total / (n_classes · n_c)``
+    (King & Zeng 2001 give the statistical grounding), the loss-
+    reweighting table an imbalanced fine-tuning run feeds its sampler.
+
+    One combinable label count; totals re-aggregate the class-
+    cardinality frame and broadcast back; each weight is a single
+    division of exact int64 counts.
+
+    Returns ``(label, n, weight)``.
+    """
+    labels = (df.where(F.col(label_col).isNotNull())
+              .groupBy(F.col(label_col).alias("label"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    tot = labels.agg(F.sum("n").cast("bigint").alias("_tot"),
+                     F.count(F.lit(1)).cast("bigint").alias("_k"))
+    return (labels.crossJoin(F.broadcast(tot))
+            .select("label", "n",
+                    (F.col("_tot").cast("double")
+                     / (F.col("_k").cast("double")
+                        * F.col("n").cast("double"))).alias("weight")))

@@ -1458,3 +1458,16 @@ def test_ratio_metric_ci_hand_case(spark):
     df2 = spark.createDataFrame([("k", 1, 2)], "k string, num long, den long")
     r2 = ratio_metric_ci(df2, "k", "num", "den").collect()[0]
     assert r2.ratio == 0.5 and r2.se is None and r2.ci_lo is None
+
+
+def test_class_weights_hand_case(spark):
+    from logpipe_spark.trainprep.curate import class_weights
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)]
+    df = spark.createDataFrame(rows, "label string")
+    out = {r.label: r for r in class_weights(df, "label").collect()}
+    # sklearn balanced: total / (k * n_c)
+    assert out["a"].weight == 10.0 / (3.0 * 6.0)
+    assert out["b"].weight == 10.0 / (3.0 * 3.0)
+    assert out["c"].weight == 10.0 / (3.0 * 1.0)
+    assert out["a"].n == 6
