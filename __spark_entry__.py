@@ -6801,6 +6801,19 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_split_half_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spearman-Brown split-half reliability (drift.split_half_
+    # reliability) of per-conv verbosity: odd vs even turn char sums
+    # correlated across convs, stepped up 2r/(1+r) — is conversation
+    # length a stable property or turn noise? Six exact int64 stats.
+    from logpipe_spark.operators.drift import split_half_reliability
+    t = _t(spark, sf_dir).select(
+        "conv_id", (F.col("turn_idx") % 2 == 0).alias("even"),
+        F.length("text").cast("bigint").alias("chars"))
+    return split_half_reliability(t, "conv_id", F.col("even"),
+                                  F.col("chars"))
+
+
 def q_dedup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Global clustering of the near-dup graph: transitivity = 3T/W over
     # the simhash pair edges — the one-number audit of whether near-dup
@@ -7548,6 +7561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ratio_metric_ci": q_ratio_metric_ci,
         "dedup_transitivity": q_dedup_transitivity,
         "class_weights": q_class_weights,
+        "split_half_reliability": q_split_half_reliability,
     }
 
 
@@ -13958,4 +13972,35 @@ SELECT label, n,
        cast(t AS double) / (cast(k AS double) * cast(n AS double))
          AS weight
 FROM l, tot"""
+    # Six exact int64 sufficient stats; step-up guarded at r = -1.
+    oracles["split_half_reliability"] = f"""{_oracle_prefix()},
+u AS (SELECT conv_id,
+             cast(sum(CASE WHEN turn_idx % 2 = 0 THEN length(text)
+                           ELSE 0 END) AS bigint) AS a,
+             cast(sum(CASE WHEN turn_idx % 2 = 0 THEN 0
+                           ELSE length(text) END) AS bigint) AS b
+      FROM transcripts GROUP BY conv_id),
+s AS (SELECT cast(count(*) AS bigint) AS n_units,
+             cast(sum(a) AS bigint) AS sa, cast(sum(b) AS bigint) AS sb,
+             cast(sum(a * b) AS bigint) AS sab,
+             cast(sum(a * a) AS bigint) AS saa,
+             cast(sum(b * b) AS bigint) AS sbb
+      FROM u),
+f AS (SELECT n_units,
+        cast(n_units AS double) * cast(sab AS double)
+          - cast(sa AS double) * cast(sb AS double) AS num,
+        cast(n_units AS double) * cast(saa AS double)
+          - cast(sa AS double) * cast(sa AS double) AS da,
+        cast(n_units AS double) * cast(sbb AS double)
+          - cast(sb AS double) * cast(sb AS double) AS db
+      FROM s)
+SELECT n_units,
+       CASE WHEN n_units >= 3 AND da > 0.0 AND db > 0.0
+            THEN num / sqrt(da * db) END AS r_half,
+       CASE WHEN n_units >= 3 AND da > 0.0 AND db > 0.0
+                 AND num / sqrt(da * db) > -1.0
+            THEN 2.0 * (num / sqrt(da * db))
+                 / (1.0 + num / sqrt(da * db))
+       END AS reliability
+FROM f"""
     return oracles

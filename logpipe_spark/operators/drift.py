@@ -2312,3 +2312,56 @@ def ratio_metric_ci(
         F.when(ok, se).alias("se"),
         F.when(ok, r - F.lit(float(z)) * se).alias("ci_lo"),
         F.when(ok, r + F.lit(float(z)) * se).alias("ci_hi"))
+
+
+def split_half_reliability(
+    df: DataFrame,
+    key: str,
+    half: Column,
+    value: Column,
+    min_units: int = 3,
+) -> DataFrame:
+    """Split-half reliability with the Spearman–Brown step-up (Brown
+    1910 / Spearman 1910): split each unit's items into two halves,
+    correlate the per-unit half-scores, and step up ``r' = 2r/(1+r)``
+    — the classic internal-consistency check, here asking whether a
+    per-conversation metric is a stable property of the conversation
+    or turn-level noise.
+
+    One combinable (key-unit) reduction builds the integer half-sum
+    pairs; the Pearson r comes from six exact int64 sufficient stats
+    (cast to double BEFORE the cross products, spearman_corr
+    discipline); the step-up is guarded at r = -1 and zero-variance
+    margins (ANSI). Units missing either half still contribute (their
+    absent half sums to 0 — the split covers every item).
+
+    Returns ONE row: ``(n_units, r_half, reliability)``.
+    """
+    u = (df.where(F.col(key).isNotNull() & half.isNotNull()
+                  & value.isNotNull())
+         .groupBy(F.col(key).alias("_k"))
+         .agg(F.sum(F.when(half, value).otherwise(0)).cast("bigint")
+              .alias("_a"),
+              F.sum(F.when(half, 0).otherwise(value)).cast("bigint")
+              .alias("_b")))
+    s = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("_a").cast("bigint").alias("_sa"),
+        F.sum("_b").cast("bigint").alias("_sb"),
+        F.sum(F.col("_a") * F.col("_b")).cast("bigint").alias("_sab"),
+        F.sum(F.col("_a") * F.col("_a")).cast("bigint").alias("_saa"),
+        F.sum(F.col("_b") * F.col("_b")).cast("bigint").alias("_sbb"))
+    nd = F.col("n_units").cast("double")
+    num = nd * F.col("_sab").cast("double") - (
+        F.col("_sa").cast("double") * F.col("_sb").cast("double"))
+    da = nd * F.col("_saa").cast("double") - (
+        F.col("_sa").cast("double") * F.col("_sa").cast("double"))
+    db = nd * F.col("_sbb").cast("double") - (
+        F.col("_sb").cast("double") * F.col("_sb").cast("double"))
+    r = num / F.sqrt(da * db)
+    ok = (F.col("n_units") >= min_units) & (da > 0.0) & (db > 0.0)
+    return s.select(
+        "n_units",
+        F.when(ok, r).alias("r_half"),
+        F.when(ok & (r > -1.0),
+               F.lit(2.0) * r / (F.lit(1.0) + r)).alias("reliability"))

@@ -1471,3 +1471,34 @@ def test_class_weights_hand_case(spark):
     assert out["b"].weight == 10.0 / (3.0 * 3.0)
     assert out["c"].weight == 10.0 / (3.0 * 1.0)
     assert out["a"].n == 6
+
+
+def test_split_half_reliability_hand_case(spark):
+    from logpipe_spark.operators.drift import split_half_reliability
+    import math
+
+    # three units with correlated halves; replay in python floats
+    halves = [(10, 12), (20, 18), (30, 33)]
+    rows = []
+    for i, (a, b) in enumerate(halves):
+        rows += [(f"u{i}", True, a), (f"u{i}", False, b)]
+    df = spark.createDataFrame(rows, "k string, h boolean, v long")
+    r = split_half_reliability(df, "k", F.col("h"), F.col("v")).collect()[0]
+    n = 3.0
+    sa, sb = 60.0, 63.0
+    sab = float(10 * 12 + 20 * 18 + 30 * 33)
+    saa = float(100 + 400 + 900)
+    sbb = float(144 + 324 + 1089)
+    num = n * sab - sa * sb
+    da = n * saa - sa * sa
+    db = n * sbb - sb * sb
+    rr = num / math.sqrt(da * db)
+    assert r.n_units == 3 and r.r_half == rr
+    assert r.reliability == 2.0 * rr / (1.0 + rr)
+    # constant half -> NULL (zero variance guard)
+    rows2 = [("u1", True, 5), ("u1", False, 1),
+             ("u2", True, 5), ("u2", False, 2),
+             ("u3", True, 5), ("u3", False, 3)]
+    df2 = spark.createDataFrame(rows2, "k string, h boolean, v long")
+    r2 = split_half_reliability(df2, "k", F.col("h"), F.col("v")).collect()[0]
+    assert r2.r_half is None and r2.reliability is None
