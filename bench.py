@@ -278,6 +278,26 @@ HEADLINE = [
     "shift_function",
     "funnel_windowed",
     "decompose_series",
+    # session-5 families
+    "yules_k",
+    "sequence_match",
+    "durbin_watson",
+    "kendall_tau",
+    "morans_i",
+    "cross_corr",
+    "bradley_terry",
+    "diff_in_diff",
+    "fleiss_kappa",
+    "topk_movers",
+    "oov_rate",
+    "attribution_credits",
+    "bigram_accuracy",
+    "topic_boundaries",
+    "watermark_score",
+    "growth_accounting",
+    "cuped_adjustment",
+    "permutation_test",
+    "split_half_reliability",
 ]
 # ann_bits_sweep joins automatically via the ann_* tag rule
 # dedup_precision joins automatically via the dedup_* tag rule
