@@ -204,7 +204,8 @@ def reciprocity(edges: DataFrame, src: str = "src",
 
 
 def bradley_terry(pairs: DataFrame, winner_col: str = "winner",
-                  loser_col: str = "loser", iters: int = 2) -> DataFrame:
+                  loser_col: str = "loser", iters: int = 2,
+                  materialize: bool = True) -> DataFrame:
     """Bradley–Terry strength estimation from pairwise outcomes — the
     preference-ranking fit behind reward-model data curation (which
     source/policy wins head-to-head comparisons), via ``iters`` rounds
@@ -240,6 +241,14 @@ def bradley_terry(pairs: DataFrame, winner_col: str = "winner",
             .join(wtot, "i", "left")
             .select("i", F.coalesce("wins", F.lit(0)).cast("bigint")
                     .alias("wins"), "games"))
+    # sym/base feed every MM round and the final join: materialize the
+    # item-cardinality frames ONCE so Catalyst re-optimizes a flat tree
+    # per round instead of the whole accumulated plan (persist caches
+    # DATA, not PLANS — the dedup_incremental 13 s/action lesson;
+    # measured 7.4 s -> ~1 s at sf0.1 for iters=2)
+    if materialize:
+        sym = sym.localCheckpoint(eager=True)
+        base = base.localCheckpoint(eager=True)
     p = base.select("i", F.lit(1.0).alias("p"))
     for _ in range(iters):
         terms = (sym
@@ -259,6 +268,8 @@ def bradley_terry(pairs: DataFrame, winner_col: str = "winner",
         p = (base.join(denom, "i")
              .select("i", (F.col("wins").cast("double") / F.col("_d"))
                      .alias("p")))
+        if materialize:
+            p = p.localCheckpoint(eager=True)
     return (base.join(p, "i")
             .select(F.col("i").alias("item"), "wins", "games",
                     F.col("p").alias("strength")))

@@ -32,7 +32,7 @@ FORBIDDEN = [
 # the same invariants in test_materialized_queries_lazy_plans below.
 MATERIALIZED = {"dedup_incremental", "read_changes", "read_changes_evo",
                 "mv_incremental", "ann_index_incr", "ann_rebalanced",
-                "postings_incremental"}
+                "postings_incremental", "bradley_terry"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES.keys()))
@@ -139,9 +139,18 @@ def test_materialized_queries_lazy_plans(spark, tmp_path):
     append_postings_index(spark, docs.where(F.col("doc_id") % 2 == 1), pidx)
     postings_query = read_postings(spark, pidx)
 
+    # bradley_terry's MM rounds localCheckpoint the item frames (plan
+    # truncation); the FULL lazy plan (materialize=False) gets the gate
+    from logpipe_spark.operators.graph import bradley_terry
+
+    bt_pairs = spark.createDataFrame(
+        [("a", "b")] * 2 + [("b", "c")], "winner string, loser string")
+    bt_lazy = bradley_terry(bt_pairs, iters=2, materialize=False)
+
     for name, df in (("dedup_incremental", incr), ("read_changes", changes),
                      ("mv_incremental", mv1),
                      ("ann_query_index", ivf_query),
+                     ("bradley_terry_lazy", bt_lazy),
                      ("read_postings", postings_query)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         for bad in FORBIDDEN:
