@@ -6801,6 +6801,23 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kendall's W concordance (drift.kendalls_w) of three heuristic doc
+    # rankers (chars, tokens, distinct tokens) — do the scorers agree
+    # on the ORDERING? Doubled tie-averaged ranks from the bucketed-
+    # prefix global scan (never an unpartitioned corpus window);
+    # DECIMAL(38,0) cubes == the oracle's HUGEINT.
+    from logpipe_spark.operators.drift import kendalls_w
+    d = (_docs(spark, sf_dir).where(F.col("text").isNotNull())
+         .select("doc_id", F.split(F.col("text"), " ").alias("_w"),
+                 F.length("text").cast("bigint").alias("r0"))
+         .select("doc_id", "r0",
+                 F.size("_w").cast("bigint").alias("r1"),
+                 F.size(F.array_distinct(F.col("_w"))).cast("bigint")
+                 .alias("r2")))
+    return kendalls_w(d, "doc_id", ["r0", "r1", "r2"])
+
+
 def q_split_half_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spearman-Brown split-half reliability (drift.split_half_
     # reliability) of per-conv verbosity: odd vs even turn char sums
@@ -7562,6 +7579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_transitivity": q_dedup_transitivity,
         "class_weights": q_class_weights,
         "split_half_reliability": q_split_half_reliability,
+        "kendalls_w": q_kendalls_w,
     }
 
 
@@ -14003,4 +14021,45 @@ SELECT n_units,
                  / (1.0 + num / sqrt(da * db))
        END AS reliability
 FROM f"""
+    # Doubled tie-averaged ranks (2·rank_min + t - 1 == the engine's
+    # 2·cnt_lt + t + 1); HUGEINT cubes/squares == DECIMAL(38,0);
+    # integer-exact until the final division, so grouping differences
+    # in the subtraction chain cannot matter.
+    oracles["kendalls_w"] = """
+WITH d AS (SELECT doc_id AS id,
+                  cast(length(text) AS bigint) AS r0,
+                  cast(len(string_split(text, ' ')) AS bigint) AS r1,
+                  cast(len(list_distinct(string_split(text, ' ')))
+                       AS bigint) AS r2
+           FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+nn AS (SELECT cast(count(*) AS bigint) AS n FROM d),
+k0 AS (SELECT id, cast(2 * rank() OVER (ORDER BY r0)
+                       + count(*) OVER (PARTITION BY r0) - 1
+                  AS bigint) AS dr0 FROM d),
+k1 AS (SELECT id, cast(2 * rank() OVER (ORDER BY r1)
+                       + count(*) OVER (PARTITION BY r1) - 1
+                  AS bigint) AS dr1 FROM d),
+k2 AS (SELECT id, cast(2 * rank() OVER (ORDER BY r2)
+                       + count(*) OVER (PARTITION BY r2) - 1
+                  AS bigint) AS dr2 FROM d),
+t0 AS (SELECT sum(cast(t AS hugeint) * t * t - t) AS tt
+       FROM (SELECT cast(count(*) AS bigint) AS t FROM d GROUP BY r0) g),
+t1 AS (SELECT sum(cast(t AS hugeint) * t * t - t) AS tt
+       FROM (SELECT cast(count(*) AS bigint) AS t FROM d GROUP BY r1) g),
+t2 AS (SELECT sum(cast(t AS hugeint) * t * t - t) AS tt
+       FROM (SELECT cast(count(*) AS bigint) AS t FROM d GROUP BY r2) g),
+r AS (SELECT k0.dr0 + k1.dr1 + k2.dr2 AS rsum
+      FROM k0 JOIN k1 ON k0.id = k1.id JOIN k2 ON k0.id = k2.id),
+s AS (SELECT sum(cast(rsum - 3 * (n + 1) AS hugeint)
+                 * (rsum - 3 * (n + 1))) AS s2
+      FROM r, nn),
+den AS (SELECT 9 * (cast(n AS hugeint) * n * n - n)
+               - 3 * t0.tt - 3 * t1.tt - 3 * t2.tt AS den
+        FROM nn, t0, t1, t2)
+SELECT nn.n AS n_items,
+       CASE WHEN cast(den AS double) > 0.0
+            THEN 3.0 * cast(s2 AS double) / cast(den AS double)
+       END AS w
+FROM nn, s, den"""
     return oracles

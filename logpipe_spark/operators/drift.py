@@ -2365,3 +2365,79 @@ def split_half_reliability(
         F.when(ok, r).alias("r_half"),
         F.when(ok & (r > -1.0),
                F.lit(2.0) * r / (F.lit(1.0) + r)).alias("reliability"))
+
+
+def kendalls_w(
+    df: DataFrame,
+    id_col: str,
+    ranker_cols: Sequence[str],
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W with tie correction
+    (Kendall & Babington Smith, Ann. Math. Statist. 1939): how much
+    ``m`` rankers agree on the ordering of ``n`` items — the ordinal
+    companion to :func:`~logpipe_spark.operators.aggregate.fleiss_kappa`
+    (categorical votes) for judging heuristic scorers before trusting
+    their consensus ranking.
+
+    Ranks are tie-averaged and kept INTEGER as doubled ranks
+    ``2·cnt_lt + t + 1`` (the spearman_corr trick), computed per ranker
+    from the DISTINCT-VALUE frequency frame via the two-level bucketed
+    prefix scan (:func:`bucketed_cumsum` under a constant key — NEVER
+    an unpartitioned corpus window, the top_ngrams trap) and joined
+    back value→item. With doubled rank sums ``R2_i``:
+    ``W = 3·Σ(R2_i − m(n+1))² / (m²(n³−n) − m·ΣT_j)``, tie terms
+    ``T_j = Σ(t³−t)``. Squares and cubes accumulate in DECIMAL(38,0)
+    == HUGEINT (n³ leaves int64 at ~2M items); the final W is one
+    division of those exact integers cast to double. Degenerate inputs
+    (every ranker all-tied) emit NULL under the ANSI guard.
+
+    Returns ONE row: ``(n_items, w)``.
+    """
+    m = len(ranker_cols)
+    cond = F.col(id_col).isNotNull()
+    for rc in ranker_cols:
+        cond = cond & F.col(rc).isNotNull()
+    d = df.where(cond).select(
+        F.col(id_col).alias("_id"),
+        *[F.col(rc).cast("bigint").alias(f"_r{j}")
+          for j, rc in enumerate(ranker_cols)])
+    nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
+    ranked = d.select("_id")
+    ties = []
+    for j in range(m):
+        vals = (d.groupBy(F.col(f"_r{j}").alias("v"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+                .withColumn("_k", F.lit(1)))
+        cum = bucketed_cumsum(vals, "_k", ["t"], value_col="v",
+                              bucket_width=bucket_width)
+        dr = (cum.select(
+            "v", (F.lit(2) * F.col("cum_t") - F.col("t") + 1)
+            .cast("bigint").alias(f"_dr{j}")))
+        ranked = (ranked
+                  .join(d.select("_id", f"_r{j}"), "_id")
+                  .join(dr, F.col(f"_r{j}") == F.col("v"))
+                  .drop("v", f"_r{j}"))
+        ties.append(vals.agg(
+            F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")
+                  * F.col("t") - F.col("t"))
+            .cast("decimal(38,0)").alias(f"_tt{j}")))
+    rsum = sum(F.col(f"_dr{j}") for j in range(1, m)) + F.col("_dr0")
+    r2 = ranked.select(rsum.cast("bigint").alias("_rsum"))
+    dev = (r2.crossJoin(F.broadcast(nn))
+           .select((F.col("_rsum") - F.lit(m) * (F.col("n_items") + 1))
+                   .cast("decimal(19,0)").alias("_d")))
+    s2 = dev.agg(F.sum(F.col("_d") * F.col("_d")).cast("decimal(38,0)")
+                 .alias("_s2"))
+    out = nn.crossJoin(F.broadcast(s2))
+    for t in ties:
+        out = out.crossJoin(F.broadcast(t))
+    nd = F.col("n_items").cast("decimal(38,0)")
+    den = (F.lit(m * m) * (nd * nd * nd - nd)
+           - F.lit(m) * sum(F.col(f"_tt{j}") for j in range(1, m))
+           - F.lit(m) * F.col("_tt0")).cast("decimal(38,0)")
+    return out.select(
+        "n_items",
+        F.when(den.cast("double") > 0.0,
+               F.lit(3.0) * F.col("_s2").cast("double")
+               / den.cast("double")).alias("w"))

@@ -1502,3 +1502,25 @@ def test_split_half_reliability_hand_case(spark):
     df2 = spark.createDataFrame(rows2, "k string, h boolean, v long")
     r2 = split_half_reliability(df2, "k", F.col("h"), F.col("v")).collect()[0]
     assert r2.r_half is None and r2.reliability is None
+
+
+def test_kendalls_w_hand_cases(spark):
+    from logpipe_spark.operators.drift import kendalls_w
+
+    # perfect concordance, no ties: W = 1 exactly
+    rows = [(i, i * 2, i * 3, i * 10) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "id int, a long, b long, c long")
+    r = kendalls_w(df, "id", ["a", "b", "c"]).collect()[0]
+    assert r.n_items == 4 and r.w == 1.0
+    # one ranker reversed: classic m=3, n=4 textbook replay
+    rows2 = [(1, 1, 1, 4), (2, 2, 2, 3), (3, 3, 3, 2), (4, 4, 4, 1)]
+    df2 = spark.createDataFrame(rows2, "id int, a long, b long, c long")
+    r2 = kendalls_w(df2, "id", ["a", "b", "c"]).collect()[0]
+    # R = [2*6, 2*7... doubled]: R_i = a+b+c ranks: [6,7,8,9]+rev ->
+    # [1+1+4, 2+2+3, 3+3+2, 4+4+1] = [6,7,8,9]; S = sum((R-7.5)^2) = 5
+    # W = 12*5/(9*60) = 1/9
+    assert abs(r2.w - 12.0 * 5.0 / (9.0 * 60.0)) < 1e-15
+    # all-tied rankers -> den 0 -> NULL
+    rows3 = [(i, 7, 7, 7) for i in range(4)]
+    df3 = spark.createDataFrame(rows3, "id int, a long, b long, c long")
+    assert kendalls_w(df3, "id", ["a", "b", "c"]).collect()[0].w is None
