@@ -6801,6 +6801,16 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_recency_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Recency-weighted activity (aggregate.recency_weighted_counts):
+    # weekly half-life popularity per event type, exact because dyadic
+    # 2^-age weights scale to integer shifts (a float 0.5^a sum is
+    # order-dependent; this one cannot be).
+    from logpipe_spark.operators.aggregate import recency_weighted_counts
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return recency_weighted_counts(ev, "event_type")
+
+
 def q_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Kendall's W concordance (drift.kendalls_w) of three heuristic doc
     # rankers (chars, tokens, distinct tokens) — do the scorers agree
@@ -7580,6 +7590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_weights": q_class_weights,
         "split_half_reliability": q_split_half_reliability,
         "kendalls_w": q_kendalls_w,
+        "recency_weighted": q_recency_weighted,
     }
 
 
@@ -14062,4 +14073,28 @@ SELECT nn.n AS n_items,
             THEN 3.0 * cast(s2 AS double) / cast(den AS double)
        END AS w
 FROM nn, s, den"""
+    # Dyadic weights as integer left-shifts; // on non-negative ages
+    # == Spark div; single final division by the 2^30 literal.
+    oracles["recency_weighted"] = """
+WITH ev AS (SELECT event_type, epoch_us(ts) AS tsu FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+h AS (SELECT cast(max(tsu) AS bigint) AS hwm FROM ev),
+aged AS (SELECT event_type,
+                cast(((hwm - tsu) // 604800000000) // 1 AS bigint)
+                  AS age
+         FROM ev, h),
+c AS (SELECT event_type, age, cast(count(*) AS bigint) AS c
+      FROM aged GROUP BY event_type, age),
+g AS (SELECT event_type,
+             cast(sum(c) AS bigint) AS n_events,
+             cast(sum(CASE WHEN age <= 30 THEN c ELSE 0 END) AS bigint)
+               AS n_recent,
+             cast(sum(CASE WHEN age <= 30
+                           THEN c * (cast(1 AS bigint)
+                                     << cast(30 - age AS int))
+                           ELSE 0 END) AS bigint) AS scaled
+      FROM c GROUP BY event_type)
+SELECT event_type, n_events, n_recent,
+       cast(scaled AS double) / 1073741824.0 AS weighted
+FROM g"""
     return oracles

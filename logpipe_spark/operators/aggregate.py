@@ -2505,3 +2505,59 @@ def topk_movers(df: DataFrame, key: str, post, k: int = 20) -> DataFrame:
     w = Window.orderBy(F.abs(F.col("change")).desc(), F.col(key))
     return top.select(key, "n_pre", "n_post", "change",
                       F.row_number().over(w).cast("int").alias("rank"))
+
+
+def recency_weighted_counts(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    half_life_buckets: int = 1,
+    bucket_us: int = 604_800_000_000,
+    max_age_buckets: int = 30,
+) -> DataFrame:
+    """Recency-weighted activity score per ``key`` with an exponential
+    half-life decay — the freshness-biased popularity every ranking /
+    trending surface uses — made EXACT by keeping the weights DYADIC:
+    an event ``a`` buckets old weighs ``2^-(a/half_life)``, so scaling
+    by ``2^max_age`` turns every weight into an integer power of two
+    and the weighted sum into an exact int64 (a float 0.5^a sum is
+    order-dependent; this one cannot be). Events older than
+    ``max_age_buckets`` half-lives contribute 0 (they'd be below one
+    scaled unit anyway).
+
+    One combinable (key, age) count collapse, a broadcast 1-row
+    high-water mark for the age origin, and a key reduction of
+    ``count << (max_age - age)`` terms. The emitted ``weighted`` is
+    the single division ``scaled / 2^max_age`` of exact integers.
+    Exactness bound: scaled sums stay in int64 up to ``2^(63 -
+    max_age)`` recent-bucket events per key (~8.6e9 at the default);
+    beyond that drop to a smaller ``max_age_buckets`` or DECIMAL.
+
+    Returns ``(key, n_events, n_recent, weighted)``.
+    """
+    tsu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = (df.where(F.col(key).isNotNull() & F.col(ts_col).isNotNull())
+            .select(F.col(key), tsu.alias("_tsu")))
+    hwm = base.agg(F.max("_tsu").cast("bigint").alias("_hwm"))
+    aged = (base.crossJoin(F.broadcast(hwm))
+            .select(key, F.expr(
+                f"((_hwm - _tsu) div {int(bucket_us)}) "
+                f"div {int(half_life_buckets)}").cast("bigint")
+                .alias("_age")))
+    counts = aged.groupBy(key, "_age").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c"))
+    scaled = F.when(
+        F.col("_age") <= max_age_buckets,
+        F.col("_c") * F.expr(
+            f"shiftleft(cast(1 AS bigint), "
+            f"cast({int(max_age_buckets)} - _age AS int))")
+    ).otherwise(0)
+    g = counts.groupBy(key).agg(
+        F.sum("_c").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("_age") <= max_age_buckets, F.col("_c"))
+              .otherwise(0)).cast("bigint").alias("n_recent"),
+        F.sum(scaled).cast("bigint").alias("_scaled"))
+    return g.select(
+        key, "n_events", "n_recent",
+        (F.col("_scaled").cast("double")
+         / F.lit(float(2 ** max_age_buckets))).alias("weighted"))

@@ -1524,3 +1524,23 @@ def test_kendalls_w_hand_cases(spark):
     rows3 = [(i, 7, 7, 7) for i in range(4)]
     df3 = spark.createDataFrame(rows3, "id int, a long, b long, c long")
     assert kendalls_w(df3, "id", ["a", "b", "c"]).collect()[0].w is None
+
+
+def test_recency_weighted_hand_case(spark):
+    from logpipe_spark.operators.aggregate import recency_weighted_counts
+
+    # events at the hwm week (age 0, w=1), one week back (w=0.5), and
+    # far past the horizon (w=0)
+    rows = [
+        ("a", "2024-06-01 00:00:00"),                 # hwm, age 0
+        ("a", "2024-05-25 00:00:00"),                 # age 1 -> 0.5
+        ("a", "2024-05-25 00:00:00"),                 # age 1 -> 0.5
+        ("a", "2020-01-01 00:00:00"),                 # age >> 30 -> 0
+        ("b", "2024-06-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r.k: r for r in recency_weighted_counts(df, "k").collect()}
+    assert out["a"].n_events == 4 and out["a"].n_recent == 3
+    assert out["a"].weighted == 1.0 + 0.5 + 0.5    # exact dyadics
+    assert out["b"].weighted == 1.0
