@@ -6801,6 +6801,13 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Boilerplate-opening screen (textqual.prefix_dup_rate): per-source
+    # share of docs whose 64-char prefix recurs anywhere in the corpus
+    # — one prefix-count collapse + join back, exact integer rate.
+    return tq.prefix_dup_rate(_docs(spark, sf_dir))
+
+
 def q_recency_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Recency-weighted activity (aggregate.recency_weighted_counts):
     # weekly half-life popularity per event type, exact because dyadic
@@ -7591,6 +7598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_half_reliability": q_split_half_reliability,
         "kendalls_w": q_kendalls_w,
         "recency_weighted": q_recency_weighted,
+        "prefix_dup_rate": q_prefix_dup_rate,
     }
 
 
@@ -14096,5 +14104,19 @@ g AS (SELECT event_type,
       FROM c GROUP BY event_type)
 SELECT event_type, n_events, n_recent,
        cast(scaled AS double) / 1073741824.0 AS weighted
+FROM g"""
+    # One prefix-count collapse; exact integer rate.
+    oracles["prefix_dup_rate"] = """
+WITH p AS (SELECT source, substring(text, 1, 64) AS pfx
+           FROM documents
+           WHERE text IS NOT NULL AND source IS NOT NULL),
+c AS (SELECT pfx, cast(count(*) AS bigint) AS c FROM p GROUP BY pfx),
+g AS (SELECT source, cast(count(*) AS bigint) AS n_docs,
+             cast(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS bigint)
+               AS n_prefix_dup
+      FROM p JOIN c ON p.pfx = c.pfx GROUP BY source)
+SELECT source, n_docs, n_prefix_dup,
+       cast(n_prefix_dup AS double) / cast(n_docs AS double)
+         AS dup_rate
 FROM g"""
     return oracles

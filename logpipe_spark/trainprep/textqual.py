@@ -939,3 +939,36 @@ def injection_scan(docs: DataFrame, key: str = "source",
         key, "pattern", "n_docs_hit", "n_hits",
         (F.col("n_hits").cast("double") * F.lit(1000000.0)
          / F.col("_toks").cast("double")).alias("hits_per_mtok"))
+
+
+def prefix_dup_rate(docs: DataFrame, key: str = "source",
+                    text_col: str = "text",
+                    prefix_chars: int = 64) -> DataFrame:
+    """Prefix-duplicate screen per ``key``: the share of documents
+    whose first ``prefix_chars`` characters are shared with at least
+    one OTHER document anywhere in the corpus — the cheapest
+    boilerplate-opening detector (scraped corpora fill with identical
+    headers/disclaimers long before full near-dup machinery is worth
+    running; dup_spans finds the spans, this one-pass audit decides
+    whether to bother).
+
+    One (prefix) count collapse over the corpus — map-side combinable,
+    prefix cardinality ≤ corpus — then a prefix-keyed join back and a
+    key reduction. All exact integers; the rate is one division.
+
+    Returns ``(key, n_docs, n_prefix_dup, dup_rate)``.
+    """
+    p = (docs.where(F.col(text_col).isNotNull() & F.col(key).isNotNull())
+         .select(F.col(key),
+                 F.substring(F.col(text_col), 1, prefix_chars)
+                 .alias("_p")))
+    c = p.groupBy("_p").agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    j = p.join(c, "_p")
+    g = j.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).cast("bigint")
+        .alias("n_prefix_dup"))
+    return g.select(
+        key, "n_docs", "n_prefix_dup",
+        (F.col("n_prefix_dup").cast("double")
+         / F.col("n_docs").cast("double")).alias("dup_rate"))

@@ -1544,3 +1544,26 @@ def test_recency_weighted_hand_case(spark):
     assert out["a"].n_events == 4 and out["a"].n_recent == 3
     assert out["a"].weighted == 1.0 + 0.5 + 0.5    # exact dyadics
     assert out["b"].weighted == 1.0
+
+
+def test_prefix_dup_rate_hand_case(spark):
+    from logpipe_spark.trainprep.textqual import prefix_dup_rate
+
+    boiler = "x" * 70
+    rows = [
+        ("s1", boiler + "aaa"), ("s1", boiler + "bbb"),   # shared prefix
+        ("s1", "unique text one"),
+        ("s2", boiler + "ccc"),                            # cross-source!
+        ("s2", "another unique"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r.source: r for r in prefix_dup_rate(df).collect()}
+    # the 64-char prefix is shared by three docs across s1 and s2
+    assert out["s1"].n_prefix_dup == 2 and out["s1"].n_docs == 3
+    assert out["s2"].n_prefix_dup == 1
+    assert out["s1"].dup_rate == 2.0 / 3.0
+    # short docs compare their full text as the prefix
+    df2 = spark.createDataFrame(
+        [("s3", "short"), ("s3", "short"), ("s3", "other")],
+        "source string, text string")
+    assert prefix_dup_rate(df2).collect()[0].n_prefix_dup == 2
