@@ -6801,6 +6801,23 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_proportion_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Newcombe diff-of-proportions CI (drift.proportion_diff_ci): per
+    # event type, did the k%3==0 subpopulation's high-value rate move
+    # vs the rest? Four exact cells per key; Wilson bounds combined in
+    # quadrature, formed in the oracle's exact order.
+    from logpipe_spark.operators.drift import proportion_diff_ci
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        (F.substring(F.col("props"), 7, F.length("props") - 7)
+         .cast("int") % 3 == 0).alias("grp"),
+        (F.col("value") > 50.0).alias("hi"))
+    return proportion_diff_ci(ev, "event_type", F.col("grp"),
+                              F.col("hi"))
+
+
 def q_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Boilerplate-opening screen (textqual.prefix_dup_rate): per-source
     # share of docs whose 64-char prefix recurs anywhere in the corpus
@@ -7599,6 +7616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendalls_w": q_kendalls_w,
         "recency_weighted": q_recency_weighted,
         "prefix_dup_rate": q_prefix_dup_rate,
+        "proportion_diff_ci": q_proportion_diff_ci,
     }
 
 
@@ -14119,4 +14137,50 @@ SELECT source, n_docs, n_prefix_dup,
        cast(n_prefix_dup AS double) / cast(n_docs AS double)
          AS dup_rate
 FROM g"""
+    # Wilson bounds in the tool_reliability literal style; quadrature
+    # combination in the engine's exact order.
+    _wl = """(phat{j} + (1.96 * 1.96) / (2.0 * nd{j})
+          {sgn} 1.96 * sqrt(phat{j} * (1.0 - phat{j}) / nd{j}
+                        + (1.96 * 1.96) / (4.0 * (nd{j} * nd{j}))))
+         / (1.0 + (1.96 * 1.96) / nd{j})"""
+    oracles["proportion_diff_ci"] = f"""
+WITH ev AS (SELECT event_type,
+                   cast(substring(props, 7, length(props) - 7) AS int)
+                     % 3 = 0 AS grp,
+                   value > 50.0 AS hi
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL),
+g AS (SELECT event_type,
+        cast(sum(CASE WHEN grp THEN 0 ELSE 1 END) AS bigint) AS n1,
+        cast(sum(CASE WHEN NOT grp AND hi THEN 1 ELSE 0 END) AS bigint)
+          AS k1,
+        cast(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS bigint) AS n2,
+        cast(sum(CASE WHEN grp AND hi THEN 1 ELSE 0 END) AS bigint)
+          AS k2
+      FROM ev GROUP BY event_type),
+w AS (SELECT *,
+        cast(k1 AS double) / cast(n1 AS double) AS phat1,
+        cast(n1 AS double) AS nd1,
+        cast(k2 AS double) / cast(n2 AS double) AS phat2,
+        cast(n2 AS double) AS nd2
+      FROM g),
+b AS (SELECT *,
+        {_wl.format(j=1, sgn='-')} AS l1,
+        {_wl.format(j=1, sgn='+')} AS u1,
+        {_wl.format(j=2, sgn='-')} AS l2,
+        {_wl.format(j=2, sgn='+')} AS u2
+      FROM w)
+SELECT event_type, n1, k1, n2, k2,
+       CASE WHEN n1 > 0 THEN phat1 END AS p1,
+       CASE WHEN n2 > 0 THEN phat2 END AS p2,
+       CASE WHEN n1 > 0 AND n2 > 0 THEN phat2 - phat1 END AS diff,
+       CASE WHEN n1 > 0 AND n2 > 0
+            THEN (phat2 - phat1)
+                 - sqrt((phat1 - l1) * (phat1 - l1)
+                        + (u2 - phat2) * (u2 - phat2)) END AS ci_lo,
+       CASE WHEN n1 > 0 AND n2 > 0
+            THEN (phat2 - phat1)
+                 + sqrt((u1 - phat1) * (u1 - phat1)
+                        + (phat2 - l2) * (phat2 - l2)) END AS ci_hi
+FROM b"""
     return oracles

@@ -2441,3 +2441,62 @@ def kendalls_w(
         F.when(den.cast("double") > 0.0,
                F.lit(3.0) * F.col("_s2").cast("double")
                / den.cast("double")).alias("w"))
+
+
+def proportion_diff_ci(
+    df: DataFrame,
+    key: str,
+    group: Column,
+    success: Column,
+) -> DataFrame:
+    """Newcombe hybrid confidence interval for a DIFFERENCE of two
+    proportions per ``key`` (Newcombe, Stat. Med. 1998, method 10):
+    each arm gets its Wilson score interval and the difference CI
+    combines the per-arm distances in quadrature — the recommended
+    small-sample interval for "did the error rate move", completing
+    the Wilson family next to tool_reliability's single-proportion
+    bound.
+
+    One conditional-count shuffle to four exact int64 cells per key;
+    every float after that is formed from those integers in the
+    oracle's exact operation order (sqrt correctly rounded), the
+    tool_reliability discipline with the same 1.96 literal style.
+    Empty arms emit NULL bounds (ANSI guard).
+
+    Returns ``(key, n1, k1, n2, k2, p1, p2, diff, ci_lo, ci_hi)``.
+    """
+    g = (df.where(F.col(key).isNotNull() & group.isNotNull()
+                  & success.isNotNull())
+         .groupBy(key)
+         .agg(F.sum(F.when(group, 0).otherwise(1)).cast("bigint")
+              .alias("n1"),
+              F.sum(F.when(~group & success, 1).otherwise(0))
+              .cast("bigint").alias("k1"),
+              F.sum(F.when(group, 1).otherwise(0)).cast("bigint")
+              .alias("n2"),
+              F.sum(F.when(group & success, 1).otherwise(0))
+              .cast("bigint").alias("k2")))
+
+    def wilson(kc: str, nc: str):
+        nd = F.col(nc).cast("double")
+        p = F.col(kc).cast("double") / nd
+        c2n = (F.lit(1.96) * F.lit(1.96)) / (F.lit(2.0) * nd)
+        rad = F.lit(1.96) * F.sqrt(
+            p * (F.lit(1.0) - p) / nd
+            + (F.lit(1.96) * F.lit(1.96)) / (F.lit(4.0) * (nd * nd)))
+        den = F.lit(1.0) + (F.lit(1.96) * F.lit(1.96)) / nd
+        return p, (p + c2n - rad) / den, (p + c2n + rad) / den
+
+    p1, l1, u1 = wilson("k1", "n1")
+    p2, l2, u2 = wilson("k2", "n2")
+    d = p2 - p1
+    lo = d - F.sqrt((p1 - l1) * (p1 - l1) + (u2 - p2) * (u2 - p2))
+    hi = d + F.sqrt((u1 - p1) * (u1 - p1) + (p2 - l2) * (p2 - l2))
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    return g.select(
+        key, "n1", "k1", "n2", "k2",
+        F.when(F.col("n1") > 0, p1).alias("p1"),
+        F.when(F.col("n2") > 0, p2).alias("p2"),
+        F.when(ok, d).alias("diff"),
+        F.when(ok, lo).alias("ci_lo"),
+        F.when(ok, hi).alias("ci_hi"))

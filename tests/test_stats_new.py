@@ -1567,3 +1567,32 @@ def test_prefix_dup_rate_hand_case(spark):
         [("s3", "short"), ("s3", "short"), ("s3", "other")],
         "source string, text string")
     assert prefix_dup_rate(df2).collect()[0].n_prefix_dup == 2
+
+
+def test_proportion_diff_ci_hand_case(spark):
+    from logpipe_spark.operators.drift import proportion_diff_ci
+    import math
+
+    # arm1: 2/10 successes, arm2: 6/10 — replay Newcombe in python
+    rows = ([("k", False, True)] * 2 + [("k", False, False)] * 8
+            + [("k", True, True)] * 6 + [("k", True, False)] * 4)
+    df = spark.createDataFrame(rows, "k string, g boolean, s boolean")
+    r = proportion_diff_ci(df, "k", F.col("g"), F.col("s")).collect()[0]
+    assert (r.n1, r.k1, r.n2, r.k2) == (10, 2, 10, 6)
+
+    def wilson(k, n, sgn):
+        p, nd = k / n, float(n)
+        c2n = (1.96 * 1.96) / (2.0 * nd)
+        rad = 1.96 * math.sqrt(p * (1.0 - p) / nd
+                               + (1.96 * 1.96) / (4.0 * (nd * nd)))
+        den = 1.0 + (1.96 * 1.96) / nd
+        return (p + c2n + sgn * rad) / den
+
+    p1, p2 = 0.2, 0.6
+    l1, u1 = wilson(2.0, 10.0, -1), wilson(2.0, 10.0, +1)
+    l2, u2 = wilson(6.0, 10.0, -1), wilson(6.0, 10.0, +1)
+    d = p2 - p1
+    assert r.diff == d
+    assert r.ci_lo == d - math.sqrt((p1 - l1) ** 2 + (u2 - p2) ** 2)
+    assert r.ci_hi == d + math.sqrt((u1 - p1) ** 2 + (p2 - l2) ** 2)
+    assert r.ci_lo < d < r.ci_hi
