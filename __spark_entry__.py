@@ -6801,6 +6801,21 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mood's median test (drift.mood_median_test): do the event types
+    # share a common cents median? Discrete grand median from the
+    # bucketed prefix scan, 2xk exact cells, chi-square folded in
+    # (group, side) order == list_reduce.
+    from logpipe_spark.operators.drift import mood_median_test
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        .alias("cents"))
+    return mood_median_test(ev, "event_type", F.col("cents"))
+
+
 def q_proportion_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Newcombe diff-of-proportions CI (drift.proportion_diff_ci): per
     # event type, did the k%3==0 subpopulation's high-value rate move
@@ -7617,6 +7632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recency_weighted": q_recency_weighted,
         "prefix_dup_rate": q_prefix_dup_rate,
         "proportion_diff_ci": q_proportion_diff_ci,
+        "mood_median": q_mood_median,
     }
 
 
@@ -14183,4 +14199,54 @@ SELECT event_type, n1, k1, n2, k2,
                  + sqrt((u1 - phat1) * (u1 - phat1)
                         + (phat2 - l2) * (phat2 - l2)) END AS ci_hi
 FROM b"""
+    # Discrete grand median; 2xk exact cells; chi-square terms folded
+    # in (group, side) order == the engine's struct-sorted fold.
+    oracles["mood_median"] = """
+WITH base AS (SELECT event_type AS g,
+                     cast(floor(value * 100 + 0.5) AS bigint) AS v
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL),
+tot AS (SELECT cast(count(*) AS bigint) AS n FROM base),
+cumv AS (SELECT v, sum(count(*)) OVER (ORDER BY v) AS cum
+         FROM base GROUP BY v),
+med AS (SELECT cast(min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+               AS bigint) AS grand_median
+        FROM cumv, tot),
+cells AS (SELECT g,
+            cast(sum(CASE WHEN v > grand_median THEN 1 ELSE 0 END)
+                 AS bigint) AS gt,
+            cast(sum(CASE WHEN v <= grand_median THEN 1 ELSE 0 END)
+                 AS bigint) AS le
+          FROM base, med GROUP BY g),
+marg AS (SELECT cast(sum(gt) AS bigint) AS cgt,
+                cast(sum(le) AS bigint) AS cle,
+                cast(count(*) AS bigint) AS k_groups FROM cells),
+tt AS (SELECT g, gt, le, k_groups, n,
+         cast(gt + le AS double) * cast(cgt AS double)
+           / cast(n AS double) AS e1,
+         cast(gt + le AS double) * cast(cle AS double)
+           / cast(n AS double) AS e2
+       FROM cells, marg, tot),
+terms AS (
+  SELECT g, 1 AS side, k_groups, n,
+         CASE WHEN e1 > 0.0
+              THEN (cast(gt AS double) - e1) * (cast(gt AS double) - e1)
+                   / e1
+              ELSE 0.0 END AS term
+  FROM tt
+  UNION ALL
+  SELECT g, 2, k_groups, n,
+         CASE WHEN e2 > 0.0
+              THEN (cast(le AS double) - e2) * (cast(le AS double) - e2)
+                   / e2
+              ELSE 0.0 END
+  FROM tt),
+f AS (SELECT max(n) AS n, max(k_groups) AS k_groups,
+             list_reduce(list_prepend(cast(0 AS double),
+                                      list(term ORDER BY g, side)),
+                         (acc, x) -> acc + x) AS chi2
+      FROM terms)
+SELECT cast(f.n AS bigint) AS n, cast(f.k_groups AS bigint) AS k_groups,
+       med.grand_median, f.chi2
+FROM f, med"""
     return oracles

@@ -2500,3 +2500,75 @@ def proportion_diff_ci(
         F.when(ok, d).alias("diff"),
         F.when(ok, lo).alias("ci_lo"),
         F.when(ok, hi).alias("ci_hi"))
+
+
+def mood_median_test(
+    df: DataFrame,
+    key: str,
+    value,
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """Mood's median test (Mood, "Introduction to the Theory of
+    Statistics", 1950): do the k groups share a common median? Counts
+    above vs at-or-below the GRAND median per group feed the 2×k
+    chi-square — the blunt-but-robust complement to kruskal_wallis
+    (rank-sum) for heavy-tailed metrics.
+
+    The grand median is the exact DISCRETE median (smallest value
+    whose inclusive cumulative count reaches ceil(n/2)) from the
+    value-frequency frame via the bucketed prefix scan under a
+    constant key (never a global sort), broadcast back as a 1-row
+    scalar. All 2k observed cells and margins are exact int64; each
+    chi-square term ``(o-e)²/e`` is formed from them cast to double in
+    the oracle's order, and the 2k-term sum folds LEFT-TO-RIGHT over
+    (group, side) order (== DuckDB list_reduce) — never an unordered
+    float sum. Zero-expectation cells contribute 0 (their observed is
+    structurally 0 too).
+
+    Returns ONE row: ``(n, k_groups, grand_median, chi2)``.
+    """
+    base = (df.where(F.col(key).isNotNull() & value.isNotNull())
+            .select(F.col(key).alias("_g"),
+                    value.cast("bigint").alias("_v")))
+    vals = (base.groupBy(F.col("_v").alias("v"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+            .withColumn("_k", F.lit(1)))
+    cum = bucketed_cumsum(vals, "_k", ["t"], value_col="v",
+                          bucket_width=bucket_width)
+    tot = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    med = (cum.crossJoin(F.broadcast(tot))
+           .agg(F.min(F.when(
+               F.col("cum_t") >= F.expr("(n + 1) div 2"),
+               F.col("v"))).cast("bigint").alias("grand_median")))
+    cells = (base.crossJoin(F.broadcast(med))
+             .groupBy("_g")
+             .agg(F.sum(F.when(F.col("_v") > F.col("grand_median"), 1)
+                        .otherwise(0)).cast("bigint").alias("_gt"),
+                  F.sum(F.when(F.col("_v") <= F.col("grand_median"), 1)
+                        .otherwise(0)).cast("bigint").alias("_le")))
+    marg = cells.agg(
+        F.sum("_gt").cast("bigint").alias("_cgt"),
+        F.sum("_le").cast("bigint").alias("_cle"),
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"))
+    j = cells.crossJoin(F.broadcast(marg)).crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    rn = (F.col("_gt") + F.col("_le")).cast("double")
+
+    def term(o: str, ct: str):
+        e = rn * F.col(ct).cast("double") / nd
+        od = F.col(o).cast("double")
+        return F.when(e > 0.0, (od - e) * (od - e) / e).otherwise(0.0)
+
+    t2 = j.select(
+        "_g", "k_groups", "n",
+        term("_gt", "_cgt").alias("_t1"),
+        term("_le", "_cle").alias("_t2"))
+    folded = (t2.groupBy("k_groups", "n")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("_g", "_t1", "_t2"))).alias("_h"))
+              .select("n", "k_groups", F.expr(
+                  "aggregate(flatten(transform(_h, s -> array(s._t1, "
+                  "s._t2))), cast(0.0 AS double), "
+                  "(acc, v) -> acc + v)").alias("chi2")))
+    return (folded.crossJoin(F.broadcast(med))
+            .select("n", "k_groups", "grand_median", "chi2"))

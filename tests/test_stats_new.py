@@ -1596,3 +1596,20 @@ def test_proportion_diff_ci_hand_case(spark):
     assert r.ci_lo == d - math.sqrt((p1 - l1) ** 2 + (u2 - p2) ** 2)
     assert r.ci_hi == d + math.sqrt((u1 - p1) ** 2 + (p2 - l2) ** 2)
     assert r.ci_lo < d < r.ci_hi
+
+
+def test_mood_median_hand_case(spark):
+    from logpipe_spark.operators.drift import mood_median_test
+
+    # A = [1,2,3], B = [4,5,6]: grand median 3; every cell deviates by
+    # 1.5 from e = 1.5 -> chi2 = 4 * 1.5 = 6
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = mood_median_test(df, "g", F.col("v")).collect()[0]
+    assert r.n == 6 and r.k_groups == 2 and r.grand_median == 3
+    assert r.chi2 == 6.0
+    # identical groups: observed == expected -> chi2 = 0
+    rows2 = [("a", 1), ("a", 9), ("b", 1), ("b", 9)]
+    df2 = spark.createDataFrame(rows2, "g string, v long")
+    r2 = mood_median_test(df2, "g", F.col("v")).collect()[0]
+    assert r2.grand_median == 1 and r2.chi2 == 0.0
