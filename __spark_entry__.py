@@ -6801,6 +6801,28 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Paired sign test (drift.sign_test): per event type, did each
+    # user's activity rise or fall between the corpus halves
+    # (direction only — survives monotone transforms where wilcoxon
+    # ranks magnitudes). Three exact cells per key; z = (p-n)/sqrt(c).
+    from logpipe_spark.operators.drift import sign_test
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()).select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"))
+    b = ev.agg(F.expr("min(tsu) + ((max(tsu) - min(tsu)) div 2)")
+               .alias("_tmid"))
+    per = (ev.crossJoin(F.broadcast(b))
+           .groupBy("event_type", "user_id")
+           .agg(F.sum(F.when(F.col("tsu") < F.col("_tmid"), 1)
+                      .otherwise(0)).cast("bigint").alias("pre"),
+                F.sum(F.when(F.col("tsu") >= F.col("_tmid"), 1)
+                      .otherwise(0)).cast("bigint").alias("post")))
+    return sign_test(per, "event_type", F.col("pre"), F.col("post"))
+
+
 def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mood's median test (drift.mood_median_test): do the event types
     # share a common cents median? Discrete grand median from the
@@ -7633,6 +7655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_dup_rate": q_prefix_dup_rate,
         "proportion_diff_ci": q_proportion_diff_ci,
         "mood_median": q_mood_median,
+        "sign_test": q_sign_test,
     }
 
 
@@ -14249,4 +14272,31 @@ f AS (SELECT max(n) AS n, max(k_groups) AS k_groups,
 SELECT cast(f.n AS bigint) AS n, cast(f.k_groups AS bigint) AS k_groups,
        med.grand_median, f.chi2
 FROM f, med"""
+    # Midpoint split per user; three exact cells per type; z on ints.
+    oracles["sign_test"] = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsu
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND event_type IS NOT NULL),
+b AS (SELECT min(tsu) + (max(tsu) - min(tsu)) // 2 AS tmid FROM ev),
+per AS (SELECT event_type, user_id,
+          cast(sum(CASE WHEN tsu < tmid THEN 1 ELSE 0 END) AS bigint)
+            AS pre,
+          cast(sum(CASE WHEN tsu >= tmid THEN 1 ELSE 0 END) AS bigint)
+            AS post
+        FROM ev, b GROUP BY event_type, user_id),
+g AS (SELECT event_type,
+        cast(sum(CASE WHEN post > pre THEN 1 ELSE 0 END) AS bigint)
+          AS n_pos,
+        cast(sum(CASE WHEN post < pre THEN 1 ELSE 0 END) AS bigint)
+          AS n_neg,
+        cast(sum(CASE WHEN post = pre THEN 1 ELSE 0 END) AS bigint)
+          AS n_tie
+      FROM per GROUP BY event_type)
+SELECT event_type, n_pos, n_neg, n_tie,
+       CASE WHEN n_pos + n_neg > 0
+            THEN cast(n_pos - n_neg AS double)
+                 / sqrt(cast(n_pos + n_neg AS double))
+       END AS z
+FROM g"""
     return oracles

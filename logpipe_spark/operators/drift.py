@@ -2572,3 +2572,40 @@ def mood_median_test(
                   "(acc, v) -> acc + v)").alias("chi2")))
     return (folded.crossJoin(F.broadcast(med))
             .select("n", "k_groups", "grand_median", "chi2"))
+
+
+def sign_test(
+    df: DataFrame,
+    key: str,
+    pre,
+    post,
+) -> DataFrame:
+    """Paired sign test per ``key`` (Arbuthnott 1710 — the oldest
+    nonparametric test): of the units whose metric CHANGED, how many
+    moved up vs down, with the normal-approximation z
+    ``(n_pos - n_neg)/sqrt(n_pos + n_neg)`` — the magnitude-free
+    companion to wilcoxon_signed (which ranks |differences|; the sign
+    test only needs direction, so it survives arbitrary monotone
+    metric transforms).
+
+    One conditional-count shuffle to three exact int64 cells per key;
+    z is a single division by a sqrt of an exact integer. Keys with
+    no changed pairs emit NULL z (ANSI guard).
+
+    Returns ``(key, n_pos, n_neg, n_tie, z)``.
+    """
+    g = (df.where(F.col(key).isNotNull() & pre.isNotNull()
+                  & post.isNotNull())
+         .groupBy(key)
+         .agg(F.sum(F.when(post > pre, 1).otherwise(0)).cast("bigint")
+              .alias("n_pos"),
+              F.sum(F.when(post < pre, 1).otherwise(0)).cast("bigint")
+              .alias("n_neg"),
+              F.sum(F.when(post == pre, 1).otherwise(0)).cast("bigint")
+              .alias("n_tie")))
+    nc = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    return g.select(
+        key, "n_pos", "n_neg", "n_tie",
+        F.when(F.col("n_pos") + F.col("n_neg") > 0,
+               (F.col("n_pos") - F.col("n_neg")).cast("double")
+               / F.sqrt(nc)).alias("z"))

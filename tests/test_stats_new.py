@@ -1613,3 +1613,17 @@ def test_mood_median_hand_case(spark):
     df2 = spark.createDataFrame(rows2, "g string, v long")
     r2 = mood_median_test(df2, "g", F.col("v")).collect()[0]
     assert r2.grand_median == 1 and r2.chi2 == 0.0
+
+
+def test_sign_test_hand_case(spark):
+    from logpipe_spark.operators.drift import sign_test
+    import math
+
+    rows = [("k", 1, 5), ("k", 2, 7), ("k", 3, 3), ("k", 9, 1)]
+    df = spark.createDataFrame(rows, "k string, pre long, post long")
+    r = sign_test(df, "k", F.col("pre"), F.col("post")).collect()[0]
+    assert (r.n_pos, r.n_neg, r.n_tie) == (2, 1, 1)
+    assert r.z == 1.0 / math.sqrt(3.0)
+    # all tied -> NULL z
+    df2 = spark.createDataFrame([("k", 4, 4)], "k string, pre long, post long")
+    assert sign_test(df2, "k", F.col("pre"), F.col("post")).collect()[0].z is None
