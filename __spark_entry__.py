@@ -6801,6 +6801,19 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CART decision-stump probe (drift.stump_split): the cents
+    # threshold that best separates error events by Gini gain —
+    # candidate impurities from bucketed prefix counts, argmin via
+    # TakeOrderedAndProject under (impurity, threshold).
+    from logpipe_spark.operators.drift import stump_split
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull())
+    return stump_split(
+        ev, F.floor(F.col("value") * 100 + F.lit(0.5)),
+        F.col("event_type") == "error")
+
+
 def q_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Paired sign test (drift.sign_test): per event type, did each
     # user's activity rise or fall between the corpus halves
@@ -7656,6 +7669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proportion_diff_ci": q_proportion_diff_ci,
         "mood_median": q_mood_median,
         "sign_test": q_sign_test,
+        "stump_split": q_stump_split,
     }
 
 
@@ -14299,4 +14313,40 @@ SELECT event_type, n_pos, n_neg, n_tie,
                  / sqrt(cast(n_pos + n_neg AS double))
        END AS z
 FROM g"""
+    # Window cum == the engine's bucketed prefix; same impurity
+    # formation order; LIMIT 1 under the identical total order.
+    oracles["stump_split"] = """
+WITH base AS (SELECT cast(floor(value * 100 + 0.5) AS bigint) AS v,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                       AS y
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL),
+tot AS (SELECT cast(count(*) AS bigint) AS n,
+               cast(sum(y) AS bigint) AS p FROM base),
+vals AS (SELECT v, cast(count(*) AS bigint) AS t,
+                cast(sum(y) AS bigint) AS pp
+         FROM base GROUP BY v),
+cum AS (SELECT v,
+               cast(sum(t) OVER (ORDER BY v) AS bigint) AS cum_t,
+               cast(sum(pp) OVER (ORDER BY v) AS bigint) AS cum_p
+        FROM vals),
+cand AS (SELECT v AS threshold, cum_t AS n_left, cum_p AS pos_left,
+                cast(n - cum_t AS bigint) AS n_right,
+                cast(p - cum_p AS bigint) AS pos_right,
+                2.0 * cast(p AS double)
+                  * (cast(n AS double) - cast(p AS double))
+                  / (cast(n AS double) * cast(n AS double))
+                  AS parent_gini,
+                (2.0 * cast(cum_p AS double)
+                   * (cast(cum_t AS double) - cast(cum_p AS double))
+                   / cast(cum_t AS double)
+                 + 2.0 * cast(p - cum_p AS double)
+                   * (cast(n - cum_t AS double)
+                      - cast(p - cum_p AS double))
+                   / cast(n - cum_t AS double))
+                  / cast(n AS double) AS split_gini
+         FROM cum, tot WHERE cum_t < n)
+SELECT threshold, n_left, pos_left, n_right, pos_right,
+       parent_gini, split_gini, parent_gini - split_gini AS gain
+FROM cand ORDER BY split_gini, threshold LIMIT 1"""
     return oracles

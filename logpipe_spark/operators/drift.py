@@ -2609,3 +2609,63 @@ def sign_test(
         F.when(F.col("n_pos") + F.col("n_neg") > 0,
                (F.col("n_pos") - F.col("n_neg")).cast("double")
                / F.sqrt(nc)).alias("z"))
+
+
+def stump_split(
+    df: DataFrame,
+    value,
+    label,
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """Best decision-stump split: the threshold on an integer feature
+    that maximizes Gini-impurity reduction for a binary label (the
+    CART split criterion, Breiman et al. 1984) — the one-feature
+    usefulness probe a feature pipeline runs before paying for a
+    model ("does cents carry ANY signal about errors, and where is
+    the cut?").
+
+    Every candidate threshold is a distinct feature value: the
+    (count, positives) cumulative frame comes from the bucketed
+    prefix scan under a constant key (never a global sort), and each
+    candidate's weighted child impurity is formed from exact int64
+    prefix counts cast to double in the oracle's order. The argmin is
+    ``orderBy(impurity, threshold).limit(1)`` — TakeOrderedAndProject
+    under a total order (deterministic at impurity ties), the
+    top_ngrams discipline.
+
+    Returns ONE row: ``(threshold, n_left, pos_left, n_right,
+    pos_right, parent_gini, split_gini, gain)`` — split is
+    ``value <= threshold``.
+    """
+    base = (df.where(value.isNotNull() & label.isNotNull())
+            .select(value.cast("bigint").alias("_v"),
+                    F.when(label, 1).otherwise(0).cast("bigint")
+                    .alias("_y")))
+    vals = (base.groupBy(F.col("_v").alias("v"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("t"),
+                 F.sum("_y").cast("bigint").alias("p"))
+            .withColumn("_k", F.lit(1)))
+    cum = bucketed_cumsum(vals, "_k", ["t", "p"], value_col="v",
+                          bucket_width=bucket_width)
+    tot = base.agg(F.count(F.lit(1)).cast("bigint").alias("_n"),
+                   F.sum("_y").cast("bigint").alias("_p"))
+    c = (cum.crossJoin(F.broadcast(tot))
+         .where(F.col("cum_t") < F.col("_n")))   # non-empty right side
+    nl = F.col("cum_t").cast("double")
+    pl = F.col("cum_p").cast("double")
+    nr = (F.col("_n") - F.col("cum_t")).cast("double")
+    pr = (F.col("_p") - F.col("cum_p")).cast("double")
+    nd = F.col("_n").cast("double")
+    imp = (F.lit(2.0) * pl * (nl - pl) / nl
+           + F.lit(2.0) * pr * (nr - pr) / nr) / nd
+    parent = (F.lit(2.0) * F.col("_p").cast("double")
+              * (nd - F.col("_p").cast("double")) / (nd * nd))
+    cand = c.select(
+        F.col("v").alias("threshold"),
+        F.col("cum_t").alias("n_left"), F.col("cum_p").alias("pos_left"),
+        (F.col("_n") - F.col("cum_t")).cast("bigint").alias("n_right"),
+        (F.col("_p") - F.col("cum_p")).cast("bigint").alias("pos_right"),
+        parent.alias("parent_gini"), imp.alias("split_gini"),
+        (parent - imp).alias("gain"))
+    return cand.orderBy(F.col("split_gini").asc(),
+                        F.col("threshold").asc()).limit(1)

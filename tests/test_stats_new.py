@@ -1627,3 +1627,21 @@ def test_sign_test_hand_case(spark):
     # all tied -> NULL z
     df2 = spark.createDataFrame([("k", 4, 4)], "k string, pre long, post long")
     assert sign_test(df2, "k", F.col("pre"), F.col("post")).collect()[0].z is None
+
+
+def test_stump_split_hand_case(spark):
+    from logpipe_spark.operators.drift import stump_split
+
+    # perfectly separable at v <= 2: labels [0,0,1,1] on v=[1,2,3,4]
+    rows = [(1, False), (2, False), (3, True), (4, True)]
+    df = spark.createDataFrame(rows, "v long, y boolean")
+    r = stump_split(df, F.col("v"), F.col("y")).collect()[0]
+    assert r.threshold == 2 and r.split_gini == 0.0
+    assert (r.n_left, r.pos_left, r.n_right, r.pos_right) == (2, 0, 2, 2)
+    assert r.parent_gini == 0.5 and r.gain == 0.5
+    # no signal: every split leaves the same impurity; tie broken to
+    # the smallest threshold
+    rows2 = [(1, True), (1, False), (2, True), (2, False)]
+    df2 = spark.createDataFrame(rows2, "v long, y boolean")
+    r2 = stump_split(df2, F.col("v"), F.col("y")).collect()[0]
+    assert r2.threshold == 1 and r2.gain == 0.0
