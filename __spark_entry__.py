@@ -6801,6 +6801,16 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_gk_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Goodman-Kruskal lambda (assoc.goodman_kruskal_lambda): how much
+    # better does knowing the role predict the tool than guessing the
+    # modal tool — the PRE companion to cramers_v, exact integer
+    # maxes/sums over one contingency collapse.
+    from logpipe_spark.operators.assoc import goodman_kruskal_lambda
+    t = _t(spark, sf_dir)
+    return goodman_kruskal_lambda(t, "role", "tool")
+
+
 def q_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CART decision-stump probe (drift.stump_split): the cents
     # threshold that best separates error events by Gini gain —
@@ -7670,6 +7680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mood_median": q_mood_median,
         "sign_test": q_sign_test,
         "stump_split": q_stump_split,
+        "gk_lambda": q_gk_lambda,
     }
 
 
@@ -14349,4 +14360,19 @@ cand AS (SELECT v AS threshold, cum_t AS n_left, cum_p AS pos_left,
 SELECT threshold, n_left, pos_left, n_right, pos_right,
        parent_gini, split_gini, parent_gini - split_gini AS gain
 FROM cand ORDER BY split_gini, threshold LIMIT 1"""
+    # Exact integer maxes/sums over one contingency collapse.
+    oracles["gk_lambda"] = f"""{_oracle_prefix()},
+cells AS (SELECT role AS x, tool AS y, cast(count(*) AS bigint) AS c
+          FROM transcripts GROUP BY role, tool),
+px AS (SELECT x, cast(max(c) AS bigint) AS mx FROM cells GROUP BY x),
+s AS (SELECT cast(sum(mx) AS bigint) AS sum_conditional_modal FROM px),
+ct AS (SELECT y, cast(sum(c) AS bigint) AS cy FROM cells GROUP BY y),
+m AS (SELECT cast(max(cy) AS bigint) AS n_modal FROM ct),
+nn AS (SELECT cast(sum(c) AS bigint) AS n FROM cells)
+SELECT n, n_modal, sum_conditional_modal,
+       CASE WHEN n > n_modal
+            THEN cast(sum_conditional_modal - n_modal AS double)
+                 / cast(n - n_modal AS double)
+       END AS lambda_yx
+FROM nn, m, s"""
     return oracles

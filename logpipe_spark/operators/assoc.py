@@ -244,3 +244,41 @@ def frequent_triples(
             (num / den).alias("lift3"),
         )
     )
+
+
+def goodman_kruskal_lambda(df: DataFrame, x_col: str,
+                           y_col: str) -> DataFrame:
+    """Goodman–Kruskal lambda (JASA 1954): the proportional reduction
+    in error when predicting category ``y`` from category ``x`` —
+    "knowing the role, how much better do we guess the tool than
+    always guessing the mode?" The PRE companion to chi-square
+    association (cramers_v measures departure from independence;
+    lambda measures predictive usefulness, and is 0 whenever x adds
+    nothing even if chi-square fires).
+
+    ``λ = (Σ_x max_y n_xy − max_y n_y) / (n − max_y n_y)`` — every
+    term an exact int64 max/sum over the contingency cells (ONE
+    combinable shuffle, cell-cardinality frame after), so λ is a
+    single division of exact integers. A degenerate marginal (the
+    modal y IS every row) emits NULL under the ANSI guard.
+
+    Returns ONE row: ``(n, n_modal, sum_conditional_modal, lambda_yx)``.
+    """
+    cells = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+             .groupBy(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
+    per_x = cells.groupBy("_x").agg(F.max("_c").cast("bigint")
+                                    .alias("_mx"))
+    s = per_x.agg(F.sum("_mx").cast("bigint").alias("sum_conditional_modal"))
+    col_tot = cells.groupBy("_y").agg(F.sum("_c").cast("bigint")
+                                      .alias("_cy"))
+    m = col_tot.agg(F.max("_cy").cast("bigint").alias("n_modal"))
+    n = cells.agg(F.sum("_c").cast("bigint").alias("n"))
+    out = n.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(s))
+    return out.select(
+        "n", "n_modal", "sum_conditional_modal",
+        F.when(F.col("n") > F.col("n_modal"),
+               (F.col("sum_conditional_modal") - F.col("n_modal"))
+               .cast("double")
+               / (F.col("n") - F.col("n_modal")).cast("double"))
+        .alias("lambda_yx"))

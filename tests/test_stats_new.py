@@ -1645,3 +1645,23 @@ def test_stump_split_hand_case(spark):
     df2 = spark.createDataFrame(rows2, "v long, y boolean")
     r2 = stump_split(df2, F.col("v"), F.col("y")).collect()[0]
     assert r2.threshold == 1 and r2.gain == 0.0
+
+
+def test_gk_lambda_hand_case(spark):
+    from logpipe_spark.operators.assoc import goodman_kruskal_lambda
+
+    # x perfectly predicts y: lambda = 1
+    rows = [("a", "p")] * 3 + [("b", "q")] * 3
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = goodman_kruskal_lambda(df, "x", "y").collect()[0]
+    assert r.lambda_yx == 1.0 and r.n == 6 and r.n_modal == 3
+    # x useless: same modal y in every x -> lambda = 0
+    rows2 = [("a", "p"), ("a", "p"), ("a", "q"),
+             ("b", "p"), ("b", "p"), ("b", "q")]
+    df2 = spark.createDataFrame(rows2, "x string, y string")
+    r2 = goodman_kruskal_lambda(df2, "x", "y").collect()[0]
+    assert r2.lambda_yx == 0.0
+    # degenerate marginal (one y value) -> NULL
+    rows3 = [("a", "p"), ("b", "p")]
+    df3 = spark.createDataFrame(rows3, "x string, y string")
+    assert goodman_kruskal_lambda(df3, "x", "y").collect()[0].lambda_yx is None
