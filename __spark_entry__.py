@@ -6801,6 +6801,21 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quadratic-weighted kappa (aggregate.weighted_kappa) between two
+    # ordinal doc raters (length quartile-ish buckets vs token
+    # buckets): the whole statistic is the integer identity
+    # 1 - n*sum w*O / sum w*r*c — one division of exact integers.
+    from logpipe_spark.operators.aggregate import weighted_kappa
+    d = (_docs(spark, sf_dir).where(F.col("text").isNotNull())
+         .select(
+             F.expr("least(length(text) div 200, 3)").cast("bigint")
+             .alias("a"),
+             F.expr("least(size(split(text, ' ')) div 40, 3)")
+             .cast("bigint").alias("b")))
+    return weighted_kappa(d, "a", "b")
+
+
 def q_gk_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Goodman-Kruskal lambda (assoc.goodman_kruskal_lambda): how much
     # better does knowing the role predict the tool than guessing the
@@ -7681,6 +7696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sign_test": q_sign_test,
         "stump_split": q_stump_split,
         "gk_lambda": q_gk_lambda,
+        "weighted_kappa": q_weighted_kappa,
     }
 
 
@@ -14375,4 +14391,28 @@ SELECT n, n_modal, sum_conditional_modal,
                  / cast(n - n_modal AS double)
        END AS lambda_yx
 FROM nn, m, s"""
+    # Integer identity 1 - n*A/B; HUGEINT marginal products == the
+    # engine's DECIMAL(38,0); // buckets on non-negative == div.
+    oracles["weighted_kappa"] = """
+WITH d AS (SELECT least(length(text) // 200, 3) AS a,
+                  least(len(string_split(text, ' ')) // 40, 3) AS b
+           FROM documents WHERE text IS NOT NULL),
+cells AS (SELECT a AS i, b AS j, cast(count(*) AS bigint) AS c
+          FROM d GROUP BY a, b),
+obs AS (SELECT cast(sum(c) AS bigint) AS n,
+               sum(cast((i - j) * (i - j) AS hugeint) * c) AS aa
+        FROM cells),
+ra AS (SELECT i, cast(sum(c) AS bigint) AS r FROM cells GROUP BY i),
+cb AS (SELECT j, cast(sum(c) AS bigint) AS cc FROM cells GROUP BY j),
+ex AS (SELECT sum(cast((ra.i - cb.j) * (ra.i - cb.j) AS hugeint)
+                  * ra.r * cb.cc) AS bb
+       FROM ra, cb)
+SELECT n,
+       cast(aa AS double) AS obs_disagreement,
+       cast(bb AS double) AS exp_disagreement,
+       CASE WHEN cast(bb AS double) > 0.0
+            THEN 1.0 - cast(n AS double) * cast(aa AS double)
+                 / cast(bb AS double)
+       END AS kappa_w
+FROM obs, ex"""
     return oracles

@@ -2561,3 +2561,50 @@ def recency_weighted_counts(
         key, "n_events", "n_recent",
         (F.col("_scaled").cast("double")
          / F.lit(float(2 ** max_age_buckets))).alias("weighted"))
+
+
+def weighted_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's weighted kappa with quadratic weights (Cohen, Psych.
+    Bull. 1968) for two ORDINAL raters — disagreeing by one bucket is
+    nearly agreement, by four buckets is not, which plain
+    :func:`cohens_kappa` cannot express. With weights ``(i-j)²`` the
+    whole statistic is an INTEGER identity:
+    ``κ_w = 1 − n·Σ(i−j)²·O_ij / Σ(i−j)²·r_i·c_j`` — observed
+    disagreement mass over the marginal-product expectation — so both
+    engines compute one division of exact integers (marginal products
+    accumulate in DECIMAL(38,0) == HUGEINT; the corpus-scale r_i·c_j
+    cross is the overflow-discipline case).
+
+    One contingency collapse (combinable shuffle); the cell frame and
+    its two marginals are category-cardinality. Degenerate tables
+    (all mass in one cell pair ⇒ zero expected disagreement) emit
+    NULL under the ANSI guard.
+
+    Returns ONE row: ``(n, obs_disagreement, exp_disagreement,
+    kappa_w)`` — the disagreement columns scaled by n for exactness.
+    """
+    cells = (df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+             .groupBy(F.col(a_col).cast("bigint").alias("_i"),
+                      F.col(b_col).cast("bigint").alias("_j"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
+    w = (F.col("_i") - F.col("_j")) * (F.col("_i") - F.col("_j"))
+    obs = cells.agg(
+        F.sum("_c").cast("bigint").alias("n"),
+        F.sum((w * F.col("_c")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("_a"))
+    ra = cells.groupBy("_i").agg(F.sum("_c").cast("bigint").alias("_r"))
+    cb = cells.groupBy("_j").agg(F.sum("_c").cast("bigint").alias("_cc"))
+    ex = (ra.crossJoin(F.broadcast(cb))
+          .agg(F.sum(((F.col("_i") - F.col("_j"))
+                      * (F.col("_i") - F.col("_j"))).cast("decimal(38,0)")
+                     * F.col("_r") * F.col("_cc"))
+               .cast("decimal(38,0)").alias("_b")))
+    out = obs.crossJoin(F.broadcast(ex))
+    return out.select(
+        "n",
+        F.col("_a").cast("double").alias("obs_disagreement"),
+        F.col("_b").cast("double").alias("exp_disagreement"),
+        F.when(F.col("_b").cast("double") > 0.0,
+               F.lit(1.0) - F.col("n").cast("double")
+               * F.col("_a").cast("double")
+               / F.col("_b").cast("double")).alias("kappa_w"))

@@ -1665,3 +1665,27 @@ def test_gk_lambda_hand_case(spark):
     rows3 = [("a", "p"), ("b", "p")]
     df3 = spark.createDataFrame(rows3, "x string, y string")
     assert goodman_kruskal_lambda(df3, "x", "y").collect()[0].lambda_yx is None
+
+
+def test_weighted_kappa_hand_cases(spark):
+    from logpipe_spark.operators.aggregate import weighted_kappa
+
+    # perfect agreement across two categories: A = 0 -> kappa = 1
+    rows = [(0, 0)] * 3 + [(3, 3)] * 3
+    df = spark.createDataFrame(rows, "a long, b long")
+    r = weighted_kappa(df, "a", "b").collect()[0]
+    assert r.obs_disagreement == 0.0 and r.kappa_w == 1.0
+    # textbook replay: mixed 2-category ordinal table
+    rows2 = [(0, 0)] * 4 + [(0, 1)] * 1 + [(1, 0)] * 2 + [(1, 1)] * 3
+    df2 = spark.createDataFrame(rows2, "a long, b long")
+    r2 = weighted_kappa(df2, "a", "b").collect()[0]
+    n = 10.0
+    a_mass = 1.0 * 1 + 1.0 * 2          # (i-j)^2 = 1 for both off cells
+    r0, r1, c0, c1 = 5.0, 5.0, 6.0, 4.0
+    b_mass = 1.0 * r0 * c1 + 1.0 * r1 * c0
+    assert r2.obs_disagreement == a_mass
+    assert r2.exp_disagreement == b_mass
+    assert r2.kappa_w == 1.0 - n * a_mass / b_mass
+    # all mass in one identical cell pair: zero expected -> NULL
+    df3 = spark.createDataFrame([(2, 2)] * 4, "a long, b long")
+    assert weighted_kappa(df3, "a", "b").collect()[0].kappa_w is None
