@@ -6801,6 +6801,19 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cochran-Armitage trend (drift.cochran_armitage): does the error
+    # rate TREND across value buckets (scores 0..3 via div)? N-scaled
+    # integer numerator in DECIMAL(38,0); z from exact sums.
+    from logpipe_spark.operators.drift import cochran_armitage
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull())
+    score = F.expr(
+        "least(cast(floor(value * 100 + 0.5) AS bigint) div 2500, 3)")
+    return cochran_armitage(ev, score,
+                            F.col("event_type") == "error")
+
+
 def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Quadratic-weighted kappa (aggregate.weighted_kappa) between two
     # ordinal doc raters (length quartile-ish buckets vs token
@@ -7697,6 +7710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_split": q_stump_split,
         "gk_lambda": q_gk_lambda,
         "weighted_kappa": q_weighted_kappa,
+        "cochran_armitage": q_cochran_armitage,
     }
 
 
@@ -14415,4 +14429,39 @@ SELECT n,
                  / cast(bb AS double)
        END AS kappa_w
 FROM obs, ex"""
+    # N-scaled HUGEINT numerator == DECIMAL(38,0); z formed in the
+    # engine's cast order; // scores on non-negative cents == div.
+    oracles["cochran_armitage"] = """
+WITH base AS (SELECT least(cast(floor(value * 100 + 0.5) AS bigint)
+                           // 2500, 3) AS w,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                       AS y
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL),
+g AS (SELECT w, cast(count(*) AS bigint) AS ng,
+             cast(sum(y) AS bigint) AS s
+      FROM base GROUP BY w),
+tot AS (SELECT cast(sum(ng) AS bigint) AS n,
+               cast(sum(s) AS bigint) AS k,
+               cast(count(*) AS bigint) AS n_groups FROM g),
+agg AS (SELECT max(n) AS n, max(k) AS k, max(n_groups) AS n_groups,
+          sum(cast(w AS hugeint)
+              * (cast(s AS hugeint) * n - cast(ng AS hugeint) * k))
+            AS a,
+          cast(sum(w * ng) AS bigint) AS s1,
+          cast(sum(w * w * ng) AS bigint) AS s2
+        FROM g, tot),
+f AS (SELECT n, k, n_groups,
+        cast(k AS double) / cast(n AS double) AS pbar,
+        cast(a AS double) / cast(n AS double) AS t,
+        cast(s2 AS double)
+          - cast(s1 AS double) * cast(s1 AS double)
+            / cast(n AS double) AS sw
+      FROM agg)
+SELECT cast(n AS bigint) AS n, cast(k AS bigint) AS k_success,
+       cast(n_groups AS bigint) AS n_groups,
+       CASE WHEN pbar * (1.0 - pbar) * sw > 0.0
+            THEN t / sqrt(pbar * (1.0 - pbar) * sw)
+       END AS z
+FROM f"""
     return oracles

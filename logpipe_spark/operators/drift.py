@@ -2669,3 +2669,58 @@ def stump_split(
         (parent - imp).alias("gain"))
     return cand.orderBy(F.col("split_gini").asc(),
                         F.col("threshold").asc()).limit(1)
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score,
+    success,
+) -> DataFrame:
+    """Cochran–Armitage trend test (Cochran 1954; Armitage 1955): does
+    a binary outcome's rate TREND across ordered integer-scored groups
+    — the dose-response test that beats k-group chi-square when the
+    alternative is monotone (error rate rising with request size,
+    conversion falling with latency bucket).
+
+    One (score) conditional-count collapse; the trend numerator is the
+    N-scaled INTEGER ``A = Σ w·(k·N − n·K)`` accumulated in
+    DECIMAL(38,0) (k·N is the corpus-squared overflow case), and
+    ``z = (A/N) / sqrt(p̄(1−p̄)(S2 − S1²/N))`` is formed from the exact
+    integer sums cast to double in the oracle's order. Degenerate
+    tables (one group, or an all-success/all-failure outcome) emit
+    NULL under the ANSI guard.
+
+    Returns ONE row: ``(n, k_success, n_groups, z)``.
+    """
+    g = (df.where(score.isNotNull() & success.isNotNull())
+         .groupBy(score.cast("bigint").alias("_w"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("_n"),
+              F.sum(F.when(success, 1).otherwise(0)).cast("bigint")
+              .alias("_s")))
+    tot = g.agg(F.sum("_n").cast("bigint").alias("n"),
+                F.sum("_s").cast("bigint").alias("k_success"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"))
+    j = g.crossJoin(F.broadcast(tot))
+    s = j.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("k_success").cast("bigint").alias("k_success"),
+        F.max("n_groups").cast("bigint").alias("n_groups"),
+        F.sum(F.col("_w").cast("decimal(38,0)")
+              * (F.col("_s").cast("decimal(19,0)") * F.col("n")
+                 - F.col("_n").cast("decimal(19,0)")
+                 * F.col("k_success")))
+        .cast("decimal(38,0)").alias("_a"),
+        F.sum(F.col("_w") * F.col("_n")).cast("bigint").alias("_s1"),
+        F.sum(F.col("_w") * F.col("_w") * F.col("_n")).cast("bigint")
+        .alias("_s2"))
+    nd = F.col("n").cast("double")
+    kd = F.col("k_success").cast("double")
+    pbar = kd / nd
+    var_t = (pbar * (F.lit(1.0) - pbar)
+             * (F.col("_s2").cast("double")
+                - F.col("_s1").cast("double")
+                * F.col("_s1").cast("double") / nd))
+    t = F.col("_a").cast("double") / nd
+    return s.select(
+        "n", "k_success", "n_groups",
+        F.when(var_t > 0.0, t / F.sqrt(var_t)).alias("z"))

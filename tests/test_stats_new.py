@@ -1689,3 +1689,28 @@ def test_weighted_kappa_hand_cases(spark):
     # all mass in one identical cell pair: zero expected -> NULL
     df3 = spark.createDataFrame([(2, 2)] * 4, "a long, b long")
     assert weighted_kappa(df3, "a", "b").collect()[0].kappa_w is None
+
+
+def test_cochran_armitage_hand_case(spark):
+    from logpipe_spark.operators.drift import cochran_armitage
+    import math
+
+    # rates rising with score: w=0: 1/10, w=1: 5/10, w=2: 9/10
+    rows = ([(0, True)] * 1 + [(0, False)] * 9
+            + [(1, True)] * 5 + [(1, False)] * 5
+            + [(2, True)] * 9 + [(2, False)] * 1)
+    df = spark.createDataFrame(rows, "w long, y boolean")
+    r = cochran_armitage(df, F.col("w"), F.col("y")).collect()[0]
+    assert (r.n, r.k_success, r.n_groups) == (30, 15, 3)
+    n, k = 30.0, 15.0
+    a = float(0 * (1 * 30 - 10 * 15) + 1 * (5 * 30 - 10 * 15)
+              + 2 * (9 * 30 - 10 * 15))
+    s1, s2 = float(0 * 10 + 1 * 10 + 2 * 10), float(0 + 10 + 40)
+    pbar = k / n
+    sw = s2 - s1 * s1 / n
+    z = (a / n) / math.sqrt(pbar * (1.0 - pbar) * sw)
+    assert r.z == z and r.z > 3.0      # strong positive trend
+    # flat rates -> numerator 0 -> z = 0
+    rows2 = [(0, True), (0, False), (1, True), (1, False)]
+    df2 = spark.createDataFrame(rows2, "w long, y boolean")
+    assert cochran_armitage(df2, F.col("w"), F.col("y")).collect()[0].z == 0.0
