@@ -6801,6 +6801,17 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_mcc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Matthews correlation (aggregate.mcc_eval): does the high-value
+    # flag predict errors? Four exact confusion cells; margin products
+    # cast to double before multiplying (corpus-squared overflow).
+    from logpipe_spark.operators.aggregate import mcc_eval
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull())
+    return mcc_eval(ev, F.col("value") > 50.0,
+                    F.col("event_type") == "error")
+
+
 def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cochran-Armitage trend (drift.cochran_armitage): does the error
     # rate TREND across value buckets (scores 0..3 via div)? N-scaled
@@ -7711,6 +7722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gk_lambda": q_gk_lambda,
         "weighted_kappa": q_weighted_kappa,
         "cochran_armitage": q_cochran_armitage,
+        "mcc_eval": q_mcc_eval,
     }
 
 
@@ -14464,4 +14476,31 @@ SELECT cast(n AS bigint) AS n, cast(k AS bigint) AS k_success,
             THEN t / sqrt(pbar * (1.0 - pbar) * sw)
        END AS z
 FROM f"""
+    # Four exact cells; margin products in the engine's double order.
+    oracles["mcc_eval"] = """
+WITH s AS (SELECT
+  cast(sum(CASE WHEN value > 50.0 AND event_type = 'error'
+                THEN 1 ELSE 0 END) AS bigint) AS tp,
+  cast(sum(CASE WHEN value > 50.0 AND event_type <> 'error'
+                THEN 1 ELSE 0 END) AS bigint) AS fp,
+  cast(sum(CASE WHEN value <= 50.0 AND event_type = 'error'
+                THEN 1 ELSE 0 END) AS bigint) AS fn,
+  cast(sum(CASE WHEN value <= 50.0 AND event_type <> 'error'
+                THEN 1 ELSE 0 END) AS bigint) AS tn
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL)
+SELECT tp, fp, fn, tn,
+       CASE WHEN sqrt((cast(tp AS double) + cast(fp AS double))
+                      * (cast(tp AS double) + cast(fn AS double))
+                      * (cast(tn AS double) + cast(fp AS double))
+                      * (cast(tn AS double) + cast(fn AS double)))
+                 > 0.0
+            THEN (cast(tp AS double) * cast(tn AS double)
+                  - cast(fp AS double) * cast(fn AS double))
+                 / sqrt((cast(tp AS double) + cast(fp AS double))
+                        * (cast(tp AS double) + cast(fn AS double))
+                        * (cast(tn AS double) + cast(fp AS double))
+                        * (cast(tn AS double) + cast(fn AS double)))
+       END AS mcc
+FROM s"""
     return oracles

@@ -2608,3 +2608,36 @@ def weighted_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
                F.lit(1.0) - F.col("n").cast("double")
                * F.col("_a").cast("double")
                / F.col("_b").cast("double")).alias("kappa_w"))
+
+
+def mcc_eval(df: DataFrame, pred, actual) -> DataFrame:
+    """Matthews correlation coefficient (Matthews 1975) for a binary
+    predictor vs a binary outcome — the single-number confusion
+    summary that stays honest under class imbalance where accuracy
+    and F1 mislead (Chicco & Jurman 2020 make the modern case).
+
+    One conditional-count pass to the four exact int64 confusion
+    cells; ``MCC = (TP·TN − FP·FN)/sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN))``
+    is formed with every cell cast to double BEFORE the products
+    (margin products are the corpus-squared overflow case) in the
+    oracle's order. Any empty margin emits NULL (MCC undefined).
+
+    Returns ONE row: ``(tp, fp, fn, tn, mcc)``.
+    """
+    s = (df.where(pred.isNotNull() & actual.isNotNull())
+         .agg(F.sum(F.when(pred & actual, 1).otherwise(0))
+              .cast("bigint").alias("tp"),
+              F.sum(F.when(pred & ~actual, 1).otherwise(0))
+              .cast("bigint").alias("fp"),
+              F.sum(F.when(~pred & actual, 1).otherwise(0))
+              .cast("bigint").alias("fn"),
+              F.sum(F.when(~pred & ~actual, 1).otherwise(0))
+              .cast("bigint").alias("tn")))
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = F.col("fn").cast("double")
+    tn = F.col("tn").cast("double")
+    den = F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    return s.select(
+        "tp", "fp", "fn", "tn",
+        F.when(den > 0.0, (tp * tn - fp * fn) / den).alias("mcc"))

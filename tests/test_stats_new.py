@@ -1714,3 +1714,29 @@ def test_cochran_armitage_hand_case(spark):
     rows2 = [(0, True), (0, False), (1, True), (1, False)]
     df2 = spark.createDataFrame(rows2, "w long, y boolean")
     assert cochran_armitage(df2, F.col("w"), F.col("y")).collect()[0].z == 0.0
+
+
+def test_mcc_eval_hand_cases(spark):
+    from logpipe_spark.operators.aggregate import mcc_eval
+    import math
+
+    # perfect predictor -> MCC 1; inverted -> -1
+    rows = [(True, True)] * 3 + [(False, False)] * 5
+    df = spark.createDataFrame(rows, "p boolean, a boolean")
+    assert mcc_eval(df, F.col("p"), F.col("a")).collect()[0].mcc == 1.0
+    rows2 = [(True, False)] * 3 + [(False, True)] * 5
+    df2 = spark.createDataFrame(rows2, "p boolean, a boolean")
+    assert mcc_eval(df2, F.col("p"), F.col("a")).collect()[0].mcc == -1.0
+    # mixed table replay
+    rows3 = ([(True, True)] * 6 + [(True, False)] * 2
+             + [(False, True)] * 1 + [(False, False)] * 11)
+    df3 = spark.createDataFrame(rows3, "p boolean, a boolean")
+    r = mcc_eval(df3, F.col("p"), F.col("a")).collect()[0]
+    tp, fp, fn, tn = 6.0, 2.0, 1.0, 11.0
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    assert r.mcc == mcc
+    # degenerate margin -> NULL
+    rows4 = [(True, True), (True, False)]
+    df4 = spark.createDataFrame(rows4, "p boolean, a boolean")
+    assert mcc_eval(df4, F.col("p"), F.col("a")).collect()[0].mcc is None
