@@ -6801,6 +6801,14 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(d.select(g.alias("votes")), "votes", raters=3)
 
 
+def q_speaker_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Monologue detector (spans.speaker_dominance): per conv the role
+    # holding the largest char share — partitioned rank under (chars
+    # desc, role asc), exact integer share.
+    from logpipe_spark.operators.spans import speaker_dominance
+    return speaker_dominance(_t(spark, sf_dir))
+
+
 def q_mcc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Matthews correlation (aggregate.mcc_eval): does the high-value
     # flag predict errors? Four exact confusion cells; margin products
@@ -7723,6 +7731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_kappa": q_weighted_kappa,
         "cochran_armitage": q_cochran_armitage,
         "mcc_eval": q_mcc_eval,
+        "speaker_dominance": q_speaker_dominance,
     }
 
 
@@ -14503,4 +14512,20 @@ SELECT tp, fp, fn, tn,
                         * (cast(tn AS double) + cast(fn AS double)))
        END AS mcc
 FROM s"""
+    # Same total order; exact integer share.
+    oracles["speaker_dominance"] = f"""{_oracle_prefix()},
+per AS (SELECT conv_id, role AS r,
+               cast(sum(length(text)) AS bigint) AS c
+        FROM transcripts GROUP BY conv_id, role),
+tot AS (SELECT conv_id, cast(sum(c) AS bigint) AS t
+        FROM per GROUP BY conv_id),
+top AS (SELECT conv_id, r, c FROM (
+          SELECT *, row_number() OVER (PARTITION BY conv_id
+                                       ORDER BY c DESC, r ASC) AS rn
+          FROM per)
+        WHERE rn = 1)
+SELECT top.conv_id, r AS dom_role, c AS dom_chars, t AS total_chars,
+       cast(c AS double) / cast(t AS double) AS share
+FROM top JOIN tot ON top.conv_id = tot.conv_id
+WHERE t > 0"""
     return oracles

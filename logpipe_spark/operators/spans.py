@@ -434,3 +434,39 @@ def topic_boundaries(turns: DataFrame, key: str = "conv_id",
         (F.col("_t") + 1).cast("int").alias("boundary_turn"),
         cos.alias("cos"),
         (cos < threshold).alias("is_boundary"))
+
+
+def speaker_dominance(turns: DataFrame, key: str = "conv_id",
+                      role_col: str = "role",
+                      text_col: str = "text") -> DataFrame:
+    """Per-conversation speaker dominance: which role holds the
+    largest share of the conversation's characters, and how large —
+    the monologue detector (a runaway assistant or a copy-paste user
+    shows up as share → 1 long before reading transcripts; Sacks et
+    al.'s turn-taking economy, reduced to one ratio). Complements
+    :func:`turn_taking` (alternation) with volume.
+
+    One (key, role) char-sum collapse; the winner is a PARTITIONED
+    rank under the total order (chars desc, role asc) — deterministic
+    at ties; the share is one division of exact int64 sums.
+
+    Returns ``(key, dom_role, dom_chars, total_chars, share)``.
+    """
+    from pyspark.sql import Window
+
+    per = (turns.where(F.col(key).isNotNull())
+           .groupBy(F.col(key), F.col(role_col).alias("_r"))
+           .agg(F.sum(F.length(F.col(text_col))).cast("bigint")
+                .alias("_c")))
+    tot = per.groupBy(key).agg(F.sum("_c").cast("bigint").alias("_t"))
+    w = Window.partitionBy(key).orderBy(F.col("_c").desc(),
+                                        F.col("_r").asc())
+    top = (per.withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") == 1))
+    return (top.join(tot, key)
+            .where(F.col("_t") > 0)
+            .select(key, F.col("_r").alias("dom_role"),
+                    F.col("_c").alias("dom_chars"),
+                    F.col("_t").alias("total_chars"),
+                    (F.col("_c").cast("double")
+                     / F.col("_t").cast("double")).alias("share")))

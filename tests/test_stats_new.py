@@ -1740,3 +1740,18 @@ def test_mcc_eval_hand_cases(spark):
     rows4 = [(True, True), (True, False)]
     df4 = spark.createDataFrame(rows4, "p boolean, a boolean")
     assert mcc_eval(df4, F.col("p"), F.col("a")).collect()[0].mcc is None
+
+
+def test_speaker_dominance_hand_case(spark):
+    from logpipe_spark.operators.spans import speaker_dominance
+
+    rows = [
+        ("c1", "user", "hi"), ("c1", "assistant", "a" * 18),
+        ("c2", "user", "xx"), ("c2", "assistant", "yy"),  # tie -> role asc
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, role string, text string")
+    out = {r.conv_id: r for r in speaker_dominance(df).collect()}
+    assert out["c1"].dom_role == "assistant"
+    assert out["c1"].share == 18.0 / 20.0
+    assert out["c2"].dom_role == "assistant"   # 'assistant' < 'user'
+    assert out["c2"].share == 0.5
