@@ -6681,7 +6681,10 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and distinct-token count: every unordered pair generated exactly
     # once (id < id2 on the group self-join), sign-only classification
     # (no difference products -> no overflow at any value scale),
-    # tie-corrected denominator on exact integer counts.
+    # tie-corrected denominator on exact integer counts. max_rows=20000
+    # arms the two-level salted md5 cap: a NO-OP at every test SF (the
+    # documents table tops out at 5000 rows) so the oracle stays exact,
+    # while bounding per-source pairs to max_rows^2/2 at corpus scale.
     from logpipe_spark.operators.drift import kendall_tau
     d = _docs(spark, sf_dir).select(
         "doc_id", "source",
@@ -6689,7 +6692,7 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(F.split(F.col("text"), " ")))
         .cast("bigint").alias("y"),
     ).where(F.col("text").isNotNull())
-    return kendall_tau(d, "source", "x", "y", "doc_id")
+    return kendall_tau(d, "source", "x", "y", "doc_id", max_rows=20000)
 
 
 def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14414,7 +14417,9 @@ FROM cand ORDER BY split_gini, threshold LIMIT 1"""
     # Exact integer maxes/sums over one contingency collapse.
     oracles["gk_lambda"] = f"""{_oracle_prefix()},
 cells AS (SELECT role AS x, tool AS y, cast(count(*) AS bigint) AS c
-          FROM transcripts GROUP BY role, tool),
+          FROM transcripts
+          WHERE role IS NOT NULL AND tool IS NOT NULL
+          GROUP BY role, tool),
 px AS (SELECT x, cast(max(c) AS bigint) AS mx FROM cells GROUP BY x),
 s AS (SELECT cast(sum(mx) AS bigint) AS sum_conditional_modal FROM px),
 ct AS (SELECT y, cast(sum(c) AS bigint) AS cy FROM cells GROUP BY y),
@@ -14516,12 +14521,15 @@ FROM s"""
     oracles["speaker_dominance"] = f"""{_oracle_prefix()},
 per AS (SELECT conv_id, role AS r,
                cast(sum(length(text)) AS bigint) AS c
-        FROM transcripts GROUP BY conv_id, role),
+        FROM transcripts
+        WHERE conv_id IS NOT NULL
+        GROUP BY conv_id, role),
 tot AS (SELECT conv_id, cast(sum(c) AS bigint) AS t
         FROM per GROUP BY conv_id),
 top AS (SELECT conv_id, r, c FROM (
           SELECT *, row_number() OVER (PARTITION BY conv_id
-                                       ORDER BY c DESC, r ASC) AS rn
+                                       ORDER BY c DESC, r ASC NULLS LAST)
+                    AS rn
           FROM per)
         WHERE rn = 1)
 SELECT top.conv_id, r AS dom_role, c AS dom_chars, t AS total_chars,

@@ -446,8 +446,10 @@ def sequence_match(
             F.sum(F.when(F.col("_seq").rlike(pat), 1).otherwise(0))
             .cast("bigint").alias(f"_m{i}"))
     one = seq.agg(*aggs)
+    # Escape single quotes: names are interpolated into stack() SQL.
     stack_args = ", ".join(
-        f"'{name}', _m{i}" for i, (name, _pat) in enumerate(patterns))
+        "'{}', _m{}".format(name.replace("'", "''"), i)
+        for i, (name, _pat) in enumerate(patterns))
     out = one.selectExpr(
         f"stack({len(patterns)}, {stack_args}) AS (pattern, n_match)",
         "n_keys")

@@ -460,7 +460,7 @@ def speaker_dominance(turns: DataFrame, key: str = "conv_id",
                 .alias("_c")))
     tot = per.groupBy(key).agg(F.sum("_c").cast("bigint").alias("_t"))
     w = Window.partitionBy(key).orderBy(F.col("_c").desc(),
-                                        F.col("_r").asc())
+                                        F.col("_r").asc_nulls_last())
     top = (per.withColumn("_rn", F.row_number().over(w))
            .where(F.col("_rn") == 1))
     return (top.join(tot, key)

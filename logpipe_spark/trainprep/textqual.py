@@ -928,8 +928,9 @@ def injection_scan(docs: DataFrame, key: str = "source",
         aggs.append(F.sum(F.col(f"_o{i}")).cast("bigint")
                     .alias(f"_h{i}"))
     g = d.groupBy(key).agg(*aggs)
+    # Escape single quotes: names are interpolated into stack() SQL.
     stack_args = ", ".join(
-        f"'{name}', _d{i}, _h{i}"
+        "'{}', _d{}, _h{}".format(name.replace("'", "''"), i, i)
         for i, (name, _pat) in enumerate(INJECTION_PATTERNS))
     out = g.selectExpr(
         key, "_toks",
