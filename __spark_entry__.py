@@ -6530,6 +6530,27 @@ def q_drift_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("ts") <= 15)
 
 
+def q_drift_panel_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The same six-statistic scorecard over the RAW (unbucketed) double
+    # value (drift.py:drift_panel(pre_bucket=...)): the corpus collapses
+    # on the raw value, a per-key min/max equi-width fine grid (2^20
+    # integer cells, deterministic IEEE ops) bounds the support, and
+    # equi_depth_rebucket quantile-buckets the grid to 64 pooled-CDF
+    # buckets EXACTLY via the two-level bucketed prefix scan — no
+    # sketch, no sampling, no collect; the r04-verdict structural
+    # answer to "what if a caller passes raw doubles" (the fold-based
+    # members are also max_support-guarded now). Oracle replays the
+    # identical fine-cell + equi-depth arithmetic ((cum-1)*B // n on
+    # non-negative ints == Spark div) then the shared panel tail.
+    from logpipe_spark.operators.drift import drift_panel
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    return drift_panel(
+        ev, "event_type", F.col("value"),
+        F.dayofmonth("ts") <= 15, pre_bucket=64)
+
+
 def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     # T5 span-corruption plan (curate.py:span_corruption_plan):
     # deterministic md5-coin span starts (1/20 of positions, span 3 ->
@@ -7422,7 +7443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rebalanced": q_ann_rebalanced,
         "quantile_sketch": q_quantile_sketch,
         "drift_panel": q_drift_panel,
-        "wasserstein_drift": q_wasserstein_drift,
+        "drift_panel_raw": q_drift_panel_raw,
         "page_hinkley": q_page_hinkley,
         "l_moments": q_l_moments,
         "runs_merged": q_runs_merged,
@@ -7434,6 +7455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # displaced from the r04/r05 windows (all carry green driver rows
     # in CORRECTNESS_r02-r04); still gated by the full-surface
     # gate_dryrun every session
+        "wasserstein_drift": q_wasserstein_drift,
         "spearman_corr": q_spearman_corr,
         "autocorr": q_autocorr,
         "rfm_scores": q_rfm_scores,
@@ -12903,6 +12925,110 @@ pv AS (SELECT event_type, v,
               cast(sum(ia) AS bigint) AS ca,
               cast(sum(1 - ia) AS bigint) AS cb
        FROM base GROUP BY event_type, v),
+t AS (SELECT event_type, cast(sum(ca) AS bigint) AS n_a,
+             cast(sum(cb) AS bigint) AS n_b
+      FROM pv GROUP BY event_type),
+c AS (SELECT event_type, v, ca, cb,
+             cast(sum(ca) OVER (PARTITION BY event_type ORDER BY v)
+                  AS bigint) AS cuma,
+             cast(sum(cb) OVER (PARTITION BY event_type ORDER BY v)
+                  AS bigint) AS cumb,
+             lead(v) OVER (PARTITION BY event_type ORDER BY v) - v AS gap
+      FROM pv),
+j AS (SELECT c.event_type, v, ca, cb, cuma, cumb, gap, n_a, n_b,
+             (sqrt(cast(ca AS double) / n_a)
+              - sqrt(cast(cb AS double) / n_b)) AS rt,
+             (cuma / n_a - cumb / n_b) AS gcdf
+      FROM c JOIN t USING (event_type)
+      WHERE n_a >= 1 AND n_b >= 1),
+ks AS (SELECT event_type, n_a, n_b, max(abs(gcdf)) AS ks
+       FROM j GROUP BY event_type, n_a, n_b),
+ku AS (SELECT event_type,
+              max(cuma / n_a - cumb / n_b)
+                + max(cumb / n_b - cuma / n_a) AS kuiper
+       FROM j GROUP BY event_type),
+he AS (SELECT event_type,
+              sqrt(list_reduce(
+                     list_prepend(cast(0.0 AS double),
+                       list(rt * rt ORDER BY v)),
+                     (acc, x) -> acc + x) * 0.5) AS hellinger
+       FROM j GROUP BY event_type),
+cv AS (SELECT event_type,
+              cast(n_a AS double) * cast(n_b AS double)
+                / (cast(n_a + n_b AS double) * cast(n_a + n_b AS double))
+                * list_reduce(
+                    list_prepend(cast(0.0 AS double),
+                      list(cast(ca + cb AS double) * (gcdf * gcdf)
+                           ORDER BY v)),
+                    (acc, x) -> acc + x) AS cvm
+       FROM j GROUP BY event_type, n_a, n_b),
+wa AS (SELECT event_type,
+              cast(cast(sum(gap * abs(cuma * n_b - cumb * n_a))
+                        AS bigint) AS double)
+                / (cast(n_a AS double) * cast(n_b AS double))
+                AS wasserstein
+       FROM j WHERE gap IS NOT NULL
+       GROUP BY event_type, n_a, n_b),
+en AS (SELECT event_type,
+              2.0 * (cast(cast(sum(gap * (cuma * (n_b - cumb)
+                                          + cumb * (n_a - cuma)))
+                               AS bigint) AS double)
+                     / (cast(n_a AS double) * cast(n_b AS double)))
+                - 2.0 * (cast(cast(sum(gap * cuma * (n_a - cuma))
+                                   AS bigint) AS double)
+                         / (cast(n_a AS double) * cast(n_a AS double)))
+                - 2.0 * (cast(cast(sum(gap * cumb * (n_b - cumb))
+                                   AS bigint) AS double)
+                         / (cast(n_b AS double) * cast(n_b AS double)))
+                AS energy
+       FROM j WHERE gap IS NOT NULL
+       GROUP BY event_type, n_a, n_b)
+SELECT ks.event_type, ks.n_a, ks.n_b, ks.ks, ku.kuiper, he.hellinger,
+       cv.cvm, wa.wasserstein, en.energy
+FROM ks
+LEFT JOIN ku USING (event_type)
+LEFT JOIN he USING (event_type)
+LEFT JOIN cv USING (event_type)
+LEFT JOIN wa USING (event_type)
+LEFT JOIN en USING (event_type)"""
+    # Raw-value panel: fine-grid + exact equi-depth rebucket CTEs feed
+    # the SAME panel tail as drift_panel. (pooled-1)*64 // n_pool on
+    # non-negative ints == Spark div; fine-cell doubles are identical
+    # IEEE expressions of identical operands in both engines.
+    oracles["drift_panel_raw"] = """
+WITH base AS (SELECT event_type, cast(value AS double) AS x,
+                     CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS ia
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+raw AS (SELECT event_type, x,
+               cast(sum(ia) AS bigint) AS ca,
+               cast(sum(1 - ia) AS bigint) AS cb
+        FROM base GROUP BY event_type, x),
+mm AS (SELECT event_type, min(x) AS mn, max(x) AS mx
+       FROM raw GROUP BY event_type),
+fine AS (SELECT raw.event_type,
+                CASE WHEN mx > mn
+                     THEN least(cast(1048575 AS bigint),
+                                cast(floor((x - mn) / (mx - mn)
+                                           * cast(1048576 AS double))
+                                     AS bigint))
+                     ELSE cast(0 AS bigint) END AS cell,
+                ca, cb
+         FROM raw JOIN mm USING (event_type)),
+fg AS (SELECT event_type, cell, cast(sum(ca) AS bigint) AS ca,
+              cast(sum(cb) AS bigint) AS cb
+       FROM fine GROUP BY event_type, cell),
+np AS (SELECT event_type, cast(sum(ca) + sum(cb) AS bigint) AS n_pool
+       FROM fg GROUP BY event_type),
+cm AS (SELECT event_type, cell, ca, cb,
+              cast(sum(ca + cb) OVER (PARTITION BY event_type
+                                      ORDER BY cell) AS bigint) AS pooled
+       FROM fg),
+pv AS (SELECT cm.event_type, (pooled - 1) * 64 // n_pool AS v,
+              cast(sum(ca) AS bigint) AS ca,
+              cast(sum(cb) AS bigint) AS cb
+       FROM cm JOIN np USING (event_type)
+       GROUP BY cm.event_type, (pooled - 1) * 64 // n_pool),
 t AS (SELECT event_type, cast(sum(ca) AS bigint) AS n_a,
              cast(sum(cb) AS bigint) AS n_b
       FROM pv GROUP BY event_type),

@@ -1208,10 +1208,34 @@ def runs_merge(partials: DataFrame, key: str = "_k") -> DataFrame:
                            / F.sqrt(var)).alias("z")))
 
 
+def _support_guard(term: Column, max_support: int, op: str) -> Column:
+    """Structural bounded-support precondition for the ordered-fold EDF
+    statistics: the per-key sum is a ``collect_list`` fold over the
+    distinct value support, so an unbucketed caller (raw doubles →
+    corpus-sized support) would OOM a task at scale. The guard wraps
+    each per-(key, v) term with an ANSI-loud ``raise_error`` that fires
+    WHILE SCANNING the count frame — row-wise, before any list
+    accumulates — whenever the key's distinct-value count (carried on
+    the broadcast totals join as ``_support_n``) exceeds
+    ``max_support``. Zero cost on the happy path (one comparison per
+    support row); the support count rides the totals aggregation, no
+    extra shuffle."""
+    return F.when(
+        F.col("_support_n") <= F.lit(max_support), term
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"{op}: per-key distinct value support ("),
+        F.col("_support_n").cast("string"),
+        F.lit(f") exceeds max_support={max_support}; bucket the value "
+              "to a bounded support (e.g. floor(x*100 + 0.5)), use "
+              "drift_panel(pre_bucket=...), or the order-free "
+              "wasserstein/energy statistics"))))
+
+
 def hellinger_from_counts(
     per_v: DataFrame,
     key: str,
     min_n: int = 1,
+    max_support: int = 262_144,
 ) -> DataFrame:
     """Hellinger distance from a pre-aggregated (key, v, ca, cb) count
     frame — the SAME mergeable state that feeds :func:`ks_from_counts`
@@ -1229,10 +1253,15 @@ def hellinger_from_counts(
     funnels — only the per-(key, distinct v) count frame does.
 
     Returns ``(key, n_a, n_b, hellinger)``.
+
+    ``max_support`` is a structural guard (see :func:`_support_guard`):
+    a key whose distinct-value support exceeds it raises loudly before
+    any fold materializes, instead of OOMing a task at scale.
     """
     totals = per_v.groupBy(key).agg(
         F.sum("ca").cast("bigint").alias("n_a"),
-        F.sum("cb").cast("bigint").alias("n_b"))
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("_support_n"))
     j = (per_v.join(F.broadcast(totals), key)
          .where((F.col("n_a") >= min_n) & (F.col("n_b") >= min_n)))
     term = (
@@ -1240,7 +1269,9 @@ def hellinger_from_counts(
         - F.sqrt(F.col("cb").cast("double") / F.col("n_b"))
     )
     folded = (j.select(key, "n_a", "n_b", F.col("v").alias("_v"),
-                       (term * term).alias("_t"))
+                       _support_guard(term * term, max_support,
+                                      "hellinger_from_counts")
+                       .alias("_t"))
               .groupBy(key, "n_a", "n_b")
               .agg(F.aggregate(
                   F.transform(
@@ -1258,6 +1289,7 @@ def hellinger_drift(
     value: Column,
     sample_a: Column,
     min_n: int = 1,
+    max_support: int = 262_144,
 ) -> DataFrame:
     """Two-sample Hellinger drift per group: collapse the corpus to per
     (key, distinct value) counts for each sample (one map-side-combinable
@@ -1274,7 +1306,8 @@ def hellinger_drift(
             F.sum(F.when(sample_a, 0).otherwise(1)).cast("bigint").alias("cb"),
         )
     )
-    return hellinger_from_counts(per_v, key, min_n=min_n)
+    return hellinger_from_counts(per_v, key, min_n=min_n,
+                                 max_support=max_support)
 
 
 def friedman_test(
@@ -1413,6 +1446,7 @@ def cvm_from_counts(
     key: str,
     bucket_width: int = 1024,
     min_n: int = 1,
+    max_support: int = 262_144,
 ) -> DataFrame:
     """Two-sample Cramér–von Mises statistic (Anderson 1962) from the
     shared (key, v, ca, cb) count state:
@@ -1439,14 +1473,16 @@ def cvm_from_counts(
         per_v, key, ["ca", "cb"], bucket_width=bucket_width)
     totals = per_v.groupBy(key).agg(
         F.sum("ca").cast("bigint").alias("n_a"),
-        F.sum("cb").cast("bigint").alias("n_b"))
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("_support_n"))
     j = (cums.join(F.broadcast(totals), key)
          .where((F.col("n_a") >= min_n) & (F.col("n_b") >= min_n)))
     gap = (F.col("cum_ca") / F.col("n_a")
            - F.col("cum_cb") / F.col("n_b"))
     term = (F.col("ca") + F.col("cb")).cast("double") * (gap * gap)
     folded = (j.select(key, "n_a", "n_b", F.col("v").alias("_v"),
-                       term.alias("_t"))
+                       _support_guard(term, max_support,
+                                      "cvm_from_counts").alias("_t"))
               .groupBy(key, "n_a", "n_b")
               .agg(F.aggregate(
                   F.transform(
@@ -1467,6 +1503,7 @@ def cvm_drift(
     sample_a: Column,
     bucket_width: int = 1024,
     min_n: int = 1,
+    max_support: int = 262_144,
 ) -> DataFrame:
     """Two-sample CvM drift per group: one map-side-combinable collapse
     to per (key, distinct value) counts, then :func:`cvm_from_counts`.
@@ -1482,7 +1519,7 @@ def cvm_drift(
         )
     )
     return cvm_from_counts(per_v, key, bucket_width=bucket_width,
-                           min_n=min_n)
+                           min_n=min_n, max_support=max_support)
 
 
 def page_hinkley(
@@ -1725,6 +1762,43 @@ def energy_drift(
                               min_n=min_n)
 
 
+def equi_depth_rebucket(
+    per_v: DataFrame,
+    key: str,
+    n_buckets: int,
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """EXACT equi-depth (pooled-quantile) rebucketing of a per
+    (key, v, ca, cb) count frame to at most ``n_buckets`` buckets:
+    bucket_id = ((pooled_cum − 1) · B) div n_pool over the ascending
+    value order — every row lands in the bucket its pooled CDF position
+    dictates, so bucket populations differ by at most one value's
+    multiplicity. This is the quantile-bucketing the sketch estimators
+    approximate, computed exactly and scalably: the cumulative counts
+    ride the same two-level :func:`bucketed_cumsum` prefix scan as the
+    KS family (no per-key single-task window, no sampling error), and
+    the regroup is one map-side-combinable shuffle of the SUPPORT
+    frame, not the corpus. Integer arithmetic throughout — Spark
+    ``div`` == DuckDB ``//`` on the non-negative operands here.
+
+    Output support per key is ≤ min(n_buckets, distinct v), so the
+    result satisfies any ``max_support`` ≥ ``n_buckets`` fold guard.
+    Returns ``(key, v, ca, cb)`` with v = bucket id in [0, B−1].
+    """
+    cums = bucketed_cumsum(per_v, key, ["ca", "cb"],
+                           bucket_width=bucket_width)
+    totals = per_v.groupBy(key).agg(
+        (F.sum("ca") + F.sum("cb")).cast("bigint").alias("_n_pool"))
+    j = (cums.join(F.broadcast(totals), key)
+         .withColumn("_num",
+                     ((F.col("cum_ca") + F.col("cum_cb")).cast("bigint")
+                      - F.lit(1)) * F.lit(int(n_buckets))))
+    return (j.withColumn("v", F.expr("_num div _n_pool"))
+            .groupBy(key, "v")
+            .agg(F.sum("ca").cast("bigint").alias("ca"),
+                 F.sum("cb").cast("bigint").alias("cb")))
+
+
 def drift_panel(
     df: DataFrame,
     key: str,
@@ -1732,6 +1806,9 @@ def drift_panel(
     sample_a: Column,
     bucket_width: int = 1024,
     min_n: int = 1,
+    pre_bucket: int | None = None,
+    fine_cells: int = 1 << 20,
+    max_support: int = 262_144,
 ) -> DataFrame:
     """The full drift scorecard — KS, Kuiper, Hellinger, CvM, W1 and
     energy distance per key — from ONE corpus scan: the six statistics
@@ -1744,32 +1821,70 @@ def drift_panel(
     saturates on disjoint supports) — read them together.
 
     ``value`` must be bucketed to a bounded support per key for the
-    fold-based members (hellinger/cvm). Keys with a single support
-    point carry NULL wasserstein/energy (no gap; left joins from the
-    KS key set).
+    fold-based members (hellinger/cvm) — enforced structurally by
+    ``max_support`` (see :func:`_support_guard`) — OR pass
+    ``pre_bucket=B`` for a raw (unbucketed) double value: the corpus
+    collapses on the raw value, a per-key min/max equi-width fine grid
+    (``fine_cells`` integer cells, deterministic IEEE arithmetic) bounds
+    the support, and :func:`equi_depth_rebucket` then quantile-buckets
+    the grid to B pooled-CDF buckets exactly via the two-level prefix
+    scan — no sketch, no sampling error, no collect. With pre-bucketing
+    the statistics are those of the bucketed distribution (CDF gaps
+    blur by at most one bucket's pooled mass ≈ 1/B; W1/energy gaps are
+    in bucket units). Keys with a single support point carry NULL
+    wasserstein/energy (no gap; left joins from the KS key set).
 
     Returns ``(key, n_a, n_b, ks, kuiper, hellinger, cvm,
     wasserstein, energy)``.
     """
-    vi = value.cast("bigint")
-    per_v = (
-        df.where(vi.isNotNull() & sample_a.isNotNull()
-                 & F.col(key).isNotNull())
-        .groupBy(key, vi.alias("v"))
-        .agg(
-            F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint").alias("ca"),
-            F.sum(F.when(sample_a, 0).otherwise(1)).cast("bigint").alias("cb"),
+    if pre_bucket is None:
+        vi = value.cast("bigint")
+        per_v = (
+            df.where(vi.isNotNull() & sample_a.isNotNull()
+                     & F.col(key).isNotNull())
+            .groupBy(key, vi.alias("v"))
+            .agg(F.sum(F.when(sample_a, 1).otherwise(0)).cast("bigint")
+                 .alias("ca"),
+                 F.sum(F.when(sample_a, 0).otherwise(1)).cast("bigint")
+                 .alias("cb"))
+            .persist()
         )
-        .persist()
-    )
+    else:
+        vd = value.cast("double")
+        rows = (df.where(vd.isNotNull() & sample_a.isNotNull()
+                         & F.col(key).isNotNull())
+                .select(F.col(key), vd.alias("_x"),
+                        F.when(sample_a, 1).otherwise(0).alias("_ia")))
+        # raw-value collapse FIRST (distinct-value frame, one combinable
+        # shuffle), then the fine grid on broadcast per-key min/max
+        raw_v = (rows.groupBy(key, "_x")
+                 .agg(F.sum("_ia").cast("bigint").alias("ca"),
+                      F.sum(1 - F.col("_ia")).cast("bigint").alias("cb")))
+        mm = raw_v.groupBy(key).agg(F.min("_x").alias("_mn"),
+                                    F.max("_x").alias("_mx"))
+        cell = F.when(
+            F.col("_mx") > F.col("_mn"),
+            F.least(F.lit(int(fine_cells) - 1).cast("bigint"),
+                    F.floor((F.col("_x") - F.col("_mn"))
+                            / (F.col("_mx") - F.col("_mn"))
+                            * F.lit(float(fine_cells))).cast("bigint"))
+        ).otherwise(F.lit(0).cast("bigint"))
+        fine = (raw_v.join(F.broadcast(mm), key)
+                .groupBy(key, cell.alias("v"))
+                .agg(F.sum("ca").cast("bigint").alias("ca"),
+                     F.sum("cb").cast("bigint").alias("cb")))
+        per_v = equi_depth_rebucket(fine, key, pre_bucket,
+                                    bucket_width=bucket_width).persist()
     ks = ks_from_counts(per_v, key, bucket_width=bucket_width,
                         min_n=min_n).select(key, "n_a", "n_b", "ks")
     ku = kuiper_from_counts(per_v, key, bucket_width=bucket_width,
                             min_n=min_n).select(key, "kuiper")
-    he = hellinger_from_counts(per_v, key, min_n=min_n).select(
+    he = hellinger_from_counts(per_v, key, min_n=min_n,
+                               max_support=max_support).select(
         key, "hellinger")
     cv = cvm_from_counts(per_v, key, bucket_width=bucket_width,
-                         min_n=min_n).select(key, "cvm")
+                         min_n=min_n, max_support=max_support).select(
+        key, "cvm")
     wa = wasserstein_from_counts(per_v, key, bucket_width=bucket_width,
                                  min_n=min_n).select(key, "wasserstein")
     en = energy_from_counts(per_v, key, bucket_width=bucket_width,
@@ -1786,6 +1901,7 @@ def anderson_darling(
     sample_a: Column,
     bucket_width: int = 1024,
     min_n: int = 1,
+    max_support: int = 262_144,
 ) -> DataFrame:
     """Two-sample Anderson–Darling statistic (Scholz–Stephens 1987,
     right-continuous tie form) from the shared count state:
@@ -1823,7 +1939,8 @@ def anderson_darling(
         per_v, key, ["ca", "cb"], bucket_width=bucket_width)
     totals = per_v.groupBy(key).agg(
         F.sum("ca").cast("bigint").alias("n_a"),
-        F.sum("cb").cast("bigint").alias("n_b"))
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("_support_n"))
     j = (cums.join(F.broadcast(totals), key)
          .where((F.col("n_a") >= min_n) & (F.col("n_b") >= min_n)))
     nn = (F.col("n_a") + F.col("n_b")).cast(d)
@@ -1840,7 +1957,8 @@ def anderson_darling(
     folded = (j.where(bj.cast("bigint")
                       < (F.col("n_a") + F.col("n_b")))
               .select(key, "n_a", "n_b", F.col("v").alias("_v"),
-                      term.alias("_t"))
+                      _support_guard(term, max_support,
+                                     "anderson_darling").alias("_t"))
               .groupBy(key, "n_a", "n_b")
               .agg(F.aggregate(
                   F.transform(

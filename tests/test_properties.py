@@ -378,3 +378,23 @@ def test_wilcoxon_matches_python_ranks(spark, ds):
                    / var2 ** 0.5) < 1e-9
     else:
         assert row.z is None
+
+
+@given(vals=st.lists(
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    min_size=10, max_size=24, unique=True))
+@settings(**_SETTINGS)
+def test_edf_fold_guard_property(spark, vals):
+    # ANY raw-double support wider than max_support must fail loudly
+    # (r04 verdict item 2); at max_support == support it must succeed.
+    from logpipe_spark.operators.drift import hellinger_from_counts
+
+    per_v = spark.createDataFrame(
+        [("k", float(v), 1, 1) for v in vals],
+        "g string, v double, ca long, cb long")
+    with pytest.raises(Exception, match="max_support"):
+        hellinger_from_counts(
+            per_v, "g", max_support=len(vals) - 1).collect()
+    ok = hellinger_from_counts(
+        per_v, "g", max_support=len(vals)).collect()
+    assert len(ok) == 1 and ok[0].hellinger == 0.0

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from logpipe_spark.operators.drift import kruskal_wallis, mann_kendall
@@ -1755,3 +1756,65 @@ def test_speaker_dominance_hand_case(spark):
     assert out["c1"].share == 18.0 / 20.0
     assert out["c2"].dom_role == "assistant"   # 'assistant' < 'user'
     assert out["c2"].share == 0.5
+
+
+def test_support_guard_raises_on_unbounded_support(spark):
+    # r04 verdict item 2: the bounded-support precondition of the
+    # fold-based EDF statistics is structural now — a key whose
+    # distinct-value support exceeds max_support raises loudly while
+    # scanning the count frame (before any collect_list materializes),
+    # instead of OOMing a task at scale.
+    from logpipe_spark.operators.drift import (
+        anderson_darling, cvm_drift, hellinger_drift)
+
+    rows = [("k", v, v % 2 == 0) for v in range(40)]
+    df = spark.createDataFrame(rows, "g string, v long, ia boolean")
+    for op, kw in ((hellinger_drift, {}), (cvm_drift, {}),
+                   (anderson_darling, {})):
+        with pytest.raises(Exception, match="max_support"):
+            op(df, "g", F.col("v"), F.col("ia"),
+               max_support=8, **kw).collect()
+        # within bound: untouched result (the guard is a no-op branch)
+        out = op(df, "g", F.col("v"), F.col("ia"),
+                 max_support=40).collect()
+        assert len(out) == 1 and out[0].n_a == 20 and out[0].n_b == 20
+
+
+def test_drift_panel_pre_bucket_monotone_invariants(spark):
+    # KS / Kuiper / Hellinger / CvM are invariant under any strictly
+    # monotone relabeling of the support. With pre_bucket >= n_pool the
+    # exact equi-depth rebucket assigns each distinct raw value its own
+    # bucket id (a monotone relabeling), so the four shape statistics
+    # of the raw-double panel must EQUAL the integer-valued panel's,
+    # while W1/energy move to bucket units (not compared).
+    from logpipe_spark.operators.drift import drift_panel
+
+    ints = [("k", v, v % 3 == 0) for v in range(1, 30)]
+    raws = [("k", 2.0 + 0.37 * v, v % 3 == 0) for v in range(1, 30)]
+    df_i = spark.createDataFrame(ints, "g string, v long, ia boolean")
+    df_r = spark.createDataFrame(raws, "g string, v double, ia boolean")
+    p_i = drift_panel(df_i, "g", F.col("v"), F.col("ia")).collect()[0]
+    p_r = drift_panel(df_r, "g", F.col("v"), F.col("ia"),
+                      pre_bucket=4096).collect()[0]
+    assert (p_r.n_a, p_r.n_b) == (p_i.n_a, p_i.n_b)
+    assert p_r.ks == p_i.ks
+    assert p_r.kuiper == p_i.kuiper
+    assert p_r.hellinger == p_i.hellinger
+    assert p_r.cvm == p_i.cvm
+    assert p_r.wasserstein is not None and p_r.energy is not None
+
+
+def test_equi_depth_rebucket_bounds_support(spark):
+    # 1000 distinct values -> at most B buckets, counts conserved,
+    # bucket ids monotone in v.
+    from logpipe_spark.operators.drift import equi_depth_rebucket
+
+    per_v = spark.createDataFrame(
+        [("k", v, 1, 2) for v in range(1000)],
+        "g string, v long, ca long, cb long")
+    out = equi_depth_rebucket(per_v, "g", 16).collect()
+    assert len(out) <= 16
+    assert sum(r.ca for r in out) == 1000
+    assert sum(r.cb for r in out) == 2000
+    ids = sorted(r.v for r in out)
+    assert ids == list(range(len(ids)))
