@@ -42,6 +42,16 @@ from pyspark.sql.types import (ArrayType, IntegerType, LongType,
 
 from logpipe_spark.schemas import TRANSCRIPT_SCHEMA
 
+# Parallelism bound for per-epoch state writes (r04 verdict item 3): a
+# coalesce(1) funnels every epoch's partial frame through ONE write
+# task — fine for group-cardinality partials, but a key-rich partial
+# (stream_postings_incremental's vocab-sized frame) serializes its
+# write. coalesce(EPOCH_WRITE_PARTITIONS) bounds the file count per
+# epoch (empty tasks emit no file, so tiny partials still produce one
+# or two files) while letting a wide partial write in parallel; every
+# epoch reader already merges partials, so multi-file epochs are free.
+EPOCH_WRITE_PARTITIONS = 8
+
 SESSION_SCHEMA = StructType([
     StructField("conv_id", StringType()),
     StructField("n_turns", LongType()),
@@ -353,7 +363,7 @@ def stream_rollup_incremental(spark: SparkSession, src: str, state_dir: str,
         partials = rollup_partials(
             df.withColumn("_v", token_count(F.col("text"))),
             "ts", ["tool"], "_v", fine)
-        (partials.coalesce(1).write.mode("overwrite")
+        (partials.coalesce(EPOCH_WRITE_PARTITIONS).write.mode("overwrite")
          .parquet(f"{state_dir}/epoch={epoch_id}"))
 
     return (stream.writeStream.foreachBatch(write_batch)
@@ -476,7 +486,7 @@ def stream_cms_incremental(spark: SparkSession, src: str, state_dir: str,
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
         (cms_sketch(df, key, depth=depth, width=width, hash_fn=hash_fn)
-         .coalesce(1).write.mode("overwrite")
+         .coalesce(EPOCH_WRITE_PARTITIONS).write.mode("overwrite")
          .parquet(f"{state_dir}/epoch={epoch_id}"))
 
     return (stream.writeStream.foreachBatch(write_batch)
@@ -538,7 +548,7 @@ def stream_drift_monitor(spark: SparkSession, src: str, state_dir: str,
             .groupBy("tool", "v")
             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         )
-        (counts.coalesce(1).write.mode("overwrite")
+        (counts.coalesce(EPOCH_WRITE_PARTITIONS).write.mode("overwrite")
          .parquet(f"{state_dir}/epoch={epoch_id}"))
 
     return (stream.writeStream.foreachBatch(write_batch)
@@ -863,14 +873,14 @@ def stream_dedup_incremental(spark: SparkSession, src: str, state_dir: str,
         pairs = jaccard_on_pairs(cand, sh_all).where(
             F.col("jaccard") >= threshold)
 
-        (pairs.coalesce(1).write.mode("overwrite")
+        (pairs.coalesce(EPOCH_WRITE_PARTITIONS).write.mode("overwrite")
          .parquet(f"{state_dir}/pairs/epoch={epoch_id}"))
         (bands_new.withColumn(
             "_bucket", F.pmod(F.hash(F.col("band_hash")), F.lit(n_buckets)))
          .repartition(min(n_buckets, 8), "_bucket")
          .write.partitionBy("_bucket").mode("overwrite")
          .parquet(f"{state_dir}/bands/epoch={epoch_id}"))
-        (docs.coalesce(1).write.mode("overwrite")
+        (docs.coalesce(EPOCH_WRITE_PARTITIONS).write.mode("overwrite")
          .parquet(f"{state_dir}/docs/epoch={epoch_id}"))
 
     return (stream.writeStream.foreachBatch(write_batch)
@@ -908,7 +918,7 @@ def stream_quantile_incremental(spark: SparkSession, src: str,
                           else token_count(F.col("text")).cast("double"))
         v = v.withColumn("_id", F.concat_ws(":", "conv_id", "turn_idx"))
         sk = quantile_sketch(v, key, "_v", "_id", k=k)
-        (sk.coalesce(1).write.mode("overwrite")
+        (sk.coalesce(EPOCH_WRITE_PARTITIONS).write.mode("overwrite")
          .parquet(f"{state_dir}/epoch={epoch_id}"))
 
     return (stream.writeStream.foreachBatch(write_batch)
@@ -950,7 +960,7 @@ def stream_slo_incremental(spark: SparkSession, src: str, state_dir: str,
                            (F.col("status") >= 500).cast("int").alias("_e"))
               .groupBy("bucket_epoch")
               .agg(F.count(F.lit(1)).alias("n"), F.sum("_e").alias("err")))
-        (pm.coalesce(1).write.mode("overwrite")
+        (pm.coalesce(EPOCH_WRITE_PARTITIONS).write.mode("overwrite")
          .parquet(f"{state_dir}/epoch={epoch_id}"))
 
     return (stream.writeStream.foreachBatch(write_batch)
@@ -1118,7 +1128,7 @@ def stream_postings_incremental(spark: SparkSession, src: str,
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
         part = _postings_partial(df, "text", "doc_id", max_postings)
-        (part.coalesce(1).write.mode("overwrite")
+        (part.coalesce(EPOCH_WRITE_PARTITIONS).write.mode("overwrite")
          .parquet(f"{state_dir}/epoch={epoch_id}"))
 
     return (stream.writeStream.foreachBatch(write_batch)
@@ -1164,7 +1174,7 @@ def stream_rate_incremental(spark: SparkSession, src: str, state_dir: str,
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
         c = rate_counts(df, ts_col="ts", bucket_seconds=bucket_seconds)
-        (c.coalesce(1).write.mode("overwrite")
+        (c.coalesce(EPOCH_WRITE_PARTITIONS).write.mode("overwrite")
          .parquet(f"{state_dir}/epoch={epoch_id}"))
 
     return (stream.writeStream.foreachBatch(write_batch)
@@ -1230,7 +1240,7 @@ def stream_partition_health(spark: SparkSession, src: str, state_dir: str,
                                 max_files_per_trigger=max_files_per_trigger)
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
-        (health_partials(df).coalesce(1).write.mode("overwrite")
+        (health_partials(df).coalesce(EPOCH_WRITE_PARTITIONS).write.mode("overwrite")
          .parquet(f"{state_dir}/epoch={epoch_id}"))
 
     return (stream.writeStream.foreachBatch(write_batch)
@@ -1297,7 +1307,7 @@ def stream_golden_record(spark: SparkSession, src: str, state_dir: str,
                                 max_files_per_trigger=max_files_per_trigger)
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
-        (golden_partials(df).coalesce(1).write.mode("overwrite")
+        (golden_partials(df).coalesce(EPOCH_WRITE_PARTITIONS).write.mode("overwrite")
          .parquet(f"{state_dir}/epoch={epoch_id}"))
 
     return (stream.writeStream.foreachBatch(write_batch)
@@ -1446,7 +1456,7 @@ def stream_freshness(spark: SparkSession, src: str, state_dir: str,
                                 max_files_per_trigger=max_files_per_trigger)
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
-        (freshness_partials(df, key).coalesce(1).write.mode("overwrite")
+        (freshness_partials(df, key).coalesce(EPOCH_WRITE_PARTITIONS).write.mode("overwrite")
          .parquet(f"{state_dir}/epoch={epoch_id}"))
 
     return (stream.writeStream.foreachBatch(write_batch)
@@ -1486,7 +1496,7 @@ def stream_growth_accounting(spark: SparkSession, src: str,
                  F.expr("unix_micros(cast(ts AS timestamp)) "
                         "div 604800000000").cast("bigint").alias("week"))
          .distinct()
-         .coalesce(1).write.mode("overwrite")
+         .coalesce(EPOCH_WRITE_PARTITIONS).write.mode("overwrite")
          .parquet(f"{state_dir}/epoch={epoch_id}"))
 
     return (stream.writeStream.foreachBatch(write_batch)

@@ -958,3 +958,48 @@ def test_stream_growth_accounting_equals_batch(spark, stream_dir, tmp_path):
         got = sorted(map(tuple,
                          read_growth_accounting(spark, state).collect()))
         assert got == want, tag
+
+
+def test_stream_postings_epoch_writes_in_parallel(spark, tmp_path):
+    """r04 verdict item 3: a vocab-rich epoch partial must NOT funnel
+    through one write task — with EPOCH_WRITE_PARTITIONS=8 a wide
+    partial lands in multiple parquet files per epoch, and the
+    merge-on-read fold still equals the batch build."""
+    import glob
+
+    from logpipe_spark.streaming.stream import (read_stream_postings,
+                                                run_stream_once,
+                                                stream_postings_incremental)
+    from logpipe_spark.trainprep.index import build_postings
+
+    # 400 distinct words spread the vocab over the shuffle partitions.
+    # At sandbox scale AQE's byte-based coalescing would (correctly)
+    # fold the tiny exchange to one partition — disable it here to
+    # observe the parallelism a production-sized partial would get.
+    rows = [(i, " ".join(f"w{(i * 37 + j) % 400}" for j in range(20)))
+            for i in range(60)]
+    src = str(tmp_path / "wide_docs")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.parquet(src)
+    state = str(tmp_path / "wide_state")
+    writer = stream_postings_incremental(
+        spark, src, state, str(tmp_path / "wide_ck"), max_postings=4)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        run_stream_once(writer)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                       "true")
+    epochs = glob.glob(f"{state}/epoch=*")
+    assert epochs, "no epoch state written"
+    files = glob.glob(f"{epochs[0]}/part-*.parquet")
+    assert len(files) >= 2, f"epoch wrote {len(files)} file(s); " \
+        "expected a parallel (multi-file) write"
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {(r.word, r.df, tuple(r.postings))
+            for r in build_postings(full, max_postings=4).collect()}
+    got = {(r.word, r.df, tuple(r.postings))
+           for r in read_stream_postings(spark, state,
+                                         max_postings=4).collect()}
+    assert got == want
