@@ -3502,6 +3502,127 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_post_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One-pass lifecycle maintenance (plans/maintain.py:run_maintenance,
+    # r04 verdict item 7): build a versioned orders table (2 snapshots)
+    # and a 64-tiny-file per-order revenue store, run compact + expire
+    # under ONE manifest entry, then answer an aggregate ACROSS the
+    # maintained stores. Maintenance is physical-layout-only, so the
+    # oracle computes the same aggregate straight from the raw tables —
+    # it never sees the maintained copies. Integer cents (decimal-cast
+    # before scaling) keep every sum exact cross-engine; the query
+    # asserts the manifest recorded all three facts (2 actions + fewer
+    # files after compaction).
+    import shutil
+    import tempfile
+
+    from logpipe_spark.plans.cdc import (read_snapshot, upsert_versioned,
+                                         write_versioned)
+    from logpipe_spark.plans.maintain import (read_maintenance_log,
+                                              run_maintenance)
+
+    cents = F.expr(
+        "cast(cast(o_totalprice AS decimal(12,2)) * 100 AS bigint)")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", cents.alias("cents"))
+    v0 = orders.filter(F.col("o_orderkey") % 3 != 0)
+    upd = orders.filter(F.col("o_orderkey") % 3 == 0)
+    rev = F.expr(
+        "cast(cast(l_extendedprice AS decimal(12,2)) * 100 AS bigint)")
+    line = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", rev.alias("_rc"))
+    tmp = tempfile.mkdtemp(prefix="logpipe_maint_")
+    try:
+        vdir = f"{tmp}/orders_v"
+        rdir = f"{tmp}/rev"
+        write_versioned(spark, v0, vdir, "o_orderkey", n_buckets=16)
+        upsert_versioned(spark, vdir, upd, "o_orderkey")  # snapshot v1 == orders
+        (line.groupBy("l_orderkey")
+         .agg(F.sum("_rc").cast("bigint").alias("rev_cents"))
+         .repartition(64).write.parquet(rdir))
+        rep = run_maintenance(spark, compact=[rdir], expire=[vdir],
+                              keep_last=1, log_dir=tmp)
+        acts = {a["op"]: a for a in rep["actions"]}
+        assert acts["compact"]["files_after"] < acts["compact"]["files_before"]
+        assert acts["expire_snapshots"]["kept_versions"] == [1]
+        assert read_maintenance_log(tmp)[-1]["actions"] == rep["actions"]
+        snap = read_snapshot(spark, vdir).drop("_bucket")
+        rv = spark.read.parquet(rdir)
+        out = (snap.join(rv, snap.o_orderkey == rv.l_orderkey, "left")
+               .groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                    F.sum("cents").cast("bigint").alias("total_cents"),
+                    F.sum(F.coalesce(F.col("rev_cents"), F.lit(0)))
+                    .cast("bigint").alias("revenue_cents")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benjamini-Hochberg FDR gate (drift.py:bh_fdr) over per-event-type
+    # EXACT permutation p-values (drift.py:permutation_test_by — the
+    # keyed md5-relabeling test): "which segment shifts survive a 10%
+    # FDR?". The step-up rule collapses onto the bounded p support
+    # (k* = max k with k*m*10 <= cnt_le(k)*20), so the decision is ALL
+    # INTEGER — no per-key rank window, no float threshold compare.
+    from logpipe_spark.operators.drift import (bh_fdr,
+                                               permutation_test_by)
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .withColumn("ts", F.col("ts").cast("timestamp"))
+          .select("event_id", "event_type", "ts",
+                  F.floor(F.col("value") * 100 + F.lit(0.5))
+                  .cast("bigint").alias("cents")))
+    pt = permutation_test_by(ev, "event_type", "event_id",
+                             F.dayofmonth("ts") <= 15, "cents",
+                             n_perms=19)
+    return bh_fdr(pt, "event_type", n_perms=19,
+                  alpha_num=1, alpha_den=10)
+
+
+def q_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohen's d / Hedges' g per event type (drift.py:effect_size):
+    # month-half mean shift in pooled-SD units — the magnitude readout
+    # next to the drift panel's detection gates. Six exact int64
+    # sufficient stats per key; d formed with every sum cast to double
+    # BEFORE the cross products (overflow discipline), small-sample g
+    # via the exact-rational 1 - 3/(4*df - 1) factor.
+    from logpipe_spark.operators.drift import effect_size
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    return effect_size(
+        ev, "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        F.dayofmonth("ts") <= 15)
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Good-Turing frequency-of-frequencies per source
+    # (textqual.py:good_turing): N_r, adjusted counts
+    # r* = (r+1)N_{r+1}/N_r, and the observed mass p_mass = r*N_r/N for
+    # r <= 10 — the unseen-mass / coverage readout (P0 = N1/N is the
+    # r=1 row's type share). Two combinable collapses (corpus -> vocab
+    # -> freq-of-freq); every double one division of exact int64s.
+    from logpipe_spark.trainprep.textqual import good_turing
+    return good_turing(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), max_r=10)
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Zipf log-log slope per source WITHOUT logarithms
+    # (textqual.py:zipf_slope): OLS of floor(log2 freq) on
+    # floor(log2 rank) via the exact length(bin(x))-1 identity; equal-
+    # frequency words occupy a consecutive rank block, so the log2-rank
+    # histogram is a dyadic-interval overlap computed on the DISTINCT-
+    # FREQUENCY frame (never per-word ranks) — ln()'s 1-ulp divergence
+    # never enters and the slope hash-matches exactly.
+    from logpipe_spark.trainprep.textqual import zipf_slope
+    return zipf_slope(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Position-level exact-substring dedup coverage (trainprep/dedup.py:
     # dup_spans — the Lee et al. 2022 repeated-substring rule at word-
@@ -7426,10 +7547,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_score": q_watermark_score,
         "topic_boundaries": q_topic_boundaries,
         "bigram_accuracy": q_bigram_accuracy,
+    # round-5 new ops (never driver-verified):
+        "bh_fdr": q_bh_fdr,
+        "effect_size": q_effect_size,
+        "good_turing": q_good_turing,
+        "zipf_slope": q_zipf_slope,
     # retained r04-green rows (lifecycle / persisted-state / flagship):
         "flagship_approx": q_flagship_approx,
         "read_changes_evo": q_read_changes_evo,
         "mv_incremental": q_mv_incremental,
+        "post_maintenance": q_post_maintenance,
         "k_anonymity": q_k_anonymity,
         "funnel_latency": q_funnel_latency,
         "peak_rate": q_peak_rate,
@@ -8882,6 +9009,24 @@ new AS (SELECT * FROM upd
 SELECT o_orderstatus, count(*) AS cnt,
        CAST(sum(cents) AS BIGINT) AS sum_val
 FROM new GROUP BY o_orderstatus""",
+        # maintenance (compact + expire) is physical-layout-only: the
+        # post-maintenance aggregate == the same aggregate on the RAW
+        # tables (snapshot v1 = v0 keys + upserted %3==0 keys = all
+        # orders; integer cents end-to-end)
+        "post_maintenance": """
+WITH o AS (SELECT o_orderkey, o_orderstatus,
+                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                       AS BIGINT) AS cents
+           FROM orders),
+r AS (SELECT l_orderkey,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY l_orderkey)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(coalesce(rev_cents, 0)) AS BIGINT) AS revenue_cents
+FROM o LEFT JOIN r ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus""",
         # Q21 shape: EXISTS -> semi, NOT EXISTS -> anti, top-100 with a
         # total order so LIMIT is deterministic
         "blame_suppliers": """
@@ -14156,6 +14301,169 @@ SELECT n_a, n_b, diff_obs, n_ge,
        CASE WHEN diff_obs IS NOT NULL AND null_perms = 0
             THEN cast(n_ge + 1 AS double) / 20.0 END AS p_value
 FROM obs2, c"""
+    # keyed permutation p-values (exact rationals k/20) -> BH step-up
+    # collapsed onto the bounded p support: k* = max k with
+    # k*m*10 <= cnt_le(k)*20 — all integer, no per-key ranks.
+    oracles["bh_fdr"] = f"""
+WITH ev AS (SELECT event_type, cast(event_id AS varchar) AS u,
+                   day(ts) <= 15 AS g,
+                   cast(floor(value * 100 + 0.5) AS bigint) AS y
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+              AND event_id IS NOT NULL AND event_type IS NOT NULL),
+obs AS (SELECT event_type,
+  cast(sum(CASE WHEN g THEN 1 ELSE 0 END) AS bigint) AS n_a,
+  cast(sum(CASE WHEN g THEN 0 ELSE 1 END) AS bigint) AS n_b,
+  cast(sum(CASE WHEN g THEN y ELSE 0 END) AS bigint) AS sa,
+  cast(sum(CASE WHEN g THEN 0 ELSE y END) AS bigint) AS sb
+  FROM ev GROUP BY event_type),
+obs2 AS (SELECT event_type, n_a, n_b,
+                CASE WHEN n_a > 0 AND n_b > 0
+                     THEN cast(sa AS double) / cast(n_a AS double)
+                          - cast(sb AS double) / cast(n_b AS double)
+                END AS diff_obs
+         FROM obs),
+mm AS (SELECT event_type, seed, y,
+              md5(cast(seed AS varchar) || ':' || u) AS m
+       FROM ev, (SELECT unnest(generate_series(1, 19)) AS seed) sd),
+ps AS (SELECT event_type, seed,
+         cast(sum(CASE WHEN {_pm} THEN 1 ELSE 0 END) AS bigint) AS pa,
+         cast(sum(CASE WHEN {_pm} THEN 0 ELSE 1 END) AS bigint) AS pb,
+         cast(sum(CASE WHEN {_pm} THEN y ELSE 0 END) AS bigint) AS psa,
+         cast(sum(CASE WHEN {_pm} THEN 0 ELSE y END) AS bigint) AS psb
+       FROM mm GROUP BY event_type, seed),
+pd AS (SELECT event_type, seed,
+              CASE WHEN pa > 0 AND pb > 0
+                   THEN cast(psa AS double) / cast(pa AS double)
+                        - cast(psb AS double) / cast(pb AS double)
+              END AS d
+       FROM ps),
+cc AS (SELECT pd.event_type,
+  cast(sum(CASE WHEN abs(d) >= abs(diff_obs) THEN 1 ELSE 0 END)
+       AS bigint) AS n_ge,
+  cast(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS bigint)
+    AS null_perms
+  FROM pd JOIN obs2 USING (event_type) GROUP BY pd.event_type),
+tv AS (SELECT obs2.event_type, cast(n_ge + 1 AS bigint) AS k
+       FROM obs2 JOIN cc USING (event_type)
+       WHERE diff_obs IS NOT NULL AND null_perms = 0),
+mt AS (SELECT cast(count(*) AS bigint) AS m FROM tv),
+sup AS (SELECT k, cast(count(*) AS bigint) AS c FROM tv GROUP BY k),
+le AS (SELECT a.k, cast(sum(b.c) AS bigint) AS cle
+       FROM sup a JOIN sup b ON b.k <= a.k GROUP BY a.k),
+ks AS (SELECT max(CASE WHEN le.k * mt.m * 10 <= le.cle * 20
+                       THEN le.k END) AS kstar
+       FROM le, mt)
+SELECT tv.event_type, cast(tv.k AS double) / 20.0 AS p_value,
+       mt.m AS m_tests, cast(ks.kstar AS bigint) AS k_star,
+       coalesce(tv.k <= ks.kstar, false) AS reject
+FROM tv, mt, ks"""
+    # six exact int64 sufficient stats; pooled variance and d formed
+    # with every sum cast to double BEFORE the cross products.
+    oracles["effect_size"] = """
+WITH ev AS (SELECT event_type, day(ts) <= 15 AS g,
+                   cast(floor(value * 100 + 0.5) AS bigint) AS y
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+              AND event_type IS NOT NULL),
+s AS (SELECT event_type,
+  cast(sum(CASE WHEN g THEN 1 ELSE 0 END) AS bigint) AS n_a,
+  cast(sum(CASE WHEN g THEN 0 ELSE 1 END) AS bigint) AS n_b,
+  cast(sum(CASE WHEN g THEN y ELSE 0 END) AS bigint) AS sa,
+  cast(sum(CASE WHEN g THEN 0 ELSE y END) AS bigint) AS sb,
+  cast(sum(CASE WHEN g THEN y * y ELSE 0 END) AS bigint) AS sa2,
+  cast(sum(CASE WHEN g THEN 0 ELSE y * y END) AS bigint) AS sb2
+  FROM ev GROUP BY event_type),
+f AS (SELECT event_type, n_a, n_b,
+             cast(n_a AS double) AS na, cast(n_b AS double) AS nb,
+             cast(sa AS double) AS dsa, cast(sb AS double) AS dsb,
+             cast(sa2 AS double) AS dsa2, cast(sb2 AS double) AS dsb2
+      FROM s WHERE n_a >= 2 AND n_b >= 2),
+g2 AS (SELECT event_type, n_a, n_b,
+              dsa / na AS mean_a, dsb / nb AS mean_b,
+              na + nb - 2.0 AS dfree,
+              ((dsa2 - dsa * dsa / na) + (dsb2 - dsb * dsb / nb))
+                / (na + nb - 2.0) AS varp
+       FROM f)
+SELECT event_type, n_a, n_b, mean_a, mean_b,
+       CASE WHEN dfree > 0 AND varp > 0
+            THEN (mean_a - mean_b) / sqrt(varp) END AS cohens_d,
+       CASE WHEN dfree > 0 AND varp > 0
+            THEN ((mean_a - mean_b) / sqrt(varp))
+                 * (1.0 - 3.0 / (4.0 * dfree - 1.0)) END AS hedges_g
+FROM g2"""
+    # two combinable collapses; every double one division of exact
+    # int64 counts; N_{r+1} is a self-join on the bounded (key, r)
+    # frame.
+    oracles["good_turing"] = """
+WITH words AS (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents
+               WHERE text IS NOT NULL AND source IS NOT NULL),
+wc AS (SELECT source, w, cast(count(*) AS bigint) AS r
+       FROM words GROUP BY source, w),
+nr AS (SELECT source, r, cast(count(*) AS bigint) AS n_types
+       FROM wc GROUP BY source, r),
+tot AS (SELECT source, cast(sum(r * n_types) AS bigint)
+               AS total_tokens
+        FROM nr GROUP BY source),
+nxt AS (SELECT source AS k2, r - 1 AS rprev, n_types AS n_next
+        FROM nr)
+SELECT nr.source, nr.r, nr.n_types, tot.total_tokens,
+       CASE WHEN n_next IS NOT NULL
+            THEN cast(nr.r + 1 AS double) * cast(n_next AS double)
+                 / cast(nr.n_types AS double) END AS r_star,
+       cast(nr.r AS double) * cast(nr.n_types AS double)
+         / cast(total_tokens AS double) AS p_mass
+FROM nr JOIN tot USING (source)
+LEFT JOIN nxt ON nxt.k2 = nr.source AND nr.r = nxt.rprev
+WHERE nr.r <= 10"""
+    # log2 floors via length(bin(x))-1; equal-frequency rank blocks
+    # overlap dyadic intervals in closed form on the distinct-frequency
+    # frame; integer OLS sufficient stats, doubles formed in the same
+    # order as the engine.
+    oracles["zipf_slope"] = """
+WITH words AS (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents
+               WHERE text IS NOT NULL AND source IS NOT NULL),
+wc AS (SELECT source, w, cast(count(*) AS bigint) AS f
+       FROM words GROUP BY source, w),
+nf AS (SELECT source, f, cast(count(*) AS bigint) AS nf
+       FROM wc GROUP BY source, f),
+r0 AS (SELECT a.source, a.f, a.nf,
+              cast(coalesce(sum(b.nf), 0) AS bigint) AS r0
+       FROM nf a LEFT JOIN nf b
+         ON b.source = a.source AND b.f > a.f
+       GROUP BY a.source, a.f, a.nf),
+ex AS (SELECT source, f, nf, r0,
+              unnest(generate_series(
+                cast(length(bin(r0 + 1)) - 1 AS int),
+                cast(length(bin(r0 + nf)) - 1 AS int))) AS b
+       FROM r0),
+pt AS (SELECT source,
+              cast(length(bin(f)) - 1 AS bigint) AS x,
+              cast(b AS bigint) AS y,
+              cast(least((cast(1 AS bigint) << (b + 1)) - 1, r0 + nf)
+                   - greatest(cast(1 AS bigint) << b, r0 + 1) + 1
+                   AS bigint) AS c
+       FROM ex),
+s AS (SELECT source,
+             cast(sum(c) AS bigint) AS n_types,
+             cast(sum(c * x) AS bigint) AS sx,
+             cast(sum(c * y) AS bigint) AS sy,
+             cast(sum(c * x * x) AS bigint) AS sxx,
+             cast(sum(c * x * y) AS bigint) AS sxy
+      FROM pt WHERE c > 0 GROUP BY source)
+SELECT source, n_types,
+       CASE WHEN cast(n_types AS double) * cast(sxx AS double)
+                 - cast(sx AS double) * cast(sx AS double) > 0.0
+            THEN (cast(n_types AS double) * cast(sxy AS double)
+                  - cast(sy AS double) * cast(sx AS double))
+                 / (cast(n_types AS double) * cast(sxx AS double)
+                    - cast(sx AS double) * cast(sx AS double))
+       END AS slope,
+       cast(n_types AS double) * cast(sxx AS double)
+         - cast(sx AS double) * cast(sx AS double) AS sxx
+FROM s"""
     # Literal lowercase contains via the shared replace-length count;
     # UNION ALL unpivot mirrors the engine's stack.
     import logpipe_spark.trainprep.textqual as _tq

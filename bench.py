@@ -298,6 +298,13 @@ HEADLINE = [
     "cuped_adjustment",
     "permutation_test",
     "split_half_reliability",
+    # round-5 adds
+    "drift_panel_raw",
+    "post_maintenance",
+    "bh_fdr",
+    "effect_size",
+    "good_turing",
+    "zipf_slope",
 ]
 # ann_bits_sweep joins automatically via the ann_* tag rule
 # dedup_precision joins automatically via the dedup_* tag rule

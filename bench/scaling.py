@@ -49,8 +49,16 @@ from pyspark.sql import functions as F
 CFG = PipelineConfig(persist_fanout=False)
 cores = int(sys.argv[1])
 src = sys.argv[2]
+# optional master override (r04 verdict item 4): local-cluster[W,C,mem]
+# runs W separate executor JVMs — real serialized exchanges, per-executor
+# heaps, executor-side python workers — structurally closer to the
+# N-vs-4N-executor criterion than threads sharing one heap. Executors
+# need the repo on their python workers' path.
+master = sys.argv[3] if len(sys.argv) > 3 and sys.argv[3] else None
+extra = {{"spark.executorEnv.PYTHONPATH": {repo!r}}} if master else None
 spark = build_session(app_name=f"scale{{cores}}", cpus=cores,
-                      shuffle_partitions=2 * cores)
+                      master=master, shuffle_partitions=2 * cores,
+                      extra_conf=extra)
 df = spark.read.parquet(src)
 n_turns = df.count()
 
@@ -89,11 +97,11 @@ spark.stop()
 class Worker:
     """One persistent warmed JVM at a fixed core count; one trial per 'go'."""
 
-    def __init__(self, cores: int, src: str):
+    def __init__(self, cores: int, src: str, master: str = ""):
         self.cores = cores
         script = WORKER.format(repo=str(REPO))
         self.proc = subprocess.Popen(
-            [sys.executable, "-c", script, str(cores), src],
+            [sys.executable, "-c", script, str(cores), src, master],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True)
         ready = json.loads(self.proc.stdout.readline())
@@ -120,6 +128,16 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=4,
                     help="matched trial rounds (one trial per level each)")
     ap.add_argument("--cores", type=int, nargs=2, default=[2, 8])
+    ap.add_argument("--mode", choices=["local", "local-cluster"],
+                    default="local",
+                    help="local = threads in one JVM; local-cluster = "
+                         "separate executor JVMs (real serialized "
+                         "exchanges, per-executor heaps). In "
+                         "local-cluster mode --cores are EXECUTOR counts "
+                         "(each with --cpw cores).")
+    ap.add_argument("--cpw", type=int, default=2,
+                    help="cores per executor in local-cluster mode")
+    ap.add_argument("--exec-mem-mb", type=int, default=4096)
     ap.add_argument("--keep-input", action="store_true")
     ap.add_argument("--warm-trials", type=int, default=2,
                     help="full-size untimed trials per worker before the "
@@ -141,7 +159,14 @@ def main() -> None:
     gen.stop()
 
     lo, hi = sorted(args.cores)
-    w_lo, w_hi = Worker(lo, src), Worker(hi, src)
+    if args.mode == "local-cluster":
+        # lo/hi are executor counts; parallelism = executors * cpw
+        m_lo = f"local-cluster[{lo},{args.cpw},{args.exec_mem_mb}]"
+        m_hi = f"local-cluster[{hi},{args.cpw},{args.exec_mem_mb}]"
+        w_lo = Worker(lo * args.cpw, src, m_lo)
+        w_hi = Worker(hi * args.cpw, src, m_hi)
+    else:
+        w_lo, w_hi = Worker(lo, src), Worker(hi, src)
     rounds = []
     try:
         # FULL-SIZE untimed warm trials: the in-worker limit(5000) warmup
@@ -173,9 +198,13 @@ def main() -> None:
     wall_lo = min(r[f"wall_{lo}"] for r in rounds)
     wall_hi = min(r[f"wall_{hi}"] for r in rounds)
     eff_best_of = (wall_lo / wall_hi) / (hi / lo)
+    label = (f"local-cluster[{lo},{args.cpw}] -> local-cluster[{hi},"
+             f"{args.cpw}] ({lo} -> {hi} executor JVMs)"
+             if args.mode == "local-cluster" else
+             f"local[{lo}] -> local[{hi}]")
     result = {
         "metric": "parse->enrich->route->aggregate scaling efficiency "
-                  f"local[{lo}] -> local[{hi}] (interleaved matched rounds)",
+                  f"{label} (interleaved matched rounds)",
         "turns": args.turns,
         f"turns_per_sec_{lo}": round(w_lo.turns / wall_lo, 1),
         f"turns_per_sec_{hi}": round(w_hi.turns / wall_hi, 1),

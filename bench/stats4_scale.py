@@ -27,11 +27,17 @@ from logpipe_spark.operators.aggregate import (  # noqa: E402
 from logpipe_spark.operators.drift import (  # noqa: E402
     durbin_watson,
     kendall_tau,
+    kendalls_w,
     permutation_test,
 )
-from logpipe_spark.operators.funnel import sequence_match  # noqa: E402
+from logpipe_spark.operators.funnel import (  # noqa: E402
+    attribution_credits,
+    sequence_match,
+)
 from logpipe_spark.operators.graph import bradley_terry  # noqa: E402
 from logpipe_spark.operators.profile import freshness_lag  # noqa: E402
+from logpipe_spark.operators.segment import growth_accounting  # noqa: E402
+from logpipe_spark.trainprep.similarity import rbo_overlap  # noqa: E402
 from logpipe_spark.operators.spans import topic_boundaries  # noqa: E402
 from logpipe_spark.operators.spatial import morans_i  # noqa: E402
 from logpipe_spark.session import build_session  # noqa: E402
@@ -142,6 +148,51 @@ def run_suite(spark, path):
                 F.max("label").alias("g"),
                 F.sum("cents").cast("bigint").alias("y")),
             "row_id", F.col("g"), "y")),
+        # r04 verdict item 8 additions — the session-5 ops without a
+        # harness. kendalls_w: three bucketed-prefix global rank scans
+        # over the FULL corpus (the heaviest new shape)
+        "kendalls_w": lambda: noop(kendalls_w(
+            ev.select("row_id", F.col("cents").alias("r0"),
+                      F.col("score").alias("r1"),
+                      F.pmod(F.hash(F.col("row_id") * 53), F.lit(10_000))
+                      .cast("bigint").alias("r2")),
+            "row_id", ["r0", "r1", "r2"])),
+        # distinct (unit, week) collapse + ONE partitioned lag/lead
+        "growth_accounting": lambda: noop(growth_accounting(
+            ev.select(F.pmod(F.hash(F.col("row_id") * 3),
+                             F.lit(max(N // 200, 1000)))
+                      .alias("unit"),
+                      F.pmod(F.hash(F.col("row_id") * 23), F.lit(26))
+                      .alias("week")),
+            "unit", "week")),
+        # user-keyed touch->conversion join + a bounded recency window
+        "attribution_credits": lambda: noop(attribution_credits(
+            ev.select(F.pmod(F.hash(F.col("row_id") * 3),
+                             F.lit(max(N // 100, 1000)))
+                      .alias("user_id"),
+                      F.col("seg").alias("channel"),
+                      F.unix_micros(F.col("ts")).alias("tsu"),
+                      F.col("row_id").alias("event_id")),
+            ev.where(F.col("label"))
+            .groupBy(F.pmod(F.hash(F.col("row_id") * 3),
+                            F.lit(max(N // 100, 1000)))
+                     .alias("user_id"))
+            .agg(F.max(F.unix_micros(F.col("ts"))).alias("conv_tsu")))),
+        # bounded broadcast-depth join over n/5 top-5 rankings
+        "rbo_eval": lambda: noop(rbo_overlap(
+            ev.select((F.col("row_id") / 5).cast("bigint")
+                      .alias("query_id"),
+                      F.pmod(F.hash(F.col("row_id") * 61), F.lit(50))
+                      .alias("neighbor_id"),
+                      (F.pmod(F.col("row_id"), F.lit(5)) + 1)
+                      .cast("int").alias("rank")),
+            ev.select((F.col("row_id") / 5).cast("bigint")
+                      .alias("query_id"),
+                      F.pmod(F.hash(F.col("row_id") * 67), F.lit(50))
+                      .alias("neighbor_id"),
+                      (F.pmod(F.col("row_id"), F.lit(5)) + 1)
+                      .cast("int").alias("rank")),
+            k=5, p=0.9)),
     }
     out = {}
     for name, fn in ops.items():

@@ -2842,3 +2842,205 @@ def cochran_armitage(
     return s.select(
         "n", "k_success", "n_groups",
         F.when(var_t > 0.0, t / F.sqrt(var_t)).alias("z"))
+
+
+def permutation_test_by(
+    df: DataFrame,
+    key: str,
+    unit_col: str,
+    group: Column,
+    y_col: str,
+    n_perms: int = 19,
+) -> DataFrame:
+    """Per-key exact-randomization test of a two-group mean difference —
+    the keyed form of :func:`permutation_test` (same deterministic md5
+    relabelings; Fisher's logic), producing the PER-HYPOTHESIS exact
+    rational p-values ``(n_ge + 1) / (n_perms + 1)`` that a
+    multiple-testing gate (:func:`bh_fdr`) consumes.
+
+    Scale shape: the seed fan-out is a broadcast crossJoin (n_perms
+    copies of the unit frame, map-side collapsed to key × seed rows in
+    ONE combinable shuffle); the observed split is a second combinable
+    collapse of the same unit frame; everything downstream is
+    key-cardinality-sized. Every mean is a single division of exact
+    int64 sums. Keys where any permutation lands an empty arm emit NULL
+    p (ANSI guard), matching the unkeyed form.
+
+    Returns ``(key, n_a, n_b, diff_obs, n_ge, p_value)``.
+    """
+    u = (df.where(F.col(unit_col).isNotNull() & group.isNotNull()
+                  & F.col(y_col).isNotNull() & F.col(key).isNotNull())
+         .select(F.col(key), F.col(unit_col).cast("string").alias("_u"),
+                 group.alias("_g"),
+                 F.col(y_col).cast("bigint").alias("_y")))
+    obs = u.groupBy(key).agg(
+        F.sum(F.when(F.col("_g"), 1).otherwise(0)).cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("_g"), 0).otherwise(1)).cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("_g"), F.col("_y")).otherwise(0))
+        .cast("bigint").alias("_sa"),
+        F.sum(F.when(F.col("_g"), 0).otherwise(F.col("_y")))
+        .cast("bigint").alias("_sb"))
+    d_obs = (F.col("_sa").cast("double") / F.col("n_a").cast("double")
+             - F.col("_sb").cast("double") / F.col("n_b").cast("double"))
+    obs = obs.select(
+        key, "n_a", "n_b",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), d_obs)
+        .alias("diff_obs"))
+    spark = df.sparkSession
+    seeds = spark.createDataFrame([(s,) for s in range(1, n_perms + 1)],
+                                  "seed int")
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col("seed").cast("string"),
+                          F.col("_u"))), 1, 8), 16, 10).cast("bigint")
+    flip = F.pmod(h, F.lit(2)) == 0
+    per = (u.crossJoin(F.broadcast(seeds))
+           .groupBy(key, "seed")
+           .agg(F.sum(F.when(flip, 1).otherwise(0)).cast("bigint")
+                .alias("_pa"),
+                F.sum(F.when(flip, 0).otherwise(1)).cast("bigint")
+                .alias("_pb"),
+                F.sum(F.when(flip, F.col("_y")).otherwise(0))
+                .cast("bigint").alias("_psa"),
+                F.sum(F.when(flip, 0).otherwise(F.col("_y")))
+                .cast("bigint").alias("_psb")))
+    d_perm = (F.col("_psa").cast("double") / F.col("_pa").cast("double")
+              - F.col("_psb").cast("double")
+              / F.col("_pb").cast("double"))
+    per = per.select(
+        key, "seed",
+        F.when((F.col("_pa") > 0) & (F.col("_pb") > 0), d_perm)
+        .alias("_d"))
+    cnt = (per.join(obs.select(key, "diff_obs"), key)
+           .groupBy(key)
+           .agg(F.sum(F.when(F.abs(F.col("_d"))
+                             >= F.abs(F.col("diff_obs")), 1)
+                      .otherwise(0)).cast("bigint").alias("n_ge"),
+                F.sum(F.when(F.col("_d").isNull(), 1).otherwise(0))
+                .cast("bigint").alias("_null_perms")))
+    out = obs.join(cnt, key, "left")
+    return out.select(
+        key, "n_a", "n_b", "diff_obs",
+        F.coalesce(F.col("n_ge"), F.lit(0)).cast("bigint").alias("n_ge"),
+        F.when(F.col("diff_obs").isNotNull()
+               & (F.coalesce(F.col("_null_perms"), F.lit(0)) == 0),
+               (F.coalesce(F.col("n_ge"), F.lit(0)) + 1).cast("double")
+               / F.lit(float(n_perms + 1))).alias("p_value"))
+
+
+def bh_fdr(
+    tests: DataFrame,
+    key: str,
+    n_ge_col: str = "n_ge",
+    n_perms: int = 19,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control (JRSS-B 1995) over EXACT
+    RATIONAL p-values p_i = k_i/K with k_i = n_ge+1, K = n_perms+1
+    (:func:`permutation_test_by`'s contract) — the multiple-testing
+    gate a drift scorecard needs once it tests hundreds of segments
+    ("which of these 500 segment shifts survive a 10% FDR?").
+
+    The step-up rule needs per-hypothesis RANKS, but ranks enter only
+    through "the largest i with p_(i) <= i·α/m", and within a tie-group
+    the largest rank is the easiest — so the decision collapses onto
+    the BOUNDED p support: with cnt_le(k) = #tests with k' <= k,
+    reject all tests with k <= k* where
+
+        k* = max{ k : k·m·α_den <= cnt_le(k)·K·α_num }
+
+    ALL INTEGER — no per-key rank, no global window, no float
+    comparison. The support frame has at most K+1 rows (broadcast
+    everywhere); per-test work is one broadcast scalar join. NULL-p
+    tests are excluded from m and never rejected.
+
+    Returns ``(key, p_value, m_tests, k_star, reject)``.
+    """
+    t = (tests.select(F.col(key),
+                      (F.col(n_ge_col) + 1).cast("bigint").alias("_k"),
+                      F.col("p_value"))
+         .where(F.col("p_value").isNotNull()))
+    big_k = n_perms + 1
+    sup = t.groupBy("_k").agg(F.count(F.lit(1)).cast("bigint")
+                              .alias("_c"))
+    a = sup.select(F.col("_k").alias("_ka"))
+    # cnt_le over the <=K+1-row support via a broadcast non-equi join;
+    # m rides the same pass (sum over the unfiltered side)
+    le = (a.join(F.broadcast(sup), F.col("_k") <= F.col("_ka"))
+          .groupBy("_ka")
+          .agg(F.sum("_c").cast("bigint").alias("_cle")))
+    m = sup.agg(F.sum("_c").cast("bigint").alias("_m"))
+    good = (le.crossJoin(F.broadcast(m))
+            .where(F.col("_ka") * F.col("_m") * F.lit(int(alpha_den))
+                   <= F.col("_cle") * F.lit(int(big_k))
+                   * F.lit(int(alpha_num))))
+    kstar = good.agg(F.max("_ka").alias("_kstar"))
+    out = (t.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(kstar)))
+    return out.select(
+        key, "p_value",
+        F.col("_m").alias("m_tests"),
+        F.col("_kstar").cast("bigint").alias("k_star"),
+        F.coalesce(F.col("_k") <= F.col("_kstar"), F.lit(False))
+        .alias("reject"))
+
+
+def effect_size(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    sample_a: Column,
+    min_n: int = 2,
+) -> DataFrame:
+    """Cohen's d / Hedges' g standardized mean difference per key —
+    the magnitude companion the rank gates (Mann-Whitney, Cliff's
+    delta) and the permutation p-value don't report: HOW BIG is the
+    shift in pooled-SD units (Cohen 1988; Hedges' small-sample
+    correction g = d·(1 − 3/(4·df − 1)), the standard approximation).
+
+    One combinable shuffle produces the six exact int64 sufficient
+    stats per key (n, Σy, Σy² per arm); d is formed from them with
+    every sum cast to double BEFORE the cross products (the overflow
+    discipline) in the oracle's exact order:
+
+        var_p = ((Sa2 − Sa²/na) + (Sb2 − Sb²/nb)) / df,  df = na+nb−2
+
+    Zero pooled variance or df < 1 emits NULL d/g (ANSI guard).
+    Returns ``(key, n_a, n_b, mean_a, mean_b, cohens_d, hedges_g)``
+    (explicit names — a bare ``g`` collides with single-letter key
+    columns).
+    """
+    vi = value.cast("bigint")
+    s = (df.where(vi.isNotNull() & sample_a.isNotNull()
+                  & F.col(key).isNotNull())
+         .select(F.col(key), vi.alias("_y"), sample_a.alias("_g"))
+         .groupBy(key)
+         .agg(F.sum(F.when(F.col("_g"), 1).otherwise(0)).cast("bigint")
+              .alias("n_a"),
+              F.sum(F.when(F.col("_g"), 0).otherwise(1)).cast("bigint")
+              .alias("n_b"),
+              F.sum(F.when(F.col("_g"), F.col("_y")).otherwise(0))
+              .cast("bigint").alias("_sa"),
+              F.sum(F.when(F.col("_g"), 0).otherwise(F.col("_y")))
+              .cast("bigint").alias("_sb"),
+              F.sum(F.when(F.col("_g"), F.col("_y") * F.col("_y"))
+                    .otherwise(0)).cast("bigint").alias("_sa2"),
+              F.sum(F.when(F.col("_g"), 0)
+                    .otherwise(F.col("_y") * F.col("_y")))
+              .cast("bigint").alias("_sb2")))
+    s = s.where((F.col("n_a") >= min_n) & (F.col("n_b") >= min_n))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    sa2, sb2 = F.col("_sa2").cast("double"), F.col("_sb2").cast("double")
+    dfree = na + nb - F.lit(2.0)
+    varp = ((sa2 - sa * sa / na) + (sb2 - sb * sb / nb)) / dfree
+    d = (sa / na - sb / nb) / F.sqrt(varp)
+    g = d * (F.lit(1.0) - F.lit(3.0)
+             / (F.lit(4.0) * dfree - F.lit(1.0)))
+    return s.select(
+        key, "n_a", "n_b",
+        (sa / na).alias("mean_a"),
+        (sb / nb).alias("mean_b"),
+        F.when((dfree > 0) & (varp > 0), d).alias("cohens_d"),
+        F.when((dfree > 0) & (varp > 0), g).alias("hedges_g"))

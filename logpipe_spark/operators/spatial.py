@@ -34,6 +34,8 @@ def density_neighbor_counts(
     x_col: str = "x",
     y_col: str = "y",
     id_col: str = "pid",
+    hot_cell_threshold: int | None = 100_000,
+    salt_shards: int = 16,
 ) -> DataFrame:
     """Per-point count of OTHER points within Euclidean distance ``eps``.
 
@@ -44,6 +46,21 @@ def density_neighbor_counts(
     The squared-distance comparison runs on the raw doubles in the fixed
     order (x-x2)*(x-x2) + (y-y2)*(y-y2) <= eps*eps, bit-identical to the
     oracle's SQL on the same parquet values.
+
+    Hot-cell skew (r04 verdict item 6): a dense cluster puts one cell's
+    whole candidate workload in ONE join task. A pre-count over the
+    occupied-cell frame (map-side combinable; output is cell-, not
+    corpus-sized) flags cells holding more than ``hot_cell_threshold``
+    points; ONLY those cells are salted — their build rows shard into
+    ``salt_shards`` by hash(pid), and probe rows TARGETING a hot cell
+    replicate across the shards (sequence+explode on the flagged rows
+    alone, the selective-salting discipline of
+    ``skew.selective_salted_count_by`` / ``asof_join_segmented``). Each
+    candidate pair is still generated exactly once (a build row owns one
+    salt), so results are identical; per-task work drops by
+    ``salt_shards``. Cold paths pay one broadcast join against an
+    (almost always empty) hot-cell frame. ``hot_cell_threshold=None``
+    disables the machinery entirely.
     """
     spark = pts.sparkSession
     p = pts.select(
@@ -69,12 +86,36 @@ def density_neighbor_counts(
         F.col("pid").alias("pid2"), F.col("x").alias("x2"),
         F.col("y").alias("y2"), "cx", "cy",
     )
+    join_keys = ["cx", "cy"]
+    if hot_cell_threshold is not None:
+        hot = (p.groupBy("cx", "cy")
+               .agg(F.count(F.lit(1)).alias("_cn"))
+               .where(F.col("_cn") > F.lit(int(hot_cell_threshold)))
+               .select("cx", "cy", F.lit(True).alias("_hot")))
+        build = (build.join(F.broadcast(hot), ["cx", "cy"], "left")
+                 .withColumn(
+                     "_salt",
+                     F.when(F.col("_hot"),
+                            F.pmod(F.xxhash64("pid2"),
+                                   F.lit(int(salt_shards))).cast("int"))
+                     .otherwise(F.lit(0)))
+                 .drop("_hot"))
+        probe = (probe.join(F.broadcast(hot), ["cx", "cy"], "left")
+                 .withColumn(
+                     "_salt",
+                     F.explode(F.when(
+                         F.col("_hot"),
+                         F.sequence(F.lit(0),
+                                    F.lit(int(salt_shards) - 1)))
+                         .otherwise(F.array(F.lit(0)))))
+                 .drop("_hot"))
+        join_keys = ["cx", "cy", "_salt"]
     d2 = (
         (F.col("x") - F.col("x2")) * (F.col("x") - F.col("x2"))
         + (F.col("y") - F.col("y2")) * (F.col("y") - F.col("y2"))
     )
     nb = (
-        probe.join(build, ["cx", "cy"])
+        probe.join(build, join_keys)
         .where((F.col("pid") != F.col("pid2")) & (d2 <= F.lit(eps * eps)))
     )
     counts = nb.groupBy("pid").agg(

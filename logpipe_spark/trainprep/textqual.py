@@ -973,3 +973,138 @@ def prefix_dup_rate(docs: DataFrame, key: str = "source",
         key, "n_docs", "n_prefix_dup",
         (F.col("n_prefix_dup").cast("double")
          / F.col("n_docs").cast("double")).alias("dup_rate"))
+
+
+def good_turing(docs: DataFrame, key: str = "source",
+                text_col: str = "text", max_r: int = 10) -> DataFrame:
+    """Good–Turing frequency-of-frequencies per ``key`` (Good 1953; the
+    Gale–Sampson "simple GT" inputs): N_r = number of word TYPES seen
+    exactly r times, the adjusted count r* = (r+1)·N_{r+1}/N_r, and the
+    unseen-mass estimate P_0 = N_1/N — the vocabulary-coverage readout
+    a corpus curator reads before trusting token statistics ("how much
+    of this source's distribution have we actually seen?"). Rows are
+    emitted for r <= ``max_r`` (the regime where GT smoothing is
+    meaningful; beyond it N_r thins to noise).
+
+    Scale shape: ONE combinable (key, word) count collapse (the corpus
+    shuffles once), then a (key, r) collapse of the vocab-sized type
+    frame — both map-side combinable; the per-key totals broadcast
+    back. Every emitted double is one division of exact int64 counts —
+    bit-identical cross-engine. N_{r+1} rides a self-join on the
+    bounded (key, r) frame, not a window.
+
+    Returns ``(key, r, n_types, total_tokens, r_star, p_mass)`` where
+    p_mass = r·N_r/N is the observed probability mass at r and r_star
+    is NULL when N_{r+1} = 0 (GT undefined there).
+    """
+    words = (docs.where(F.col(text_col).isNotNull()
+                        & F.col(key).isNotNull())
+             .select(key, F.explode(F.split(F.col(text_col), " "))
+                     .alias("_w")))
+    wc = (words.groupBy(key, "_w")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("_r")))
+    nr = (wc.groupBy(key, "_r")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_types")))
+    tot = (nr.groupBy(key)
+           .agg(F.sum(F.col("_r") * F.col("n_types")).cast("bigint")
+                .alias("total_tokens")))
+    nxt = nr.select(F.col(key).alias("_k2"),
+                    (F.col("_r") - 1).alias("_rprev"),
+                    F.col("n_types").alias("_n_next"))
+    j = (nr.where(F.col("_r") <= F.lit(int(max_r)))
+         .join(F.broadcast(tot), key)
+         .join(nxt, (F.col(key) == F.col("_k2"))
+               & (F.col("_r") == F.col("_rprev")), "left"))
+    return j.select(
+        key, F.col("_r").alias("r"), "n_types", "total_tokens",
+        F.when(F.col("_n_next").isNotNull(),
+               (F.col("_r") + 1).cast("double")
+               * F.col("_n_next").cast("double")
+               / F.col("n_types").cast("double")).alias("r_star"),
+        (F.col("_r").cast("double") * F.col("n_types").cast("double")
+         / F.col("total_tokens").cast("double")).alias("p_mass"))
+
+
+def zipf_slope(docs: DataFrame, key: str = "source",
+               text_col: str = "text") -> DataFrame:
+    """Zipf log-log slope per ``key`` WITHOUT logarithms: OLS of
+    floor(log2 rank) against floor(log2 frequency) over the word
+    frequency table (Zipf's law predicts slope ≈ −1 on natural text;
+    templated/synthetic text flattens toward 0 — a fast generation-
+    artifact screen). log2 floors via the exact ``length(bin(x)) − 1``
+    integer identity (the len_histogram idiom), so every sufficient
+    statistic is an exact int64 sum and the slope is bit-identical
+    cross-engine — ln()'s 1-ulp engine divergence never enters.
+
+    The trick is avoiding per-word global ranks: words with the same
+    frequency occupy a CONSECUTIVE rank block [R+1, R+n_f] (R = number
+    of strictly-more-frequent words = suffix-cumulative of the
+    frequency-of-frequencies), so per (key, frequency) group the
+    log2-rank histogram is the overlap of that block with the dyadic
+    intervals [2^b, 2^{b+1}) — a <=63-element sequence explode on the
+    DISTINCT-FREQUENCY frame (key × distinct-freq rows, not vocab
+    rows, never the corpus). Within-block rank order never matters:
+    every rank in the block shares the group's x = floor(log2 f).
+
+    Returns ``(key, n_types, slope, sxx)`` — slope NULL for a
+    degenerate (single log2-frequency) vocabulary; sxx exposes the
+    x-variance numerator for that diagnosis.
+    """
+    words = (docs.where(F.col(text_col).isNotNull()
+                        & F.col(key).isNotNull())
+             .select(key, F.explode(F.split(F.col(text_col), " "))
+                     .alias("_w")))
+    wc = (words.groupBy(key, "_w")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("_f")))
+    nf = (wc.groupBy(key, "_f")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("_nf")))
+    # R = #words strictly more frequent: non-equi self-join on the
+    # bounded distinct-frequency frame (freq support per key is
+    # O(sqrt(tokens)) — Heaps-bounded, broadcastable)
+    hi = nf.select(F.col(key).alias("_k2"), F.col("_f").alias("_f2"),
+                   F.col("_nf").alias("_nf2"))
+    r0 = (nf.join(F.broadcast(hi), (F.col(key) == F.col("_k2"))
+                  & (F.col("_f2") > F.col("_f")), "left")
+          .groupBy(key, "_f", "_nf")
+          .agg(F.coalesce(F.sum("_nf2"), F.lit(0)).cast("bigint")
+               .alias("_r0")))
+    lo_b = F.length(F.bin(F.col("_r0") + 1)) - F.lit(1)
+    hi_b = F.length(F.bin(F.col("_r0") + F.col("_nf"))) - F.lit(1)
+    ex = r0.select(
+        key, "_f", "_nf", "_r0",
+        F.explode(F.sequence(lo_b.cast("int"), hi_b.cast("int")))
+        .alias("_b"))
+    # overlap of rank block [r0+1, r0+nf] with dyadic bucket
+    # [2^b, 2^{b+1}-1]: exact integer interval intersection (SQL-expr
+    # shiftleft — the Python API's numBits is a literal int only)
+    blo = F.expr("shiftleft(cast(1 AS bigint), _b)")
+    bhi = F.expr("shiftleft(cast(1 AS bigint), _b + 1)") - 1
+    cnt = (F.least(bhi, F.col("_r0") + F.col("_nf"))
+           - F.greatest(blo, F.col("_r0") + 1) + 1)
+    x = (F.length(F.bin(F.col("_f"))) - 1).cast("bigint")
+    pts = ex.select(
+        key, x.alias("_x"), F.col("_b").cast("bigint").alias("_y"),
+        cnt.cast("bigint").alias("_c")).where(F.col("_c") > 0)
+    s = pts.groupBy(key).agg(
+        F.sum("_c").cast("bigint").alias("n_types"),
+        F.sum(F.col("_c") * F.col("_x")).cast("bigint").alias("_sx"),
+        F.sum(F.col("_c") * F.col("_y")).cast("bigint").alias("_sy"),
+        F.sum(F.col("_c") * F.col("_x") * F.col("_x")).cast("bigint")
+        .alias("_sxx"),
+        F.sum(F.col("_c") * F.col("_x") * F.col("_y")).cast("bigint")
+        .alias("_sxy"))
+    n = F.col("n_types").cast("double")
+    num = (n * F.col("_sxy").cast("double")
+           - F.col("_sx").cast("double") * F.col("_sy").cast("double"))
+    den = (n * F.col("_sxx").cast("double")
+           - F.col("_sx").cast("double") * F.col("_sx").cast("double"))
+    # Zipf: rank is x, freq is y in the classic form; we regress
+    # y = log2 freq on x = log2 rank -> slope is the Zipf exponent
+    return s.select(
+        key, "n_types",
+        F.when(den > 0.0,
+               (n * F.col("_sxy").cast("double")
+                - F.col("_sy").cast("double")
+                * F.col("_sx").cast("double")) / den)
+        .alias("slope"),
+        den.alias("sxx"))

@@ -818,3 +818,25 @@ def test_decile_lift_all_negative_labels_null_lift(spark):
     out = decile_lift(df, score_col="value", label_col="pos",
                       id_col="event_id", k=2).collect()
     assert all(r.cum_lift is None for r in out)
+
+
+def test_density_hot_cell_salting_identical_counts(spark):
+    """r04 verdict item 6: salting only the oversized cells must not
+    change a single neighbor count — each candidate pair is still
+    generated exactly once (a build row owns one salt shard)."""
+    from logpipe_spark.operators.spatial import density_neighbor_counts
+
+    # one hot cluster (60% of points inside one eps-cell) + a sprinkle
+    rows = [(i, 0.40 + (i % 7) * 0.01, 0.40 + (i % 5) * 0.01)
+            for i in range(120)]
+    rows += [(1000 + i, 3.0 + i * 0.9, 2.0 + i * 1.1) for i in range(80)]
+    df = spark.createDataFrame(rows, "pid long, x double, y double")
+    plain = {r.pid: (r.n_neighbors, r.is_outlier)
+             for r in density_neighbor_counts(
+                 df, 1.0, 3, hot_cell_threshold=None).collect()}
+    salted = {r.pid: (r.n_neighbors, r.is_outlier)
+              for r in density_neighbor_counts(
+                  df, 1.0, 3, hot_cell_threshold=50,
+                  salt_shards=4).collect()}
+    assert salted == plain
+    assert len(plain) == 200

@@ -172,3 +172,78 @@ def test_compact_recovers_partitioned_leaf(spark, tmp_path):
     stats = compact_small_files(spark, d, target_bytes=1 << 30)
     assert stats.get("partitions_compacted") == 2
     assert spark.read.parquet(d).count() == n
+
+
+def test_run_maintenance_one_manifest_entry(spark, tmp_path):
+    """r04 verdict item 7: compact + expire run under ONE manifest
+    entry; the log records both actions and queries answer identically
+    across the boundary."""
+    from pyspark.sql import functions as F
+
+    from logpipe_spark.plans.cdc import (read_snapshot, upsert_versioned,
+                                         write_versioned)
+    from logpipe_spark.plans.maintain import (read_maintenance_log,
+                                              run_maintenance)
+
+    vdir = str(tmp_path / "vt")
+    rdir = str(tmp_path / "store")
+    base = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    write_versioned(spark, base.filter(F.col("k") % 2 == 0), vdir, "k",
+                    n_buckets=4)
+    upsert_versioned(spark, vdir, base.filter(F.col("k") % 2 == 1), "k")
+    base.repartition(16).write.parquet(rdir)
+    before_rows = sorted((r.k, r.v) for r in
+                         spark.read.parquet(rdir).collect())
+    snap_before = sorted((r.k, r.v) for r in
+                         read_snapshot(spark, vdir).drop("_bucket")
+                         .collect())
+
+    rep = run_maintenance(spark, compact=[rdir], expire=[vdir],
+                          keep_last=1, log_dir=str(tmp_path))
+    ops = [a["op"] for a in rep["actions"]]
+    assert ops == ["compact", "expire_snapshots"]
+    c = rep["actions"][0]
+    assert c["files_after"] < c["files_before"]
+    assert rep["actions"][1]["kept_versions"] == [1]
+    # one manifest entry on disk, content == returned report
+    log = read_maintenance_log(str(tmp_path))
+    assert len(log) == 1 and log[0]["actions"] == rep["actions"]
+    # physical only: both stores answer identically post-maintenance
+    assert sorted((r.k, r.v) for r in
+                  spark.read.parquet(rdir).collect()) == before_rows
+    assert sorted((r.k, r.v) for r in
+                  read_snapshot(spark, vdir).drop("_bucket")
+                  .collect()) == snap_before
+    # a second pass appends entry m-1
+    run_maintenance(spark, compact=[rdir], log_dir=str(tmp_path))
+    assert len(read_maintenance_log(str(tmp_path))) == 2
+
+
+def test_maintain_cli_e2e(tmp_path):
+    """The module CLI runs a compaction and prints the manifest entry."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    gen = (
+        "import sys; sys.path.insert(0, %r); "
+        "from logpipe_spark.session import build_session; "
+        "from pyspark.sql import functions as F; "
+        "s = build_session(app_name='maint_gen', cpus=2); "
+        "s.range(500).select(F.col('id').alias('k')).repartition(12)"
+        ".write.parquet(%r); s.stop()"
+    ) % (str(repo), str(tmp_path / "files"))
+    subprocess.run([sys.executable, "-c", gen], check=True,
+                   capture_output=True)
+    out = subprocess.run(
+        [sys.executable, "-m", "logpipe_spark.plans.maintain",
+         "--compact", str(tmp_path / "files"),
+         "--log-dir", str(tmp_path), "--parallel", "2"],
+        capture_output=True, text=True, cwd=str(repo), check=True)
+    entry = json.loads(out.stdout.strip().splitlines()[-1])
+    assert entry["actions"][0]["op"] == "compact"
+    assert entry["actions"][0]["files_after"] < 12
+    assert (tmp_path / "_maintenance" / "m-0.json").exists()

@@ -32,7 +32,8 @@ FORBIDDEN = [
 # the same invariants in test_materialized_queries_lazy_plans below.
 MATERIALIZED = {"dedup_incremental", "read_changes", "read_changes_evo",
                 "mv_incremental", "ann_index_incr", "ann_rebalanced",
-                "postings_incremental", "bradley_terry"}
+                "postings_incremental", "bradley_terry",
+                "post_maintenance"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES.keys()))
@@ -147,10 +148,28 @@ def test_materialized_queries_lazy_plans(spark, tmp_path):
         [("a", "b")] * 2 + [("b", "c")], "winner string, loser string")
     bt_lazy = bradley_terry(bt_pairs, iters=2, materialize=False)
 
+    # post_maintenance's pre-checkpoint aggregate across maintained
+    # stores (compact + expire under one manifest entry) gets the gate
+    from logpipe_spark.plans.maintain import run_maintenance
+
+    store = str(tmp_path / "store")
+    orders.select("o_orderkey", "o_totalprice").repartition(8) \
+        .write.parquet(store)
+    run_maintenance(spark, compact=[store], expire=[tbl], keep_last=2,
+                    log_dir=str(tmp_path))
+    snap = cdc.read_snapshot(spark, tbl).drop("_bucket")
+    rv = spark.read.parquet(store).select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_totalprice").alias("tp"))
+    maint_lazy = (snap.join(rv, snap.o_orderkey == rv.k2, "left")
+                  .groupBy("o_orderstatus")
+                  .agg(F.count(F.lit(1)).alias("n")))
+
     for name, df in (("dedup_incremental", incr), ("read_changes", changes),
                      ("mv_incremental", mv1),
                      ("ann_query_index", ivf_query),
                      ("bradley_terry_lazy", bt_lazy),
+                     ("post_maintenance_lazy", maint_lazy),
                      ("read_postings", postings_query)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         for bad in FORBIDDEN:

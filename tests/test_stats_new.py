@@ -1818,3 +1818,92 @@ def test_equi_depth_rebucket_bounds_support(spark):
     assert sum(r.cb for r in out) == 2000
     ids = sorted(r.v for r in out)
     assert ids == list(range(len(ids)))
+
+
+def test_bh_fdr_hand_case(spark):
+    # p = k/20; alpha=1/10, m=10 -> reject iff k <= k* where
+    # k*5 <= cnt_le(k). Six p=.05, two p=.1, one p=.5, one p=1.0:
+    # classic BH gives i*=6 -> exactly the six k=1 tests reject.
+    from logpipe_spark.operators.drift import bh_fdr
+
+    rows = ([(f"k{i}", 0, 0.05) for i in range(6)]
+            + [("k6", 1, 0.10), ("k7", 1, 0.10),
+               ("k8", 9, 0.50), ("k9", 19, 1.00)])
+    t = spark.createDataFrame(rows, "g string, n_ge long, p_value double")
+    out = {r.g: r for r in bh_fdr(t, "g", n_perms=19,
+                                  alpha_num=1, alpha_den=10).collect()}
+    assert len(out) == 10
+    assert all(out[f"k{i}"].reject for i in range(6))
+    assert not any(out[k].reject for k in ("k6", "k7", "k8", "k9"))
+    assert out["k0"].m_tests == 10 and out["k0"].k_star == 1
+    # no k satisfies the bound -> zero rejections, NULL k_star
+    t2 = spark.createDataFrame([("a", 9, 0.5), ("b", 19, 1.0)],
+                               "g string, n_ge long, p_value double")
+    out2 = bh_fdr(t2, "g", n_perms=19).collect()
+    assert not any(r.reject for r in out2)
+    assert all(r.k_star is None for r in out2)
+
+
+def test_permutation_test_by_matches_unkeyed(spark):
+    from logpipe_spark.operators.drift import (permutation_test,
+                                               permutation_test_by)
+
+    rows = [(f"u{i}", i % 3 == 0, (i * 7) % 11) for i in range(40)]
+    df = spark.createDataFrame(rows, "u string, g boolean, y long") \
+        .withColumn("k", F.lit("only"))
+    one = permutation_test(df, "u", F.col("g"), "y").collect()[0]
+    byk = permutation_test_by(df, "k", "u", F.col("g"), "y").collect()[0]
+    assert (byk.n_a, byk.n_b, byk.diff_obs, byk.n_ge, byk.p_value) == \
+        (one.n_a, one.n_b, one.diff_obs, one.n_ge, one.p_value)
+
+
+def test_effect_size_hand_case(spark):
+    # A=[1,2,3], B=[5,7]: varp = ((14-12)+(74-72))/3 = 4/3,
+    # d = -4/sqrt(4/3), g = d*(1 - 3/11).
+    from logpipe_spark.operators.drift import effect_size
+
+    rows = [("k", 1, True), ("k", 2, True), ("k", 3, True),
+            ("k", 5, False), ("k", 7, False)]
+    df = spark.createDataFrame(rows, "g string, v long, ia boolean")
+    r = effect_size(df, "g", F.col("v"), F.col("ia")).collect()[0]
+    d = -4.0 / math.sqrt(4.0 / 3.0)
+    assert r.n_a == 3 and r.n_b == 2
+    assert r.mean_a == 2.0 and r.mean_b == 6.0
+    assert abs(r.cohens_d - d) < 1e-12
+    assert abs(r.hedges_g - d * (1.0 - 3.0 / 11.0)) < 1e-12
+    # zero-variance arms -> NULL (ANSI guard)
+    df2 = spark.createDataFrame(
+        [("k", 2, True), ("k", 2, True), ("k", 2, False), ("k", 2, False)],
+        "g string, v long, ia boolean")
+    r2 = effect_size(df2, "g", F.col("v"), F.col("ia")).collect()[0]
+    assert r2.cohens_d is None and r2.hedges_g is None
+
+
+def test_good_turing_hand_case(spark):
+    # tokens: a x3, b x2, c x2, d x1 -> N1=1, N2=2, N3=1, N=8.
+    from logpipe_spark.trainprep.textqual import good_turing
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c", "s"), (2, "c d", "s")],
+        "doc_id long, text string, source string")
+    out = {r.r: r for r in good_turing(docs).collect()}
+    assert out[1].n_types == 1 and out[1].total_tokens == 8
+    assert out[1].r_star == 4.0          # 2 * N2 / N1
+    assert out[1].p_mass == 1.0 / 8.0    # unseen-mass estimate P0
+    assert out[2].n_types == 2 and out[2].r_star == 1.5
+    assert out[3].n_types == 1 and out[3].r_star is None
+    assert out[3].p_mass == 3.0 / 8.0
+
+
+def test_zipf_slope_hand_case(spark):
+    # freqs 4,2,2,1,1,1 -> log2 points (2,0)x1 (1,1)x2 (0,2)x3:
+    # exact OLS slope = -1.0 (a perfect dyadic Zipf).
+    from logpipe_spark.trainprep.textqual import zipf_slope
+
+    text = " ".join(["a"] * 4 + ["b"] * 2 + ["c"] * 2 + ["d", "e", "f"])
+    docs = spark.createDataFrame([(1, text, "s")],
+                                 "doc_id long, text string, source string")
+    r = zipf_slope(docs).collect()[0]
+    assert r.n_types == 6
+    assert r.slope == -1.0
+    assert r.sxx == 20.0
