@@ -66,6 +66,12 @@ def main() -> None:
         .write.mode("overwrite").parquet(SRC)
     )
     pts = spark.read.parquet(SRC)
+    # Model the at-scale join regime: with a corpus-sized build side the
+    # cell join is a SHUFFLE join (every hot-cell row lands in ONE
+    # reducer task) — that is the skew the salting addresses. At demo
+    # sizes Spark would broadcast the build side, which spreads the hot
+    # cell's probe work across partitions and hides the skew entirely.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     def run(threshold, tag):
         # warm the plan shape once on a slice, then time the full input
