@@ -3623,6 +3623,51 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # t-closeness privacy audit (curate.py:t_closeness): per event-type
+    # equivalence class, the earth-mover distance between the class's
+    # value distribution and the corpus-wide one, over the range — the
+    # disclosure k-anonymity misses. Rides the ORDER-FREE W1 integer
+    # identity (wasserstein_from_counts) on a dense class x support
+    # grid with zero-filled class counts; t is a division of exact
+    # integers.
+    from logpipe_spark.trainprep.curate import t_closeness
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull()
+                 & F.col("event_type").isNotNull()))
+    return t_closeness(ev, ["event_type"], F.floor(F.col("value")))
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Split-conformal prediction radius per event type
+    # (aggregate.py:conformal_interval): calibration residuals are
+    # |cents - previous same-user cents| (lag over a deterministic
+    # (micros, event_id) order); the 90%-coverage radius is the
+    # ceil((n+1)*9/10)-th smallest residual — exact integer rank
+    # arithmetic ((a+b-1) div b, positive operands), the radius an
+    # ACTUAL residual, never interpolated. Distribution-free coverage
+    # with no model of the errors.
+    from logpipe_spark.operators.aggregate import conformal_interval
+    from pyspark.sql import Window
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                 & F.col("user_id").isNotNull()
+                 & F.col("event_type").isNotNull())
+          .select("event_id", "user_id", "event_type",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("_tsu"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5))
+                  .cast("bigint").alias("y")))
+    w = Window.partitionBy("user_id").orderBy("_tsu", "event_id")
+    lg = ev.select("event_id", "event_type", "y",
+                   F.lag("y").over(w).alias("yh")) \
+        .where(F.col("yh").isNotNull())
+    return conformal_interval(lg, "event_type", "y", "yh",
+                              alpha_num=1, alpha_den=10,
+                              tiebreak="event_id")
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Position-level exact-substring dedup coverage (trainprep/dedup.py:
     # dup_spans — the Lee et al. 2022 repeated-substring rule at word-
@@ -7552,6 +7597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effect_size": q_effect_size,
         "good_turing": q_good_turing,
         "zipf_slope": q_zipf_slope,
+        "t_closeness": q_t_closeness,
+        "conformal_interval": q_conformal_interval,
     # retained r04-green rows (lifecycle / persisted-state / flagship):
         "flagship_approx": q_flagship_approx,
         "read_changes_evo": q_read_changes_evo,
@@ -9027,6 +9074,75 @@ SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
        CAST(sum(coalesce(rev_cents, 0)) AS BIGINT) AS revenue_cents
 FROM o LEFT JOIN r ON o_orderkey = l_orderkey
 GROUP BY o_orderstatus""",
+        # dense class x support grid; W1 numerator = order-free exact
+        # int64 products (the wasserstein identity); t = W1 / range.
+        "t_closeness": """
+WITH base AS (SELECT event_type, cast(floor(value) AS bigint) AS v
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL),
+cls AS (SELECT event_type, v, cast(count(*) AS bigint) AS cc
+        FROM base GROUP BY event_type, v),
+gv AS (SELECT v, cast(count(*) AS bigint) AS cg
+         FROM base GROUP BY v),
+classes AS (SELECT DISTINCT event_type FROM cls),
+grid AS (SELECT classes.event_type, gv.v,
+                cast(coalesce(cc, 0) AS bigint) AS ca,
+                cg AS cb
+         FROM classes CROSS JOIN gv
+         LEFT JOIN cls ON cls.event_type = classes.event_type
+                      AND cls.v = gv.v),
+t AS (SELECT event_type, cast(sum(ca) AS bigint) AS n_a,
+             cast(sum(cb) AS bigint) AS n_b
+      FROM grid GROUP BY event_type),
+c AS (SELECT event_type, v, ca, cb,
+             cast(sum(ca) OVER (PARTITION BY event_type ORDER BY v)
+                  AS bigint) AS cuma,
+             cast(sum(cb) OVER (PARTITION BY event_type ORDER BY v)
+                  AS bigint) AS cumb,
+             lead(v) OVER (PARTITION BY event_type ORDER BY v) - v
+               AS gap
+      FROM grid),
+w AS (SELECT c.event_type, n_a, n_b,
+             cast(cast(sum(gap * abs(cuma * n_b - cumb * n_a))
+                       AS bigint) AS double)
+               / (cast(n_a AS double) * cast(n_b AS double)) AS w1
+      FROM c JOIN t USING (event_type)
+      WHERE gap IS NOT NULL AND n_a >= 1 AND n_b >= 1
+      GROUP BY c.event_type, n_a, n_b),
+rng AS (SELECT cast(max(v) - min(v) AS bigint) AS value_range
+        FROM gv)
+SELECT event_type, n_a AS class_size, n_b AS n_total, w1,
+       value_range,
+       CASE WHEN value_range > 0
+            THEN w1 / cast(value_range AS double) END AS t
+FROM w, rng""",
+        # exact integer rank selection: radius is an ACTUAL residual at
+        # rank ceil((n+1)*9/10) = ((n+1)*9 + 9) // 10 (positive ints,
+        # // == div).
+        "conformal_interval": """
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu,
+                   cast(floor(value * 100 + 0.5) AS bigint) AS y
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+              AND user_id IS NOT NULL AND event_type IS NOT NULL),
+lg AS (SELECT event_id, event_type, y,
+              lag(y) OVER (PARTITION BY user_id
+                           ORDER BY tsu, event_id) AS yh
+       FROM ev),
+d AS (SELECT event_type, abs(y - yh) AS r, event_id
+      FROM lg WHERE yh IS NOT NULL),
+rk AS (SELECT event_type, r,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY r, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+       FROM d),
+tg AS (SELECT event_type, r, rn, n,
+              ((n + 1) * 9 + 9) // 10 AS tgt
+       FROM rk)
+SELECT event_type, cast(max(n) AS bigint) AS n_cal,
+       cast(max(tgt) AS bigint) AS target_rank,
+       cast(max(CASE WHEN rn = tgt THEN r END) AS bigint) AS radius
+FROM tg GROUP BY event_type""",
         # Q21 shape: EXISTS -> semi, NOT EXISTS -> anti, top-100 with a
         # total order so LIMIT is deterministic
         "blame_suppliers": """

@@ -305,6 +305,8 @@ HEADLINE = [
     "effect_size",
     "good_turing",
     "zipf_slope",
+    "t_closeness",
+    "conformal_interval",
 ]
 # ann_bits_sweep joins automatically via the ann_* tag rule
 # dedup_precision joins automatically via the dedup_* tag rule

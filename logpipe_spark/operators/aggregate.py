@@ -2641,3 +2641,63 @@ def mcc_eval(df: DataFrame, pred, actual) -> DataFrame:
     return s.select(
         "tp", "fp", "fn", "tn",
         F.when(den > 0.0, (tp * tn - fp * fn) / den).alias("mcc"))
+
+
+def conformal_interval(
+    df: DataFrame,
+    key: str,
+    y_col: str,
+    yhat_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Split-conformal prediction radius per key (Vovk et al. 2005;
+    Lei et al., JASA 2018): over a calibration set of integer
+    (y, yhat) pairs, the radius q = the ceil((n+1)(1−α))-th smallest
+    absolute residual gives the DISTRIBUTION-FREE guarantee
+    P(|y_new − yhat_new| ≤ q) ≥ 1 − α — the uncertainty band an ML
+    gate can attach to any point predictor without a model of the
+    errors. α = alpha_num/alpha_den stays rational so the target rank
+
+        r* = ceil((n+1)·(alpha_den − alpha_num) / alpha_den)
+
+    is EXACT integer arithmetic ((a + b − 1) div b on positive
+    operands — Spark div == DuckDB //). The radius is an ACTUAL sample
+    residual (the percentiles_disc discipline: rank selection, no
+    interpolation), so it is bit-identical cross-engine. Keys where
+    r* > n (calibration set too small for the coverage level — e.g.
+    n < alpha_den/alpha_num − 1) emit a NULL radius: the honest
+    "cannot certify this coverage" answer, never an extrapolated one.
+
+    One per-key rank window over integer |residuals| (group-parallel;
+    ``tiebreak`` makes the order total when residuals tie). Returns
+    ``(key, n_cal, target_rank, radius)``.
+    """
+    from pyspark.sql import Window
+
+    r = (F.col(y_col).cast("bigint") - F.col(yhat_col).cast("bigint"))
+    d = (df.where(F.col(key).isNotNull() & F.col(y_col).isNotNull()
+                  & F.col(yhat_col).isNotNull())
+         .select(F.col(key), F.abs(r).alias("_r"),
+                 *([F.col(tiebreak).alias("_tb")] if tiebreak else [])))
+    order = [F.col("_r").asc()]
+    if tiebreak:
+        order.append(F.col("_tb").asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    wn = Window.partitionBy(key)
+    ranked = d.select(key, "_r",
+                      F.row_number().over(w).alias("_rn"),
+                      F.count(F.lit(1)).over(wn).alias("_n"))
+    num = ((F.col("_n") + 1) * F.lit(int(alpha_den - alpha_num))
+           + F.lit(int(alpha_den) - 1))
+    ranked = (ranked.withColumn("_num", num.cast("bigint"))
+              .withColumn("_tgt",
+                          F.expr(f"_num div {int(alpha_den)}")
+                          .cast("bigint")))
+    return (ranked.groupBy(key)
+            .agg(F.max("_n").cast("bigint").alias("n_cal"),
+                 F.max("_tgt").cast("bigint").alias("target_rank"),
+                 F.max(F.when(F.col("_rn") == F.col("_tgt"),
+                              F.col("_r"))).cast("bigint")
+                 .alias("radius")))

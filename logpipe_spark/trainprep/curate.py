@@ -911,3 +911,68 @@ def class_weights(df: DataFrame, label_col: str) -> DataFrame:
                     (F.col("_tot").cast("double")
                      / (F.col("_k").cast("double")
                         * F.col("n").cast("double"))).alias("weight")))
+
+
+def t_closeness(df: DataFrame, quasi_cols: list[str], value,
+                bucket_width: int = 1024, min_n: int = 1) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007): per
+    quasi-identifier equivalence class, the earth-mover distance between
+    the class's SENSITIVE-value distribution and the corpus-wide one,
+    normalized by the attribute range — the disclosure measure
+    k-anonymity and l-diversity miss (a k-anonymous, l-diverse class
+    whose salary distribution sits far from the population's still
+    leaks). Completes the privacy triple with :func:`k_anonymity`
+    (class size + distinct-l via ``sensitive_col``).
+
+    Reuses the drift module's ORDER-FREE W1 integer identity
+    (``wasserstein_from_counts``): the class-vs-global count frame is
+    the (key, v, ca, cb) state with ca = class counts and cb = GLOBAL
+    counts replicated per class, so the numerator is a sum of exact
+    int64 products — no fold, no bounded-support fragility — and
+    t = W1 / (v_max - v_min) is a division of exact integers.
+
+    Scale note: the dense fan-out is classes x support rows (every
+    class must see every global support point — between its own points
+    the class CDF is constant but the global CDF is not). Bucket the
+    sensitive value (the ks/hellinger discipline) so support is
+    bounded; audit cost is then classes x B, not corpus-sized.
+
+    Returns ``(quasi_cols..., class_size, n_total, w1, value_range,
+    t)`` — t in [0, 1], NULL for a single-point global support.
+    """
+    from logpipe_spark.operators.drift import wasserstein_from_counts
+
+    vi = value.cast("bigint")
+    base = df.where(vi.isNotNull()).select(*quasi_cols, vi.alias("_v"))
+    qkey = F.concat_ws(
+        "\\u0001", *[F.coalesce(F.col(c).cast("string"), F.lit("\\u0000"))
+                     for c in quasi_cols])
+    rows = base.select(qkey.alias("_q"), *quasi_cols, "_v")
+    cls = (rows.groupBy("_q", *quasi_cols, "_v")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("_cc")))
+    glob = (rows.groupBy("_v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_cg")))
+    classes = cls.select("_q", *quasi_cols).distinct()
+    # dense class x support grid, class counts zero-filled
+    grid = (classes.crossJoin(F.broadcast(glob.select("_v", "_cg")))
+            .join(cls.select("_q", F.col("_v"), "_cc"), ["_q", "_v"],
+                  "left")
+            .select("_q", *quasi_cols, F.col("_v").alias("v"),
+                    F.coalesce(F.col("_cc"), F.lit(0)).cast("bigint")
+                    .alias("ca"),
+                    F.col("_cg").alias("cb")))
+    w1 = wasserstein_from_counts(
+        grid.select("_q", "v", "ca", "cb"), "_q",
+        bucket_width=bucket_width, min_n=min_n)
+    rng = glob.agg((F.max("_v") - F.min("_v")).cast("bigint")
+                   .alias("_range"))
+    out = w1.join(classes, "_q").crossJoin(F.broadcast(rng))
+    return out.select(
+        *quasi_cols,
+        F.col("n_a").alias("class_size"),
+        F.col("n_b").alias("n_total"),
+        F.col("wasserstein").alias("w1"),
+        F.col("_range").alias("value_range"),
+        F.when(F.col("_range") > 0,
+               F.col("wasserstein") / F.col("_range").cast("double"))
+        .alias("t"))

@@ -1907,3 +1907,36 @@ def test_zipf_slope_hand_case(spark):
     assert r.n_types == 6
     assert r.slope == -1.0
     assert r.sxx == 20.0
+
+
+def test_t_closeness_hand_case(spark):
+    # A = [0,0,10], B = [10,10,0]; global {0:3, 10:3}, range 10.
+    # W1(A, global) = 10*|2*6 - 3*3| / (3*6) = 5/3 -> t = 1/6 (both).
+    from logpipe_spark.trainprep.curate import t_closeness
+
+    rows = [("A", 0), ("A", 0), ("A", 10),
+            ("B", 10), ("B", 10), ("B", 0)]
+    df = spark.createDataFrame(rows, "cls string, v long")
+    out = {r.cls: r for r in t_closeness(df, ["cls"],
+                                         F.col("v")).collect()}
+    for c in ("A", "B"):
+        assert out[c].class_size == 3 and out[c].n_total == 6
+        assert out[c].value_range == 10
+        assert abs(out[c].w1 - 5.0 / 3.0) < 1e-12
+        assert abs(out[c].t - 1.0 / 6.0) < 1e-12
+
+
+def test_conformal_interval_hand_case(spark):
+    # residuals 1..10 -> target rank ceil(11*0.9) = 10 -> radius 10;
+    # n=5 cannot certify 90% (target 6 > 5) -> NULL radius.
+    from logpipe_spark.operators.aggregate import conformal_interval
+
+    rows = [("k", 100 + i, 100) for i in range(1, 11)] + \
+           [("s", 200 + i, 200) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "g string, y long, yh long")
+    out = {r.g: r for r in conformal_interval(
+        df, "g", "y", "yh", alpha_num=1, alpha_den=10).collect()}
+    assert out["k"].n_cal == 10 and out["k"].target_rank == 10
+    assert out["k"].radius == 10
+    assert out["s"].n_cal == 5 and out["s"].target_rank == 6
+    assert out["s"].radius is None
