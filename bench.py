@@ -365,17 +365,25 @@ def main() -> None:
     # these are the recorded measurements — full methodology in BENCH.md.
     scaling = {
         "efficiency_2_to_8_cores": 0.886,
-        "efficiency_note": "round-4 close: 8M-turn interleaved matched "
-                           "rounds 0.858/0.886/0.863 on a quiet box (per-"
-                           "trial loadavg recorded) — the tightest series "
-                           "of any round. 4M-turn trials read 0.66-0.67 "
-                           "because the 17s local[8] walls are fixed-"
-                           "overhead-dominated (see BENCH.md); history "
-                           "0.984/0.852/0.839/0.833 across rounds 1-4.",
+        "efficiency_note": "thread-mode matched series: r4-close "
+                           "0.858/0.886/0.863 quiet-box, 0.946 best "
+                           "r4 session-5 round; history 0.984/0.852/"
+                           "0.839/0.833 across rounds 1-4. NEW round 5: "
+                           "multi-JVM local-cluster[2,2]->[8,2] series "
+                           "(real serialized exchanges, per-executor "
+                           "heaps) lands 0.75-0.79 clean at 8M turns "
+                           "(best 0.944 at 16M, noisy lo-leg) — the "
+                           "gap is per-stage fixed executor overhead "
+                           "(netty shuffle, per-executor python "
+                           "workers, shared-box GC); see BENCH.md "
+                           "round-5 section for the full analysis.",
         "turns_per_sec_local2": 89888,
         "turns_per_sec_local8": 317965,
         "peak_turns_per_sec_local32": 532769,
-        "source": "bench/scaling.py @ 8M synth turns; see BENCH.md",
+        "local_cluster_2x2_turns_per_sec": 149477,
+        "local_cluster_8x2_turns_per_sec": 420389,
+        "source": "bench/scaling.py @ 8M synth turns (+ --mode "
+                  "local-cluster); see BENCH.md",
     }
     # Two artifacts (round-2 judge item: BENCH_r02.json arrived truncated —
     # the full 150-query map made the stdout line too long for the driver's
