@@ -3668,6 +3668,39 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                               tiebreak="event_id")
 
 
+def q_conformal_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The counts-monoid conformal radius (aggregate.py:
+    # conformal_from_counts): collapse residuals to (key, |r|) COUNTS
+    # — a lossless sufficient statistic for every rank, mergeable
+    # across partitions/days/epochs — then select
+    # min{r : cum(r) >= target} via the two-level bucketed prefix
+    # scan. No per-row rank window at all; shares q_conformal_interval's
+    # oracle VERBATIM (merge==scan proof), and is what the streaming
+    # twin (stream_conformal_monitor/read_conformal) reads out.
+    from logpipe_spark.operators.aggregate import conformal_from_counts
+    from pyspark.sql import Window
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                 & F.col("user_id").isNotNull()
+                 & F.col("event_type").isNotNull())
+          .select("event_id", "user_id", "event_type",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("_tsu"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5))
+                  .cast("bigint").alias("y")))
+    w = Window.partitionBy("user_id").orderBy("_tsu", "event_id")
+    per_r = (ev.select("event_type",
+                       F.lag("y").over(w).alias("yh"), "y")
+             .where(F.col("yh").isNotNull())
+             .select("event_type",
+                     F.abs(F.col("y") - F.col("yh")).alias("r"))
+             .groupBy("event_type", "r")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    return conformal_from_counts(per_r, "event_type",
+                                 alpha_num=1, alpha_den=10)
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Position-level exact-substring dedup coverage (trainprep/dedup.py:
     # dup_spans — the Lee et al. 2022 repeated-substring rule at word-
@@ -7599,6 +7632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": q_zipf_slope,
         "t_closeness": q_t_closeness,
         "conformal_interval": q_conformal_interval,
+        "conformal_merged": q_conformal_merged,
     # retained r04-green rows (lifecycle / persisted-state / flagship):
         "flagship_approx": q_flagship_approx,
         "read_changes_evo": q_read_changes_evo,
@@ -12796,6 +12830,10 @@ def _add_segmented_aliases(oracles: dict[str, str]) -> dict[str, str]:
     # [boundary signs match] — the shared full-stream oracle verbatim
     # IS the monoid merge==scan proof
     oracles["runs_merged"] = oracles["runs_test"]
+    # counts-monoid conformal radius must equal the per-row rank
+    # selection: residual counts are a lossless sufficient statistic
+    # for every rank — the shared oracle verbatim IS the proof
+    oracles["conformal_merged"] = oracles["conformal_interval"]
     # incremental (index-probe) dedup of the second half must equal the
     # whole-corpus batch pairs: the batch SQL verbatim IS the proof
     oracles["dedup_incremental"] = oracles["dedup_minhash"]

@@ -307,6 +307,7 @@ HEADLINE = [
     "zipf_slope",
     "t_closeness",
     "conformal_interval",
+    "conformal_merged",
 ]
 # ann_bits_sweep joins automatically via the ann_* tag rule
 # dedup_precision joins automatically via the dedup_* tag rule

@@ -2701,3 +2701,48 @@ def conformal_interval(
                  F.max(F.when(F.col("_rn") == F.col("_tgt"),
                               F.col("_r"))).cast("bigint")
                  .alias("radius")))
+
+
+def conformal_from_counts(
+    per_r: DataFrame,
+    key: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """:func:`conformal_interval` from a pre-aggregated
+    ``(key, r, c)`` |residual|-count frame — the MONOID form: counts
+    sum across partitions / days / epochs (a lossless sufficient
+    statistic for every rank), so the radius of an accumulated stream
+    is computable from per-epoch partials without re-reading rows, and
+    at corpus scale the per-row rank window disappears entirely: the
+    cumulative counts ride the two-level :func:`~logpipe_spark.
+    operators.drift.bucketed_cumsum` prefix scan and the radius is
+
+        min{ r : cum_c(r) >= ceil((n+1)(1-alpha)) }
+
+    — the same ACTUAL-residual selection, exact integer arithmetic
+    throughout. NULL radius when target > n (cannot certify).
+
+    Returns ``(key, n_cal, target_rank, radius)`` — identical contract
+    to the row form (shared oracle = merge==scan proof).
+    """
+    from logpipe_spark.operators.drift import bucketed_cumsum
+
+    cums = bucketed_cumsum(per_r, key, ["c"], value_col="r",
+                           bucket_width=bucket_width)
+    totals = per_r.groupBy(key).agg(
+        F.sum("c").cast("bigint").alias("_n"))
+    num = ((F.col("_n") + 1) * F.lit(int(alpha_den - alpha_num))
+           + F.lit(int(alpha_den) - 1))
+    totals = (totals.withColumn("_num", num.cast("bigint"))
+              .withColumn("_tgt",
+                          F.expr(f"_num div {int(alpha_den)}")
+                          .cast("bigint")))
+    j = cums.join(F.broadcast(totals), key)
+    return (j.groupBy(key)
+            .agg(F.max("_n").cast("bigint").alias("n_cal"),
+                 F.max("_tgt").cast("bigint").alias("target_rank"),
+                 F.min(F.when(F.col("cum_c") >= F.col("_tgt"),
+                              F.col("r"))).cast("bigint")
+                 .alias("radius")))

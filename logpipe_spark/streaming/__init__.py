@@ -50,6 +50,8 @@ from logpipe_spark.streaming.stream import (  # noqa: F401
     read_freshness,
     stream_growth_accounting,
     read_growth_accounting,
+    stream_conformal_monitor,
+    read_conformal,
     read_slo_burn,
     run_stream_once,
     stream_route_fanout,

@@ -1510,3 +1510,59 @@ def read_growth_accounting(spark: SparkSession, state_dir: str) -> DataFrame:
 
     pairs = spark.read.parquet(state_dir).select("conv_id", "week")
     return growth_accounting(pairs, "conv_id", "week")
+
+
+def stream_conformal_monitor(spark: SparkSession, src: str,
+                             state_dir: str, checkpoint_dir: str,
+                             key_col: str = "g", y_col: str = "y",
+                             yhat_col: str = "yh",
+                             max_files_per_trigger: int | None = None):
+    """Streaming conformal-calibration monitor: the source carries
+    logged (key, outcome, prediction) rows; each micro-batch writes its
+    per-(key, |residual|) COUNTS — a lossless sufficient statistic for
+    every rank, hence for the split-conformal radius — to an
+    epoch-keyed directory. :func:`read_conformal` merges all epochs and
+    selects the radius with ``conformal_from_counts``, so the coverage
+    band of the ACCUMULATED stream is always readable without
+    re-scanning rows (the drift-monitor pattern applied to
+    uncertainty).
+
+    Exactly-once by construction: ``mode("overwrite")`` into
+    ``{state_dir}/epoch=<id>`` makes a replayed epoch idempotent.
+    """
+    stream = (spark.readStream
+              .schema(f"{key_col} string, {y_col} long, {yhat_col} long")
+              .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
+              .parquet(src))
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        counts = (
+            df.where(F.col(key_col).isNotNull()
+                     & F.col(y_col).isNotNull()
+                     & F.col(yhat_col).isNotNull())
+            .select(F.col(key_col).alias("g"),
+                    F.abs(F.col(y_col).cast("bigint")
+                          - F.col(yhat_col).cast("bigint")).alias("r"))
+            .groupBy("g", "r")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        (counts.coalesce(EPOCH_WRITE_PARTITIONS).write.mode("overwrite")
+         .parquet(f"{state_dir}/epoch={epoch_id}"))
+
+    return (stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir))
+
+
+def read_conformal(spark: SparkSession, state_dir: str,
+                   alpha_num: int = 1, alpha_den: int = 10) -> DataFrame:
+    """Fold all epochs' residual counts and select the radius —
+    counts are a monoid (plain sums), so the readout equals the batch
+    :func:`~logpipe_spark.operators.aggregate.conformal_interval` of
+    the whole accumulated stream exactly (asserted at two pacings)."""
+    from logpipe_spark.operators.aggregate import conformal_from_counts
+
+    per_r = (spark.read.parquet(state_dir)
+             .groupBy("g", "r")
+             .agg(F.sum("c").cast("bigint").alias("c")))
+    return conformal_from_counts(per_r, "g", alpha_num=alpha_num,
+                                 alpha_den=alpha_den)

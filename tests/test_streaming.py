@@ -1003,3 +1003,50 @@ def test_stream_postings_epoch_writes_in_parallel(spark, tmp_path):
            for r in read_stream_postings(spark, state,
                                          max_postings=4).collect()}
     assert got == want
+
+
+def test_stream_conformal_equals_batch(spark, tmp_path):
+    """Residual counts are a lossless sufficient statistic for every
+    rank: the accumulated-stream conformal readout must equal the
+    batch conformal_interval of the full corpus, at two pacings."""
+    from logpipe_spark.operators.aggregate import conformal_interval
+    from logpipe_spark.streaming.stream import (read_conformal,
+                                                run_stream_once,
+                                                stream_conformal_monitor)
+
+    rows = [("k%d" % (i % 3), 100 + (i * 7) % 50, 100 + (i * 11) % 40)
+            for i in range(90)]
+    src = str(tmp_path / "conf_src")
+    for lo in range(3):   # 3 files -> paced run sees 3 epochs
+        spark.createDataFrame(
+            [r for j, r in enumerate(rows) if j % 3 == lo],
+            "g string, y long, yh long",
+        ).coalesce(1).write.mode("append").parquet(src)
+    full = spark.createDataFrame(rows, "g string, y long, yh long")
+    want = {(r.g, r.n_cal, r.target_rank, r.radius)
+            for r in conformal_interval(full, "g", "y", "yh",
+                                        tiebreak="y").collect()}
+
+    for mft, tag in ((1, "paced"), (None, "oneshot")):
+        state = str(tmp_path / f"cstate_{tag}")
+        writer = stream_conformal_monitor(
+            spark, src, state, str(tmp_path / f"cck_{tag}"),
+            max_files_per_trigger=mft)
+        run_stream_once(writer)
+        got = {(r.g, r.n_cal, r.target_rank, r.radius)
+               for r in read_conformal(spark, state).collect()}
+        assert got == want, tag
+
+
+def test_conformal_from_counts_equals_rows(spark):
+    from logpipe_spark.operators.aggregate import (conformal_from_counts,
+                                                   conformal_interval)
+
+    rows = [("k", 100 + i % 17, 100) for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, y long, yh long")
+    a = conformal_interval(df, "g", "y", "yh", tiebreak="y").collect()[0]
+    per_r = (df.selectExpr("g", "abs(y - yh) AS r")
+             .groupBy("g", "r").agg(F.count(F.lit(1)).alias("c")))
+    b = conformal_from_counts(per_r, "g").collect()[0]
+    assert (a.n_cal, a.target_rank, a.radius) == \
+        (b.n_cal, b.target_rank, b.radius)
