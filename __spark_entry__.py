@@ -3701,6 +3701,37 @@ def q_conformal_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  alpha_num=1, alpha_den=10)
 
 
+def q_heaps_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Heaps-law exponent per source (textqual.py:heaps_slope): OLS of
+    # floor(log2 vocab) on floor(log2 tokens) over the 10-point ingest-
+    # prefix curve — vocab_growth reduced to one comparable scalar via
+    # the zipf_slope log-free discipline (length(bin)-1 floors, integer
+    # sufficient stats).
+    from logpipe_spark.trainprep.textqual import heaps_slope
+    return heaps_slope(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Delete-one-group jackknife SE for mean cents per event type
+    # (aggregate.py:jackknife_ratio), groups = day-of-month (bounded at
+    # 31 — the fold guard's contract): the empirical variance answer
+    # ratio_metric_ci's delta method approximates analytically, with
+    # independence assumed only ACROSS days. Pseudo-value sums fold in
+    # day order (== DuckDB list_reduce, the ewma lesson).
+    from logpipe_spark.operators.aggregate import jackknife_ratio
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                 & F.col("event_type").isNotNull())
+          .select("event_type",
+                  F.dayofmonth(F.col("ts").cast("timestamp"))
+                  .alias("grp"),
+                  F.floor(F.col("value") * 100 + F.lit(0.5))
+                  .cast("bigint").alias("cents"),
+                  F.lit(1).cast("bigint").alias("one")))
+    return jackknife_ratio(ev, "event_type", "grp", "cents", "one")
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Position-level exact-substring dedup coverage (trainprep/dedup.py:
     # dup_spans — the Lee et al. 2022 repeated-substring rule at word-
@@ -7633,6 +7664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "conformal_interval": q_conformal_interval,
         "conformal_merged": q_conformal_merged,
+        "heaps_slope": q_heaps_slope,
+        "jackknife_ratio": q_jackknife_ratio,
     # retained r04-green rows (lifecycle / persisted-state / flagship):
         "flagship_approx": q_flagship_approx,
         "read_changes_evo": q_read_changes_evo,
@@ -12725,6 +12758,97 @@ SELECT source, cast(k AS double) / 10.0 AS frac,
        cast(thr AS bigint) AS n_docs,
        cast(sum(CASE WHEN fr <= thr THEN 1 ELSE 0 END) AS bigint) AS vocab
 FROM j GROUP BY source, k, thr""",
+        # vocab_growth's prefix machinery + a token prefix, reduced to
+        # the log-free integer OLS (length(bin)-1 floors).
+        "heaps_slope": """
+WITH d AS (SELECT source, text, doc_id FROM documents
+           WHERE source IS NOT NULL AND text IS NOT NULL),
+ranked AS (SELECT source, text,
+                  cast(row_number() OVER (PARTITION BY source
+                                          ORDER BY doc_id) AS bigint) AS r
+           FROM d),
+rt AS (SELECT source, r,
+              cast(len(string_split(text, ' ')) AS bigint) AS nt
+       FROM ranked),
+tot AS (SELECT source, cast(max(r) AS bigint) AS n
+        FROM ranked GROUP BY source),
+grid AS (SELECT cast(k AS bigint) AS k FROM range(1, 11) t(k)),
+toks AS (SELECT rt.source, grid.k,
+                cast(sum(CASE WHEN rt.r <= (grid.k * tot.n + 9) // 10
+                              THEN nt ELSE 0 END) AS bigint) AS nn
+         FROM rt JOIN tot ON rt.source = tot.source CROSS JOIN grid
+         GROUP BY rt.source, grid.k),
+first AS (SELECT source, term, cast(min(r) AS bigint) AS fr FROM (
+            SELECT source, r, unnest(string_split(text, ' ')) AS term
+            FROM ranked)
+          GROUP BY source, term),
+voc AS (SELECT f.source, grid.k,
+               cast(sum(CASE WHEN fr <= (grid.k * tot.n + 9) // 10
+                             THEN 1 ELSE 0 END) AS bigint) AS v
+        FROM first f JOIN tot ON f.source = tot.source CROSS JOIN grid
+        GROUP BY f.source, grid.k),
+pts AS (SELECT toks.source,
+               cast(length(bin(nn)) - 1 AS bigint) AS x,
+               cast(length(bin(v)) - 1 AS bigint) AS y
+        FROM toks JOIN voc ON toks.source = voc.source
+                          AND toks.k = voc.k
+        WHERE nn > 0 AND v > 0),
+s AS (SELECT source, cast(count(*) AS bigint) AS n_points,
+             cast(sum(x) AS bigint) AS sx,
+             cast(sum(y) AS bigint) AS sy,
+             cast(sum(x * x) AS bigint) AS sxx,
+             cast(sum(x * y) AS bigint) AS sxy
+      FROM pts GROUP BY source)
+SELECT source, n_points,
+       CASE WHEN cast(n_points AS double) * cast(sxx AS double)
+                 - cast(sx AS double) * cast(sx AS double) > 0.0
+            THEN (cast(n_points AS double) * cast(sxy AS double)
+                  - cast(sy AS double) * cast(sx AS double))
+                 / (cast(n_points AS double) * cast(sxx AS double)
+                    - cast(sx AS double) * cast(sx AS double))
+       END AS beta
+FROM s""",
+        # exact int64 group sums; pseudo-value folds in day order
+        # (list_reduce == Spark sorted-struct aggregate()); var formed
+        # ((G-1)/G)*(s2 - s1*s1/G) in the engine's order.
+        "jackknife_ratio": """
+WITH ev AS (SELECT event_type, day(ts) AS g,
+                   cast(floor(value * 100 + 0.5) AS bigint) AS x
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+              AND event_type IS NOT NULL),
+s AS (SELECT event_type, g, cast(sum(x) AS bigint) AS x,
+             cast(count(*) AS bigint) AS y
+      FROM ev GROUP BY event_type, g),
+tot AS (SELECT event_type, cast(sum(x) AS bigint) AS sx,
+               cast(sum(y) AS bigint) AS sy,
+               cast(count(*) AS bigint) AS ng
+        FROM s GROUP BY event_type),
+r AS (SELECT s.event_type, s.g, sx, sy, ng,
+             CASE WHEN sy - y > 0
+                  THEN cast(sx - x AS double) / cast(sy - y AS double)
+             END AS rg
+      FROM s JOIN tot ON s.event_type = tot.event_type),
+f AS (SELECT event_type, ng, sx, sy,
+             cast(sum(CASE WHEN rg IS NULL THEN 1 ELSE 0 END)
+                  AS bigint) AS bad,
+             list_reduce(list_prepend(cast(0.0 AS double),
+                                      list(rg ORDER BY g)),
+                         (a, x) -> a + x) AS s1,
+             list_reduce(list_prepend(cast(0.0 AS double),
+                                      list(rg * rg ORDER BY g)),
+                         (a, x) -> a + x) AS s2
+      FROM r GROUP BY event_type, ng, sx, sy)
+SELECT event_type, ng AS n_groups,
+       CASE WHEN sy > 0
+            THEN cast(sx AS double) / cast(sy AS double) END AS ratio,
+       CASE WHEN bad = 0
+             AND (cast(ng AS double) - 1.0) / cast(ng AS double)
+                 * (s2 - s1 * s1 / cast(ng AS double)) > 0.0
+            THEN sqrt((cast(ng AS double) - 1.0) / cast(ng AS double)
+                      * (s2 - s1 * s1 / cast(ng AS double)))
+       END AS se_jack
+FROM f""",
         "contrastive_triples": f"""
 WITH ann AS ({_ann_oracle(k=10, bucketed=False, bits=6)}),
 t AS (SELECT a.query_id, cast(q.label AS int) AS true_label,

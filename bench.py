@@ -308,6 +308,8 @@ HEADLINE = [
     "t_closeness",
     "conformal_interval",
     "conformal_merged",
+    "heaps_slope",
+    "jackknife_ratio",
 ]
 # ann_bits_sweep joins automatically via the ann_* tag rule
 # dedup_precision joins automatically via the dedup_* tag rule

@@ -2746,3 +2746,87 @@ def conformal_from_counts(
                  F.min(F.when(F.col("cum_c") >= F.col("_tgt"),
                               F.col("r"))).cast("bigint")
                  .alias("radius")))
+
+
+def jackknife_ratio(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    num_col,
+    den_col,
+    max_groups: int = 1024,
+) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error for a ratio of sums
+    (Quenouille/Tukey; the delete-a-group variant experimentation
+    platforms use for clustered exposure): per key, pseudo-values
+    r_g = (ΣN − N_g)/(ΣD − D_g) over the leave-one-out groups, and
+
+        SE² = (G−1)/G · Σ (r_g − r̄)²
+
+    — the variance answer :func:`ratio_metric_ci`'s delta method
+    approximates analytically, computed empirically and without any
+    independence-across-rows assumption (only across GROUPS, e.g.
+    days or shards).
+
+    Group sums are exact int64 (one combinable shuffle; the group
+    frame is key × groups). Pseudo-values are doubles, so Σr_g is
+    ORDER-DEPENDENT — folded left-to-right over the group order
+    (sorted collect_list, == DuckDB ``list_reduce`` with a 0.0 seed),
+    which requires BOUNDED groups: ``max_groups`` raises loudly
+    (ANSI-style) when exceeded, the EDF-fold guard discipline. Keys
+    with a degenerate leave-one-out denominator emit NULL se.
+
+    Returns ``(key, n_groups, ratio, se_jack)``.
+    """
+    s = (df.where(F.col(key).isNotNull() & F.col(group_col).isNotNull()
+                  & F.col(num_col).isNotNull()
+                  & F.col(den_col).isNotNull())
+         .groupBy(key, F.col(group_col).alias("_g"))
+         .agg(F.sum(F.col(num_col).cast("bigint")).cast("bigint")
+              .alias("_x"),
+              F.sum(F.col(den_col).cast("bigint")).cast("bigint")
+              .alias("_y")))
+    tot = s.groupBy(key).agg(
+        F.sum("_x").cast("bigint").alias("_sx"),
+        F.sum("_y").cast("bigint").alias("_sy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"))
+    j = s.join(F.broadcast(tot), key)
+    loo_den = F.col("_sy") - F.col("_y")
+    r_g = F.when(
+        F.col("n_groups") <= F.lit(int(max_groups)),
+        F.when(loo_den > 0,
+               (F.col("_sx") - F.col("_x")).cast("double")
+               / loo_den.cast("double"))
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("jackknife_ratio: group count ("),
+        F.col("n_groups").cast("string"),
+        F.lit(f") exceeds max_groups={max_groups}; the pseudo-value "
+              "fold requires bounded groups — coarsen group_col"))))
+    folded = (j.select(key, "n_groups", "_sx", "_sy",
+                       F.col("_g").alias("_go"), r_g.alias("_r"))
+              .groupBy(key, "n_groups", "_sx", "_sy")
+              .agg(
+                  F.min(F.col("_r").isNull().cast("int")).alias("_ok"),
+                  F.sum(F.col("_r").isNull().cast("int")).alias("_bad"),
+                  F.aggregate(
+                      F.transform(
+                          F.sort_array(F.collect_list(
+                              F.struct("_go", "_r"))),
+                          lambda x: x["_r"]),
+                      F.lit(0.0), lambda a, x: a + x).alias("_s1"),
+                  F.aggregate(
+                      F.transform(
+                          F.sort_array(F.collect_list(
+                              F.struct("_go", "_r"))),
+                          lambda x: x["_r"] * x["_r"]),
+                      F.lit(0.0), lambda a, x: a + x).alias("_s2")))
+    n = F.col("n_groups").cast("double")
+    var = ((n - F.lit(1.0)) / n
+           * (F.col("_s2") - F.col("_s1") * F.col("_s1") / n))
+    return folded.select(
+        key, "n_groups",
+        F.when(F.col("_sy") > 0,
+               F.col("_sx").cast("double")
+               / F.col("_sy").cast("double")).alias("ratio"),
+        F.when((F.col("_bad") == 0) & (var > 0.0),
+               F.sqrt(var)).alias("se_jack"))

@@ -1108,3 +1108,85 @@ def zipf_slope(docs: DataFrame, key: str = "source",
                 * F.col("_sx").cast("double")) / den)
         .alias("slope"),
         den.alias("sxx"))
+
+
+def heaps_slope(docs: DataFrame, key: str = "source",
+                text_col: str = "text", id_col: str = "doc_id",
+                grid: int = 10) -> DataFrame:
+    """Heaps-law exponent per ``key`` WITHOUT logarithms: V ≈ K·N^β
+    (vocabulary size vs tokens processed; Heaps 1978) estimated as the
+    OLS slope of floor(log2 V) on floor(log2 N) over a ``grid``-point
+    ingest-prefix curve — the scalar that says whether a source's
+    vocabulary is still growing (β ≈ 0.5-0.8 for natural text) or
+    saturating into template spam (β → 0). The curve itself is
+    :func:`vocab_growth`'s (exact-integer prefix vocab via
+    first-occurrence ranks); this reduces it to one comparable number
+    using the :func:`zipf_slope` discipline (``length(bin(x)) − 1``
+    exact log2 floors, integer OLS sufficient stats — ln()'s 1-ulp
+    divergence never enters).
+
+    Scale shape: one (key, term) first-occurrence min collapse, one
+    per-doc token count, a broadcast ``grid``-row fan-out, then
+    key-cardinality OLS. The per-key doc ranking window is
+    group-parallel (the vocab_growth shape).
+
+    Returns ``(key, n_points, beta)`` — beta NULL when the log2 token
+    prefix is degenerate (all grid points in one dyadic bucket).
+    """
+    from pyspark.sql import Window
+
+    d = docs.where(F.col(text_col).isNotNull() & F.col(key).isNotNull())
+    w = Window.partitionBy(key).orderBy(id_col)
+    ranked = d.select(
+        key, F.col(text_col).alias("_txt"),
+        F.row_number().over(w).cast("bigint").alias("_r"))
+    ranked = ranked.select(
+        key, "_r",
+        F.size(F.split(F.col("_txt"), " ")).cast("bigint").alias("_nt"),
+        F.col("_txt"))
+    tot = ranked.groupBy(key).agg(F.max("_r").cast("bigint").alias("_n"))
+    g = d.sparkSession.range(1, grid + 1).select(
+        F.col("id").cast("bigint").alias("_k"))
+    # tokens processed after the first ceil(k*n/grid) docs
+    toks = (ranked.join(F.broadcast(tot), key)
+            .crossJoin(F.broadcast(g))
+            .withColumn("_thr", F.expr(f"(_k * _n + {grid - 1}) "
+                                       f"div {grid}"))
+            .groupBy(key, "_k", "_thr")
+            .agg(F.sum(F.when(F.col("_r") <= F.col("_thr"),
+                              F.col("_nt")).otherwise(0))
+                 .cast("bigint").alias("_N")))
+    first = (ranked
+             .select(key, "_r",
+                     F.explode(F.split(F.col("_txt"), " ")).alias("_t"))
+             .groupBy(key, "_t")
+             .agg(F.min("_r").cast("bigint").alias("_fr")))
+    voc = (first.join(F.broadcast(tot), key)
+           .crossJoin(F.broadcast(g))
+           .withColumn("_thr", F.expr(f"(_k * _n + {grid - 1}) "
+                                      f"div {grid}"))
+           .groupBy(key, "_k")
+           .agg(F.sum(F.when(F.col("_fr") <= F.col("_thr"), 1)
+                      .otherwise(0)).cast("bigint").alias("_V")))
+    pts = (toks.join(voc, [key, "_k"])
+           .where((F.col("_N") > 0) & (F.col("_V") > 0))
+           .select(key,
+                   (F.length(F.bin(F.col("_N"))) - 1).cast("bigint")
+                   .alias("_x"),
+                   (F.length(F.bin(F.col("_V"))) - 1).cast("bigint")
+                   .alias("_y")))
+    s = pts.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("_x").cast("bigint").alias("_sx"),
+        F.sum("_y").cast("bigint").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("bigint").alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).cast("bigint").alias("_sxy"))
+    n = F.col("n_points").cast("double")
+    den = (n * F.col("_sxx").cast("double")
+           - F.col("_sx").cast("double") * F.col("_sx").cast("double"))
+    return s.select(
+        key, "n_points",
+        F.when(den > 0.0,
+               (n * F.col("_sxy").cast("double")
+                - F.col("_sy").cast("double")
+                * F.col("_sx").cast("double")) / den).alias("beta"))

@@ -1940,3 +1940,42 @@ def test_conformal_interval_hand_case(spark):
     assert out["k"].radius == 10
     assert out["s"].n_cal == 5 and out["s"].target_rank == 6
     assert out["s"].radius is None
+
+
+def test_heaps_slope_hand_case(spark):
+    # A dyadic corpus: doc k introduces 2^k - 2^(k-1) new unique words
+    # and contains 2^k total... simpler: engineer prefix points where
+    # V doubles whenever N doubles -> beta exactly 1.0.
+    from logpipe_spark.trainprep.textqual import heaps_slope
+
+    # 8 docs, each with 4 UNIQUE tokens never seen before:
+    # after d docs N = 4d, V = 4d -> x == y at every grid point.
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(4)), "s")
+            for i in range(8)]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, text string, source string")
+    r = heaps_slope(docs).collect()[0]
+    assert r.beta == 1.0
+
+
+def test_jackknife_ratio_hand_case(spark):
+    from logpipe_spark.operators.aggregate import jackknife_ratio
+
+    # 3 groups, per-group (sum, count): (10,2) (20,2) (30,2)
+    # Sx=60, Sy=6; r_g = (60-10)/4, (60-20)/4, (60-30)/4 = 12.5,10,7.5
+    # mean 10, ss = 6.25+0+6.25 = 12.5; var = (2/3)*12.5 = 25/3.
+    rows = [("k", 1, 4), ("k", 1, 6), ("k", 2, 9), ("k", 2, 11),
+            ("k", 3, 14), ("k", 3, 16)]
+    df = spark.createDataFrame(rows, "g string, grp int, x long") \
+        .withColumn("one", F.lit(1).cast("bigint"))
+    r = jackknife_ratio(df, "g", "grp", "x", "one").collect()[0]
+    assert r.n_groups == 3 and r.ratio == 10.0
+    assert abs(r.se_jack - math.sqrt(25.0 / 3.0)) < 1e-12
+    # guard: group count over the bound raises loudly
+    import pytest as _pt
+    wide = spark.createDataFrame(
+        [("k", i, i, 1) for i in range(40)],
+        "g string, grp int, x long, one long")
+    with _pt.raises(Exception, match="max_groups"):
+        jackknife_ratio(wide, "g", "grp", "x", "one",
+                        max_groups=8).collect()
