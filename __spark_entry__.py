@@ -7666,6 +7666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_merged": q_conformal_merged,
         "heaps_slope": q_heaps_slope,
         "jackknife_ratio": q_jackknife_ratio,
+        "drift_panel_raw": q_drift_panel_raw,
     # retained r04-green rows (lifecycle / persisted-state / flagship):
         "flagship_approx": q_flagship_approx,
         "read_changes_evo": q_read_changes_evo,
@@ -7684,7 +7685,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rebalanced": q_ann_rebalanced,
         "quantile_sketch": q_quantile_sketch,
         "drift_panel": q_drift_panel,
-        "drift_panel_raw": q_drift_panel_raw,
         "page_hinkley": q_page_hinkley,
         "l_moments": q_l_moments,
         "runs_merged": q_runs_merged,
