@@ -247,3 +247,38 @@ def test_maintain_cli_e2e(tmp_path):
     assert entry["actions"][0]["op"] == "compact"
     assert entry["actions"][0]["files_after"] < 12
     assert (tmp_path / "_maintenance" / "m-0.json").exists()
+
+
+def test_run_maintenance_with_ivf_rebalance(spark, tmp_path):
+    """The full triple under one manifest entry: compact + expire +
+    IVF rebalance; index answers are identical across the boundary."""
+    from pyspark.sql import functions as F
+
+    from logpipe_spark.plans.cdc import upsert_versioned, write_versioned
+    from logpipe_spark.plans.maintain import run_maintenance
+    from logpipe_spark.trainprep.similarity import (ann_query_index,
+                                                    write_ivf_index)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ivf = str(tmp_path / "ivf")
+    write_ivf_index(spark, emb, ivf)
+    before = sorted(map(tuple, ann_query_index(spark, ivf).collect()))
+
+    vdir = str(tmp_path / "vt")
+    base = spark.range(50).select(F.col("id").alias("k"),
+                                  (F.col("id") * 2).alias("v"))
+    write_versioned(spark, base, vdir, "k", n_buckets=4)
+    upsert_versioned(spark, vdir,
+                     base.withColumn("v", F.col("v") + 1), "k")
+    store = str(tmp_path / "files")
+    base.repartition(8).write.parquet(store)
+
+    rep = run_maintenance(spark, compact=[store], expire=[vdir],
+                          keep_last=1, ivf=ivf, ivf_max_list_size=16,
+                          log_dir=str(tmp_path))
+    assert [a["op"] for a in rep["actions"]] == \
+        ["compact", "expire_snapshots", "rebalance_ivf"]
+    riv = rep["actions"][2]
+    assert riv["max_list_rows"] <= 16
+    after = sorted(map(tuple, ann_query_index(spark, ivf).collect()))
+    assert after == before
