@@ -3732,6 +3732,46 @@ def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jackknife_ratio(ev, "event_type", "grp", "cents", "one")
 
 
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # McNemar's paired classifier comparison per user cohort
+    # (drift.py:mcnemar_test): two threshold rules predicting the error
+    # flag ON THE SAME EVENTS — only discordant pairs carry
+    # information; continuity-corrected (|b-c|-1)^2/(b+c) is one
+    # division of exact integers (the marginal two_proportion_z throws
+    # the pairing away).
+    from logpipe_spark.operators.drift import mcnemar_test
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull() & F.col("user_id").isNotNull()
+                 & F.col("event_type").isNotNull())
+          .withColumn("cohort",
+                      F.concat(F.lit("c"),
+                               F.pmod(F.col("user_id"), F.lit(5)))))
+    return mcnemar_test(
+        ev, "cohort",
+        F.col("value") > 50, F.col("value") > 60,
+        F.col("event_type") == "error")
+
+
+def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Brier score per user cohort (aggregate.py:brier_score) for an
+    # integer-percent forecast (clamped floor(value)) of the error
+    # flag: sum (p - 100y)^2 is an exact int64 sum, the score one
+    # division — the mergeable scalar companion to calibration_curve,
+    # with the climatology reference emitted from the same sums.
+    from logpipe_spark.operators.aggregate import brier_score
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull() & F.col("user_id").isNotNull()
+                 & F.col("event_type").isNotNull())
+          .withColumn("cohort",
+                      F.concat(F.lit("c"),
+                               F.pmod(F.col("user_id"), F.lit(7)))))
+    return brier_score(
+        ev, "cohort",
+        F.greatest(F.lit(0), F.least(F.lit(100),
+                                     F.floor(F.col("value")))),
+        (F.col("event_type") == "error").cast("int"))
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Position-level exact-substring dedup coverage (trainprep/dedup.py:
     # dup_spans — the Lee et al. 2022 repeated-substring rule at word-
@@ -7667,6 +7707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_slope": q_heaps_slope,
         "jackknife_ratio": q_jackknife_ratio,
         "drift_panel_raw": q_drift_panel_raw,
+        "mcnemar": q_mcnemar,
+        "brier_score": q_brier_score,
     # retained r04-green rows (lifecycle / persisted-state / flagship):
         "flagship_approx": q_flagship_approx,
         "read_changes_evo": q_read_changes_evo,
@@ -12849,6 +12891,53 @@ SELECT event_type, ng AS n_groups,
                       * (s2 - s1 * s1 / cast(ng AS double)))
        END AS se_jack
 FROM f""",
+        # four exact cells per cohort; continuity-corrected integer
+        # numerator; NULL chi2 when no discordant pairs.
+        "mcnemar": """
+WITH ev AS (SELECT concat('c', cast(user_id % 5 AS varchar)) AS cohort,
+                   value > 50 AS ra0, value > 60 AS rb0,
+                   event_type = 'error' AS y
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+              AND event_type IS NOT NULL),
+cl AS (SELECT cohort, (ra0 = y) AS ra, (rb0 = y) AS rb FROM ev),
+s AS (SELECT cohort, cast(count(*) AS bigint) AS n_pairs,
+  cast(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS bigint)
+    AS both_right,
+  cast(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS bigint)
+    AS both_wrong,
+  cast(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS bigint)
+    AS a_only,
+  cast(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS bigint)
+    AS b_only
+  FROM cl GROUP BY cohort)
+SELECT cohort, n_pairs, both_right, both_wrong, a_only, b_only,
+       CASE WHEN a_only + b_only > 0
+            THEN cast((abs(a_only - b_only) - 1)
+                      * (abs(a_only - b_only) - 1) AS double)
+                 / cast(a_only + b_only AS double) END AS chi2
+FROM s""",
+        # integer-percent forecasts: sum (p - 100y)^2 exact int64;
+        # climatology reference from the same sums.
+        "brier_score": """
+WITH ev AS (SELECT concat('c', cast(user_id % 7 AS varchar)) AS cohort,
+                   greatest(0, least(100, cast(floor(value) AS bigint)))
+                     AS p,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                     AS y
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+              AND event_type IS NOT NULL),
+s AS (SELECT cohort, cast(count(*) AS bigint) AS n,
+             cast(sum((p - 100 * y) * (p - 100 * y)) AS bigint) AS ss,
+             cast(sum(y) AS bigint) AS k
+      FROM ev GROUP BY cohort)
+SELECT cohort, n,
+       cast(ss AS double) / (10000.0 * cast(n AS double)) AS brier,
+       cast(k AS double) / cast(n AS double) AS base_rate,
+       (cast(k AS double) / cast(n AS double))
+         * (1.0 - cast(k AS double) / cast(n AS double)) AS brier_base
+FROM s""",
         "contrastive_triples": f"""
 WITH ann AS ({_ann_oracle(k=10, bucketed=False, bits=6)}),
 t AS (SELECT a.query_id, cast(q.label AS int) AS true_label,

@@ -310,6 +310,8 @@ HEADLINE = [
     "conformal_merged",
     "heaps_slope",
     "jackknife_ratio",
+    "mcnemar",
+    "brier_score",
 ]
 # ann_bits_sweep joins automatically via the ann_* tag rule
 # dedup_precision joins automatically via the dedup_* tag rule

@@ -2830,3 +2830,45 @@ def jackknife_ratio(
                / F.col("_sy").cast("double")).alias("ratio"),
         F.when((F.col("_bad") == 0) & (var > 0.0),
                F.sqrt(var)).alias("se_jack"))
+
+
+def brier_score(
+    df: DataFrame,
+    key: str,
+    p_pct: Column,
+    outcome: Column,
+) -> DataFrame:
+    """Brier score per key (Brier 1950) over INTEGER-PERCENT forecasts:
+    with p in [0, 100] and y in {0, 1},
+
+        BS = sum (p − 100·y)² / (10000·n)
+
+    — the numerator an exact int64 sum (one combinable shuffle), the
+    score a single division of exact integers, bit-identical
+    cross-engine where a float-probability mean never is. The scalar
+    companion to ``calibration_curve`` (which shows WHERE forecasts
+    are miscalibrated; Brier says HOW MUCH overall, and its
+    sum-of-squares form is mergeable across shards/epochs). Also emits
+    the climatology reference BS_base = base·(1−base) from the same
+    integer sums (the score of always forecasting the base rate) so
+    the skill ratio is readable without a second pass.
+
+    Returns ``(key, n, brier, base_rate, brier_base)``.
+    """
+    p = p_pct.cast("bigint")
+    y = outcome.cast("bigint")
+    s = (df.where(F.col(key).isNotNull() & p.isNotNull() & y.isNotNull())
+         .select(F.col(key), p.alias("_p"), y.alias("_y"))
+         .groupBy(key)
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum((F.col("_p") - 100 * F.col("_y"))
+                    * (F.col("_p") - 100 * F.col("_y")))
+              .cast("bigint").alias("_ss"),
+              F.sum("_y").cast("bigint").alias("_k")))
+    base = F.col("_k").cast("double") / F.col("n").cast("double")
+    return s.select(
+        key, "n",
+        (F.col("_ss").cast("double")
+         / (F.lit(10000.0) * F.col("n").cast("double"))).alias("brier"),
+        base.alias("base_rate"),
+        (base * (F.lit(1.0) - base)).alias("brier_base"))

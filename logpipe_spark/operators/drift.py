@@ -3044,3 +3044,51 @@ def effect_size(
         (sb / nb).alias("mean_b"),
         F.when((dfree > 0) & (varp > 0), d).alias("cohens_d"),
         F.when((dfree > 0) & (varp > 0), g).alias("hedges_g"))
+
+
+def mcnemar_test(
+    df: DataFrame,
+    key: str,
+    pred_a: Column,
+    pred_b: Column,
+    actual: Column,
+) -> DataFrame:
+    """McNemar's paired test per key (Psychometrika 1947; the Dietterich
+    1998 recommendation for comparing two classifiers ON THE SAME
+    EXAMPLES): only the DISCORDANT pairs carry information — b = #(A
+    right, B wrong), c = #(A wrong, B right) — and the continuity-
+    corrected statistic
+
+        chi2 = (|b − c| − 1)² / (b + c)
+
+    is a single division of exact integers (both engines form the same
+    operands, so the value hash-matches; the marginal-accuracy
+    comparison two_proportion_z runs ignores the pairing and loses
+    power). One combinable shuffle to the four cells per key; keys with
+    no discordant pairs emit NULL chi2 (ANSI guard — the test is
+    undefined, not zero).
+
+    Returns ``(key, n_pairs, both_right, both_wrong, a_only, b_only,
+    chi2)``.
+    """
+    ra = (pred_a == actual)
+    rb = (pred_b == actual)
+    s = (df.where(F.col(key).isNotNull() & pred_a.isNotNull()
+                  & pred_b.isNotNull() & actual.isNotNull())
+         .groupBy(key)
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+              F.sum(F.when(ra & rb, 1).otherwise(0)).cast("bigint")
+              .alias("both_right"),
+              F.sum(F.when(~ra & ~rb, 1).otherwise(0)).cast("bigint")
+              .alias("both_wrong"),
+              F.sum(F.when(ra & ~rb, 1).otherwise(0)).cast("bigint")
+              .alias("a_only"),
+              F.sum(F.when(~ra & rb, 1).otherwise(0)).cast("bigint")
+              .alias("b_only")))
+    b, c = F.col("a_only"), F.col("b_only")
+    num = (F.abs(b - c) - 1) * (F.abs(b - c) - 1)
+    return s.select(
+        key, "n_pairs", "both_right", "both_wrong", "a_only", "b_only",
+        F.when(b + c > 0,
+               num.cast("double") / (b + c).cast("double"))
+        .alias("chi2"))

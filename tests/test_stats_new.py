@@ -1979,3 +1979,36 @@ def test_jackknife_ratio_hand_case(spark):
     with _pt.raises(Exception, match="max_groups"):
         jackknife_ratio(wide, "g", "grp", "x", "one",
                         max_groups=8).collect()
+
+
+def test_mcnemar_hand_case(spark):
+    # b = 4 (A right, B wrong), c = 1 -> chi2 = (|3|-1)^2/5 = 0.8.
+    from logpipe_spark.operators.drift import mcnemar_test
+
+    rows = ([("k", 1, 0, 1)] * 4      # A right, B wrong
+            + [("k", 0, 1, 1)] * 1    # A wrong, B right
+            + [("k", 1, 1, 1)] * 3    # both right
+            + [("k", 0, 0, 1)] * 2)   # both wrong
+    df = spark.createDataFrame(rows, "g string, a int, b int, y int")
+    r = mcnemar_test(df, "g", F.col("a") == 1, F.col("b") == 1,
+                     F.col("y") == 1).collect()[0]
+    assert (r.n_pairs, r.both_right, r.both_wrong, r.a_only, r.b_only) \
+        == (10, 3, 2, 4, 1)
+    assert r.chi2 == (3 - 1) ** 2 / 5.0
+    # no discordant pairs -> NULL
+    df2 = spark.createDataFrame([("k", 1, 1, 1)] * 3,
+                                "g string, a int, b int, y int")
+    assert mcnemar_test(df2, "g", F.col("a") == 1, F.col("b") == 1,
+                        F.col("y") == 1).collect()[0].chi2 is None
+
+
+def test_brier_score_hand_case(spark):
+    # forecasts 80,80,20,20 with outcomes 1,0,1,0:
+    # ss = 400+6400+6400+400 = 13600 -> brier 0.34; base 0.5.
+    from logpipe_spark.operators.aggregate import brier_score
+
+    rows = [("k", 80, 1), ("k", 80, 0), ("k", 20, 1), ("k", 20, 0)]
+    df = spark.createDataFrame(rows, "g string, p long, y int")
+    r = brier_score(df, "g", F.col("p"), F.col("y")).collect()[0]
+    assert r.n == 4 and r.brier == 0.34
+    assert r.base_rate == 0.5 and r.brier_base == 0.25
