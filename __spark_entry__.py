@@ -3772,6 +3772,29 @@ def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "error").cast("int"))
 
 
+def q_ece_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Expected / maximum calibration error per cohort
+    # (aggregate.py:expected_calibration_error): the n_b weights cancel
+    # against the per-bin |acc-conf|, so ECE = sum_b |100*k_b - sum_p|
+    # / (100*n) stays INTEGER until one division — the headline
+    # miscalibration scalar next to calibration_curve (where) and
+    # brier_score (total loss). Same integer-percent forecast as
+    # q_brier_score.
+    from logpipe_spark.operators.aggregate import \
+        expected_calibration_error
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull() & F.col("user_id").isNotNull()
+                 & F.col("event_type").isNotNull())
+          .withColumn("cohort",
+                      F.concat(F.lit("c"),
+                               F.pmod(F.col("user_id"), F.lit(7)))))
+    return expected_calibration_error(
+        ev, "cohort",
+        F.greatest(F.lit(0), F.least(F.lit(100),
+                                     F.floor(F.col("value")))),
+        (F.col("event_type") == "error").cast("int"))
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Position-level exact-substring dedup coverage (trainprep/dedup.py:
     # dup_spans — the Lee et al. 2022 repeated-substring rule at word-
@@ -7709,6 +7732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_panel_raw": q_drift_panel_raw,
         "mcnemar": q_mcnemar,
         "brier_score": q_brier_score,
+        "ece_score": q_ece_score,
     # retained r04-green rows (lifecycle / persisted-state / flagship):
         "flagship_approx": q_flagship_approx,
         "read_changes_evo": q_read_changes_evo,
@@ -12938,6 +12962,32 @@ SELECT cohort, n,
        (cast(k AS double) / cast(n AS double))
          * (1.0 - cast(k AS double) / cast(n AS double)) AS brier_base
 FROM s""",
+        # the n_b weights cancel: ECE numerator is an exact int64 sum
+        # of per-bin |100k - sum_p|; MCE one division of the same ints.
+        "ece_score": """
+WITH ev AS (SELECT concat('c', cast(user_id % 7 AS varchar)) AS cohort,
+                   greatest(0, least(100, cast(floor(value) AS bigint)))
+                     AS p,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                     AS y
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+              AND event_type IS NOT NULL),
+b AS (SELECT cohort, least(cast(9 AS bigint), p // 10) AS bb, p, y
+      FROM ev),
+s AS (SELECT cohort, bb, cast(count(*) AS bigint) AS nb,
+             cast(sum(y) AS bigint) AS kb,
+             cast(sum(p) AS bigint) AS sp
+      FROM b GROUP BY cohort, bb),
+o AS (SELECT cohort, cast(sum(nb) AS bigint) AS n,
+             cast(count(*) AS bigint) AS n_bins_used,
+             cast(sum(abs(100 * kb - sp)) AS bigint) AS num,
+             max(cast(abs(100 * kb - sp) AS double)
+                 / (100.0 * cast(nb AS double))) AS mce
+      FROM s GROUP BY cohort)
+SELECT cohort, n, n_bins_used,
+       cast(num AS double) / (100.0 * cast(n AS double)) AS ece, mce
+FROM o""",
         "contrastive_triples": f"""
 WITH ann AS ({_ann_oracle(k=10, bucketed=False, bits=6)}),
 t AS (SELECT a.query_id, cast(q.label AS int) AS true_label,

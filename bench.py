@@ -312,6 +312,7 @@ HEADLINE = [
     "jackknife_ratio",
     "mcnemar",
     "brier_score",
+    "ece_score",
 ]
 # ann_bits_sweep joins automatically via the ann_* tag rule
 # dedup_precision joins automatically via the dedup_* tag rule

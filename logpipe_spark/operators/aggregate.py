@@ -2872,3 +2872,56 @@ def brier_score(
          / (F.lit(10000.0) * F.col("n").cast("double"))).alias("brier"),
         base.alias("base_rate"),
         (base * (F.lit(1.0) - base)).alias("brier_base"))
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    key: str,
+    p_pct: Column,
+    outcome: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error per key (Naeini et al., AAAI 2015)
+    over INTEGER-PERCENT forecasts — the scalar that says how far the
+    reliability diagram sits from the diagonal:
+
+        ECE = Σ_b (n_b/n)·|acc_b − conf_b| = Σ_b |100·k_b − Σp_b| / (100·n)
+
+    — the right-hand identity keeps EVERYTHING integer until one final
+    division (|accuracy−confidence| per bin is |100·successes − sum of
+    percents| / (100·n_b); the n_b weights cancel), so the score is
+    bit-identical cross-engine where float bin means never are. Also
+    emits MCE (the worst bin's gap, a division of the same integers).
+    Completes the calibration trio: ``calibration_curve`` shows WHERE,
+    ``brier_score`` how much overall loss, ECE/MCE the headline
+    miscalibration numbers. One (key, bin) combinable collapse.
+
+    Returns ``(key, n, n_bins_used, ece, mce)``.
+    """
+    p = p_pct.cast("bigint")
+    y = outcome.cast("bigint")
+    width = max(100 // int(n_bins), 1)
+    b = (df.where(F.col(key).isNotNull() & p.isNotNull() & y.isNotNull())
+         .select(F.col(key), p.alias("_p"), y.alias("_y"))
+         .select(F.col(key),
+                 F.least(F.lit(int(n_bins) - 1).cast("bigint"),
+                         F.expr(f"_p div {width}")
+                         .cast("bigint")).alias("_b"),
+                 "_p", "_y"))
+    s = b.groupBy(key, "_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nb"),
+        F.sum("_y").cast("bigint").alias("_kb"),
+        F.sum("_p").cast("bigint").alias("_sp"))
+    gap = F.abs(F.lit(100) * F.col("_kb") - F.col("_sp"))
+    out = s.groupBy(key).agg(
+        F.sum("_nb").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+        F.sum(gap).cast("bigint").alias("_num"),
+        F.max(gap.cast("double") / (F.lit(100.0)
+                                    * F.col("_nb").cast("double")))
+        .alias("mce"))
+    return out.select(
+        key, "n", "n_bins_used",
+        (F.col("_num").cast("double")
+         / (F.lit(100.0) * F.col("n").cast("double"))).alias("ece"),
+        "mce")

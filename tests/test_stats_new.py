@@ -2012,3 +2012,24 @@ def test_brier_score_hand_case(spark):
     r = brier_score(df, "g", F.col("p"), F.col("y")).collect()[0]
     assert r.n == 4 and r.brier == 0.34
     assert r.base_rate == 0.5 and r.brier_base == 0.25
+
+
+def test_ece_hand_case(spark):
+    # bin 8 (p=80x2): k=1, sp=160 -> |100-160| = 60
+    # bin 2 (p=20x2): k=1, sp=40  -> |100-40|  = 60
+    # ECE = 120/(100*4) = 0.3; MCE = 60/(100*2) = 0.3.
+    from logpipe_spark.operators.aggregate import \
+        expected_calibration_error
+
+    rows = [("k", 80, 1), ("k", 80, 0), ("k", 20, 1), ("k", 20, 0)]
+    df = spark.createDataFrame(rows, "g string, p long, y int")
+    r = expected_calibration_error(df, "g", F.col("p"),
+                                   F.col("y")).collect()[0]
+    assert r.n == 4 and r.n_bins_used == 2
+    assert r.ece == 0.3 and r.mce == 0.3
+    # perfectly calibrated bins -> 0
+    rows2 = [("k", 50, 1), ("k", 50, 0)]
+    df2 = spark.createDataFrame(rows2, "g string, p long, y int")
+    r2 = expected_calibration_error(df2, "g", F.col("p"),
+                                    F.col("y")).collect()[0]
+    assert r2.ece == 0.0 and r2.mce == 0.0
